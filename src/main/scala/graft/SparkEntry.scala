@@ -1,13 +1,295 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Heuristics, Sessionize}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry demonstrates one operator from SURVEY.md §2 on
+  * the driver-provided tables; `oracleSql` holds the DuckDB-equivalent
+  * SQL. Determinism rules used throughout (so Spark parquet output
+  * hash-matches DuckDB):
+  *  - timestamps are emitted as epoch-millis BIGINT, never raw
+  *    timestamps (ns vs µs and tz-awareness differ between engines);
+  *  - money sums use integer cents — per-row ROUND(x*100)→BIGINT then
+  *    SUM — exact regardless of summation order;
+  *  - emitted doubles are single IEEE divisions of exactly-computed
+  *    operands (deterministic), never order-dependent double sums.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 grouped aggregation w/ partial (map-side) combine + pushdown
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.3/§2.4 hard-limit heuristic: tumbling window count > limit
+    "q02_hard_limit" -> ((s, dir) => {
+      Heuristics.hardLimit(Tables.events(s, dir),
+          col("ts"), col("user_id"), "1 day", limit = 5)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
+    // §2.5 threshold heuristic: per-window mean side-input → broadcast join
+    "q03_threshold_mean" -> ((s, dir) => {
+      Heuristics.thresholdAnalysis(Tables.events(s, dir),
+          col("ts"), col("user_id"), "1 day", modifier = 2.0)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
+    // §2.3 error-rate heuristic: filtered windowed count
+    "q04_error_rate" -> ((s, dir) => {
+      Heuristics.errorRate(Tables.events(s, dir), col("ts"), col("user_id"),
+          col("event_type") === "error", "1 day", maxErrors = 2)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
+    // §2.3 status-code-rate heuristic: conditional count, single aggregate
+    "q05_status_rate" -> ((s, dir) => {
+      Heuristics.statusCodeRate(Tables.events(s, dir), col("ts"),
+          col("user_id"), col("event_type") === "error", "1 day",
+          minRatio = 0.5, minCount = 3)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
+    // §2.3 top-k/argmax per key (window-rank over pre-aggregated counts)
+    "q06_top_event_type" -> ((s, dir) => {
+      Heuristics.topAttrPerKey(Tables.events(s, dir),
+          col("user_id"), col("event_type"))
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("attr", "event_type")
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.3 distinct cardinality per key (NAT detection shape)
+    "q07_distinct_types" -> ((s, dir) => {
+      Heuristics.distinctCardinality(Tables.events(s, dir), col("ts"),
+          col("user_id"), col("event_type"), "1 day", minDistinct = 4)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
+    // §2.3 rollup (reference AlertSummary's 3 classifier levels, native)
+    "q08_rollup_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // §2.5 left-anti join (NAT/exemption suppression shape)
+    "q09_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.5 multi-way broadcast join + aggregation
+    "q10_region_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // §2.3 pane-over-pane compare (AlertSummary) via analytic lag
+    "q11_pane_delta" -> ((s, dir) => {
+      Heuristics.paneDelta(Tables.events(s, dir), col("ts"),
+          col("event_type"), "1 day")
+        .orderBy(col("classifier"), col("window_start_ms"))
+    }),
+
+    // §2.5 union+group correlation (SourceCorrelation shape)
+    "q12_flagged_ratio" -> ((s, dir) => {
+      Heuristics.flaggedRatio(Tables.events(s, dir), col("user_id"),
+          col("event_type") === "error", minTotal = 60, minRatio = 0.25)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.5 sequence/temporal pairing (EndpointSequenceAbuse) — range join
+    "q13_sequence_pairs" -> ((s, dir) => {
+      Heuristics.sequencePairs(Tables.events(s, dir), col("ts"),
+          col("user_id"), col("event_type") === "view",
+          col("event_type") === "purchase", withinSeconds = 600)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.4 gap sessionization (session windows, batch form)
+    "q14_session_limit" -> ((s, dir) => {
+      Sessionize.sessionLimit(Tables.events(s, dir), col("ts"),
+          col("user_id"), gapSeconds = 3600, maxSessionEvents = 3)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS sum_base_price_cents,
+        |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS sum_disc_price_cents,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_hard_limit" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, user_id,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 5 ORDER BY 1, 2""".stripMargin,
+
+    "q03_threshold_mean" ->
+      """WITH per_key AS (
+        |  SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, user_id,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |per_window AS (
+        |  SELECT window_start_ms, AVG(n) AS mean_n FROM per_key GROUP BY 1)
+        |SELECT k.window_start_ms, k.user_id, k.n, w.mean_n
+        |FROM per_key k JOIN per_window w USING (window_start_ms)
+        |WHERE k.n >= w.mean_n * 2.0 ORDER BY 1, 2""".stripMargin,
+
+    "q04_error_rate" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, user_id,
+        |  COUNT(*) AS errors
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1, 2 HAVING COUNT(*) > 2 ORDER BY 1, 2""".stripMargin,
+
+    "q05_status_rate" ->
+      """SELECT * FROM (
+        |  SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, user_id,
+        |    COUNT(*) AS total,
+        |    COUNT(*) FILTER (event_type = 'error') AS errors,
+        |    (COUNT(*) FILTER (event_type = 'error')) * 1.0 / COUNT(*) AS ratio
+        |  FROM events GROUP BY 1, 2)
+        |WHERE total >= 3 AND ratio >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "q06_top_event_type" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type, n FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q07_distinct_types" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, user_id,
+        |  COUNT(DISTINCT event_type) AS n_distinct
+        |FROM events GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT event_type) >= 4 ORDER BY 1, 2""".stripMargin,
+
+    "q08_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS total_cents
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_region_revenue" ->
+      """SELECT r_name,
+        |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_cents,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q11_pane_delta" ->
+      """WITH c AS (
+        |  SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |    event_type AS classifier, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT window_start_ms, classifier, n, LAG(n, 1) OVER (
+        |    PARTITION BY classifier ORDER BY window_start_ms) AS prev_n
+        |  FROM c)
+        |SELECT window_start_ms, classifier, n, prev_n,
+        |  (n - prev_n) * 100.0 / prev_n AS pct_change
+        |FROM l WHERE prev_n IS NOT NULL
+        |ORDER BY classifier, window_start_ms""".stripMargin,
+
+    "q12_flagged_ratio" ->
+      """SELECT * FROM (
+        |  SELECT user_id, COUNT(*) AS total,
+        |    COUNT(*) FILTER (event_type = 'error') AS flagged,
+        |    (COUNT(*) FILTER (event_type = 'error')) * 1.0 / COUNT(*) AS ratio
+        |  FROM events GROUP BY 1)
+        |WHERE total >= 60 AND ratio >= 0.25 ORDER BY user_id""".stripMargin,
+
+    "q13_sequence_pairs" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 600 SECONDS
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q14_session_limit" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, CASE WHEN
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY user_id ORDER BY ts)) > 3600000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events, SUM(n_events) AS total_events
+        |FROM g GROUP BY 1 HAVING MAX(n_events) >= 3 ORDER BY 1""".stripMargin
+  )
 }

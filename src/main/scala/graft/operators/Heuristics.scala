@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed detection heuristics, re-expressed as declarative Spark
+  * plans so Catalyst gets partial aggregation, pushdown and pruning
+  * for free.
+  *
+  * Reference semantics (SURVEY.md §2.3–§2.5):
+  *  - hard limit:   s/httprequest/heuristics/HardLimitAnalysis.java:108
+  *  - threshold:    s/httprequest/heuristics/ThresholdAnalysis.java:104-199
+  *                  (per-window global stats consumed as a singleton side
+  *                  input → here a broadcast window-keyed join)
+  *  - error rate:   s/httprequest/heuristics/ErrorRateAnalysis.java:84-96
+  *  - status rate:  s/httprequest/heuristics/StatusCodeRateAnalysis.java:90
+  *  - NAT detect:   s/DetectNat.java:123-124 (distinct UAs per source)
+  *  - top-k argmax: s/httprequest/heuristics/EndpointAbuseAnalysis.java:206-225
+  *  - correlation:  s/SourceCorrelation.java:202-295 (union + group)
+  *  - alert summary:s/postprocessing/AlertSummary.java:60-115 (pane-over-pane
+  *                  compare → analytic lag)
+  *
+  * Scale notes: every operator below is a single hash-aggregate (one
+  * shuffle on its grouping key) or aggregate + broadcast join. Nothing
+  * collects to the driver; nothing shuffles twice on the same key. The
+  * per-window stats side of `thresholdAnalysis` is tiny (one row per
+  * window) and broadcast explicitly.
+  */
+object Heuristics {
+
+  /** Tumbling event-time window start (epoch-aligned), exposed as epoch
+    * millis BIGINT so results are engine-portable (no tz ambiguity). */
+  private def windowStartMs(ts: Column, duration: String): Column =
+    unix_millis(window(ts, duration).getField("start"))
+
+  /** Count events per (window, key); alert where count > limit. */
+  def hardLimit(df: DataFrame, ts: Column, key: Column, duration: String,
+      limit: Long): DataFrame =
+    df.groupBy(windowStartMs(ts, duration).as("window_start_ms"),
+        key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > limit)
+
+  /** Per-(window,key) count vs per-window mean of those counts:
+    * alert where count >= mean * modifier. The per-window mean is the
+    * reference's singleton side input; here it is an aggregate over the
+    * already-aggregated per-key counts (tiny) joined back broadcast. */
+  def thresholdAnalysis(df: DataFrame, ts: Column, key: Column,
+      duration: String, modifier: Double, minCount: Long = 1): DataFrame = {
+    val perKey = df
+      .groupBy(windowStartMs(ts, duration).as("window_start_ms"),
+        key.as("key"))
+      .agg(count(lit(1)).as("n"))
+    val perWindow = perKey.groupBy(col("window_start_ms"))
+      .agg(avg(col("n")).as("mean_n"))
+    perKey.join(broadcast(perWindow), Seq("window_start_ms"))
+      .filter(col("n") >= col("mean_n") * modifier && col("n") >= minCount)
+      .select(col("window_start_ms"), col("key"), col("n"), col("mean_n"))
+  }
+
+  /** Count matching events (e.g. 4xx) per (window, key); alert where
+    * count > maxErrors. */
+  def errorRate(df: DataFrame, ts: Column, key: Column, isError: Column,
+      duration: String, maxErrors: Long): DataFrame =
+    df.filter(isError)
+      .groupBy(windowStartMs(ts, duration).as("window_start_ms"),
+        key.as("key"))
+      .agg(count(lit(1)).as("errors"))
+      .filter(col("errors") > maxErrors)
+
+  /** Error fraction per (window, key): alert where errors/total >= minRatio
+    * and total >= minCount. One aggregate with a conditional count —
+    * no second scan, no join. */
+  def statusCodeRate(df: DataFrame, ts: Column, key: Column, isError: Column,
+      duration: String, minRatio: Double, minCount: Long): DataFrame =
+    df.groupBy(windowStartMs(ts, duration).as("window_start_ms"),
+        key.as("key"))
+      .agg(count(lit(1)).as("total"),
+        count_if(isError).as("errors"))
+      .withColumn("ratio", col("errors") / col("total"))
+      .filter(col("total") >= minCount && col("ratio") >= minRatio)
+
+  /** Distinct-attribute cardinality per (window, key) — the reference
+    * flags a source as NAT when it carries >= minDistinct user agents.
+    * `approxRsd > 0` switches to approx_count_distinct for 100TB scans
+    * where exactness is not required. */
+  def distinctCardinality(df: DataFrame, ts: Column, key: Column,
+      attr: Column, duration: String, minDistinct: Long,
+      approxRsd: Double = 0.0): DataFrame = {
+    val card =
+      if (approxRsd > 0) approx_count_distinct(attr, approxRsd)
+      else countDistinct(attr)
+    df.groupBy(windowStartMs(ts, duration).as("window_start_ms"),
+        key.as("key"))
+      .agg(card.as("n_distinct"))
+      .filter(col("n_distinct") >= minDistinct)
+  }
+
+  /** Per-key argmax: the attribute value with the highest count per key
+    * (deterministic tie-break on the attribute value). Window-rank over
+    * a pre-aggregated frame: the rank input is |keys × attrs|, not |rows|. */
+  def topAttrPerKey(df: DataFrame, key: Column, attr: Column): DataFrame = {
+    val counts = df.groupBy(key.as("key"), attr.as("attr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("n").desc, col("attr").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Union + group correlation (ref SourceCorrelation): fraction of a
+    * key's events that are flagged; alert when the key is busy enough
+    * (>= minTotal) and predominantly flagged (>= minRatio). */
+  def flaggedRatio(df: DataFrame, key: Column, isFlagged: Column,
+      minTotal: Long, minRatio: Double): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("total"), count_if(isFlagged).as("flagged"))
+      .withColumn("ratio", col("flagged") / col("total"))
+      .filter(col("total") >= minTotal && col("ratio") >= minRatio)
+
+  /** Pane-over-pane alert-rate comparison (ref AlertSummary): count per
+    * (window, classifier), compare each window with the previous one via
+    * an analytic lag, emit percent change. */
+  def paneDelta(df: DataFrame, ts: Column, classifier: Column,
+      duration: String): DataFrame = {
+    val counts = df
+      .groupBy(windowStartMs(ts, duration).as("window_start_ms"),
+        classifier.as("classifier"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("classifier"))
+      .orderBy(col("window_start_ms"))
+    counts
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("pct_change",
+        (col("n") - col("prev_n")) * lit(100.0) / col("prev_n"))
+  }
+
+  /** Ordered-pair detection within a per-key timeline (ref
+    * EndpointSequenceAbuse): count occurrences of `firstPred` followed by
+    * `secondPred` within `withinSeconds`, per key. Expressed as an
+    * equi-join on the key plus a range predicate — Spark executes the
+    * equi-part as a hash/sort-merge join, so the quadratic blow-up is
+    * bounded per key, and both sides are pre-filtered before the shuffle. */
+  def sequencePairs(df: DataFrame, ts: Column, key: Column,
+      firstPred: Column, secondPred: Column, withinSeconds: Long): DataFrame = {
+    val a = df.filter(firstPred)
+      .select(key.as("key"), ts.as("a_ts"))
+    val b = df.filter(secondPred)
+      .select(key.as("key"), ts.as("b_ts"))
+    a.join(b, Seq("key"))
+      .filter(col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class SparkEntrySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL or is explicitly rows-only") {
+    // every oracle key must name a real query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$name runs non-empty at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0)
+    }
+  }
+
+  test("q01 groups to 6 flag/status combinations") {
+    assert(SparkEntry.queries("q01_pricing_summary")(spark, sf).count() == 6)
+  }
+
+  test("q10 covers all 5 regions") {
+    val rows = SparkEntry.queries("q10_region_revenue")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("revenue_cents")).forall(_ > 0))
+  }
+}
