@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.InetRadix
+
+/** Column-level scalar functions (SURVEY.md §2.7). Everything here is a
+  * composition of built-in, codegen'd expressions except CIDR matching,
+  * which needs the broadcast radix trie and is the one deliberate UDF
+  * (a 32-step pointer chase; still cheap and fully distributed).
+  */
+object Functions {
+
+  /** levenshtein(a,b) / max(len(a), len(b)); 0.0 when both empty
+    * (ref s/StringDistance.java:23-31). Built-in levenshtein is
+    * codegen'd — no UDF. */
+  def levenshteinRatio(a: Column, b: Column): Column =
+    when(greatest(length(a), length(b)) === 0, lit(0.0))
+      .otherwise(levenshtein(a, b).cast("double") / greatest(length(a), length(b)))
+
+  /** Great-circle km, pure Column math so it stays inside whole-stage
+    * codegen (ref s/GeoUtil.java:35-50, R=6378). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * graft.util.GeoUtil.EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** "user+tag@host" → "user@host" (ref MiscUtil.normalizeEmailPlus). */
+  def normalizeEmailPlus(email: Column): Column =
+    regexp_replace(email, "\\+[^@]*@", "@")
+
+  /** Email → domain (ref s/customs/Customs.java:510-519). */
+  def emailDomain(email: Column): Column = substring_index(email, "@", -1)
+
+  /** Pick the client IP out of an X-Forwarded-For list: last entry not
+    * inside the trusted-proxy set (ref s/parser/Parser.java:164-238). */
+  def xffClientAddress(xff: Column, trustedProxies: Broadcast[InetRadix]): Column = {
+    val entries = transform(split(xff, ","), e => trim(e))
+    val nonProxy = filter(entries, e => !cidrMatch(trustedProxies)(e))
+    try_element_at(nonProxy, lit(-1))
+  }
+
+  /** CIDR membership against a broadcast radix trie. */
+  def cidrMatch(trie: Broadcast[InetRadix])(addr: Column): Column = {
+    val f = udf((a: String) => a != null && trie.value.contains(a))
+    f(addr)
+  }
+
+  /** Convenience: build + broadcast a trie from CIDR strings. */
+  def broadcastCidrs(spark: SparkSession, cidrs: Seq[String]): Broadcast[InetRadix] =
+    spark.sparkContext.broadcast(InetRadix(cidrs))
+
+  /** Dotted-quad → unsigned int in a BIGINT, null if malformed; pure
+    * Column math (stays codegen'd) for use in joins/sorts over IPs. */
+  def ipv4ToLong(addr: Column): Column = {
+    val ok = addr.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
+    val parts = split(addr, "\\.")
+    val v = element_at(parts, 1).cast("long") * 16777216L +
+      element_at(parts, 2).cast("long") * 65536L +
+      element_at(parts, 3).cast("long") * 256L +
+      element_at(parts, 4).cast("long")
+    val valid = ok &&
+      element_at(parts, 1).cast("int") <= 255 &&
+      element_at(parts, 2).cast("int") <= 255 &&
+      element_at(parts, 3).cast("int") <= 255 &&
+      element_at(parts, 4).cast("int") <= 255
+    when(valid, v)
+  }
+}

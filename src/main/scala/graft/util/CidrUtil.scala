@@ -1,0 +1,66 @@
+package graft.util
+
+/** IPv4 / CIDR helpers (ref s/CidrUtil.java:126-380 — same surface:
+  * parse, membership, well-known private ranges).
+  */
+object CidrUtil {
+
+  /** "1.2.3.4" → unsigned 32-bit value in a Long, or None if malformed. */
+  def ipToLong(addr: String): Option[Long] = {
+    if (addr == null) return None
+    val parts = addr.split('.')
+    if (parts.length != 4) return None
+    var acc = 0L
+    var i = 0
+    while (i < 4) {
+      val p = parts(i)
+      if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return None
+      val v = p.toInt
+      if (v > 255) return None
+      acc = (acc << 8) | v
+      i += 1
+    }
+    Some(acc)
+  }
+
+  def longToIp(v: Long): String =
+    s"${(v >>> 24) & 0xff}.${(v >>> 16) & 0xff}.${(v >>> 8) & 0xff}.${v & 0xff}"
+
+  /** "10.0.0.0/8" → (base address, prefix length); bare IP → /32.
+    * Throws IllegalArgumentException on malformed input (construction
+    * time, driver side — fail fast). */
+  def parseCidr(cidr: String): (Long, Int) = {
+    val (ipPart, bits) = cidr.indexOf('/') match {
+      case -1 => (cidr, 32)
+      case i => (cidr.substring(0, i), cidr.substring(i + 1).toInt)
+    }
+    require(bits >= 0 && bits <= 32, s"bad prefix length in $cidr")
+    val ip = ipToLong(ipPart)
+      .getOrElse(throw new IllegalArgumentException(s"bad address in $cidr"))
+    val masked = if (bits == 0) 0L else ip & (0xffffffffL << (32 - bits)) & 0xffffffffL
+    (masked, bits)
+  }
+
+  /** Single-CIDR membership (no trie). */
+  def cidrContains(cidr: String, addr: String): Boolean = {
+    val (base, bits) = parseCidr(cidr)
+    ipToLong(addr) match {
+      case Some(ip) =>
+        val shift = 32 - bits
+        if (bits == 0) true else (ip >>> shift) == (base >>> shift)
+      case None => false
+    }
+  }
+
+  /** RFC1918 + loopback + link-local, as the reference's internal-address
+    * exclusion set (ref s/CidrUtil.java:298-380). */
+  val privateRanges: Seq[String] = Seq(
+    "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+    "127.0.0.0/8", "169.254.0.0/16")
+
+  lazy val privateTrie: InetRadix = InetRadix(privateRanges)
+
+  def isPrivate(addr: String): Boolean = privateTrie.contains(addr)
+
+  def isValidIpv4(addr: String): Boolean = ipToLong(addr).isDefined
+}

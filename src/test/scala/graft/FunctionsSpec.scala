@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Functions
+import graft.util.GeoUtil
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("levenshteinRatio column matches scala impl") {
+    val rows = Seq(("kitten", "sitting"), ("", ""), ("abc", "abc"), ("abcd", "abce"))
+      .toDF("a", "b")
+      .select(Functions.levenshteinRatio(col("a"), col("b")).as("r"))
+      .as[Double].collect()
+    assert(rows(0) == 3.0 / 7)
+    assert(rows(1) == 0.0)
+    assert(rows(2) == 0.0)
+    assert(rows(3) == 0.25)
+  }
+
+  test("haversineKm column agrees with scala impl") {
+    val got = Seq((51.5074, -0.1278, 48.8566, 2.3522))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+      .select(Functions.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("km"))
+      .as[Double].head()
+    val want = GeoUtil.haversineKm(51.5074, -0.1278, 48.8566, 2.3522)
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("email column functions") {
+    val r = Seq("user+tag@host.com").toDF("e")
+      .select(Functions.normalizeEmailPlus(col("e")).as("n"),
+        Functions.emailDomain(col("e")).as("d"))
+      .as[(String, String)].head()
+    assert(r == (("user@host.com", "host.com")))
+  }
+
+  test("cidrMatch + xffClientAddress over broadcast trie") {
+    val trusted = Functions.broadcastCidrs(spark, Seq("10.0.0.0/8", "192.168.0.0/16"))
+    val df = Seq(
+      "203.0.113.7, 10.0.0.1, 10.0.0.2",     // client behind two proxies
+      "198.51.100.9",                          // direct
+      "10.1.1.1, 192.168.1.1"                  // all proxies -> null
+    ).toDF("xff")
+    val got = df.select(Functions.xffClientAddress(col("xff"), trusted).as("c"))
+      .as[Option[String]].collect()
+    assert(got(0).contains("203.0.113.7"))
+    assert(got(1).contains("198.51.100.9"))
+    assert(got(2).isEmpty)
+  }
+
+  test("ipv4ToLong: valid, ordering, malformed -> null") {
+    val got = Seq("0.0.0.0", "10.0.0.1", "255.255.255.255", "256.1.1.1", "x")
+      .toDF("ip").select(Functions.ipv4ToLong(col("ip")).as("v"))
+      .as[Option[Long]].collect()
+    assert(got(0).contains(0L))
+    assert(got(1).contains(167772161L))
+    assert(got(2).contains(4294967295L))
+    assert(got(3).isEmpty)
+    assert(got(4).isEmpty)
+  }
+}
