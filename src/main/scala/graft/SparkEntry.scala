@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Heuristics, Sessionize}
+import graft.operators.{Dedup, Heuristics, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -161,8 +161,82 @@ object SparkEntry {
           col("user_id"), gapSeconds = 3600, maxSessionEvents = 3)
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // training-data ops: exact dedup (hash-groupBy)
+    "q15_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    // training-data ops: n-gram Jaccard near-dup pairs (inverted-index join)
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), n = 3, minJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // training-data ops: MinHash+LSH candidate pairs (band-bucket join)
+    "q17_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), n = 3, numHashes = 16, bands = 8, minEstJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // training-data ops: SimHash fingerprints (md5-bit majority)
+    "q18_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: brute-force cosine top-k over embeddings
+    "q19_cosine_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // training-data ops: LSH-bucketed approximate top-k
+    "q20_lsh_topk" -> ((s, dir) => {
+      Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // training-data ops: token statistics
+    "q21_token_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: quality-filter scoring
+    "q22_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: marker-based class scoring (language-ID shape)
+    "q23_classify_markers" -> ((s, dir) => {
+      TextAnalysis.classifyByMarkers(Tables.documents(s, dir), col("doc_id"),
+          col("text"), MarkerClasses)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: bag-of-words document fingerprint
+    "q24_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Marker token lists for q23 (vocabulary-aware demo classes). */
+  val MarkerClasses: Map[String, Seq[String]] = Map(
+    "db" -> Seq("query", "table", "join", "filter", "scan", "index"),
+    "spark" -> Seq("spark", "batch", "stream", "agg", "vector", "shuffle"),
+    "misc" -> Seq("the", "a", "fast", "slow", "small"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -290,6 +364,173 @@ object SparkEntry {
         |g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  MAX(n_events) AS max_session_events, SUM(n_events) AS total_events
-        |FROM g GROUP BY 1 HAVING MAX(n_events) >= 3 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 HAVING MAX(n_events) >= 3 ORDER BY 1""".stripMargin,
+
+    "q15_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |n AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared,
+        |  shared / (na.n_sh + nb.n_sh - shared) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |WHERE shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q17_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |sigs AS (SELECT doc_id, seed, MIN(md5(seed || ':' || s)) sig
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1,16)) seed) t
+        |  GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (seed-1)//2 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY seed)) bkey
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |m AS (SELECT doc_a, doc_b,
+        |    COUNT(*) FILTER (sa.sig = sb.sig) AS n_match
+        |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+        |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_jaccard
+        |FROM m WHERE n_match / 16.0 >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q18_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text),' '), t -> t <> '')) tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) w FROM toks GROUP BY 1, 2),
+        |b AS (SELECT doc_id, w, md5(tok) h,
+        |    unnest(generate_series(0,31)) j FROM tf),
+        |d AS (SELECT doc_id, j, w,
+        |    strpos('0123456789abcdef', h[j//4 + 1]) - 1 AS digit FROM b),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN SUM((((digit // ([8,4,2,1])[(j%4)+1]) % 2)*2 - 1) * w) > 0
+        |      THEN 1 ELSE 0 END sb
+        |  FROM d GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(sb * CAST(power(2, j) AS BIGINT)) AS BIGINT)
+        |  AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q19_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |q AS (SELECT vec_id query_id, d, v FROM ed WHERE vec_id IN (0,1,2,3,4)),
+        |dots AS (SELECT q.query_id, ed.vec_id, CAST(SUM(q.v * ed.v) AS BIGINT) dot
+        |  FROM q JOIN ed ON q.d = ed.d WHERE ed.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id AS vec_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = query_id
+        |    JOIN nrm nb ON nb.vec_id = dots.vec_id),
+        |r AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q20_lsh_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |wts AS (SELECT p, d,
+        |    (strpos('0123456789abcdef', md5(p || ':' || d)[1]) - 1)*2 - 15 AS w
+        |  FROM (SELECT unnest(generate_series(0,3)) p)
+        |  CROSS JOIN (SELECT unnest(generate_series(0,63)) d)),
+        |pb AS (SELECT ed.vec_id, wts.p,
+        |    CASE WHEN SUM(wts.w * ed.v) > 0
+        |      THEN CAST(power(2, wts.p) AS BIGINT) ELSE 0 END bb
+        |  FROM ed JOIN wts ON wts.d = ed.d - 1 GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, CAST(SUM(bb) AS BIGINT) bucket FROM pb GROUP BY 1),
+        |q AS (SELECT e.vec_id query_id, bk.bucket FROM e
+        |  JOIN bk ON bk.vec_id = e.vec_id WHERE e.vec_id IN (0,1,2,3,4)),
+        |cand AS (SELECT q.query_id, bk.vec_id FROM q
+        |  JOIN bk ON bk.bucket = q.bucket WHERE bk.vec_id <> q.query_id),
+        |dots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qe.v * ce.v) AS BIGINT) dot
+        |  FROM cand c JOIN ed qe ON qe.vec_id = c.query_id
+        |    JOIN ed ce ON ce.vec_id = c.vec_id AND ce.d = qe.d
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = query_id
+        |    JOIN nrm nb ON nb.vec_id = dots.vec_id),
+        |r AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q21_token_stats" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) n_types,
+        |  len(list_distinct(ws)) / len(ws) AS ttr
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q22_quality" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) n_units,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars, n_units,
+        |    CAST(len(ws) AS BIGINT) n_tokens,
+        |    CAST(len(list_filter(ws,
+        |      t -> list_contains(['the','a','and','of','to','in'], t))) AS BIGINT) n_stop
+        |  FROM w)
+        |SELECT doc_id, n_chars, n_units, n_tokens, n_stop,
+        |  n_stop / n_tokens AS stop_ratio,
+        |  (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+        |  (n_tokens >= 10 AND n_stop / n_tokens >= 0.01
+        |    AND n_stop / n_tokens <= 0.6
+        |    AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0) AS quality_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q23_classify_markers" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |m AS (SELECT * FROM (VALUES
+        |    ('db', ['query','table','join','filter','scan','index']),
+        |    ('spark', ['spark','batch','stream','agg','vector','shuffle']),
+        |    ('misc', ['the','a','fast','slow','small'])) AS t(class, words)),
+        |s AS (SELECT doc_id, class,
+        |    CAST(len(list_filter(ws, t -> list_contains(words, t))) AS BIGINT)
+        |      / CAST(len(ws) AS BIGINT) AS score
+        |  FROM w CROSS JOIN m),
+        |r AS (SELECT doc_id, class, score, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, class) rn FROM s)
+        |SELECT doc_id, class AS pred_class, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(lower(text),' '), t -> t <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

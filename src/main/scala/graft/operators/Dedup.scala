@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora: exact,
+  * MinHash+LSH, SimHash and n-gram Jaccard. The reference pipeline
+  * dedupes events (`dropDuplicates` shapes, SURVEY.md §2.3); these
+  * operators extend that to document-level near-duplicate detection
+  * for training-data pipelines.
+  *
+  * Determinism: all hashing is built on `md5` (identical output across
+  * engines), so every operator is oracle-checkable bit-for-bit against
+  * an independent SQL engine. All math on similarity scores is exact
+  * integer arithmetic followed by at most one IEEE division — order
+  * independent, engine independent.
+  *
+  * Scale design (100 TB):
+  *  - nothing here is all-pairs: candidate pairs come from equi-joins
+  *    on shingle / band-bucket / simhash-band keys, so the shuffle is
+  *    keyed and the blow-up is bounded by bucket width, not corpus²;
+  *  - every stage is a plain groupBy/join over codegen'd built-ins
+  *    (split/transform/md5/explode) — no UDFs, no driver collect;
+  *  - hot buckets (stop-shingles) can be capped via `maxShingleFreq`,
+  *    dropping shingles shared by more than N docs before the pair
+  *    join — the standard frequency-cap trick for skew.
+  */
+object Dedup {
+
+  /** Whitespace tokens, empties dropped; lower-cased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of the token array (docs shorter
+    * than n tokens yield no shingles). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val idx = sequence(lit(1), greatest(lit(0), size(ws) - (n - 1)))
+    array_distinct(transform(idx, i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Exact dedup: group identical texts by md5, keep the smallest id
+    * as canonical. One hash-aggregate; the md5 key (not the full text)
+    * is what shuffles, so shuffle payload is 32 bytes/doc regardless of
+    * document size. */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("text_hash"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs via the sparse inverted-index
+    * join: explode distinct shingles, self-join on the shingle (only
+    * docs sharing at least one shingle ever pair up), count shared,
+    * then jaccard = shared / (|A| + |B| - shared).
+    *
+    * `maxShingleFreq` drops shingles occurring in more than that many
+    * docs before the join (skew cap; 0 = keep all).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      minJaccard: Double, maxShingleFreq: Long = 0): DataFrame = {
+    val sh = df.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val filtered =
+      if (maxShingleFreq > 0) {
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select(col("s"))
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      } else sh
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("doc_id").as("doc_a"), col("s"))
+    val b = filtered.select(col("doc_id").as("doc_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded permutations,
+    * the signature is the lexicographic min of md5(seed:shingle) over
+    * the doc's shingle set. Output: (doc_id, seed, sig). */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int,
+      numHashes: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), lit(numHashes))).as("seed"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit(":"), col("s")))).as("sig"))
+
+  /** MinHash + LSH near-dup candidate pairs. Signatures are banded
+    * (`bands` bands of `numHashes/bands` rows); docs sharing any band
+    * key become candidates (equi-join on the band bucket — never
+    * all-pairs); candidates are then scored by full-signature
+    * agreement: est_jaccard = matching sigs / numHashes.
+    *
+    * The signature stage is pure array expressions (transform +
+    * array_min over the shingle array) — no explode, no shuffle, stays
+    * inside whole-stage codegen; the only shuffles are the band-bucket
+    * self-join and the final dedup.
+    *
+    * With 16 hashes / 8 bands of 2, P(candidate | j=0.8) > 0.999 and
+    * the bucket join stays tiny because unrelated docs almost never
+    * agree on two consecutive minhashes. */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      numHashes: Int, bands: Int, minEstJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigArr = df.select(id.as("doc_id"), shingles(text, n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), lit(numHashes)),
+          seed => array_min(transform(col("shs"),
+            s => md5(concat(seed, lit(":"), s))))).as("sig"))
+    val banded = sigArr.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        md5(concat_ws("|", slice(col("sig"), col("band") * rows + 1, lit(rows)))))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)))
+      .withColumn("est_jaccard", col("n_match") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_match").cast("long").as("n_match"),
+        col("est_jaccard"))
+  }
+
+  /** 32-bit SimHash over unigram tokens weighted by term frequency.
+    * Bit j of a token's hash is extracted from hex digit j/4 of
+    * md5(token); the simhash bit is the sign of the tf-weighted ±1 sum.
+    * Emitted as a non-negative INT-range BIGINT. */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
+      .withColumn("h", md5(col("tok")))
+    val bits = tf.select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("digit",
+        locate_digit(substring(col("h"), (col("j") / 4).cast("int") + 1, lit(1))))
+      .withColumn("divisor",
+        element_at(typedLit(Seq(8, 4, 2, 1)), pmod(col("j"), lit(4)) + 1))
+      .withColumn("bit", pmod((col("digit") / col("divisor")).cast("int"), lit(2)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum((col("bit") * 2 - 1) * col("w")).as("v"))
+      .withColumn("simbit", when(col("v") > 0, 1L).otherwise(0L))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(col("simbit") * pow(lit(2.0), col("j")).cast("long"))
+        .as("simhash"))
+  }
+
+  /** Hex digit -> 0..15 (shared by simhash + oracle SQL mirror). */
+  private def locate_digit(ch: Column): Column =
+    call_function("locate", ch, lit("0123456789abcdef")) - 1
+
+  /** SimHash near-dup pairs: candidates from exact agreement on any of
+    * four 8-bit bands (equi-join, never all-pairs), verified by full
+    * 32-bit hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int): DataFrame = {
+    val sh = simhash(df, id, text)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        pmod((col("simhash") / pow(lit(2.0), col("band") * 8).cast("long")).cast("long"),
+          lit(256L)))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("h_a"), col("y.simhash").as("h_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Determinism / oracle portability: embeddings are quantized to
+  * integers (floor(x*10000 + 0.5) — exact in IEEE double, identical in
+  * any engine), dot products and norms are exact integer sums (order
+  * independent), and the only floating-point steps are one int→double
+  * conversion, one sqrt and one division — all correctly-rounded IEEE
+  * ops, so cosine scores are bit-identical across engines. Hyperplane
+  * weights derive from md5 digits, reproducible anywhere.
+  *
+  * Scale design (100 TB): the query set is broadcast (it is the small
+  * side by construction); the corpus is scanned exactly once, map-side;
+  * the only shuffle is the per-query top-k rank over |corpus × queries|
+  * scored rows — or, in the LSH variant, over candidates within the
+  * query's bucket only (corpus/2^planes per bucket on average). For a
+  * real 1000-executor deployment the rank shuffle can be replaced by a
+  * per-partition top-k + merge, but the row_number plan already prunes
+  * to k per query before any driver interaction.
+  */
+object Similarity {
+
+  /** Quantization scale: unit-norm embeddings → |q| <= ~10^4,
+    * norms ~10^8, norm products ~10^16 — inside BIGINT. */
+  val Scale = 10000
+
+  /** float array → exact integer array: floor(x*Scale + 0.5). */
+  def quantize(v: Column): Column =
+    transform(v, e => floor(e * Scale + lit(0.5)).cast("long"))
+
+  /** Exact integer dot product of two BIGINT arrays (fold — order
+    * independent because integer addition is associative). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cosine = dot / sqrt(na*nb), all operands exact integers. */
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot / sqrt((na * nb).cast("double"))
+
+  private def quantized(emb: DataFrame, id: Column, vec: Column): DataFrame =
+    emb.select(id.as("vec_id"), quantize(vec).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+
+  /** Brute-force exact cosine top-k: for each query vector (selected by
+    * id), the k nearest corpus vectors (self excluded). */
+  def bruteForceTopK(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val base = quantized(emb, id, vec)
+    val queries = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    scoreAndRank(base.crossJoin(broadcast(queries)), k)
+  }
+
+  /** Number of random hyperplanes for the LSH variant (2^planes
+    * buckets). */
+  val DefaultPlanes = 4
+
+  /** Deterministic hyperplane weights: weight(p,d) = (first hex digit
+    * of md5("p:d")) * 2 - 15 — an odd integer in [-15, 15], identical
+    * in any engine that has md5. */
+  def planeWeights(planes: Int, dims: Int): Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        Integer.parseInt(hex.substring(0, 1), 16) * 2 - 15
+      }
+    }
+  }
+
+  /** Sign-of-projection bucket id (0 .. 2^planes-1) as a Column over
+    * the quantized vector. Pure integer math; weights are literals, so
+    * the whole thing stays in one codegen'd projection. */
+  def bucketCol(qv: Column, planes: Int, dims: Int): Column =
+    planeWeights(planes, dims).zipWithIndex.map { case (w, p) =>
+      when(dotQ(typedLit(w.map(_.toLong)), qv) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors in
+    * the query's hyperplane-sign bucket; exact cosine rank within the
+    * bucket. Trades recall for a 2^planes-fold candidate reduction. */
+  def lshTopK(emb: DataFrame, id: Column, vec: Column, queryIds: Seq[Long],
+      k: Int, planes: Int = DefaultPlanes, dims: Int = 64): DataFrame = {
+    val base = quantized(emb, id, vec)
+      .withColumn("bucket", bucketCol(col("qv"), planes, dims))
+    val queries = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    scoreAndRank(base.join(broadcast(queries), Seq("bucket")), k)
+  }
+
+  private def scoreAndRank(joined: DataFrame, k: Int): DataFrame =
+    joined.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotQ(col("qv"), col("q_qv")))
+      .withColumn("cosine", cosine(col("dot"), col("nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+}

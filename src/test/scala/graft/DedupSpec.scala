@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 0 and 1 are exact copies; 2 is a near-dup of 0 (one word changed);
+  // 3 and 4 are unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox leaps over the lazy dog again and again today"),
+    (3L, "completely different words about spark catalyst tungsten codegen engine"),
+    (4L, "yet another unrelated document mentioning parquet shuffle partitions")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts, keeps min id") {
+    val r = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+      .orderBy("canonical_id").collect()
+    assert(r.length == 4)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("ngramJaccardPairs finds exact + near dup pairs, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))  // exact copy: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of identical docs is identical; est_jaccard=1 for copies") {
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal; near-dups close in hamming; 32-bit range") {
+    val h = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(0L) == h(1L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) <= 8)          // one word changed
+    assert(ham(h(0L), h(3L)) >= 6)          // unrelated
+  }
+
+  test("simhashPairs links copies and near-dups only") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("maxShingleFreq drops hot shingles from candidates but keeps sizes exact") {
+    // with cap=1 no shingle shared by 2+ docs survives -> no pairs at all
+    val r = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.1, maxShingleFreq = 1)
+    assert(r.count() == 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  private def topSets(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+
+  test("brute-force top-k: k rows per query, self excluded, cosine in [-1,1]") {
+    val rows = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
+      col("vec_id"), col("embedding"), queryIds, k = 5).collect()
+    assert(rows.length == queryIds.size * 5)
+    assert(rows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+  }
+
+  test("brute-force picks the true maximum-cosine neighbor first") {
+    val emb = Tables.embeddings(spark, sf)
+    val top1 = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      Seq(0L), k = 1).head()
+    // independently recompute: max cosine over all candidates for query 0
+    val base = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val q = base.filter(col("vec_id") === 0L).head().getAs[scala.collection.Seq[Long]]("qv")
+    val best = base.filter(col("vec_id") =!= 0L).collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Long]]("qv")
+      val dot = q.zip(v).map { case (a, b) => a * b }.sum
+      val cos = dot / math.sqrt(
+        (q.map(x => x * x).sum * v.map(x => x * x).sum).toDouble)
+      (r.getAs[Long]("vec_id"), cos)
+    }.maxBy(_._2)
+    assert(top1.getAs[Long]("vec_id") == best._1)
+    assert(top1.getAs[Double]("cosine") == best._2)
+  }
+
+  test("LSH top-k is exactly brute-force ranking restricted to the query's bucket") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"),
+      Similarity.bucketCol(Similarity.quantize(col("embedding")), 4, 64).as("b"))
+    val buckets = base.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("b")).toMap
+    val approx = Similarity.lshTopK(emb, col("vec_id"), col("embedding"),
+      queryIds, k = 5).collect()
+    // every returned candidate shares its query's bucket
+    assert(approx.forall(r =>
+      buckets(r.getAs[Long]("vec_id")) == buckets(r.getAs[Long]("query_id"))))
+    // and ranks are consecutive from 1 within each query
+    val byQ = approx.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length)))
+    // recall vs brute force is nonzero (random data: expected ~0.6^4 per pair)
+    val exact = topSets(Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5))
+    val approxSets = topSets(Similarity.lshTopK(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5))
+    val hits = queryIds.map(q =>
+      (exact(q) & approxSets.getOrElse(q, Set.empty)).size).sum
+    assert(hits > 0)
+  }
+
+  test("bucketCol assigns every vector to a bucket in range") {
+    val emb = Tables.embeddings(spark, sf)
+    val buckets = emb.select(
+      Similarity.bucketCol(Similarity.quantize(col("embedding")), 4, 64)
+        .as("b")).agg(min("b"), max("b"), countDistinct("b")).head()
+    assert(buckets.getLong(0) >= 0 && buckets.getLong(1) <= 15)
+    assert(buckets.getLong(2) > 1) // vectors actually spread across buckets
+  }
+}
