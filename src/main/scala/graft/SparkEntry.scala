@@ -229,6 +229,43 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"),
           col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // §2.2 parser round-trip: events → GLB log lines → Parser.parse →
+    // normalized columns must equal the original event attributes
+    "q25_parse_roundtrip" -> ((s, dir) => {
+      val lines = graft.sources.SyntheticLogs.glbLines(Tables.events(s, dir))
+      graft.parse.Parser.parse(lines).toDF()
+        .select(
+          col("normalized.urlRequestPath").as("path"),
+          col("normalized.urlRequestHost").as("host"),
+          col("normalized.sourceAddress").as("source_ip"),
+          col("normalized.requestMethod").as("method"),
+          col("normalized.requestStatus").cast("long").as("status"),
+          col("normalized.userAgent").as("ua"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          col("payloadType").as("payload_type"))
+        .orderBy(col("path"))
+    }),
+
+    // §2.2 EventFilter DSL compiled to one Catalyst predicate:
+    // glb events with 4xx/5xx status, excluding a user-agent regex
+    "q26_event_filter" -> ((s, dir) => {
+      import graft.filter.EventFilter
+      val lines = graft.sources.SyntheticLogs.glbLines(Tables.events(s, dir))
+      val pred = EventFilter.compile(Seq(EventFilter.Rule(
+        wantSubtype = Some("glb"),
+        wantNormalizedTypes = Seq("HTTP_REQUEST"),
+        payload = Seq(EventFilter.IntRange("normalized.requestStatus", 400, 599)),
+        except = Seq(EventFilter.Rule(payload = Seq(
+          EventFilter.RegexMatch("normalized.userAgent", "ua-1[0-9]$")))))))
+      graft.parse.Parser.parse(lines).toDF()
+        .filter(pred)
+        .select(
+          col("normalized.urlRequestPath").as("path"),
+          col("normalized.userAgent").as("ua"),
+          col("normalized.requestStatus").cast("long").as("status"))
+        .orderBy(col("path"))
     })
   )
 
@@ -531,6 +568,25 @@ object SparkEntry {
     "q24_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(lower(text),' '), t -> t <> ''))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_parse_roundtrip" ->
+      """SELECT '/e/' || event_id AS path, 'app.test' AS host,
+        |  '10.' || (user_id // 65536) % 256 || '.' || (user_id // 256) % 256
+        |    || '.' || user_id % 256 AS source_ip,
+        |  CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS method,
+        |  CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS BIGINT)
+        |    AS status,
+        |  'ua-' || user_id AS ua, epoch_ms(ts) AS ts_ms,
+        |  'glb' AS payload_type
+        |FROM events ORDER BY path""".stripMargin,
+
+    "q26_event_filter" ->
+      """SELECT '/e/' || event_id AS path, 'ua-' || user_id AS ua,
+        |  CAST(500 AS BIGINT) AS status
+        |FROM events
+        |WHERE event_type = 'error'
+        |  AND NOT regexp_matches('ua-' || user_id, 'ua-1[0-9]$')
+        |ORDER BY path""".stripMargin
   )
 }

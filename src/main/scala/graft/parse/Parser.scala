@@ -1,0 +1,259 @@
+package graft.parse
+
+import java.time.Instant
+import java.util.UUID
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.{Event, Normalized, NormalizedType}
+import graft.util.TimeUtil
+
+/** Log parser: schemaless text → typed Event (SURVEY.md §2.2).
+  *
+  * Mirrors the reference's two-phase model (ref s/parser/Parser.java:
+  * 507-564): a 2-stage envelope strip (Stackdriver LogEntry → Mozlog)
+  * followed by an ordered probe over payload matchers, each guarded by
+  * a cheap substring fast-matcher so no JSON work happens for
+  * non-matching formats. Unknown input never throws — it falls through
+  * to the RAW payload (ref s/parser/Raw.java:11).
+  *
+  * Spark-first execution: `parse` is a single `mapPartitions` with one
+  * lazily-created Jackson ObjectMapper per partition (the mapper is
+  * not serializable and must live executor-side, same pattern as the
+  * reference's per-worker parser instance). Upstream of the parse, use
+  * `fastFilter` — a Column substring predicate — so the scan prunes
+  * obviously-irrelevant lines before the opaque parser runs (manual
+  * predicate pushdown; Catalyst cannot see into mapPartitions).
+  */
+object Parser {
+
+  /** Envelope + pre-parsed JSON context handed to payload matchers. */
+  final case class ParseCtx(
+      raw: String,
+      json: Option[JsonNode],
+      timestamp: Option[Instant],
+      project: Option[String],
+      labels: Map[String, String],
+      mozlogHostname: Option[String],
+      mozlogType: Option[String])
+
+  trait PayloadMatcher extends Serializable {
+    def name: String
+    /** Cheap substring guard — must be true for parse to be probed. */
+    def fastMatch(line: String): Boolean
+    def parse(ctx: ParseCtx): Option[Event]
+  }
+
+  /** Stackdriver HTTP(S) LB request entry (ref s/parser/GLB.java). */
+  object GlbMatcher extends PayloadMatcher {
+    val name = "glb"
+    def fastMatch(line: String): Boolean =
+      line.contains("http_load_balancer") || line.contains("httpRequest")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val req = root.path("httpRequest")
+      if (req.isMissingNode || !req.has("requestUrl")) None
+      else {
+        val url = req.path("requestUrl").asText(null)
+        val (host, path) = splitUrl(url)
+        Some(mkEvent(ctx, name, Normalized(
+          types = Seq(NormalizedType.HttpRequest),
+          sourceAddress = strOpt(req, "remoteIp"),
+          requestMethod = strOpt(req, "requestMethod"),
+          requestUrl = Option(url),
+          urlRequestPath = path,
+          urlRequestHost = host,
+          requestStatus = intOpt(req, "status"),
+          userAgent = strOpt(req, "userAgent")),
+          fields = Map.empty))
+      }
+    }
+  }
+
+  /** Nginx access log as Stackdriver jsonPayload (ref s/parser/Nginx.java). */
+  object NginxMatcher extends PayloadMatcher {
+    val name = "nginx"
+    def fastMatch(line: String): Boolean = line.contains("\"remote_addr\"")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val p = if (root.has("jsonPayload")) root.path("jsonPayload") else root
+      if (!p.has("remote_addr") || !p.has("request")) None
+      else {
+        val request = p.path("request").asText("")
+        val parts = request.split(" ", 3)
+        val (method, url) =
+          if (parts.length >= 2) (Some(parts(0)), Some(parts(1))) else (None, None)
+        val (host, path) = url.map(splitUrl).getOrElse((None, None))
+        Some(mkEvent(ctx, name, Normalized(
+          types = Seq(NormalizedType.HttpRequest),
+          sourceAddress = strOpt(p, "remote_addr"),
+          requestMethod = method,
+          requestUrl = url,
+          urlRequestPath = path,
+          urlRequestHost = host,
+          requestStatus = intOpt(p, "status"),
+          userAgent = strOpt(p, "user_agent")),
+          fields = Map.empty))
+      }
+    }
+  }
+
+  /** OpenSSH syslog auth line (ref s/parser/OpenSSH.java:110). */
+  object OpenSshMatcher extends PayloadMatcher {
+    val name = "openssh"
+    private val re =
+      """(?:^|.*sshd\[\d+\]: )(Accepted|Failed) (\S+) for (?:invalid user )?(\S+) from (\S+) port (\d+).*""".r
+    def fastMatch(line: String): Boolean = line.contains("sshd")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      val msg = ctx.json.map(j =>
+        if (j.has("textPayload")) j.path("textPayload").asText("") else ctx.raw)
+        .getOrElse(ctx.raw)
+      msg match {
+        case re(outcome, authMethod, user, addr, _) =>
+          Some(mkEvent(ctx, name, Normalized(
+            types = Seq(NormalizedType.Auth),
+            subjectUser = Some(user),
+            sourceAddress = Some(addr)),
+            fields = Map("outcome" -> outcome, "auth_method" -> authMethod)))
+        case _ => None
+      }
+    }
+  }
+
+  /** Apache combined log format (ref s/parser/ApacheCombined.java:184). */
+  object ApacheCombinedMatcher extends PayloadMatcher {
+    val name = "apache_combined"
+    private val re =
+      """^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) (\S+) "([^"]*)" "([^"]*)".*""".r
+    def fastMatch(line: String): Boolean = line.contains("\" ")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.raw match {
+      case re(addr, user, ts, method, path, status, _, _, ua) =>
+        val t = parseApacheTs(ts).orElse(ctx.timestamp)
+        Some(mkEvent(ctx.copy(timestamp = t), name, Normalized(
+          types = Seq(NormalizedType.HttpRequest),
+          sourceAddress = Some(addr),
+          subjectUser = if (user == "-") None else Some(user),
+          requestMethod = Some(method),
+          requestUrl = Some(path),
+          urlRequestPath = Some(path),
+          requestStatus = Some(status.toInt),
+          userAgent = if (ua.isEmpty) None else Some(ua)),
+          fields = Map.empty))
+      case _ => None
+    }
+  }
+
+  /** Catch-all: any line becomes a RAW event (parser totality). */
+  object RawMatcher extends PayloadMatcher {
+    val name = "raw"
+    def fastMatch(line: String): Boolean = true
+    def parse(ctx: ParseCtx): Option[Event] =
+      Some(mkEvent(ctx, name, Normalized(), fields = Map.empty))
+  }
+
+  /** Ordered probe list (first match wins, RAW last — ref
+    * Parser.java:597-620 fixed matcher order). */
+  val matchers: Seq[PayloadMatcher] =
+    Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, ApacheCombinedMatcher, RawMatcher)
+
+  // -- envelope handling ----------------------------------------------------
+
+  private def strOpt(n: JsonNode, f: String): Option[String] =
+    if (n.hasNonNull(f)) Some(n.path(f).asText) else None
+
+  private def intOpt(n: JsonNode, f: String): Option[Int] =
+    if (n.hasNonNull(f) && n.path(f).canConvertToInt) Some(n.path(f).asInt)
+    else if (n.hasNonNull(f)) scala.util.Try(n.path(f).asText.toInt).toOption
+    else None
+
+  private[parse] def splitUrl(url: String): (Option[String], Option[String]) =
+    scala.util.Try {
+      val u = new java.net.URI(url)
+      (Option(u.getHost), Option(u.getPath).filter(_.nonEmpty))
+    }.getOrElse((None, if (url != null && url.startsWith("/")) Some(url) else None))
+
+  private val apacheFmt = java.time.format.DateTimeFormatter
+    .ofPattern("dd/MMM/yyyy:HH:mm:ss Z", java.util.Locale.US)
+
+  private def parseApacheTs(s: String): Option[Instant] =
+    scala.util.Try(java.time.OffsetDateTime.parse(s, apacheFmt).toInstant).toOption
+
+  private def mkEvent(ctx: ParseCtx, payloadType: String, n: Normalized,
+      fields: Map[String, String]): Event =
+    Event(
+      id = UUID.randomUUID().toString,
+      timestamp = java.sql.Timestamp.from(ctx.timestamp.getOrElse(Instant.EPOCH)),
+      payloadType = payloadType,
+      raw = ctx.raw,
+      normalized = n,
+      fields = fields,
+      stackdriverProject = ctx.project,
+      stackdriverLabels = ctx.labels,
+      mozlogHostname = ctx.mozlogHostname,
+      mozlogType = ctx.mozlogType)
+
+  /** Strip Stackdriver LogEntry / Mozlog envelopes, extract event time
+    * (ref Parser.java:423-449, :310-421; Event.java:127-135). */
+  private[parse] def stripEnvelope(line: String, mapper: ObjectMapper): ParseCtx = {
+    val trimmed = line.trim
+    val json =
+      if (trimmed.startsWith("{")) scala.util.Try(mapper.readTree(trimmed)).toOption
+      else None
+    json match {
+      case Some(root) if root.has("logName") || root.has("httpRequest") ||
+          root.has("jsonPayload") || root.has("textPayload") =>
+        // Stackdriver LogEntry
+        val ts = strOpt(root, "timestamp").flatMap(TimeUtil.parseIso8601)
+        val project = strOpt(root, "logName")
+          .flatMap(_.split("/").drop(1).headOption)
+        val labels = Option(root.path("labels")).filter(_.isObject).map { l =>
+          val it = l.properties().iterator()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+          b.result()
+        }.getOrElse(Map.empty)
+        ParseCtx(line, Some(root), ts, project, labels, None, None)
+      case Some(root) if root.has("Timestamp") && root.has("Fields") =>
+        // Mozlog envelope: ns epoch timestamp, payload under Fields
+        val ts = if (root.path("Timestamp").isNumber)
+          Some(TimeUtil.parseEpoch(root.path("Timestamp").asLong)) else None
+        ParseCtx(line, Some(root.path("Fields")), ts,
+          None, Map.empty, strOpt(root, "Hostname"), strOpt(root, "Type"))
+      case other =>
+        ParseCtx(line, other, None, None, Map.empty, None, None)
+    }
+  }
+
+  /** Parse one line (total: never throws, unknown → RAW). */
+  def parseLine(line: String, mapper: ObjectMapper): Event = {
+    val ctx =
+      try stripEnvelope(line, mapper)
+      catch { case _: Throwable => ParseCtx(line, None, None, None, Map.empty, None, None) }
+    matchers.iterator.flatMap { m =>
+      if (m.fastMatch(line))
+        try m.parse(ctx) catch { case _: Throwable => None }
+      else None
+    }.next()
+  }
+
+  /** Distributed parse: one lazy ObjectMapper per partition. */
+  def parse(lines: Dataset[String]): Dataset[Event] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.map(parseLine(_, mapper))
+    }
+  }
+
+  /** Column-level fast-matcher pre-filter for a target payload type:
+    * apply BEFORE `parse` so the scan prunes non-candidate lines
+    * (keeps the reference's manual pushdown, Parser.java:508-516). */
+  def fastFilter(payloadType: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    payloadType match {
+      case "glb" => col("value").contains("httpRequest") ||
+        col("value").contains("http_load_balancer")
+      case "nginx" => col("value").contains("\"remote_addr\"")
+      case "openssh" => col("value").contains("sshd")
+      case _ => lit(true)
+    }
+  }
+}
