@@ -266,6 +266,38 @@ object SparkEntry {
           col("normalized.userAgent").as("ua"),
           col("normalized.requestStatus").cast("long").as("status"))
         .orderBy(col("path"))
+    }),
+
+    // §2.6 AlertSuppressor (batch form): greedy per-key emit/suppress
+    // scan via secondary sort — O(1) memory per key
+    "q27_suppress" -> ((s, dir) => {
+      operators.Stateful.suppress(Tables.events(s, dir), col("ts"),
+          col("user_id"), expirySeconds = 7200)
+        .select(col("key").cast("long").as("user_id"),
+          expr("ts_us DIV 1000").as("ts_ms"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    }),
+
+    // §2.6 geo-velocity (impossible travel): lag-window speed check
+    // over positions derived deterministically from event ids
+    "q28_geo_velocity" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("lat", (col("event_id") % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (col("event_id") % 36000) / 100.0 - 180.0)
+      operators.Stateful.geoVelocity(e, col("ts"), col("user_id"),
+          col("lat"), col("lon"), maxKmh = 10.0)
+        .select(col("key").cast("long").as("user_id"), col("ts_ms"),
+          col("speed_kmh"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    }),
+
+    // §2.3 typed Aggregator (CustomsFeatures shape): per-key class
+    // counters + variance index, map-side partial aggregation
+    "q29_feature_variance" -> ((s, dir) => {
+      operators.Features.typeFeatures(Tables.events(s, dir),
+          col("user_id"), col("event_type"))
+        .withColumn("user_id", col("key").cast("long")).drop("key")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -587,6 +619,66 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'error'
         |  AND NOT regexp_matches('ua-' || user_id, 'ua-1[0-9]$')
-        |ORDER BY path""".stripMargin
+        |ORDER BY path""".stripMargin,
+
+    "q27_suppress" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, MIN(ts) AS ts FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT s.user_id,
+        |    (SELECT MIN(e.ts) FROM events e WHERE e.user_id = s.user_id
+        |       AND e.ts >= s.ts + INTERVAL 7200 SECOND) AS ts
+        |  FROM s
+        |  WHERE (SELECT MIN(e.ts) FROM events e WHERE e.user_id = s.user_id
+        |       AND e.ts >= s.ts + INTERVAL 7200 SECOND) IS NOT NULL)
+        |SELECT user_id, epoch_ms(ts) AS ts_ms FROM s
+        |ORDER BY user_id, ts_ms""".stripMargin,
+
+    "q28_geo_velocity" ->
+      """WITH p AS (
+        |  SELECT user_id, ts,
+        |    (event_id % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts, lat, lon,
+        |    LAG(ts) OVER w AS prev_ts, LAG(lat) OVER w AS prev_lat,
+        |    LAG(lon) OVER w AS prev_lon
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |v AS (
+        |  SELECT user_id, ts,
+        |    2 * 6378.0 * asin(sqrt(
+        |      pow(sin(radians(lat - prev_lat) / 2), 2) +
+        |      cos(radians(prev_lat)) * cos(radians(lat)) *
+        |        pow(sin(radians(lon - prev_lon) / 2), 2)))
+        |      AS km,
+        |    (epoch_us(ts) - epoch_us(prev_ts)) / 3600000000.0 AS hours
+        |  FROM l
+        |  WHERE prev_ts IS NOT NULL AND epoch_us(ts) > epoch_us(prev_ts))
+        |SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(FLOOR(km / hours + 0.5) AS BIGINT) AS speed_kmh
+        |FROM v WHERE FLOOR(km / hours + 0.5) > 10.0
+        |ORDER BY user_id, ts_ms""".stripMargin,
+
+    "q29_feature_variance" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |    COUNT(*) FILTER (event_type = 'error') AS n_error,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |    COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        |    COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |    COUNT(*) AS total
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT *,
+        |    (n_click + n_error + n_purchase + n_signup + n_view) / 5.0 AS mean
+        |  FROM c)
+        |SELECT user_id, n_click, n_error, n_purchase, n_signup, n_view, total,
+        |  ((((0.0 + (n_click - mean) * (n_click - mean))
+        |    + (n_error - mean) * (n_error - mean))
+        |    + (n_purchase - mean) * (n_purchase - mean))
+        |    + (n_signup - mean) * (n_signup - mean)
+        |    + (n_view - mean) * (n_view - mean)) / 5 AS variance
+        |FROM m ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed feature-vector aggregation (ref CustomsFeatures +
+  * CustomsFeaturesCombiner, s/customs/CustomsFeatures.java:61-140,
+  * CustomsFeaturesCombiner.java:30-77): per key, accumulate counters
+  * per event-summary type and derive a variance index over the
+  * per-type counts at extract time.
+  *
+  * Implemented as a Spark `Aggregator[IN, BUF, OUT]` — Catalyst runs
+  * it with partial aggregation (map-side combine before the shuffle),
+  * the same contract as the reference's CombineFn
+  * (createAccumulator/addInput/mergeAccumulators/extractOutput).
+  *
+  * Determinism note: the variance is computed in `finish` over the
+  * class list in sorted-name order with a fixed left-fold, so the
+  * double result is a fixed expression tree — reproducible in any
+  * engine (the oracle SQL spells out the same tree).
+  */
+object Features {
+
+  /** Known event classes, sorted; missing classes count 0. */
+  val Classes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  case class TypeCounts(counts: Map[String, Long], total: Long)
+
+  case class FeatureRow(
+      key: String,
+      n_click: Long, n_error: Long, n_purchase: Long,
+      n_signup: Long, n_view: Long,
+      total: Long, variance: Double)
+
+  /** IN = (key, class); BUF/OUT carry the count map. */
+  class TypeCountAggregator extends Aggregator[(String, String), TypeCounts, TypeCounts] {
+    def zero: TypeCounts = TypeCounts(Map.empty, 0L)
+    def reduce(b: TypeCounts, in: (String, String)): TypeCounts =
+      TypeCounts(b.counts.updated(in._2, b.counts.getOrElse(in._2, 0L) + 1), b.total + 1)
+    def merge(a: TypeCounts, b: TypeCounts): TypeCounts =
+      TypeCounts(
+        (a.counts.keySet ++ b.counts.keySet).map(k =>
+          k -> (a.counts.getOrElse(k, 0L) + b.counts.getOrElse(k, 0L))).toMap,
+        a.total + b.total)
+    def finish(r: TypeCounts): TypeCounts = r
+    def bufferEncoder: Encoder[TypeCounts] = Encoders.product[TypeCounts]
+    def outputEncoder: Encoder[TypeCounts] = Encoders.product[TypeCounts]
+  }
+
+  /** Variance of the per-class counts (fixed-order left fold). */
+  def varianceIndex(counts: Map[String, Long]): Double = {
+    val cs = Classes.map(c => counts.getOrElse(c, 0L))
+    val m = cs.sum / Classes.length.toDouble
+    cs.foldLeft(0.0)((acc, c) => acc + (c - m) * (c - m)) / Classes.length
+  }
+
+  /** Per-key feature extraction over (key, class) pairs. */
+  def typeFeatures(df: DataFrame, key: org.apache.spark.sql.Column,
+      cls: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TypeCountAggregator().toColumn
+    df.select(key.cast("string").as("key"), cls.as("cls"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .agg(agg.name("f"))
+      .map { case (k, f) =>
+        val g = (c: String) => f.counts.getOrElse(c, 0L)
+        FeatureRow(k, g("click"), g("error"), g("purchase"), g("signup"),
+          g("view"), f.total, varianceIndex(f.counts))
+      }
+      .toDF()
+  }
+}

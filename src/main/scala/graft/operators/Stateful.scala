@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stateful / order-dependent detection operators (SURVEY.md §2.6).
+  *
+  * References:
+  *  - AlertSuppressor: s/alert/AlertSuppressor.java:53-143 — first
+  *    alert per key emits and arms a timer; later alerts are dropped
+  *    until the expiry elapses, then the next one re-emits.
+  *  - Geo-velocity: s/authstate/AuthStateModel.java:241-430 — compare
+  *    consecutive login locations per identity; impossible travel speed
+  *    ⇒ alert.
+  *
+  * Scale design: `suppress` is implemented with the secondary-sort
+  * pattern — `repartition(key)` + `sortWithinPartitions(key, ts)` +
+  * a streaming per-partition scan — NOT `groupByKey.flatMapGroups`,
+  * because the scan is O(1) memory per key (flatMapGroups would
+  * materialize each group; a hot key at 100 TB would OOM an executor).
+  * One shuffle, one sort, no state map. Geo-velocity is a lag window
+  * over the same single exchange+sort.
+  */
+object Stateful {
+
+  /** Greedy suppression: per key, emit the first event, then suppress
+    * every event until `expirySeconds` after the last emitted one;
+    * the next event at/after expiry re-emits and re-arms.
+    * Returns (key: string, ts_us: long) of emitted events. */
+  def suppress(df: DataFrame, ts: Column, key: Column,
+      expirySeconds: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expiryUs = expirySeconds * 1000000L
+    val prepared = df
+      .select(key.cast("string").as("key"), unix_micros(ts).as("ts_us"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts_us"))
+      .as[(String, Long)]
+    prepared.mapPartitions { it =>
+      var curKey: String = null
+      var lastEmit = Long.MinValue
+      it.flatMap { case (k, t) =>
+        if (k != curKey) { curKey = k; lastEmit = t; Some((k, t)) }
+        else if (lastEmit != Long.MinValue && t - lastEmit >= expiryUs) {
+          lastEmit = t; Some((k, t))
+        } else None
+      }
+    }.toDF("key", "ts_us")
+  }
+
+  /** Geo-velocity (impossible travel): per key, compare each event's
+    * location with the previous one; emit events whose implied speed
+    * exceeds `maxKmh`. Speed is rounded to integer km/h. Single window
+    * spec → one exchange + one sort. */
+  def geoVelocity(df: DataFrame, ts: Column, key: Column,
+      lat: Column, lon: Column, maxKmh: Double): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"))
+    df.select(key.as("key"), ts.as("ts"), lat.as("lat"), lon.as("lon"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_lat", lag(col("lat"), 1).over(w))
+      .withColumn("prev_lon", lag(col("lon"), 1).over(w))
+      .filter(col("prev_ts").isNotNull &&
+        unix_micros(col("ts")) > unix_micros(col("prev_ts")))
+      .withColumn("km", graft.functions.Functions.haversineKm(
+        col("prev_lat"), col("prev_lon"), col("lat"), col("lon")))
+      .withColumn("hours",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(3600.0e6))
+      .withColumn("speed_kmh", floor(col("km") / col("hours") + 0.5).cast("long"))
+      .filter(col("speed_kmh") > maxKmh)
+      .select(col("key"), unix_millis(col("ts")).as("ts_ms"), col("speed_kmh"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Features, Stateful}
+
+class StatefulSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("suppress: first emits, re-emits exactly at/after expiry, per key") {
+    val df = Seq(
+      ("a", ts(0)), ("a", ts(10)), ("a", ts(599)),   // suppressed
+      ("a", ts(600)),                                  // re-emit at expiry
+      ("a", ts(650)), ("a", ts(1300)),                 // 650 suppressed, 1300 emits
+      ("b", ts(5))                                     // separate key
+    ).toDF("k", "t")
+    val got = Stateful.suppress(df, col("t"), col("k"), expirySeconds = 600)
+      .select(col("key"), (col("ts_us") / 1000000L).cast("long").as("s"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 0L), ("a", 600L), ("a", 1300L), ("b", 5L)))
+  }
+
+  test("suppress handles duplicate timestamps (second copy suppressed)") {
+    val df = Seq(("a", ts(0)), ("a", ts(0)), ("a", ts(1))).toDF("k", "t")
+    val got = Stateful.suppress(df, col("t"), col("k"), 600).count()
+    assert(got == 1)
+  }
+
+  test("geoVelocity flags impossible travel only") {
+    val df = Seq(
+      // key a: London -> Paris in 1 hour (~344 km/h) then Paris->Paris
+      ("a", ts(0), 51.5074, -0.1278),
+      ("a", ts(3600), 48.8566, 2.3522),
+      ("a", ts(7200), 48.8566, 2.3522),
+      // key b: London -> London (speed 0)
+      ("b", ts(0), 51.5074, -0.1278),
+      ("b", ts(3600), 51.5074, -0.1278)
+    ).toDF("k", "t", "lat", "lon")
+    val got = Stateful.geoVelocity(df, col("t"), col("k"), col("lat"),
+      col("lon"), maxKmh = 300.0).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("key") == "a")
+    val v = got(0).getAs[Long]("speed_kmh")
+    assert(v > 330 && v < 350)
+  }
+
+  test("feature aggregator counts per class + deterministic variance") {
+    val df = Seq(
+      ("u1", "click"), ("u1", "click"), ("u1", "view"),
+      ("u2", "error")
+    ).toDF("k", "c")
+    val rows = Features.typeFeatures(df, col("k"), col("c"))
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val u1 = rows("u1")
+    assert(u1.getAs[Long]("n_click") == 2 && u1.getAs[Long]("n_view") == 1)
+    assert(u1.getAs[Long]("total") == 3)
+    // counts (2,0,0,0,1), mean 0.6 -> var = (1.96+0.36*3+0.16)/5
+    assert(math.abs(u1.getAs[Double]("variance") -
+      Features.varianceIndex(Map("click" -> 2, "view" -> 1))) == 0.0)
+    assert(rows("u2").getAs[Long]("n_error") == 1)
+  }
+}
