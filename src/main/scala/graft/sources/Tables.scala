@@ -26,7 +26,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: ts is ~1.7e18 ns, above 2^53 — a double
+      // division here would round and shift some stamps by ±µs
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 

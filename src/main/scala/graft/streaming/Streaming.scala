@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the engine's core operators
+  * (SURVEY.md §2.4, §2.6). The batch forms (graft.operators) and these
+  * share semantics; streaming adds watermarks, incremental state and
+  * output modes:
+  *
+  *  - fixed windows + watermark ↔ ref fixed windows w/ lateness 0
+  *    (s/httprequest/HTTPRequest.java:82-89, :162)
+  *  - session_window ↔ ref 45-min-gap sessions (:151-163); the
+  *    reference's accumulating early-fired panes map to update mode +
+  *    downstream suppression (SURVEY.md §2.4 design note)
+  *  - flatMapGroupsWithState ↔ ref AlertSuppressor keyed ValueState +
+  *    processing-time Timer (s/alert/AlertSuppressor.java:53-143)
+  *
+  * Scale notes: all aggregations below are incremental — state is
+  * partitioned by (window, key) / session / key across executors, and
+  * watermarks bound state growth. The suppressor's state is one long
+  * per key, with a processing-time TTL exactly like the reference's
+  * expiry timer.
+  */
+object Streaming {
+
+  /** Hard-limit heuristic, streaming form: tumbling event-time window
+    * + watermark; run in update mode for early firings. */
+  def windowedHardLimit(df: DataFrame, tsName: String, key: Column,
+      duration: String, watermarkDelay: String, limit: Long): DataFrame =
+    df.withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), duration), key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > limit)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("key"), col("n"))
+
+  /** Gap-based session summary, streaming form (native session_window
+    * keyed state). Append mode emits a session only once its gap has
+    * passed the watermark — the "final pane" semantics. */
+  def sessionSummary(df: DataFrame, tsName: String, key: Column,
+      gap: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsName, watermarkDelay)
+      .groupBy(session_window(col(tsName), gap), key.as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("key"), col("n_events"))
+
+  // -- stateful suppression ---------------------------------------------
+
+  case class Keyed(key: String, tsUs: Long)
+  case class Emitted(key: String, tsUs: Long)
+  case class SuppressState(lastEmitUs: Long)
+
+  /** Streaming AlertSuppressor: per key, emit the first element, then
+    * suppress until `expirySeconds` after the last emitted element;
+    * state carries one timestamp per key. With `stateTtlSeconds > 0`
+    * the state is dropped after that much processing-time silence (the
+    * reference's expiry+60s cleanup timer) — use it together with a
+    * processing-time trigger in production; the default (0 = no
+    * timeout) keeps micro-batches purely data-driven, which is what
+    * tests and bounded replays want (timeout timers make the engine
+    * schedule continuous empty batches). Within a micro-batch elements
+    * are processed in event-time order. */
+  def suppress(ds: Dataset[Keyed], expirySeconds: Long,
+      stateTtlSeconds: Long = 0): Dataset[Emitted] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val expiryUs = expirySeconds * 1000000L
+    val timeoutConf =
+      if (stateTtlSeconds > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SuppressState, Emitted](
+        OutputMode.Append(), timeoutConf) {
+        (key: String, it: Iterator[Keyed], state: GroupState[SuppressState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last =
+              if (state.exists) state.get.lastEmitUs else Long.MinValue
+            val out = Seq.newBuilder[Emitted]
+            it.toSeq.sortBy(_.tsUs).foreach { e =>
+              if (last == Long.MinValue || e.tsUs - last >= expiryUs) {
+                last = e.tsUs
+                out += Emitted(key, e.tsUs)
+              }
+            }
+            if (last != Long.MinValue) {
+              state.update(SuppressState(last))
+              if (stateTtlSeconds > 0)
+                state.setTimeoutDuration(stateTtlSeconds * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.Keyed]
+    val q = Streaming.suppress(in.toDS(), expirySeconds = 600)
+      .writeStream.format("memory").queryName("supp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streaming.Keyed("a", 0L), Streaming.Keyed("a", 10000000L),
+        Streaming.Keyed("b", 5000000L))
+      q.processAllAvailable()
+      // batch 2: a at 599s (suppressed) and 600s (re-emit)
+      in.addData(Streaming.Keyed("a", 599000000L), Streaming.Keyed("a", 600000000L))
+      q.processAllAvailable()
+      val got = spark.table("supp").as[(String, Long)].collect().toSet
+      assert(got == Set(("a", 0L), ("b", 5000000L), ("a", 600000000L)))
+    } finally q.stop()
+  }
+
+  test("windowed hard limit with watermark emits exceeded windows (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDS().toDF("ts", "k")
+    val q = Streaming.windowedHardLimit(df, "ts", col("k"),
+        "1 minute", "0 seconds", limit = 2)
+      .writeStream.format("memory").queryName("hl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts(1), "x"), (ts(2), "x"), (ts(3), "x"), (ts(5), "y"))
+      q.processAllAvailable()
+      val got = spark.table("hl")
+        .select("key", "n").as[(String, Long)].collect().toSet
+      assert(got == Set(("x", 3L)))
+    } finally q.stop()
+  }
+
+  test("session_window append emits finalized sessions after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDS().toDF("ts", "k")
+    val q = Streaming.sessionSummary(df, "ts", col("k"),
+        gap = "30 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one session for k=a (events 0s,10s), then silence
+      in.addData((ts(0), "a"), (ts(10), "a"))
+      q.processAllAvailable()
+      // advance watermark far past the session gap to finalize it
+      in.addData((ts(1000), "a"))
+      q.processAllAvailable()
+      in.addData((ts(2000), "a")) // push watermark again
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select("key", "n_events", "session_start_ms", "session_end_ms")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // first session: 2 events, [0s, 10s+30s gap)
+      assert(got.contains(("a", 2L, 0L, 40000L)))
+    } finally q.stop()
+  }
+}
