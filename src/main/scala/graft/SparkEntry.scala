@@ -298,6 +298,103 @@ object SparkEntry {
           col("user_id"), col("event_type"))
         .withColumn("user_id", col("key").cast("long")).drop("key")
         .orderBy(col("user_id"))
+    }),
+
+    // multimodal: binary payload -> per-partition batched feature
+    // extraction (codec-shaped mapPartitions path, stub decode)
+    "q30_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+          col("text").cast("binary").as("bytes"))
+        .as[operators.Multimodal.MediaRow]
+      operators.Multimodal.extractFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: fixed-size frame sampling over payloads (narrow op)
+    "q31_frame_sample" -> ((s, dir) => {
+      operators.Multimodal.frameSample(Tables.documents(s, dir),
+          col("doc_id"), col("text"), frameSize = 64, everyNth = 2)
+        .withColumnRenamed("media_id", "doc_id")
+        .withColumnRenamed("frame_bytes", "frame_str")
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // §2.4 sliding windows (AlertSummary lblock/sblock shape)
+    "q32_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }),
+
+    // §2.7 levenshtein similar-name clustering within groups
+    // (CustomsAccountCreationDist shape — bounded pair blow-up)
+    "q33_edit_cluster" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"), col("c_name"))
+      val a = c.toDF("nk", "seg", "name_a")
+      val b = c.toDF("nk", "seg", "name_b")
+      a.join(b, Seq("nk", "seg"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 3)
+        .groupBy(col("nk"), col("seg"))
+        .agg(count(lit(1)).as("n_similar_pairs"))
+        .orderBy(col("nk"), col("seg"))
+    }),
+
+    // §2.2 CIDR exclusion via broadcast radix-trie UDF (the one
+    // deliberate UDF) — oracle recomputes membership arithmetically
+    "q34_cidr_filter" -> ((s, dir) => {
+      val trie = graft.functions.Functions.broadcastCidrs(s,
+        Seq("10.0.0.0/28", "10.0.1.0/24"))
+      Tables.events(s, dir)
+        .withColumn("ip", graft.sources.SyntheticLogs.ipOf(col("user_id")))
+        .filter(graft.functions.Functions.cidrMatch(trie)(col("ip")))
+        .groupBy(col("user_id"), col("ip"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.7 JSON field extraction + aggregation over the props column
+    "q35_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.7 email normalization + domain extraction (engine functions)
+    "q36_email_norm" -> ((s, dir) => {
+      import graft.functions.Functions
+      Tables.events(s, dir)
+        .withColumn("email",
+          concat(lit("user"), col("user_id"), lit("+tag@d"),
+            col("user_id") % 3, lit(".example")))
+        .select(col("user_id"),
+          Functions.normalizeEmailPlus(col("email")).as("norm_email"),
+          Functions.emailDomain(col("email")).as("domain"))
+        .dropDuplicates("user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.2 XFF client-address selection against trusted-proxy CIDRs
+    "q37_xff_client" -> ((s, dir) => {
+      import graft.functions.Functions
+      val trusted = Functions.broadcastCidrs(s, Seq("10.0.0.0/8"))
+      Tables.events(s, dir)
+        .withColumn("xff",
+          when(col("user_id") % 5 === 0, lit("10.0.0.1, 10.0.0.2"))
+            .otherwise(concat(lit("198.51."), col("user_id") % 256,
+              lit(".9, 10.0.0.1"))))
+        .select(col("user_id"),
+          Functions.xffClientAddress(col("xff"), trusted).as("client"))
+        .dropDuplicates("user_id")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -679,6 +776,76 @@ object SparkEntry {
         |    + (n_purchase - mean) * (n_purchase - mean))
         |    + (n_signup - mean) * (n_signup - mean)
         |    + (n_view - mean) * (n_view - mean)) / 5 AS variance
-        |FROM m ORDER BY user_id""".stripMargin
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "q30_media_features" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |    CAST(length(text) AS BIGINT) n_bytes, md5(text) m FROM documents),
+        |d AS (SELECT media_id, n_bytes, m, unnest(generate_series(0,3)) i FROM h),
+        |f AS (SELECT media_id, n_bytes, i, CAST(
+        |    (strpos('0123456789abcdef', m[i*4+1])-1)*4096
+        |  + (strpos('0123456789abcdef', m[i*4+2])-1)*256
+        |  + (strpos('0123456789abcdef', m[i*4+3])-1)*16
+        |  + (strpos('0123456789abcdef', m[i*4+4])-1) AS BIGINT) v FROM d)
+        |SELECT media_id, n_bytes,
+        |  MAX(CASE WHEN i=0 THEN v END) AS f0,
+        |  MAX(CASE WHEN i=1 THEN v END) AS f1,
+        |  MAX(CASE WHEN i=2 THEN v END) AS f2,
+        |  MAX(CASE WHEN i=3 THEN v END) AS f3
+        |FROM f GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
+
+    "q31_frame_sample" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text) / 64.0) AS INT) - 1)) f FROM documents)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |  substr(text, f*64 + 1, 64) AS frame_str
+        |FROM n WHERE f % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin,
+
+    "q32_sliding_window" ->
+      """SELECT epoch_ms(date_trunc('day', ts) - i * INTERVAL 1 DAY)
+        |    AS window_start_ms,
+        |  event_type, COUNT(*) AS n
+        |FROM (SELECT ts, event_type, unnest([0, 1]) i FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q33_edit_cluster" ->
+      """SELECT a.c_nationkey AS nk, a.c_mktsegment AS seg,
+        |  COUNT(*) AS n_similar_pairs
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_name < b.c_name
+        |  AND levenshtein(a.c_name, b.c_name) <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q34_cidr_filter" ->
+      """SELECT user_id,
+        |  '10.' || (user_id // 65536) % 256 || '.' || (user_id // 256) % 256
+        |    || '.' || user_id % 256 AS ip,
+        |  COUNT(*) AS n
+        |FROM events
+        |WHERE ((user_id // 65536) % 256 = 0 AND (user_id // 256) % 256 = 0
+        |       AND user_id % 256 < 16)
+        |   OR ((user_id // 65536) % 256 = 0 AND (user_id // 256) % 256 = 1)
+        |GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
+
+    "q35_json_props" ->
+      """SELECT user_id,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(json_extract_string(props, '$.k')) AS n_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_email_norm" ->
+      """SELECT DISTINCT user_id,
+        |  'user' || user_id || '@d' || user_id % 3 || '.example' AS norm_email,
+        |  'd' || user_id % 3 || '.example' AS domain
+        |FROM events ORDER BY user_id""".stripMargin,
+
+    "q37_xff_client" ->
+      """SELECT DISTINCT user_id,
+        |  CASE WHEN user_id % 5 = 0 THEN NULL
+        |       ELSE '198.51.' || user_id % 256 || '.9' END AS client
+        |FROM events ORDER BY user_id""".stripMargin
   )
 }
