@@ -563,11 +563,12 @@ object SparkEntry {
         |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
         |sh AS (SELECT DISTINCT doc_id,
         |    array_to_string(ws[i:i+2], ' ') s FROM pos),
-        |sigs AS (SELECT doc_id, seed, MIN(md5(seed || ':' || s)) sig
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(1,16)) seed) t
+        |hs AS (SELECT doc_id, md5('1:' || s) || md5('2:' || s) h FROM sh),
+        |sigs AS (SELECT doc_id, k, MIN(substr(h, k*4 + 1, 4)) sig
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0,15)) k) t
         |  GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, (seed-1)//2 AS band,
-        |    md5(string_agg(sig, '|' ORDER BY seed)) bkey
+        |bands AS (SELECT doc_id, k//2 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY k)) bkey
         |  FROM sigs GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
         |  FROM bands x JOIN bands y
@@ -575,7 +576,7 @@ object SparkEntry {
         |m AS (SELECT doc_a, doc_b,
         |    COUNT(*) FILTER (sa.sig = sb.sig) AS n_match
         |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a
-        |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+        |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.k = sa.k
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_jaccard
         |FROM m WHERE n_match / 16.0 >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,

@@ -97,24 +97,47 @@ object Dedup {
     * all-pairs); candidates are then scored by full-signature
     * agreement: est_jaccard = matching sigs / numHashes.
     *
-    * The signature stage is pure array expressions (transform +
-    * array_min over the shingle array) — no explode, no shuffle, stays
-    * inside whole-stage codegen; the only shuffles are the band-bucket
-    * self-join and the final dedup.
+    * Signature scheme (chunked minhash): each shingle is hashed ONCE
+    * per md5-group (numHashes/8 groups) and the 32-hex digest is
+    * sliced into 8 independent 4-hex (16-bit) chunks — one md5 yields
+    * 8 permutations, so the hash cost is numHashes/8 md5 calls per
+    * shingle instead of numHashes (md5 is the expensive part: these
+    * nested higher-order functions run interpreted, not codegen'd).
+    * 16-bit minhashes are statistically fine here: for ~100-shingle
+    * docs, P(two unrelated docs' 16-bit mins collide) ≈ n/2M ≈ 0.1%,
+    * far below any useful est_jaccard threshold, and a 2-row band key
+    * has ~1e-6 chance collision.
     *
-    * With 16 hashes / 8 bands of 2, P(candidate | j=0.8) > 0.999 and
-    * the bucket join stays tiny because unrelated docs almost never
-    * agree on two consecutive minhashes. */
+    * Execution shape: shingles are EXPLODED and hashed in a flat
+    * codegen'd projection, then the signature is one hash aggregate
+    * with numHashes `min` buffers per doc (single shuffle on doc_id).
+    * This deliberately avoids computing the signature with nested
+    * array lambdas (transform/array_min): higher-order functions run
+    * interpreted, and the lambda-invocation overhead measured ~10x
+    * slower than the exploded codegen pipeline for the same md5 count.
+    *
+    * The signature frame is cached: the band self-join reads it from
+    * both sides; without the cache Catalyst re-evaluates the hash
+    * pipeline once per side. Footprint is numHashes*4 bytes + key per
+    * doc. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
       numHashes: Int, bands: Int, minEstJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes % 8 == 0, "numHashes must be a multiple of 8 (md5 chunks)")
     val rows = numHashes / bands
-    val sigArr = df.select(id.as("doc_id"), shingles(text, n).as("shs"))
-      .filter(size(col("shs")) > 0)
+    val groups = numHashes / 8
+    val perShingle = df
+      .select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
       .select(col("doc_id"),
-        transform(sequence(lit(1), lit(numHashes)),
-          seed => array_min(transform(col("shs"),
-            s => md5(concat(seed, lit(":"), s))))).as("sig"))
+        concat((1 to groups).map(g => md5(concat(lit(s"$g:"), col("s")))): _*)
+          .as("h"))
+    val minCols = (0 until numHashes).map(k =>
+      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
+    val sigArr = perShingle.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(k => col(s"s$k")): _*).as("sig"))
+      .cache()
     val banded = sigArr.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bkey",
