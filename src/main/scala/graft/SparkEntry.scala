@@ -20,9 +20,30 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The minimum end-to-end slice from SURVEY.md §7: render
+    * log lines → parse (envelope strip + payload probe) → compiled
+    * EventFilter predicate → event-time window hard-limit heuristic →
+    * structured alert rows. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.filter.EventFilter
+    val dir = "/root/testdata/sf0.001"
+    val lines = graft.sources.SyntheticLogs.glbLines(Tables.events(spark, dir))
+    val pred = EventFilter.compile(Seq(EventFilter.Rule(
+      wantSubtype = Some("glb"),
+      wantNormalizedTypes = Seq("HTTP_REQUEST"))))
+    val parsed = graft.parse.Parser.parse(lines).toDF().filter(pred)
+    Heuristics.hardLimit(parsed, col("timestamp"),
+        col("normalized.sourceAddress"), "1 day", limit = 5)
+      .select(
+        lit("hard_limit_exceeded").as("summary"),
+        lit("httprequest").as("category"),
+        lit("hard_limit").as("subcategory"),
+        lit("warn").as("severity"),
+        col("key").as("sourceaddress"),
+        col("n").as("count"),
+        col("window_start_ms"))
+  }
 
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
@@ -395,6 +416,36 @@ object SparkEntry {
           Functions.xffClientAddress(col("xff"), trusted).as("client"))
         .dropDuplicates("user_id")
         .orderBy(col("user_id"))
+    }),
+
+    // §2.1 sink-side violation derivation: alerts (from the hard-limit
+    // heuristic over parsed log lines) -> iprepd violation records
+    "q38_violation" -> ((s, dir) => {
+      val lines = graft.sources.SyntheticLogs.glbLines(Tables.events(s, dir))
+      val parsed = graft.parse.Parser.parse(lines).toDF()
+      val alerts = Heuristics.hardLimit(parsed, col("timestamp"),
+          col("normalized.sourceAddress"), "1 day", limit = 5)
+        .withColumn("subcategory", lit("hard_limit"))
+      graft.sinks.Sinks.violations(alerts, col("subcategory"), col("key"))
+        .select(col("window_start_ms"), col("ip"), col("violation"),
+          col("n"))
+        .orderBy(col("window_start_ms"), col("ip"))
+    }),
+
+    // §2.2 identity resolution: alias -> canonical via broadcast map
+    // join (even users are aliased to a shared account; odd keep name)
+    "q39_identity" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .withColumn("username", concat(lit("user"), col("user_id")))
+      val aliases = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 2 === 0)
+        .select(concat(lit("user"), col("user_id")).as("alias"),
+          concat(lit("acct-"), (col("user_id") / 2).cast("long")).as("canonical"))
+      operators.Identity.resolve(ev, col("username"), aliases)
+        .groupBy(col("username"), col("identity"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("username"))
     })
   )
 
@@ -847,6 +898,22 @@ object SparkEntry {
       """SELECT DISTINCT user_id,
         |  CASE WHEN user_id % 5 = 0 THEN NULL
         |       ELSE '198.51.' || user_id % 256 || '.9' END AS client
-        |FROM events ORDER BY user_id""".stripMargin
+        |FROM events ORDER BY user_id""".stripMargin,
+
+    "q38_violation" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |  '10.' || (user_id // 65536) % 256 || '.' || (user_id // 256) % 256
+        |    || '.' || user_id % 256 AS ip,
+        |  'fxa:request_rate_violation' AS violation,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 5
+        |ORDER BY window_start_ms, ip""".stripMargin,
+
+    "q39_identity" ->
+      """SELECT 'user' || user_id AS username,
+        |  CASE WHEN user_id % 2 = 0 THEN 'acct-' || (user_id // 2)
+        |       ELSE 'user' || user_id END AS identity,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY username""".stripMargin
   )
 }

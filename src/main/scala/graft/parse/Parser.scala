@@ -140,6 +140,31 @@ object Parser {
     }
   }
 
+  /** CloudTrail-style JSON auth record (ref s/parser/Cloudtrail.java:
+    * 309 — Jackson field extraction + AUTH normalization). */
+  object CloudtrailMatcher extends PayloadMatcher {
+    val name = "cloudtrail"
+    def fastMatch(line: String): Boolean = line.contains("userIdentity")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
+      if (!r.has("userIdentity") || !r.has("eventName")) None
+      else {
+        val ident = r.path("userIdentity")
+        val user = strOpt(ident, "userName")
+          .orElse(strOpt(ident, "arn"))
+        val ts = strOpt(r, "eventTime").flatMap(TimeUtil.parseIso8601)
+          .orElse(ctx.timestamp)
+        Some(mkEvent(ctx.copy(timestamp = ts), name, Normalized(
+          types = Seq(NormalizedType.Auth),
+          subjectUser = user,
+          sourceAddress = strOpt(r, "sourceIPAddress")),
+          fields = Map(
+            "event_name" -> r.path("eventName").asText(""),
+            "event_source" -> r.path("eventSource").asText(""))))
+      }
+    }
+  }
+
   /** Catch-all: any line becomes a RAW event (parser totality). */
   object RawMatcher extends PayloadMatcher {
     val name = "raw"
@@ -151,7 +176,8 @@ object Parser {
   /** Ordered probe list (first match wins, RAW last — ref
     * Parser.java:597-620 fixed matcher order). */
   val matchers: Seq[PayloadMatcher] =
-    Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, ApacheCombinedMatcher, RawMatcher)
+    Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, CloudtrailMatcher,
+      ApacheCombinedMatcher, RawMatcher)
 
   // -- envelope handling ----------------------------------------------------
 

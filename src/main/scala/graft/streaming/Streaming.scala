@@ -48,11 +48,28 @@ object Streaming {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("key"), col("n_events"))
 
+  /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
+    * the unbounded generator emitting pipeline-config JSON every N s):
+    * a `rate` stream projected onto the config literal. Union into the
+    * input stream so downstream detectors see periodic heartbeats. */
+  def cfgTickStream(spark: org.apache.spark.sql.SparkSession,
+      intervalSeconds: Int, configJson: String): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", "1") // rate's floor; thinned below
+      .load()
+      .filter(pmod(unix_seconds(col("timestamp")), lit(intervalSeconds)) === 0)
+      .select(col("timestamp"),
+        lit("cfgtick").as("payload_type"),
+        lit(configJson).as("value"))
+
   // -- stateful suppression ---------------------------------------------
 
   case class Keyed(key: String, tsUs: Long)
   case class Emitted(key: String, tsUs: Long)
   case class SuppressState(lastEmitUs: Long)
+  case class KeyedCount(key: String, tsUs: Long, count: Long)
+  case class EmittedCount(key: String, tsUs: Long, count: Long)
+  case class CountState(lastEmitUs: Long, maxCount: Long)
 
   /** Streaming AlertSuppressor: per key, emit the first element, then
     * suppress until `expirySeconds` after the last emitted element;
@@ -94,6 +111,35 @@ object Streaming {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Count-aware suppressor (ref s/alert/AlertSuppressorCount.java:
+    * 14-35): like `suppress`, but an element whose count exceeds the
+    * stored maximum re-emits even inside the suppression window (the
+    * alert got "bigger", so it is news again). */
+  def suppressCount(ds: Dataset[KeyedCount],
+      expirySeconds: Long): Dataset[EmittedCount] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val expiryUs = expirySeconds * 1000000L
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CountState, EmittedCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[KeyedCount], state: GroupState[CountState]) =>
+          var st = if (state.exists) state.get
+            else CountState(Long.MinValue, Long.MinValue)
+          val out = Seq.newBuilder[EmittedCount]
+          it.toSeq.sortBy(_.tsUs).foreach { e =>
+            val expired =
+              st.lastEmitUs == Long.MinValue || e.tsUs - st.lastEmitUs >= expiryUs
+            if (expired || e.count > st.maxCount) {
+              st = CountState(e.tsUs, math.max(e.count, st.maxCount))
+              out += EmittedCount(key, e.tsUs, e.count)
+            }
+          }
+          if (st.lastEmitUs != Long.MinValue) state.update(st)
+          out.result().iterator
       }
   }
 }

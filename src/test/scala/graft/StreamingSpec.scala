@@ -49,6 +49,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("suppressCount re-emits inside the window when the count grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.KeyedCount]
+    val q = Streaming.suppressCount(in.toDS(), expirySeconds = 600)
+      .writeStream.format("memory").queryName("suppc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Streaming.KeyedCount("a", 0L, 5),        // emits (first)
+        Streaming.KeyedCount("a", 10000000L, 4), // suppressed (count <= 5)
+        Streaming.KeyedCount("a", 20000000L, 9)) // re-emits (count grew)
+      q.processAllAvailable()
+      in.addData(Streaming.KeyedCount("a", 30000000L, 9)) // suppressed
+      q.processAllAvailable()
+      val got = spark.table("suppc").as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("a", 0L, 5L), ("a", 20000000L, 9L)))
+    } finally q.stop()
+  }
+
+  test("cfgTickStream is a streaming frame carrying the config literal") {
+    val df = Streaming.cfgTickStream(spark, 60, """{"heuristic":"hard_limit"}""")
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("timestamp", "payload_type", "value"))
+  }
+
   test("session_window append emits finalized sessions after watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
