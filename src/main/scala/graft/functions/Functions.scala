@@ -44,8 +44,17 @@ object Functions {
     try_element_at(nonProxy, lit(-1))
   }
 
-  /** CIDR membership against a broadcast radix trie. */
+  /** CIDR membership against a broadcast radix trie — a native
+    * codegen'd Catalyst expression (see CidrMatchExpr); null → false. */
   def cidrMatch(trie: Broadcast[InetRadix])(addr: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CidrMatchExpr(ColumnBridge.expression(addr), trie))
+  }
+
+  /** UDF form of cidrMatch, kept for benchmark comparison with the
+    * native expression (the expression stays inside whole-stage
+    * codegen; the UDF pays boxing + closure dispatch per row). */
+  def cidrMatchUdf(trie: Broadcast[InetRadix])(addr: Column): Column = {
     val f = udf((a: String) => a != null && trie.value.contains(a))
     f(addr)
   }
