@@ -1,0 +1,67 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.filter.EventFilter
+import graft.model.Event
+import graft.operators.{Identity, Stateful}
+import graft.parse.{GeoIp, Parser}
+
+/** The AuthProfile pipeline (ref EP2, s/authprofile/AuthProfile.java:
+  * 1015-1085): parse auth events → resolve identities → geo enrich →
+  * impossible-travel (geo-velocity) detection → alert suppression.
+  *
+  * The reference holds per-identity known-IP state in Datastore and
+  * walks it with RPC (StateAnalyze); here the per-identity timeline is
+  * co-located by the shuffle and scanned with lag windows — no
+  * external state service, the same detection semantics.
+  */
+object AuthProfilePipeline {
+
+  case class Config(
+      maxKmh: Double = 800.0,
+      suppressSeconds: Long = 1800)
+
+  /** Parse raw lines, keep AUTH events. */
+  def parsedAuth(lines: Dataset[String]): DataFrame =
+    Parser.parse(lines).toDF()
+      .filter(EventFilter.compile(Seq(EventFilter.Rule(
+        wantNormalizedTypes = Seq("AUTH")))))
+
+  def parsedAuthEnriched(lines: Dataset[String],
+      resolver: GeoIp.GeoIpResolver): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    GeoIp.enrich(Parser.parse(lines), resolver).toDF()
+      .filter(EventFilter.compile(Seq(EventFilter.Rule(
+        wantNormalizedTypes = Seq("AUTH")))))
+  }
+
+  /** Full batch analysis: lines + alias table + geo resolver →
+    * impossible-travel alerts, suppressed per identity. */
+  def analyze(lines: Dataset[String], aliases: DataFrame,
+      resolver: GeoIp.GeoIpResolver, cfg: Config = Config()): DataFrame = {
+    val auth = parsedAuthEnriched(lines, resolver)
+      .filter(col("normalized.geo").isNotNull)
+    val resolved = Identity.resolve(auth,
+      col("normalized.subjectUser"), aliases)
+    val travel = Stateful.geoVelocity(resolved,
+      col("timestamp"), col("identity"),
+      col("normalized.geo.latitude"), col("normalized.geo.longitude"),
+      cfg.maxKmh)
+    // suppress repeat alerts per identity within the expiry window
+    val suppressed = Stateful.suppress(
+      travel.withColumn("ts", timestamp_millis(col("ts_ms"))),
+      col("ts"), col("key"), cfg.suppressSeconds)
+    travel.join(suppressed
+        .select(col("key"), expr("ts_us DIV 1000").as("ts_ms")),
+      Seq("key", "ts_ms"))
+      .select(
+        lit("impossible_travel").as("summary"),
+        lit("authprofile").as("category"),
+        lit("geo_velocity").as("subcategory"),
+        lit("critical").as("severity"),
+        col("key").as("identity"),
+        col("ts_ms"), col("speed_kmh"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.filter.EventFilter
+import graft.operators.{Heuristics, Sessionize}
+import graft.parse.Parser
+
+/** The HTTPRequest analysis pipeline (ref EP1, s/httprequest/
+  * HTTPRequest.java:182-385): one parsed stream fans out to the rate
+  * heuristics sharing a single 1-minute-windowed view, plus the NAT
+  * detector whose output suppresses threshold alerts, plus session
+  * heuristics — re-expressed as one cached DataFrame with declarative
+  * branches (the reference fuses these stages manually; Catalyst does
+  * it from the lineage).
+  *
+  * Scale notes: the parsed frame is cached because 5+ heuristics read
+  * it (the reference's InputCollectionCache, §4 "Caching"); each
+  * heuristic is one hash-aggregate over the SAME window+key grouping,
+  * so at 100 TB the dominant cost is one scan + one shuffle per
+  * distinct grouping, and the NAT suppression is a broadcast
+  * left-anti join on the already-aggregated (tiny) side.
+  */
+object HttpRequestPipeline {
+
+  case class Config(
+      window: String = "1 minute",
+      hardLimit: Long = 100,
+      thresholdModifier: Double = 2.0,
+      errorMaxCount: Long = 30,
+      natMinDistinctUserAgents: Long = 4,
+      sessionGapSeconds: Long = 2700,
+      maxSessionEvents: Long = 1000)
+
+  /** Parse raw lines and keep HTTP_REQUEST events (compiled filter). */
+  def parsedHttp(lines: Dataset[String]): DataFrame =
+    Parser.parse(lines).toDF()
+      .filter(EventFilter.compile(Seq(EventFilter.Rule(
+        wantNormalizedTypes = Seq("HTTP_REQUEST")))))
+
+  private def alert(df: DataFrame, subcategory: String, severity: String,
+      countCol: String): DataFrame =
+    df.select(
+      lit(s"${subcategory}_exceeded").as("summary"),
+      lit("httprequest").as("category"),
+      lit(subcategory).as("subcategory"),
+      lit(severity).as("severity"),
+      col("key").as("sourceaddress"),
+      col(countCol).cast("long").as("count"),
+      col("window_start_ms"))
+
+  /** Full batch analysis: raw lines → unioned alert frame. */
+  def analyze(lines: Dataset[String], cfg: Config = Config()): DataFrame = {
+    val parsed = parsedHttp(lines).cache()
+    val ts = col("timestamp")
+    val src = col("normalized.sourceAddress")
+
+    val hard = alert(
+      Heuristics.hardLimit(parsed, ts, src, cfg.window, cfg.hardLimit),
+      "hard_limit", "warn", "n")
+
+    // NAT view: sources carrying many distinct user agents in the
+    // window are gateways; suppress their threshold alerts
+    val nat = Heuristics.distinctCardinality(parsed, ts, src,
+        col("normalized.userAgent"), cfg.window,
+        cfg.natMinDistinctUserAgents)
+      .select(col("window_start_ms"), col("key"))
+    val threshold = alert(
+      Heuristics.thresholdAnalysis(parsed, ts, src, cfg.window,
+          cfg.thresholdModifier)
+        .join(broadcast(nat), Seq("window_start_ms", "key"), "left_anti"),
+      "threshold", "warn", "n")
+
+    val errors = alert(
+      Heuristics.errorRate(parsed, ts, src,
+        col("normalized.requestStatus").between(400, 499),
+        cfg.window, cfg.errorMaxCount),
+      "error_rate", "warn", "errors")
+
+    val sessions = alert(
+      Sessionize.sessionLimit(parsed, ts, src, cfg.sessionGapSeconds,
+          cfg.maxSessionEvents)
+        .withColumn("window_start_ms", lit(null).cast("long")),
+      "session_limit", "critical", "max_session_events")
+
+    hard.unionByName(threshold).unionByName(errors).unionByName(sessions)
+  }
+}

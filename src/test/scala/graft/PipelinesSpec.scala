@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Geo
+import graft.parse.GeoIp
+import graft.pipelines.{AuthProfilePipeline, HttpRequestPipeline}
+
+class PipelinesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def glb(ip: String, status: Int, ua: String, t: String) =
+    s"""{"httpRequest":{"requestMethod":"GET","requestUrl":"https://h/x","status":$status,"remoteIp":"$ip","userAgent":"$ua"},"timestamp":"$t","logName":"projects/p/logs/l"}"""
+
+  test("httprequest pipeline: hard limit + NAT-suppressed threshold + error rate") {
+    import spark.implicits._
+    val t0 = "2024-01-01T00:00:"
+    // attacker: 12 requests in one minute, single UA
+    val attacker = (0 until 12).map(i => glb("1.1.1.1", 200, "ua", f"${t0}$i%02dZ"))
+    // nat gateway: 12 requests, 5 distinct UAs -> threshold suppressed
+    val nat = (0 until 12).map(i => glb("2.2.2.2", 200, s"ua${i % 5}", f"${t0}$i%02dZ"))
+    // errorer: 6 4xx in the window
+    val errs = (0 until 6).map(i => glb("3.3.3.3", 404, "ua", f"${t0}$i%02dZ"))
+    // background: 1 request
+    val quiet = Seq(glb("4.4.4.4", 200, "ua", s"${t0}30Z"))
+    val lines = (attacker ++ nat ++ errs ++ quiet).toDS()
+    val alerts = HttpRequestPipeline.analyze(lines,
+      HttpRequestPipeline.Config(hardLimit = 10, thresholdModifier = 1.2,
+        errorMaxCount = 5, natMinDistinctUserAgents = 4,
+        maxSessionEvents = 50))
+      .collect()
+    val bySub = alerts.groupBy(_.getAs[String]("subcategory"))
+      .view.mapValues(_.map(_.getAs[String]("sourceaddress")).toSet).toMap
+    assert(bySub("hard_limit") == Set("1.1.1.1", "2.2.2.2"))
+    // threshold fires for busy sources but the NAT gateway is suppressed
+    assert(bySub("threshold").contains("1.1.1.1"))
+    assert(!bySub("threshold").contains("2.2.2.2"))
+    assert(bySub("error_rate") == Set("3.3.3.3"))
+    assert(!bySub.contains("session_limit"))
+  }
+
+  test("authprofile pipeline: impossible travel across geo-resolved logins") {
+    import spark.implicits._
+    val resolver = new GeoIp.CidrTableResolver(Seq(
+      "20.0.0.0/8" -> Geo(latitude = Some(51.5), longitude = Some(-0.13),
+        country = Some("GB")),
+      "30.0.0.0/8" -> Geo(latitude = Some(35.68), longitude = Some(139.69),
+        country = Some("JP"))))
+    def ssh(user: String, ip: String, t: String) =
+      s"""{"textPayload":"x sshd[1]: Accepted password for $user from $ip port 22 ssh2","timestamp":"$t","logName":"projects/p/logs/auth"}"""
+    val lines = Seq(
+      ssh("alice", "20.1.1.1", "2024-01-01T00:00:00Z"), // London
+      ssh("alice", "30.1.1.1", "2024-01-01T01:00:00Z"), // Tokyo 1h later -> alert
+      ssh("bob", "20.1.1.1", "2024-01-01T00:00:00Z"),
+      ssh("bob", "20.1.1.2", "2024-01-01T08:00:00Z")    // same city, fine
+    ).toDS()
+    val aliases = Seq(("alice", "acct-alice")).toDF("alias", "canonical")
+    val alerts = AuthProfilePipeline.analyze(lines, aliases, resolver).collect()
+    assert(alerts.length == 1)
+    assert(alerts(0).getAs[String]("identity") == "acct-alice")
+    assert(alerts(0).getAs[Long]("speed_kmh") > 800)
+  }
+}
