@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line {"metric":...,"value":...,"queries":{...}}.
+  * A warmup pass at sf0.001 first pays JIT + codegen compilation per
+  * query plan so the timed pass measures the engine, not the JVM. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +12,42 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache() // drop warmup-cached frames before timing
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    spark.catalog.clearCache()
+
+    // parse throughput: events rendered as GLB lines through the full
+    // parser (envelope strip + matcher probe), events/sec
+    val parseEps = try {
+      val lines = graft.sources.SyntheticLogs
+        .glbLines(graft.sources.Tables.events(spark, sfDir)).cache()
+      val n = lines.count() // materialize inputs outside the timed run
+      val t0 = System.nanoTime()
+      graft.parse.Parser.parse(lines).count()
+      val eps = n / ((System.nanoTime() - t0) / 1e9)
+      lines.unpersist()
+      eps
+    } catch { case _: Throwable => -1.0 }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"parse_events_per_sec":$parseEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

