@@ -446,6 +446,19 @@ object SparkEntry {
         .groupBy(col("username"), col("identity"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("username"))
+    }),
+
+    // §2.3 approximate distinct cardinality (HyperLogLog++) — the
+    // 100 TB form of the NAT detector where exactness is not needed.
+    // No SQL oracle: HLL sketches are engine-specific (driver records
+    // the weaker rows-only check); the spec asserts bounded error vs
+    // the exact count instead.
+    "q40_approx_distinct" -> ((s, dir) => {
+      Heuristics.distinctCardinality(Tables.events(s, dir), col("ts"),
+          col("user_id"), col("event_type"), "1 day", minDistinct = 1,
+          approxRsd = 0.02)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("window_start_ms"), col("user_id"))
     })
   )
 

@@ -165,6 +165,28 @@ object Parser {
     }
   }
 
+  /** FxA auth-server event (ref s/parser/FxaAuth.java:464 — mozlog
+    * envelope, per-event email/action/source fields, AUTH_SESSION
+    * normalization). */
+  object FxaAuthMatcher extends PayloadMatcher {
+    val name = "fxaauth"
+    def fastMatch(line: String): Boolean = line.contains("fxa-auth")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogType.contains("fxa-auth")) None
+      else ctx.json.map { f =>
+        Some(mkEvent(ctx, name, Normalized(
+          types = Seq(NormalizedType.AuthSession),
+          subjectUser = strOpt(f, "email"),
+          sourceAddress = strOpt(f, "remoteAddressChain")
+            .orElse(strOpt(f, "sourceaddress"))),
+          fields = Map(
+            "email" -> f.path("email").asText(""),
+            "action" -> f.path("action").asText(""),
+            "status" -> f.path("status").asText(""))))
+      }.getOrElse(None)
+    }
+  }
+
   /** Catch-all: any line becomes a RAW event (parser totality). */
   object RawMatcher extends PayloadMatcher {
     val name = "raw"
@@ -177,7 +199,7 @@ object Parser {
     * Parser.java:597-620 fixed matcher order). */
   val matchers: Seq[PayloadMatcher] =
     Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, CloudtrailMatcher,
-      ApacheCombinedMatcher, RawMatcher)
+      FxaAuthMatcher, ApacheCombinedMatcher, RawMatcher)
 
   // -- envelope handling ----------------------------------------------------
 

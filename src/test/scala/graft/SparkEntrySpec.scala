@@ -39,6 +39,23 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("q40 approx distinct within rsd bounds of exact counts") {
+    val approx = SparkEntry.queries("q40_approx_distinct")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("window_start_ms"),
+        r.getAs[Long]("user_id")) -> r.getAs[Long]("n_distinct")).toMap
+    val exact = graft.operators.Heuristics.distinctCardinality(
+        graft.sources.Tables.events(spark, sf),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"), "1 day", 1)
+      .collect().map(r => (r.getAs[Long]("window_start_ms"),
+        r.getAs[Long]("key")) -> r.getAs[Long]("n_distinct")).toMap
+    assert(approx.keySet == exact.keySet)
+    // 5 distinct types max — HLL at rsd=0.02 must be exact-ish here
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(1, v / 10)) }
+  }
+
   test("q01 groups to 6 flag/status combinations") {
     assert(SparkEntry.queries("q01_pricing_summary")(spark, sf).count() == 6)
   }

@@ -75,6 +75,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("timestamp", "payload_type", "value"))
   }
 
+  test("streaming session_window agrees with batch analytic sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two sessions for a (gap > 30s between 10s and 100s), one for b
+    val data = Seq((ts(0), "a"), (ts(10), "a"), (ts(100), "a"),
+      (ts(5), "b"))
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streaming.sessionSummary(in.toDS().toDF("ts", "k"), "ts", col("k"),
+        gap = "30 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sesseq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(10000), "a")) // advance watermark to finalize all
+      q.processAllAvailable()
+      val streaming = spark.table("sesseq")
+        .select("key", "n_events").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val batch = graft.operators.Sessionize.sessionSummary(
+          data.toDF("t", "k"), col("t"), col("k"), gapSeconds = 30)
+        .select(col("key"), col("n_events")).as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(streaming("a") == batch("a") && streaming("a") == Seq(1L, 2L))
+      assert(streaming("b") == batch("b"))
+    } finally q.stop()
+  }
+
   test("session_window append emits finalized sessions after watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
