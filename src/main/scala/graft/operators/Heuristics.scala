@@ -138,6 +138,20 @@ object Heuristics {
         (col("n") - col("prev_n")) * lit(100.0) / col("prev_n"))
   }
 
+  /** Alert-rate anomaly (ref AlertSummary Evaluator,
+    * s/postprocessing/AlertSummary.java:284-520): pane-over-pane
+    * percent change per classifier; WARN when the rate moved more
+    * than the configured percentage either way. Built on `paneDelta`,
+    * so the cost is one windowed count + one analytic lag. */
+  def alertSummary(df: DataFrame, ts: Column, classifier: Column,
+      duration: String, maxPctIncrease: Double,
+      maxPctDecrease: Double): DataFrame =
+    paneDelta(df, ts, classifier, duration)
+      .filter(col("pct_change") >= maxPctIncrease ||
+        col("pct_change") <= -maxPctDecrease)
+      .withColumn("direction",
+        when(col("pct_change") > 0, "increase").otherwise("decrease"))
+
   /** Ordered-pair detection within a per-key timeline (ref
     * EndpointSequenceAbuse): count occurrences of `firstPred` followed by
     * `secondPred` within `withinSeconds`, per key. Expressed as an

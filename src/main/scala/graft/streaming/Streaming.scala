@@ -114,6 +114,36 @@ object Streaming {
       }
   }
 
+  case class AccountEvent(key: String, tsUs: Long, kind: String)
+  case class AtRiskState(flaggedAtUs: Long)
+  case class AtRiskAlert(key: String, tsUs: Long)
+
+  /** At-risk account tracking (ref s/customs/CustomsAtRiskAccountState
+    * + CustomsLoginFailureForAtRiskAccount.java): a `flag` event marks
+    * the account at-risk; any later `fail` event while flagged emits
+    * an alert. State is one timestamp per flagged account. */
+  def atRiskAccounts(ds: Dataset[AccountEvent]): Dataset[AtRiskAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[AtRiskState, AtRiskAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[AccountEvent], state: GroupState[AtRiskState]) =>
+          var flagged = if (state.exists) state.get.flaggedAtUs else Long.MinValue
+          val out = Seq.newBuilder[AtRiskAlert]
+          it.toSeq.sortBy(_.tsUs).foreach { e =>
+            e.kind match {
+              case "flag" => flagged = e.tsUs
+              case "fail" if flagged != Long.MinValue && e.tsUs >= flagged =>
+                out += AtRiskAlert(key, e.tsUs)
+              case _ => ()
+            }
+          }
+          if (flagged != Long.MinValue) state.update(AtRiskState(flagged))
+          out.result().iterator
+      }
+  }
+
   /** Count-aware suppressor (ref s/alert/AlertSuppressorCount.java:
     * 14-35): like `suppress`, but an element whose count exceeds the
     * stored maximum re-emits even inside the suppression window (the
