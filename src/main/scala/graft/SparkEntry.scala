@@ -448,6 +448,14 @@ object SparkEntry {
         .orderBy(col("username"))
     }),
 
+    // training-data ops: IVF-style ANN (seed centroids, cell-restricted
+    // search) — the other classic scale path besides LSH
+    "q41_ivf_topk" -> ((s, dir) => {
+      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -927,6 +935,41 @@ object SparkEntry {
         |  CASE WHEN user_id % 2 = 0 THEN 'acct-' || (user_id // 2)
         |       ELSE 'user' || user_id END AS identity,
         |  COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY username""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY username""".stripMargin,
+
+    "q41_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |cd AS (SELECT vec_id AS cent_id, d, v FROM ed WHERE vec_id < 16),
+        |cdot AS (SELECT ed.vec_id, cd.cent_id, CAST(SUM(ed.v * cd.v) AS BIGINT) dot
+        |  FROM ed JOIN cd ON cd.d = ed.d GROUP BY 1, 2),
+        |cscore AS (SELECT cdot.vec_id, cent_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS c_cos
+        |  FROM cdot JOIN nrm na ON na.vec_id = cdot.vec_id
+        |    JOIN nrm nb ON nb.vec_id = cent_id),
+        |cell AS (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) rn
+        |    FROM cscore) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, cell FROM cell
+        |  WHERE vec_id IN (0,1,2,3,4)),
+        |cand AS (SELECT q.query_id, c.vec_id FROM q
+        |  JOIN cell c ON c.cell = q.cell WHERE c.vec_id <> q.query_id),
+        |dots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qe.v * ce.v) AS BIGINT) dot
+        |  FROM cand c JOIN ed qe ON qe.vec_id = c.query_id
+        |    JOIN ed ce ON ce.vec_id = c.vec_id AND ce.d = qe.d
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id AS vec_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = query_id
+        |    JOIN nrm nb ON nb.vec_id = dots.vec_id),
+        |r AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

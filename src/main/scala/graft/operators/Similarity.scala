@@ -99,6 +99,38 @@ object Similarity {
     scoreAndRank(base.join(broadcast(queries), Seq("bucket")), k)
   }
 
+  /** IVF-style ANN: the first `nCells` corpus vectors (lowest ids)
+    * act as deterministic seed centroids; every vector is assigned to
+    * its nearest centroid (exact integer cosine, broadcast of the
+    * tiny centroid set, argmax via one window rank over |corpus| ×
+    * nCells scored rows); a query searches only its own cell.
+    *
+    * Scale path: cell assignment is one broadcast join + rank (map
+    * side dominated); search cost drops nCells× vs brute force. A
+    * k-means refinement loop would update centroids with the same
+    * broadcast-join shape — seed centroids keep the operator fully
+    * deterministic and oracle-checkable. */
+  def ivfTopK(emb: DataFrame, id: Column, vec: Column, queryIds: Seq[Long],
+      k: Int, nCells: Int = 16): DataFrame = {
+    val base = quantized(emb, id, vec)
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(dotQ(col("qv"), col("c_qv")),
+        col("nrm"), col("c_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("cell"))
+    scoreAndRank(assigned.join(broadcast(queries), Seq("cell")), k)
+  }
+
   private def scoreAndRank(joined: DataFrame, k: Int): DataFrame =
     joined.filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot", dotQ(col("qv"), col("q_qv")))

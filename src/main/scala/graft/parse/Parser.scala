@@ -187,6 +187,25 @@ object Parser {
     }
   }
 
+  /** GuardDuty-style cloud finding (ref s/parser/GuardDuty.java /
+    * gatekeeper ETD shapes): typed finding JSON with a numeric
+    * severity, carried through as fields for the gatekeeper mapping. */
+  object FindingMatcher extends PayloadMatcher {
+    val name = "finding"
+    def fastMatch(line: String): Boolean =
+      line.contains("\"findingType\"")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
+      if (!r.has("findingType")) None
+      else Some(mkEvent(ctx, name, Normalized(),
+        fields = Map(
+          "finding_type" -> r.path("findingType").asText(""),
+          "severity" -> r.path("severity").asText(""),
+          "account" -> r.path("accountId").asText(""),
+          "region" -> r.path("region").asText(""))))
+    }
+  }
+
   /** Catch-all: any line becomes a RAW event (parser totality). */
   object RawMatcher extends PayloadMatcher {
     val name = "raw"
@@ -199,7 +218,7 @@ object Parser {
     * Parser.java:597-620 fixed matcher order). */
   val matchers: Seq[PayloadMatcher] =
     Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, CloudtrailMatcher,
-      FxaAuthMatcher, ApacheCombinedMatcher, RawMatcher)
+      FxaAuthMatcher, FindingMatcher, ApacheCombinedMatcher, RawMatcher)
 
   // -- envelope handling ----------------------------------------------------
 
