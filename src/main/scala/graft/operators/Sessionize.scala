@@ -58,4 +58,23 @@ object Sessionize {
         max(col("n_events")).as("max_session_events"),
         sum(col("n_events")).as("total_events"))
       .filter(col("max_session_events") >= maxSessionEvents)
+
+  /** Multi-address login detection (ref s/amo/AddonMultiIpLogin.java:
+    * 146-250 — 15-min-gap sessions per account; alert when one
+    * session's logins span too many distinct addresses/countries,
+    * after plus-normalizing the account email). Session assignment +
+    * one distinct-aggregate per (key, session). */
+  def multiAddressSessions(df: DataFrame, ts: Column, key: Column,
+      addr: Column, country: Column, gapSeconds: Long,
+      minAddrs: Long, minCountries: Long): DataFrame =
+    assignSessions(df.select(ts.as("__ts"), key.as("__k"),
+        addr.as("__a"), country.as("__c")),
+        col("__ts"), col("__k"), gapSeconds)
+      .groupBy(col("__k").as("key"), col("session_id"))
+      .agg(countDistinct(col("__a")).as("n_addrs"),
+        countDistinct(col("__c")).as("n_countries"),
+        count(lit(1)).as("n_logins"),
+        unix_millis(min(col("__ts"))).as("session_start_ms"))
+      .filter(col("n_addrs") >= minAddrs ||
+        col("n_countries") >= minCountries)
 }

@@ -46,6 +46,27 @@ class MultiplexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multiAddressSessions: one session spanning many ips/countries alerts") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val logins = Seq(
+      // acct1 session: 3 ips, 2 countries within the gap
+      ("acct1", t(0), "1.1.1.1", "US"), ("acct1", t(60), "2.2.2.2", "US"),
+      ("acct1", t(120), "3.3.3.3", "JP"),
+      // acct1 second session (after gap): single ip
+      ("acct1", t(10000), "1.1.1.1", "US"),
+      // acct2: one ip only
+      ("acct2", t(0), "9.9.9.9", "DE"), ("acct2", t(30), "9.9.9.9", "DE")
+    ).toDF("acct", "ts", "ip", "cc")
+    val got = graft.operators.Sessionize.multiAddressSessions(logins,
+      col("ts"), col("acct"), col("ip"), col("cc"),
+      gapSeconds = 900, minAddrs = 3, minCountries = 2).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("key") == "acct1")
+    assert(got(0).getAs[Long]("n_addrs") == 3)
+    assert(got(0).getAs[Long]("n_countries") == 2)
+  }
+
   test("alertSummary flags big pane-over-pane swings in either direction") {
     import spark.implicits._
     val t0 = 1700000000L
