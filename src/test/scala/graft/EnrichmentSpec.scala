@@ -66,6 +66,22 @@ class EnrichmentSpec extends AnyFunSuite {
     assert(json.contains(""""metadata":[{"key":"k1","value":"v1"}]"""))
   }
 
+  test("streamTo: foreachBatch adapter delivers streaming alerts to a writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val writer = new Sinks.CollectingWriter
+    val q = Sinks.streamTo(in.toDS().toDF("subcategory", "n"), writer).start()
+    try {
+      in.addData(("hard_limit", 7L))
+      q.processAllAvailable()
+      in.addData(("error_rate", 3L))
+      q.processAllAvailable()
+      assert(writer.buf.map(_.getAs[String]("subcategory")).toSet ==
+        Set("hard_limit", "error_rate"))
+    } finally q.stop()
+  }
+
   test("parquet writer round-trips alert frames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("alerts").toString
