@@ -85,4 +85,25 @@ object HttpRequestPipeline {
 
     hard.unionByName(threshold).unionByName(errors).unionByName(sessions)
   }
+
+  /** Streaming form of the hard-limit branch: unbounded lines →
+    * mapPartitions parse (narrow, streaming-safe) → compiled filter →
+    * watermarked event-time window → alert rows. Run in update mode
+    * for early firings (the reference's accumulating panes) and attach
+    * sinks via Sinks.streamTo / foreachBatch. */
+  def analyzeStream(lines: Dataset[String], cfg: Config = Config(),
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val parsed = parsedHttp(lines) // watermark applied by windowedHardLimit
+    graft.streaming.Streaming.windowedHardLimit(parsed, "timestamp",
+        col("normalized.sourceAddress"), cfg.window, watermarkDelay,
+        cfg.hardLimit)
+      .select(
+        lit("hard_limit_exceeded").as("summary"),
+        lit("httprequest").as("category"),
+        lit("hard_limit").as("subcategory"),
+        lit("warn").as("severity"),
+        col("key").as("sourceaddress"),
+        col("n").cast("long").as("count"),
+        col("window_start_ms"))
+  }
 }

@@ -38,6 +38,25 @@ class PipelinesSpec extends AnyFunSuite {
     assert(!bySub.contains("session_limit"))
   }
 
+  test("httprequest streaming form: unbounded lines to windowed alerts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val alerts = HttpRequestPipeline.analyzeStream(in.toDS(),
+      HttpRequestPipeline.Config(hardLimit = 5), watermarkDelay = "0 seconds")
+    val q = alerts.writeStream.format("memory").queryName("httpstream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      in.addData((0 until 8).map(i =>
+        glb("5.5.5.5", 200, "ua", f"2024-01-01T00:00:$i%02dZ")): _*)
+      in.addData(glb("6.6.6.6", 200, "ua", "2024-01-01T00:00:30Z"))
+      q.processAllAvailable()
+      val got = spark.table("httpstream").collect()
+      assert(got.map(_.getAs[String]("sourceaddress")).toSet == Set("5.5.5.5"))
+      assert(got.head.getAs[Long]("count") == 8)
+    } finally q.stop()
+  }
+
   test("authprofile pipeline: impossible travel across geo-resolved logins") {
     import spark.implicits._
     val resolver = new GeoIp.CidrTableResolver(Seq(
