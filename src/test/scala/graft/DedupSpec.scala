@@ -64,6 +64,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("degenerate docs (empty, single-token, sub-n) flow through all ops") {
+    val weird = Seq(
+      (10L, ""), (11L, "one"), (12L, "two words"),
+      (13L, "three tokens here"), (14L, "three tokens here")
+    ).toDF("doc_id", "text")
+    // exact dedup: empty string is a valid group; 13/14 collapse
+    assert(Dedup.exactDedup(weird, col("doc_id"), col("text")).count() == 4)
+    // shingle ops: docs with < n tokens simply produce no candidates
+    val j = Dedup.ngramJaccardPairs(weird, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(j == Set((13L, 14L)))
+    val m = Dedup.minhashLshPairs(weird, col("doc_id"), col("text"), 3, 16, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(m == Set((13L, 14L)))
+    // simhash: defined for any doc with >= 1 token
+    val h = Dedup.simhash(weird, col("doc_id"), col("text")).count()
+    assert(h == 4) // empty doc has no tokens -> no row
+  }
+
   test("maxShingleFreq drops hot shingles from candidates but keeps sizes exact") {
     // with cap=1 no shingle shared by 2+ docs survives -> no pairs at all
     val r = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
