@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("timestamp", "payload_type", "value"))
   }
 
+  test("streaming threshold: windows finalize whole, mean joined per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val q = Streaming.thresholdStream(in.toDS().toDF("ts", "k"), "ts",
+        col("k"), "1 minute", "0 seconds", modifier = 2.0) { alerts =>
+      buf ++= alerts.select("key", "n", "mean_n")
+        .as[(String, Long, Double)].collect()
+    }.start()
+    try {
+      // window [0,60): x=9 events, y=1, z=2 -> mean 4; x >= 8 alerts
+      in.addData((1 to 9).map(i => (ts(i), "x")) ++
+        Seq((ts(20), "y"), (ts(30), "z"), (ts(31), "z")): _*)
+      q.processAllAvailable()
+      in.addData((ts(300), "w")) // watermark past the window -> finalize
+      q.processAllAvailable()
+      assert(buf.toSeq == Seq(("x", 9L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch analytic sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
