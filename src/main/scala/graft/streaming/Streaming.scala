@@ -80,6 +80,16 @@ object Streaming {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("key"), col("n_events"))
 
+  /** Streaming exact dedup: first occurrence of each content hash
+    * passes, replays are dropped; watermark bounds the dedup state to
+    * the lateness horizon (the unbounded-corpus twin of the batch
+    * exactDedup hash-groupBy). */
+  def dedupStream(df: DataFrame, tsName: String, content: Column,
+      watermarkDelay: String): DataFrame =
+    df.withColumn("content_hash", md5(content))
+      .withWatermark(tsName, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
     * a `rate` stream projected onto the config literal. Union into the

@@ -75,6 +75,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("timestamp", "payload_type", "value"))
   }
 
+  test("streaming exact dedup: replays dropped across batches within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streaming.dedupStream(in.toDS().toDF("ts", "text"), "ts",
+        col("text"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "doc-a"), (ts(1), "doc-a"), (ts(2), "doc-b"))
+      q.processAllAvailable()
+      in.addData((ts(3), "doc-a"), (ts(4), "doc-c")) // a replays across batches
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("text").as[String].collect().sorted
+      assert(got.toSeq == Seq("doc-a", "doc-b", "doc-c"))
+    } finally q.stop()
+  }
+
   test("streaming threshold: windows finalize whole, mean joined per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
