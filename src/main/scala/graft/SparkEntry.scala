@@ -456,6 +456,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // §2.4 per-session summary rows (gap sessionization, full output)
+    "q42_session_summary" -> ((s, dir) => {
+      Sessionize.sessionSummary(Tables.events(s, dir), col("ts"),
+          col("user_id"), gapSeconds = 3600)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -936,6 +944,23 @@ object SparkEntry {
         |       ELSE 'user' || user_id END AS identity,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY username""".stripMargin,
+
+    "q42_session_summary" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, CASE WHEN
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY user_id ORDER BY ts)) > 3600000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM t)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  epoch_ms(MIN(ts)) AS session_start_ms,
+        |  epoch_ms(MAX(ts)) AS session_end_ms
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "q41_ivf_topk" ->
       """WITH e AS (SELECT vec_id,

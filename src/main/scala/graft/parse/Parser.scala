@@ -187,6 +187,47 @@ object Parser {
     }
   }
 
+  /** Duo admin-API audit event (ref s/parser/Duopull.java — mozlog
+    * envelope, event_* fields, AUTH-relevant admin actions). */
+  object DuopullMatcher extends PayloadMatcher {
+    val name = "duopull"
+    def fastMatch(line: String): Boolean = line.contains("duopull")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogType.contains("duopull")) None
+      else ctx.json.map { f =>
+        Some(mkEvent(ctx, name, Normalized(
+          types = Seq(NormalizedType.Auth),
+          subjectUser = strOpt(f, "event_username")),
+          fields = Map(
+            "event_action" -> f.path("event_action").asText(""),
+            "event_description" -> f.path("event_description").asText(""))))
+      }.getOrElse(None)
+    }
+  }
+
+  /** Auth0 tenant log event (ref s/parser/Auth0.java — typed event
+    * codes; success codes normalize to AUTH). */
+  object Auth0Matcher extends PayloadMatcher {
+    val name = "auth0"
+    private val successCodes = Set("s", "ssa", "sepft")
+    def fastMatch(line: String): Boolean = line.contains("client_id")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
+      if (!r.has("client_id") || !r.has("type") || !r.has("user_name")) None
+      else {
+        val code = r.path("type").asText("")
+        val ts = strOpt(r, "date").flatMap(TimeUtil.parseIso8601)
+          .orElse(ctx.timestamp)
+        Some(mkEvent(ctx.copy(timestamp = ts), name, Normalized(
+          types = if (successCodes(code)) Seq(NormalizedType.Auth) else Seq.empty,
+          subjectUser = strOpt(r, "user_name"),
+          sourceAddress = strOpt(r, "ip")),
+          fields = Map("type" -> code,
+            "client_id" -> r.path("client_id").asText(""))))
+      }
+    }
+  }
+
   /** GuardDuty-style cloud finding (ref s/parser/GuardDuty.java /
     * gatekeeper ETD shapes): typed finding JSON with a numeric
     * severity, carried through as fields for the gatekeeper mapping. */
@@ -218,7 +259,8 @@ object Parser {
     * Parser.java:597-620 fixed matcher order). */
   val matchers: Seq[PayloadMatcher] =
     Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, CloudtrailMatcher,
-      FxaAuthMatcher, FindingMatcher, ApacheCombinedMatcher, RawMatcher)
+      FxaAuthMatcher, DuopullMatcher, Auth0Matcher, FindingMatcher,
+      ApacheCombinedMatcher, RawMatcher)
 
   // -- envelope handling ----------------------------------------------------
 

@@ -186,6 +186,43 @@ object Streaming {
       }
   }
 
+  case class GeoLogin(key: String, tsUs: Long, lat: Double, lon: Double)
+  case class GeoState(tsUs: Long, lat: Double, lon: Double)
+  case class TravelAlert(key: String, tsUs: Long, speedKmh: Long)
+
+  /** Streaming geo-velocity (ref s/authstate/AuthStateModel.java:
+    * 241-430 via Datastore; here the per-identity last-location lives
+    * in Spark state): each login is compared against the previous one
+    * for the same identity; impossible travel speed emits an alert and
+    * the state advances to the latest location. Within a micro-batch
+    * logins are processed in event-time order, matching the batch
+    * (lag-window) operator's semantics. */
+  def geoVelocity(ds: Dataset[GeoLogin], maxKmh: Double): Dataset[TravelAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[GeoState, TravelAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[GeoLogin], state: GroupState[GeoState]) =>
+          var prev = if (state.exists) Some(state.get) else None
+          val out = Seq.newBuilder[TravelAlert]
+          it.toSeq.sortBy(_.tsUs).foreach { e =>
+            prev.foreach { p =>
+              if (e.tsUs > p.tsUs) {
+                val km = graft.util.GeoUtil.haversineKm(p.lat, p.lon, e.lat, e.lon)
+                val hours = (e.tsUs - p.tsUs) / 3600.0e6
+                val speed = math.floor(km / hours + 0.5).toLong
+                if (speed > maxKmh) out += TravelAlert(key, e.tsUs, speed)
+              }
+            }
+            if (prev.forall(_.tsUs <= e.tsUs))
+              prev = Some(GeoState(e.tsUs, e.lat, e.lon))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Count-aware suppressor (ref s/alert/AlertSuppressorCount.java:
     * 14-35): like `suppress`, but an element whose count exceeds the
     * stored maximum re-emits even inside the suppression window (the

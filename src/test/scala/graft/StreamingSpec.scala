@@ -75,6 +75,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("timestamp", "payload_type", "value"))
   }
 
+  test("streaming geo-velocity: impossible travel across micro-batches, state advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.GeoLogin]
+    val q = Streaming.geoVelocity(in.toDS(), maxKmh = 300.0)
+      .writeStream.format("memory").queryName("geovel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: alice logs in from London
+      in.addData(Streaming.GeoLogin("alice", 0L, 51.5074, -0.1278))
+      q.processAllAvailable()
+      // batch 2: alice from Tokyo an hour later (state carried across
+      // batches) -> ~9600 km/h alert; bob's first login never alerts
+      in.addData(
+        Streaming.GeoLogin("alice", 3600000000L, 35.68, 139.69),
+        Streaming.GeoLogin("bob", 3600000000L, 35.68, 139.69))
+      q.processAllAvailable()
+      // batch 3: alice stays in Tokyo -> no alert
+      in.addData(Streaming.GeoLogin("alice", 7200000000L, 35.69, 139.70))
+      q.processAllAvailable()
+      val got = spark.table("geovel").as[(String, Long, Long)].collect()
+      assert(got.length == 1)
+      assert(got(0)._1 == "alice" && got(0)._2 == 3600000000L)
+      assert(got(0)._3 > 5000)
+      // agrees with the batch operator on the same data
+      val batchGot = graft.operators.Stateful.geoVelocity(
+        Seq(("alice", new Timestamp(0), 51.5074, -0.1278),
+          ("alice", new Timestamp(3600000L), 35.68, 139.69),
+          ("alice", new Timestamp(7200000L), 35.69, 139.70),
+          ("bob", new Timestamp(3600000L), 35.68, 139.69))
+          .toDF("k", "t", "lat", "lon"),
+        col("t"), col("k"), col("lat"), col("lon"), 300.0).collect()
+      assert(batchGot.length == 1)
+      assert(batchGot(0).getAs[Long]("speed_kmh") == got(0)._3)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: replays dropped across batches within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
