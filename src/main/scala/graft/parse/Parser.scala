@@ -228,6 +228,66 @@ object Parser {
     }
   }
 
+  /** Taskcluster API audit event (ref s/parser/Taskcluster.java —
+    * mozlog envelope, clientId/apiMethod fields, AUTH normalization
+    * for authenticated API calls). */
+  object TaskclusterMatcher extends PayloadMatcher {
+    val name = "taskcluster"
+    def fastMatch(line: String): Boolean = line.contains("taskcluster")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogType.exists(_.startsWith("taskcluster"))) None
+      else ctx.json.map { f =>
+        Some(mkEvent(ctx, name, Normalized(
+          types = Seq(NormalizedType.Auth),
+          subjectUser = strOpt(f, "clientId"),
+          sourceAddress = strOpt(f, "sourceIp")),
+          fields = Map(
+            "api_method" -> f.path("apiMethod").asText(""),
+            "resource" -> f.path("resource").asText(""))))
+      }.getOrElse(None)
+    }
+  }
+
+  /** Bugzilla audit log event (ref s/parser/BmoAudit.java — mozlog
+    * envelope, user/action/target audit fields). */
+  object BmoAuditMatcher extends PayloadMatcher {
+    val name = "bmoaudit"
+    def fastMatch(line: String): Boolean = line.contains("audit.bmo")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogType.exists(_.startsWith("audit.bmo"))) None
+      else ctx.json.map { f =>
+        Some(mkEvent(ctx, name, Normalized(
+          types = Seq(NormalizedType.Auth),
+          subjectUser = strOpt(f, "user"),
+          sourceAddress = strOpt(f, "remote_ip")),
+          fields = Map(
+            "action" -> f.path("action").asText(""),
+            "target" -> f.path("target").asText(""))))
+      }.getOrElse(None)
+    }
+  }
+
+  /** GCP VPC flow log record (ref s/parser/GcpVpcFlow.java — 5-tuple
+    * connection record under jsonPayload.connection). */
+  object VpcFlowMatcher extends PayloadMatcher {
+    val name = "gcp_vpc_flow"
+    def fastMatch(line: String): Boolean = line.contains("vpc_flows")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val p = root.path("jsonPayload")
+      val c = p.path("connection")
+      if (c.isMissingNode || !c.has("src_ip")) None
+      else Some(mkEvent(ctx, name, Normalized(
+        sourceAddress = strOpt(c, "src_ip")),
+        fields = Map(
+          "src_ip" -> c.path("src_ip").asText(""),
+          "src_port" -> c.path("src_port").asText(""),
+          "dest_ip" -> c.path("dest_ip").asText(""),
+          "dest_port" -> c.path("dest_port").asText(""),
+          "protocol" -> c.path("protocol").asText(""),
+          "bytes_sent" -> p.path("bytes_sent").asText(""))))
+    }
+  }
+
   /** GuardDuty-style cloud finding (ref s/parser/GuardDuty.java /
     * gatekeeper ETD shapes): typed finding JSON with a numeric
     * severity, carried through as fields for the gatekeeper mapping. */
@@ -259,7 +319,8 @@ object Parser {
     * Parser.java:597-620 fixed matcher order). */
   val matchers: Seq[PayloadMatcher] =
     Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, CloudtrailMatcher,
-      FxaAuthMatcher, DuopullMatcher, Auth0Matcher, FindingMatcher,
+      FxaAuthMatcher, DuopullMatcher, Auth0Matcher, TaskclusterMatcher,
+      BmoAuditMatcher, VpcFlowMatcher, FindingMatcher,
       ApacheCombinedMatcher, RawMatcher)
 
   // -- envelope handling ----------------------------------------------------
