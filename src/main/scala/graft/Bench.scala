@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,12 +25,20 @@ object Bench {
       }
     spark.catalog.clearCache() // drop warmup-cached frames before timing
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Median of 3 timed runs per query: one contended or cold run must not
+    // become the official number (an n=1 bench once misreported 30s as 381s).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // queries that cache internally must not feed the next run
+      dt
     }
-    spark.catalog.clearCache()
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val ts = (1 to runs).map(_ => timeOnce(fn)).sorted
+      name -> ts(ts.length / 2)
+    }
 
     // parse throughput: events rendered as GLB lines through the full
     // parser (envelope strip + matcher probe), events/sec
@@ -47,7 +56,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"parse_events_per_sec":$parseEps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"parse_events_per_sec":$parseEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

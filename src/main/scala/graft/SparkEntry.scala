@@ -32,7 +32,9 @@ object SparkEntry {
     val pred = EventFilter.compile(Seq(EventFilter.Rule(
       wantSubtype = Some("glb"),
       wantNormalizedTypes = Seq("HTTP_REQUEST"))))
-    val parsed = graft.parse.Parser.parse(lines).toDF().filter(pred)
+    val parsed = graft.parse.Parser
+      .parse(lines.filter(graft.parse.Parser.fastFilter("glb")))
+      .toDF().filter(pred)
     Heuristics.hardLimit(parsed, col("timestamp"),
         col("normalized.sourceAddress"), "1 day", limit = 5)
       .select(
@@ -266,6 +268,9 @@ object SparkEntry {
           col("normalized.userAgent").as("ua"),
           unix_millis(col("timestamp")).as("ts_ms"),
           col("payloadType").as("payload_type"))
+        // cache before the global sort: range partitioning samples its child,
+        // which would otherwise run the mapPartitions parse twice
+        .cache()
         .orderBy(col("path"))
     }),
 
@@ -286,6 +291,8 @@ object SparkEntry {
           col("normalized.urlRequestPath").as("path"),
           col("normalized.userAgent").as("ua"),
           col("normalized.requestStatus").cast("long").as("status"))
+        // cache before the global sort (same double-evaluation hazard as q25)
+        .cache()
         .orderBy(col("path"))
     }),
 
@@ -490,8 +497,8 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-        |  SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS sum_base_price_cents,
-        |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS sum_disc_price_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -545,7 +552,7 @@ object SparkEntry {
 
     "q08_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS total_cents
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -557,7 +564,7 @@ object SparkEntry {
 
     "q10_region_revenue" ->
       """SELECT r_name,
-        |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -609,7 +616,7 @@ object SparkEntry {
         |  FROM t),
         |g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions,
-        |  MAX(n_events) AS max_session_events, SUM(n_events) AS total_events
+        |  MAX(n_events) AS max_session_events, CAST(SUM(n_events) AS BIGINT) AS total_events
         |FROM g GROUP BY 1 HAVING MAX(n_events) >= 3 ORDER BY 1""".stripMargin,
 
     "q15_exact_dedup" ->
@@ -913,7 +920,7 @@ object SparkEntry {
 
     "q35_json_props" ->
       """SELECT user_id,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -954,8 +961,8 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (
-        |  SELECT user_id, ts, SUM(new_s) OVER (
-        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT user_id, ts, CAST(SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM t)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  epoch_ms(MIN(ts)) AS session_start_ms,

@@ -38,16 +38,21 @@ object Parser {
 
   trait PayloadMatcher extends Serializable {
     def name: String
+    /** Substring guards: a candidate line must contain at least one
+      * (empty = match anything). One source of truth for BOTH the
+      * per-line `fastMatch` probe and the column-level `fastFilter`
+      * pushdown, so the two can never drift apart. */
+    def fastKeywords: Seq[String]
     /** Cheap substring guard — must be true for parse to be probed. */
-    def fastMatch(line: String): Boolean
+    final def fastMatch(line: String): Boolean =
+      fastKeywords.isEmpty || fastKeywords.exists(line.contains)
     def parse(ctx: ParseCtx): Option[Event]
   }
 
   /** Stackdriver HTTP(S) LB request entry (ref s/parser/GLB.java). */
   object GlbMatcher extends PayloadMatcher {
     val name = "glb"
-    def fastMatch(line: String): Boolean =
-      line.contains("http_load_balancer") || line.contains("httpRequest")
+    val fastKeywords = Seq("http_load_balancer", "httpRequest")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val req = root.path("httpRequest")
       if (req.isMissingNode || !req.has("requestUrl")) None
@@ -71,7 +76,7 @@ object Parser {
   /** Nginx access log as Stackdriver jsonPayload (ref s/parser/Nginx.java). */
   object NginxMatcher extends PayloadMatcher {
     val name = "nginx"
-    def fastMatch(line: String): Boolean = line.contains("\"remote_addr\"")
+    val fastKeywords = Seq("\"remote_addr\"")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val p = if (root.has("jsonPayload")) root.path("jsonPayload") else root
       if (!p.has("remote_addr") || !p.has("request")) None
@@ -100,7 +105,7 @@ object Parser {
     val name = "openssh"
     private val re =
       """(?:^|.*sshd\[\d+\]: )(Accepted|Failed) (\S+) for (?:invalid user )?(\S+) from (\S+) port (\d+).*""".r
-    def fastMatch(line: String): Boolean = line.contains("sshd")
+    val fastKeywords = Seq("sshd")
     def parse(ctx: ParseCtx): Option[Event] = {
       val msg = ctx.json.map(j =>
         if (j.has("textPayload")) j.path("textPayload").asText("") else ctx.raw)
@@ -122,7 +127,7 @@ object Parser {
     val name = "apache_combined"
     private val re =
       """^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) (\S+) "([^"]*)" "([^"]*)".*""".r
-    def fastMatch(line: String): Boolean = line.contains("\" ")
+    val fastKeywords = Seq("\" ")
     def parse(ctx: ParseCtx): Option[Event] = ctx.raw match {
       case re(addr, user, ts, method, path, status, _, _, ua) =>
         val t = parseApacheTs(ts).orElse(ctx.timestamp)
@@ -144,7 +149,7 @@ object Parser {
     * 309 — Jackson field extraction + AUTH normalization). */
   object CloudtrailMatcher extends PayloadMatcher {
     val name = "cloudtrail"
-    def fastMatch(line: String): Boolean = line.contains("userIdentity")
+    val fastKeywords = Seq("userIdentity")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
       if (!r.has("userIdentity") || !r.has("eventName")) None
@@ -170,7 +175,7 @@ object Parser {
     * normalization). */
   object FxaAuthMatcher extends PayloadMatcher {
     val name = "fxaauth"
-    def fastMatch(line: String): Boolean = line.contains("fxa-auth")
+    val fastKeywords = Seq("fxa-auth")
     def parse(ctx: ParseCtx): Option[Event] = {
       if (!ctx.mozlogType.contains("fxa-auth")) None
       else ctx.json.map { f =>
@@ -191,7 +196,7 @@ object Parser {
     * envelope, event_* fields, AUTH-relevant admin actions). */
   object DuopullMatcher extends PayloadMatcher {
     val name = "duopull"
-    def fastMatch(line: String): Boolean = line.contains("duopull")
+    val fastKeywords = Seq("duopull")
     def parse(ctx: ParseCtx): Option[Event] = {
       if (!ctx.mozlogType.contains("duopull")) None
       else ctx.json.map { f =>
@@ -210,7 +215,7 @@ object Parser {
   object Auth0Matcher extends PayloadMatcher {
     val name = "auth0"
     private val successCodes = Set("s", "ssa", "sepft")
-    def fastMatch(line: String): Boolean = line.contains("client_id")
+    val fastKeywords = Seq("client_id")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
       if (!r.has("client_id") || !r.has("type") || !r.has("user_name")) None
@@ -233,7 +238,7 @@ object Parser {
     * for authenticated API calls). */
   object TaskclusterMatcher extends PayloadMatcher {
     val name = "taskcluster"
-    def fastMatch(line: String): Boolean = line.contains("taskcluster")
+    val fastKeywords = Seq("taskcluster")
     def parse(ctx: ParseCtx): Option[Event] = {
       if (!ctx.mozlogType.exists(_.startsWith("taskcluster"))) None
       else ctx.json.map { f =>
@@ -252,7 +257,7 @@ object Parser {
     * envelope, user/action/target audit fields). */
   object BmoAuditMatcher extends PayloadMatcher {
     val name = "bmoaudit"
-    def fastMatch(line: String): Boolean = line.contains("audit.bmo")
+    val fastKeywords = Seq("audit.bmo")
     def parse(ctx: ParseCtx): Option[Event] = {
       if (!ctx.mozlogType.exists(_.startsWith("audit.bmo"))) None
       else ctx.json.map { f =>
@@ -271,7 +276,7 @@ object Parser {
     * connection record under jsonPayload.connection). */
   object VpcFlowMatcher extends PayloadMatcher {
     val name = "gcp_vpc_flow"
-    def fastMatch(line: String): Boolean = line.contains("vpc_flows")
+    val fastKeywords = Seq("vpc_flows")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val p = root.path("jsonPayload")
       val c = p.path("connection")
@@ -293,8 +298,7 @@ object Parser {
     * severity, carried through as fields for the gatekeeper mapping. */
   object FindingMatcher extends PayloadMatcher {
     val name = "finding"
-    def fastMatch(line: String): Boolean =
-      line.contains("\"findingType\"")
+    val fastKeywords = Seq("\"findingType\"")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
       if (!r.has("findingType")) None
@@ -310,7 +314,7 @@ object Parser {
   /** Catch-all: any line becomes a RAW event (parser totality). */
   object RawMatcher extends PayloadMatcher {
     val name = "raw"
-    def fastMatch(line: String): Boolean = true
+    val fastKeywords = Seq.empty[String]
     def parse(ctx: ParseCtx): Option[Event] =
       Some(mkEvent(ctx, name, Normalized(), fields = Map.empty))
   }
@@ -415,15 +419,36 @@ object Parser {
 
   /** Column-level fast-matcher pre-filter for a target payload type:
     * apply BEFORE `parse` so the scan prunes non-candidate lines
-    * (keeps the reference's manual pushdown, Parser.java:508-516). */
-  def fastFilter(payloadType: String): org.apache.spark.sql.Column = {
+    * (keeps the reference's manual pushdown, Parser.java:508-516).
+    * Derived from the matcher's own `fastKeywords`, so the pushdown
+    * predicate is exactly the fast-match probe. */
+  def fastFilter(payloadType: String): org.apache.spark.sql.Column =
+    fastFilterAny(Seq(payloadType))
+
+  /** Pre-parse pushdown admitting lines that could match ANY of the
+    * given payload types. Pipelines that keep several formats (e.g.
+    * HTTP_REQUEST ← glb|nginx|apache_combined) filter once with the
+    * union of keywords; lines passing the filter still go through the
+    * ordered probe, so semantics are unchanged — only non-candidate
+    * lines are pruned before the opaque mapPartitions parse. */
+  def fastFilterAny(payloadTypes: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    payloadType match {
-      case "glb" => col("value").contains("httpRequest") ||
-        col("value").contains("http_load_balancer")
-      case "nginx" => col("value").contains("\"remote_addr\"")
-      case "openssh" => col("value").contains("sshd")
-      case _ => lit(true)
-    }
+    val kws = payloadTypes.flatMap(t =>
+      matchers.find(_.name == t).map(_.fastKeywords).getOrElse(Seq.empty))
+    val unknown = payloadTypes.exists(t => !matchers.exists(_.name == t))
+    if (unknown || payloadTypes.exists(t =>
+        matchers.find(_.name == t).exists(_.fastKeywords.isEmpty)))
+      lit(true) // a keywordless (or unknown) type admits everything
+    else kws.distinct.map(k => col("value").contains(k)).reduce(_ || _)
+  }
+
+  /** Payload types that can produce a given normalized type — used by
+    * pipelines to build the pushdown for "all AUTH events" etc. */
+  def payloadTypesFor(normalizedType: String): Seq[String] = normalizedType match {
+    case "HTTP_REQUEST" => Seq("glb", "nginx", "apache_combined")
+    case "AUTH" => Seq("openssh", "cloudtrail", "duopull", "auth0",
+      "taskcluster", "bmoaudit")
+    case "AUTH_SESSION" => Seq("fxaauth")
+    case _ => Seq.empty
   }
 }

@@ -22,9 +22,11 @@ object AuthProfilePipeline {
       maxKmh: Double = 800.0,
       suppressSeconds: Long = 1800)
 
-  /** Parse raw lines, keep AUTH events. */
+  /** Parse raw lines, keep AUTH events (fast-match pushdown first). */
   def parsedAuth(lines: Dataset[String]): DataFrame =
-    Parser.parse(lines).toDF()
+    Parser.parse(lines
+        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("AUTH"))))
+      .toDF()
       .filter(EventFilter.compile(Seq(EventFilter.Rule(
         wantNormalizedTypes = Seq("AUTH")))))
 
@@ -32,7 +34,9 @@ object AuthProfilePipeline {
       resolver: GeoIp.GeoIpResolver): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    GeoIp.enrich(Parser.parse(lines), resolver).toDF()
+    GeoIp.enrich(Parser.parse(lines
+        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("AUTH")))), resolver)
+      .toDF()
       .filter(EventFilter.compile(Seq(EventFilter.Rule(
         wantNormalizedTypes = Seq("AUTH")))))
   }

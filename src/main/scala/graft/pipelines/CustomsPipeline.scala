@@ -32,9 +32,10 @@ object CustomsPipeline {
       distMinSources: Long = 3,
       distMaxEditDistance: Long = 2)
 
-  /** Parse raw lines, keep FxA auth-session events. */
+  /** Parse raw lines, keep FxA auth-session events. Fast-match
+    * pushdown ("fxa-auth" substring) prunes before the parse. */
   def parsedFxa(lines: Dataset[String]): DataFrame =
-    Parser.parse(lines).toDF()
+    Parser.parse(lines.filter(Parser.fastFilter("fxaauth"))).toDF()
       .filter(col("payloadType") === "fxaauth")
 
   private def alert(df: DataFrame, subcategory: String, keyKind: String): DataFrame =

@@ -19,7 +19,8 @@ object GatekeeperPipeline {
     when(sev >= 7.0, "critical").when(sev >= 4.0, "warn").otherwise("info")
 
   def analyze(lines: Dataset[String], cfg: Config = Config()): DataFrame = {
-    val findings = Parser.parse(lines).toDF()
+    val findings = Parser.parse(lines.filter(Parser.fastFilter("finding")))
+      .toDF()
       .filter(col("payloadType") === "finding")
       .select(col("timestamp"),
         element_at(col("fields"), "finding_type").as("finding_type"),

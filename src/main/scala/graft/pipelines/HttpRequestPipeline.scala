@@ -32,9 +32,15 @@ object HttpRequestPipeline {
       sessionGapSeconds: Long = 2700,
       maxSessionEvents: Long = 1000)
 
-  /** Parse raw lines and keep HTTP_REQUEST events (compiled filter). */
+  /** Parse raw lines and keep HTTP_REQUEST events (compiled filter).
+    * The fast-match pushdown prunes non-candidate lines BEFORE the
+    * opaque mapPartitions parse (ref Parser.java:508-516) — at scale
+    * the parse dominates, so lines that cannot possibly become
+    * HTTP_REQUEST events must never reach Jackson. */
   def parsedHttp(lines: Dataset[String]): DataFrame =
-    Parser.parse(lines).toDF()
+    Parser.parse(lines
+        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("HTTP_REQUEST"))))
+      .toDF()
       .filter(EventFilter.compile(Seq(EventFilter.Rule(
         wantNormalizedTypes = Seq("HTTP_REQUEST")))))
 
