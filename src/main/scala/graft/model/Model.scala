@@ -42,7 +42,11 @@ case class Normalized(
     urlRequestHost: Option[String] = None,
     requestStatus: Option[Int] = None,
     userAgent: Option[String] = None,
-    referenceId: Option[String] = None)
+    referenceId: Option[String] = None,
+    /** Acted-on object for session events (ref Normalized.java `object`
+      * — e.g. GCP resource path, "phabricator"). `object` is a Scala
+      * keyword, hence the longer name. */
+    objectValue: Option[String] = None)
 
 /** A parsed log event. `payloadType` is the tagged-union discriminator
   * (23 variants in the reference, s/parser/Payload.java:10-61); the raw
@@ -58,7 +62,10 @@ case class Event(
     stackdriverProject: Option[String] = None,
     stackdriverLabels: Map[String, String] = Map.empty,
     mozlogHostname: Option[String] = None,
-    mozlogType: Option[String] = None)
+    mozlogType: Option[String] = None,
+    /** Mozlog `Logger` field (ref Mozlog.java:56) — several payload
+      * matchers key on it (amo, private relay, fxa-content, iprepd). */
+    mozlogLogger: Option[String] = None)
 
 object AlertSeverity {
   val Info = "info"

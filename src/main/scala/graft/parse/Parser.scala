@@ -34,7 +34,8 @@ object Parser {
       project: Option[String],
       labels: Map[String, String],
       mozlogHostname: Option[String],
-      mozlogType: Option[String])
+      mozlogType: Option[String],
+      mozlogLogger: Option[String] = None)
 
   trait PayloadMatcher extends Serializable {
     def name: String
@@ -311,6 +312,327 @@ object Parser {
     }
   }
 
+  /** AMO (addons.mozilla.org) docker log (ref s/parser/AmoDocker.java:
+    * 184-296): mozlog with logger `http_app_addons*`; the msg line is
+    * classified into login / newversion / fxalogin / fileupload /
+    * restricted / fileuploadmnt via the reference's regex set. */
+  object AmoDockerMatcher extends PayloadMatcher {
+    val name = "amodocker"
+    val fastKeywords = Seq("http_app_addons")
+    private val reLogin = """^User \((\d+): ([^)]+)\) logged in successfully.*""".r
+    private val reNewVersion =
+      """^New version: <Version: ([^>]+)> \((\d+)\) from <FileUpload: [^>]+>.*""".r
+    private val reFxaLogin = """^Logging in FxA user ((.+)@(.+))$""".r
+    private val reFileUpload = """^FileUpload created: \S+$""".r
+    private val reRestricted =
+      """^Restricting request from (email|ip) (\S+) \(reputation=.*""".r
+    private val reFileUploadMnt = """^UPLOAD: '([^']+)' \((\d+) bytes\).*""".r
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogLogger.exists(_.startsWith("http_app_addons"))) None
+      else ctx.json.flatMap { f =>
+        val msg = strOpt(f, "msg")
+        val addr = strOpt(f, "remoteAddressChain").filter(_.nonEmpty)
+        val uid = strOpt(f, "uid")
+        if (msg.isEmpty || addr.isEmpty || uid.isEmpty) None
+        else {
+          val base = Map("msg" -> msg.get) ++
+            strOpt(f, "email").map("email" -> _) ++
+            strOpt(f, "guid").map("guid" -> _) ++
+            strOpt(f, "from_api").map("from_api" -> _) ++
+            strOpt(f, "upload").map("upload" -> _) ++
+            strOpt(f, "upload_hash").map("upload_hash" -> _)
+          val (tpe, extra): (String, Map[String, String]) = msg.get match {
+            case reLogin(numericId, userName) =>
+              // UID field is unset on this message; override from msg
+              ("login", Map("uid" -> userName, "numeric_user_id" -> numericId))
+            case reNewVersion(version, addonId) =>
+              ("newversion", Map("uid" -> uid.get,
+                "addon_version" -> version, "addon_id" -> addonId))
+            case reFxaLogin(email, _, _) =>
+              ("fxalogin", Map("uid" -> uid.get) ++
+                (if (base.contains("email")) Map.empty
+                 else Map("email" -> email)))
+            case reFileUpload() => ("fileupload", Map("uid" -> uid.get))
+            case reRestricted(kind, value) =>
+              ("restricted", Map("uid" -> uid.get,
+                "restricted_value" -> (if (kind == "email") value else addr.get)))
+            case reFileUploadMnt(fileName, bytes) =>
+              ("fileuploadmnt", Map("uid" -> uid.get,
+                "file_name" -> fileName, "bytes" -> bytes))
+            case _ => ("unclassified", Map("uid" -> uid.get))
+          }
+          Some(mkEvent(ctx, name,
+            Normalized(sourceAddress = addr),
+            fields = base ++ extra + ("amo_type" -> tpe)))
+        }
+      }
+    }
+  }
+
+  /** GCP audit log entry (ref s/parser/GcpAudit.java:131-218):
+    * LogEntry protoPayload of @type google.cloud.audit.AuditLog;
+    * AUTH_SESSION when principal + caller IP + resource all present. */
+  object GcpAuditMatcher extends PayloadMatcher {
+    val name = "gcpaudit"
+    val fastKeywords = Seq("google.cloud.audit.AuditLog")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val pp = root.path("protoPayload")
+      if (!pp.isObject ||
+          pp.path("@type").asText("") != "type.googleapis.com/google.cloud.audit.AuditLog")
+        None
+      else {
+        val principal = strOpt(pp.path("authenticationInfo"), "principalEmail")
+        val callerIp = strOpt(pp.path("requestMetadata"), "callerIp")
+        val resource = Option(pp.path("authorizationInfo"))
+          .filter(a => a.isArray && a.size > 0)
+          .flatMap(a => strOpt(a.get(0), "resource"))
+        val n =
+          if (principal.isDefined && callerIp.isDefined && resource.isDefined)
+            Normalized(types = Seq(NormalizedType.AuthSession),
+              subjectUser = principal, sourceAddress = callerIp,
+              objectValue = resource)
+          else Normalized(sourceAddress = callerIp)
+        Some(mkEvent(ctx, name, n, fields =
+          Map.empty[String, String] ++
+            principal.map("principal_email" -> _) ++
+            resource.map("resource" -> _) ++
+            strOpt(pp, "methodName").map("method_name" -> _) ++
+            strOpt(pp, "serviceName").map("service_name" -> _)))
+      }
+    }
+  }
+
+  /** Phabricator audit log line (ref s/parser/Phabricator.java:69-99):
+    * tab-separated with a bracketed RFC1123-ish timestamp; AUTH_SESSION
+    * with object fixed to "phabricator" when a user is present. */
+  object PhabricatorMatcher extends PayloadMatcher {
+    val name = "phabricator"
+    val fastKeywords = Seq("]\t")
+    private val re =
+      ("""^\[([^\]]+)\]\t(\d+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)""" +
+        """\t(\d+)\t(\d+)$""").r
+    private val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("EEE, dd MMM yyyy HH:mm:ss Z", java.util.Locale.US)
+    private def v(s: String): Option[String] = Option(s).filter(_ != "-")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.raw match {
+      case re(ts, pid, host, addr, user, controller, function, path, referer,
+          status, rtime) =>
+        val t = scala.util.Try(
+          java.time.OffsetDateTime.parse(ts, fmt).toInstant).toOption
+          .orElse(ctx.timestamp)
+        val u = v(user)
+        Some(mkEvent(ctx.copy(timestamp = t), name, Normalized(
+          types = if (u.isDefined) Seq(NormalizedType.AuthSession) else Seq.empty,
+          subjectUser = u,
+          sourceAddress = Some(addr),
+          objectValue = if (u.isDefined) Some("phabricator") else None),
+          fields = Map("pid" -> pid, "hostname" -> host,
+            "status" -> status, "rtime" -> rtime) ++
+            v(controller).map("controller" -> _) ++
+            v(function).map("function" -> _) ++
+            v(path).map("path" -> _) ++
+            v(referer).map("referer" -> _)))
+      case _ => None
+    }
+  }
+
+  /** Private Relay event (ref s/parser/PrivateRelay.java:112-131):
+    * mozlog logger `fx-private-relay`; email_relay / fxa_rp_event. */
+  object PrivateRelayMatcher extends PayloadMatcher {
+    val name = "privaterelay"
+    val fastKeywords = Seq("fx-private-relay")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogLogger.contains("fx-private-relay")) None
+      else ctx.json.map { f =>
+        val msg = strOpt(f, "msg")
+        mkEvent(ctx, name, Normalized(), fields =
+          Map.empty[String, String] ++
+            msg.map("msg" -> _) ++
+            msg.collect {
+              case "email_relay" => "event_type" -> "email_relay"
+              case "fxa_rp_event" => "event_type" -> "fxa_rp_event"
+            } ++
+            strOpt(f, "fxa_uid").map("uid" -> _) ++
+            strOpt(f, "real_address").map("real_address" -> _) ++
+            strOpt(f, "relay_address").map("relay_address" -> _) ++
+            (if (f.path("relay_address_id").isNumber)
+               Some("relay_address_id" -> f.path("relay_address_id").asLong.toString)
+             else None))
+      }
+    }
+  }
+
+  /** FxA content-server request (ref s/parser/FxaContent.java:100-141):
+    * mozlog logger `fxa-content-server`; request path classified, source
+    * address from clientaddress or last entry of remoteaddresschain. */
+  object FxaContentMatcher extends PayloadMatcher {
+    val name = "fxacontent"
+    val fastKeywords = Seq("fxa-content-server")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogLogger.contains("fxa-content-server")) None
+      else ctx.json.map { f =>
+        val path = strOpt(f, "path")
+        val requestType = path.map { p =>
+          if (p.startsWith("/metrics-flow")) "metrics_flow"
+          else if (p.startsWith("/metrics")) "metrics"
+          else if (p.startsWith("/authorization?")) "authorization"
+          else if (p.startsWith("/signin")) "signin"
+          else if (p.startsWith("/signup")) "signup"
+          else if (p.startsWith("/validate-email-domain")) "validate_email_domain"
+          else "other"
+        }
+        // remoteaddresschain is a JSON-encoded string array; the XFF
+        // client choice (absent trusted-proxy config) is the last hop
+        val client = strOpt(f, "clientaddress").orElse(
+          strOpt(f, "remoteaddresschain").flatMap { rac =>
+            rac.split(",").map(_.trim.stripPrefix("[").stripSuffix("]")
+              .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).lastOption
+          })
+        mkEvent(ctx, name, Normalized(sourceAddress = client), fields =
+          Map.empty[String, String] ++
+            path.map("path" -> _) ++
+            requestType.map("request_type" -> _) ++
+            strOpt(f, "method").map("method" -> _) ++
+            strOpt(f, "useragent").map("useragent" -> _) ++
+            intOpt(f, "status").map(s => "status" -> s.toString))
+      }
+    }
+  }
+
+  /** iprepd reputation-service applied-violation log (ref
+    * s/parser/IPrepdLog.java:92-141): mozlog logger `iprepd` with the
+    * full applied-violation field set required. */
+  object IPrepdLogMatcher extends PayloadMatcher {
+    val name = "iprepd"
+    val fastKeywords = Seq("iprepd")
+    private val required = Seq("msg", "violation", "decay_after",
+      "original_reputation", "reputation", "type", "exception", "object")
+    def parse(ctx: ParseCtx): Option[Event] = {
+      if (!ctx.mozlogLogger.contains("iprepd")) None
+      else ctx.json.filter(f => required.forall(f.has)).map { f =>
+        mkEvent(ctx, name, Normalized(), fields = Map(
+          "msg" -> f.path("msg").asText(""),
+          "violation" -> f.path("violation").asText(""),
+          "decay_after" -> f.path("decay_after").asText(""),
+          "original_reputation" -> f.path("original_reputation").asLong.toString,
+          "reputation" -> f.path("reputation").asLong.toString,
+          "object_type" -> f.path("type").asText(""),
+          "exception" -> f.path("exception").asBoolean.toString,
+          "object" -> f.path("object").asText("")))
+      }
+    }
+  }
+
+  /** Re-ingested alert (ref s/parser/Alert.java:28-63): pipeline alert
+    * output fed back as input; requires the full alert field set. */
+  object AlertMatcher extends PayloadMatcher {
+    val name = "alert"
+    val fastKeywords = Seq("\"summary\"")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val required = Seq("summary", "metadata", "severity", "category",
+        "id", "timestamp")
+      if (!required.forall(root.has)) None
+      else {
+        val ts = strOpt(root, "timestamp").flatMap(TimeUtil.parseIso8601)
+          .orElse(ctx.timestamp)
+        Some(mkEvent(ctx.copy(timestamp = ts), name, Normalized(), fields = Map(
+          "alert_id" -> root.path("id").asText(""),
+          "summary" -> root.path("summary").asText(""),
+          "severity" -> root.path("severity").asText(""),
+          "category" -> root.path("category").asText("")) ++
+          strOpt(root, "subcategory").map("subcategory" -> _)))
+      }
+    }
+  }
+
+  /** Configuration tick (ref s/parser/CfgTick.java:16-129): the
+    * periodic pipeline-settings heartbeat; scalar/array values are
+    * flattened into comma-joined strings. */
+  object CfgTickMatcher extends PayloadMatcher {
+    val name = "cfgtick"
+    val fastKeywords = Seq("configuration_tick")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      if (!root.has("configuration_tick")) None
+      else {
+        val b = Map.newBuilder[String, String]
+        val it = root.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue
+          if (v.isValueNode) b += e.getKey -> v.asText
+          else if (v.isArray) {
+            val parts = (0 until v.size).map(i => v.get(i).asText)
+            b += e.getKey -> parts.mkString(", ")
+          }
+        }
+        Some(mkEvent(ctx, name, Normalized(), fields = b.result()))
+      }
+    }
+  }
+
+  /** AWS GuardDuty finding, typed (ref s/parser/GuardDuty.java:25-83):
+    * either a CloudWatch event wrapper with source aws.guardduty, or a
+    * bare Finding with the GuardDuty-specific field set. */
+  object GuardDutyMatcher extends PayloadMatcher {
+    val name = "guardduty"
+    val fastKeywords = Seq("aws.guardduty", "arn:aws:guardduty")
+    private val bareRequired = Seq("type", "arn", "accountId", "title", "description")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val finding =
+        if (root.path("source").asText("") == "aws.guardduty" &&
+            root.path("detail").isObject) Some(root.path("detail"))
+        else if (bareRequired.forall(root.has)) Some(root)
+        else None
+      finding.map { f =>
+        mkEvent(ctx, name, Normalized(), fields =
+          Map.empty[String, String] ++
+            strOpt(f, "type").map("finding_type" -> _) ++
+            strOpt(f, "arn").map("arn" -> _) ++
+            strOpt(f, "accountId").map("account" -> _) ++
+            strOpt(f, "region").map("region" -> _) ++
+            strOpt(f, "title").map("title" -> _) ++
+            strOpt(f, "description").map("description" -> _) ++
+            strOpt(f, "id").map("finding_id" -> _) ++
+            (if (f.path("severity").isNumber)
+               Some("severity" -> f.path("severity").asDouble.toString)
+             else None))
+      }
+    }
+  }
+
+  /** GCP Event Threat Detection finding, typed (ref s/parser/
+    * ETDBeta.java:22-88): Stackdriver resource.type threat_detector,
+    * or a bare finding with detectionPriority + eventTime. */
+  object EtdMatcher extends PayloadMatcher {
+    val name = "etd"
+    val fastKeywords = Seq("threat_detector", "detectionPriority")
+    def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
+      val fromStackdriver =
+        if (root.path("resource").path("type").asText("") == "threat_detector" &&
+            root.path("jsonPayload").isObject) Some(root.path("jsonPayload"))
+        else None
+      val finding = fromStackdriver.orElse(
+        if (root.has("detectionPriority") && root.has("eventTime")) Some(root)
+        else None)
+      finding.map { f =>
+        val dc = f.path("detectionCategory")
+        val props = f.path("properties")
+        val ts = strOpt(f, "eventTime").flatMap(TimeUtil.parseIso8601)
+          .orElse(ctx.timestamp)
+        mkEvent(ctx.copy(timestamp = ts), name, Normalized(), fields =
+          Map.empty[String, String] ++
+            strOpt(f, "detectionPriority").map("detection_priority" -> _) ++
+            strOpt(f, "eventTime").map("event_time" -> _) ++
+            strOpt(dc, "ruleName").map("rule_name" -> _) ++
+            strOpt(dc, "subRuleName").map("sub_rule_name" -> _) ++
+            strOpt(dc, "technique").map("technique" -> _) ++
+            strOpt(dc, "indicator").map("indicator" -> _) ++
+            strOpt(props, "project_id").map("project_id" -> _) ++
+            strOpt(props, "location").map("location" -> _))
+      }
+    }
+  }
+
   /** Catch-all: any line becomes a RAW event (parser totality). */
   object RawMatcher extends PayloadMatcher {
     val name = "raw"
@@ -322,10 +644,13 @@ object Parser {
   /** Ordered probe list (first match wins, RAW last — ref
     * Parser.java:597-620 fixed matcher order). */
   val matchers: Seq[PayloadMatcher] =
-    Seq(GlbMatcher, NginxMatcher, OpenSshMatcher, CloudtrailMatcher,
-      FxaAuthMatcher, DuopullMatcher, Auth0Matcher, TaskclusterMatcher,
-      BmoAuditMatcher, VpcFlowMatcher, FindingMatcher,
-      ApacheCombinedMatcher, RawMatcher)
+    Seq(GlbMatcher, NginxMatcher, FxaAuthMatcher, FxaContentMatcher,
+      OpenSshMatcher, CloudtrailMatcher, GcpAuditMatcher, VpcFlowMatcher,
+      BmoAuditMatcher, IPrepdLogMatcher, TaskclusterMatcher,
+      AmoDockerMatcher, DuopullMatcher, AlertMatcher, GuardDutyMatcher,
+      EtdMatcher, CfgTickMatcher, PrivateRelayMatcher, Auth0Matcher,
+      FindingMatcher, ApacheCombinedMatcher, PhabricatorMatcher,
+      RawMatcher)
 
   // -- envelope handling ----------------------------------------------------
 
@@ -361,7 +686,8 @@ object Parser {
       stackdriverProject = ctx.project,
       stackdriverLabels = ctx.labels,
       mozlogHostname = ctx.mozlogHostname,
-      mozlogType = ctx.mozlogType)
+      mozlogType = ctx.mozlogType,
+      mozlogLogger = ctx.mozlogLogger)
 
   /** Strip Stackdriver LogEntry / Mozlog envelopes, extract event time
     * (ref Parser.java:423-449, :310-421; Event.java:127-135). */
@@ -383,13 +709,25 @@ object Parser {
           while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
           b.result()
         }.getOrElse(Map.empty)
-        ParseCtx(line, Some(root), ts, project, labels, None, None)
+        // Second-stage strip: a Mozlog record nested in the LogEntry's
+        // jsonPayload (ref Parser.java second envelope pass — e.g.
+        // k8s-containerized mozlog emitters). LogEntry timestamp wins;
+        // mozlog ns Timestamp is the fallback.
+        val jp = root.path("jsonPayload")
+        if (jp.isObject && jp.has("Timestamp") && jp.has("Fields")) {
+          val mts = ts.orElse(
+            if (jp.path("Timestamp").isNumber)
+              Some(TimeUtil.parseEpoch(jp.path("Timestamp").asLong)) else None)
+          ParseCtx(line, Some(jp.path("Fields")), mts, project, labels,
+            strOpt(jp, "Hostname"), strOpt(jp, "Type"), strOpt(jp, "Logger"))
+        } else ParseCtx(line, Some(root), ts, project, labels, None, None)
       case Some(root) if root.has("Timestamp") && root.has("Fields") =>
         // Mozlog envelope: ns epoch timestamp, payload under Fields
         val ts = if (root.path("Timestamp").isNumber)
           Some(TimeUtil.parseEpoch(root.path("Timestamp").asLong)) else None
         ParseCtx(line, Some(root.path("Fields")), ts,
-          None, Map.empty, strOpt(root, "Hostname"), strOpt(root, "Type"))
+          None, Map.empty, strOpt(root, "Hostname"), strOpt(root, "Type"),
+          strOpt(root, "Logger"))
       case other =>
         ParseCtx(line, other, None, None, Map.empty, None, None)
     }
