@@ -471,6 +471,106 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // §2.3/§2.6 CustomsVelocity: per-uid impossible travel — 5-minute
+    // address dedupe, latest-state lag compare, minimum-distance gate
+    // (ref s/customs/CustomsVelocity.java:93-351)
+    "q43_customs_velocity" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_type") === "view")
+        .withColumn("email", concat(lit("user"), col("user_id")))
+        .withColumn("addr", concat(lit("10.0."), col("user_id") % 256,
+          lit("."), col("event_id") % 4))
+        // multipliers spread small event-id ranges across the globe
+        .withColumn("lat", (col("event_id") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (col("event_id") * 73 % 36000) / 100.0 - 180.0)
+      operators.CustomsDetectors.velocity(e, col("ts"), col("event_id"),
+          col("user_id"), col("email"), col("addr"), col("lat"), col("lon"),
+          maxKmPerSecond = 0.005, minDistanceKm = 500)
+        .withColumnRenamed("uid", "user_id")
+        .orderBy(col("user_id"), col("ts_ms"), col("addr"))
+    }),
+
+    // §2.3/§2.5 CustomsAccountEnumeration: distinct-email threshold per
+    // source, single-endpoint gate, content-server variance suppression
+    // (ref s/customs/CustomsAccountEnumeration.java:70-154,
+    //  ContentServerVarianceDetector.java:37-93)
+    "q44_account_enumeration" -> ((s, dir) => {
+      import operators.CustomsDetectors
+      val ev = Tables.events(s, dir)
+        .withColumn("src", concat(lit("10.0.0."), col("user_id") % 10))
+        .withColumn("email", concat(lit("e"), col("event_id") % 97))
+        .withColumn("is_sc",
+          (col("user_id") % 10).isin(0, 3, 6, 9) ||
+            col("event_type") === "click")
+        .withColumn("path", when(col("is_sc"), "/v1/account/status")
+          .otherwise(concat(lit("/p/"), col("event_type"))))
+      val variance = CustomsDetectors.contentServerVariance(
+        ev.filter(col("event_type") === "signup" && col("user_id") % 2 === 0),
+        col("ts"), col("src"), "1 day")
+      CustomsDetectors.accountEnumeration(ev, col("ts"), col("src"),
+          col("email"), col("path"), col("is_sc"), "1 day", threshold = 8,
+          variance = Some(variance), minVarianceClients = 3)
+        .orderBy(col("window_start_ms"), col("src"))
+    }),
+
+    // §2.3 SourceLoginFailureDist: one account failing from many
+    // sources (ref s/customs/SourceLoginFailureDist.java:49-112)
+    "q45_srcfail_dist" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("email", concat(lit("user"), col("user_id") % 25))
+        .withColumn("src", concat(lit("10.1."), col("event_id") % 13,
+          lit(".1")))
+      operators.CustomsDetectors.sourceLoginFailureDist(e, col("ts"),
+          col("email"), col("src"), col("event_type") === "error",
+          "1 day", threshold = 3)
+        .orderBy(col("window_start_ms"), col("email"))
+    }),
+
+    // §2.6 PrivateRelayForward: per-uid ordered forward-address-hash
+    // consistency scan (ref s/customs/PrivateRelayForward.java:114-263)
+    "q46_private_relay" -> ((s, dir) => {
+      import operators.CustomsDetectors
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "view", "click"))
+        .withColumn("etype", when(col("event_type") === "signup",
+          CustomsDetectors.FxaRpEvent).otherwise(CustomsDetectors.EmailRelay))
+        .withColumn("real_address", concat(lit("h"), col("event_id") % 3))
+      CustomsDetectors.privateRelayForward(e, col("ts"), col("event_id"),
+          col("user_id"), col("etype"), col("real_address"))
+        .orderBy(col("uid"), col("ts_ms"), col("actual"))
+    }),
+
+    // §2.5 CustomsActivityForMonitoredAccounts: broadcast monitored-
+    // account list semi-join (ref s/customs/
+    // CustomsActivityForMonitoredAccounts.java:51-126; same broadcast
+    // shape as CustomsStatusComparator.java:89-182 keyed by address)
+    "q47_monitored_activity" -> ((s, dir) => {
+      import s.implicits._
+      val monitored = s.createDataset((0 until 10000 by 17).map(i => s"user$i"))
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "error"))
+        .withColumn("email", concat(lit("user"), col("user_id")))
+        .withColumn("src", concat(lit("10.0.0."), col("user_id")))
+        .withColumn("action", when(col("event_type") === "view",
+          "loginSuccess").otherwise("loginFailure"))
+      operators.CustomsDetectors.monitoredActivity(e, col("ts"),
+          col("email"), col("src"), col("action"), monitored)
+        .orderBy(col("ts_ms"), col("email"), col("action"))
+    }),
+
+    // §2.3 CustomsSummary: per-class fixed-window event counts
+    // (ref s/customs/Customs.java:104-187)
+    "q48_customs_summary" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("error", "signup", "view"))
+        .withColumn("class", when(col("event_type") === "error",
+            "login_failure")
+          .when(col("event_type") === "signup", "account_create_success")
+          .otherwise("login_success"))
+      operators.CustomsDetectors.summary(e, col("ts"), col("class"),
+          "6 hours")
+        .orderBy(col("window_start_ms"), col("class"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1002,6 +1102,115 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q43_customs_velocity" ->
+      """WITH base AS (
+        |  SELECT user_id AS uid, ts, event_id AS seq,
+        |    'user' || user_id AS email,
+        |    '10.0.' || (user_id % 256) || '.' || (event_id % 4) AS addr,
+        |    (event_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events WHERE event_type = 'view'),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY uid, epoch_ms(ts) // 300000, addr
+        |      ORDER BY ts, seq) AS rn
+        |    FROM base) WHERE rn = 1),
+        |lagd AS (
+        |  SELECT uid, email, ts, seq, addr, lat, lon,
+        |    LAG(addr) OVER w AS prev_addr, LAG(ts) OVER w AS prev_ts,
+        |    LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon
+        |  FROM dedup WINDOW w AS (PARTITION BY uid ORDER BY ts, seq)),
+        |v AS (
+        |  SELECT uid AS user_id, email, epoch_ms(ts) AS ts_ms, addr,
+        |    prev_addr,
+        |    epoch_ms(ts) // 1000 - epoch_ms(prev_ts) // 1000 AS td_s,
+        |    CAST(FLOOR(2 * 6378.0 * asin(sqrt(
+        |      pow(sin(radians(lat - prev_lat) / 2), 2) +
+        |      cos(radians(prev_lat)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - prev_lon) / 2), 2))) * 100 + 0.5)
+        |      AS BIGINT) AS km_centi
+        |  FROM lagd WHERE prev_addr IS NOT NULL AND addr <> prev_addr)
+        |SELECT * FROM v WHERE km_centi >= 50000 AND km_centi > 0.5 * td_s
+        |ORDER BY user_id, ts_ms, addr""".stripMargin,
+
+    "q44_account_enumeration" ->
+      """WITH f AS (
+        |  SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |    '10.0.0.' || (user_id % 10) AS src,
+        |    'e' || (event_id % 97) AS email,
+        |    ((user_id % 10) IN (0,3,6,9) OR event_type = 'click') AS is_sc,
+        |    CASE WHEN (user_id % 10) IN (0,3,6,9) OR event_type = 'click'
+        |      THEN '/v1/account/status'
+        |      ELSE '/p/' || event_type END AS path
+        |  FROM events),
+        |per_addr AS (
+        |  SELECT window_start_ms, src,
+        |    COUNT(DISTINCT CASE WHEN is_sc THEN email END) AS n_emails
+        |  FROM f GROUP BY 1, 2
+        |  HAVING COUNT(*) FILTER (is_sc) >= 8
+        |     AND COUNT(DISTINCT path) = 1
+        |     AND COUNT(DISTINCT CASE WHEN is_sc THEN email END) >= 8),
+        |variance AS (
+        |  SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |    '10.0.0.' || (user_id % 10) AS src
+        |  FROM events WHERE event_type = 'signup' AND user_id % 2 = 0),
+        |vc AS (
+        |  SELECT window_start_ms FROM variance GROUP BY 1
+        |  HAVING COUNT(DISTINCT src) >= 3)
+        |SELECT p.window_start_ms, p.src, p.n_emails
+        |FROM per_addr p
+        |JOIN vc USING (window_start_ms)
+        |LEFT JOIN variance v
+        |  ON v.window_start_ms = p.window_start_ms AND v.src = p.src
+        |WHERE v.src IS NULL
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q45_srcfail_dist" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |  'user' || (user_id % 25) AS email,
+        |  COUNT(DISTINCT '10.1.' || (event_id % 13) || '.1') AS n_src
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 3
+        |  AND COUNT(DISTINCT '10.1.' || (event_id % 13) || '.1') >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q46_private_relay" ->
+      """WITH f AS (
+        |  SELECT user_id AS uid, ts, event_id AS seq,
+        |    CASE WHEN event_type = 'signup' THEN 'fxa_rp_event'
+        |      ELSE 'email_relay' END AS etype,
+        |    'h' || (event_id % 3) AS real_address
+        |  FROM events WHERE event_type IN ('signup', 'view', 'click')),
+        |l AS (
+        |  SELECT uid, ts, etype, real_address,
+        |    LAG(real_address) OVER (
+        |      PARTITION BY uid ORDER BY ts, seq) AS expected
+        |  FROM f)
+        |SELECT uid, epoch_ms(ts) AS ts_ms, real_address AS actual, expected
+        |FROM l WHERE etype = 'email_relay' AND expected IS NOT NULL
+        |  AND expected <> real_address
+        |ORDER BY uid, ts_ms, actual""".stripMargin,
+
+    "q47_monitored_activity" ->
+      """SELECT epoch_ms(ts) AS ts_ms, 'user' || user_id AS email,
+        |  '10.0.0.' || user_id AS src,
+        |  CASE WHEN event_type = 'view' THEN 'loginSuccess'
+        |    ELSE 'loginFailure' END AS action
+        |FROM events
+        |WHERE event_type IN ('view', 'error') AND user_id % 17 = 0
+        |ORDER BY ts_ms, email, action""".stripMargin,
+
+    "q48_customs_summary" ->
+      """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+        |  CASE event_type WHEN 'error' THEN 'login_failure'
+        |    WHEN 'signup' THEN 'account_create_success'
+        |    ELSE 'login_success' END AS class,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_type IN ('error', 'signup', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

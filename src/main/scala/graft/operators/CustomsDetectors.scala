@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Functions
+
+/** The customs account-abuse detector suite (SURVEY.md §2.3/§2.5),
+  * re-expressed as declarative Spark plans over a frame of FxA auth
+  * events.
+  *
+  * References:
+  *  - CustomsVelocity: s/customs/CustomsVelocity.java:93-351 — per-uid
+  *    login-success locations through 5-minute windows, each address
+  *    processed once per window, geo-velocity against the previous
+  *    (latest-pruned) state entry, minimum-distance gate.
+  *  - CustomsAccountEnumeration: s/customs/CustomsAccountEnumeration
+  *    .java:70-154 — per-address 10-minute feature windows, threshold
+  *    on distinct emails status-checked, single-endpoint gate, and
+  *    content-server variance suppression
+  *    (ContentServerVarianceDetector.java:37-93).
+  *  - CustomsStatusComparator: s/customs/CustomsStatusComparator
+  *    .java:89-182 — status-check events from a monitored address list.
+  *  - CustomsActivityForMonitoredAccounts:
+  *    s/customs/CustomsActivityForMonitoredAccounts.java:51-126.
+  *  - Customs.CustomsSummary: s/customs/Customs.java:104-187 —
+  *    15-minute per-class event counts.
+  *  - SourceLoginFailureDist: s/customs/SourceLoginFailureDist
+  *    .java:49-112 — login failures for one account from many sources.
+  *  - PrivateRelayForward: s/customs/PrivateRelayForward.java:114-263
+  *    — per-uid ordered scan comparing relay forward address hashes
+  *    against the last known real-address state.
+  *
+  * Scale design: every detector is one hash-aggregate or one
+  * window-function pass over a single exchange keyed by the detector's
+  * natural key (uid / source address / email); monitored-list checks
+  * broadcast the small side. Nothing shuffles raw event payloads —
+  * only the projected key columns — and nothing materializes per-key
+  * groups in memory (lag/row_number stream within a sorted partition),
+  * so a hot key degrades to a bigger sort spill, not an executor OOM.
+  */
+object CustomsDetectors {
+
+  private def windowStartMs(ts: Column, window: String): Column =
+    unix_millis(org.apache.spark.sql.functions.window(ts, window)
+      .getField("start"))
+
+  /** CustomsVelocity: impossible-travel detection over login-success
+    * events. Each address is considered once per `dedupeWindow` per
+    * uid; consecutive differing-address events are compared with a
+    * haversine distance + time delta, alerting when implied speed
+    * exceeds `maxKmPerSecond` and the jump is at least
+    * `minDistanceKm`. Distances are emitted quantized to centi-km
+    * (floor(km*100+0.5)) so the compare is exact across engines; the
+    * time delta uses per-side floored epoch seconds exactly as the
+    * reference (AuthStateModel.java:419-421).
+    *
+    * A zero time delta with a nonzero distance alerts (the reference's
+    * km/0 = +Inf exceeds any threshold).
+    */
+  def velocity(df: DataFrame, ts: Column, seq: Column, uid: Column,
+      email: Column, addr: Column, lat: Column, lon: Column,
+      maxKmPerSecond: Double, minDistanceKm: Double,
+      dedupeWindow: String = "5 minutes"): DataFrame = {
+    val base = df.select(uid.as("uid"), ts.as("ts"), seq.as("seq"),
+        email.as("email"), addr.as("addr"), lat.as("lat"), lon.as("lon"))
+      .filter(col("uid").isNotNull && col("addr").isNotNull &&
+        col("lat").isNotNull && col("lon").isNotNull && col("email").isNotNull)
+    val dedup = base
+      .withColumn("wb", windowStartMs(col("ts"), dedupeWindow))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("uid"), col("wb"), col("addr"))
+          .orderBy(col("ts"), col("seq"))))
+      .filter(col("rn") === 1).drop("rn", "wb")
+    val w = Window.partitionBy(col("uid")).orderBy(col("ts"), col("seq"))
+    dedup
+      .withColumn("prev_addr", lag(col("addr"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_lat", lag(col("lat"), 1).over(w))
+      .withColumn("prev_lon", lag(col("lon"), 1).over(w))
+      .filter(col("prev_addr").isNotNull && col("addr") =!= col("prev_addr"))
+      .withColumn("km_centi",
+        floor(Functions.haversineKm(col("prev_lat"), col("prev_lon"),
+          col("lat"), col("lon")) * 100 + 0.5).cast("long"))
+      .withColumn("td_s",
+        floor(unix_millis(col("ts")) / 1000).cast("long") -
+          floor(unix_millis(col("prev_ts")) / 1000).cast("long"))
+      .filter(col("km_centi") >= lit(minDistanceKm * 100) &&
+        col("km_centi") > lit(maxKmPerSecond * 100) * col("td_s"))
+      .select(col("uid"), col("email"),
+        unix_millis(col("ts")).as("ts_ms"), col("addr"),
+        col("prev_addr"), col("td_s"), col("km_centi"))
+  }
+
+  /** ContentServerVariance presence view: distinct source addresses
+    * seen in content-server events per window
+    * (ContentServerVarianceDetector.PresenceBased). */
+  def contentServerVariance(df: DataFrame, ts: Column, addr: Column,
+      window: String = "10 minutes"): DataFrame =
+    df.filter(addr.isNotNull)
+      .select(windowStartMs(ts, window).as("window_start_ms"),
+        addr.as("src"))
+      .dropDuplicates("window_start_ms", "src")
+
+  /** CustomsAccountEnumeration: alert when one source address
+    * status-checks `threshold`+ distinct accounts inside a window,
+    * touched no endpoint other than the status-check path, and — when
+    * a variance view is supplied — does not appear in content-server
+    * traffic for a window with at least `minVarianceClients` distinct
+    * clients (a window below that floor produces no alerts at all,
+    * exactly like the reference's side-input size gate).
+    *
+    * `variance` must have columns (window_start_ms, src) as produced
+    * by [[contentServerVariance]].
+    */
+  def accountEnumeration(df: DataFrame, ts: Column, addr: Column,
+      email: Column, path: Column, isStatusCheck: Column,
+      window: String, threshold: Long,
+      variance: Option[DataFrame] = None,
+      minVarianceClients: Long = 0L): DataFrame = {
+    val base = df.select(ts.as("ts"), addr.as("src"), email.as("email"),
+        path.as("path"), isStatusCheck.as("is_sc"))
+      .filter(col("src").isNotNull)
+      .withColumn("window_start_ms", windowStartMs(col("ts"), window))
+    val perAddr = base.groupBy(col("window_start_ms"), col("src"))
+      .agg(
+        count(when(col("is_sc"), 1)).as("n_checks"),
+        countDistinct(col("path")).as("n_paths"),
+        countDistinct(when(col("is_sc"), col("email"))).as("n_emails"))
+      .filter(col("n_checks") >= threshold && col("n_paths") === 1 &&
+        col("n_emails") >= threshold)
+      .drop("n_checks", "n_paths")
+    variance match {
+      case None => perAddr
+      case Some(v) =>
+        val clients = v.groupBy(col("window_start_ms"))
+          .agg(countDistinct(col("src")).as("n_clients"))
+          .filter(col("n_clients") >= minVarianceClients)
+          .drop("n_clients")
+        // clients (distinct windows) is tiny — always broadcast; the
+        // variance view itself can be wide at scale, so leave that
+        // join un-hinted and let AQE pick broadcast vs shuffle
+        perAddr
+          .join(broadcast(clients), Seq("window_start_ms"), "left_semi")
+          .join(v, Seq("window_start_ms", "src"), "left_anti")
+    }
+  }
+
+  /** CustomsStatusComparator: status-check events whose source address
+    * appears on a (small, broadcast) monitored-address list. */
+  def statusComparator(df: DataFrame, ts: Column, addr: Column,
+      email: Column, monitoredAddrs: Dataset[String]): DataFrame =
+    df.select(unix_millis(ts).as("ts_ms"), addr.as("src"),
+        email.as("email"))
+      .filter(col("src").isNotNull && col("email").isNotNull)
+      .join(broadcast(monitoredAddrs.toDF("src")), Seq("src"), "left_semi")
+
+  /** CustomsActivityForMonitoredAccounts: login activity for accounts
+    * on a (small, broadcast) monitored-account list. */
+  def monitoredActivity(df: DataFrame, ts: Column, email: Column,
+      addr: Column, action: Column,
+      monitoredAccounts: Dataset[String]): DataFrame =
+    df.select(unix_millis(ts).as("ts_ms"), email.as("email"),
+        addr.as("src"), action.as("action"))
+      .filter(col("email").isNotNull && col("src").isNotNull)
+      .join(broadcast(monitoredAccounts.toDF("email")), Seq("email"),
+        "left_semi")
+
+  /** CustomsSummary: per-class event counts over fixed windows. */
+  def summary(df: DataFrame, ts: Column, cls: Column,
+      window: String = "15 minutes"): DataFrame =
+    df.filter(cls.isNotNull)
+      .groupBy(windowStartMs(ts, window).as("window_start_ms"),
+        cls.as("class"))
+      .agg(count(lit(1)).as("n"))
+
+  /** SourceLoginFailureDist: one account failing logins from
+    * `threshold`+ distinct source addresses within a window (total
+    * failure count must also meet the threshold, matching the
+    * reference's cheap pre-gate). */
+  def sourceLoginFailureDist(df: DataFrame, ts: Column, email: Column,
+      addr: Column, isFailure: Column, window: String,
+      threshold: Long): DataFrame =
+    df.filter(isFailure && email.isNotNull)
+      .select(windowStartMs(ts, window).as("window_start_ms"),
+        email.as("email"), addr.as("src"))
+      .groupBy(col("window_start_ms"), col("email"))
+      .agg(count(lit(1)).as("n_failures"),
+        countDistinct(col("src")).as("n_src"))
+      .filter(col("n_failures") >= threshold && col("n_src") >= threshold)
+      .drop("n_failures")
+
+  /** PrivateRelayForward event types (ref s/parser/PrivateRelay.java). */
+  val EmailRelay = "email_relay"
+  val FxaRpEvent = "fxa_rp_event"
+
+  /** PrivateRelayForward: per-uid ordered scan over relay forward and
+    * RP email-change events. Every event leaves the state's real
+    * address equal to its own hash, so the expected value for a
+    * forward event is simply the previous event's hash (a lag window);
+    * a forward whose hash differs from a known previous value alerts.
+    */
+  def privateRelayForward(df: DataFrame, ts: Column, seq: Column,
+      uid: Column, eventType: Column, realAddress: Column): DataFrame = {
+    val w = Window.partitionBy(col("uid")).orderBy(col("ts"), col("seq"))
+    df.select(uid.as("uid"), ts.as("ts"), seq.as("seq"),
+        eventType.as("event_type"), realAddress.as("real_address"))
+      .filter(col("uid").isNotNull &&
+        col("event_type").isin(EmailRelay, FxaRpEvent))
+      .withColumn("expected", lag(col("real_address"), 1).over(w))
+      .filter(col("event_type") === EmailRelay &&
+        col("expected").isNotNull &&
+        col("expected") =!= col("real_address"))
+      .select(col("uid"), unix_millis(col("ts")).as("ts_ms"),
+        col("real_address").as("actual"), col("expected"))
+  }
+}

@@ -171,24 +171,114 @@ object Parser {
     }
   }
 
-  /** FxA auth-server event (ref s/parser/FxaAuth.java:464 — mozlog
-    * envelope, per-event email/action/source fields, AUTH_SESSION
+  /** FxA auth-server event (ref s/parser/FxaAuth.java:426-464 — mozlog
+    * envelope, request-level path/method/status/errno fields, XFF-style
+    * selection over the JSON-encoded remoteAddressChain, and the
+    * discern* event-summary classification chain, AUTH_SESSION
     * normalization). */
   object FxaAuthMatcher extends PayloadMatcher {
     val name = "fxaauth"
     val fastKeywords = Seq("fxa-auth")
+
+    // FxA errno values the classifier keys on
+    // (ref s/parser/models/fxaauth/FxaAuth.java:22-42)
+    private val AccountUnknown = 102
+    private val IncorrectPassword = 103
+    private val InvalidVerificationCode = 105
+    private val RequestBlocked = 125
+
+    /** path+method+status(+errno) → event summary string, mirroring
+      * the discernEventSummary probe order (ref FxaAuth.java:373-415).
+      * Returns None for unclassified requests and for requests the
+      * auth server already blocked (errno 125). */
+    private[parse] def summarize(path: String, method: String,
+        status: Int, errno: Option[Int]): Option[String] = {
+      val m = method.toLowerCase
+      val postOrGet = m == "post" || m == "get"
+      if (errno.contains(RequestBlocked)) None
+      else if (path == "/v1/account/login" && status == 400 &&
+        (errno.contains(IncorrectPassword) || errno.contains(AccountUnknown)))
+        Some("loginFailure")
+      else if (path == "/v1/account/status" && status == 200 && postOrGet)
+        Some("accountStatusCheckSuccess")
+      else if (path == "/v1/recovery_email/verify_code" && status == 400 &&
+        m == "post" && (errno.contains(InvalidVerificationCode) ||
+          errno.contains(AccountUnknown)))
+        Some("recoveryEmailVerifyCodeFailure")
+      else if (path == "/v1/recovery_email" && status == 200 && m == "post")
+        Some("sendRecoveryEmailSuccess")
+      else if (path == "/v1/sms" && status == 200 && m == "post")
+        Some("sendSmsConnectDeviceSuccess")
+      else if (path == "/v1/account/create" && status == 200 && m == "post")
+        Some("accountCreateSuccess")
+      else if (path == "/v1/account/login" && status == 200 && m == "post")
+        Some("loginSuccess")
+      else if (path == "/v1/password/forgot/send_code" && m == "post" &&
+        status == 200)
+        Some("passwordForgotSendCodeSuccess")
+      else if (path == "/v1/password/forgot/send_code" && m == "post" &&
+        status == 400)
+        Some("passwordForgotSendCodeFailure")
+      else if (path == "/v1/certificate/sign" && status == 200 && m == "post")
+        Some("certificateSignSuccess")
+      else if (path == "/v1/session/verify_code" && status == 200 && m == "post")
+        Some("sessionVerifyCodeSuccess")
+      else if (path == "/v1/account/status" && status == 429 && postOrGet)
+        Some("accountStatusCheckBlocked")
+      else None
+    }
+
+    /** remoteAddressChain is a JSON-encoded array of addresses; select
+      * the client the way the reference's XFF selector does with no
+      * trusted-proxy config: the last element when several are present
+      * (ref s/parser/Parser.java:164-193). */
+    private def selectAddress(f: JsonNode): Option[String] =
+      strOpt(f, "remoteAddressChain").flatMap { rac =>
+        val trimmed = rac.trim
+        if (trimmed.startsWith("[")) {
+          // cheap parse of a flat JSON string array — no mapper needed
+          val parts = trimmed.stripPrefix("[").stripSuffix("]")
+            .split(",").iterator
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toArray
+          if (parts.nonEmpty) Some(parts.last) else None
+        } else Some(trimmed)
+      }.orElse(strOpt(f, "sourceaddress"))
+
     def parse(ctx: ParseCtx): Option[Event] = {
-      if (!ctx.mozlogType.contains("fxa-auth")) None
+      // Real auth-server records carry Logger "fxa-auth-server" with
+      // Type "request.summary" (ref FxaAuth.java:123-146 keys on the
+      // logger); a bare Type of "fxa-auth" is also accepted.
+      val isFxa = ctx.mozlogLogger.contains("fxa-auth-server") ||
+        ctx.mozlogType.contains("fxa-auth")
+      if (!isFxa) None
       else ctx.json.map { f =>
+        val path = strOpt(f, "path")
+        val method = strOpt(f, "method")
+        val status = intOpt(f, "status")
+        val errno = intOpt(f, "errno")
+        val summary = for {
+          p <- path; m <- method; s <- status
+          es <- summarize(p, m, s, errno)
+        } yield es
         Some(mkEvent(ctx, name, Normalized(
           types = Seq(NormalizedType.AuthSession),
           subjectUser = strOpt(f, "email"),
-          sourceAddress = strOpt(f, "remoteAddressChain")
-            .orElse(strOpt(f, "sourceaddress"))),
+          sourceAddress = selectAddress(f),
+          requestMethod = method,
+          urlRequestPath = path,
+          requestStatus = status,
+          userAgent = strOpt(f, "agent")),
           fields = Map(
             "email" -> f.path("email").asText(""),
             "action" -> f.path("action").asText(""),
-            "status" -> f.path("status").asText(""))))
+            "status" -> f.path("status").asText(""),
+            "path" -> f.path("path").asText(""),
+            "method" -> f.path("method").asText(""),
+            "errno" -> f.path("errno").asText(""),
+            "uid" -> f.path("uid").asText(""),
+            "service" -> f.path("service").asText(""),
+            "event_summary" -> summary.getOrElse(""))))
       }.getOrElse(None)
     }
   }

@@ -1,0 +1,271 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CustomsDetectors
+
+/** Fixture tests for the customs detector suite, mirroring the
+  * reference's TestCustoms* fixtures: realistic Stackdriver-wrapped
+  * fxa-auth-server lines are pushed through the real parser, then the
+  * detector operators. */
+class CustomsDetectorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Realistic FxA auth-server request.summary line — Stackdriver
+    * LogEntry envelope around a Mozlog record, as in the reference's
+    * customs_*.txt fixtures. */
+  private def authLine(t: Long, path: String, method: String, status: Int,
+      email: String, uid: String, addr: String, errno: Int = 0): String = {
+    val iso = java.time.Instant.ofEpochSecond(t).toString
+    s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+      s""""agent":"Mozilla/5.0","email":"$email","errno":$errno,""" +
+      s""""method":"$method","op":"request.summary","path":"$path",""" +
+      s""""remoteAddressChain":"[\\"$addr\\"]","service":"sync",""" +
+      s""""status":$status,"t":12,"uid":"$uid"},""" +
+      s""""Logger":"fxa-auth-server","Pid":1,"Severity":6,"Timestamp":0,""" +
+      s""""Type":"request.summary"},"logName":"projects/fxa",""" +
+      s""""resource":{"type":"gce_instance"},"timestamp":"$iso"}"""
+  }
+
+  private def parseAll(lines: Seq[String]) = {
+    import spark.implicits._
+    graft.parse.Parser.parse(lines.toDS()).toDF()
+  }
+
+  test("realistic fxa-auth-server lines parse with event summaries") {
+    val t = 1700000000L
+    val df = parseAll(Seq(
+      authLine(t, "/v1/account/status", "post", 200, "a@x.com", "u1", "1.1.1.1"),
+      authLine(t, "/v1/account/status", "get", 429, "b@x.com", "u2", "1.1.1.2"),
+      authLine(t, "/v1/account/login", "post", 200, "c@x.com", "u3", "1.1.1.3"),
+      authLine(t, "/v1/account/login", "post", 400, "d@x.com", "u4", "1.1.1.4", errno = 103),
+      authLine(t, "/v1/account/login", "post", 400, "e@x.com", "u5", "1.1.1.5", errno = 999),
+      authLine(t, "/v1/account/create", "post", 200, "f@x.com", "u6", "1.1.1.6"),
+      // request already blocked by the auth server: never classified
+      authLine(t, "/v1/account/status", "post", 200, "g@x.com", "u7", "1.1.1.7", errno = 125)))
+    val got = df.filter(col("payloadType") === "fxaauth")
+      .select(element_at(col("fields"), "uid"),
+        element_at(col("fields"), "event_summary"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("u1") == "accountStatusCheckSuccess")
+    assert(got("u2") == "accountStatusCheckBlocked")
+    assert(got("u3") == "loginSuccess")
+    assert(got("u4") == "loginFailure")
+    assert(got("u5") == "") // 400 with a non-credential errno
+    assert(got("u6") == "accountCreateSuccess")
+    assert(got("u7") == "") // errno 125 REQUEST_BLOCKED
+  }
+
+  test("fxaauth source address selects the last remoteAddressChain hop") {
+    val line =
+      """{"Timestamp":1700000000000000000,"Type":"fxa-auth","Hostname":"h",""" +
+        """"Fields":{"email":"a@b.c","path":"/v1/account/login","method":"post",""" +
+        """"status":200,"remoteAddressChain":"[\"9.9.9.9\",\"127.0.0.1\"]"}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val e = graft.parse.Parser.parseLine(line, mapper)
+    assert(e.payloadType == "fxaauth")
+    assert(e.normalized.sourceAddress.contains("127.0.0.1"))
+  }
+
+  // addr → deterministic location for the velocity fixtures
+  private val geoTable = Seq(
+    ("1.1.1.1", 51.5, -0.1), // London
+    ("2.2.2.2", -33.9, 151.2), // Sydney
+    ("3.3.3.3", 51.6, -0.2)) // near London
+
+  private def velocityAlerts(events: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    val lines = events.map { case (t, email, uid, addr) =>
+      authLine(t, "/v1/account/login", "post", 200, email, uid, addr)
+    }
+    val geo = geoTable.toDF("addr", "lat", "lon")
+    val fxa = parseAll(lines)
+      .filter(element_at(col("fields"), "event_summary") === "loginSuccess")
+      .select(col("timestamp"),
+        element_at(col("fields"), "uid").as("uid"),
+        element_at(col("fields"), "email").as("email"),
+        col("normalized.sourceAddress").as("addr"),
+        monotonically_increasing_id().as("seq"))
+      .join(broadcast(geo), Seq("addr"))
+    CustomsDetectors.velocity(fxa, col("timestamp"), col("seq"),
+      col("uid"), col("email"), col("addr"), col("lat"), col("lon"),
+      maxKmPerSecond = 0.2778, minDistanceKm = 100)
+  }
+
+  test("customs velocity: impossible travel alerts, same-address quiet") {
+    val t = 1700000000L
+    // London → Sydney (~17000 km) in 60s: impossible
+    val out = velocityAlerts(Seq(
+      (t, "r@x.com", "u1", "1.1.1.1"),
+      (t + 60, "r@x.com", "u1", "2.2.2.2"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("addr") == "2.2.2.2")
+    assert(r.getAs[String]("prev_addr") == "1.1.1.1")
+    assert(r.getAs[Long]("td_s") == 60L)
+    assert(r.getAs[Long]("km_centi") > 100000L)
+  }
+
+  test("customs velocity: minimum distance gate suppresses short hops") {
+    val t = 1700000000L
+    // London → near-London (~14 km) in 1s: fast but below min distance
+    val out = velocityAlerts(Seq(
+      (t, "r@x.com", "u1", "1.1.1.1"),
+      (t + 1, "r@x.com", "u1", "3.3.3.3"))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("customs velocity: address deduped within window") {
+    val t = 1700000000L
+    val out = velocityAlerts(Seq(
+      (t, "r@x.com", "u1", "1.1.1.1"),
+      (t + 10, "r@x.com", "u1", "1.1.1.1"),
+      (t + 20, "r@x.com", "u1", "1.1.1.1"))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("account enumeration: threshold + single-path gate + variance") {
+    import spark.implicits._
+    val t = 1700000000L
+    // 6.6.6.6 checks 5 distinct accounts (only the status endpoint);
+    // 7.7.7.7 checks 5 but also hits another endpoint (variance of
+    // paths) — only 6.6.6.6 should alert
+    val lines =
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", "post",
+        200, s"t$i@x.com", s"v$i", "6.6.6.6")) ++
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", "post",
+        200, s"t$i@x.com", s"v$i", "7.7.7.7")) :+
+      authLine(t + 9, "/v1/account/login", "post", 200, "me@x.com", "w1",
+        "7.7.7.7")
+    val fxa = parseAll(lines).filter(col("payloadType") === "fxaauth")
+      .select(col("timestamp"),
+        col("normalized.sourceAddress").as("src"),
+        element_at(col("fields"), "email").as("email"),
+        element_at(col("fields"), "path").as("path"),
+        (element_at(col("fields"), "event_summary") isin
+          ("accountStatusCheckSuccess", "accountStatusCheckBlocked"))
+          .as("is_sc"))
+    val noVariance = CustomsDetectors.accountEnumeration(fxa,
+      col("timestamp"), col("src"), col("email"), col("path"),
+      col("is_sc"), "10 minutes", threshold = 5).collect()
+    assert(noVariance.map(_.getAs[String]("src")).toSet == Set("6.6.6.6"))
+    assert(noVariance.head.getAs[Long]("n_emails") == 5L)
+
+    // variance view contains 6.6.6.6 (it browsed the content server)
+    // with enough distinct clients → suppressed
+    val varianceHit = Seq("6.6.6.6", "8.8.8.8", "9.9.9.9")
+      .map(a => (t * 1000 - (t * 1000) % 600000, a))
+      .toDF("window_start_ms", "src")
+    val gated = CustomsDetectors.accountEnumeration(fxa,
+      col("timestamp"), col("src"), col("email"), col("path"),
+      col("is_sc"), "10 minutes", threshold = 5,
+      variance = Some(varianceHit), minVarianceClients = 3).collect()
+    assert(gated.isEmpty)
+
+    // same view but below the min-client floor → nobody alerts either
+    // (the reference skips notification when the side input is thin)
+    val thin = CustomsDetectors.accountEnumeration(fxa,
+      col("timestamp"), col("src"), col("email"), col("path"),
+      col("is_sc"), "10 minutes", threshold = 5,
+      variance = Some(varianceHit), minVarianceClients = 99).collect()
+    assert(thin.isEmpty)
+  }
+
+  test("status comparator + monitored activity broadcast lists") {
+    import spark.implicits._
+    val t = 1700000000L
+    val lines = Seq(
+      authLine(t, "/v1/account/status", "post", 200, "a@x.com", "u1", "5.5.5.5"),
+      authLine(t, "/v1/account/status", "post", 200, "b@x.com", "u2", "6.6.6.6"),
+      authLine(t, "/v1/account/login", "post", 200, "mon@x.com", "u3", "7.7.7.7"),
+      authLine(t, "/v1/account/login", "post", 400, "mon@x.com", "u3", "7.7.7.8", errno = 102),
+      authLine(t, "/v1/account/login", "post", 200, "other@x.com", "u4", "7.7.7.9"))
+    val fxa = parseAll(lines).filter(col("payloadType") === "fxaauth")
+      .select(col("timestamp"),
+        col("normalized.sourceAddress").as("src"),
+        element_at(col("fields"), "email").as("email"),
+        element_at(col("fields"), "event_summary").as("summary"))
+
+    val cmp = CustomsDetectors.statusComparator(
+      fxa.filter(col("summary") === "accountStatusCheckSuccess"),
+      col("timestamp"), col("src"), col("email"),
+      spark.createDataset(Seq("5.5.5.5"))).collect()
+    assert(cmp.map(_.getAs[String]("email")).toSet == Set("a@x.com"))
+
+    val act = CustomsDetectors.monitoredActivity(
+      fxa.filter(col("summary").isin("loginSuccess", "loginFailure")),
+      col("timestamp"), col("email"), col("src"), col("summary"),
+      spark.createDataset(Seq("mon@x.com"))).collect()
+    assert(act.length == 2)
+    assert(act.map(_.getAs[String]("action")).toSet ==
+      Set("loginSuccess", "loginFailure"))
+  }
+
+  test("source login failure dist: distinct sources for one account") {
+    import spark.implicits._
+    val t = 1700000000L
+    val lines =
+      // 3 failures from 3 different sources → alert
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", "post",
+        400, "victim@x.com", "u1", s"1.2.3.$i", errno = 103)) ++
+      // 3 failures from one source → no distribution alert
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", "post",
+        400, "other@x.com", "u2", "9.9.9.9", errno = 103))
+    val fxa = parseAll(lines).filter(col("payloadType") === "fxaauth")
+      .select(col("timestamp"),
+        col("normalized.sourceAddress").as("src"),
+        element_at(col("fields"), "email").as("email"),
+        element_at(col("fields"), "event_summary").as("summary"))
+    val out = CustomsDetectors.sourceLoginFailureDist(fxa,
+      col("timestamp"), col("email"), col("src"),
+      col("summary") === "loginFailure", "10 minutes",
+      threshold = 3).collect()
+    assert(out.map(_.getAs[String]("email")).toSet == Set("victim@x.com"))
+    assert(out.head.getAs[Long]("n_src") == 3L)
+  }
+
+  test("private relay forward: hash mismatch against last known state") {
+    import spark.implicits._
+    val rows = Seq(
+      // uid1: rp sets h1; forward h1 matches; forward h2 alerts
+      (1L, "uid1", CustomsDetectors.FxaRpEvent, "h1"),
+      (2L, "uid1", CustomsDetectors.EmailRelay, "h1"),
+      (3L, "uid1", CustomsDetectors.EmailRelay, "h2"),
+      // uid2: first-seen forward initializes state silently
+      (1L, "uid2", CustomsDetectors.EmailRelay, "h9"),
+      (2L, "uid2", CustomsDetectors.EmailRelay, "h9"))
+      .toDF("t", "uid", "etype", "hash")
+      .withColumn("ts", timestamp_seconds(col("t") + 1700000000L))
+    val out = CustomsDetectors.privateRelayForward(rows, col("ts"),
+      col("t"), col("uid"), col("etype"), col("hash")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("uid") == "uid1")
+    assert(out.head.getAs[String]("actual") == "h2")
+    assert(out.head.getAs[String]("expected") == "h1")
+  }
+
+  test("customs summary: per-class windowed counts") {
+    import spark.implicits._
+    val t = 1700000000L
+    val lines =
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", "post",
+        400, s"a$i@x.com", "u1", "1.1.1.1", errno = 103)) ++
+      (0 until 2).map(i => authLine(t + i, "/v1/account/create", "post",
+        200, s"b$i@x.com", "u2", "2.2.2.2")) :+
+      authLine(t, "/v1/account/login", "post", 200, "c@x.com", "u3", "3.3.3.3")
+    val fxa = parseAll(lines).filter(col("payloadType") === "fxaauth")
+      .select(col("timestamp"),
+        element_at(col("fields"), "event_summary").as("summary"))
+      .withColumn("class", when(col("summary") === "loginFailure",
+          "login_failure")
+        .when(col("summary") === "accountCreateSuccess",
+          "account_create_success")
+        .when(col("summary") === "loginSuccess", "login_success"))
+    val out = CustomsDetectors.summary(fxa, col("timestamp"),
+      col("class"), "15 minutes").collect()
+    val counts = out.map(r =>
+      r.getAs[String]("class") -> r.getAs[Long]("n")).toMap
+    assert(counts == Map("login_failure" -> 3L,
+      "account_create_success" -> 2L, "login_success" -> 1L))
+  }
+}
