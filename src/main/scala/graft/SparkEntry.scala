@@ -571,6 +571,38 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("class"))
     }),
 
+    // §2.6 AuthProfile known-IP state analysis: per-identity address
+    // model with entry-age pruning, geo-distance classification of new
+    // addresses (ref s/authprofile/AuthProfile.java:568-660,
+    // s/authstate/AuthStateModel.java:241-430)
+    "q49_auth_state" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("addr", concat(lit("10.0."), col("user_id") % 256,
+          lit("."), col("event_id") % 4))
+        .withColumn("lat", (col("event_id") * 37 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (col("event_id") * 73 % 36000) / 100.0 - 180.0)
+      operators.AuthState.stateAnalyze(e, col("ts"), col("event_id"),
+          col("user_id"), col("addr"), col("lat"), col("lon"),
+          pruneAgeSeconds = 86400L * 100, maxKmStatic = 2000)
+        .withColumn("user_id", col("key").cast("long")).drop("key")
+        .orderBy(col("user_id"), col("ts_ms"), col("addr"))
+    }),
+
+    // §2.5 AwsAssumeRoleCorrelator: cross-account AssumeRole pairing
+    // on the shared event id within a session gap (ref s/authprofile/
+    // AwsAssumeRoleCorrelator.java:47-198)
+    "q50_assume_role" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("sid", concat(lit("s"), expr("event_id DIV 2")))
+        .withColumn("fixup", col("event_id") % 2 === 1)
+        .withColumn("xacct", col("user_id") % 2 === 0)
+        .withColumn("u", concat(lit("user"), col("user_id")))
+      operators.AuthState.assumeRoleCorrelate(e, col("sid"), col("ts"),
+          col("event_id"), col("fixup"), col("xacct"), col("u"),
+          gapSeconds = 600)
+        .orderBy(col("shared_id"), col("ts_ms"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1203,6 +1235,56 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('view', 'error') AND user_id % 17 = 0
         |ORDER BY ts_ms, email, action""".stripMargin,
+
+    "q49_auth_state" ->
+      """WITH base AS (
+        |  SELECT user_id AS uid, ts, event_id AS seq,
+        |    '10.0.' || (user_id % 256) || '.' || (event_id % 4) AS addr,
+        |    (event_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events),
+        |l AS (
+        |  SELECT uid, ts, addr,
+        |    LAG(ts) OVER (
+        |      PARTITION BY uid, addr ORDER BY ts, seq) AS same_prev_ts,
+        |    LAG(addr) OVER w AS prev_addr, LAG(ts) OVER w AS prev_ts,
+        |    LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon,
+        |    lat, lon
+        |  FROM base WINDOW w AS (PARTITION BY uid ORDER BY ts, seq)),
+        |c AS (
+        |  SELECT uid, epoch_ms(ts) AS ts_ms, addr, same_prev_ts, prev_ts,
+        |    prev_addr,
+        |    CASE WHEN same_prev_ts IS NULL AND prev_ts IS NOT NULL THEN
+        |      CAST(FLOOR(2 * 6378.0 * asin(sqrt(
+        |        pow(sin(radians(lat - prev_lat) / 2), 2) +
+        |        cos(radians(prev_lat)) * cos(radians(lat)) *
+        |        pow(sin(radians(lon - prev_lon) / 2), 2))) * 100 + 0.5)
+        |        AS BIGINT) END AS km_centi
+        |  FROM l)
+        |SELECT uid AS user_id, ts_ms, addr,
+        |  CASE WHEN same_prev_ts IS NOT NULL THEN 'known_ip'
+        |    WHEN prev_ts IS NULL THEN 'unknown_ip_geo_failure'
+        |    WHEN km_centi > 200000 THEN 'unknown_ip_outside_geo'
+        |    ELSE 'unknown_ip_within_geo' END AS action,
+        |  km_centi,
+        |  CASE WHEN same_prev_ts IS NULL AND prev_ts IS NOT NULL
+        |    THEN prev_addr END AS prev_addr
+        |FROM c ORDER BY user_id, ts_ms, addr""".stripMargin,
+
+    "q50_assume_role" ->
+      """WITH base AS (
+        |  SELECT 's' || (event_id // 2) AS sid, ts,
+        |    event_id % 2 = 1 AS fixup, user_id % 2 = 0 AS xacct,
+        |    'user' || user_id AS u
+        |  FROM events),
+        |trusted AS (SELECT sid, ts AS tts, u AS tu FROM base
+        |  WHERE NOT fixup AND xacct),
+        |trusting AS (SELECT sid, ts, u FROM base WHERE fixup)
+        |SELECT g.sid AS shared_id, epoch_ms(g.ts) AS ts_ms,
+        |  t.tu AS fixed_user
+        |FROM trusting g JOIN trusted t USING (sid)
+        |WHERE abs(epoch_us(g.ts) - epoch_us(t.tts)) <= 600000000
+        |ORDER BY shared_id, ts_ms""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

@@ -1,0 +1,191 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** AuthProfile state analysis operators (SURVEY.md §2.6).
+  *
+  * References:
+  *  - StateAnalyze known-IP model: s/authprofile/AuthProfile.java:
+  *    568-660 with s/authstate/AuthStateModel.java:241-430 — per
+  *    identity, a persisted map of every source address previously
+  *    authenticated from (with last-touch timestamp and location),
+  *    pruned by entry age (PruningStrategyEntryAge.java:31-44);
+  *    each event is classified known_ip / unknown_ip_within_geo /
+  *    unknown_ip_outside_geo / unknown_ip_geo_failure.
+  *  - CritObjectAnalyze: s/authprofile/CritObjectAnalyze.java:188-237
+  *    — regex list over the normalized object, immediate critical
+  *    alert keyed user_object_address.
+  *  - AwsAssumeRoleCorrelator: s/authprofile/AwsAssumeRoleCorrelator
+  *    .java:47-198 — pair the trusted- and trusting-account halves of
+  *    a cross-account AssumeRole by sharedEventID inside a session
+  *    gap, then rewrite the trusting event's subject user.
+  *
+  * Scale design: `stateAnalyze` uses the secondary-sort pattern
+  * (repartition by identity + sortWithinPartitions + one streaming
+  * per-partition scan) — O(live addresses per identity) memory, which
+  * entry-age pruning bounds, and one shuffle total. The correlator is
+  * a self-join on the shared-event key (both sides pre-filtered and
+  * deduped before the exchange), not a group-and-scan, so Catalyst is
+  * free to pick broadcast or shuffle sides at runtime.
+  */
+object AuthState {
+
+  /** Classification outcomes (ref AuthProfile.java:318-340). */
+  val KnownIp = "known_ip"
+  val UnknownWithinGeo = "unknown_ip_within_geo"
+  val UnknownOutsideGeo = "unknown_ip_outside_geo"
+  /** GeoIP/minFraud resolution failed — here: no prior live entry to
+    * compare against (ref UNKNOWN_IP_MINFRAUD_GEO_FAILURE). */
+  val UnknownGeoFailure = "unknown_ip_geo_failure"
+
+  /** Internal row shape for the state scan (public: Spark's encoder
+    * codegen cannot construct private classes). */
+  case class Ev(key: String, tsUs: Long, seq: Long, addr: String,
+      lat: Double, lon: Double)
+
+  /** Known-IP state analysis. Per identity `key`, events are scanned
+    * in (ts, seq) order against a map of previously-seen source
+    * addresses:
+    *
+    *  - an address already in the model (last touched within
+    *    `pruneAgeSeconds`) classifies `known_ip`;
+    *  - a new address is compared against the latest surviving model
+    *    entry: distance above `maxKmStatic` ⇒
+    *    `unknown_ip_outside_geo`, within ⇒ `unknown_ip_within_geo`,
+    *    no surviving entry ⇒ `unknown_ip_geo_failure`.
+    *
+    * Every event refreshes its address entry (the reference's
+    * updateEntry), and entries older than `pruneAgeSeconds` relative
+    * to the current event are dropped (the batch analogue of the
+    * wall-clock entry-age prune).
+    *
+    * `dedupeWindowSeconds`, when set, reproduces the reference's
+    * per-window seenKnownAddresses skip: after an address classifies
+    * known inside a window, further events from it in that window are
+    * dropped entirely (no output, no state refresh).
+    *
+    * Output: (key, ts_ms, addr, action, km_centi, prev_addr) — the
+    * distance quantized to centi-km, null for known/failure rows.
+    */
+  def stateAnalyze(df: DataFrame, ts: Column, seq: Column, key: Column,
+      addr: Column, lat: Column, lon: Column,
+      pruneAgeSeconds: Long, maxKmStatic: Double,
+      dedupeWindowSeconds: Option[Long] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pruneUs = pruneAgeSeconds * 1000000L
+    val dedupeUs = dedupeWindowSeconds.map(_ * 1000000L)
+    val maxCenti = maxKmStatic * 100
+    val prepared = df
+      .select(key.cast("string").as("key"), unix_micros(ts).as("tsUs"),
+        seq.cast("long").as("seq"), addr.cast("string").as("addr"),
+        lat.cast("double").as("lat"), lon.cast("double").as("lon"))
+      .filter(col("key").isNotNull && col("addr").isNotNull)
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("seq"))
+      .as[Ev]
+    prepared.mapPartitions { it =>
+      var curKey: String = null
+      // addr → (lastTouchUs, lastSeq, lat, lon); the compare target is
+      // the latest-touched entry, ties broken by event seq so the
+      // choice matches a (ts, seq)-ordered lag exactly
+      val entries = mutable.HashMap.empty[String, (Long, Long, Double, Double)]
+      val seenKnown = mutable.HashSet.empty[String]
+      var seenWindow = Long.MinValue
+      it.flatMap { e =>
+        if (e.key != curKey) {
+          curKey = e.key; entries.clear(); seenKnown.clear()
+          seenWindow = Long.MinValue
+        }
+        // entry-age prune relative to the current event
+        entries.filterInPlace { case (_, (t, _, _, _)) => e.tsUs - t <= pruneUs }
+        // per-window known-address skip
+        val skip = dedupeUs match {
+          case Some(wUs) =>
+            val w = Math.floorDiv(e.tsUs, wUs)
+            if (w != seenWindow) { seenWindow = w; seenKnown.clear() }
+            seenKnown.contains(e.addr)
+          case None => false
+        }
+        if (skip) None
+        else if (entries.contains(e.addr)) {
+          entries(e.addr) = (e.tsUs, e.seq, e.lat, e.lon)
+          if (dedupeUs.isDefined) seenKnown += e.addr
+          Some((e.key, e.tsUs / 1000, e.addr, KnownIp,
+            None: Option[Long], None: Option[String]))
+        } else {
+          val prev = if (entries.isEmpty) None
+            else Some(entries.maxBy { case (_, (t, sq, _, _)) => (t, sq) })
+          entries(e.addr) = (e.tsUs, e.seq, e.lat, e.lon)
+          prev match {
+            case None =>
+              Some((e.key, e.tsUs / 1000, e.addr, UnknownGeoFailure,
+                None: Option[Long], None: Option[String]))
+            case Some((pAddr, (_, _, pLat, pLon))) =>
+              val kmCenti = math.floor(graft.util.GeoUtil
+                .haversineKm(pLat, pLon, e.lat, e.lon) * 100 + 0.5).toLong
+              val action =
+                if (kmCenti > maxCenti) UnknownOutsideGeo else UnknownWithinGeo
+              Some((e.key, e.tsUs / 1000, e.addr, action,
+                Some(kmCenti), Some(pAddr)))
+          }
+        }
+      }
+    }.toDF("key", "ts_ms", "addr", "action", "km_centi", "prev_addr")
+  }
+
+  /** CritObjectAnalyze: auth events whose acted-on object matches one
+    * of the critical-object regexes alert immediately (severity
+    * critical), keyed user_object_address for downstream suppression.
+    * A single rlike over the alternation keeps the predicate inside
+    * whole-stage codegen. */
+  def critObjectAnalyze(df: DataFrame, ts: Column, user: Column,
+      obj: Column, srcAddr: Column, critPatterns: Seq[String]): DataFrame = {
+    // the reference requires a full match per pattern — anchor the
+    // alternation the same way Pattern.matches does
+    val pat = critPatterns.map(p => s"(?:$p)").mkString("^(?:", "|", ")$")
+    df.filter(obj.isNotNull && obj.rlike(pat))
+      .select(unix_millis(ts).as("ts_ms"), user.as("username"),
+        obj.as("object"), srcAddr.as("sourceaddress"),
+        lit("critical_object_analyze").as("subcategory"),
+        lit("critical").as("severity"),
+        concat_ws("_", user, obj, srcAddr).as("suppression_key"))
+  }
+
+  /** AwsAssumeRoleCorrelator: pair cross-account AssumeRole halves.
+    *
+    * Input rows must already be AssumeRole events carrying a shared
+    * event id. The trusted half is the event NOT requiring subject
+    * fixup whose role ARN targets a different account
+    * (`isCrossAccount`); the trusting half requires fixup. Halves
+    * pair on the shared event id when their timestamps fall within
+    * `gapSeconds` (the reference's session gap), and the trusting
+    * event is emitted with the trusted side's subject user.
+    *
+    * Both sides dedupe on (shared id, dedupe key) first — the
+    * reference drops duplicate CloudTrail event ids inside a group.
+    */
+  def assumeRoleCorrelate(df: DataFrame, sharedEventId: Column,
+      ts: Column, dedupeKey: Column, needsFixup: Column,
+      isCrossAccount: Column, subjectUser: Column,
+      gapSeconds: Long): DataFrame = {
+    val base = df.select(sharedEventId.as("shared_id"),
+        unix_micros(ts).as("ts_us"), dedupeKey.as("dk"),
+        needsFixup.as("fixup"), isCrossAccount.as("cross"),
+        subjectUser.as("user"))
+      .filter(col("shared_id").isNotNull)
+      .dropDuplicates("shared_id", "dk")
+    val trusted = base.filter(!col("fixup") && col("cross"))
+      .select(col("shared_id"), col("ts_us").as("trusted_ts_us"),
+        col("user").as("trusted_user"))
+    val trusting = base.filter(col("fixup"))
+      .select(col("shared_id"), col("ts_us"), col("user"))
+    trusting.join(trusted, Seq("shared_id"))
+      .filter(abs(col("ts_us") - col("trusted_ts_us")) <=
+        gapSeconds * 1000000L)
+      .select(col("shared_id"), (col("ts_us") / 1000).cast("long")
+        .as("ts_ms"), col("trusted_user").as("fixed_user"))
+  }
+}

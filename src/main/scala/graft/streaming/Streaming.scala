@@ -223,6 +223,65 @@ object Streaming {
       }
   }
 
+  case class AuthLogin(key: String, tsUs: Long, addr: String,
+      lat: Double, lon: Double)
+  case class AuthEntry(addr: String, tsUs: Long, lat: Double, lon: Double)
+  case class AuthModel(entries: Seq[AuthEntry])
+  case class AuthAction(key: String, tsUs: Long, addr: String,
+      action: String, kmCenti: Option[Long], prevAddr: Option[String])
+
+  /** Streaming known-IP state analysis (ref s/authprofile/AuthProfile
+    * .java:568-660 + s/authstate/AuthStateModel.java:241-430, where
+    * the model lives in Datastore; here it is Spark-managed keyed
+    * state). State per identity = the full pruned address model —
+    * every source address previously seen with last-touch timestamp
+    * and location — NOT just the latest location: a user alternating
+    * between home and office must classify known_ip from both.
+    * Entry-age pruning (PruningStrategyEntryAge.java:31-44) bounds
+    * the state size; within a micro-batch events process in event-time
+    * order, matching the batch operator exactly. */
+  def authStateAnalyze(ds: Dataset[AuthLogin], pruneAgeSeconds: Long,
+      maxKmStatic: Double): Dataset[AuthAction] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val pruneUs = pruneAgeSeconds * 1000000L
+    val maxCenti = maxKmStatic * 100
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[AuthModel, AuthAction](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[AuthLogin], state: GroupState[AuthModel]) =>
+          val entries = scala.collection.mutable.HashMap.empty[String, AuthEntry]
+          if (state.exists) state.get.entries.foreach(e => entries(e.addr) = e)
+          val out = Seq.newBuilder[AuthAction]
+          it.toSeq.sortBy(e => (e.tsUs, e.addr)).foreach { e =>
+            entries.filterInPlace((_, en) => e.tsUs - en.tsUs <= pruneUs)
+            if (entries.contains(e.addr)) {
+              entries(e.addr) = AuthEntry(e.addr, e.tsUs, e.lat, e.lon)
+              out += AuthAction(key, e.tsUs, e.addr,
+                graft.operators.AuthState.KnownIp, None, None)
+            } else {
+              val prev = if (entries.isEmpty) None
+                else Some(entries.values.maxBy(en => (en.tsUs, en.addr)))
+              entries(e.addr) = AuthEntry(e.addr, e.tsUs, e.lat, e.lon)
+              prev match {
+                case None => out += AuthAction(key, e.tsUs, e.addr,
+                  graft.operators.AuthState.UnknownGeoFailure, None, None)
+                case Some(p) =>
+                  val kmCenti = math.floor(graft.util.GeoUtil
+                    .haversineKm(p.lat, p.lon, e.lat, e.lon) * 100 + 0.5).toLong
+                  val action = if (kmCenti > maxCenti)
+                    graft.operators.AuthState.UnknownOutsideGeo
+                  else graft.operators.AuthState.UnknownWithinGeo
+                  out += AuthAction(key, e.tsUs, e.addr, action,
+                    Some(kmCenti), Some(p.addr))
+              }
+            }
+          }
+          state.update(AuthModel(entries.values.toSeq.sortBy(_.addr)))
+          out.result().iterator
+      }
+  }
+
   /** Count-aware suppressor (ref s/alert/AlertSuppressorCount.java:
     * 14-35): like `suppress`, but an element whose count exceeds the
     * stored maximum re-emits even inside the suppression window (the
