@@ -603,6 +603,31 @@ object SparkEntry {
         .orderBy(col("shared_id"), col("ts_ms"))
     }),
 
+    // §2.3 AddonMultiMatch: distinct submitters of one upload hash per
+    // window (ref s/amo/AddonMultiMatch.java:62-151)
+    "q51_addon_multi_match" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("h", concat(lit("H"), col("event_id") % 8))
+        .withColumn("email", concat(lit("user"), col("user_id")))
+      operators.AmoDetectors.addonMultiMatch(e, col("ts"), col("h"),
+          col("email"), "1 day", alertOn = 5)
+        .orderBy(col("window_start_ms"), col("upload_hash"))
+    }),
+
+    // §2.4 FxaAccountAbuseAlias: distinct plus/dot aliases of one
+    // normalized account per gap session (ref s/amo/
+    // FxaAccountAbuseAlias.java:66-151)
+    "q52_alias_abuse" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("email", concat(
+          when(col("event_id") % 3 === 1, "u.ser").otherwise("us.er"),
+          col("user_id"), lit("@x.com")))
+        .filter(col("event_id") % 3 =!= 0)
+      operators.AmoDetectors.fxaAccountAbuseAlias(e, col("ts"),
+          col("email"), gapSeconds = 86400, maxAliases = 1)
+        .orderBy(col("email_normalized"), col("session_id"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1285,6 +1310,39 @@ object SparkEntry {
         |FROM trusting g JOIN trusted t USING (sid)
         |WHERE abs(epoch_us(g.ts) - epoch_us(t.tts)) <= 600000000
         |ORDER BY shared_id, ts_ms""".stripMargin,
+
+    "q51_addon_multi_match" ->
+      """WITH f AS (
+        |  SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS w,
+        |    'H' || (event_id % 8) AS h, 'user' || user_id AS e
+        |  FROM events)
+        |SELECT w AS window_start_ms, h AS upload_hash,
+        |  COUNT(*) AS n_emails
+        |FROM f GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q52_alias_abuse" ->
+      """WITH f AS (
+        |  SELECT ts,
+        |    (CASE event_id % 3 WHEN 1 THEN 'u.ser' ELSE 'us.er' END)
+        |      || user_id || '@x.com' AS email,
+        |    'user' || user_id || '@x.com' AS norm
+        |  FROM events WHERE event_id % 3 <> 0),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM f WINDOW w AS (PARTITION BY norm ORDER BY ts)),
+        |s2 AS (
+        |  SELECT norm, ts, email, CAST(SUM(ns) OVER (
+        |    PARTITION BY norm ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sid
+        |  FROM s)
+        |SELECT norm AS email_normalized, sid AS session_id,
+        |  COUNT(DISTINCT email) AS n_aliases,
+        |  epoch_ms(MIN(ts)) AS session_start_ms
+        |FROM s2 GROUP BY 1, 2 HAVING COUNT(DISTINCT email) > 1
+        |ORDER BY 1, 2""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

@@ -33,6 +33,17 @@ object Functions {
   def normalizeEmailPlus(email: Column): Column =
     regexp_replace(email, "\\+[^@]*@", "@")
 
+  /** Plus-strip and remove dots from the local part (gmail-style):
+    * "u.s.e.r+t@host" → "user@host" (ref MiscUtil
+    * .normalizeEmailPlusDotStrip; scalar twin in util.MiscUtil). */
+  def normalizeEmailPlusDotStrip(email: Column): Column = {
+    val p = normalizeEmailPlus(email)
+    when(instr(p, "@") > 0,
+      concat(regexp_replace(substring_index(p, "@", 1), "\\.", ""),
+        substr(p, instr(p, "@"))))
+      .otherwise(p)
+  }
+
   /** Email → domain (ref s/customs/Customs.java:510-519). */
   def emailDomain(email: Column): Column = substring_index(email, "@", -1)
 
