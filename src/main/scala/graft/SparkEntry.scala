@@ -628,6 +628,16 @@ object SparkEntry {
         .orderBy(col("email_normalized"), col("session_id"))
     }),
 
+    // training-data ops: near-dup cluster formation — connected
+    // components (min-label propagation) over the jaccard pair output
+    // + survivor pick, the last step of the dedup story
+    "q53_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3, minJaccard = 0.5)
+      Dedup.nearDupClusters(pairs, col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1343,6 +1353,32 @@ object SparkEntry {
         |  epoch_ms(MIN(ts)) AS session_start_ms
         |FROM s2 GROUP BY 1, 2 HAVING COUNT(DISTINCT email) > 1
         |ORDER BY 1, 2""".stripMargin,
+
+    "q53_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |n AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |  WHERE shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
+        |e AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT v, v AS r FROM (SELECT DISTINCT v FROM e)
+        |  UNION
+        |  SELECT e.v, reach.r FROM e JOIN reach ON reach.v = e.u)
+        |SELECT v AS doc_id, MIN(r) AS cluster_id,
+        |  v = MIN(r) AS is_survivor
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

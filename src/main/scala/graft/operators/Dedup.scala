@@ -224,4 +224,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Connected components over near-dup pairs — the cluster-formation
+    * step that turns pair output (ngramJaccardPairs / minhashLshPairs
+    * / simhashPairs) into dedup groups. Iterative min-label
+    * propagation: every vertex converges to the minimum doc id
+    * reachable in its component, so labels are deterministic and the
+    * component minimum doubles as the canonical survivor.
+    *
+    * Scale notes: each iteration is one keyed join + hash-aggregate
+    * (no cartesian anything); `localCheckpoint` cuts lineage per
+    * round so plans stay O(1) deep; rounds needed = component
+    * diameter, and near-dup components are shallow (dense clusters of
+    * copies, not long chains). For adversarially-deep graphs switch
+    * the propagation to the large-star/small-star contraction, which
+    * converges in O(log n) rounds with the same per-round shape.
+    *
+    * Output: (doc_id, cluster_id) for every vertex that appears in at
+    * least one pair; singletons are their own implicit cluster.
+    */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(a.as("src"), b.as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v")).agg(min(col("label")).as("nmin"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("v"), "left")
+        .select(col("v"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("v"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster membership + survivor pick over pair output: each doc in
+    * a near-dup component is labeled with the component's minimum doc
+    * id, which is also the survivor (the copy a dedup pass would
+    * keep). */
+  def nearDupClusters(pairs: DataFrame, a: Column, b: Column): DataFrame =
+    connectedComponents(pairs, a, b)
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+
+  /** Per-cluster summary: size and survivor. */
+  def clusterSummary(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
 }

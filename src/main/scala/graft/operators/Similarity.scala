@@ -36,10 +36,15 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, e => floor(e * Scale + lit(0.5)).cast("long"))
 
-  /** Exact integer dot product of two BIGINT arrays (fold — order
-    * independent because integer addition is associative). */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two BIGINT arrays — the native
+    * codegen expression (graft.functions.LongDotExpr), NOT the
+    * `aggregate`/`zip_with` HOF form: array lambdas run interpreted
+    * per element, and this is the inner loop of every ANN plan. */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.LongDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** cosine = dot / sqrt(na*nb), all operands exact integers. */
   private def cosine(dot: Column, na: Column, nb: Column): Column =
@@ -118,6 +123,11 @@ object Similarity {
         col("nrm").as("c_nrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id").asc)
+    // cache: `assigned` feeds both sides of the cell join (corpus and
+    // query), and recomputing it re-runs the centroid crossJoin+rank.
+    // In a production IVF this frame IS the index — it would be built
+    // once and written to a table, so a cache (spillable) is the
+    // honest single-job stand-in.
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(dotQ(col("qv"), col("c_qv")),
         col("nrm"), col("c_nrm")))
@@ -125,6 +135,7 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"),
         col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cell"))

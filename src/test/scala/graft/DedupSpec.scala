@@ -89,4 +89,21 @@ class DedupSpec extends AnyFunSuite {
       n = 3, minJaccard = 0.1, maxShingleFreq = 1)
     assert(r.count() == 0)
   }
+
+  test("connected components: chains merge, components stay separate") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain (diameter 3 — needs propagation
+    // beyond one hop), component {10,11}, pair duplicated both ways
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs, col("doc_a"), col("doc_b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    val sizes = Dedup.clusterSummary(
+      Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 4L, 10L -> 2L))
+  }
 }

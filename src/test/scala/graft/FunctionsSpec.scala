@@ -61,4 +61,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3).isEmpty)
     assert(got(4).isEmpty)
   }
+
+  test("native long-array dot product: values, nulls, negative terms") {
+    import graft.operators.Similarity
+    val got = Seq(
+      (Seq(1L, 2L, 3L), Option(Seq(4L, 5L, 6L))), // 4+10+18
+      (Seq(-2L, 7L), Option(Seq(3L, -1L))), // -6-7
+      (Seq(1L, 1L), None))
+      .toDF("a", "b")
+      .select(Similarity.dotQ(col("a"), col("b")).as("d"))
+      .as[Option[Long]].collect()
+    assert(got(0).contains(32L))
+    assert(got(1).contains(-13L))
+    assert(got(2).isEmpty)
+  }
+
+  test("normalizeEmailPlusDotStrip column matches the scalar twin") {
+    val cases = Seq("u.s.e.r+t@host.com", "user@host.com", "nodomain",
+      "a.b+c.d@x.y")
+    val got = cases.toDF("e")
+      .select(Functions.normalizeEmailPlusDotStrip(col("e")).as("n"))
+      .as[String].collect()
+    assert(got.toSeq == cases.map(graft.util.MiscUtil.normalizeEmailPlusDotStrip))
+  }
 }
