@@ -638,6 +638,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.4 Pioneer exfiltration: gap sessions + sliding time-threshold
+    // byte scan as a RANGE window frame (ref s/pioneer/Pioneer
+    // .java:96-219)
+    "q54_pioneer_exfil" -> ((s, dir) => {
+      pipelines.PioneerPipeline.exfiltration(Tables.events(s, dir),
+          col("ts"), col("event_id"), col("user_id"),
+          col("event_id") % 1000, gapSeconds = 172800,
+          thresholdSeconds = 86400, thresholdBytes = 3000)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // §2.2 awsbehavior: configured CloudTrail matcher rules compiled
+    // into one single-pass projection (ref s/awsbehavior/
+    // AwsBehavior.java:75-147, CloudtrailMatcher.java:30-76)
+    "q55_aws_behavior" -> ((s, dir) => {
+      import pipelines.AwsBehaviorPipeline
+      import AwsBehaviorPipeline.Matcher
+      val resolve: String => org.apache.spark.sql.Column = {
+        case "eventName" => col("event_type")
+        case "mfa" => (col("event_id") % 2).cast("string")
+        case "resource" => concat(lit("u"), col("user_id"))
+        case other => col(other)
+      }
+      AwsBehaviorPipeline.matchAlerts(Tables.events(s, dir), col("ts"),
+          Seq(
+            Matcher("access key created", Seq("eventName" -> "purchase"),
+              resource = Some("resource")),
+            Matcher("console without mfa",
+              Seq("eventName" -> "signup|view", "mfa" -> "0"))),
+          resolve, user = concat(lit("user"), col("user_id")))
+        .orderBy(col("ts_ms"), col("username"), col("description"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1379,6 +1413,43 @@ object SparkEntry {
         |SELECT v AS doc_id, MIN(r) AS cluster_id,
         |  v = MIN(r) AS is_survivor
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "q54_pioneer_exfil" ->
+      """WITH f AS (SELECT user_id AS uid, ts, event_id AS seq,
+        |    event_id % 1000 AS bytes FROM events),
+        |s0 AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 172800000000
+        |  THEN 1 ELSE 0 END AS ns
+        |  FROM f WINDOW w AS (PARTITION BY uid ORDER BY ts)),
+        |s AS (SELECT uid, ts, seq, bytes, CAST(SUM(ns) OVER (
+        |    PARTITION BY uid ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sid, epoch_ms(ts) AS ts_ms FROM s0),
+        |r AS (SELECT *,
+        |    CAST(SUM(bytes) OVER (PARTITION BY uid, sid ORDER BY ts_ms
+        |      RANGE BETWEEN CURRENT ROW AND 86400000 FOLLOWING)
+        |      AS BIGINT) AS wb,
+        |    MAX(ts_ms) OVER (PARTITION BY uid, sid ORDER BY ts_ms
+        |      RANGE BETWEEN CURRENT ROW AND 86400000 FOLLOWING) AS we
+        |  FROM s),
+        |q AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY uid, sid ORDER BY ts, seq) AS rn
+        |  FROM r WHERE wb >= 3000)
+        |SELECT uid AS user_id, sid AS session_id, ts_ms AS start_ms,
+        |  we AS end_ms, wb AS bytes
+        |FROM q WHERE rn = 1 ORDER BY user_id, session_id""".stripMargin,
+
+    "q55_aws_behavior" ->
+      """SELECT * FROM (
+        |  SELECT epoch_ms(ts) AS ts_ms, 'user' || user_id AS username,
+        |    'access key created' AS description,
+        |    'u' || user_id AS resource, 'critical' AS severity
+        |  FROM events WHERE regexp_matches(event_type, 'purchase')
+        |  UNION ALL
+        |  SELECT epoch_ms(ts), 'user' || user_id,
+        |    'console without mfa', NULL, 'critical'
+        |  FROM events WHERE regexp_matches(event_type, 'signup|view')
+        |    AND regexp_matches(CAST(event_id % 2 AS VARCHAR), '0')
+        |) ORDER BY ts_ms, username, description""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

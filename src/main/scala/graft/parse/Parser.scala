@@ -166,7 +166,17 @@ object Parser {
           sourceAddress = strOpt(r, "sourceIPAddress")),
           fields = Map(
             "event_name" -> r.path("eventName").asText(""),
-            "event_source" -> r.path("eventSource").asText(""))))
+            "event_source" -> r.path("eventSource").asText(""),
+            // awsbehavior matcher surface (ref s/awsbehavior/
+            // CloudtrailMatcher.java:59-76)
+            "recipient_account_id" -> r.path("recipientAccountId").asText(""),
+            "invoked_by" -> ident.path("invokedBy").asText(""),
+            "mfa_authenticated" -> ident.path("sessionContext")
+              .path("attributes").path("mfaAuthenticated").asText(""),
+            "request_username" -> r.path("requestParameters")
+              .path("userName").asText(""),
+            "shared_event_id" -> r.path("sharedEventID").asText(""),
+            "event_id" -> r.path("eventID").asText(""))))
       }
     }
   }
