@@ -322,7 +322,9 @@ object SparkEntry {
     // §2.3 typed Aggregator (CustomsFeatures shape): per-key class
     // counters + variance index, map-side partial aggregation
     "q29_feature_variance" -> ((s, dir) => {
-      operators.Features.typeFeatures(Tables.events(s, dir),
+      // native count_if form (codegen, flat-long partial aggregation);
+      // FeaturesSpec pins equality with the typed-Aggregator twin
+      operators.Features.typeFeaturesNative(Tables.events(s, dir),
           col("user_id"), col("event_type"))
         .withColumn("user_id", col("key").cast("long")).drop("key")
         .orderBy(col("user_id"))
@@ -1141,7 +1143,7 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
         |  '10.' || (user_id // 65536) % 256 || '.' || (user_id // 256) % 256
         |    || '.' || user_id % 256 AS ip,
-        |  'fxa:request_rate_violation' AS violation,
+        |  'hard_limit_violation' AS violation,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 5
         |ORDER BY window_start_ms, ip""".stripMargin,

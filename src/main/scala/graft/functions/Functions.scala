@@ -47,6 +47,13 @@ object Functions {
   /** Email → domain (ref s/customs/Customs.java:510-519). */
   def emailDomain(email: Column): Column = substring_index(email, "@", -1)
 
+  /** Event timestamp rendered in an escalation timezone — the alert
+    * local-time metadata (ref s/authprofile/AuthProfile.java:921-932
+    * EVENT_TIMESTAMP_SOURCE_LOCAL). Engine timestamps are UTC;
+    * `from_utc_timestamp` shifts the wall-clock fields to `tz`. */
+  def eventLocalTime(ts: Column, tz: String): Column =
+    from_utc_timestamp(ts, tz)
+
   /** Pick the client IP out of an X-Forwarded-For list: last entry not
     * inside the trusted-proxy set (ref s/parser/Parser.java:164-238). */
   def xffClientAddress(xff: Column, trustedProxies: Broadcast[InetRadix]): Column = {

@@ -43,11 +43,16 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) rows via exploded positions — every
     * expression (element_at/concat_ws) is codegen'd, unlike the array
-    * HOF form (measured ~5x on 5k docs). The frame is cached because
-    * near-dup operators read it from multiple plan branches. */
-  def explodedShingles(df: DataFrame, id: Column, text: Column,
-      n: Int): DataFrame =
-    df.select(id.as("doc_id"), tokens(text).as("ws"))
+    * HOF form (measured ~5x on 5k docs). Near-dup operators read this
+    * frame from multiple plan branches, so it materializes by default
+    * at MEMORY_AND_DISK (spills, never OOMs). At 100 TB pass
+    * `StorageLevel.NONE` to recompute per branch instead — the scan +
+    * explode is cheap relative to holding the exploded corpus — or
+    * checkpoint it to a table between stages. */
+  def explodedShingles(df: DataFrame, id: Column, text: Column, n: Int,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sh = df.select(id.as("doc_id"), tokens(text).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
@@ -55,7 +60,9 @@ object Dedup {
         concat_ws(" ", (0 until n).map(k => element_at(col("ws"), col("i") + k)): _*)
           .as("s"))
       .dropDuplicates("doc_id", "s")
-      .cache()
+    if (storage == org.apache.spark.storage.StorageLevel.NONE) sh
+    else sh.persist(storage)
+  }
 
   /** Exact dedup: group identical texts by md5, keep the smallest id
     * as canonical. One hash-aggregate; the md5 key (not the full text)

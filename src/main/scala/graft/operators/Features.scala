@@ -55,6 +55,25 @@ object Features {
     cs.foldLeft(0.0)((acc, c) => acc + (c - m) * (c - m)) / Classes.length
   }
 
+  /** Per-key feature extraction as pure built-ins: one codegen'd
+    * hash aggregate of conditional counts (flat longs shuffle — no
+    * serialized map buffers), variance as the same fixed expression
+    * tree the scalar fold produces (bit-identical doubles). Use this
+    * in production plans; `typeFeatures` below keeps the typed
+    * Aggregator as the §2.8 CombineFn demonstration and as the
+    * pattern for feature sets with genuinely dynamic class keys. */
+  def typeFeaturesNative(df: DataFrame, key: org.apache.spark.sql.Column,
+      cls: org.apache.spark.sql.Column): DataFrame = {
+    val counts = Classes.map(c => count(when(cls === c, 1)).as(s"n_$c"))
+    val m = col("total") / lit(Classes.length.toDouble)
+    val varExpr = Classes.map(c => (col(s"n_$c") - m) * (col(s"n_$c") - m))
+      .reduce(_ + _) / lit(Classes.length.toDouble)
+    df.groupBy(key.cast("string").as("key"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("total", Classes.map(c => col(s"n_$c")).reduce(_ + _))
+      .withColumn("variance", varExpr)
+  }
+
   /** Per-key feature extraction over (key, class) pairs. */
   def typeFeatures(df: DataFrame, key: org.apache.spark.sql.Column,
       cls: org.apache.spark.sql.Column): DataFrame = {

@@ -16,28 +16,81 @@ import graft.model.Alert
   */
 object Sinks {
 
-  /** Alert subcategory → iprepd violation name (ref Violation.java:
-    * 176-233 mapping table, re-expressed as a broadcastable lookup). */
-  val ViolationMap: Map[String, String] = Map(
-    "hard_limit" -> "fxa:request_rate_violation",
-    "threshold" -> "fxa:request_rate_violation",
-    "error_rate" -> "fxa:client_error_rate_violation",
-    "useragent_blocklist" -> "fxa:blocked_ua_violation",
-    "abusive_account" -> "fxa:account_abuse_violation",
-    "velocity" -> "fxa:velocity_violation")
+  /** Alert subcategory → iprepd violation for source-address alerts
+    * (ref Violation.java:178-233 generator map, ViolationType string
+    * values :31-84 — note useragent_blocklist and
+    * status_code_rate_analysis share "violation20", the legacy iprepd
+    * decay names). */
+  val IpViolationMap: Map[String, String] = Map(
+    // HTTPRequest heuristics
+    "error_rate" -> "client_error_rate_violation",
+    "threshold_analysis" -> "request_threshold_violation",
+    "endpoint_abuse" -> "endpoint_abuse_violation",
+    "useragent_blocklist" -> "violation20",
+    "hard_limit" -> "hard_limit_violation",
+    "per_endpoint_error_rate" -> "violation75",
+    "status_code_rate_analysis" -> "violation20",
+    "session_limit_analysis" -> "violation10_limited",
+    // AMO
+    "fxa_account_abuse_new_version_login" -> "endpoint_abuse_violation",
+    "fxa_account_abuse_new_version_submission" -> "endpoint_abuse_violation")
 
-  /** Derive violations from alerts: keep alerts whose subcategory maps
-    * to a violation and that carry a source address. Pure transform —
-    * `when/otherwise` chain over a tiny literal map, no join needed. */
-  def violations(alerts: DataFrame, subcategory: Column,
-      sourceAddress: Column): DataFrame = {
-    val mapping = ViolationMap.foldLeft(lit(null).cast("string")) {
-      case (acc, (k, v)) => when(subcategory === k, v).otherwise(acc)
+  /** Alert subcategory → violation emitted once per email on the
+    * alert's email list (ref EmailListViolationGenerator). */
+  val EmailViolationMap: Map[String, String] = Map(
+    "account_creation_abuse" -> "abusive_account_violation",
+    "fxa_account_abuse_new_version_login_banpattern" ->
+      "abusive_account_violation",
+    "fxa_account_abuse_alias" -> "abusive_account_violation",
+    "amo_abuse_multi_match" -> "abusive_account_violation",
+    "amo_abuse_multi_submit" -> "abusive_account_violation",
+    "amo_abuse_multi_ip_login" -> "abusive_account_violation")
+
+  /** The custom matched-addon subcategory: ip violation + one email
+    * violation per listed address (ref
+    * MatchedAddonCustomViolationGenerator). */
+  val MatchedAddonSubcategory = "amo_abuse_matched_addon"
+
+  private def lookup(m: Map[String, String], key: Column): Column =
+    m.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(key === k, v).otherwise(acc)
     }
+
+  /** Derive source-address violations from alerts: keep alerts whose
+    * subcategory maps to an ip violation and that carry a source
+    * address. Pure transform — `when/otherwise` chain over a tiny
+    * literal map, no join needed. Output keeps the input columns plus
+    * (violation, ip). */
+  def violations(alerts: DataFrame, subcategory: Column,
+      sourceAddress: Column): DataFrame =
     alerts
-      .withColumn("violation", mapping)
+      .withColumn("violation", lookup(IpViolationMap, subcategory))
       .filter(col("violation").isNotNull && sourceAddress.isNotNull)
       .withColumn("ip", sourceAddress)
+
+  /** Full-fidelity violation derivation: ip-object subcategories emit
+    * one ip violation; email-list subcategories explode the email
+    * array; the matched-addon subcategory emits both. Output rows are
+    * iprepd-shaped: (object, type, violation, ip, suppress_recovery) —
+    * `ip` mirrors `object` for ip-typed rows and is null otherwise
+    * (the reference's legacy field, Violation.java:296-302). */
+  def violationsTyped(alerts: DataFrame, subcategory: Column,
+      sourceAddress: Column, emails: Column,
+      suppressRecovery: Column = lit(null).cast("int")): DataFrame = {
+    val ipRows = alerts
+      .withColumn("violation", when(subcategory === MatchedAddonSubcategory,
+        "endpoint_abuse_violation").otherwise(lookup(IpViolationMap, subcategory)))
+      .filter(col("violation").isNotNull && sourceAddress.isNotNull)
+      .select(sourceAddress.as("object"), lit("ip").as("type"),
+        col("violation"), suppressRecovery.as("suppress_recovery"))
+    val emailRows = alerts
+      .withColumn("violation", when(subcategory === MatchedAddonSubcategory,
+        "abusive_account_violation").otherwise(lookup(EmailViolationMap, subcategory)))
+      .filter(col("violation").isNotNull)
+      .select(explode(emails).as("object"), lit("email").as("type"),
+        col("violation"), suppressRecovery.as("suppress_recovery"))
+    ipRows.unionByName(emailRows)
+      .withColumn("ip", when(col("type") === "ip", col("object")))
   }
 
   /** Deterministic JSON rendering of alert rows: fixed field order,

@@ -63,4 +63,38 @@ object CidrUtil {
   def isPrivate(addr: String): Boolean = privateTrie.contains(addr)
 
   def isValidIpv4(addr: String): Boolean = ipToLong(addr).isDefined
+
+  /** Forward-confirmed reverse DNS resolver surface: ip → canonical
+    * hostname, hostname → addresses. Pluggable so the check is
+    * testable without real DNS; `JvmDnsResolver` is the production
+    * implementation over InetAddress. */
+  trait DnsResolver extends Serializable {
+    def canonicalHostName(ip: String): Option[String]
+    def addressesOf(host: String): Seq[String]
+  }
+
+  /** InetAddress-backed resolver (what the reference calls,
+    * s/CidrUtil.java:75-93). */
+  final class JvmDnsResolver extends DnsResolver {
+    def canonicalHostName(ip: String): Option[String] =
+      try Option(java.net.InetAddress.getByName(ip).getCanonicalHostName)
+      catch { case _: java.net.UnknownHostException => None }
+    def addressesOf(host: String): Seq[String] =
+      try java.net.InetAddress.getAllByName(host).toSeq.map(_.getHostAddress)
+      catch { case _: java.net.UnknownHostException => Seq.empty }
+  }
+
+  /** Forward-confirmed reverse-DNS canonical host check (ref
+    * s/CidrUtil.java:71-124): resolve the address to its canonical
+    * hostname; a bare echo of the address means the lookup failed;
+    * forward-confirm the hostname resolves back to the address; then
+    * apply the (full-match) pattern. Used by AuthProfile's GCP-source
+    * classification (`.*\.google\.com$`). */
+  def resolvedCanonicalHostMatches(ip: String, pattern: String,
+      resolver: DnsResolver = new JvmDnsResolver): Boolean =
+    resolver.canonicalHostName(ip) match {
+      case Some(hn) if hn != ip =>
+        resolver.addressesOf(hn).contains(ip) && hn.matches(pattern)
+      case _ => false
+    }
 }

@@ -50,8 +50,28 @@ class EnrichmentSpec extends AnyFunSuite {
     val v = Sinks.violations(alerts, col("subcategory"), col("addr"))
       .select("ip", "violation").as[(String, String)].collect().toSet
     assert(v == Set(
-      ("1.1.1.1", "fxa:request_rate_violation"),
-      ("2.2.2.2", "fxa:client_error_rate_violation")))
+      ("1.1.1.1", "hard_limit_violation"),
+      ("2.2.2.2", "client_error_rate_violation")))
+  }
+
+  test("typed violations: ip rows, email-list explode, matched-addon both") {
+    import spark.implicits._
+    val alerts = Seq(
+      ("hard_limit", "1.1.1.1", Seq.empty[String]),
+      ("amo_abuse_multi_match", null, Seq("a@x.com", "b@x.com")),
+      ("amo_abuse_matched_addon", "9.9.9.9", Seq("c@x.com")),
+      ("unknown", "3.3.3.3", Seq("d@x.com")))
+      .toDF("subcategory", "addr", "emails")
+    val v = Sinks.violationsTyped(alerts, col("subcategory"),
+      col("addr"), col("emails"))
+      .select("object", "type", "violation", "ip")
+      .as[(String, String, String, Option[String])].collect().toSet
+    assert(v == Set(
+      ("1.1.1.1", "ip", "hard_limit_violation", Some("1.1.1.1")),
+      ("a@x.com", "email", "abusive_account_violation", None),
+      ("b@x.com", "email", "abusive_account_violation", None),
+      ("9.9.9.9", "ip", "endpoint_abuse_violation", Some("9.9.9.9")),
+      ("c@x.com", "email", "abusive_account_violation", None)))
   }
 
   test("alert json rendering is deterministic with stable field order") {
