@@ -674,6 +674,59 @@ object SparkEntry {
         .orderBy(col("ts_ms"), col("username"), col("description"))
     }),
 
+    // §2.3 EndpointAbuseAnalysis: monitored-endpoint counts + variance
+    // gate + per-client argmax (ref s/httprequest/heuristics/
+    // EndpointAbuseAnalysis.java:136-299)
+    "q56_endpoint_abuse" -> ((s, dir) => {
+      import operators.HttpHeuristics
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view") ||
+          (col("event_type") === "click" && col("user_id") % 7 === 0))
+        .withColumn("addr", concat(lit("10.0.0."), col("user_id") % 5))
+        .withColumn("method",
+          when(col("event_type") === "purchase", "POST").otherwise("GET"))
+        .withColumn("path", concat(lit("/e/"), col("event_type")))
+        .withColumn("ua", concat(lit("ua-"), col("user_id") % 5))
+      HttpHeuristics.endpointAbuse(e, col("ts"), col("addr"),
+          col("method"), col("path"), col("ua"), "1 day",
+          Seq(HttpHeuristics.Endpoint("POST", "/e/purchase", 2),
+            HttpHeuristics.Endpoint("GET", "/e/view", 4)))
+        .orderBy(col("window_start_ms"), col("addr"))
+    }),
+
+    // §2.3 PerEndpointErrorRateAnalysis: per-client error counts
+    // against (method, path-regex, threshold) rules (ref
+    // PerEndpointErrorRateAnalysis.java:90-230)
+    "q57_endpoint_error_rate" -> ((s, dir) => {
+      import operators.HttpHeuristics
+      val e = Tables.events(s, dir).filter(col("event_type") === "error")
+        .withColumn("addr", concat(lit("10.0.0."), col("user_id") % 3))
+        .withColumn("method", lit("GET"))
+        .withColumn("path",
+          concat(lit("/api/"), col("event_id") % 3, lit("/x")))
+      HttpHeuristics.perEndpointErrorRate(e, col("ts"), col("addr"),
+          col("method"), col("path"), "1 day",
+          Seq(HttpHeuristics.ErrorRule("GET", "^/api/0/.*$", 2),
+            HttpHeuristics.ErrorRule("GET", "^/api/1/.*$", 3)))
+        .orderBy(col("window_start_ms"), col("addr"))
+    }),
+
+    // §2.2 UserAgentBlocklistAnalysis: blocklisted agents per client,
+    // NAT-suppressed (ref UserAgentBlocklistAnalysis.java:90-180)
+    "q58_ua_blocklist" -> ((s, dir) => {
+      import operators.HttpHeuristics
+      val all = Tables.events(s, dir)
+        .withColumn("addr", concat(lit("10.0.0."), col("user_id")))
+        .withColumn("ua", when(col("event_type") === "click",
+            concat(lit("bot-"), col("user_id") % 11))
+          .otherwise(lit("Mozilla/5.0 Firefox/100")))
+      val nat = all.filter(col("user_id") % 10 === 0)
+        .select(col("addr")).distinct()
+      HttpHeuristics.userAgentBlocklist(all, col("ts"), col("addr"),
+          col("ua"), "1 day", Seq("bot-\\d+"), natAddrs = Some(nat))
+        .orderBy(col("window_start_ms"), col("addr"), col("useragent"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1452,6 +1505,72 @@ object SparkEntry {
         |  FROM events WHERE regexp_matches(event_type, 'signup|view')
         |    AND regexp_matches(CAST(event_id % 2 AS VARCHAR), '0')
         |) ORDER BY ts_ms, username, description""".stripMargin,
+
+    "q56_endpoint_abuse" ->
+      """WITH f AS (
+        |  SELECT ts, '10.0.0.' || (user_id % 5) AS addr,
+        |    CASE WHEN event_type = 'purchase' THEN 'POST'
+        |      ELSE 'GET' END AS method,
+        |    '/e/' || event_type AS path,
+        |    'ua-' || (user_id % 5) AS ua
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view')
+        |     OR (event_type = 'click' AND user_id % 7 = 0)),
+        |m AS (SELECT *, CASE
+        |    WHEN method = 'POST' AND path = '/e/purchase' THEN 0
+        |    WHEN method = 'GET' AND path = '/e/view' THEN 1 END AS mi,
+        |  epoch_ms(date_trunc('day', ts)) AS w FROM f),
+        |g AS (SELECT w AS window_start_ms, addr,
+        |    COUNT(*) FILTER (mi = 0) AS n0,
+        |    COUNT(*) FILTER (mi = 1) AS n1,
+        |    MAX(CASE WHEN mi IS NOT NULL THEN epoch_ms(ts) END)
+        |      AS latest_ts_ms,
+        |    MAX(ua) FILTER (mi IS NOT NULL) AS useragent
+        |  FROM m GROUP BY 1, 2
+        |  HAVING COUNT(*) FILTER (mi IS NULL) = 0),
+        |b AS (SELECT *, CASE
+        |    WHEN n0 >= 2 AND (n1 < 4 OR n0 >= n1) THEN 0
+        |    WHEN n1 >= 4 THEN 1 END AS best
+        |  FROM g)
+        |SELECT window_start_ms, addr,
+        |  CASE best WHEN 0 THEN 'POST' ELSE 'GET' END AS endpoint_method,
+        |  CASE best WHEN 0 THEN '/e/purchase' ELSE '/e/view' END
+        |    AS endpoint_path,
+        |  CASE best WHEN 0 THEN n0 ELSE n1 END AS n,
+        |  latest_ts_ms, useragent
+        |FROM b WHERE best IS NOT NULL ORDER BY 1, 2""".stripMargin,
+
+    "q57_endpoint_error_rate" ->
+      """WITH f AS (
+        |  SELECT ts, '10.0.0.' || (user_id % 3) AS addr,
+        |    '/api/' || (event_id % 3) || '/x' AS path
+        |  FROM events WHERE event_type = 'error'),
+        |g AS (SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |    addr,
+        |    COUNT(*) FILTER (regexp_matches(path, '^/api/0/.*$')) AS n0,
+        |    COUNT(*) FILTER (regexp_matches(path, '^/api/1/.*$')) AS n1,
+        |    MAX(epoch_ms(ts)) FILTER (regexp_matches(path, '^/api/0/.*$'))
+        |      AS t0,
+        |    MAX(epoch_ms(ts)) FILTER (regexp_matches(path, '^/api/1/.*$'))
+        |      AS t1
+        |  FROM f GROUP BY 1, 2),
+        |b AS (SELECT *, CASE
+        |    WHEN n0 >= 2 AND (n1 < 3 OR n0 >= n1) THEN 0
+        |    WHEN n1 >= 3 THEN 1 END AS best
+        |  FROM g)
+        |SELECT window_start_ms, addr, 'GET' AS rule_method,
+        |  CASE best WHEN 0 THEN '^/api/0/.*$' ELSE '^/api/1/.*$' END
+        |    AS rule_path,
+        |  CASE best WHEN 0 THEN n0 ELSE n1 END AS n_errors,
+        |  CASE best WHEN 0 THEN t0 ELSE t1 END AS latest_error_ms
+        |FROM b WHERE best IS NOT NULL ORDER BY 1, 2""".stripMargin,
+
+    "q58_ua_blocklist" ->
+      """SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |  '10.0.0.' || user_id AS addr,
+        |  'bot-' || (user_id % 11) AS useragent
+        |FROM events WHERE event_type = 'click' AND user_id % 10 <> 0
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

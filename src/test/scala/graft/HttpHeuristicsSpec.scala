@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.HttpHeuristics
+import graft.operators.HttpHeuristics.{Endpoint, ErrorRule}
+
+/** Fixture tests mirroring the reference's TestEndpointAbuse* /
+  * per-endpoint error rate / UA blocklist fixtures. */
+class HttpHeuristicsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val t0 = 1700000000L
+
+  private def reqs(rows: (Long, String, String, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (t, addr, m, p, ua) =>
+      (new Timestamp(t * 1000), addr, m, p, ua)
+    }.toDF("ts", "addr", "method", "path", "ua")
+  }
+
+  test("endpoint abuse: threshold alert, variance suppression, tie to lowest index") {
+    val df = reqs(
+      // client A: 3 monitored POSTs, nothing else -> alert
+      (t0, "1.1.1.1", "POST", "/login", "ua-a"),
+      (t0 + 1, "1.1.1.1", "POST", "/login", "ua-a"),
+      (t0 + 2, "1.1.1.1", "POST", "/login", "ua-a2"),
+      // client B: same but one off-list request -> variance, no alert
+      (t0, "2.2.2.2", "POST", "/login", "ua-b"),
+      (t0 + 1, "2.2.2.2", "POST", "/login", "ua-b"),
+      (t0 + 2, "2.2.2.2", "POST", "/login", "ua-b"),
+      (t0 + 3, "2.2.2.2", "GET", "/other", "ua-b"),
+      // client C: both endpoints hit their thresholds equally -> the
+      // first configured endpoint wins the tie
+      (t0, "3.3.3.3", "POST", "/login", "ua-c"),
+      (t0 + 1, "3.3.3.3", "POST", "/login", "ua-c"),
+      (t0 + 2, "3.3.3.3", "POST", "/login", "ua-c"),
+      (t0 + 3, "3.3.3.3", "GET", "/token", "ua-c"),
+      (t0 + 4, "3.3.3.3", "GET", "/token", "ua-c"),
+      (t0 + 5, "3.3.3.3", "GET", "/token", "ua-c"))
+    val out = HttpHeuristics.endpointAbuse(df, col("ts"), col("addr"),
+      col("method"), col("path"), col("ua"), "1 hour",
+      Seq(Endpoint("POST", "/login", 3), Endpoint("GET", "/token", 3)))
+      .collect().map(r => r.getAs[String]("addr") ->
+        (r.getAs[String]("endpoint_path"), r.getAs[Long]("n"),
+          r.getAs[String]("useragent"))).toMap
+    assert(out.keySet == Set("1.1.1.1", "3.3.3.3"))
+    assert(out("1.1.1.1") == ("/login", 3L, "ua-a2")) // latest request's agent
+    assert(out("3.3.3.3")._1 == "/login") // tie -> lowest index
+  }
+
+  test("endpoint abuse: supporting-only variance mode") {
+    val df = reqs(
+      // client A: monitored + a supporting object (css) -> extended
+      // variance -> suppressed in supporting-only mode
+      (t0, "1.1.1.1", "POST", "/login", "u"),
+      (t0 + 1, "1.1.1.1", "POST", "/login", "u"),
+      (t0 + 2, "1.1.1.1", "GET", "/style.css", "u"),
+      // client B: monitored + a NON-supporting off-list request ->
+      // basic variance only -> still alerts in supporting-only mode
+      (t0, "2.2.2.2", "POST", "/login", "u"),
+      (t0 + 1, "2.2.2.2", "POST", "/login", "u"),
+      (t0 + 2, "2.2.2.2", "GET", "/scrape", "u"))
+    val out = HttpHeuristics.endpointAbuse(df, col("ts"), col("addr"),
+      col("method"), col("path"), col("ua"), "1 hour",
+      Seq(Endpoint("POST", "/login", 2)), varianceSupportingOnly = true)
+      .collect().map(_.getAs[String]("addr")).toSet
+    assert(out == Set("2.2.2.2"))
+  }
+
+  test("per-endpoint error rate: regex rules, threshold, argmax") {
+    val df = reqs(
+      (t0, "1.1.1.1", "GET", "/api/v1/users/7", "u"),
+      (t0 + 1, "1.1.1.1", "GET", "/api/v1/users/9", "u"),
+      (t0 + 2, "1.1.1.1", "GET", "/api/v2/other", "u"),
+      (t0, "2.2.2.2", "GET", "/api/v2/other", "u"))
+    val out = HttpHeuristics.perEndpointErrorRate(df, col("ts"),
+      col("addr"), col("method"), col("path"), "1 hour",
+      Seq(ErrorRule("GET", "^/api/v1/users/.*$", 2),
+        ErrorRule("GET", "^/api/v2/.*$", 2)))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("addr") == "1.1.1.1")
+    assert(out.head.getAs[String]("rule_path") == "^/api/v1/users/.*$")
+    assert(out.head.getAs[Long]("n_errors") == 2L)
+    assert(out.head.getAs[Long]("latest_error_ms") == (t0 + 1) * 1000)
+  }
+
+  test("ua blocklist: full match, Firefox excluded, NAT suppressed") {
+    import spark.implicits._
+    val df = reqs(
+      (t0, "1.1.1.1", "GET", "/", "sqlmap/1.0"),
+      (t0 + 1, "1.1.1.1", "GET", "/", "sqlmap/1.0"), // distinct-deduped
+      (t0, "2.2.2.2", "GET", "/", "curl sqlmap/1.0 wrapper"), // not a full match
+      (t0, "3.3.3.3", "GET", "/", "Mozilla/5.0 Firefox/100"), // excluded
+      (t0, "4.4.4.4", "GET", "/", "sqlmap/2.1")) // NAT-suppressed below
+    val nat = Seq("4.4.4.4").toDF("addr")
+    val out = HttpHeuristics.userAgentBlocklist(df, col("ts"),
+      col("addr"), col("ua"), "1 hour", Seq("sqlmap/.*"),
+      natAddrs = Some(nat)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("addr") == "1.1.1.1")
+    assert(out.head.getAs[String]("useragent") == "sqlmap/1.0")
+  }
+}
