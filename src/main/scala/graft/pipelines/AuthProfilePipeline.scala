@@ -4,23 +4,29 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.filter.EventFilter
 import graft.model.Event
-import graft.operators.{Identity, Stateful}
+import graft.operators.{AuthState, Identity, Stateful}
 import graft.parse.{GeoIp, Parser}
 
 /** The AuthProfile pipeline (ref EP2, s/authprofile/AuthProfile.java:
   * 1015-1085): parse auth events → resolve identities → geo enrich →
-  * impossible-travel (geo-velocity) detection → alert suppression.
+  * three analysis branches — impossible travel (geo-velocity),
+  * known-IP state analysis (AuthProfile.StateAnalyze), critical-object
+  * matching (CritObjectAnalyze) — with alert suppression.
   *
   * The reference holds per-identity known-IP state in Datastore and
   * walks it with RPC (StateAnalyze); here the per-identity timeline is
-  * co-located by the shuffle and scanned with lag windows — no
-  * external state service, the same detection semantics.
+  * co-located by the shuffle and scanned with lag windows / the
+  * secondary-sort state scan — no external state service, the same
+  * detection semantics.
   */
 object AuthProfilePipeline {
 
   case class Config(
       maxKmh: Double = 800.0,
-      suppressSeconds: Long = 1800)
+      suppressSeconds: Long = 1800,
+      pruneAgeSeconds: Long = 864000L,
+      maxKmStatic: Double = 800.0,
+      critObjectPatterns: Seq[String] = Nil)
 
   /** Parse raw lines, keep AUTH events (fast-match pushdown first). */
   def parsedAuth(lines: Dataset[String]): DataFrame =
@@ -68,4 +74,32 @@ object AuthProfilePipeline {
         col("key").as("identity"),
         col("ts_ms"), col("speed_kmh"))
   }
+
+  /** Known-IP state-analysis branch (ref AuthProfile.StateAnalyze):
+    * per resolved identity, classify every auth event against the
+    * pruned known-address model. Returns the full classified stream
+    * (known_ip rows deduped per day window, as the reference's
+    * seenKnownAddresses list does). */
+  def stateAnalysis(lines: Dataset[String], aliases: DataFrame,
+      resolver: GeoIp.GeoIpResolver, cfg: Config = Config()): DataFrame = {
+    val auth = parsedAuthEnriched(lines, resolver)
+      .filter(col("normalized.geo").isNotNull &&
+        col("normalized.sourceAddress").isNotNull)
+    val resolved = Identity.resolve(auth,
+      col("normalized.subjectUser"), aliases)
+    AuthState.stateAnalyze(resolved, col("timestamp"),
+      unix_micros(col("timestamp")), col("identity"),
+      col("normalized.sourceAddress"),
+      col("normalized.geo.latitude"), col("normalized.geo.longitude"),
+      cfg.pruneAgeSeconds, cfg.maxKmStatic,
+      dedupeWindowSeconds = Some(86400L))
+  }
+
+  /** Critical-object branch (ref CritObjectAnalyze): immediate
+    * critical alerts for auth events touching configured objects. */
+  def critObjects(lines: Dataset[String],
+      cfg: Config = Config()): DataFrame =
+    AuthState.critObjectAnalyze(parsedAuth(lines), col("timestamp"),
+      col("normalized.subjectUser"), col("normalized.objectValue"),
+      col("normalized.sourceAddress"), cfg.critObjectPatterns)
 }

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.Functions
 import graft.parse.Parser
@@ -102,5 +102,111 @@ object CustomsPipeline {
 
     loginFailure.unionByName(creationAbuse).unionByName(resetAbuse)
       .unionByName(distAlert)
+  }
+
+  /** Full detector-suite configuration (ref Customs.CustomsOptions). */
+  case class FullConfig(
+      window: String = "10 minutes",
+      enumerationThreshold: Long = 5,
+      minVarianceClients: Long = 3,
+      srcFailDistThreshold: Long = 3,
+      velocityMaxKmPerSecond: Double = 0.25,
+      velocityMinDistanceKm: Double = 100,
+      monitoredAddrs: Seq[String] = Nil,
+      monitoredAccounts: Seq[String] = Nil)
+
+  /** The full customs suite over ONE parsed+cached frame — the Spark
+    * form of the reference's ~12-transform wiring (ref Customs.java:
+    * 601-702). Every detector is a filter/aggregate over the same
+    * cache; outputs unify into the common alert schema. Velocity runs
+    * only when a geo resolver is supplied (it needs locations);
+    * content-server variance gating uses fxa-content events parsed
+    * from the same lines.
+    */
+  def analyzeFull(lines: Dataset[String], cfg: FullConfig = FullConfig(),
+      geo: Option[graft.parse.GeoIp.GeoIpResolver] = None): DataFrame = {
+    import graft.operators.CustomsDetectors
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val candidates = lines.filter(
+      Parser.fastFilter("fxaauth") || Parser.fastFilter("fxacontent"))
+    val parsedAll = (geo match {
+      case Some(r) => graft.parse.GeoIp.enrich(Parser.parse(candidates), r)
+      case None => Parser.parse(candidates)
+    }).toDF().cache()
+    val fxa = parsedAll.filter(col("payloadType") === "fxaauth")
+      .select(col("timestamp"), col("id"),
+        element_at(col("fields"), "email").as("email"),
+        element_at(col("fields"), "uid").as("uid"),
+        element_at(col("fields"), "path").as("path"),
+        element_at(col("fields"), "event_summary").as("summary"),
+        col("normalized.sourceAddress").as("src"),
+        col("normalized.geo.latitude").as("lat"),
+        col("normalized.geo.longitude").as("lon"))
+
+    def alert(df: DataFrame, subcategory: String, keyKind: String,
+        key: Column, n: Column, windowMs: Column): DataFrame =
+      df.select(lit("customs").as("category"),
+        lit(subcategory).as("subcategory"),
+        lit("warn").as("severity"),
+        lit(keyKind).as("key_kind"),
+        key.cast("string").as("key"),
+        n.cast("long").as("count"),
+        windowMs.cast("long").as("window_start_ms"))
+
+    val isStatusCheck = col("summary").isin(
+      "accountStatusCheckSuccess", "accountStatusCheckBlocked")
+    val variance = CustomsDetectors.contentServerVariance(
+      parsedAll.filter(col("payloadType") === "fxacontent"),
+      col("timestamp"), col("normalized.sourceAddress"), cfg.window)
+    val enumeration = alert(CustomsDetectors.accountEnumeration(
+        fxa, col("timestamp"), col("src"), col("email"), col("path"),
+        isStatusCheck, cfg.window, cfg.enumerationThreshold,
+        variance = Some(variance),
+        minVarianceClients = cfg.minVarianceClients),
+      "account_enumeration", "sourceaddress", col("src"),
+      col("n_emails"), col("window_start_ms"))
+
+    val srcFailDist = alert(CustomsDetectors.sourceLoginFailureDist(
+        fxa, col("timestamp"), col("email"), col("src"),
+        col("summary") === "loginFailure", cfg.window,
+        cfg.srcFailDistThreshold),
+      "source_login_failure_dist", "email", col("email"),
+      col("n_src"), col("window_start_ms"))
+
+    val summary = alert(CustomsDetectors.summary(fxa, col("timestamp"),
+        when(col("summary") === "loginFailure", "login_failure")
+          .when(col("summary") === "accountCreateSuccess",
+            "account_create_success")
+          .when(col("summary") === "loginSuccess", "login_success"),
+        "15 minutes"),
+      "summary", "class", col("class"), col("n"), col("window_start_ms"))
+
+    val comparator = alert(CustomsDetectors.statusComparator(
+        fxa.filter(col("summary") === "accountStatusCheckSuccess"),
+        col("timestamp"), col("src"), col("email"),
+        spark.createDataset(cfg.monitoredAddrs)),
+      "status_comparator", "sourceaddress", col("src"), lit(1),
+      col("ts_ms"))
+
+    val monitored = alert(CustomsDetectors.monitoredActivity(
+        fxa.filter(col("summary").isin("loginSuccess", "loginFailure")),
+        col("timestamp"), col("email"), col("src"), col("summary"),
+        spark.createDataset(cfg.monitoredAccounts)),
+      "activity_monitor", "email", col("email"), lit(1), col("ts_ms"))
+
+    val velocity = geo match {
+      case None => None
+      case Some(_) => Some(alert(CustomsDetectors.velocity(
+          fxa.filter(col("summary") === "loginSuccess"),
+          col("timestamp"), col("id"), col("uid"), col("email"),
+          col("src"), col("lat"), col("lon"),
+          cfg.velocityMaxKmPerSecond, cfg.velocityMinDistanceKm),
+        "velocity", "uid", col("uid"), col("km_centi"), col("ts_ms")))
+    }
+
+    val base = enumeration.unionByName(srcFailDist).unionByName(summary)
+      .unionByName(comparator).unionByName(monitored)
+    velocity.fold(base)(base.unionByName(_))
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipelines.{AuthProfilePipeline, CustomsPipeline}
+
+/** End-to-end tests of the composed round-2 pipeline surfaces:
+  * realistic log lines through parse → enrich → full detector suite. */
+class FullPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def authLine(t: Long, path: String, method: String, status: Int,
+      email: String, uid: String, addr: String, errno: Int = 0): String = {
+    val iso = java.time.Instant.ofEpochSecond(t).toString
+    s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+      s""""agent":"Mozilla/5.0","email":"$email","errno":$errno,""" +
+      s""""method":"$method","op":"request.summary","path":"$path",""" +
+      s""""remoteAddressChain":"[\\"$addr\\"]","service":"sync",""" +
+      s""""status":$status,"t":12,"uid":"$uid"},""" +
+      s""""Logger":"fxa-auth-server","Pid":1,"Severity":6,"Timestamp":0,""" +
+      s""""Type":"request.summary"},"timestamp":"$iso"}"""
+  }
+
+  private def contentLine(t: Long, addr: String): String =
+    s"""{"Timestamp":${t}000000000,"Type":"request","Logger":"fxa-content-server",""" +
+      s""""Hostname":"h","Fields":{"clientaddress":"$addr","path":"/signin",""" +
+      s""""method":"get","status":200}}"""
+
+  test("customs full suite: enumeration, dist failures, summary, lists") {
+    import spark.implicits._
+    val t = 1700000000L
+    val lines = (
+      // 6.6.6.6 enumerates 5 accounts on the status endpoint only
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", "post",
+        200, s"t$i@x.com", s"v$i", "6.6.6.6")) ++
+      // 7.7.7.7 does the same but also browses the content server ->
+      // variance-gated out (needs >= 3 distinct content clients)
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", "post",
+        200, s"t$i@x.com", s"v$i", "7.7.7.7")) ++
+      Seq(contentLine(t, "7.7.7.7"), contentLine(t, "8.8.8.8"),
+        contentLine(t, "9.9.9.9")) ++
+      // victim@x.com fails logins from 3 sources
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", "post",
+        400, "victim@x.com", "u1", s"1.2.3.$i", errno = 103)) ++
+      // monitored account + monitored address activity
+      Seq(authLine(t, "/v1/account/login", "post", 200, "mon@x.com",
+        "u2", "5.5.5.5"),
+        authLine(t, "/v1/account/status", "post", 200, "a@x.com",
+          "u3", "4.4.4.4"))
+    ).toDS()
+    val alerts = CustomsPipeline.analyzeFull(lines,
+      CustomsPipeline.FullConfig(
+        enumerationThreshold = 5, minVarianceClients = 3,
+        srcFailDistThreshold = 3,
+        monitoredAddrs = Seq("4.4.4.4"),
+        monitoredAccounts = Seq("mon@x.com"))).collect()
+    val bySub = alerts.groupBy(_.getAs[String]("subcategory"))
+      .view.mapValues(_.map(_.getAs[String]("key")).toSet).toMap
+    assert(bySub("account_enumeration") == Set("6.6.6.6")) // 7.7.7.7 gated
+    assert(bySub("source_login_failure_dist") == Set("victim@x.com"))
+    assert(bySub("status_comparator") == Set("4.4.4.4"))
+    assert(bySub("activity_monitor") == Set("mon@x.com"))
+    assert(bySub("summary").contains("login_failure"))
+  }
+
+  test("authprofile state analysis + crit objects end to end") {
+    import spark.implicits._
+    val t = 1700000000L
+    // ssh auth lines: alice from one address twice, then a new address
+    def ssh(tt: Long, user: String, addr: String) =
+      s"May  1 10:22:0${tt % 10} host sshd[123]: Accepted publickey for " +
+        s"$user from $addr port 5222 ssh2"
+    val lines = Seq(
+      ssh(0, "alice", "203.0.113.5"),
+      ssh(1, "alice", "203.0.113.5"),
+      ssh(2, "alice", "198.51.100.7")).toDS()
+    val geo = new graft.parse.GeoIp.CidrTableResolver(Seq(
+      "203.0.113.0/24" -> graft.model.Geo(latitude = Some(51.5),
+        longitude = Some(-0.1)),
+      "198.51.100.0/24" -> graft.model.Geo(latitude = Some(51.6),
+        longitude = Some(-0.2))))
+    val aliases = Seq(("alice", "alice@corp")).toDF("alias", "canonical")
+    val out = AuthProfilePipeline.stateAnalysis(lines, aliases, geo)
+      .orderBy(col("ts_ms")).collect()
+    val actions = out.map(_.getAs[String]("action")).toSeq
+    // first sight -> geo failure; repeat known (deduped to one row per
+    // window); nearby new address -> within geo
+    assert(actions.head == graft.operators.AuthState.UnknownGeoFailure)
+    assert(actions.contains(graft.operators.AuthState.KnownIp))
+    assert(actions.last == graft.operators.AuthState.UnknownWithinGeo)
+  }
+}
