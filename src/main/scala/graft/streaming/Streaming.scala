@@ -223,6 +223,64 @@ object Streaming {
       }
   }
 
+  case class VelLogin(key: String, tsUs: Long, addr: String,
+      email: String, lat: Double, lon: Double)
+  case class VelState(addr: String, tsUs: Long, lat: Double, lon: Double,
+      windowId: Long, seen: Seq[String])
+  case class VelAlert(key: String, tsUs: Long, addr: String,
+      prevAddr: String, tdS: Long, kmCenti: Long)
+
+  /** Streaming CustomsVelocity (ref s/customs/CustomsVelocity.java:
+    * 93-351, where state is the Datastore AuthStateModel with
+    * PruningStrategyLatest): per uid, each address is considered once
+    * per dedupe window; a differing address is compared against the
+    * latest state entry (haversine distance, floored-epoch-second
+    * delta), alerting when implied speed exceeds `maxKmPerSecond` and
+    * the jump covers `minDistanceKm`. State per key = ONE latest
+    * entry + the current window's seen-address set; semantics equal
+    * the batch operator (CustomsDetectors.velocity), pinned by an
+    * equivalence spec. */
+  def customsVelocity(ds: Dataset[VelLogin], maxKmPerSecond: Double,
+      minDistanceKm: Double,
+      dedupeWindowSeconds: Long = 300): Dataset[VelAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val windowUs = dedupeWindowSeconds * 1000000L
+    val maxCentiPerSec = maxKmPerSecond * 100
+    val minCenti = minDistanceKm * 100
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[VelState, VelAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[VelLogin], state: GroupState[VelState]) =>
+          var st = if (state.exists) Some(state.get) else None
+          val out = Seq.newBuilder[VelAlert]
+          it.toSeq.sortBy(e => (e.tsUs, e.addr)).foreach { e =>
+            val w = Math.floorDiv(e.tsUs, windowUs)
+            val seen: Set[String] = st match {
+              case Some(s) if s.windowId == w => s.seen.toSet
+              case _ => Set.empty
+            }
+            if (!seen.contains(e.addr)) {
+              st match {
+                case Some(s) if s.addr != e.addr =>
+                  val kmCenti = math.floor(graft.util.GeoUtil
+                    .haversineKm(s.lat, s.lon, e.lat, e.lon) * 100 + 0.5)
+                    .toLong
+                  val tdS = Math.floorDiv(e.tsUs, 1000000L) -
+                    Math.floorDiv(s.tsUs, 1000000L)
+                  if (kmCenti >= minCenti && kmCenti > maxCentiPerSec * tdS)
+                    out += VelAlert(key, e.tsUs, e.addr, s.addr, tdS, kmCenti)
+                case _ => ()
+              }
+              st = Some(VelState(e.addr, e.tsUs, e.lat, e.lon, w,
+                (seen + e.addr).toSeq.sorted))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class AuthLogin(key: String, tsUs: Long, addr: String,
       lat: Double, lon: Double)
   case class AuthEntry(addr: String, tsUs: Long, lat: Double, lon: Double)

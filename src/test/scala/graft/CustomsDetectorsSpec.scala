@@ -124,6 +124,49 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("streaming customs velocity matches the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val t = 1700000000L
+    // London -> Sydney fast (alert), repeat addr (quiet), near hop
+    // below min distance (quiet), all split across two micro-batches
+    val logins = Seq(
+      (t, "u1", "1.1.1.1", 51.5, -0.1),
+      (t + 60, "u1", "2.2.2.2", -33.9, 151.2),
+      (t + 120, "u1", "2.2.2.2", -33.9, 151.2),
+      (t + 180, "u1", "3.3.3.3", -33.8, 151.3))
+    val batch = CustomsDetectors.velocity(
+      logins.toDF("t", "uid", "addr", "lat", "lon")
+        .withColumn("ts", timestamp_seconds(col("t")))
+        .withColumn("email", concat(col("uid"), lit("@x.com"))),
+      col("ts"), col("t"), col("uid"), col("email"), col("addr"),
+      col("lat"), col("lon"), maxKmPerSecond = 0.2778,
+      minDistanceKm = 100)
+      .select("addr", "prev_addr", "td_s", "km_centi")
+      .as[(String, String, Long, Long)].collect().toSet
+
+    val in = MemoryStream[Streaming.VelLogin]
+    val q = Streaming.customsVelocity(in.toDS(),
+        maxKmPerSecond = 0.2778, minDistanceKm = 100)
+      .writeStream.format("memory").queryName("velstream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      val rows = logins.map { case (tt, k, a, la, lo) =>
+        Streaming.VelLogin(k, tt * 1000000L, a, s"$k@x.com", la, lo) }
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("velstream").as[Streaming.VelAlert]
+        .collect().map(a => (a.addr, a.prevAddr, a.tdS, a.kmCenti)).toSet
+      assert(streamed == batch)
+      assert(batch.map(_._1) == Set("2.2.2.2")) // only the Sydney jump
+    } finally q.stop()
+  }
+
   test("account enumeration: threshold + single-path gate + variance") {
     import spark.implicits._
     val t = 1700000000L
