@@ -431,13 +431,18 @@ object SparkEntry {
     // heuristic over parsed log lines) -> iprepd violation records
     "q38_violation" -> ((s, dir) => {
       val lines = graft.sources.SyntheticLogs.glbLines(Tables.events(s, dir))
-      val parsed = graft.parse.Parser.parse(lines).toDF()
+      val parsed = graft.parse.Parser
+        .parse(lines.filter(graft.parse.Parser.fastFilter("glb"))).toDF()
       val alerts = Heuristics.hardLimit(parsed, col("timestamp"),
           col("normalized.sourceAddress"), "1 day", limit = 5)
         .withColumn("subcategory", lit("hard_limit"))
       graft.sinks.Sinks.violations(alerts, col("subcategory"), col("key"))
         .select(col("window_start_ms"), col("ip"), col("violation"),
           col("n"))
+        // cache the (small) aggregated alerts before the global sort:
+        // range partitioning samples its child, which would re-run
+        // the parse+aggregate a second time
+        .cache()
         .orderBy(col("window_start_ms"), col("ip"))
     }),
 
@@ -587,6 +592,9 @@ object SparkEntry {
           col("user_id"), col("addr"), col("lat"), col("lon"),
           pruneAgeSeconds = 86400L * 100, maxKmStatic = 2000)
         .withColumn("user_id", col("key").cast("long")).drop("key")
+        // cache before the global sort: range sampling would re-run
+        // the opaque mapPartitions state scan twice
+        .cache()
         .orderBy(col("user_id"), col("ts_ms"), col("addr"))
     }),
 
