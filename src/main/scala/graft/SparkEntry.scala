@@ -735,6 +735,24 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("addr"), col("useragent"))
     }),
 
+    // §2.3 PostProcessing AlertSummary: multi-level classifier
+    // explode + adjacent-window percent-change thresholds with
+    // min-count floors (ref s/postprocessing/AlertSummary.java:60-520)
+    "q59_alert_summary" -> ((s, dir) => {
+      import operators.Heuristics.SummaryThreshold
+      val e = Tables.events(s, dir)
+        .withColumn("r", concat(lit("r"), col("user_id") % 3))
+        .withColumn("c", col("event_type"))
+        .withColumn("s", concat(lit("sub"), col("event_id") % 2))
+      Heuristics.alertSummaryThresholds(e, col("ts"), col("r"),
+          col("c"), col("s"), "1 day", Seq(
+            SummaryThreshold("*", 5.0, 5.0, 100),
+            SummaryThreshold("r0", 20.0, 0.0, 10),
+            SummaryThreshold("r1-error", 0.0, 10.0, 5),
+            SummaryThreshold("r2-view-sub1", 30.0, 30.0, 3)))
+        .orderBy(col("classifier"), col("window_start_ms"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1579,6 +1597,30 @@ object SparkEntry {
         |  'bot-' || (user_id % 11) AS useragent
         |FROM events WHERE event_type = 'click' AND user_id % 10 <> 0
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q59_alert_summary" ->
+      """WITH base AS (
+        |  SELECT ts, 'r' || (user_id % 3) AS r, event_type AS c,
+        |    'sub' || (event_id % 2) AS s FROM events),
+        |cls AS (SELECT ts,
+        |    unnest(['*', r, r||'-'||c, r||'-'||c||'-'||s]) AS classifier
+        |  FROM base),
+        |counts AS (SELECT epoch_ms(date_trunc('day', ts)) AS w,
+        |    classifier, COUNT(*) AS n FROM cls GROUP BY 1, 2),
+        |d AS (SELECT *, LAG(n) OVER (
+        |    PARTITION BY classifier ORDER BY w) AS prev_n FROM counts),
+        |pct AS (SELECT classifier, w, n, prev_n,
+        |    (n - prev_n) * 100.0 / prev_n AS pc
+        |  FROM d WHERE prev_n IS NOT NULL),
+        |thr(classifier, up, down, mn) AS (VALUES
+        |  ('*', 5.0, 5.0, 100), ('r0', 20.0, 0.0, 10),
+        |  ('r1-error', 0.0, 10.0, 5), ('r2-view-sub1', 30.0, 30.0, 3))
+        |SELECT classifier, w AS window_start_ms, n, prev_n,
+        |  pc AS pct_change
+        |FROM pct JOIN thr USING (classifier)
+        |WHERE n >= mn AND ((up > 0 AND pc >= up)
+        |  OR (down > 0 AND pc <= -down))
+        |ORDER BY classifier, window_start_ms""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

@@ -152,6 +152,44 @@ object Heuristics {
       .withColumn("direction",
         when(col("pct_change") > 0, "increase").otherwise("decrease"))
 
+  /** One AlertSummary threshold rule (ref s/postprocessing/
+    * AlertSummary.java:39-53 — config `classifier:pctup:pctdown:min`;
+    * a percent of 0 disables that direction; `minCount` is the floor
+    * on the newest window's count). */
+  case class SummaryThreshold(classifier: String, pctUp: Double,
+      pctDown: Double, minCount: Long)
+
+  /** Full AlertSummary semantics (ref AlertSummary.java:60-520): every
+    * alert counts toward four classifiers — global "*", its monitored
+    * resource, resource-category, resource-category-subcategory — and
+    * each configured threshold compares adjacent windows of its
+    * classifier's count, alerting on a sufficient percent move with
+    * the newest count at or above the floor.
+    *
+    * One explode (4 rows/alert) + the shared paneDelta aggregate +
+    * a broadcast join against the tiny threshold table. */
+  def alertSummaryThresholds(df: DataFrame, ts: Column,
+      resource: Column, category: Column, subcategory: Column,
+      duration: String, thresholds: Seq[SummaryThreshold]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val classified = df
+      .select(ts.as("__ts"), resource.as("r"), category.as("c"),
+        subcategory.as("s"))
+      .withColumn("classifier", explode(array(lit("*"), col("r"),
+        concat_ws("-", col("r"), col("c")),
+        concat_ws("-", col("r"), col("c"), col("s")))))
+    val thr = thresholds
+      .toDF("classifier", "pct_up", "pct_down", "min_count")
+    paneDelta(classified, col("__ts"), col("classifier"), duration)
+      .join(broadcast(thr), Seq("classifier"))
+      .filter(col("n") >= col("min_count") &&
+        ((col("pct_up") > 0 && col("pct_change") >= col("pct_up")) ||
+          (col("pct_down") > 0 && col("pct_change") <= -col("pct_down"))))
+      .select(col("classifier"), col("window_start_ms"), col("n"),
+        col("prev_n"), col("pct_change"))
+  }
+
   /** Ordered-pair detection within a per-key timeline (ref
     * EndpointSequenceAbuse): count occurrences of `firstPred` followed by
     * `secondPred` within `withinSeconds`, per key. Expressed as an

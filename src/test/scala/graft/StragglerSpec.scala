@@ -71,6 +71,34 @@ class StragglerSpec extends AnyFunSuite {
     assert(got == "2024-01-15 04:00")
   }
 
+  test("alert summary thresholds: levels, direction disable, min floor") {
+    import spark.implicits._
+    import graft.operators.Heuristics
+    import graft.operators.Heuristics.SummaryThreshold
+    val t = 1700006400L // window-aligned base
+    // day 1: 10 alerts on (web, httprequest, error_rate);
+    // day 2: 20 (100% up); day 3: 10 (50% down)
+    val rows = (
+      (0 until 10).map(i => (t + i, "web", "httprequest", "error_rate")) ++
+      (0 until 20).map(i => (t + 86400 + i, "web", "httprequest", "error_rate")) ++
+      (0 until 10).map(i => (t + 172800 + i, "web", "httprequest", "error_rate")))
+      .toDF("t", "r", "c", "s")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val out = Heuristics.alertSummaryThresholds(rows, col("ts"),
+      col("r"), col("c"), col("s"), "1 day", Seq(
+        // up-only rule on the resource level: fires day 2 only
+        SummaryThreshold("web", 50.0, 0.0, 5),
+        // down-only on the subcategory level: fires day 3 only
+        SummaryThreshold("web-httprequest-error_rate", 0.0, 25.0, 5),
+        // floor of 1000 never met: silent
+        SummaryThreshold("*", 1.0, 1.0, 1000)))
+      .collect()
+      .map(r => (r.getAs[String]("classifier"), r.getAs[Double]("pct_change")))
+      .toSet
+    assert(out == Set(("web", 100.0),
+      ("web-httprequest-error_rate", -50.0)))
+  }
+
   test("native typeFeatures equals the typed-Aggregator twin") {
     import graft.operators.Features
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
