@@ -30,7 +30,10 @@ object HttpRequestPipeline {
       errorMaxCount: Long = 30,
       natMinDistinctUserAgents: Long = 4,
       sessionGapSeconds: Long = 2700,
-      maxSessionEvents: Long = 1000)
+      maxSessionEvents: Long = 1000,
+      /** Addresses always treated as gateways regardless of observed
+        * UA variety (ref DetectNat.withKnownGateways). */
+      knownGateways: Seq[String] = Nil)
 
   /** Parse raw lines and keep HTTP_REQUEST events (compiled filter).
     * The fast-match pushdown prunes non-candidate lines BEFORE the
@@ -66,15 +69,22 @@ object HttpRequestPipeline {
       "hard_limit", "warn", "n")
 
     // NAT view: sources carrying many distinct user agents in the
-    // window are gateways; suppress their threshold alerts
+    // window are gateways; suppress their threshold alerts. Known
+    // gateways (ref DetectNat.withKnownGateways) suppress on the key
+    // alone, in every window.
+    val spark = lines.sparkSession
+    import spark.implicits._
     val nat = Heuristics.distinctCardinality(parsed, ts, src,
         col("normalized.userAgent"), cfg.window,
         cfg.natMinDistinctUserAgents)
       .select(col("window_start_ms"), col("key"))
+    val thresholdRaw = Heuristics.thresholdAnalysis(parsed, ts, src,
+        cfg.window, cfg.thresholdModifier)
+      .join(broadcast(nat), Seq("window_start_ms", "key"), "left_anti")
     val threshold = alert(
-      Heuristics.thresholdAnalysis(parsed, ts, src, cfg.window,
-          cfg.thresholdModifier)
-        .join(broadcast(nat), Seq("window_start_ms", "key"), "left_anti"),
+      if (cfg.knownGateways.isEmpty) thresholdRaw
+      else thresholdRaw.join(broadcast(cfg.knownGateways.toDF("key")),
+        Seq("key"), "left_anti"),
       "threshold", "warn", "n")
 
     val errors = alert(

@@ -38,6 +38,26 @@ class PipelinesSpec extends AnyFunSuite {
     assert(!bySub.contains("session_limit"))
   }
 
+  test("httprequest pipeline: known gateways suppress threshold on key alone") {
+    import spark.implicits._
+    val t0 = "2024-01-01T00:00:"
+    // single-UA busy source that would normally trip the threshold,
+    // but is configured as a known gateway (ref DetectNat
+    // .withKnownGateways)
+    val gw = (0 until 12).map(i => glb("9.9.9.9", 200, "ua", f"${t0}$i%02dZ"))
+    val other = (0 until 12).map(i => glb("1.1.1.1", 200, "ua", f"${t0}$i%02dZ"))
+    val quiet = Seq(glb("4.4.4.4", 200, "ua", s"${t0}30Z"))
+    val alerts = HttpRequestPipeline.analyze((gw ++ other ++ quiet).toDS(),
+      HttpRequestPipeline.Config(hardLimit = 100, thresholdModifier = 1.2,
+        knownGateways = Seq("9.9.9.9")))
+      .collect()
+    val thresholdKeys = alerts
+      .filter(_.getAs[String]("subcategory") == "threshold")
+      .map(_.getAs[String]("sourceaddress")).toSet
+    assert(thresholdKeys.contains("1.1.1.1"))
+    assert(!thresholdKeys.contains("9.9.9.9"))
+  }
+
   test("httprequest streaming form: unbounded lines to windowed alerts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
