@@ -28,6 +28,24 @@ class GatekeeperSpec extends AnyFunSuite {
     assert(sev(("Recon:EC2", "a2")) == "warn")
   }
 
+  test("gatekeeper: matcher bucketing - ignore list drops, escalation forces critical") {
+    import spark.implicits._
+    val lines = Seq(
+      finding("Recon:EC2/Portscan", 2.0, "a1", "2024-01-01T00:00:00Z"),
+      finding("Discovery:S3/AnomalousBehavior", 3.0, "a1", "2024-01-01T00:01:00Z"),
+      finding("CryptoCurrency:EC2/Mining", 4.0, "a1", "2024-01-01T00:02:00Z")
+    ).toDS()
+    val alerts = GatekeeperPipeline.analyze(lines,
+      GatekeeperPipeline.Config(
+        ignorePatterns = Seq("Discovery:S3/.*"),
+        escalatePatterns = Seq("CryptoCurrency:.*"))).collect()
+    val sev = alerts.map(r =>
+      r.getAs[String]("subcategory") -> r.getAs[String]("severity")).toMap
+    assert(!sev.contains("Discovery:S3/AnomalousBehavior")) // ignored
+    assert(sev("Recon:EC2/Portscan") == "info")
+    assert(sev("CryptoCurrency:EC2/Mining") == "critical") // escalated
+  }
+
   test("source correlation: mostly-alerting networks flagged") {
     import spark.implicits._
     // network 10.0.0.x: 4 addrs, 3 alerted; network 10.0.1.x: 3 addrs, 0 alerted
