@@ -35,10 +35,15 @@ object Bench {
       spark.catalog.clearCache() // queries that cache internally must not feed the next run
       dt
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val ts = (1 to runs).map(_ => timeOnce(fn)).sorted
-      name -> ts(ts.length / 2)
+    // median (official) AND min per query: the min approximates the
+    // uncontended engine cost, so median/min >> 1 across the board is
+    // direct evidence the host was contended during the run (a round-1
+    // n=1 bench once misreported 30s as 381s for exactly this reason)
+    val timings = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to runs).map(_ => timeOnce(fn)).sorted
     }
+    val results = timings.map { case (n, ts) => n -> ts(ts.length / 2) }
+    val mins = timings.map { case (n, ts) => n -> ts.head }
 
     // parse throughput: events rendered as GLB lines through the full
     // parser (envelope strip + matcher probe), events/sec
@@ -56,7 +61,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"parse_events_per_sec":$parseEps,"sf":"$sfDir"}""")
+    val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
+    val noise = if (totalMin > 0) total / totalMin else 1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"total_min":$totalMin,"contention_ratio":$noise,"parse_events_per_sec":$parseEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
