@@ -190,6 +190,78 @@ object CustomsDetectors {
       .filter(col("n_failures") >= threshold && col("n_src") >= threshold)
       .drop("n_failures")
 
+  /** Heuristic one-liners attached to fanned-out customs alerts
+    * (ref s/customs/CustomsAlert.java:66-93 description table). */
+  val HeuristicDescriptions: Map[String, String] = Map(
+    "account_creation_abuse" ->
+      "many accounts created from one address in a session",
+    "account_creation_abuse_dist" ->
+      "many near-identical accounts created across addresses",
+    "source_login_failure" ->
+      "many login failures from one source in the window",
+    "source_login_failure_dist" ->
+      "one account failing login from many sources in the window",
+    "password_reset_abuse" ->
+      "many password resets from one source across accounts",
+    "velocity" -> "login velocity exceeded for the account",
+    "status_comparator" -> "status check matched the comparator list",
+    "login_failure_at_risk_account" -> "login failure on an at-risk account")
+
+  /** CustomsAlert fan-out (ref s/customs/CustomsAlert.java:117-434):
+    * each customs alert converts into one row per impacted indicator
+    * — the source address, the account, every address of a
+    * distributed alert, every created account of a creation-abuse
+    * alert — shaped for direct consumption by the account platform
+    * (indicator type/value, severity, confidence, suggested action,
+    * reason). The per-subcategory conversion table compiles into one
+    * `explode(CASE ...)` projection; the array HOFs here run over the
+    * already-aggregated alert frame (tiny), not the event stream.
+    *
+    * Input columns are nullable: `emails`/`addrs` are the list
+    * metadata of distributed alerts. */
+  def alertFanout(alerts: DataFrame, subcategory: Column, tsMs: Column,
+      src: Column, email: Column, emails: Column,
+      addrs: Column): DataFrame = {
+    def ind(t: String, v: Column) =
+      struct(lit(t).as("indicator_type"), v.cast("string").as("indicator"))
+    val ipInd = ind("sourceaddress", src)
+    val emailInd = ind("email", email)
+    def emailList = transform(emails, e => ind("email", e))
+    def addrList = transform(addrs, a => ind("sourceaddress", a))
+    val fan = when(subcategory === "source_login_failure", array(ipInd))
+      .when(subcategory === "source_login_failure_dist", addrList)
+      .when(subcategory === "account_creation_abuse",
+        concat(array(ipInd), emailList))
+      .when(subcategory === "account_creation_abuse_dist",
+        array(ipInd, emailInd))
+      .when(subcategory === "password_reset_abuse", array(ipInd))
+      .when(subcategory === "velocity", array(ipInd, emailInd))
+      .when(subcategory === "status_comparator", array(emailInd))
+      .when(subcategory === "login_failure_at_risk_account", array(ipInd))
+    val desc = HeuristicDescriptions.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(subcategory === k, v).otherwise(acc)
+    }
+    alerts
+      .withColumn("__fan", explode(fan))
+      .filter(col("__fan.indicator").isNotNull)
+      .select(tsMs.cast("long").as("ts_ms"),
+        col("__fan.indicator_type").as("indicator_type"),
+        col("__fan.indicator").as("indicator"),
+        lit("warn").as("severity"),
+        lit(100).as("confidence"),
+        lit("suspect").as("suggested_action"),
+        subcategory.as("heuristic"),
+        desc.as("heuristic_description"))
+  }
+
+  /** JSON rendering of fanned-out customs alerts with a fixed field
+    * order (stable bytes, like Sinks.alertJson). */
+  def fanoutJson(fanned: DataFrame): DataFrame =
+    fanned.select(to_json(struct(col("ts_ms"), col("indicator_type"),
+      col("indicator"), col("severity"), col("confidence"),
+      col("suggested_action"), col("heuristic"),
+      col("heuristic_description"))).as("value"))
+
   /** PrivateRelayForward event types (ref s/parser/PrivateRelay.java). */
   val EmailRelay = "email_relay"
   val FxaRpEvent = "fxa_rp_event"

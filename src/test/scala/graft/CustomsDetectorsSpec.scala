@@ -287,6 +287,45 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("expected") == "h1")
   }
 
+  test("customs alert fan-out: per-indicator rows by subcategory") {
+    import spark.implicits._
+    val alerts = Seq(
+      // dist failure: one row per listed address
+      ("source_login_failure_dist", 1000L, null, "v@x.com",
+        Seq.empty[String], Seq("1.1.1.1", "1.1.1.2")),
+      // creation abuse: the ip plus each created account
+      ("account_creation_abuse", 2000L, "9.9.9.9", null,
+        Seq("a@x.com", "b@x.com"), Seq.empty[String]),
+      // velocity: ip + account
+      ("velocity", 3000L, "8.8.8.8", "c@x.com",
+        Seq.empty[String], Seq.empty[String]),
+      // comparator: account only
+      ("status_comparator", 4000L, "7.7.7.7", "d@x.com",
+        Seq.empty[String], Seq.empty[String]))
+      .toDF("sub", "ts_ms", "src", "email", "emails", "addrs")
+    val out = graft.operators.CustomsDetectors.alertFanout(alerts,
+      col("sub"), col("ts_ms"), col("src"), col("email"),
+      col("emails"), col("addrs")).collect()
+      .map(r => (r.getAs[String]("heuristic"),
+        r.getAs[String]("indicator_type"), r.getAs[String]("indicator")))
+      .toSet
+    assert(out == Set(
+      ("source_login_failure_dist", "sourceaddress", "1.1.1.1"),
+      ("source_login_failure_dist", "sourceaddress", "1.1.1.2"),
+      ("account_creation_abuse", "sourceaddress", "9.9.9.9"),
+      ("account_creation_abuse", "email", "a@x.com"),
+      ("account_creation_abuse", "email", "b@x.com"),
+      ("velocity", "sourceaddress", "8.8.8.8"),
+      ("velocity", "email", "c@x.com"),
+      ("status_comparator", "email", "d@x.com")))
+    // stable JSON rendering
+    val js = graft.operators.CustomsDetectors.fanoutJson(
+      graft.operators.CustomsDetectors.alertFanout(alerts, col("sub"),
+        col("ts_ms"), col("src"), col("email"), col("emails"),
+        col("addrs"))).as[String].collect()
+    assert(js.forall(_.contains("\"suggested_action\":\"suspect\"")))
+  }
+
   test("customs summary: per-class windowed counts") {
     import spark.implicits._
     val t = 1700000000L
