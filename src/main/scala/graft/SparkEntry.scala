@@ -753,6 +753,25 @@ object SparkEntry {
         .orderBy(col("classifier"), col("window_start_ms"))
     }),
 
+    // training-data ops: URL-level dedup — canonicalize (fragment,
+    // case, trailing slash, utm params, param order) then group
+    "q60_url_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, "http://Example.COM")
+            .otherwise("http://example.com"),
+          lit("/p/"), col("source"), lit("/"), col("doc_id") % 40,
+          when(col("doc_id") % 3 === 0, "/").otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=feed&ref="), col("doc_id") % 4))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("?ref="), col("doc_id") % 4))
+            .otherwise(""),
+          when(col("doc_id") % 7 === 0, "#sec").otherwise("")))
+      Dedup.urlDedup(d, col("doc_id"), col("url"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1621,6 +1640,53 @@ object SparkEntry {
         |WHERE n >= mn AND ((up > 0 AND pc >= up)
         |  OR (down > 0 AND pc <= -down))
         |ORDER BY classifier, window_start_ms""".stripMargin,
+
+    "q60_url_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://Example.COM'
+        |      ELSE 'http://example.com' END)
+        |    || '/p/' || source || '/' || (doc_id % 40)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |          THEN '?utm_source=feed&ref=' || (doc_id % 4)
+        |        WHEN doc_id % 5 = 1 THEN '?ref=' || (doc_id % 4)
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    split_part(url, '#', 1) AS nofrag,
+        |    split_part(split_part(url, '#', 1), '?', 1) AS base
+        |  FROM d),
+        |c2 AS (
+        |  SELECT doc_id, base,
+        |    CASE WHEN contains(nofrag, '?')
+        |      THEN substr(nofrag, length(base) + 2) ELSE '' END AS query,
+        |    split_part(base, '://', 1) AS pre,
+        |    CASE WHEN contains(base, '://')
+        |      THEN substr(base, position('://' IN base) + 3)
+        |      ELSE base END AS rest
+        |  FROM c),
+        |c3 AS (
+        |  SELECT doc_id, pre, query,
+        |    split_part(rest, '/', 1) AS host,
+        |    regexp_replace(substr(rest, length(split_part(rest, '/', 1)) + 1),
+        |      '/+$', '') AS path
+        |  FROM c2),
+        |c4 AS (
+        |  SELECT doc_id,
+        |    lower(pre) || '://' || lower(host) || path ||
+        |    CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+        |        p -> p <> '' AND NOT starts_with(p, 'utm_')))) > 0
+        |      THEN '?' || array_to_string(list_sort(list_filter(
+        |        string_split(query, '&'),
+        |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+        |      ELSE '' END AS canonical_url
+        |  FROM c3)
+        |SELECT canonical_url, MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS n_copies
+        |FROM c4 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

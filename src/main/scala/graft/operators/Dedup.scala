@@ -232,6 +232,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** URL canonicalization for URL-level dedup: drop the fragment,
+    * lowercase scheme and host (path case preserved), strip trailing
+    * slashes, drop `utm_*` tracking parameters and sort the remaining
+    * query parameters. Pure string built-ins, engine-portable (the
+    * oracle spells the identical steps). The small array HOFs here
+    * run once per document over short query strings — not a per-pair
+    * hot path. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(noFrag.contains("?"),
+      substring(noFrag, length(base) + 2, lit(1000000))).otherwise("")
+    val pre = substring_index(base, "://", 1)
+    val rest = substring_index(base, "://", -1)
+    val host = substring_index(rest, "/", 1)
+    val path = regexp_replace(
+      substring(rest, length(host) + 1, lit(1000000)), "/+$", "")
+    val params = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.startsWith("utm_")))
+    concat(lower(pre), lit("://"), lower(host), path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(""))
+  }
+
+  /** URL-level dedup: group documents by canonical URL, keep the
+    * smallest id as survivor. Same shuffle shape as exactDedup — the
+    * canonical string (typically < 100 bytes) is the only thing that
+    * moves. */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame =
+    df.groupBy(canonicalizeUrl(url).as("canonical_url"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
+
   /** Connected components over near-dup pairs — the cluster-formation
     * step that turns pair output (ngramJaccardPairs / minhashLshPairs
     * / simhashPairs) into dedup groups. Iterative min-label

@@ -90,6 +90,28 @@ class DedupSpec extends AnyFunSuite {
     assert(r.count() == 0)
   }
 
+  test("url canonicalization: case, fragment, trailing slash, utm, param order") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://Example.COM/A/b/",
+      "http://example.com/A/b#frag",
+      "https://site.org/x?utm_source=a&ref=1&b=2",
+      "https://site.org/x?b=2&ref=1",
+      "https://site.org/x",
+      "http://host.net/p?utm_campaign=z")
+    val got = urls.toDF("u")
+      .select(Dedup.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    assert(got(0) == "http://example.com/A/b")
+    assert(got(1) == "http://example.com/A/b") // same canonical
+    assert(got(2) == "https://site.org/x?b=2&ref=1")
+    assert(got(3) == "https://site.org/x?b=2&ref=1")
+    assert(got(4) == "https://site.org/x")
+    assert(got(5) == "http://host.net/p") // utm-only query drops
+    // 6 urls collapse to 4 canonical groups
+    assert(Dedup.urlDedup(urls.zipWithIndex.toDF("u", "i"),
+      col("i"), col("u")).count() == 4)
+  }
+
   test("connected components: chains merge, components stay separate") {
     import spark.implicits._
     // component {1,2,3,4} as a chain (diameter 3 — needs propagation
