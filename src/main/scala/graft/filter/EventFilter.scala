@@ -40,6 +40,13 @@ object EventFilter {
   final case class IntRange(path: String, lo: Int, hi: Int) extends PayloadMatch {
     def toColumn: Column = fieldCol(path).cast("int").between(lo, hi)
   }
+  /** Disjunction of payload matchers inside one rule (ref
+    * s/parser/EventFilterPayloadOr.java — a rule's matchers AND
+    * together, this node ORs its children). */
+  final case class OrMatch(matchers: Seq[PayloadMatch]) extends PayloadMatch {
+    def toColumn: Column = matchers.map(m => coalesce(m.toColumn, lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
 
   /** `fields.x` addresses the string map; anything else is a column
     * path (e.g. `normalized.requestStatus`). */

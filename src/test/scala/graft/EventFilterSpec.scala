@@ -56,6 +56,19 @@ class EventFilterSpec extends AnyFunSuite {
     assert(got == 2) // the ssh event + the 404 event
   }
 
+  test("OrMatch: payload matchers OR inside one AND rule") {
+    // glb AND (status 503 OR status 404): excludes the 200
+    val pred = compile(Seq(Rule(
+      wantSubtype = Some("glb"),
+      payload = Seq(OrMatch(Seq(
+        IntMatch("normalized.requestStatus", 503),
+        IntMatch("normalized.requestStatus", 404)))))))
+    assert(paths(pred) == Set("/b", "/c"))
+    // empty OR matches nothing, so the whole rule matches nothing
+    val none = compile(Seq(Rule(payload = Seq(OrMatch(Nil)))))
+    assert(events.filter(none).count() == 0)
+  }
+
   test("filter compiles to a plain Catalyst predicate (no UDF in plan)") {
     val pred = compile(Seq(Rule(wantSubtype = Some("glb"))))
     val plan = events.filter(pred).queryExecution.optimizedPlan.toString
