@@ -772,6 +772,18 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    // §2.3 AddonMultiSubmit: distinct submitters per rounded-size
+    // bucket with the 3000-byte floor (ref s/amo/AddonMultiSubmit
+    // .java:66-156)
+    "q61_addon_multi_submit" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("bytes", col("event_id") * 97 % 50000 + 1)
+        .withColumn("email", concat(lit("user"), col("user_id")))
+      operators.AmoDetectors.addonMultiSubmit(e, col("ts"),
+          col("bytes"), col("email"), "1 day", alertOn = 3)
+        .orderBy(col("window_start_ms"), col("size_bucket"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1687,6 +1699,20 @@ object SparkEntry {
         |SELECT canonical_url, MIN(doc_id) AS canonical_id,
         |  COUNT(*) AS n_copies
         |FROM c4 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_addon_multi_submit" ->
+      """WITH f AS (SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS w,
+        |  CASE WHEN (event_id * 97 % 50000) + 1 <= 3000 THEN NULL ELSE
+        |    CASE WHEN ((event_id * 97 % 50000) + 1) % 10000 = 0
+        |      THEN (event_id * 97 % 50000) + 1
+        |      ELSE ((event_id * 97 % 50000) + 1) + 10000
+        |        - ((event_id * 97 % 50000) + 1) % 10000 END
+        |    END AS bucket,
+        |  'user' || user_id AS e FROM events)
+        |SELECT w AS window_start_ms, bucket AS size_bucket,
+        |  COUNT(*) AS n_emails
+        |FROM f WHERE bucket IS NOT NULL GROUP BY 1, 2
+        |HAVING COUNT(*) >= 3 ORDER BY 1, 2""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
