@@ -281,9 +281,13 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id) for every vertex that appears in at
     * least one pair; singletons are their own implicit cluster.
+    * Vertex ids are BIGINT (the change-detection pass rides the typed
+    * row path).
     */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val fwd = pairs.select(a.as("src"), b.as("dst"))
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -297,13 +301,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
         .groupBy(col("src").as("v")).agg(min(col("label")).as("nmin"))
+      // change detection rides the materialization job via an
+      // accumulator — one Spark job per round, not two
+      val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
       val next = labels.withColumnRenamed("label", "old")
         .join(neighborMin, Seq("v"), "left")
         .select(col("v"), col("old"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+        .as[(Long, Long, Long)]
+        .map { r => if (r._2 != r._3) changedAcc.add(1L); (r._1, r._3) }
+        .toDF("v", "label")
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("v"), col("label"))
+      changed = changedAcc.value
+      labels = next
       iter += 1
     }
     edges.unpersist()
