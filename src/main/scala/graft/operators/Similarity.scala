@@ -32,8 +32,18 @@ object Similarity {
     * norms ~10^8, norm products ~10^16 — inside BIGINT. */
   val Scale = 10000
 
-  /** float array → exact integer array: floor(x*Scale + 0.5). */
-  def quantize(v: Column): Column =
+  /** float array → exact integer array: floor(x*Scale + 0.5) — the
+    * native codegen expression (graft.functions.QuantizeExpr); runs
+    * once over every corpus vector, so the interpreted `transform`
+    * lambda would be a full-scan cost at real corpus size. */
+  def quantize(v: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.QuantizeExpr(
+      ColumnBridge.expression(v), Scale))
+  }
+
+  /** The HOF form of quantize, kept for the equivalence spec. */
+  private[graft] def quantizeHof(v: Column): Column =
     transform(v, e => floor(e * Scale + lit(0.5)).cast("long"))
 
   /** Exact integer dot product of two BIGINT arrays — the native

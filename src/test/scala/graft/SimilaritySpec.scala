@@ -6,6 +6,19 @@ import graft.operators.Similarity
 import graft.sources.Tables
 
 class SimilaritySpec extends AnyFunSuite {
+
+  test("native quantize is bit-identical to the HOF form on real vectors") {
+    val spark = SparkTestSession.spark
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = emb.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      Similarity.quantize(org.apache.spark.sql.functions.col("embedding"))
+        .as("native"),
+      Similarity.quantizeHof(org.apache.spark.sql.functions.col("embedding"))
+        .as("hof"))
+    assert(both.filter(org.apache.spark.sql.functions
+      .expr("native <> hof")).count() == 0)
+  }
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
   private val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
