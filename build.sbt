@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver keeps only the tail of sbt's output and parses a
+// JSON contract line from it: pass the forked app's stdout through raw (no
+// [info] prefix) and drop the "[success] Total time" trailer so the JSON
+// line stays last and unprefixed.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

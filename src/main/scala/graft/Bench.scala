@@ -58,12 +58,29 @@ object Bench {
       eps
     } catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
     val noise = if (totalMin > 0) total / totalMin else 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"total_min":$totalMin,"contention_ratio":$noise,"parse_events_per_sec":$parseEps,"sf":"$sfDir"}""")
+
+    // Full-precision record for humans/judge — NOT the contract line.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"queries":$qsFull}""")
+
+    // The driver keeps only the LAST 2000 chars of output and parses the
+    // contract JSON out of that window, so the final line must (a) be the
+    // very last thing on stdout — hence spark.stop() first, no sbt
+    // [success] trailer (showSuccess := false) — and (b) fit the window
+    // whole. Rounded seconds; drop precision if the query map outgrows it.
     spark.stop()
+    def line(dp: Int): String = {
+      val fmt = "%." + dp + "f"
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"sf":"$sfDir"}"""
+    }
+    val compact = Seq(3, 2).map(line).find(_.length <= 1900).getOrElse(line(1))
+    println(compact)
+    System.out.flush()
   }
 }
