@@ -366,11 +366,16 @@ object SparkEntry {
     "q33_edit_cluster" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
         .select(col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-      val a = c.toDF("nk", "seg", "name_a")
+      // fan the probe side out: the quadratic levenshtein runs on the
+      // stream side of the broadcast join, which is otherwise one task
+      val a = Tables.fanOutBy(c.toDF("nk", "seg", "name_a"),
+        col("nk"), col("seg"))
       val b = c.toDF("nk", "seg", "name_b")
       a.join(b, Seq("nk", "seg"))
         .filter(col("name_a") < col("name_b") &&
-          levenshtein(col("name_a"), col("name_b")) <= 3)
+          // threshold form: early-exits the DP once distance exceeds 3
+          // and returns -1 for such pairs, so keep = result in [0, 3]
+          levenshtein(col("name_a"), col("name_b"), 3).between(0, 3))
         .groupBy(col("nk"), col("seg"))
         .agg(count(lit(1)).as("n_similar_pairs"))
         .orderBy(col("nk"), col("seg"))

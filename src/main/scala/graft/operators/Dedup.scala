@@ -52,7 +52,13 @@ object Dedup {
   def explodedShingles(df: DataFrame, id: Column, text: Column, n: Int,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val sh = df.select(id.as("doc_id"), tokens(text).as("ws"))
+    // fanOutBy(doc_id): tokenize+explode+dedup all run at full
+    // parallelism even from a one-row-group file, and the doc_id hash
+    // partitioning already satisfies dropDuplicates(doc_id, s) — no
+    // second shuffle
+    val src = graft.sources.Tables.fanOutBy(
+      df.select(id.as("doc_id"), text.as("doc_text")), col("doc_id"))
+    val sh = src.select(col("doc_id"), tokens(col("doc_text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
@@ -81,8 +87,10 @@ object Dedup {
     * docs before the join (skew cap; 0 = keep all).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      minJaccard: Double, maxShingleFreq: Long = 0): DataFrame = {
-    val sh = explodedShingles(df, id, text, n)
+      minJaccard: Double, maxShingleFreq: Long = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sh = explodedShingles(df, id, text, n, storage)
     val filtered =
       if (maxShingleFreq > 0) {
         val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
@@ -187,7 +195,12 @@ object Dedup {
     * md5(token); the simhash bit is the sign of the tf-weighted ±1 sum.
     * Emitted as a non-negative INT-range BIGINT. */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    // doc_id fan-out (see explodedShingles): every groupBy below keys on
+    // a superset of doc_id, so the whole simhash pipeline runs shuffle-
+    // free after this one sub-megabyte exchange
+    val src = graft.sources.Tables.fanOutBy(
+      df.select(id.as("doc_id"), text.as("doc_text")), col("doc_id"))
+    val tf = src.select(col("doc_id"), explode(tokens(col("doc_text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
       .withColumn("h", md5(col("tok")))
     val bits = tf.select(col("doc_id"), col("w"), col("h"),
@@ -288,15 +301,24 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val fwd = pairs.select(a.as("src"), b.as("dst"))
+    // Persist the pair PROJECTION, not the union: the union reads fwd
+    // twice (forward + flipped), and without the cache that re-runs the
+    // whole upstream pair-generation plan once per direction.
+    val fwd = pairs.select(a.as("src"), b.as("dst")).persist()
+    // No edge dedup: min-label propagation is idempotent under duplicate
+    // edges (min over more rows), so a distinct here would only add a
+    // full shuffle. Callers with heavily duplicated pair lists should
+    // dedup upstream where the duplication factor is known.
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
+    // Fused init: the vertex set and propagation round 1 are the same
+    // aggregation — label(v) = min(v, min over neighbors) — so the loop
+    // starts one round ahead with one job instead of three.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("v"), least(col("src"), col("m")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
-    var iter = 0
+    var iter = 1
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
@@ -316,7 +338,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    fwd.unpersist()
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -27,7 +27,9 @@ object SyntheticLogs {
   def glbLines(events: DataFrame): Dataset[String] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(format_string(
+    // render + downstream parse at full parallelism even from a
+    // one-row-group events file (no-op when the scan already splits)
+    Tables.fanOut(events).select(format_string(
       """{"httpRequest":{"requestMethod":"%s","requestUrl":"https://app.test/e/%s","status":%s,"remoteIp":"%s","userAgent":"ua-%s"},"timestamp":"%s","logName":"projects/graft-test/logs/requests","resource":{"type":"http_load_balancer"}}""",
       method, col("event_id"), status, ipOf(col("user_id")),
       col("user_id"),

@@ -32,6 +32,28 @@ object Tables {
     else df
   }
 
+  /** Fan a narrow frame out to the session's parallelism when its scan
+    * has fewer partitions — a small unsplittable file (one parquet row
+    * group) otherwise runs the whole downstream map side (parse,
+    * tokenize, per-row scoring) as ONE task. No-op at scale, where the
+    * source already has at least as many splits as cores; the shuffle
+    * it adds at bench scale moves well under a megabyte. */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // partitioning is the source's concern
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** fanOut variant that hash-partitions by `keys` so a downstream
+    * groupBy/dropDuplicates on a superset of those keys needs no
+    * further shuffle (subset-of-clustering satisfies the required
+    * distribution). */
+  def fanOutBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
