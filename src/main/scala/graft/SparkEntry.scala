@@ -789,6 +789,25 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("size_bucket"))
     }),
 
+    // training-data ops: embedding-cosine near-dup pairs — the
+    // similarity-space dedup operator (LSH bucket join + exact integer
+    // cosine verify). Near-duplicate rows are derived in-query: every
+    // 4th vector gets a clone with dim 1 sign-flipped (float negation
+    // is exact in any IEEE engine, so the oracle derives bit-identical
+    // input), giving clone-original cosine = 1 - 2*v1^2/nrm — above
+    // 0.875 whenever |v1| is small, as it is for most unit vectors.
+    "q62_embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clones = emb.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).union(clones)
+      Similarity.cosineNearDupPairs(corpus, col("vec_id"), col("embedding"),
+          minCosine = 0.875)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1718,6 +1737,40 @@ object SparkEntry {
         |  COUNT(*) AS n_emails
         |FROM f WHERE bucket IS NOT NULL GROUP BY 1, 2
         |HAVING COUNT(*) >= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q62_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_prepend(-embedding[1], embedding[2:]) AS embedding
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |  FROM corpus),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |wts AS (SELECT p, d,
+        |    (strpos('0123456789abcdef', md5(p || ':' || d)[1]) - 1)*2 - 15 AS w
+        |  FROM (SELECT unnest(generate_series(0,3)) p)
+        |  CROSS JOIN (SELECT unnest(generate_series(0,63)) d)),
+        |pb AS (SELECT ed.vec_id, wts.p,
+        |    CASE WHEN SUM(wts.w * ed.v) > 0
+        |      THEN CAST(power(2, wts.p) AS BIGINT) ELSE 0 END bb
+        |  FROM ed JOIN wts ON wts.d = ed.d - 1 GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, CAST(SUM(bb) AS BIGINT) bucket FROM pb GROUP BY 1),
+        |cand AS (SELECT a.vec_id vec_a, b.vec_id vec_b FROM bk a
+        |  JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (SELECT c.vec_a, c.vec_b, CAST(SUM(ae.v * be.v) AS BIGINT) dot
+        |  FROM cand c JOIN ed ae ON ae.vec_id = c.vec_a
+        |    JOIN ed be ON be.vec_id = c.vec_b AND be.d = ae.d
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT vec_a, vec_b,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = vec_a
+        |    JOIN nrm nb ON nb.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cosine FROM scored
+        |WHERE cosine >= 0.875 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q48_customs_summary" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,

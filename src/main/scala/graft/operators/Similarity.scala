@@ -61,7 +61,10 @@ object Similarity {
     dot / sqrt((na * nb).cast("double"))
 
   private def quantized(emb: DataFrame, id: Column, vec: Column): DataFrame =
-    emb.select(id.as("vec_id"), quantize(vec).as("qv"))
+    // fanOut: quantize + norm run at full parallelism even when the
+    // embedding source is one unsplittable file (no-op at scale)
+    graft.sources.Tables.fanOut(emb.select(id.as("vec_id"), vec.as("v0")))
+      .select(col("vec_id"), quantize(col("v0")).as("qv"))
       .withColumn("nrm", dotQ(col("qv"), col("qv")))
 
   /** Brute-force exact cosine top-k: for each query vector (selected by
@@ -150,6 +153,37 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cell"))
     scoreAndRank(assigned.join(broadcast(queries), Seq("cell")), k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the similarity-space
+    * member of the dedup family (exact / MinHash / SimHash / Jaccard /
+    * cosine): all pairs within the same hyperplane-sign bucket whose
+    * exact integer cosine clears `minCosine`.
+    *
+    * Scale shape: identical to the other near-dup operators — an
+    * equi-join on the LSH bucket key (never all-pairs; expected
+    * candidates = corpus²/2^planes per bucket), exact verification via
+    * the codegen'd integer dot product. Recall at a given threshold is
+    * tuned by `planes` (more planes = narrower buckets = fewer
+    * candidates but lower recall); production corpora would OR several
+    * independent plane sets exactly like MinHash bands. The quantized
+    * frame is persisted because the self-join reads it from both
+    * sides. */
+  def cosineNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+      minCosine: Double, planes: Int = DefaultPlanes,
+      dims: Int = 64): DataFrame = {
+    val base = quantized(emb, id, vec)
+      .withColumn("bucket", bucketCol(col("qv"), planes, dims))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = base.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val y = base.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        cosine(dotQ(col("qv_a"), col("qv_b")), col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
   private def scoreAndRank(joined: DataFrame, k: Int): DataFrame =

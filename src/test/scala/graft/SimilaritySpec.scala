@@ -80,6 +80,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits > 0)
   }
 
+  test("cosine near-dup: exact clones found at cosine 1.0, strangers excluded") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // clone vectors 0..9 under shifted ids: every clone pair must be
+    // found (same bucket by construction, cosine exactly 1.0)
+    val clones = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(
+      emb.select(col("vec_id"), col("embedding")).union(clones),
+      col("vec_id"), col("embedding"), minCosine = 0.999).collect()
+    val found = pairs.map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert((0L until 10L).forall(i => found.contains((i, i + 5000L))))
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.999))
+    // no natural pair in this corpus clears 0.999 (max cosine ~0.48)
+    assert(found.size == 10)
+  }
+
+  test("cosine near-dup pairs all share a bucket and clear the threshold") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"),
+      Similarity.bucketCol(Similarity.quantize(col("embedding")), 4, 64).as("b"))
+    val buckets = base.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("b")).toMap
+    val pairs = Similarity.cosineNearDupPairs(emb, col("vec_id"),
+      col("embedding"), minCosine = 0.3).collect()
+    assert(pairs.nonEmpty) // low threshold: same-bucket moderate pairs exist
+    assert(pairs.forall(r =>
+      buckets(r.getAs[Long]("vec_a")) == buckets(r.getAs[Long]("vec_b"))))
+    assert(pairs.forall(r => r.getAs[Double]("cosine") >= 0.3))
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+
   test("bucketCol assigns every vector to a bucket in range") {
     val emb = Tables.embeddings(spark, sf)
     val buckets = emb.select(
