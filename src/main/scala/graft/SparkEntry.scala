@@ -789,6 +789,39 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("size_bucket"))
     }),
 
+    // §2.1 alert notification rendering: hard-limit alerts -> Slack
+    // text + email document (subject / assembled text body / rendered
+    // html body), all deterministic Column rendering inside codegen
+    // (ref alert/Alert.java:86-98, AlertSlack.java:93,
+    // AlertMailer.java:114-123, TemplateManager.java:32-44)
+    "q63_notify_render" -> ((s, dir) => {
+      import graft.sinks.Notify
+      val alerts = Heuristics.hardLimit(Tables.events(s, dir),
+          col("ts"), col("user_id"), "1 day", limit = 5)
+      val alertId = concat(lit("hard_limit-"), col("window_start_ms"),
+        lit("-"), col("key"))
+      val summary = format_string(
+        "hard limit exceeded for user%s: %s requests", col("key"), col("n"))
+      val username = concat(lit("user"), col("key"))
+      val meta = array(
+        Notify.metaEntry(lit("category"), lit("hard_limit")),
+        Notify.metaEntry(lit("username"), username),
+        Notify.metaEntry(lit("count"), col("n").cast("string")))
+      val email = Notify.emailDoc(summary, summary, meta,
+        "<html><body><p>${summary_text}</p><p>user=${username} count=${count}</p></body></html>",
+        Map("summary_text" -> summary, "username" -> username,
+          "count" -> col("n")))
+      alerts
+        .withColumn("slack_text", Notify.slackText(summary, alertId))
+        .withColumn("subject", email("subject"))
+        .withColumn("text_body", email("text_body"))
+        .withColumn("html_body", email("html_body"))
+        .withColumnRenamed("key", "user_id")
+        .select(col("window_start_ms"), col("user_id"), col("slack_text"),
+          col("subject"), col("text_body"), col("html_body"))
+        .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
     // training-data ops: embedding-cosine near-dup pairs — the
     // similarity-space dedup operator (LSH bucket join + exact integer
     // cosine verify). Near-duplicate rows are derived in-query: every
@@ -1737,6 +1770,24 @@ object SparkEntry {
         |  COUNT(*) AS n_emails
         |FROM f WHERE bucket IS NOT NULL GROUP BY 1, 2
         |HAVING COUNT(*) >= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q63_notify_render" ->
+      """WITH a AS (SELECT epoch_ms(date_trunc('day', ts)) w, user_id u,
+        |    COUNT(*) n
+        |  FROM events GROUP BY 1, 2 HAVING COUNT(*) > 5),
+        |r AS (SELECT w, u, n,
+        |  'hard limit exceeded for user' || u || ': ' || n || ' requests' s
+        |  FROM a)
+        |SELECT w AS window_start_ms, u AS user_id,
+        |  s || ' (hard_limit-' || w || '-' || u || ')' AS slack_text,
+        |  s AS subject,
+        |  s || chr(10) || chr(10) || 'Alert metadata:' || chr(10)
+        |    || 'category = hard_limit' || chr(10)
+        |    || 'username = user' || u || chr(10)
+        |    || 'count = ' || n || chr(10) AS text_body,
+        |  '<html><body><p>' || s || '</p><p>user=user' || u
+        |    || ' count=' || n || '</p></body></html>' AS html_body
+        |FROM r ORDER BY 1, 2""".stripMargin,
 
     "q62_embedding_neardup" ->
       """WITH corpus AS (

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.Notify
+
+/** Golden-string tests for notification rendering — mirrors the
+  * reference's payload assembly, Slack text and template substitution
+  * formats (alert/Alert.java:86-98, AlertSlack.java:93,
+  * TemplateManager.java). */
+class NotifySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.as("r")).head().getString(0)
+
+  test("assembled payload: metadata block in entry order") {
+    val meta = array(
+      Notify.metaEntry(lit("sourceaddress"), lit("10.0.0.1")),
+      Notify.metaEntry(lit("count"), lit("9")))
+    assert(one(Notify.assembledPayload(lit("limit exceeded"), meta)) ==
+      "limit exceeded\n\nAlert metadata:\nsourceaddress = 10.0.0.1\ncount = 9\n")
+  }
+
+  test("assembled payload: null or empty metadata renders the bare payload") {
+    assert(one(Notify.assembledPayload(lit("p"),
+      lit(null).cast("array<struct<k:string,v:string>>"))) == "p")
+    assert(one(Notify.assembledPayload(lit("p"),
+      array().cast("array<struct<k:string,v:string>>"))) == "p")
+  }
+
+  test("slack text is 'summary (alertId)'") {
+    assert(one(Notify.slackText(lit("bad login burst"), lit("a-1"))) ==
+      "bad login burst (a-1)")
+  }
+
+  test("template rendering substitutes ${key} markers; null renders empty; unbound markers survive") {
+    val r = Notify.renderTemplate(
+      "hello ${who}, n=${n}, missing=${nope}, nullv=[${nv}]",
+      Map("who" -> lit("world"), "n" -> lit(7L),
+        "nv" -> lit(null).cast("string")))
+    assert(one(r) == "hello world, n=7, missing=${nope}, nullv=[]")
+  }
+
+  test("email doc carries subject/text/html") {
+    val meta = array(Notify.metaEntry(lit("k"), lit("v")))
+    val doc = Notify.emailDoc(lit("s"), lit("p"), meta,
+      "<b>${k}</b>", Map("k" -> lit("v")))
+    val row = Seq(1).toDF("x").select(doc.as("d")).select(
+      col("d.subject"), col("d.text_body"), col("d.html_body")).head()
+    assert(row.getString(0) == "s")
+    assert(row.getString(1) == "p\n\nAlert metadata:\nk = v\n")
+    assert(row.getString(2) == "<b>v</b>")
+  }
+}

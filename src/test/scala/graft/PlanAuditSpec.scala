@@ -62,6 +62,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("exploded shingles: doc_id fan-out satisfies the per-doc dedup — one shuffle") {
+    import org.apache.spark.sql.functions.col
+    // an earlier suite may have cached a matching shingle frame; a
+    // substituted InMemoryRelation would distort the exchange count
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sh = graft.operators.Dedup.explodedShingles(docs, col("doc_id"),
+      col("text"), 3, org.apache.spark.storage.StorageLevel.NONE)
+    val p = plan(sh)
+    // the fanOutBy repartition is the ONLY exchange: hash partitioning by
+    // doc_id is a subset of the dropDuplicates(doc_id, s) clustering, so
+    // the dedup aggregate must not re-shuffle
+    val ex = p.linesIterator.count(_.contains("Exchange"))
+    assert(ex == 1, s"expected exactly the fan-out exchange, got $ex:\n$p")
+  }
+
+  test("simhash: whole pipeline runs on the doc_id fan-out — one shuffle") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Dedup.simhash(docs, col("doc_id"), col("text")))
+    // tf groupBy(doc_id, tok), bit groupBy(doc_id, j) and the final
+    // groupBy(doc_id) all key on supersets of doc_id
+    val ex = p.linesIterator.count(_.contains("Exchange"))
+    assert(ex == 1, s"expected exactly the fan-out exchange, got $ex:\n$p")
+  }
+
+  test("cosine near-dup: bucket equi-join, no cartesian product") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val df = graft.operators.Similarity.cosineNearDupPairs(emb,
+      col("vec_id"), col("embedding"), minCosine = 0.5)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup self-join must stay keyed on the bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup self-join must stay keyed on the bucket:\n$p")
+  }
+
   test("aws behavior matcher: one scan regardless of matcher count") {
     val df = SparkEntry.queries("q55_aws_behavior")(spark, sf)
     val p = plan(df)
