@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions registration for the engine's native codegen
+  * expressions, giving `spark.sql(...)` users the same surface as the
+  * DataFrame API (SURVEY §2.8 — the extension point the reference
+  * exposes as its SerializableFunction/CombineFn registry):
+  *
+  *   - `dot_q(a, b)` — exact BIGINT-array dot product (LongDotExpr),
+  *     the ANN/similarity inner loop
+  *   - `quantize_vec(v[, scale])` — float vector -> exact integer
+  *     vector, floor(x*scale + 0.5) (QuantizeExpr); scale defaults to
+  *     the engine-wide `Similarity.Scale`
+  *
+  * Install at session build (works with spark-submit / Connect too):
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * `CidrMatchExpr` is deliberately NOT registered: it closes over a
+  * broadcast radix trie, which has no SQL-literal form — SQL callers
+  * use the `Functions.cidrContains` Column API instead. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.{LongDotExpr, QuantizeExpr}
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[LongDotExpr].getName, "dot_q"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => LongDotExpr(a, b)
+        case _ => throw new IllegalArgumentException("dot_q(a, b)")
+      }))
+    ext.injectFunction((FunctionIdentifier("quantize_vec"),
+      new ExpressionInfo(classOf[QuantizeExpr].getName, "quantize_vec"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => QuantizeExpr(v, graft.operators.Similarity.Scale)
+        case Seq(v, Literal(s: Int, IntegerType)) => QuantizeExpr(v, s)
+        case _ => throw new IllegalArgumentException(
+          "quantize_vec(vector[, integer-literal scale])")
+      }))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions are reachable from plain SQL once the
+  * extension is installed. A dedicated session (same SparkContext) is
+  * built because extensions bind at session construction. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = SparkTestSession.spark // ensures a SparkContext exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try f(s)
+      finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+      }
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("dot_q and quantize_vec are callable from SQL") {
+    withExtSession { s =>
+      val r = s.sql(
+        "SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+      assert(r.getLong(0) == 32L)
+      val q = s.sql(
+        "SELECT quantize_vec(array(CAST(0.12345 AS FLOAT)), 10000) AS q")
+        .head().getSeq[Long](0)
+      assert(q == Seq(1235L)) // floor(0.12345*10000 + 0.5); float widening
+      val qd = s.sql(
+        "SELECT quantize_vec(array(CAST(0.5 AS FLOAT))) AS q")
+        .head().getSeq[Long](0)
+      assert(qd == Seq(5000L)) // default engine scale
+    }
+  }
+
+  test("SQL form matches the Column API bit-for-bit on real vectors") {
+    withExtSession { s =>
+      val emb = graft.sources.Tables.embeddings(s, "/root/testdata/sf0.001")
+      emb.select(org.apache.spark.sql.functions.col("embedding")).limit(50)
+        .createOrReplaceTempView("v")
+      val sqlNorms = s.sql(
+        "SELECT dot_q(quantize_vec(embedding), quantize_vec(embedding)) n FROM v")
+        .collect().map(_.getLong(0)).toSeq
+      val colNorms = emb.limit(50).select(
+        graft.operators.Similarity.dotQ(
+          graft.operators.Similarity.quantize(
+            org.apache.spark.sql.functions.col("embedding")),
+          graft.operators.Similarity.quantize(
+            org.apache.spark.sql.functions.col("embedding"))).as("n"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(sqlNorms == colNorms)
+    }
+  }
+}
