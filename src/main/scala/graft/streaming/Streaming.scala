@@ -156,6 +156,77 @@ object Streaming {
       }
   }
 
+  /** AlertSuppressor on the Spark 4 `transformWithState` API — the
+    * modern replacement for `flatMapGroupsWithState`, and the closest
+    * Spark analog of the reference's keyed ValueState + expiry Timer
+    * (ref alert/AlertSuppressor.java:53-143): state is a named,
+    * per-key `ValueState` with a NATIVE TTL (`TTLConfig`), so the
+    * manual processing-time-timeout bookkeeping in `suppress`
+    * disappears — the store evicts idle keys itself.
+    *
+    * Semantics are identical to `suppress` (emit when at least
+    * `expirySeconds` past the last emitted element per key; in-batch
+    * elements processed in event-time order) — StreamingSpec pins the
+    * two implementations equal on the same input. Requires the RocksDB
+    * state store provider (the TTL/transformWithState backend):
+    * `spark.sql.streaming.stateStore.providerClass =
+    *  ...state.RocksDBStateStoreProvider`. */
+  class SuppressProcessor(expiryUs: Long, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Keyed, Emitted] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[SuppressState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      last = getHandle.getValueState[SuppressState]("lastEmit",
+        org.apache.spark.sql.Encoders.product[SuppressState], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Emitted] = {
+      var lastUs = if (last.exists()) last.get().lastEmitUs else Long.MinValue
+      val out = Seq.newBuilder[Emitted]
+      rows.toSeq.sortBy(_.tsUs).foreach { e =>
+        if (lastUs == Long.MinValue || e.tsUs - lastUs >= expiryUs) {
+          lastUs = e.tsUs
+          out += Emitted(key, e.tsUs)
+        }
+      }
+      if (lastUs != Long.MinValue) last.update(SuppressState(lastUs))
+      out.result().iterator
+    }
+  }
+
+  /** `suppress` on transformWithState (see SuppressProcessor). TTL is
+    * opt-in for the same reason as in `suppress`: it switches the query
+    * to processing-time scheduling, which keeps scheduling micro-batches
+    * on idle input — right for production, livelocks bounded-replay
+    * tests that drain with processAllAvailable. */
+  def suppressTws(ds: Dataset[Keyed], expirySeconds: Long,
+      stateTtlSeconds: Long = 0): Dataset[Emitted] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    // state TTL is a processing-time concept: the engine requires
+    // TimeMode.ProcessingTime whenever any state has a TTL configured
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new SuppressProcessor(expirySeconds * 1000000L,
+          stateTtlSeconds * 1000L),
+        mode,
+        OutputMode.Append())
+  }
+
   case class AccountEvent(key: String, tsUs: Long, kind: String)
   case class AtRiskState(flaggedAtUs: Long)
   case class AtRiskAlert(key: String, tsUs: Long)

@@ -31,6 +31,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState suppressor matches flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState + native TTL require the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.Keyed]
+    // ttl=0 (TimeMode.None): a TTL flips the query to processing-time
+    // scheduling, which livelocks processAllAvailable in bounded tests
+    // (same pitfall as GroupStateTimeout.ProcessingTimeTimeout)
+    val q = Streaming.suppressTws(in.toDS(), expirySeconds = 600)
+      .writeStream.format("memory").queryName("supp_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streaming.Keyed("a", 0L), Streaming.Keyed("a", 10000000L),
+        Streaming.Keyed("b", 5000000L))
+      q.processAllAvailable()
+      in.addData(Streaming.Keyed("a", 599000000L), Streaming.Keyed("a", 600000000L))
+      q.processAllAvailable()
+      val got = spark.table("supp_tws").as[(String, Long)].collect().toSet
+      // identical output to the flatMapGroupsWithState form above
+      assert(got == Set(("a", 0L), ("b", 5000000L), ("a", 600000000L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowed hard limit with watermark emits exceeded windows (update mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
