@@ -118,6 +118,20 @@ object Sinks {
       alerts.write.mode("append").parquet(path)
   }
 
+  /** Write a frame as a BUCKETED (and bucket-sorted) managed table —
+    * the 100 TB co-located-join primitive: two tables bucketed on the
+    * same key with the same bucket count join WITHOUT any exchange
+    * (each bucket pairs 1:1 across tables), and the in-bucket sort
+    * lets sort-merge join skip its sort too. Pre-partition the big
+    * fact streams once at ingest (events by source address, documents
+    * by doc hash), and every downstream per-key analysis inherits the
+    * layout. PlanAuditSpec pins the exchange-free join. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Dev/test sink. */
   final class ConsoleWriter(limit: Int = 20) extends AlertWriter {
     def write(alerts: DataFrame): Unit = alerts.show(limit, false)

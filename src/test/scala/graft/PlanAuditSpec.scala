@@ -101,6 +101,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"near-dup self-join must stay keyed on the bucket:\n$p")
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val latest = ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
+    // model the 100 TB case: both sides too big to broadcast — force the
+    // sort-merge path so the bucket layout is what avoids the shuffle
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sinks.Sinks.writeBucketed(counts, "bkt_counts", "user_id", 8)
+      graft.sinks.Sinks.writeBucketed(latest, "bkt_latest", "user_id", 8)
+      val joined = spark.table("bkt_counts")
+        .join(spark.table("bkt_latest"), "user_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$p")
+      assert(joined.count() ==
+        spark.table("bkt_counts").count()) // join is 1:1 on the key
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_counts")
+      spark.sql("DROP TABLE IF EXISTS bkt_latest")
+    }
+  }
+
   test("aws behavior matcher: one scan regardless of matcher count") {
     val df = SparkEntry.queries("q55_aws_behavior")(spark, sf)
     val p = plan(df)
