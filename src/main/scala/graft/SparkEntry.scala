@@ -142,8 +142,11 @@ object SparkEntry {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
+      // customer joins hint-free: at SF100 it stops fitting a broadcast
+      // and AQE should pick the strategy from runtime stats; nation and
+      // region are constant-size dims, always broadcastable
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
