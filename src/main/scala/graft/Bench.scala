@@ -76,6 +76,9 @@ object Bench {
     // very last thing on stdout — hence spark.stop() first, no sbt
     // [success] trailer (showSuccess := false) — and (b) fit the window
     // whole. Rounded seconds; drop precision if the query map outgrows it.
+    // silence even WARN before stop: a late ShutdownHookManager line on
+    // merged stderr must not land after the contract line
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     def line(dp: Int): String = {
       val fmt = "%." + dp + "f"

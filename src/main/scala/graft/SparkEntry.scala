@@ -825,6 +825,15 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("user_id"))
     }),
 
+    // training-data ops: composed C4-shaped curation chain — quality
+    // gate -> marker class ID -> exact-dedup survivor pick, one
+    // declarative plan over the operators proven by q15/q22/q23
+    "q64_corpus_curate" -> ((s, dir) => {
+      pipelines.CorpusPipeline.curate(Tables.documents(s, dir),
+          col("doc_id"), col("text"), MarkerClasses)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: embedding-cosine near-dup pairs — the
     // similarity-space dedup operator (LSH bucket join + exact integer
     // cosine verify). Near-duplicate rows are derived in-query: every
@@ -1773,6 +1782,37 @@ object SparkEntry {
         |  COUNT(*) AS n_emails
         |FROM f WHERE bucket IS NOT NULL GROUP BY 1, 2
         |HAVING COUNT(*) >= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q64_corpus_curate" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) n_tokens,
+        |    CAST(len(list_filter(ws,
+        |      t -> list_contains(['the','a','and','of','to','in'], t))) AS BIGINT) n_stop,
+        |    ws FROM w),
+        |ok AS (SELECT doc_id, n_tokens, ws FROM c WHERE n_tokens >= 10
+        |  AND n_stop / n_tokens >= 0.01 AND n_stop / n_tokens <= 0.6
+        |  AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0),
+        |m AS (SELECT * FROM (VALUES
+        |    ('db', ['query','table','join','filter','scan','index']),
+        |    ('spark', ['spark','batch','stream','agg','vector','shuffle']),
+        |    ('misc', ['the','a','fast','slow','small'])) AS t(class, words)),
+        |s AS (SELECT c.doc_id, class,
+        |    CAST(len(list_filter(c.ws, t -> list_contains(words, t))) AS BIGINT)
+        |      / c.n_tokens AS score
+        |  FROM c CROSS JOIN m),
+        |cls AS (SELECT doc_id, class pred_class FROM (
+        |  SELECT doc_id, class, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, class) rn FROM s)
+        |  WHERE rn = 1),
+        |d AS (SELECT md5(text) h, min(doc_id) cid, count(*) n_copies
+        |  FROM documents GROUP BY 1),
+        |surv AS (SELECT doc_id, n_copies FROM documents
+        |  JOIN d ON md5(text) = h AND doc_id = cid)
+        |SELECT doc_id, pred_class, n_tokens, n_copies
+        |FROM ok JOIN cls USING (doc_id) JOIN surv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q63_notify_render" ->
       """WITH a AS (SELECT epoch_ms(date_trunc('day', ts)) w, user_id u,
