@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.functions.{LongDotExpr, QuantizeExpr}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Rule[LogicalPlan]: bound levenshtein comparisons -> banded
+    // threshold form (see LevenshteinThresholdRule scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     ext.injectFunction((FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[LongDotExpr].getName, "dot_q"),
       (args: Seq[Expression]) => args match {

@@ -46,6 +46,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule rewrites bound levenshtein to the banded threshold form") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    // a parquet-backed frame: a LocalRelation would be folded away at
+    // plan time, hiding the rewritten expression
+    val baseline = graft.sources.Tables
+      .customer(SparkTestSession.spark, "/root/testdata/sf0.001")
+      .filter(levenshtein(col("c_name"), lit("Customer#000000000100")) <= 3)
+      .select(col("c_name")).collect().map(_.getString(0)).toSet
+    assert(baseline.nonEmpty) // names differing in <= 3 digits exist
+    withExtSession { s =>
+      val c = graft.sources.Tables.customer(s, "/root/testdata/sf0.001")
+      val q = c.filter(
+        levenshtein(col("c_name"), lit("Customer#000000000100")) <= 3)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Some(3)") && opt.contains("levenshtein"),
+        s"threshold form missing from optimized plan:\n$opt")
+      // identical rows to the unbounded form on the baseline session
+      assert(q.select(col("c_name")).collect()
+        .map(_.getString(0)).toSet == baseline)
+      // strict < rewrites to the k-1 band
+      val q2 = c.filter(
+        levenshtein(col("c_name"), lit("Customer#000000000100")) < 3)
+      assert(q2.queryExecution.optimizedPlan.toString.contains("Some(2)"))
+    }
+  }
+
   test("SQL form matches the Column API bit-for-bit on real vectors") {
     withExtSession { s =>
       val emb = graft.sources.Tables.embeddings(s, "/root/testdata/sf0.001")
