@@ -128,4 +128,21 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(sizes == Map(1L -> 4L, 10L -> 2L))
   }
+
+  test("connected components: empty pair input yields empty labels") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(none, col("doc_a"), col("doc_b"))
+      .count() == 0)
+  }
+
+  test("connected components: long chain converges to the global minimum") {
+    import spark.implicits._
+    // a 12-vertex path: worst case for min-label propagation (deep
+    // diameter, multiple loop rounds after the fused init)
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels == (0L to 11L).map(_ -> 0L).toMap)
+  }
 }
