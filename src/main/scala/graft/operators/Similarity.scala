@@ -195,4 +195,35 @@ object Similarity {
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+
+  /** Brute-force top-k via the bounded TopKAggregator instead of the
+    * row_number window: partial aggregation keeps only k candidates
+    * per query per MAP task, so the shuffle moves O(queries × k ×
+    * partitions) rows instead of every scored candidate — the shape
+    * that survives a billion-vector corpus. Output is identical to
+    * `bruteForceTopK` (same total order; SimilaritySpec pins it). */
+  def bruteForceTopKAgg(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = quantized(emb, id, vec)
+    val queries = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val scored = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(dotQ(col("qv"), col("q_qv")),
+        col("nrm"), col("q_nrm")))
+      .select(col("query_id"),
+        col("vec_id").as("vecId"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .map { case (q, v, c) => (q, graft.functions.TopEntry(v, c)) }
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vecId").as("vec_id"), col("col.cosine").as("cosine"))
+  }
 }

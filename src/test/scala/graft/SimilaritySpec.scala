@@ -80,6 +80,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits > 0)
   }
 
+  test("bounded top-k aggregator matches the row_number window form exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val win = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      queryIds, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val agg = Similarity.bruteForceTopKAgg(emb, col("vec_id"), col("embedding"),
+      queryIds, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(agg == win)
+  }
+
+  test("top-k aggregator plan uses partial aggregation (map-side combine)") {
+    val df = Similarity.bruteForceTopKAgg(Tables.embeddings(spark, sf),
+      col("vec_id"), col("embedding"), queryIds, k = 5)
+    val p = df.queryExecution.executedPlan.toString
+    // typed Aggregator over groupByKey plans as ObjectHashAggregate
+    // with a partial pass before the exchange
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected object aggregate:\n$p")
+    assert(p.contains("partial"), s"expected partial aggregation:\n$p")
+  }
+
   test("cosine near-dup: exact clones found at cosine 1.0, strangers excluded") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
