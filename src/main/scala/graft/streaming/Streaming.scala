@@ -227,6 +227,64 @@ object Streaming {
         OutputMode.Append())
   }
 
+  /** Streaming near-duplicate pair detection — the stream-stream
+    * SELF-JOIN form of the batch `Dedup.simhashPairs`: each arriving
+    * document is simhashed row-locally (`util.SimHash`, the pure
+    * mirror of the batch aggregate — no per-doc shuffle), exploded to
+    * its four 8-bit band keys, and joined against the same stream on
+    * (band, bkey) within ±`horizon` event time. The watermark plus the
+    * time-range join condition let the engine expire band-key state
+    * continuously — the standard bounded-state recipe for
+    * stream-stream joins — so state is O(docs within horizon /
+    * 2^8 per band bucket), not the full history. Candidates are
+    * verified by exact 32-bit hamming distance, like the batch form.
+    *
+    * Input columns: event-time column named `tsName`, doc id, text.
+    * Output: (doc_a, doc_b, hamming) with doc_a < doc_b. */
+  def simhashNearDupStream(docs: DataFrame, tsName: String, id: Column,
+      text: Column, maxHamming: Int, horizon: String,
+      watermarkDelay: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashFn = udf((t: String) => graft.util.SimHash.of(t))
+    val hashed = docs
+      .select(col(tsName).as("ts"), id.as("doc_id"), hashFn(text).as("simhash"))
+      .select(col("ts"), col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        pmod((col("simhash") / pow(lit(2.0), col("band") * 8).cast("long"))
+          .cast("long"), lit(256L)))
+    val x = hashed.toDF("ts_a", "doc_a", "h_a", "band_a", "bkey_a")
+      .withWatermark("ts_a", watermarkDelay)
+    val y = hashed.toDF("ts_b", "doc_b", "h_b", "band_b", "bkey_b")
+      .withWatermark("ts_b", watermarkDelay)
+    // doc ordering deliberately uses =!= plus least/greatest, NOT
+    // doc_a < doc_b in the join condition: the engine's state-watermark
+    // derivation walks every </<=/>/>= predicate of a stream-stream
+    // join condition assuming it constrains event time, and a plain
+    // attribute comparison makes that walk throw (Unevaluable) —
+    // Not(EqualTo) is skipped by it.
+    x.join(y,
+        col("band_a") === col("band_b") && col("bkey_a") === col("bkey_b") &&
+          col("doc_a") =!= col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
+  }
+  // ^ emits one row per AGREEING band and orientation (a pair at
+  // hamming <= 3 agrees on at least one of the four 8-bit bands by
+  // pigeonhole, so recall is total; a pair can emit up to 8 times,
+  // canonically ordered via least/greatest). Exact once-per-pair output
+  // would chain a second stateful operator (dropDuplicatesWithinWatermark)
+  // behind the join — supported by the engine, but the multiplicity is
+  // harmless to every downstream use here (pair sets, CC edges are
+  // duplicate-idempotent) and one stateful stage keeps state accounting
+  // simple.
+
   case class AccountEvent(key: String, tsUs: Long, kind: String)
   case class AtRiskState(flaggedAtUs: Long)
   case class AtRiskAlert(key: String, tsUs: Long)

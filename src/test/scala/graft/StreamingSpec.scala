@@ -65,6 +65,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream near-dup self-join finds close duplicates within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDS().toDF("ts", "doc_id", "text")
+    val q = Streaming.simhashNearDupStream(docs, "ts", col("doc_id"),
+        col("text"), maxHamming = 3, horizon = "10 minutes",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("nd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // NOTE: event times must sit strictly above the initial watermark
+      // (epoch 0) — once a join carries a time-range condition, rows at
+      // ts <= watermark are dropped as late before ever reaching state
+      in.addData(
+        (ts(1000), 1L, "the quick brown fox jumps over the dog"),
+        (ts(1060), 2L, "the quick brown fox jumps over the dog"),
+        (ts(1120), 3L, "completely different text about spark shuffles and joins"))
+      q.processAllAvailable()
+      in.addData((ts(9200), 9L, "late watermark advancer"))
+      q.processAllAvailable()
+      val got = spark.table("nd").as[(Long, Long, Long)].collect().toSet
+      // identical docs 1 and 2 pair at hamming 0 (emitted once per
+      // agreeing band and orientation, collapsed by the Set); doc 3
+      // pairs with nothing
+      assert(got == Set((1L, 2L, 0L)))
+    } finally q.stop()
+  }
+
+  test("streaming simhash matches the batch aggregate on the same documents") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val batch = graft.operators.Dedup.simhash(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val pure = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> graft.util.SimHash.of(t) }.toMap
+    assert(pure == batch)
+  }
+
   test("windowed hard limit with watermark emits exceeded windows (update mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
