@@ -154,22 +154,30 @@ object Dedup {
     * pipeline once per side. Footprint is numHashes*4 bytes + key per
     * doc. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      numHashes: Int, bands: Int, minEstJaccard: Double): DataFrame = {
+      numHashes: Int, bands: Int, minEstJaccard: Double,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes % 8 == 0, "numHashes must be a multiple of 8 (md5 chunks)")
     val rows = numHashes / bands
     val groups = numHashes / 8
-    val perShingle = explodedShingles(df, id, text, n)
+    val perShingle = explodedShingles(df, id, text, n, storage)
       .select(col("doc_id"),
         concat((1 to groups).map(g => md5(concat(lit(s"$g:"), col("s")))): _*)
           .as("h"))
     val minCols = (0 until numHashes).map(k =>
       min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
-    val sigArr = perShingle.groupBy(col("doc_id"))
+    // signature frame: read by both sides of the band self-join. Same
+    // storage policy as the shingle frame — MEMORY_AND_DISK spills
+    // rather than OOMs; pass StorageLevel.NONE at corpus scale to
+    // recompute per branch (numHashes*4 bytes + key per doc)
+    val sigArr0 = perShingle.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(k => col(s"s$k")): _*).as("sig"))
-      .cache()
+    val sigArr =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) sigArr0
+      else sigArr0.persist(storage)
     val banded = sigArr.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bkey",
