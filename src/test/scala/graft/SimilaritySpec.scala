@@ -93,6 +93,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("top-k aggregator: bounded buffer, tie-break on vec_id, merge-order invariance") {
+    import graft.functions.{TopEntry, TopBuf, TopKAggregator}
+    val agg = new TopKAggregator(3)
+    val entries = Seq(
+      TopEntry(5L, 0.9), TopEntry(2L, 0.9), // cosine tie -> lower id first
+      TopEntry(7L, 0.95), TopEntry(9L, 0.1), TopEntry(1L, 0.5))
+    val single = entries.foldLeft(agg.zero)(agg.reduce)
+    assert(single.items == Seq(
+      TopEntry(7L, 0.95), TopEntry(2L, 0.9), TopEntry(5L, 0.9)))
+    // merging partials in any order gives the same top-3
+    val parts = entries.map(e => agg.reduce(agg.zero, e))
+    val l2r = parts.reduceLeft(agg.merge)
+    val r2l = parts.reduceRight(agg.merge)
+    assert(l2r == single && r2l == single)
+    // buffer never exceeds k
+    assert(entries.scanLeft(agg.zero)(agg.reduce).forall(_.items.length <= 3))
+  }
+
   test("top-k aggregator plan uses partial aggregation (map-side combine)") {
     val df = Similarity.bruteForceTopKAgg(Tables.embeddings(spark, sf),
       col("vec_id"), col("embedding"), queryIds, k = 5)
