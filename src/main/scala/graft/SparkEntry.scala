@@ -222,6 +222,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // same ranking through the bounded TopKAggregator (the
+    // partial-aggregation scale path) — identical rows to q19, so the
+    // same oracle proves the aggregator end-to-end
+    "q65_cosine_topk_agg" -> ((s, dir) => {
+      Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // training-data ops: LSH-bucketed approximate top-k
     "q20_lsh_topk" -> ((s, dir) => {
       Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id"),
@@ -875,7 +884,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -1874,5 +1884,8 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM events WHERE event_type IN ('error', 'signup', 'view')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  )
+    )
+    // q65 is the TopKAggregator form of q19 — same rows, same oracle
+    base + ("q65_cosine_topk_agg" -> base("q19_cosine_topk"))
+  }
 }
