@@ -215,18 +215,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // training-data ops: brute-force cosine top-k over embeddings
+    // training-data ops: brute-force cosine top-k over embeddings —
+    // ranked through the bounded TopKAggregator (partial aggregation:
+    // k rows per query per map task reach the shuffle), the default
+    // rank path for every ANN query here
     "q19_cosine_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id"),
           col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // same ranking through the bounded TopKAggregator (the
-    // partial-aggregation scale path) — identical rows to q19, so the
-    // same oracle proves the aggregator end-to-end
+    // same ranking through the row_number window twin — identical
+    // rows to q19, so the shared oracle pins aggregator ≡ window
+    // end-to-end through the driver
     "q65_cosine_topk_agg" -> ((s, dir) => {
-      Similarity.bruteForceTopKAgg(Tables.embeddings(s, dir), col("vec_id"),
+      Similarity.bruteForceTopKWindow(Tables.embeddings(s, dir), col("vec_id"),
           col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -860,6 +863,46 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(corpus, col("vec_id"), col("embedding"),
           minCosine = 0.875)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // training-data ops: IVF ANN with a deterministic k-means
+    // refinement loop (2 Lloyd iterations, floored-mean integer
+    // centroids) — the production IVF shape, where seed centroids
+    // would misplace cells on clustered corpora
+    "q66_ivf_refined" -> ((s, dir) => {
+      Similarity.ivfTopKRefined(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+          nCells = 16, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // §2.5/§2.6 PostProcessing watchlist: alerts inner-joined against
+    // a broadcast watchlist of watched identifiers, ip + email kinds
+    // (ref s/postprocessing/PostProcessing.java:102-258 +
+    // s/Watchlist.java — the Datastore RPC batching dissolves into a
+    // broadcast join)
+    "q67_watchlist" -> ((s, dir) => {
+      val alerts = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+          concat(lit("user"), col("user_id")).as("email"),
+          concat(lit("10.0.0."), col("user_id") % 256).as("src"))
+      val wl = s.range(0, 640, 13)
+        .select(lit("ip").as("kind"),
+          concat(lit("10.0.0."), col("id") % 256).as("value"),
+          lit("warn").as("severity_override"))
+        .union(s.range(0, 10000, 29)
+          .select(lit("email"), concat(lit("user"), col("id")),
+            lit("critical")))
+        .dropDuplicates("kind", "value")
+      val byIp = pipelines.CorrelationPipeline
+        .watchlisted(alerts, col("src"), "ip", wl)
+        .withColumn("kind", lit("ip"))
+      val byEmail = pipelines.CorrelationPipeline
+        .watchlisted(alerts, col("email"), "email", wl)
+        .withColumn("kind", lit("email"))
+      byIp.unionByName(byEmail)
+        .orderBy(col("kind"), col("ts_ms"), col("event_id"))
     }),
 
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
@@ -1883,9 +1926,91 @@ object SparkEntry {
         |    ELSE 'login_success' END AS class,
         |  COUNT(*) AS n
         |FROM events WHERE event_type IN ('error', 'signup', 'view')
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q66_ivf_refined" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |cd0 AS (SELECT vec_id AS cent_id, d, v FROM ed WHERE vec_id < 16),
+        |cn0 AS (SELECT cent_id, CAST(SUM(v*v) AS BIGINT) nrm FROM cd0 GROUP BY 1),
+        |x1 AS (SELECT ed.vec_id, cd0.cent_id, CAST(SUM(ed.v * cd0.v) AS BIGINT) dot
+        |  FROM ed JOIN cd0 ON cd0.d = ed.d GROUP BY 1, 2),
+        |s1 AS (SELECT x1.vec_id, x1.cent_id,
+        |    dot / sqrt(CAST(na.nrm * cb.nrm AS DOUBLE)) AS c_cos
+        |  FROM x1 JOIN nrm na ON na.vec_id = x1.vec_id
+        |    JOIN cn0 cb ON cb.cent_id = x1.cent_id),
+        |a1 AS (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) rn
+        |    FROM s1) WHERE rn = 1),
+        |cd1 AS (SELECT a.cell AS cent_id, ed.d,
+        |    CAST(floor(CAST(SUM(ed.v) AS DOUBLE) / COUNT(*)) AS BIGINT) v
+        |  FROM a1 a JOIN ed ON ed.vec_id = a.vec_id GROUP BY 1, 2),
+        |cn1 AS (SELECT cent_id, CAST(SUM(v*v) AS BIGINT) nrm FROM cd1 GROUP BY 1),
+        |x2 AS (SELECT ed.vec_id, cd1.cent_id, CAST(SUM(ed.v * cd1.v) AS BIGINT) dot
+        |  FROM ed JOIN cd1 ON cd1.d = ed.d GROUP BY 1, 2),
+        |s2 AS (SELECT x2.vec_id, x2.cent_id,
+        |    dot / sqrt(CAST(na.nrm * cb.nrm AS DOUBLE)) AS c_cos
+        |  FROM x2 JOIN nrm na ON na.vec_id = x2.vec_id
+        |    JOIN cn1 cb ON cb.cent_id = x2.cent_id),
+        |a2 AS (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) rn
+        |    FROM s2) WHERE rn = 1),
+        |cd2 AS (SELECT a.cell AS cent_id, ed.d,
+        |    CAST(floor(CAST(SUM(ed.v) AS DOUBLE) / COUNT(*)) AS BIGINT) v
+        |  FROM a2 a JOIN ed ON ed.vec_id = a.vec_id GROUP BY 1, 2),
+        |cn2 AS (SELECT cent_id, CAST(SUM(v*v) AS BIGINT) nrm FROM cd2 GROUP BY 1),
+        |x3 AS (SELECT ed.vec_id, cd2.cent_id, CAST(SUM(ed.v * cd2.v) AS BIGINT) dot
+        |  FROM ed JOIN cd2 ON cd2.d = ed.d GROUP BY 1, 2),
+        |s3 AS (SELECT x3.vec_id, x3.cent_id,
+        |    dot / sqrt(CAST(na.nrm * cb.nrm AS DOUBLE)) AS c_cos
+        |  FROM x3 JOIN nrm na ON na.vec_id = x3.vec_id
+        |    JOIN cn2 cb ON cb.cent_id = x3.cent_id),
+        |a3 AS (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) rn
+        |    FROM s3) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, cell FROM a3 WHERE vec_id IN (0,1,2,3,4)),
+        |cand AS (SELECT q.query_id, c.vec_id FROM q
+        |  JOIN a3 c ON c.cell = q.cell WHERE c.vec_id <> q.query_id),
+        |dots AS (SELECT c.query_id, c.vec_id, CAST(SUM(qe.v * ce.v) AS BIGINT) dot
+        |  FROM cand c JOIN ed qe ON qe.vec_id = c.query_id
+        |    JOIN ed ce ON ce.vec_id = c.vec_id AND ce.d = qe.d
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id AS vec_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = query_id
+        |    JOIN nrm nb ON nb.vec_id = dots.vec_id),
+        |r AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q67_watchlist" ->
+      """WITH alerts AS (SELECT epoch_ms(ts) AS ts_ms, event_id,
+        |    'user' || user_id AS email,
+        |    '10.0.0.' || (user_id % 256) AS src
+        |  FROM events WHERE event_type = 'error'),
+        |wip AS (SELECT DISTINCT '10.0.0.' || (range % 256) AS value,
+        |    'warn' AS severity_override FROM range(0, 640, 13)),
+        |wem AS (SELECT DISTINCT 'user' || range AS value,
+        |    'critical' AS severity_override FROM range(0, 10000, 29)),
+        |ip AS (SELECT a.ts_ms, a.event_id, a.email, a.src,
+        |    w.severity_override, 'ip' AS kind
+        |  FROM alerts a JOIN wip w ON a.src = w.value),
+        |em AS (SELECT a.ts_ms, a.event_id, a.email, a.src,
+        |    w.severity_override, 'email' AS kind
+        |  FROM alerts a JOIN wem w ON a.email = w.value)
+        |SELECT * FROM ip UNION ALL SELECT * FROM em
+        |ORDER BY kind, ts_ms, event_id""".stripMargin
     )
-    // q65 is the TopKAggregator form of q19 — same rows, same oracle
+    // q65 is the row_number-window form of q19's aggregator rank —
+    // same rows, same oracle
     base + ("q65_cosine_topk_agg" -> base("q19_cosine_topk"))
   }
 }

@@ -25,10 +25,18 @@ case class TopBuf(items: Seq[TopEntry])
   * keeps it sorted, merge is a bounded merge of two sorted runs. */
 class TopKAggregator(k: Int)
     extends Aggregator[TopEntry, TopBuf, TopBuf] {
+  require(k >= 1, "k must be positive")
 
-  /** best-first total order: cosine desc, vec_id asc. */
-  private def better(a: TopEntry, b: TopEntry): Boolean =
-    a.cosine > b.cosine || (a.cosine == b.cosine && a.vecId < b.vecId)
+  /** best-first total order: cosine desc, vec_id asc. Compared via
+    * java.lang.Double.compare, which matches Spark SQL's ordering
+    * (NaN greater than every double, so a NaN cosine — e.g. from a
+    * zero-norm vector — ranks first, exactly like the row_number
+    * window twin). A `>`/`==` comparison would silently sort NaN
+    * entries last instead. */
+  private def better(a: TopEntry, b: TopEntry): Boolean = {
+    val c = java.lang.Double.compare(a.cosine, b.cosine)
+    c > 0 || (c == 0 && a.vecId < b.vecId)
+  }
 
   override def zero: TopBuf = TopBuf(Vector.empty)
 

@@ -117,38 +117,102 @@ object Similarity {
     scoreAndRank(base.join(broadcast(queries), Seq("bucket")), k)
   }
 
-  /** IVF-style ANN: the first `nCells` corpus vectors (lowest ids)
-    * act as deterministic seed centroids; every vector is assigned to
-    * its nearest centroid (exact integer cosine, broadcast of the
-    * tiny centroid set, argmax via one window rank over |corpus| ×
-    * nCells scored rows); a query searches only its own cell.
-    *
-    * Scale path: cell assignment is one broadcast join + rank (map
-    * side dominated); search cost drops nCells× vs brute force. A
-    * k-means refinement loop would update centroids with the same
-    * broadcast-join shape — seed centroids keep the operator fully
-    * deterministic and oracle-checkable. */
-  def ivfTopK(emb: DataFrame, id: Column, vec: Column, queryIds: Seq[Long],
-      k: Int, nCells: Int = 16): DataFrame = {
-    val base = quantized(emb, id, vec)
-    val cents = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"))
+  /** Assign every vector of `base` to its nearest centroid (exact
+    * integer cosine, broadcast of the tiny centroid set, argmax via
+    * one window rank over |corpus| × nCells scored rows). */
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id").asc)
-    // cache: `assigned` feeds both sides of the cell join (corpus and
-    // query), and recomputing it re-runs the centroid crossJoin+rank.
-    // In a production IVF this frame IS the index — it would be built
-    // once and written to a table, so a cache (spillable) is the
-    // honest single-job stand-in.
-    val assigned = base.crossJoin(broadcast(cents))
+    base.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(dotQ(col("qv"), col("c_qv")),
         col("nrm"), col("c_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"),
         col("cent_id").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** IVF-style ANN: the first `nCells` corpus vectors (lowest ids)
+    * act as deterministic seed centroids; every vector is assigned to
+    * its nearest centroid; a query searches only its own cell.
+    *
+    * Scale path: cell assignment is one broadcast join + rank (map
+    * side dominated); search cost drops nCells× vs brute force. For
+    * clustered real corpora use [[ivfTopKRefined]], which k-means-
+    * refines the seed centroids with the same broadcast-join shape. */
+  def ivfTopK(emb: DataFrame, id: Column, vec: Column, queryIds: Seq[Long],
+      k: Int, nCells: Int = 16,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val base = quantized(emb, id, vec)
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"))
+    // cache: `assigned` feeds both sides of the cell join (corpus and
+    // query), and recomputing it re-runs the centroid crossJoin+rank.
+    // In a production IVF this frame IS the index — it would be built
+    // once and written to a table, so a cache (spillable; NONE =
+    // recompute at corpus scale) is the honest single-job stand-in.
+    val assigned0 = assignCells(base, cents)
+    val assigned =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0
+      else assigned0.persist(storage)
+    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("cell"))
+    scoreAndRank(assigned.join(broadcast(queries), Seq("cell")), k)
+  }
+
+  /** IVF with a deterministic k-means refinement loop: `iters` rounds
+    * of (assign to nearest centroid → recompute centroids as the
+    * element-wise FLOORED mean of assigned vectors), then a final
+    * assignment and cell-restricted search. Seed-centroid IVF
+    * ([[ivfTopK]]) degrades on clustered corpora — the first 16 ids
+    * are arbitrary points, so dense regions share cells; Lloyd
+    * iterations move the centroids toward the true cluster structure
+    * while staying fully deterministic and oracle-checkable:
+    * iteration count is fixed, the mean is floor(exact-long-sum /
+    * count) (one IEEE divide + floor, identical in any engine — NOT
+    * a running double mean, whose partial-sum order would vary), and
+    * ties in assignment break on cent_id.
+    *
+    * Scale shape per iteration: one broadcast crossJoin + rank for
+    * assignment (map-side dominated), then a posexplode to (cell,
+    * dim, value) and a hash aggregate — partial aggregation combines
+    * map-side, so the shuffle moves at most nCells × dims rows per
+    * map task regardless of corpus size. Empty cells simply drop out
+    * (their centroid has no assigned rows), matching SQL GROUP BY. */
+  def ivfTopKRefined(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, nCells: Int = 16, iters: Int = 2,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val base0 = quantized(emb, id, vec)
+    // base is scanned iters+1 times (each assignment pass) — persist
+    // unless the caller asked for pure recompute
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(storage)
+    var cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 1 to iters) {
+      val newQv = assignCells(base, cents)
+        .select(col("cell"), posexplode(col("qv")))
+        .groupBy(col("cell"), col("pos"))
+        // exact long sum, ONE double divide, floor: deterministic
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("c_qv"))
+      cents = newQv.select(col("cell").as("cent_id"), col("c_qv"),
+        dotQ(col("c_qv"), col("c_qv")).as("c_nrm"))
+    }
+    val assigned0 = assignCells(base, cents)
+    val assigned =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0
+      else assigned0.persist(storage)
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cell"))
@@ -170,11 +234,17 @@ object Similarity {
     * frame is persisted because the self-join reads it from both
     * sides. */
   def cosineNearDupPairs(emb: DataFrame, id: Column, vec: Column,
-      minCosine: Double, planes: Int = DefaultPlanes,
-      dims: Int = 64): DataFrame = {
-    val base = quantized(emb, id, vec)
+      minCosine: Double, planes: Int = DefaultPlanes, dims: Int = 64,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val q = quantized(emb, id, vec)
       .withColumn("bucket", bucketCol(col("qv"), planes, dims))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // StorageLevel.NONE = recompute both join sides (the right call at
+    // corpus scale, and the escape hatch for repeated bench runs that
+    // would otherwise accumulate leaked cached frames)
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) q
+      else q.persist(storage)
     val x = base.select(col("bucket"), col("vec_id").as("vec_a"),
       col("qv").as("qv_a"), col("nrm").as("nrm_a"))
     val y = base.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -186,44 +256,64 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  private def scoreAndRank(joined: DataFrame, k: Int): DataFrame =
+  /** Per-query top-k rank — the DEFAULT path is the bounded
+    * [[graft.functions.TopKAggregator]]: partial aggregation keeps at
+    * most k candidates per query per MAP task, so the shuffle moves
+    * O(queries × k × partitions) rows instead of every scored
+    * candidate — the shape that survives a billion-vector corpus.
+    * Registered as a DataFrame `udaf` over a (vecId, cosine) struct,
+    * so the scored frame never leaves columnar form. Output is
+    * identical to [[scoreAndRankWindow]] (same total order,
+    * NaN-greatest like Spark's sort; SimilaritySpec pins it). */
+  private def scoreAndRank(joined: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    joined.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotQ(col("qv"), col("q_qv")), col("nrm"), col("q_nrm")))
+      // a zero-norm vector has no defined cosine: ANSI mode raises on
+      // the 0/0, non-ANSI yields NULL — dropped here in BOTH rank
+      // forms (the aggregator's encoder would otherwise coerce the
+      // null to 0.0 while the window sorts it last; SimilaritySpec
+      // pins the shared behavior)
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("query_id"))
+      // the udaf flattens the TopEntry input encoder: (vecId, cosine)
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vecId").as("vec_id"), col("col.cosine").as("cosine"))
+  }
+
+  /** The row_number-window twin of [[scoreAndRank]]: shuffles EVERY
+    * scored candidate to its query's reducer before discarding all
+    * but k. Kept as the equivalence pin for the aggregator (and as
+    * the simplest-possible reference form). */
+  private[graft] def scoreAndRankWindow(joined: DataFrame, k: Int): DataFrame =
     joined.filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot", dotQ(col("qv"), col("q_qv")))
       .withColumn("cosine", cosine(col("dot"), col("nrm"), col("q_nrm")))
+      .filter(col("cosine").isNotNull) // degenerate vectors: see scoreAndRank
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
 
-  /** Brute-force top-k via the bounded TopKAggregator instead of the
-    * row_number window: partial aggregation keeps only k candidates
-    * per query per MAP task, so the shuffle moves O(queries × k ×
-    * partitions) rows instead of every scored candidate — the shape
-    * that survives a billion-vector corpus. Output is identical to
-    * `bruteForceTopK` (same total order; SimilaritySpec pins it). */
-  def bruteForceTopKAgg(emb: DataFrame, id: Column, vec: Column,
+  /** Brute-force top-k through the window-rank twin — kept so q65 vs
+    * q19 pins aggregator ≡ window end-to-end through the driver
+    * oracle (both orders are the same total order). */
+  def bruteForceTopKWindow(emb: DataFrame, id: Column, vec: Column,
       queryIds: Seq[Long], k: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val base = quantized(emb, id, vec)
     val queries = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"))
-    val scored = base.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(dotQ(col("qv"), col("q_qv")),
-        col("nrm"), col("q_nrm")))
-      .select(col("query_id"),
-        col("vec_id").as("vecId"), col("cosine"))
-      .as[(Long, Long, Double)]
-      .map { case (q, v, c) => (q, graft.functions.TopEntry(v, c)) }
-    val agg = new graft.functions.TopKAggregator(k)
-    scored.groupByKey(_._1).mapValues(_._2)
-      .agg(agg.toColumn.name("top"))
-      .toDF("query_id", "top")
-      .select(col("query_id"), posexplode(col("top.items")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.vecId").as("vec_id"), col("col.cosine").as("cosine"))
+    scoreAndRankWindow(base.crossJoin(broadcast(queries)), k)
   }
+
+  /** Alias retained from when the aggregator was the opt-in path; the
+    * bounded aggregator is now the default inside [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int): DataFrame =
+    bruteForceTopK(emb, id, vec, queryIds, k)
 }

@@ -80,17 +80,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits > 0)
   }
 
-  test("bounded top-k aggregator matches the row_number window form exactly") {
+  test("bounded top-k aggregator (default path) matches the row_number window twin exactly") {
     val emb = Tables.embeddings(spark, sf)
-    val win = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
-      queryIds, k = 5).collect()
+    val win = Similarity.bruteForceTopKWindow(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
-    val agg = Similarity.bruteForceTopKAgg(emb, col("vec_id"), col("embedding"),
+    val agg = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
       queryIds, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(agg == win)
+  }
+
+  test("aggregator and window twin agree on a zero-norm (degenerate) vector") {
+    import spark.implicits._
+    // vec 3 is all-zero. Under ANSI (the Spark 4 default) its cosine
+    // raises DIVIDE_BY_ZERO, so no NaN ever reaches either rank path;
+    // with ANSI off Spark's Divide yields NULL (not IEEE NaN). Either
+    // way the two rank forms must agree row-for-row — this pins the
+    // non-ANSI NULL case (NaN itself is unreachable through cosine(),
+    // but the aggregator's Double.compare order matches Spark's
+    // NaN-greatest sort if one ever appears).
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f)),
+        (1L, Array(0.9f, 0.1f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f)),
+        (3L, Array(0.0f, 0.0f, 0.0f)),
+        (4L, Array(-1.0f, 0.0f, 0.0f)))
+      val emb = rows.toDF("vec_id", "embedding")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSet
+      val agg = canon(Similarity.bruteForceTopK(emb, col("vec_id"),
+        col("embedding"), Seq(0L), k = 4))
+      val win = canon(Similarity.bruteForceTopKWindow(emb, col("vec_id"),
+        col("embedding"), Seq(0L), k = 4))
+      assert(agg == win, s"agg=$agg win=$win")
+      // the degenerate vector ranks in NEITHER form (no defined cosine)
+      assert(!agg.exists(_._3 == 3L) && agg.size == 3)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("top-k aggregator rejects non-positive k") {
+    intercept[IllegalArgumentException] {
+      new graft.functions.TopKAggregator(0)
+    }
+  }
+
+  test("refined IVF: valid ranks, determinism, recall comparable to seed IVF") {
+    val emb = Tables.embeddings(spark, sf)
+    val refined = Similarity.ivfTopKRefined(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5, nCells = 16, iters = 2)
+    val rows = refined.collect()
+    assert(rows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length)))
+    // deterministic: a second full evaluation returns identical rows
+    val again = Similarity.ivfTopKRefined(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5, nCells = 16, iters = 2).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // recall vs brute force is nonzero (cell-restricted search)
+    val exact = topSets(Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5))
+    val approx = rows.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val hits = queryIds.map(q =>
+      (exact(q) & approx.getOrElse(q, Set.empty)).size).sum
+    assert(hits > 0)
   }
 
   test("top-k aggregator: bounded buffer, tie-break on vec_id, merge-order invariance") {
