@@ -32,16 +32,49 @@ object Tables {
     else df
   }
 
+  /** Estimate how many scan partitions the file sources under `df`'s
+    * ANALYZED logical plan will produce, using the same split-size
+    * formula as Spark's file-partition planner (maxSplitBytes =
+    * min(maxPartitionBytes, max(openCost, bytesPerCore))). Derived
+    * from the logical plan only: no `df.rdd`, which would force a
+    * physical-planning pass per call and — under AQE — eagerly
+    * execute any upstream shuffle stages just to read a count.
+    * Returns None when the plan has no file scan (in-memory test
+    * frames, streaming): fan-out is a raw-scan concern only. */
+  private def scanPartitionEstimate(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.isEmpty) None
+    else Some(rels.map { rel =>
+      val openCost = conf.filesOpenCostInBytes
+      val nFiles = rel.location.inputFiles.length.toLong
+      val bytes = rel.location.sizeInBytes + nFiles * openCost
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, bytes / math.max(1L, parallelism)))
+      math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    }.sum)
+  }
+
   /** Fan a narrow frame out to the session's parallelism when its scan
     * has fewer partitions — a small unsplittable file (one parquet row
     * group) otherwise runs the whole downstream map side (parse,
     * tokenize, per-row scoring) as ONE task. No-op at scale, where the
     * source already has at least as many splits as cores; the shuffle
-    * it adds at bench scale moves well under a megabyte. */
+    * it adds at bench scale moves well under a megabyte. Expects a
+    * raw scan / projection (the estimate reads the plan's file
+    * relations); frames with no file scan pass through untouched. */
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // partitioning is the source's concern
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    scanPartitionEstimate(df) match {
+      case Some(n) if n < p => df.repartition(p)
+      case _ => df
+    }
   }
 
   /** fanOut variant that hash-partitions by `keys` so a downstream
@@ -51,7 +84,10 @@ object Tables {
   def fanOutBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+    scanPartitionEstimate(df) match {
+      case Some(n) if n < p => df.repartition(p, keys: _*)
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
