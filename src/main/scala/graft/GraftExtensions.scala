@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `quantize_vec(v[, scale])` — float vector -> exact integer
   *     vector, floor(x*scale + 0.5) (QuantizeExpr); scale defaults to
   *     the engine-wide `Similarity.Scale`
+  *   - `simhash32(text)` — row-local 32-bit SimHash (SimHashExpr),
+  *     the streaming near-dup kernel
   *
   * Install at session build (works with spark-submit / Connect too):
   * {{{
@@ -25,7 +27,7 @@ import org.apache.spark.sql.types.IntegerType
   * broadcast radix trie, which has no SQL-literal form — SQL callers
   * use the `Functions.cidrContains` Column API instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{LongDotExpr, QuantizeExpr}
+  import graft.functions.{LongDotExpr, QuantizeExpr, SimHashExpr}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Rule[LogicalPlan]: bound levenshtein comparisons -> banded
@@ -44,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(v, Literal(s: Int, IntegerType)) => QuantizeExpr(v, s)
         case _ => throw new IllegalArgumentException(
           "quantize_vec(vector[, integer-literal scale])")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHashExpr(t)
+        case _ => throw new IllegalArgumentException("simhash32(text)")
       }))
   }
 }

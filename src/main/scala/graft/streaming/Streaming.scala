@@ -244,11 +244,14 @@ object Streaming {
   def simhashNearDupStream(docs: DataFrame, tsName: String, id: Column,
       text: Column, maxHamming: Int, horizon: String,
       watermarkDelay: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val hashFn = udf((t: String) => graft.util.SimHash.of(t))
+    import org.apache.spark.sql.graft.ColumnBridge
+    // native codegen expression, not a Scala UDF: stays inside
+    // whole-stage codegen and null-propagates (null text → null hash,
+    // dropped by the equi-join) exactly like the batch operator
+    val hashCol = ColumnBridge.column(
+      graft.functions.SimHashExpr(ColumnBridge.expression(text)))
     val hashed = docs
-      .select(col(tsName).as("ts"), id.as("doc_id"), hashFn(text).as("simhash"))
+      .select(col(tsName).as("ts"), id.as("doc_id"), hashCol.as("simhash"))
       .select(col("ts"), col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",
@@ -326,6 +329,29 @@ object Streaming {
     * the state advances to the latest location. Within a micro-batch
     * logins are processed in event-time order, matching the batch
     * (lag-window) operator's semantics. */
+  /** Per-batch geo-velocity kernel, shared verbatim by the
+    * flatMapGroupsWithState and transformWithState forms so their
+    * equivalence holds by construction (and is still spec-pinned). */
+  private def geoVelocityScan(key: String, prev0: Option[GeoState],
+      events: Seq[GeoLogin], maxKmh: Double)
+      : (Option[GeoState], Seq[TravelAlert]) = {
+    var prev = prev0
+    val out = Seq.newBuilder[TravelAlert]
+    events.sortBy(_.tsUs).foreach { e =>
+      prev.foreach { p =>
+        if (e.tsUs > p.tsUs) {
+          val km = graft.util.GeoUtil.haversineKm(p.lat, p.lon, e.lat, e.lon)
+          val hours = (e.tsUs - p.tsUs) / 3600.0e6
+          val speed = math.floor(km / hours + 0.5).toLong
+          if (speed > maxKmh) out += TravelAlert(key, e.tsUs, speed)
+        }
+      }
+      if (prev.forall(_.tsUs <= e.tsUs))
+        prev = Some(GeoState(e.tsUs, e.lat, e.lon))
+    }
+    (prev, out.result())
+  }
+
   def geoVelocity(ds: Dataset[GeoLogin], maxKmh: Double): Dataset[TravelAlert] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -333,23 +359,63 @@ object Streaming {
       .flatMapGroupsWithState[GeoState, TravelAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[GeoLogin], state: GroupState[GeoState]) =>
-          var prev = if (state.exists) Some(state.get) else None
-          val out = Seq.newBuilder[TravelAlert]
-          it.toSeq.sortBy(_.tsUs).foreach { e =>
-            prev.foreach { p =>
-              if (e.tsUs > p.tsUs) {
-                val km = graft.util.GeoUtil.haversineKm(p.lat, p.lon, e.lat, e.lon)
-                val hours = (e.tsUs - p.tsUs) / 3600.0e6
-                val speed = math.floor(km / hours + 0.5).toLong
-                if (speed > maxKmh) out += TravelAlert(key, e.tsUs, speed)
-              }
-            }
-            if (prev.forall(_.tsUs <= e.tsUs))
-              prev = Some(GeoState(e.tsUs, e.lat, e.lon))
-          }
-          prev.foreach(state.update)
-          out.result().iterator
+          val (next, out) = geoVelocityScan(key,
+            if (state.exists) Some(state.get) else None, it.toSeq, maxKmh)
+          next.foreach(state.update)
+          out.iterator
       }
+  }
+
+  /** Geo-velocity on the Spark 4 `transformWithState` API (see
+    * SuppressProcessor for the API rationale): the per-identity last
+    * location is a named `ValueState` with an optional NATIVE TTL —
+    * idle identities age out of the store without manual timeout
+    * bookkeeping, the semantics the reference gets from Datastore
+    * entry pruning (ref s/authstate/AuthStateModel.java:241-430).
+    * Same kernel as `geoVelocity`; StreamingSpec pins TWS ≡ fMGWS ≡
+    * batch on shared input. Requires the RocksDB state store. */
+  class GeoVelocityProcessor(maxKmh: Double, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, GeoLogin, TravelAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[GeoState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[GeoState]("lastLoc",
+        org.apache.spark.sql.Encoders.product[GeoState], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[GeoLogin],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TravelAlert] = {
+      val (next, out) = geoVelocityScan(key,
+        if (st.exists()) Some(st.get()) else None, rows.toSeq, maxKmh)
+      next.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** `geoVelocity` on transformWithState (see GeoVelocityProcessor).
+    * TTL opt-in flips the query to processing-time scheduling — right
+    * for production, livelocks bounded-replay tests. */
+  def geoVelocityTws(ds: Dataset[GeoLogin], maxKmh: Double,
+      stateTtlSeconds: Long = 0): Dataset[TravelAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new GeoVelocityProcessor(maxKmh, stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
   }
 
   case class VelLogin(key: String, tsUs: Long, addr: String,
@@ -427,6 +493,41 @@ object Streaming {
     * Entry-age pruning (PruningStrategyEntryAge.java:31-44) bounds
     * the state size; within a micro-batch events process in event-time
     * order, matching the batch operator exactly. */
+  /** Per-batch known-IP model scan, shared verbatim by the
+    * flatMapGroupsWithState and transformWithState forms. */
+  private def authStateScan(key: String, model0: Seq[AuthEntry],
+      events: Seq[AuthLogin], pruneUs: Long, maxCenti: Double)
+      : (Seq[AuthEntry], Seq[AuthAction]) = {
+    val entries = scala.collection.mutable.HashMap.empty[String, AuthEntry]
+    model0.foreach(e => entries(e.addr) = e)
+    val out = Seq.newBuilder[AuthAction]
+    events.sortBy(e => (e.tsUs, e.addr)).foreach { e =>
+      entries.filterInPlace((_, en) => e.tsUs - en.tsUs <= pruneUs)
+      if (entries.contains(e.addr)) {
+        entries(e.addr) = AuthEntry(e.addr, e.tsUs, e.lat, e.lon)
+        out += AuthAction(key, e.tsUs, e.addr,
+          graft.operators.AuthState.KnownIp, None, None)
+      } else {
+        val prev = if (entries.isEmpty) None
+          else Some(entries.values.maxBy(en => (en.tsUs, en.addr)))
+        entries(e.addr) = AuthEntry(e.addr, e.tsUs, e.lat, e.lon)
+        prev match {
+          case None => out += AuthAction(key, e.tsUs, e.addr,
+            graft.operators.AuthState.UnknownGeoFailure, None, None)
+          case Some(p) =>
+            val kmCenti = math.floor(graft.util.GeoUtil
+              .haversineKm(p.lat, p.lon, e.lat, e.lon) * 100 + 0.5).toLong
+            val action = if (kmCenti > maxCenti)
+              graft.operators.AuthState.UnknownOutsideGeo
+            else graft.operators.AuthState.UnknownWithinGeo
+            out += AuthAction(key, e.tsUs, e.addr, action,
+              Some(kmCenti), Some(p.addr))
+        }
+      }
+    }
+    (entries.values.toSeq.sortBy(_.addr), out.result())
+  }
+
   def authStateAnalyze(ds: Dataset[AuthLogin], pruneAgeSeconds: Long,
       maxKmStatic: Double): Dataset[AuthAction] = {
     val spark = ds.sparkSession
@@ -437,36 +538,64 @@ object Streaming {
       .flatMapGroupsWithState[AuthModel, AuthAction](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[AuthLogin], state: GroupState[AuthModel]) =>
-          val entries = scala.collection.mutable.HashMap.empty[String, AuthEntry]
-          if (state.exists) state.get.entries.foreach(e => entries(e.addr) = e)
-          val out = Seq.newBuilder[AuthAction]
-          it.toSeq.sortBy(e => (e.tsUs, e.addr)).foreach { e =>
-            entries.filterInPlace((_, en) => e.tsUs - en.tsUs <= pruneUs)
-            if (entries.contains(e.addr)) {
-              entries(e.addr) = AuthEntry(e.addr, e.tsUs, e.lat, e.lon)
-              out += AuthAction(key, e.tsUs, e.addr,
-                graft.operators.AuthState.KnownIp, None, None)
-            } else {
-              val prev = if (entries.isEmpty) None
-                else Some(entries.values.maxBy(en => (en.tsUs, en.addr)))
-              entries(e.addr) = AuthEntry(e.addr, e.tsUs, e.lat, e.lon)
-              prev match {
-                case None => out += AuthAction(key, e.tsUs, e.addr,
-                  graft.operators.AuthState.UnknownGeoFailure, None, None)
-                case Some(p) =>
-                  val kmCenti = math.floor(graft.util.GeoUtil
-                    .haversineKm(p.lat, p.lon, e.lat, e.lon) * 100 + 0.5).toLong
-                  val action = if (kmCenti > maxCenti)
-                    graft.operators.AuthState.UnknownOutsideGeo
-                  else graft.operators.AuthState.UnknownWithinGeo
-                  out += AuthAction(key, e.tsUs, e.addr, action,
-                    Some(kmCenti), Some(p.addr))
-              }
-            }
-          }
-          state.update(AuthModel(entries.values.toSeq.sortBy(_.addr)))
-          out.result().iterator
+          val (model, out) = authStateScan(key,
+            if (state.exists) state.get.entries else Nil,
+            it.toSeq, pruneUs, maxCenti)
+          state.update(AuthModel(model))
+          out.iterator
       }
+  }
+
+  /** Known-IP state analysis on the Spark 4 `transformWithState` API
+    * (see SuppressProcessor): the per-identity pruned address model is
+    * a named `ValueState` with an optional NATIVE TTL, so identities
+    * that stop logging in age out of the store entirely — the
+    * reference gets this from Datastore entry pruning; entry-level
+    * age pruning inside a live model stays in the kernel. Same kernel
+    * as `authStateAnalyze`; StreamingSpec pins TWS ≡ fMGWS ≡ batch.
+    * Requires the RocksDB state store. */
+  class AuthStateProcessor(pruneUs: Long, maxCenti: Double, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, AuthLogin, AuthAction] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[AuthModel] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[AuthModel]("model",
+        org.apache.spark.sql.Encoders.product[AuthModel], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[AuthLogin],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AuthAction] = {
+      val (model, out) = authStateScan(key,
+        if (st.exists()) st.get().entries else Nil,
+        rows.toSeq, pruneUs, maxCenti)
+      st.update(AuthModel(model))
+      out.iterator
+    }
+  }
+
+  /** `authStateAnalyze` on transformWithState (see AuthStateProcessor). */
+  def authStateAnalyzeTws(ds: Dataset[AuthLogin], pruneAgeSeconds: Long,
+      maxKmStatic: Double, stateTtlSeconds: Long = 0): Dataset[AuthAction] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new AuthStateProcessor(pruneAgeSeconds * 1000000L,
+          maxKmStatic * 100, stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
   }
 
   /** Count-aware suppressor (ref s/alert/AlertSuppressorCount.java:

@@ -94,6 +94,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup plan hashes via the native expression, not a ScalaUDF") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = Streaming.simhashNearDupStream(in.toDS().toDF("ts", "doc_id", "text"),
+      "ts", col("doc_id"), col("text"), maxHamming = 3,
+      horizon = "10 minutes", watermarkDelay = "0 seconds")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("simhash32"),
+      s"native simhash32 missing from plan:\n$analyzed")
+    assert(!analyzed.contains("UDF"),
+      s"ScalaUDF leaked back into the streaming near-dup plan:\n$analyzed")
+  }
+
+  test("native simhash32 expression equals the row-local kernel, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashCol = ColumnBridge.column(
+      graft.functions.SimHashExpr(ColumnBridge.expression(col("text"))))
+    val got = Seq((1L, "the quick brown fox"), (2L, null))
+      .toDF("id", "text").select(col("id"), hashCol.as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) == Some(graft.util.SimHash.of("the quick brown fox")))
+    assert(got(2L) == None) // null text -> null hash, not an NPE
+  }
+
   test("streaming simhash matches the batch aggregate on the same documents") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -185,6 +211,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchGot.length == 1)
       assert(batchGot(0).getAs[Long]("speed_kmh") == got(0)._3)
     } finally q.stop()
+  }
+
+  test("transformWithState geo-velocity matches flatMapGroupsWithState and batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.GeoLogin]
+    val q = Streaming.geoVelocityTws(in.toDS(), maxKmh = 300.0)
+      .writeStream.format("memory").queryName("geovel_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // identical input to the fMGWS test: London, then Tokyo an hour
+      // later (cross-batch state), then staying put
+      in.addData(Streaming.GeoLogin("alice", 0L, 51.5074, -0.1278))
+      q.processAllAvailable()
+      in.addData(
+        Streaming.GeoLogin("alice", 3600000000L, 35.68, 139.69),
+        Streaming.GeoLogin("bob", 3600000000L, 35.68, 139.69))
+      q.processAllAvailable()
+      in.addData(Streaming.GeoLogin("alice", 7200000000L, 35.69, 139.70))
+      q.processAllAvailable()
+      val got = spark.table("geovel_tws").as[(String, Long, Long)].collect()
+      assert(got.length == 1)
+      assert(got(0)._1 == "alice" && got(0)._2 == 3600000000L)
+      // same speed as the batch (lag-window) operator computes
+      val batchGot = graft.operators.Stateful.geoVelocity(
+        Seq(("alice", new Timestamp(0), 51.5074, -0.1278),
+          ("alice", new Timestamp(3600000L), 35.68, 139.69),
+          ("alice", new Timestamp(7200000L), 35.69, 139.70),
+          ("bob", new Timestamp(3600000L), 35.68, 139.69))
+          .toDF("k", "t", "lat", "lon"),
+        col("t"), col("k"), col("lat"), col("lon"), 300.0).collect()
+      assert(batchGot.length == 1)
+      assert(batchGot(0).getAs[Long]("speed_kmh") == got(0)._3)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("streaming exact dedup: replays dropped across batches within watermark") {
