@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * partition, no per-row driver interaction, schema declared up
   * front).
   *
-  * STUB NOTE: this container has no image/audio codecs, so
-  * `decodeStub` derives deterministic fake features from the payload
-  * bytes (md5-seeded). The decode internals are the ONLY fake part —
-  * the schema, partitioning, batch iteration and column plumbing are
-  * the real thing a codec-backed implementation would keep unchanged:
-  * swap `decodeStub` for a real decoder and nothing else moves.
+  * DECODE STATUS: codec-free containers are REALLY decoded in pure
+  * JVM — uncompressed BMP, binary PPM and PCM WAV (`decodeMedia`:
+  * header parse + content statistics from the actual payload bytes).
+  * Only actually-compressed codecs (JPEG/MP3/H.264...), which need
+  * native libraries this container doesn't ship, fall back to
+  * `decodeStub` — deterministic fake features from the payload md5,
+  * clearly flagged `decoded=false`. The schema, partitioning, batch
+  * iteration and column plumbing are identical on both paths: swap
+  * the stub for a codec and nothing else moves.
   *
   * Scale notes: binary payloads stay columnar in parquet and are never
   * shuffled by these operators (all transforms are narrow maps);
@@ -42,6 +45,161 @@ object Multimodal {
     val h = md.digest(bytes)
     def u16(i: Int): Long = ((h(i) & 0xffL) << 8) | (h(i + 1) & 0xffL)
     (u16(0), u16(2), u16(4), u16(6))
+  }
+
+  /** Real decode output: container metadata + a content statistic
+    * (mean sample/pixel value), all derived from the actual payload
+    * bytes. `decoded=false` marks payloads that fell back to the
+    * stub path (compressed codecs, corrupt headers). */
+  case class MediaDecoded(media_id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, channels: Long, sample_rate: Long,
+      n_samples: Long, mean_value: Long, decoded: Boolean)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Uncompressed BITMAPINFOHEADER BMP: (width, height, channels,
+    * floor(mean pixel byte)). Rows are 4-byte padded; padding bytes
+    * are excluded from the mean. Rejects compressed BMPs. */
+  private[operators] def decodeBmp(b: Array[Byte])
+      : Option[(Long, Long, Long, Long)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10).toInt
+    val width = le32(b, 18).toInt
+    val height = math.abs(le32(b, 22).toInt)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (compression != 0 || width <= 0 || height == 0 ||
+      (bpp != 8 && bpp != 24 && bpp != 32)) return None
+    val chans = bpp / 8
+    val rowBytes = width * chans
+    val stride = (rowBytes + 3) / 4 * 4
+    if (dataOff.toLong + stride.toLong * height > b.length) return None
+    var sum = 0L
+    var row = 0
+    while (row < height) {
+      var i = dataOff + row * stride
+      val end = i + rowBytes
+      while (i < end) { sum += b(i) & 0xff; i += 1 }
+      row += 1
+    }
+    val n = rowBytes.toLong * height
+    Some((width.toLong, height.toLong, chans.toLong,
+      if (n == 0) 0L else Math.floorDiv(sum, n)))
+  }
+
+  /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    * #-comments, one whitespace, then w*h*3 RGB bytes. Returns
+    * (width, height, floor(mean byte)). */
+  private[operators] def decodePpm(b: Array[Byte])
+      : Option[(Long, Long, Long)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var pos = 2
+    def nextInt(): Option[Int] = {
+      while (pos < b.length &&
+        (Character.isWhitespace(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      val start = pos
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+      if (pos == start) None
+      else Some(new String(b, start, pos - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
+      if w > 0 && h > 0 && maxv == 255 && pos < b.length
+    } yield {
+      pos += 1 // the single whitespace after maxval
+      val n = math.min(w.toLong * h * 3, (b.length - pos).toLong)
+      var sum = 0L
+      var i = pos
+      while (i < pos + n) { sum += b(i) & 0xff; i += 1 }
+      (w.toLong, h.toLong, if (n == 0) 0L else Math.floorDiv(sum, n))
+    }
+  }
+
+  /** PCM WAV (RIFF/WAVE, fmt audioFormat=1, 8- or 16-bit): (channels,
+    * sample_rate, n_samples per channel, floor(mean |amplitude|)). */
+  private[operators] def decodeWav(b: Array[Byte])
+      : Option[(Long, Long, Long, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var pos = 12
+    var fmt: Option[(Int, Long, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && size >= 16 && pos + 8 + 16 <= b.length) {
+        val audioFormat = le16(b, pos + 8)
+        if (audioFormat != 1) return None // compressed: stub path
+        fmt = Some((le16(b, pos + 10), le32(b, pos + 12), le16(b, pos + 22)))
+      } else if (id == "data") {
+        data = Some((pos + 8, math.min(size, b.length - pos - 8)))
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for {
+      (chans, rate, bits) <- fmt
+      (off, len) <- data
+      if chans > 0 && (bits == 8 || bits == 16)
+    } yield {
+      val bytesPerSample = bits / 8
+      val nTotal = len / bytesPerSample
+      var sum = 0L
+      var i = 0
+      while (i < nTotal) {
+        val v =
+          if (bits == 8) (b(off + i) & 0xff) - 128 // 8-bit WAV is unsigned
+          else le16(b, off + i * 2).toShort.toInt
+        sum += math.abs(v)
+        i += 1
+      }
+      (chans.toLong, rate, nTotal.toLong / chans,
+        if (nTotal == 0) 0L else Math.floorDiv(sum, nTotal.toLong))
+    }
+  }
+
+  /** Per-partition batched REAL decode: pure-JVM parsers for the
+    * codec-free containers (uncompressed BMP, binary PPM, PCM WAV);
+    * everything else — actually-compressed codecs, which need native
+    * libraries this container doesn't ship — falls back to the
+    * clearly-marked deterministic stub with `decoded=false`. The
+    * Spark shape is identical either way: narrow mapPartitions,
+    * payload bytes never shuffled. */
+  def decodeMedia(ds: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val n = m.bytes.length.toLong
+        val real = m.kind match {
+          case "bmp" => decodeBmp(m.bytes).map { case (w, h, c, mean) =>
+            MediaDecoded(m.media_id, m.kind, n, w, h, c, 0L, w * h, mean,
+              decoded = true)
+          }
+          case "ppm" => decodePpm(m.bytes).map { case (w, h, mean) =>
+            MediaDecoded(m.media_id, m.kind, n, w, h, 3L, 0L, w * h, mean,
+              decoded = true)
+          }
+          case "wav" => decodeWav(m.bytes).map { case (c, rate, ns, mean) =>
+            MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns, mean,
+              decoded = true)
+          }
+          case _ => None
+        }
+        real.getOrElse {
+          val (f0, f1, _, _) = decodeStub(m.bytes)
+          MediaDecoded(m.media_id, m.kind, n, 0L, 0L, 0L, 0L, f0, f1,
+            decoded = false)
+        }
+      }
+    }
   }
 
   /** Per-partition batched feature extraction over binary payloads. */
