@@ -214,6 +214,25 @@ object AlertMeta {
   val SourceAddressPreviousCity = "sourceaddress_previous_city"
   val SourceAddressPreviousCountry = "sourceaddress_previous_country"
   val SourceAddressPreviousIsp = "sourceaddress_previous_isp"
+
+  /** Keys whose value is a ", "-joined LIST (ref AlertMeta.java
+    * ValueType.LIST declarations — EMAIL :134, EMAIL_SIMILAR :136,
+    * SOURCEADDRESSES :199; all other keys are single-valued). */
+  val ListKeys: Set[String] = Set(Email, EmailSimilar, SourceAddresses)
+
+  /** Join values for a list-typed key (ref joinListValues :33-40 —
+    * the reference joins with ", " and errors on non-list keys). */
+  def joinListValues(key: String, values: Seq[String]): String = {
+    require(ListKeys.contains(key), s"key $key for join is not of type list")
+    values.mkString(", ")
+  }
+
+  /** Split a list-typed value (ref splitListValues :49-56; the
+    * splitter is comma-based, whitespace-trimming, empty-dropping). */
+  def splitListValues(key: String, value: String): Seq[String] = {
+    require(ListKeys.contains(key), s"key $key for split is not of type list")
+    value.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 }
 
 /** Alert → reputation violation mapping (ref s/Violation.java:176-233). */

@@ -23,6 +23,17 @@ import graft.parse.Parser
   */
 object HttpRequestPipeline {
 
+  /** joda-style ISO-millis UTC rendering, held in a static module so
+    * executor closures reference it without serializing a
+    * DateTimeFormatter (which is not Serializable). */
+  private object IsoMillis {
+    private val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    def format(epochMs: Long): String =
+      fmt.format(java.time.Instant.ofEpochMilli(epochMs))
+  }
+
   case class Config(
       window: String = "1 minute",
       hardLimit: Long = 100,
@@ -100,6 +111,66 @@ object HttpRequestPipeline {
       "session_limit", "critical", "max_session_events")
 
     hard.unionByName(threshold).unionByName(errors).unionByName(sessions)
+  }
+
+  /** Reference-shaped threshold_analysis alerts: full `Alert` rows
+    * whose metadata sequence replicates the reference's addMetadata
+    * call order exactly (ref s/httprequest/heuristics/
+    * ThresholdAnalysis.java:152-196): "category" (the subcategory
+    * entry, from setSubcategory), sourceaddress, mean (Java
+    * Double.toString of the per-window client mean), count,
+    * threshold_modifier, notify_merge ("<resource>
+    * threshold_analysis"), window_timestamp (window max event-time,
+    * joda-style ISO millis — the value
+    * t/.../TestThresholdAnalysis1.java:66 asserts). Rendered through
+    * `Sinks.alertJsonGolden` this is byte-compatible with the
+    * reference's own alert JSON; GoldenAlertSpec pins it.
+    *
+    * Deterministic divergences (documented, unasserted by the
+    * reference's tests): alertId is a name-UUID of (resource, key,
+    * window) instead of random, and the alert timestamp is the
+    * window max instead of wall clock. */
+  def thresholdAlertsGolden(lines: Dataset[String],
+      monitoredResource: String, modifier: Double,
+      cfg: Config = Config()): Dataset[graft.model.Alert] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    require(cfg.window == "1 minute") // winMax below assumes 60s windows
+    Heuristics.thresholdAnalysis(parsedHttp(lines), col("timestamp"),
+        col("normalized.sourceAddress"), cfg.window, modifier)
+      .select(col("window_start_ms"), col("key"), col("n"), col("mean_n"))
+      .as[(Long, String, Long, Double)]
+      .map { case (winStart, key, n, mean) =>
+        val winMaxMs = winStart + 60000L - 1L
+        val winMaxIso = IsoMillis.format(winMaxMs)
+        graft.model.Alert(
+          alertId = java.util.UUID.nameUUIDFromBytes(
+            s"$monitoredResource|threshold_analysis|$key|$winStart"
+              .getBytes("UTF-8")).toString,
+          timestamp = new java.sql.Timestamp(winMaxMs),
+          summary = s"$monitoredResource httprequest threshold_analysis " +
+            s"$key $n",
+          category = "httprequest",
+          subcategory = Some("threshold_analysis"),
+          severity = graft.model.AlertSeverity.Info,
+          metadata = Seq(
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.AlertSubcategoryField,
+              "threshold_analysis"),
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.SourceAddress, key),
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.MeanValue, mean.toString),
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.Count, n.toString),
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.ThresholdModifier, modifier.toString),
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.NotifyMergeKey,
+              s"$monitoredResource threshold_analysis"),
+            graft.model.AlertMetaEntry(
+              graft.model.AlertMeta.WindowTimestamp, winMaxIso)))
+      }
   }
 
   /** Streaming form of the hard-limit branch: unbounded lines →

@@ -106,6 +106,38 @@ object Sinks {
       col("severity"), col("metadata"))).as("value")).as[String]
   }
 
+  /** REFERENCE-SHAPED alert JSON — byte-compatible with what the
+    * reference engine's own serializer produces (Alert.toJSON,
+    * s/alert/Alert.java:514-526 — Jackson, NON_NULL inclusion, joda
+    * ISO dates; engine-produced golden samples:
+    * t/resources/testdata/watchlist_analyze_buffer2.txt,
+    * iprepdio1.txt). Field order there is severity, id, summary,
+    * category, [payload,] timestamp, metadata (payload slot per the
+    * field declaration order Alert.java:36-43; no produced fixture
+    * carries one). Notes:
+    *  - subcategory appears ONLY as the "category" METADATA entry
+    *    (ref Alert.setSubcategory:382-388), never as a top-level
+    *    field — the Alert row's metadata sequence must already
+    *    include it in construction order;
+    *  - to_json drops null fields (= Jackson Include.NON_NULL);
+    *  - timestamps render as ISO8601 UTC with milliseconds, joda
+    *    DateTime.toString's format;
+    *  - list-valued metadata keys are pre-joined with ", "
+    *    (AlertMeta.joinListValues). */
+  def alertJsonGolden(alerts: Dataset[Alert]): Dataset[String] = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    alerts.toDF().select(to_json(struct(
+      col("severity"),
+      col("alertId").as("id"),
+      col("summary"),
+      col("category"),
+      col("payload"),
+      date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .as("timestamp"),
+      col("metadata"))).as("value")).as[String]
+  }
+
   /** Transport abstraction: batch writers for alert frames. */
   trait AlertWriter {
     def write(alerts: DataFrame): Unit
