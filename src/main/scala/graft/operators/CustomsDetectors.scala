@@ -190,6 +190,51 @@ object CustomsDetectors {
       .filter(col("n_failures") >= threshold && col("n_src") >= threshold)
       .drop("n_failures")
 
+  /** CustomsAccountCreationDist (ref s/customs/
+    * CustomsAccountCreationDist.java:60-125): within a window and an
+    * email DOMAIN, each account creation is compared against every
+    * other creation of the domain whose local-part Levenshtein ratio
+    * (distance / max length) is at or below `ratioUpper`; if the
+    * similar set spans more than one source address and has at least
+    * `threshold` members, the creation alerts with count = similars+1
+    * and the ", "-joined similar-email list.
+    *
+    * One deliberate divergence: the reference aborts the WHOLE domain
+    * when the first-iterated creation lacks address variance (a
+    * mid-loop `return` — iteration-order dependent); here the
+    * variance gate applies per creation, deterministically.
+    *
+    * Scale shape: the pair join is an equi-join on (window, domain)
+    * — the reference's per-key grouping — so candidate pairs are
+    * bounded by the domain group, never all-pairs corpus-wide. */
+  def accountCreationDist(df: DataFrame, ts: Column, email: Column,
+      addr: Column, isCreate: Column, window: String, threshold: Long,
+      ratioUpper: Double = 0.35): DataFrame = {
+    val creations = df.filter(isCreate && email.isNotNull)
+      .select(windowStartMs(ts, window).as("window_start_ms"),
+        email.as("email"), addr.as("src"),
+        substring_index(email, "@", -1).as("domain"),
+        substring_index(email, "@", 1).as("local"))
+      .dropDuplicates()
+    val a = creations.toDF("window_start_ms", "email", "src", "domain", "local")
+    val b = creations.toDF("window_start_ms", "email_b", "src_b", "domain",
+      "local_b")
+    a.join(b, Seq("window_start_ms", "domain"))
+      .filter(col("email") =!= col("email_b") &&
+        levenshtein(col("local"), col("local_b")) <=
+          greatest(length(col("local")), length(col("local_b"))) * ratioUpper)
+      .groupBy(col("window_start_ms"), col("domain"), col("email"),
+        col("src"))
+      .agg(count(lit(1)).as("n_similar"),
+        max(when(col("src_b") =!= col("src"), 1).otherwise(0))
+          .as("addr_variance"),
+        array_join(array_sort(collect_list(col("email_b"))), ", ")
+          .as("email_similar"))
+      .filter(col("addr_variance") === 1 && col("n_similar") >= threshold)
+      .select(col("window_start_ms"), col("email"), col("src"),
+        (col("n_similar") + 1).as("n"), col("email_similar"))
+  }
+
   /** Heuristic one-liners attached to fanned-out customs alerts
     * (ref s/customs/CustomsAlert.java:66-93 description table). */
   val HeuristicDescriptions: Map[String, String] = Map(

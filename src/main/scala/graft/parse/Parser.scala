@@ -288,6 +288,12 @@ object Parser {
             "errno" -> f.path("errno").asText(""),
             "uid" -> f.path("uid").asText(""),
             "service" -> f.path("service").asText(""),
+            // raw chain kept so pipelines can re-select the client
+            // with a trusted-proxy CIDR (the reference's
+            // XffAddressSelector); normalized.sourceAddress holds the
+            // no-config selection (last element)
+            "remote_address_chain" ->
+              f.path("remoteAddressChain").asText(""),
             "event_summary" -> summary.getOrElse(""))))
       }.getOrElse(None)
     }
