@@ -331,18 +331,27 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
         .groupBy(col("src").as("v")).agg(min(col("label")).as("nmin"))
-      // change detection rides the materialization job via an
-      // accumulator — one Spark job per round, not two
-      val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+      // change detection rides the materialization job via observe():
+      // a columnar side-aggregate collected by listener — one Spark
+      // job per round AND no per-vertex deserialization (the earlier
+      // accumulator form dropped to the typed row path, paying an
+      // encoder round-trip for every vertex every round)
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels.withColumnRenamed("label", "old")
         .join(neighborMin, Seq("v"), "left")
         .select(col("v"), col("old"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
-        .as[(Long, Long, Long)]
-        .map { r => if (r._2 != r._3) changedAcc.add(1L); (r._1, r._3) }
-        .toDF("v", "label")
+        .observe(obs,
+          sum(when(col("old") =!= col("label"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("v"), col("label"))
         .localCheckpoint(true)
-      changed = changedAcc.value
+      changed = obs.get("changed") match {
+        case null => 0L
+        case n: Long => n
+        case n: java.lang.Long => n.longValue()
+        case other => other.toString.toLong
+      }
       labels = next
       iter += 1
     }
