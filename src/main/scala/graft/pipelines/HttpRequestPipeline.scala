@@ -46,6 +46,32 @@ object HttpRequestPipeline {
         * UA variety (ref DetectNat.withKnownGateways). */
       knownGateways: Seq[String] = Nil)
 
+  /** Reference-exact per-heuristic documentation strings for the
+    * config tick (ref s/httprequest/HTTPRequest.java:656-732
+    * buildConfigurationTick + each heuristic's getTransformDoc —
+    * ThresholdAnalysis.java:73-79, HardLimitAnalysis.java:65-70,
+    * ErrorRateAnalysis.java:53-58, UserAgentBlocklistAnalysis.java:
+    * 68-71): the tick payload self-documents what the pipeline is
+    * configured to alert on. Feed to `Streaming.cfgTickStream`. */
+  def configTickPayload(cfg: Config,
+      options: Map[String, String] = Map.empty): String = {
+    import graft.streaming.CfgTickBuilder.doc
+    graft.streaming.CfgTickBuilder.build(Seq(
+      doc("ThresholdAnalysis",
+        f"Alert if a single source address makes more than " +
+          f"${cfg.thresholdModifier}%.2f times the calculated mean request " +
+          "rate for all clients within a 1 minute window."),
+      doc("HardLimitAnalysis",
+        s"Alert if single source address makes more than ${cfg.hardLimit} " +
+          "requests in a 1 minute window."),
+      doc("ErrorRateAnalysis",
+        s"Alert if a single source address generates more than " +
+          s"${cfg.errorMaxCount} 4xx errors in a 1 minute window."),
+      doc("UserAgentBlocklistAnalysis",
+        "Alert if client makes request with user agent that matches entry " +
+          "in blocklist.")), options)
+  }
+
   /** Parse raw lines and keep HTTP_REQUEST events (compiled filter).
     * The fast-match pushdown prunes non-candidate lines BEFORE the
     * opaque mapPartitions parse (ref Parser.java:508-516) — at scale

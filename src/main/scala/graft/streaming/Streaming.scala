@@ -292,6 +292,23 @@ object Streaming {
   case class AtRiskState(flaggedAtUs: Long)
   case class AtRiskAlert(key: String, tsUs: Long)
 
+  /** Per-batch at-risk scan, shared verbatim by the
+    * flatMapGroupsWithState and transformWithState forms. */
+  private def atRiskScan(key: String, flagged0: Long,
+      events: Seq[AccountEvent]): (Long, Seq[AtRiskAlert]) = {
+    var flagged = flagged0
+    val out = Seq.newBuilder[AtRiskAlert]
+    events.sortBy(_.tsUs).foreach { e =>
+      e.kind match {
+        case "flag" => flagged = e.tsUs
+        case "fail" if flagged != Long.MinValue && e.tsUs >= flagged =>
+          out += AtRiskAlert(key, e.tsUs)
+        case _ => ()
+      }
+    }
+    (flagged, out.result())
+  }
+
   /** At-risk account tracking (ref s/customs/CustomsAtRiskAccountState
     * + CustomsLoginFailureForAtRiskAccount.java): a `flag` event marks
     * the account at-risk; any later `fail` event while flagged emits
@@ -303,19 +320,60 @@ object Streaming {
       .flatMapGroupsWithState[AtRiskState, AtRiskAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[AccountEvent], state: GroupState[AtRiskState]) =>
-          var flagged = if (state.exists) state.get.flaggedAtUs else Long.MinValue
-          val out = Seq.newBuilder[AtRiskAlert]
-          it.toSeq.sortBy(_.tsUs).foreach { e =>
-            e.kind match {
-              case "flag" => flagged = e.tsUs
-              case "fail" if flagged != Long.MinValue && e.tsUs >= flagged =>
-                out += AtRiskAlert(key, e.tsUs)
-              case _ => ()
-            }
-          }
+          val (flagged, out) = atRiskScan(key,
+            if (state.exists) state.get.flaggedAtUs else Long.MinValue,
+            it.toSeq)
           if (flagged != Long.MinValue) state.update(AtRiskState(flagged))
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** At-risk tracking on transformWithState (see SuppressProcessor for
+    * the API rationale): the flagged-at timestamp is a named
+    * ValueState with optional native TTL — an account whose at-risk
+    * flag goes stale simply ages out of the store, which is exactly
+    * the reference's Datastore expiry semantics. Same kernel as
+    * `atRiskAccounts`; StreamingSpec pins the equivalence. */
+  class AtRiskProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, AccountEvent, AtRiskAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[AtRiskState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[AtRiskState]("flagged",
+        org.apache.spark.sql.Encoders.product[AtRiskState], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[AccountEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AtRiskAlert] = {
+      val (flagged, out) = atRiskScan(key,
+        if (st.exists()) st.get().flaggedAtUs else Long.MinValue,
+        rows.toSeq)
+      if (flagged != Long.MinValue) st.update(AtRiskState(flagged))
+      out.iterator
+    }
+  }
+
+  /** `atRiskAccounts` on transformWithState (see AtRiskProcessor). */
+  def atRiskAccountsTws(ds: Dataset[AccountEvent],
+      stateTtlSeconds: Long = 0): Dataset[AtRiskAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(new AtRiskProcessor(stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
   }
 
   case class GeoLogin(key: String, tsUs: Long, lat: Double, lon: Double)

@@ -176,6 +176,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("timestamp", "payload_type", "value"))
   }
 
+  test("config tick self-documents enabled heuristics from live config") {
+    val payload = graft.pipelines.HttpRequestPipeline.configTickPayload(
+      graft.pipelines.HttpRequestPipeline.Config(errorMaxCount = 30),
+      options = Map("monitoredResourceIndicator" -> "test",
+        "useEventTimestamp" -> "true"))
+    // the exact documentation string the reference's cfgtick test
+    // asserts (ref t/.../TestErrorRate1.java runAssertions:
+    // heuristic_ErrorRateAnalysis)
+    assert(payload.contains(
+      "\"heuristic_ErrorRateAnalysis\":\"Alert if a single source address " +
+        "generates more than 30 4xx errors in a 1 minute window.\""))
+    assert(payload.contains("\"configuration_tick\":\"true\""))
+    assert(payload.contains("\"monitoredResourceIndicator\":\"test\""))
+    // deterministic: sorted keys, byte-stable across calls
+    assert(payload == graft.pipelines.HttpRequestPipeline.configTickPayload(
+      graft.pipelines.HttpRequestPipeline.Config(errorMaxCount = 30),
+      options = Map("monitoredResourceIndicator" -> "test",
+        "useEventTimestamp" -> "true")))
+    // and it feeds the tick stream as the value literal
+    val df = Streaming.cfgTickStream(spark, 60, payload)
+    assert(df.isStreaming)
+  }
+
   test("streaming geo-velocity: impossible travel across micro-batches, state advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
