@@ -77,25 +77,34 @@ object Parser {
   /** Nginx access log as Stackdriver jsonPayload (ref s/parser/Nginx.java). */
   object NginxMatcher extends PayloadMatcher {
     val name = "nginx"
-    val fastKeywords = Seq("\"remote_addr\"")
+    val fastKeywords = Seq("\"remote_addr\"", "\"remote_ip\"")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val p = if (root.has("jsonPayload")) root.path("jsonPayload") else root
-      if (!p.has("remote_addr") || !p.has("request")) None
+      // the reference accepts TWO Stackdriver nginx shapes (ref
+      // Nginx.java:41-55): variant 1 (GCP stdout native:
+      // remote_addr/status/user_agent) and variant 2 (EC2:
+      // remote_ip/code/agent, "-" as the null address)
+      val v1 = p.has("remote_addr") && p.has("request")
+      val v2 = p.has("remote_ip") && p.has("referrer") &&
+        p.has("req_time") && p.has("agent") && p.has("request")
+      if (!v1 && !v2) None
       else {
         val request = p.path("request").asText("")
         val parts = request.split(" ", 3)
         val (method, url) =
           if (parts.length >= 2) (Some(parts(0)), Some(parts(1))) else (None, None)
         val (host, path) = url.map(splitUrl).getOrElse((None, None))
+        val addr = (if (v1) strOpt(p, "remote_addr") else strOpt(p, "remote_ip"))
+          .filter(_ != "-")
         Some(mkEvent(ctx, name, Normalized(
           types = Seq(NormalizedType.HttpRequest),
-          sourceAddress = strOpt(p, "remote_addr"),
+          sourceAddress = addr,
           requestMethod = method,
           requestUrl = url,
           urlRequestPath = path,
           urlRequestHost = host,
-          requestStatus = intOpt(p, "status"),
-          userAgent = strOpt(p, "user_agent")),
+          requestStatus = if (v1) intOpt(p, "status") else intOpt(p, "code"),
+          userAgent = strOpt(p, if (v1) "user_agent" else "agent")),
           fields = Map.empty))
       }
     }
@@ -300,19 +309,26 @@ object Parser {
   }
 
   /** Duo admin-API audit event (ref s/parser/Duopull.java — mozlog
-    * envelope, event_* fields, AUTH-relevant admin actions). */
+    * envelope, event_* fields, AUTH-relevant admin actions). Real
+    * duopull streams carry Logger "duopull" with Type "app.log"
+    * (t/resources/testdata/duo_buffer1.txt), so the probe accepts the
+    * tag in either mozlog field. */
   object DuopullMatcher extends PayloadMatcher {
     val name = "duopull"
     val fastKeywords = Seq("duopull")
     def parse(ctx: ParseCtx): Option[Event] = {
-      if (!ctx.mozlogType.contains("duopull")) None
+      val tagged = ctx.mozlogType.contains("duopull") ||
+        ctx.mozlogLogger.contains("duopull")
+      if (!tagged) None
       else ctx.json.map { f =>
         Some(mkEvent(ctx, name, Normalized(
           types = Seq(NormalizedType.Auth),
           subjectUser = strOpt(f, "event_username")),
           fields = Map(
             "event_action" -> f.path("event_action").asText(""),
-            "event_description" -> f.path("event_description").asText(""))))
+            "event_description" -> f.path("event_description").asText(""),
+            "event_object" -> f.path("event_object").asText(""),
+            "path" -> f.path("path").asText(""))))
       }.getOrElse(None)
     }
   }
@@ -641,12 +657,28 @@ object Parser {
       else {
         val ts = strOpt(root, "timestamp").flatMap(TimeUtil.parseIso8601)
           .orElse(ctx.timestamp)
+        // metadata entries flatten to meta_<key> — PostProcessing
+        // consumes alert metadata (watchlist keys on sourceaddress /
+        // email, AlertSummary on the classifier fields), so the
+        // parsed event must carry them (ref s/alert/Alert.java
+        // metadata list; list-valued keys stay ", "-joined and split
+        // via AlertMeta.splitListValues)
+        val meta = {
+          val b = Map.newBuilder[String, String]
+          val it = root.path("metadata").elements()
+          while (it.hasNext) {
+            val e = it.next()
+            val k = e.path("key").asText("")
+            if (k.nonEmpty) b += (s"meta_$k" -> e.path("value").asText(""))
+          }
+          b.result()
+        }
         Some(mkEvent(ctx.copy(timestamp = ts), name, Normalized(), fields = Map(
           "alert_id" -> root.path("id").asText(""),
           "summary" -> root.path("summary").asText(""),
           "severity" -> root.path("severity").asText(""),
           "category" -> root.path("category").asText("")) ++
-          strOpt(root, "subcategory").map("subcategory" -> _)))
+          strOpt(root, "subcategory").map("subcategory" -> _) ++ meta))
       }
     }
   }
@@ -734,7 +766,11 @@ object Parser {
             strOpt(dc, "technique").map("technique" -> _) ++
             strOpt(dc, "indicator").map("indicator" -> _) ++
             strOpt(props, "project_id").map("project_id" -> _) ++
-            strOpt(props, "location").map("location" -> _))
+            strOpt(props, "location").map("location" -> _) ++
+            // gcp org-level routing key the gatekeeper alerts carry
+            // (ref ETDTransforms project_number metadata)
+            strOpt(f.path("sourceId"), "projectNumber")
+              .map("project_number" -> _))
       }
     }
   }

@@ -222,6 +222,174 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(!out.exists(_.getAs[String]("email").endsWith("@mailer.com")))
   }
 
+  test("httpreq_statuscodeanalysis: nginx EC2 variant, 302-rate above/below threshold (ref TestStatusCodeRateAnalysis)") {
+    // this fixture is the reference's SECOND Stackdriver nginx shape
+    // (remote_ip/code/agent) — full envelope + variant-2 field parity
+    val parsed = parsedHttp(lines("httpreq_statuscodeanalysis.txt"))
+    def run(max: Long) = Heuristics.errorRate(parsed, col("timestamp"),
+      col("normalized.sourceAddress"),
+      col("normalized.requestStatus") === 302, "1 minute",
+      maxErrors = max).collect()
+    // limit 2: one alert, 192.168.0.1 with three 302s, window
+    // 2021-05-08T19:15:00Z
+    val out = run(2)
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("key") == "192.168.0.1")
+    assert(out.head.getAs[Long]("errors") == 3L)
+    assert(out.head.getAs[Long]("window_start_ms") == 1620501300000L)
+    // limit 3: below threshold, empty (the reference's first test)
+    assert(run(3).isEmpty)
+  }
+
+  test("gatekeeper guardduty sample findings: typed parse of every real finding (ref TestGatekeeper)") {
+    val parsed = Parser.parse(lines(
+      "gatekeeper/guardduty-sample-findings-default.txt")).toDF()
+      .filter(col("payloadType") === "guardduty")
+      .select(element_at(col("fields"), "account").as("account"),
+        element_at(col("fields"), "region").as("region"),
+        element_at(col("fields"), "finding_id").as("fid"),
+        element_at(col("fields"), "finding_type").as("ftype"),
+        element_at(col("fields"), "severity").as("sev"))
+      .collect()
+    // all 19 sample findings classify as guardduty with the account
+    // and region the reference's alerts assert
+    assert(parsed.length == 19)
+    assert(parsed.forall(_.getAs[String]("account") == "123456789012"))
+    assert(parsed.forall(_.getAs[String]("region") == "us-west-2"))
+    assert(parsed.forall(r => r.getAs[String]("ftype") != null &&
+      r.getAs[String]("sev") != null))
+    // the finding whose console URL the reference checks
+    assert(parsed.exists(_.getAs[String]("fid") ==
+      "36b59ed2edad8b965a0ee921052cb481"))
+  }
+
+  test("gatekeeper etd sample findings: typed parse incl. project number (ref TestGatekeeper)") {
+    val parsed = Parser.parse(lines("gatekeeper/etd-sample-findings.txt"))
+      .toDF()
+      .filter(col("payloadType") === "etd")
+      .select(element_at(col("fields"), "project_number").as("pn"),
+        element_at(col("fields"), "rule_name").as("rule"))
+      .collect()
+    assert(parsed.length == 3)
+    // the three org project numbers the reference's gcp alerts carry
+    assert(parsed.map(_.getAs[String]("pn")).toSet ==
+      Set("123456789012", "123456785822", "123456789210"))
+    assert(parsed.forall(_.getAs[String]("rule") != null))
+  }
+
+  test("duo_buffer1: duopull admin events parse under the real Logger tag") {
+    val parsed = Parser.parse(lines("duo_buffer1.txt")).toDF()
+      .filter(col("payloadType") === "duopull")
+      .select(col("normalized.subjectUser").as("user"),
+        element_at(col("fields"), "event_action").as("action"))
+      .collect()
+    // every line of the buffer is a duopull admin event (Logger
+    // "duopull", Type "app.log"); some system events carry no
+    // username, which stays null rather than failing the parse
+    assert(parsed.length == 12)
+    assert(parsed.exists(_.getAs[String]("user") != null))
+    assert(parsed.exists(_.getAs[String]("action") == "bypass_create"))
+  }
+
+  test("cloudtrail_buffer1: raw cloudtrail records classify with auth fields") {
+    val all = Parser.parse(lines("cloudtrail_buffer1.txt")).toDF().cache()
+    val parsed = all.filter(col("payloadType") === "cloudtrail")
+      .select(col("normalized.subjectUser").as("user"),
+        col("normalized.sourceAddress").as("src"),
+        element_at(col("fields"), "event_name").as("event"))
+      .collect()
+    // 4 real cloudtrail records; the 5th line is deliberate junk
+    // ({"not-an-event": ...}) and must fall through to RAW, not fail
+    assert(parsed.length == 4)
+    assert(parsed.exists(r => r.getAs[String]("user") == "uhura" &&
+      r.getAs[String]("event") == "CreateAccessKey"))
+    assert(parsed.forall(_.getAs[String]("src") != null))
+    assert(all.filter(col("payloadType") === "raw").count() == 1)
+    all.unpersist()
+  }
+
+  test("customs_abuse_password_reset1: one source resetting five accounts (ref TestCustoms#passwordResetAbuseTest)") {
+    val fxa = parsedFxa(lines("customs_abuse_password_reset1.txt"))
+    val out = fxa.filter(col("summary") === "passwordForgotSendCodeSuccess")
+      .groupBy(col("src"))
+      .agg(countDistinct(col("email")).as("n_accounts"))
+      .filter(col("n_accounts") >= 5).collect()
+    // 10.0.0.1 reset riker1..riker5; 10.0.0.2 only four accounts
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("src") == "10.0.0.1")
+    assert(out.head.getAs[Long]("n_accounts") == 5L)
+  }
+
+  test("customs_account_status_abuse1: enumeration alerts exactly the designed sources (ref TestCustoms#accountEnumerationTest)") {
+    val fxa = parsedFxa(lines("customs_account_status_abuse1.txt"))
+      .withColumn("path", element_at(col("fields"), "path"))
+    val isStatusCheck = col("summary").isin(
+      "accountStatusCheckSuccess", "accountStatusCheckBlocked")
+    val out = CustomsDetectors.accountEnumeration(fxa, col("timestamp"),
+      col("src"), col("email"), col("path"), isStatusCheck,
+      "10 minutes", threshold = 3).collect()
+    // fixture design (ref test comment): .1 crosses with a mix of
+    // success+blocked, .3 with successes only; .2 below threshold,
+    // .4 too few distinct accounts, .5 touched other endpoints
+    assert(out.map(r => r.getAs[String]("src") ->
+      r.getAs[Long]("n_emails")).toMap == Map(
+      "10.0.0.1" -> 3L, "10.0.0.3" -> 3L))
+  }
+
+  test("authprof_critobj1+2: crit-object alerts with real-MMDB geo (ref TestCritObject)") {
+    // real MaxMind City test database through our MMDB binary reader
+    val mmdbPath = java.nio.file.Paths.get(refData, "GeoIP2-City-Test.mmdb")
+    assume(java.nio.file.Files.exists(mmdbPath))
+    val db = new graft.parse.MaxmindDb(
+      java.nio.file.Files.readAllBytes(mmdbPath))
+    val parsed = Parser.parse(
+      lines("authprof_critobj1.txt", "authprof_critobj2.txt"))
+    val enriched = graft.parse.GeoIp.enrich(parsed,
+      new graft.parse.MaxmindDb.MmdbResolver(db)).toDF()
+      .filter(col("payloadType") === "gcpaudit")
+      // the reference's ignoreUserRegex drops riker before analysis
+      .filter(!col("normalized.subjectUser").rlike("^riker@mozilla.com$"))
+    val out = operators.AuthState.critObjectAnalyze(enriched,
+      col("timestamp"), col("normalized.subjectUser"),
+      col("normalized.objectValue"), col("normalized.sourceAddress"),
+      Seq("^projects/test$", "super-important-account")).collect()
+    // three laforge events hit the crit object (1 in critobj1, 2 in
+    // critobj2 — the reference's 2-alert expectation is ours after
+    // session suppression, spec'd separately); riker is ignored
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("username") == "laforge@mozilla.com"))
+    assert(out.forall(_.getAs[String]("object") == "projects/test"))
+    assert(out.forall(_.getAs[String]("sourceaddress") == "216.160.83.56"))
+    assert(out.forall(_.getAs[String]("severity") == "critical"))
+    // the geo the reference's summary carries: Milton/US from the
+    // MaxMind test DB
+    val geo = enriched.filter(
+        col("normalized.sourceAddress") === "216.160.83.56")
+      .select(col("normalized.geo.city"), col("normalized.geo.country"))
+      .head()
+    assert(geo.getString(0) == "Milton" && geo.getString(1) == "US")
+  }
+
+  test("watchlist_analyze_buffer2: engine-produced alert JSON parses with metadata incl. list keys") {
+    val parsed = Parser.parse(lines("watchlist_analyze_buffer2.txt")).toDF()
+      .filter(col("payloadType") === "alert")
+      .select(element_at(col("fields"), "summary").as("summary"),
+        element_at(col("fields"), "category").as("category"),
+        element_at(col("fields"), "meta_sourceaddress").as("src"),
+        element_at(col("fields"), "meta_email").as("emails"))
+      .collect()
+    assert(parsed.nonEmpty)
+    val first = parsed.head
+    assert(first.getAs[String]("category") == "customs")
+    assert(first.getAs[String]("src") == "10.0.0.1")
+    // the ", "-joined list-valued email key splits back to 3 accounts
+    val emails = graft.model.AlertMeta.splitListValues(
+      graft.model.AlertMeta.Email, first.getAs[String]("emails"))
+    assert(emails == Seq("example@enterprise.com",
+      "another_example@enterprise.com",
+      "yet_another_example@enterprise.com"))
+  }
+
   // --- AMO fixtures ---------------------------------------------------
 
   private def parsedAmo(ds: Dataset[String]): DataFrame =
