@@ -905,6 +905,22 @@ object SparkEntry {
         .orderBy(col("kind"), col("ts_ms"), col("event_id"))
     }),
 
+    // §2.3 CustomsAccountCreationDist: per-creation similar-email set
+    // (local-part Levenshtein ratio <= 0.35) with address variance,
+    // domain-bounded pair join (ref s/customs/
+    // CustomsAccountCreationDist.java:60-125)
+    "q68_acct_creation_dist" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .withColumn("email", concat(lit("u"), col("event_id") % 30,
+          lit("@d"), col("user_id") % 3, lit(".com")))
+        .withColumn("src", concat(lit("10.0.0."), col("event_id") % 11))
+      operators.CustomsDetectors.accountCreationDist(e, col("ts"),
+          col("email"), col("src"), lit(true), "1 day",
+          threshold = 3)
+        .orderBy(col("window_start_ms"), col("email"), col("src"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -1990,6 +2006,33 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q68_acct_creation_dist" ->
+      """WITH creations AS (
+        |  SELECT DISTINCT
+        |    epoch_ms(ts) // 86400000 * 86400000 AS window_start_ms,
+        |    'u' || (event_id % 30) || '@d' || (user_id % 3) || '.com' AS email,
+        |    '10.0.0.' || (event_id % 11) AS src,
+        |    'd' || (user_id % 3) || '.com' AS domain,
+        |    'u' || (event_id % 30) AS local
+        |  FROM events WHERE event_type = 'signup'),
+        |pairs AS (
+        |  SELECT a.window_start_ms, a.domain, a.email, a.src,
+        |    b.email AS email_b, b.src AS src_b
+        |  FROM creations a JOIN creations b
+        |    ON a.window_start_ms = b.window_start_ms AND a.domain = b.domain
+        |  WHERE a.email <> b.email
+        |    AND levenshtein(a.local, b.local) <=
+        |      greatest(length(a.local), length(b.local)) * 0.35),
+        |agg AS (
+        |  SELECT window_start_ms, domain, email, src,
+        |    COUNT(*) AS n_similar,
+        |    MAX(CASE WHEN src_b <> src THEN 1 ELSE 0 END) AS addr_variance,
+        |    string_agg(email_b, ', ' ORDER BY email_b) AS email_similar
+        |  FROM pairs GROUP BY 1, 2, 3, 4)
+        |SELECT window_start_ms, email, src, n_similar + 1 AS n, email_similar
+        |FROM agg WHERE addr_variance = 1 AND n_similar >= 3
+        |ORDER BY window_start_ms, email, src""".stripMargin,
 
     "q67_watchlist" ->
       """WITH alerts AS (SELECT epoch_ms(ts) AS ts_ms, event_id,
