@@ -85,24 +85,34 @@ object Similarity {
   /** Deterministic hyperplane weights: weight(p,d) = (first hex digit
     * of md5("p:d")) * 2 - 15 — an odd integer in [-15, 15], identical
     * in any engine that has md5. */
-  def planeWeights(planes: Int, dims: Int): Seq[Seq[Int]] = {
+  def planeWeights(planes: Int, dims: Int): Seq[Seq[Int]] =
+    saltedPlaneWeights("", planes, dims)
+
+  /** Independent plane set per salt: md5("<salt>p:d") digits — set k
+    * of a multi-probe scheme uses salt "k:" (salt "" is the primary
+    * set, keeping [[planeWeights]] stable). */
+  def saltedPlaneWeights(salt: String, planes: Int,
+      dims: Int): Seq[Seq[Int]] = {
     val md = MessageDigest.getInstance("MD5")
     (0 until planes).map { p =>
       (0 until dims).map { d =>
-        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        val hex = md.digest(s"$salt$p:$d".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         Integer.parseInt(hex.substring(0, 1), 16) * 2 - 15
       }
     }
   }
 
+  private def bucketColWith(qv: Column, weights: Seq[Seq[Int]]): Column =
+    weights.zipWithIndex.map { case (w, p) =>
+      when(dotQ(typedLit(w.map(_.toLong)), qv) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Sign-of-projection bucket id (0 .. 2^planes-1) as a Column over
     * the quantized vector. Pure integer math; weights are literals, so
     * the whole thing stays in one codegen'd projection. */
   def bucketCol(qv: Column, planes: Int, dims: Int): Column =
-    planeWeights(planes, dims).zipWithIndex.map { case (w, p) =>
-      when(dotQ(typedLit(w.map(_.toLong)), qv) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    bucketColWith(qv, planeWeights(planes, dims))
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors in
     * the query's hyperplane-sign bucket; exact cosine rank within the
@@ -265,6 +275,50 @@ object Similarity {
     * so the scored frame never leaves columnar form. Output is
     * identical to [[scoreAndRankWindow]] (same total order,
     * NaN-greatest like Spark's sort; SimilaritySpec pins it). */
+  /** Multi-probe near-dup: OR of `planeSets` INDEPENDENT hyperplane
+    * sets (distinct md5 salts), exactly how MinHash raises recall
+    * with more bands — a true near-pair is missed only if every set
+    * splits it, so miss probability decays geometrically in the
+    * number of sets while candidate volume grows linearly. Candidates
+    * from all sets are pair-deduped BEFORE the exact cosine verify,
+    * so each surviving pair pays the dot product once.
+    *
+    * Scale shape: one posexplode to (set, bucket) keys — the
+    * equi-join is on (set, bucket), so sets never cross-join; state
+    * per bucket is corpus/2^planes as in the single-set form, times
+    * planeSets map-side rows. */
+  def cosineNearDupPairsMulti(emb: DataFrame, id: Column, vec: Column,
+      minCosine: Double, planeSets: Int = 2, planes: Int = DefaultPlanes,
+      dims: Int = 64,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(planeSets >= 1)
+    val bucketCols = (0 until planeSets).map { s =>
+      val salt = if (s == 0) "" else s"$s:"
+      bucketColWith(col("qv"), saltedPlaneWeights(salt, planes, dims))
+    }
+    val q = quantized(emb, id, vec)
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "pset")
+      .withColumnRenamed("col", "bucket")
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) q
+      else q.persist(storage)
+    val x = base.select(col("pset"), col("bucket"),
+      col("vec_id").as("vec_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val y = base.select(col("pset"), col("bucket"),
+      col("vec_id").as("vec_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    x.join(y, Seq("pset", "bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("qv_a"), col("qv_b"),
+        col("nrm_a"), col("nrm_b"))
+      .dropDuplicates("vec_a", "vec_b") // verify each candidate pair once
+      .withColumn("cosine",
+        cosine(dotQ(col("qv_a"), col("qv_b")), col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   private def scoreAndRank(joined: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     joined.filter(col("vec_id") =!= col("query_id"))

@@ -493,6 +493,38 @@ object Streaming {
     * entry + the current window's seen-address set; semantics equal
     * the batch operator (CustomsDetectors.velocity), pinned by an
     * equivalence spec. */
+  /** Per-batch velocity kernel, shared verbatim by the
+    * flatMapGroupsWithState and transformWithState forms. */
+  private def velocityScan(key: String, st0: Option[VelState],
+      events: Seq[VelLogin], windowUs: Long, maxCentiPerSec: Double,
+      minCenti: Double): (Option[VelState], Seq[VelAlert]) = {
+    var st = st0
+    val out = Seq.newBuilder[VelAlert]
+    events.sortBy(e => (e.tsUs, e.addr)).foreach { e =>
+      val w = Math.floorDiv(e.tsUs, windowUs)
+      val seen: Set[String] = st match {
+        case Some(s) if s.windowId == w => s.seen.toSet
+        case _ => Set.empty
+      }
+      if (!seen.contains(e.addr)) {
+        st match {
+          case Some(s) if s.addr != e.addr =>
+            val kmCenti = math.floor(graft.util.GeoUtil
+              .haversineKm(s.lat, s.lon, e.lat, e.lon) * 100 + 0.5)
+              .toLong
+            val tdS = Math.floorDiv(e.tsUs, 1000000L) -
+              Math.floorDiv(s.tsUs, 1000000L)
+            if (kmCenti >= minCenti && kmCenti > maxCentiPerSec * tdS)
+              out += VelAlert(key, e.tsUs, e.addr, s.addr, tdS, kmCenti)
+          case _ => ()
+        }
+        st = Some(VelState(e.addr, e.tsUs, e.lat, e.lon, w,
+          (seen + e.addr).toSeq.sorted))
+      }
+    }
+    (st, out.result())
+  }
+
   def customsVelocity(ds: Dataset[VelLogin], maxKmPerSecond: Double,
       minDistanceKm: Double,
       dedupeWindowSeconds: Long = 300): Dataset[VelAlert] = {
@@ -505,33 +537,63 @@ object Streaming {
       .flatMapGroupsWithState[VelState, VelAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[VelLogin], state: GroupState[VelState]) =>
-          var st = if (state.exists) Some(state.get) else None
-          val out = Seq.newBuilder[VelAlert]
-          it.toSeq.sortBy(e => (e.tsUs, e.addr)).foreach { e =>
-            val w = Math.floorDiv(e.tsUs, windowUs)
-            val seen: Set[String] = st match {
-              case Some(s) if s.windowId == w => s.seen.toSet
-              case _ => Set.empty
-            }
-            if (!seen.contains(e.addr)) {
-              st match {
-                case Some(s) if s.addr != e.addr =>
-                  val kmCenti = math.floor(graft.util.GeoUtil
-                    .haversineKm(s.lat, s.lon, e.lat, e.lon) * 100 + 0.5)
-                    .toLong
-                  val tdS = Math.floorDiv(e.tsUs, 1000000L) -
-                    Math.floorDiv(s.tsUs, 1000000L)
-                  if (kmCenti >= minCenti && kmCenti > maxCentiPerSec * tdS)
-                    out += VelAlert(key, e.tsUs, e.addr, s.addr, tdS, kmCenti)
-                case _ => ()
-              }
-              st = Some(VelState(e.addr, e.tsUs, e.lat, e.lon, w,
-                (seen + e.addr).toSeq.sorted))
-            }
-          }
+          val (st, out) = velocityScan(key,
+            if (state.exists) Some(state.get) else None,
+            it.toSeq, windowUs, maxCentiPerSec, minCenti)
           st.foreach(state.update)
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** CustomsVelocity on the Spark 4 `transformWithState` API (see
+    * SuppressProcessor): latest-entry state with optional native TTL
+    * — the reference's Datastore PruningStrategyLatest semantics.
+    * Same kernel as `customsVelocity`; spec-pinned equivalent. */
+  class VelocityProcessor(windowUs: Long, maxCentiPerSec: Double,
+      minCenti: Double, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, VelLogin, VelAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[VelState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[VelState]("latest",
+        org.apache.spark.sql.Encoders.product[VelState], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[VelLogin],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[VelAlert] = {
+      val (next, out) = velocityScan(key,
+        if (st.exists()) Some(st.get()) else None,
+        rows.toSeq, windowUs, maxCentiPerSec, minCenti)
+      next.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** `customsVelocity` on transformWithState (see VelocityProcessor). */
+  def customsVelocityTws(ds: Dataset[VelLogin], maxKmPerSecond: Double,
+      minDistanceKm: Double, dedupeWindowSeconds: Long = 300,
+      stateTtlSeconds: Long = 0): Dataset[VelAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new VelocityProcessor(dedupeWindowSeconds * 1000000L,
+          maxKmPerSecond * 100, minDistanceKm * 100,
+          stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
   }
 
   case class AuthLogin(key: String, tsUs: Long, addr: String,

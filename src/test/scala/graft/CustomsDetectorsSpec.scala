@@ -167,6 +167,59 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState customs velocity matches fMGWS and batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t = 1700000000L
+    // identical input to the fMGWS test above (shared kernel)
+    val logins = Seq(
+      (t, "u1", "1.1.1.1", 51.5, -0.1),
+      (t + 60, "u1", "2.2.2.2", -33.9, 151.2),
+      (t + 120, "u1", "2.2.2.2", -33.9, 151.2),
+      (t + 180, "u1", "3.3.3.3", -33.8, 151.3))
+    val in = MemoryStream[Streaming.VelLogin]
+    val q = Streaming.customsVelocityTws(in.toDS(),
+        maxKmPerSecond = 0.2778, minDistanceKm = 100)
+      .writeStream.format("memory").queryName("velstream_tws")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      val rows = logins.map { case (tt, k, a, la, lo) =>
+        Streaming.VelLogin(k, tt * 1000000L, a, s"$k@x.com", la, lo) }
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("velstream_tws").as[Streaming.VelAlert]
+        .collect().map(a => (a.addr, a.prevAddr, a.tdS, a.kmCenti)).toSet
+      assert(streamed.map(_._1) == Set("2.2.2.2"))
+      // same rows as the batch operator computes on the same logins
+      val batch = CustomsDetectors.velocity(
+        logins.toDF("t", "uid", "addr", "lat", "lon")
+          .withColumn("ts", timestamp_seconds(col("t")))
+          .withColumn("email", concat(col("uid"), lit("@x.com"))),
+        col("ts"), col("t"), col("uid"), col("email"), col("addr"),
+        col("lat"), col("lon"), maxKmPerSecond = 0.2778,
+        minDistanceKm = 100)
+        .select("addr", "prev_addr", "td_s", "km_centi")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("account enumeration: threshold + single-path gate + variance") {
     import spark.implicits._
     val t = 1700000000L

@@ -217,6 +217,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
 
+  test("multi-plane-set near-dup: recall is a superset of the single set, pairs verified once") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val single = pairSet(Similarity.cosineNearDupPairs(emb, col("vec_id"),
+      col("embedding"), minCosine = 0.3))
+    val multi = pairSet(Similarity.cosineNearDupPairsMulti(emb,
+      col("vec_id"), col("embedding"), minCosine = 0.3, planeSets = 3))
+    // set 0 of the multi scheme IS the single scheme's plane set, so
+    // the OR can only add pairs — and with 3 independent sets on
+    // random vectors it should find strictly more
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size)
+    // every pair appears exactly once despite agreeing in several sets
+    val rows = Similarity.cosineNearDupPairsMulti(emb, col("vec_id"),
+      col("embedding"), minCosine = 0.3, planeSets = 3).collect()
+    assert(rows.length == rows.map(r =>
+      (r.getLong(0), r.getLong(1))).distinct.length)
+    // plan stays an equi-join on (set, bucket): no cartesian product
+    val p = Similarity.cosineNearDupPairsMulti(emb, col("vec_id"),
+      col("embedding"), minCosine = 0.3, planeSets = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketCol assigns every vector to a bucket in range") {
     val emb = Tables.embeddings(spark, sf)
     val buckets = emb.select(
