@@ -62,6 +62,21 @@ object Functions {
     try_element_at(nonProxy, lit(-1))
   }
 
+  /** Proxy-pipeline XFF client selection (ref s/parser/Parser.java
+    * applyProxyXFFAddressSelector:211-238): with one entry return it;
+    * with the pipeline-proxy marker present and 3+ entries the client
+    * is THIRD from last (client, proxy, edge); otherwise second from
+    * last. Pure split/element_at — stays in codegen. */
+  def proxyXffClientAddress(xff: Column, proxyPresent: Column): Column = {
+    val parts = transform(split(xff, ","), e => trim(e))
+    val n = size(parts)
+    when(xff.isNull, lit(null).cast("string"))
+      .when(n <= 1, trim(xff))
+      .when(!coalesce(proxyPresent, lit(false)) || n === 2,
+        element_at(parts, -2))
+      .otherwise(element_at(parts, -3))
+  }
+
   /** CIDR membership against a broadcast radix trie — a native
     * codegen'd Catalyst expression (see CidrMatchExpr); null → false. */
   def cidrMatch(trie: Broadcast[InetRadix])(addr: Column): Column = {

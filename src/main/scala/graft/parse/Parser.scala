@@ -96,6 +96,17 @@ object Parser {
         val (host, path) = url.map(splitUrl).getOrElse((None, None))
         val addr = (if (v1) strOpt(p, "remote_addr") else strOpt(p, "remote_ip"))
           .filter(_ != "-")
+        // XFF + pipeline-proxy marker ride along so pipelines can
+        // re-select the client with the reference's useXffAsRemote /
+        // useProxyXff semantics (ref Nginx.java:216-229 +
+        // Parser.applyProxyXFFAddressSelector:211-238;
+        // Functions.proxyXffClientAddress is the Column form)
+        val xff = Map.empty[String, String] ++
+          strOpt(p, "x_forwarded_for").filter(_.nonEmpty)
+            .map("x_forwarded_for" -> _) ++
+          strOpt(p, "x_pipeline_proxy")
+            .filter(v => v.nonEmpty && v != "-")
+            .map("x_pipeline_proxy" -> _)
         Some(mkEvent(ctx, name, Normalized(
           types = Seq(NormalizedType.HttpRequest),
           sourceAddress = addr,
@@ -105,7 +116,7 @@ object Parser {
           urlRequestHost = host,
           requestStatus = if (v1) intOpt(p, "status") else intOpt(p, "code"),
           userAgent = strOpt(p, if (v1) "user_agent" else "agent")),
-          fields = Map.empty))
+          fields = xff))
       }
     }
   }

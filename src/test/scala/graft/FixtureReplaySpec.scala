@@ -159,6 +159,41 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("latest_ts_ms") == 15000L)
   }
 
+  test("httpreq_sessionlimitanalysis1: proxy-XFF client, 20-min session of 7 monitored posts (ref TestSessionLimitAnalysis)") {
+    import spark.implicits._
+    // nginx variant-1 lines whose true client rides X-Forwarded-For
+    // behind a pipeline proxy — useXffAsRemote + useProxyXff semantics
+    val parsed = parsedHttp(lines(
+      "httpreq_sessionlimitanalysis1/httpreq_sessionlimitanalysis1_1.txt",
+      "httpreq_sessionlimitanalysis1/httpreq_sessionlimitanalysis1_2.txt",
+      "httpreq_sessionlimitanalysis1/httpreq_sessionlimitanalysis1_3.txt"))
+      .withColumn("client", Functions.proxyXffClientAddress(
+        element_at(col("fields"), "x_forwarded_for"),
+        element_at(col("fields"), "x_pipeline_proxy").isNotNull))
+    // the configured limit 6:20:POST:^/submit/click.*
+    val monitored = parsed.filter(
+      col("normalized.requestMethod") === "POST" &&
+        col("normalized.urlRequestPath").rlike("^/submit/click.*"))
+    val sessions = operators.Sessionize.assignSessions(
+        monitored.select(col("timestamp").as("ts"), col("client")),
+        col("ts"), col("client"), gapSeconds = 1200)
+      .groupBy(col("client"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("last_ms"))
+    val over = sessions.filter(col("n") >= 6).collect()
+    // one 7-request session for 192.168.0.1 (third-from-last XFF
+    // entry behind the pipeline proxy) from 21:59:42 to 22:40:42; the
+    // 23:05:42 request opens a new session and stays under the limit
+    assert(over.length == 1)
+    assert(over.head.getAs[String]("client") == "192.168.0.1")
+    assert(over.head.getAs[Long]("n") == 7L)
+    def epoch(s: String) = java.time.Instant.parse(s).toEpochMilli
+    assert(over.head.getAs[Long]("start_ms") == epoch("2021-07-08T21:59:42Z"))
+    assert(over.head.getAs[Long]("last_ms") == epoch("2021-07-08T22:40:42Z"))
+    assert(sessions.count() == 2)
+  }
+
   // --- Customs fixtures -----------------------------------------------
 
   test("customs_rl_badlogin_simple1: per-source failures, distributed account, summary (ref TestCustoms#sourceLoginFailureTest)") {
