@@ -921,6 +921,20 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("email"), col("src"))
     }),
 
+    // §2.5 EndpointSequenceAbuse with the reference's last-first
+    // pairing (each second-half request pairs the LAST first-half
+    // inside deltaMs), as ONE analytic window per key — not the
+    // all-pairs join of q13 (ref s/httprequest/heuristics/
+    // EndpointSequenceAbuse.java:201-233)
+    "q69_sequence_abuse" -> ((s, dir) => {
+      Heuristics.sequenceAbuse(Tables.events(s, dir), col("ts"),
+          col("event_id"), col("user_id"),
+          col("event_type") === "click", col("event_type") === "error",
+          deltaMs = 3600000L, threshold = 1)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -2006,6 +2020,26 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q69_sequence_abuse" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |    event_type = 'click' AS is_first,
+        |    event_type = 'error' AS is_second
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |scanned AS (
+        |  SELECT user_id, ms, is_second,
+        |    MAX(CASE WHEN is_first THEN ms END) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ms, is_first DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_first_ms
+        |  FROM tagged)
+        |SELECT user_id, COUNT(*) AS n, MAX(ms) AS latest_ms
+        |FROM scanned
+        |WHERE is_second AND ms < last_first_ms + 3600000
+        |GROUP BY user_id HAVING COUNT(*) >= 1
+        |ORDER BY user_id""".stripMargin,
 
     "q68_acct_creation_dist" ->
       """WITH creations AS (

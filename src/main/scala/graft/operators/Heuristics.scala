@@ -208,4 +208,35 @@ object Heuristics {
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** EndpointSequenceAbuse with the REFERENCE's exact pairing (ref
+    * s/httprequest/heuristics/EndpointSequenceAbuse.java:201-233):
+    * scan each client's events in time order tracking the LAST
+    * first-half request; every second-half request strictly inside
+    * `deltaMs` of that last first counts ONE violation — unlike
+    * [[sequencePairs]], earlier firsts are superseded, so two firsts
+    * followed by one second is a single violation. A first and second
+    * at the same timestamp pair (the reference updates the first-half
+    * tracker before testing the second half).
+    *
+    * Shape: ONE analytic window per key (running max of first-half
+    * timestamps), not a per-key self-join — no pair blow-up on hot
+    * clients; `seq` breaks timestamp ties deterministically. */
+  def sequenceAbuse(df: DataFrame, ts: Column, seq: Column, key: Column,
+      firstPred: Column, secondPred: Column, deltaMs: Long,
+      threshold: Long = 1): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ms"), col("is_first").desc, col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(firstPred || secondPred)
+      .select(key.as("key"), unix_millis(ts).as("ms"), seq.as("seq"),
+        firstPred.as("is_first"), secondPred.as("is_second"))
+      .withColumn("last_first_ms",
+        max(when(col("is_first"), col("ms"))).over(w))
+      .filter(col("is_second") &&
+        col("ms") < col("last_first_ms") + lit(deltaMs))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), max(col("ms")).as("latest_ms"))
+      .filter(col("n") >= threshold)
+  }
 }

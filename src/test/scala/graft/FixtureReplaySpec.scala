@@ -194,6 +194,25 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(sessions.count() == 2)
   }
 
+  test("httpreq_endpointsequenceabuse1: last-first pairing counts one violation (ref TestEndpointSequenceAbuse)") {
+    // pattern 1:GET:/test:1000:GET:/test2 — two /test firsts then one
+    // /test2 ten ms later: the reference's scan pairs the second with
+    // the LAST first only (count 1, not an all-pairs 2)
+    val parsed = parsedHttp(lines("httpreq_endpointsequenceabuse1.txt"))
+      .withColumn("eid", monotonically_increasing_id())
+    val out = Heuristics.sequenceAbuse(parsed, col("timestamp"),
+      col("eid"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod") === "GET" &&
+        col("normalized.urlRequestPath") === "/test",
+      col("normalized.requestMethod") === "GET" &&
+        col("normalized.urlRequestPath") === "/test2",
+      deltaMs = 1000L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("key") == "192.168.1.2")
+    assert(out.head.getAs[Long]("n") == 1L)
+    assert(out.head.getAs[Long]("latest_ms") == 10L)
+  }
+
   // --- Customs fixtures -----------------------------------------------
 
   test("customs_rl_badlogin_simple1: per-source failures, distributed account, summary (ref TestCustoms#sourceLoginFailureTest)") {
