@@ -423,7 +423,10 @@ object Parser {
           "dest_ip" -> c.path("dest_ip").asText(""),
           "dest_port" -> c.path("dest_port").asText(""),
           "protocol" -> c.path("protocol").asText(""),
-          "bytes_sent" -> p.path("bytes_sent").asText(""))))
+          "bytes_sent" -> p.path("bytes_sent").asText(""),
+          // alert INSTANCE_NAME metadata (ref Pioneer exfiltration)
+          "src_instance_name" ->
+            p.path("src_instance").path("vm_name").asText(""))))
     }
   }
 

@@ -444,6 +444,68 @@ class FixtureReplaySpec extends AnyFunSuite {
       "yet_another_example@enterprise.com"))
   }
 
+  test("httpreq_perendpointerrorrate1: per-client monitored-path error counts (ref TestPerEndpointErrorRateAnalysis)") {
+    val parsed = parsedHttp(lines(
+      "httpreq_perendpointerrorrate1/httpreq_perendpointerrorrate1_1.txt",
+      "httpreq_perendpointerrorrate1/httpreq_perendpointerrorrate1_2.txt",
+      "httpreq_perendpointerrorrate1/httpreq_perendpointerrorrate1_3.txt"))
+    val out = HttpHeuristics.perEndpointErrorRate(
+      parsed.filter(col("normalized.requestStatus").between(400, 499)),
+      col("timestamp"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+      "1 minute", Seq(HttpHeuristics.ErrorRule("GET", "/test", 4))).collect()
+    // .1 (1+4 GET errors, latest 45s) and .2 (5 at 0s) clear the
+    // 4-error GET rule; .3's five errors split 3 GET + 2 POST and .4
+    // has one — neither alerts (the reference test asserts exactly
+    // the .1 and .2 alerts)
+    val byAddr = out.map(r => r.getAs[String]("addr") ->
+      (r.getAs[Long]("n_errors"), r.getAs[Long]("latest_error_ms"))).toMap
+    assert(byAddr == Map(
+      "192.168.1.1" -> (5L, 45000L),
+      "192.168.1.2" -> (5L, 0L)))
+    assert(out.forall(_.getAs[Long]("window_start_ms") == 0L))
+  }
+
+  test("pioneer/exfiltration1: vpc-flow session exceeds the byte threshold once (ref TestPioneer)") {
+    val parsed = Parser.parse(lines("pioneer/exfiltration1.txt")).toDF()
+    val out = pipelines.PioneerPipeline.exfiltrationFromFlows(parsed,
+      thresholdSeconds = 3600, thresholdBytes = 100000000L,
+      gapSeconds = 1200).collect()
+    def epoch(s: String) = java.time.Instant.parse(s).toEpochMilli
+    // one alert: 192.168.1.1:22, 1000009000 bytes over 00:02..00:18;
+    // the 00:48 flow is a fresh session and 192.168.1.2 stays tiny
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("key") == "192.168.1.1-22")
+    assert(out.head.getAs[Long]("bytes") == 1000009000L)
+    assert(out.head.getAs[Long]("start_ms") == epoch("2020-01-01T00:02:00Z"))
+    assert(out.head.getAs[Long]("end_ms") == epoch("2020-01-01T00:18:00Z"))
+    // instance name rides the parsed fields (alert INSTANCE_NAME)
+    assert(parsed.filter(col("payloadType") === "gcp_vpc_flow")
+      .select(element_at(col("fields"), "src_instance_name")).head()
+      .getString(0) == "instancename")
+  }
+
+  test("privaterelay 1+2: real-address hash mismatches per uid (ref TestCustoms#privateRelayForwardTest)") {
+    import spark.implicits._
+    val parsed = Parser.parse(
+        lines("privaterelay/privaterelay1.txt", "privaterelay/privaterelay2.txt"))
+      .toDF()
+      .filter(col("payloadType") === "privaterelay")
+      .withColumn("seq", monotonically_increasing_id())
+    val out = CustomsDetectors.privateRelayForward(parsed, col("timestamp"),
+      col("seq"), element_at(col("fields"), "uid"),
+      element_at(col("fields"), "event_type"),
+      element_at(col("fields"), "real_address"))
+      .select("uid", "actual", "expected")
+      .as[(String, String, String)].collect().toSet
+    // uid 0: relay hash flips from the rp-event-established a... to
+    // b...; uid 1: from its first-seen c... to d... — two alerts, the
+    // reference's exact expected/actual pairs
+    assert(out == Set(
+      ("0" * 32, "b" * 64, "a" * 64),
+      ("1" * 32, "d" * 64, "c" * 64)))
+  }
+
   // --- AMO fixtures ---------------------------------------------------
 
   private def parsedAmo(ds: Dataset[String]): DataFrame =
