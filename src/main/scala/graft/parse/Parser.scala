@@ -196,7 +196,15 @@ object Parser {
             "request_username" -> r.path("requestParameters")
               .path("userName").asText(""),
             "shared_event_id" -> r.path("sharedEventID").asText(""),
-            "event_id" -> r.path("eventID").asText(""))))
+            "event_id" -> r.path("eventID").asText(""),
+            // assume-role correlation surface (ref s/authprofile/
+            // AwsAssumeRoleCorrelator.java: trusting half lacks a
+            // userName; cross-account = roleArn account differs from
+            // the caller's account)
+            "identity_type" -> ident.path("type").asText(""),
+            "identity_account_id" -> ident.path("accountId").asText(""),
+            "request_role_arn" -> r.path("requestParameters")
+              .path("roleArn").asText(""))))
       }
     }
   }
@@ -617,10 +625,16 @@ object Parser {
           else if (p.startsWith("/validate-email-domain")) "validate_email_domain"
           else "other"
         }
-        // remoteaddresschain is a JSON-encoded string array; the XFF
+        // field names appear BOTH lowercase (the reference model's
+        // @JsonProperty spellings) and camelCase (what the real
+        // content-server emits — t/resources/testdata/
+        // customs_contentserver.txt); probe both.
+        def strAny(names: String*): Option[String] =
+          names.iterator.flatMap(strOpt(f, _)).nextOption()
+        // remoteAddressChain is a JSON-encoded string array; the XFF
         // client choice (absent trusted-proxy config) is the last hop
-        val client = strOpt(f, "clientaddress").orElse(
-          strOpt(f, "remoteaddresschain").flatMap { rac =>
+        val client = strAny("clientaddress", "clientAddress").orElse(
+          strAny("remoteaddresschain", "remoteAddressChain").flatMap { rac =>
             rac.split(",").map(_.trim.stripPrefix("[").stripSuffix("]")
               .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).lastOption
           })
@@ -629,7 +643,7 @@ object Parser {
             path.map("path" -> _) ++
             requestType.map("request_type" -> _) ++
             strOpt(f, "method").map("method" -> _) ++
-            strOpt(f, "useragent").map("useragent" -> _) ++
+            strAny("useragent", "userAgent").map("useragent" -> _) ++
             intOpt(f, "status").map(s => "status" -> s.toString))
       }
     }

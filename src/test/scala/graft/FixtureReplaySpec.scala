@@ -506,6 +506,63 @@ class FixtureReplaySpec extends AnyFunSuite {
       ("1" * 32, "d" * 64, "c" * 64)))
   }
 
+  test("authprof_awscorr1a+1b: cross-account AssumeRole halves pair and fix the subject (ref TestAwsAssumeRoleCorrelator)") {
+    val ct = Parser.parse(
+        lines("authprof_awscorr1a.txt", "authprof_awscorr1b.txt")).toDF()
+      .filter(col("payloadType") === "cloudtrail" &&
+        element_at(col("fields"), "event_name") === "AssumeRole")
+      .withColumn("role_acct", regexp_extract(
+        element_at(col("fields"), "request_role_arn"),
+        "arn:aws:iam::(\\d+):", 1))
+    val out = operators.AuthState.assumeRoleCorrelate(ct,
+      element_at(col("fields"), "shared_event_id"), col("timestamp"),
+      element_at(col("fields"), "event_id"),
+      // trusting half carries no resolvable user (AWSAccount identity)
+      needsFixup = col("normalized.subjectUser").isNull,
+      // trusted half called into a different account's role
+      isCrossAccount =
+        col("role_acct") =!= element_at(col("fields"), "identity_account_id"),
+      subjectUser = col("normalized.subjectUser"),
+      gapSeconds = 120).collect()
+    // the reference's correlated alert names uhura as the acting user
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("fixed_user") == "uhura")
+    assert(out.head.getAs[String]("shared_id") ==
+      "1bfc7fd0-0c12-441d-b155-fe2442532683")
+  }
+
+  test("customs_contentserver: variance view gates account enumeration (ref TestCustoms#accountEnumerationWithContentServerVarianceTest)") {
+    // status-abuse events plus real fxa-content lines: sources with
+    // organic content-server activity are exempt from enumeration
+    val all = Parser.parse(lines("customs_account_status_abuse1.txt",
+      "customs_contentserver.txt")).toDF().cache()
+    val fxa = parsedFxa(lines("customs_account_status_abuse1.txt"))
+      .withColumn("path", element_at(col("fields"), "path"))
+    val variance = CustomsDetectors.contentServerVariance(
+      all.filter(col("payloadType") === "fxacontent"),
+      col("timestamp"), col("normalized.sourceAddress"), "10 minutes")
+    val isStatusCheck = col("summary").isin(
+      "accountStatusCheckSuccess", "accountStatusCheckBlocked")
+    val gated = CustomsDetectors.accountEnumeration(fxa, col("timestamp"),
+      col("src"), col("email"), col("path"), isStatusCheck,
+      "10 minutes", threshold = 3,
+      variance = Some(variance), minVarianceClients = 3)
+    val ungated = CustomsDetectors.accountEnumeration(fxa, col("timestamp"),
+      col("src"), col("email"), col("path"), isStatusCheck,
+      "10 minutes", threshold = 3).collect()
+      .map(_.getAs[String]("src")).toSet
+    val gatedSrcs = gated.collect().map(_.getAs[String]("src")).toSet
+    val varianceSrcs = variance.collect()
+      .map(_.getAs[String]("src")).toSet
+    // without the view both enumerators alert; with it 10.0.0.3's
+    // organic content-server activity exempts it — the reference
+    // asserts exactly the single 10.0.0.1 alert
+    assert(ungated == Set("10.0.0.1", "10.0.0.3"))
+    assert(varianceSrcs.contains("10.0.0.3"))
+    assert(gatedSrcs == Set("10.0.0.1"))
+    all.unpersist()
+  }
+
   // --- AMO fixtures ---------------------------------------------------
 
   private def parsedAmo(ds: Dataset[String]): DataFrame =
