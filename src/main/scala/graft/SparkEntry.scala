@@ -228,7 +228,7 @@ object SparkEntry {
     // same ranking through the row_number window twin — identical
     // rows to q19, so the shared oracle pins aggregator ≡ window
     // end-to-end through the driver
-    "q65_cosine_topk_agg" -> ((s, dir) => {
+    "q65_cosine_topk_window" -> ((s, dir) => {
       Similarity.bruteForceTopKWindow(Tables.embeddings(s, dir), col("vec_id"),
           col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -2088,6 +2088,6 @@ object SparkEntry {
     )
     // q65 is the row_number-window form of q19's aggregator rank —
     // same rows, same oracle
-    base + ("q65_cosine_topk_agg" -> base("q19_cosine_topk"))
+    base + ("q65_cosine_topk_window" -> base("q19_cosine_topk"))
   }
 }

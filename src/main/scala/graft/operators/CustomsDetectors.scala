@@ -199,14 +199,31 @@ object CustomsDetectors {
     * `threshold` members, the creation alerts with count = similars+1
     * and the ", "-joined similar-email list.
     *
-    * One deliberate divergence: the reference aborts the WHOLE domain
-    * when the first-iterated creation lacks address variance (a
-    * mid-loop `return` — iteration-order dependent); here the
-    * variance gate applies per creation, deterministically.
+    * Two deliberate divergences: (1) the reference aborts the WHOLE
+    * domain when the first-iterated creation lacks address variance
+    * (a mid-loop `return` — iteration-order dependent); here the
+    * variance gate applies per creation, deterministically. (2) the
+    * input is `dropDuplicates()`-ed, so repeated identical creation
+    * events of the same (window, email, src) collapse to one row; the
+    * reference counts every similar event occurrence (cand.size(),
+    * CustomsAccountCreationDist.java:89-104), so n/email_similar can
+    * undercount vs the reference when the same creation event is
+    * delivered more than once in a window.
     *
-    * Scale shape: the pair join is an equi-join on (window, domain)
-    * — the reference's per-key grouping — so candidate pairs are
-    * bounded by the domain group, never all-pairs corpus-wide. */
+    * Scale shape: the pair join is an equi-join on (window, domain,
+    * length band) — the reference's per-key grouping plus a blocking
+    * key that bounds the PAIR COUNT inside a hot domain (gmail.com at
+    * corpus scale would otherwise make the group quadratic). The band
+    * is sound, not heuristic: ratio ≤ r forces lev ≥ |lenA − lenB| ≤
+    * r·max(len), i.e. max(len)/min(len) ≤ 1/(1−r), so geometric bands
+    * with base 1/(1−r) put any qualifying pair within one band of
+    * each other; the probe side emits ±2 neighbor bands (±1 for the
+    * math, one extra for floating-point floor(log) edge safety), so
+    * every qualifying pair still matches — exactly once, since the
+    * neighbor bands are distinct — and the exact levenshtein filter
+    * is unchanged. A first-char blocking key would NOT be sound here
+    * (ratio 0.25 pairs can differ in their first character), so
+    * length is the only blocking dimension. */
   def accountCreationDist(df: DataFrame, ts: Column, email: Column,
       addr: Column, isCreate: Column, window: String, threshold: Long,
       ratioUpper: Double = 0.35): DataFrame = {
@@ -216,10 +233,7 @@ object CustomsDetectors {
         substring_index(email, "@", -1).as("domain"),
         substring_index(email, "@", 1).as("local"))
       .dropDuplicates()
-    val a = creations.toDF("window_start_ms", "email", "src", "domain", "local")
-    val b = creations.toDF("window_start_ms", "email_b", "src_b", "domain",
-      "local_b")
-    a.join(b, Seq("window_start_ms", "domain"))
+    pairCandidates(creations, ratioUpper)
       .filter(col("email") =!= col("email_b") &&
         levenshtein(col("local"), col("local_b")) <=
           greatest(length(col("local")), length(col("local_b"))) * ratioUpper)
@@ -233,6 +247,37 @@ object CustomsDetectors {
       .filter(col("addr_variance") === 1 && col("n_similar") >= threshold)
       .select(col("window_start_ms"), col("email"), col("src"),
         (col("n_similar") + 1).as("n"), col("email_similar"))
+  }
+
+  /** The banded candidate-pair join of [[accountCreationDist]],
+    * factored out so the blocking spec can count candidates directly:
+    * all (a, b) creation pairs sharing (window, domain) whose
+    * local-part lengths COULD satisfy the ratio bound. Each side
+    * carries its own geometric length band (base 1/(1−r)); the probe
+    * side explodes ±2 neighbor bands so the equi-join key set is
+    * (window, domain, band) — a hot domain's candidate count drops
+    * from |group|² to Σ per-band |a-band|·|b-band±2|, while every
+    * pair within the ratio bound provably still appears exactly once.
+    * Empty local parts (length 0, log undefined) get a sentinel band:
+    * they can only ever pair with other empty locals (lev = len of
+    * the other side > r·len for any non-empty partner). */
+  private[graft] def pairCandidates(creations: DataFrame,
+      ratioUpper: Double): DataFrame = {
+    val lnBase = math.log(1.0 / (1.0 - ratioUpper))
+    def bandOf(len: Column): Column =
+      when(len <= 0, lit(Int.MinValue / 2))
+        .otherwise(floor(log(len.cast("double")) / lnBase).cast("int"))
+    val a = creations
+      .toDF("window_start_ms", "email", "src", "domain", "local")
+      .withColumn("band", bandOf(length(col("local"))))
+    val b = creations
+      .toDF("window_start_ms", "email_b", "src_b", "domain", "local_b")
+      .withColumn("band0", bandOf(length(col("local_b"))))
+      .select(col("window_start_ms"), col("email_b"), col("src_b"),
+        col("domain"), col("local_b"),
+        explode(array((-2 to 2).map(d => col("band0") + d): _*)).as("band"))
+      .drop("band0")
+    a.join(b, Seq("window_start_ms", "domain", "band"))
   }
 
   /** Heuristic one-liners attached to fanned-out customs alerts

@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   * partition, no per-row driver interaction, schema declared up
   * front).
   *
-  * DECODE STATUS: codec-free containers are REALLY decoded in pure
-  * JVM — uncompressed BMP, binary PPM and PCM WAV (`decodeMedia`:
-  * header parse + content statistics from the actual payload bytes).
-  * Only actually-compressed codecs (JPEG/MP3/H.264...), which need
-  * native libraries this container doesn't ship, fall back to
-  * `decodeStub` — deterministic fake features from the payload md5,
-  * clearly flagged `decoded=false`. The schema, partitioning, batch
-  * iteration and column plumbing are identical on both paths: swap
-  * the stub for a codec and nothing else moves.
+  * DECODE STATUS: images and PCM audio are REALLY decoded in pure
+  * JVM — uncompressed BMP, binary PPM and PCM WAV via hand parsers
+  * (`decodeMedia`: header parse + content statistics from the actual
+  * payload bytes), and JPEG/PNG/GIF via the JDK's own
+  * `javax.imageio` readers (headless-safe, zero native
+  * dependencies). Only codecs the JDK genuinely lacks (video,
+  * compressed audio: H.264/MP3/...) fall back to `decodeStub` —
+  * deterministic fake features from the payload md5, clearly flagged
+  * `decoded=false`. The schema, partitioning, batch iteration and
+  * column plumbing are identical on both paths: swap the stub for a
+  * codec and nothing else moves. Every decoder treats its input as
+  * UNTRUSTED: malformed headers (negative chunk sizes, out-of-range
+  * offsets, overlong header integers) degrade to the stub path
+  * instead of throwing or looping — a corrupt payload must never
+  * kill the executor task.
   *
   * Scale notes: binary payloads stay columnar in parquet and are never
   * shuffled by these operators (all transforms are narrow maps);
@@ -75,18 +81,22 @@ object Multimodal {
     if (compression != 0 || width <= 0 || height == 0 ||
       (bpp != 8 && bpp != 24 && bpp != 32)) return None
     val chans = bpp / 8
-    val rowBytes = width * chans
+    // long math end-to-end: a hostile width (~2^29 × 4 channels) would
+    // overflow an int rowBytes/stride and sneak past the bounds check
+    val rowBytes = width.toLong * chans
     val stride = (rowBytes + 3) / 4 * 4
-    if (dataOff.toLong + stride.toLong * height > b.length) return None
+    // dataOff from the wire can be negative (0xFFFFFFFF.toInt) — the
+    // product check alone still passes, then b(negative) would throw
+    if (dataOff < 0 || dataOff.toLong + stride * height > b.length) return None
     var sum = 0L
     var row = 0
     while (row < height) {
-      var i = dataOff + row * stride
-      val end = i + rowBytes
+      var i = dataOff + (row * stride).toInt
+      val end = i + rowBytes.toInt
       while (i < end) { sum += b(i) & 0xff; i += 1 }
       row += 1
     }
-    val n = rowBytes.toLong * height
+    val n = rowBytes * height
     Some((width.toLong, height.toLong, chans.toLong,
       if (n == 0) 0L else Math.floorDiv(sum, n)))
   }
@@ -106,7 +116,9 @@ object Multimodal {
       }
       val start = pos
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
-      if (pos == start) None
+      // >9 digits can't be a sane dimension and would overflow toInt
+      // (NumberFormatException from untrusted bytes): reject, don't throw
+      if (pos == start || pos - start > 9) None
       else Some(new String(b, start, pos - start, "US-ASCII").toInt)
     }
     for {
@@ -135,6 +147,12 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = le32(b, pos + 4).toInt
+      // a hostile chunk size like 0xFFFFFFF7 goes negative after toInt
+      // and would advance pos by <= 0 — an infinite loop on the
+      // executor; truncated-but-positive sizes stay tolerated (the
+      // data chunk clamps to the buffer below, and pos then walks
+      // past b.length ending the loop)
+      if (size < 0) return None
       if (id == "fmt " && size >= 16 && pos + 8 + 16 <= b.length) {
         val audioFormat = le16(b, pos + 8)
         if (audioFormat != 1) return None // compressed: stub path
@@ -165,34 +183,77 @@ object Multimodal {
     }
   }
 
+  /** Compressed-image decode through the JDK's own `javax.imageio`
+    * readers (JPEG/PNG/GIF/and BMP again — all built into the JRE,
+    * headless-safe, no native libraries): (width, height, bands,
+    * floor(mean sample value over every band)). Returns None when no
+    * registered reader recognizes the payload. */
+  private[operators] def decodeImageIO(b: Array[Byte])
+      : Option[(Long, Long, Long, Long)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = r.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < bands) { sum += r.getSample(x, y, c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h * bands
+      Some((w.toLong, h.toLong, bands.toLong,
+        if (n == 0) 0L else Math.floorDiv(sum, n)))
+    }
+  }
+
   /** Per-partition batched REAL decode: pure-JVM parsers for the
-    * codec-free containers (uncompressed BMP, binary PPM, PCM WAV);
-    * everything else — actually-compressed codecs, which need native
-    * libraries this container doesn't ship — falls back to the
-    * clearly-marked deterministic stub with `decoded=false`. The
-    * Spark shape is identical either way: narrow mapPartitions,
-    * payload bytes never shuffled. */
+    * codec-free containers (uncompressed BMP, binary PPM, PCM WAV)
+    * plus the JDK's `javax.imageio` readers for JPEG/PNG/GIF;
+    * everything else — video and compressed audio, which need codecs
+    * the JDK doesn't ship — falls back to the clearly-marked
+    * deterministic stub with `decoded=false`. Every real-decode
+    * branch is Try-wrapped: a malformed or hostile payload degrades
+    * to the stub row instead of failing the query (the parsers also
+    * guard internally; the Try is the last line of defense for
+    * anything a fuzzer finds that they miss). The Spark shape is
+    * identical either way: narrow mapPartitions, payload bytes never
+    * shuffled. */
   def decodeMedia(ds: Dataset[MediaRow]): Dataset[MediaDecoded] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
       it.map { m =>
         val n = m.bytes.length.toLong
-        val real = m.kind match {
-          case "bmp" => decodeBmp(m.bytes).map { case (w, h, c, mean) =>
-            MediaDecoded(m.media_id, m.kind, n, w, h, c, 0L, w * h, mean,
-              decoded = true)
+        val real = scala.util.Try {
+          m.kind match {
+            case "bmp" => decodeBmp(m.bytes).map { case (w, h, c, mean) =>
+              MediaDecoded(m.media_id, m.kind, n, w, h, c, 0L, w * h, mean,
+                decoded = true)
+            }
+            case "ppm" => decodePpm(m.bytes).map { case (w, h, mean) =>
+              MediaDecoded(m.media_id, m.kind, n, w, h, 3L, 0L, w * h, mean,
+                decoded = true)
+            }
+            case "wav" => decodeWav(m.bytes).map { case (c, rate, ns, mean) =>
+              MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns, mean,
+                decoded = true)
+            }
+            case "jpg" | "jpeg" | "png" | "gif" =>
+              decodeImageIO(m.bytes).map { case (w, h, c, mean) =>
+                MediaDecoded(m.media_id, m.kind, n, w, h, c, 0L, w * h, mean,
+                  decoded = true)
+              }
+            case _ => None
           }
-          case "ppm" => decodePpm(m.bytes).map { case (w, h, mean) =>
-            MediaDecoded(m.media_id, m.kind, n, w, h, 3L, 0L, w * h, mean,
-              decoded = true)
-          }
-          case "wav" => decodeWav(m.bytes).map { case (c, rate, ns, mean) =>
-            MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns, mean,
-              decoded = true)
-          }
-          case _ => None
-        }
+        }.toOption.flatten
         real.getOrElse {
           val (f0, f1, _, _) = decodeStub(m.bytes)
           MediaDecoded(m.media_id, m.kind, n, 0L, 0L, 0L, 0L, f0, f1,

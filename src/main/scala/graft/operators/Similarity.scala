@@ -128,19 +128,27 @@ object Similarity {
   }
 
   /** Assign every vector of `base` to its nearest centroid (exact
-    * integer cosine, broadcast of the tiny centroid set, argmax via
-    * one window rank over |corpus| × nCells scored rows). */
-  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    * integer cosine, broadcast of the tiny centroid set). The argmax
+    * is a `min_by` HASH AGGREGATE, not a window rank: partial
+    * aggregation combines map-side, so each map task ships ONE row
+    * per vector to the shuffle instead of nCells scored candidates —
+    * at 10⁹ vectors the window form would shuffle corpus × nCells
+    * rows per assignment pass (and q66 runs three passes). Ordering
+    * matches the former `row_number` window exactly: highest cosine
+    * wins, ties break on lowest cent_id (the struct key is
+    * (-c_cos, cent_id), lexicographic min; c_cos is never NaN — both
+    * norms are positive self-dot-products). qv/nrm are constant per
+    * vec_id, so `first` is deterministic here. */
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(dotQ(col("qv"), col("c_qv")),
         col("nrm"), col("c_nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        col("cent_id").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        first(col("nrm")).as("nrm"),
+        min_by(col("cent_id"), struct(-col("c_cos"), col("cent_id")))
+          .as("cell"))
 
   /** IVF-style ANN: the first `nCells` corpus vectors (lowest ids)
     * act as deterministic seed centroids; every vector is assigned to

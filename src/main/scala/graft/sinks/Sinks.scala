@@ -127,14 +127,21 @@ object Sinks {
   def alertJsonGolden(alerts: Dataset[Alert]): Dataset[String] = {
     val spark = alerts.sparkSession
     import spark.implicits._
+    // date_format renders in the SESSION time zone while the pattern
+    // hard-codes a literal 'Z' — on a non-UTC session that would label
+    // local wall time as UTC. to_utc_timestamp(ts, sessionTz) shifts
+    // the instant so its session-tz rendering reads as UTC, making the
+    // golden bytes independent of spark.sql.session.timeZone (a no-op
+    // on the UTC sessions all graft entry points configure).
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     alerts.toDF().select(to_json(struct(
       col("severity"),
       col("alertId").as("id"),
       col("summary"),
       col("category"),
       col("payload"),
-      date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-        .as("timestamp"),
+      date_format(to_utc_timestamp(col("timestamp"), sessionTz),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("timestamp"),
       col("metadata"))).as("value")).as[String]
   }
 

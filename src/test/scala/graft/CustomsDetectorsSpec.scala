@@ -403,4 +403,62 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     assert(counts == Map("login_failure" -> 3L,
       "account_create_success" -> 2L, "login_success" -> 1L))
   }
+
+  test("creation-dist blocking: length bands cut hot-domain candidates") {
+    import spark.implicits._
+    // a hot domain with two well-separated length clusters: 40 short
+    // locals (5 chars) and 40 long locals (49 chars) — the unblocked
+    // join enumerates all 80x80 pairs; the banded join must never
+    // pair short with long (length ratio 5/49 << 0.65 floor)
+    val rows =
+      (0 until 40).map(i => (0L, f"u$i%04d@hot.com", s"1.1.1.$i",
+        "hot.com", f"u$i%04d")) ++
+      (0 until 40).map(i => (0L, ("l" * 45) + f"$i%04d" + "@hot.com",
+        s"2.2.2.$i", "hot.com", ("l" * 45) + f"$i%04d"))
+    val creations = rows.toDF("window_start_ms", "email", "src",
+      "domain", "local")
+    val got = CustomsDetectors.pairCandidates(creations, 0.35).count()
+    // within-cluster pairs only: 2 x 40 x 40 (self-pairs included at
+    // this stage; the email inequality filters them later)
+    assert(got == 2L * 40 * 40,
+      s"banding should keep only within-cluster candidates, got $got " +
+        s"of ${80L * 80}")
+  }
+
+  test("creation-dist blocking: banded join keeps every ratio-qualifying pair") {
+    import spark.implicits._
+    // lengths spanning several geometric bands, including pairs at
+    // the exact 0.65 length-ratio edge (13 vs 20, 26 vs 40): the
+    // banded candidate set, filtered by the exact levenshtein ratio,
+    // must equal the unbanded join filtered the same way
+    val locals = Seq("a" * 13, "a" * 14, "b" * 20, "b" * 19, "c" * 26,
+      "c" * 30, "d" * 40, "e" * 7, "e" * 9, "", "", "x", "xy", "xyz")
+    // emails keyed by index (locals repeat, e.g. the two empties) so
+    // the email inequality only removes true self-pairs
+    val rows = locals.zipWithIndex.map { case (l, i) =>
+      (0L, s"e$i@d.com", s"9.9.9.$i", "d.com", l)
+    }
+    val creations = rows.toDF("window_start_ms", "email", "src",
+      "domain", "local")
+    def ratioFilter(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("email") =!= col("email_b") &&
+          levenshtein(col("local"), col("local_b")) <=
+            greatest(length(col("local")), length(col("local_b"))) * 0.35)
+        .select(col("email"), col("email_b"))
+    val banded = ratioFilter(
+      CustomsDetectors.pairCandidates(creations, 0.35))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val a = creations
+    val b = creations.toDF("window_start_ms", "email_b", "src_b",
+      "domain", "local_b")
+    val unbanded = ratioFilter(a.join(b, Seq("window_start_ms", "domain")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(banded == unbanded)
+    assert(banded.nonEmpty) // the fixture really exercises the filter
+    // the banded join emits each candidate pair exactly once (distinct
+    // neighbor bands can't double-match), so counts survive unchanged
+    val bandedRows = ratioFilter(
+      CustomsDetectors.pairCandidates(creations, 0.35)).count()
+    assert(bandedRows == banded.size.toLong)
+  }
 }

@@ -127,6 +127,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF cell assignment is a partial hash aggregate, not a window rank") {
+    // the argmin over centroids must partial-aggregate map-side (one
+    // row per vector reaches the shuffle) — a row_number window here
+    // would shuffle corpus x nCells scored rows per assignment pass
+    for (q <- Seq("q41_ivf_topk", "q66_ivf_refined")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("window"), s"$q: window rank in assignment:\n$opt")
+      assert(opt.contains("min_by"), s"$q: min_by argmin missing:\n$opt")
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$q: Window node in physical plan:\n$p")
+      assert(p.contains("HashAggregate"), s"$q: no hash aggregate:\n$p")
+    }
+  }
+
   test("aws behavior matcher: one scan regardless of matcher count") {
     val df = SparkEntry.queries("q55_aws_behavior")(spark, sf)
     val p = plan(df)
