@@ -935,6 +935,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // training-data ops: the PRODUCTION recall path of the cosine
+    // near-dup operator — 2 independent hyperplane sets (distinct md5
+    // salts) OR'd like MinHash bands, candidates pair-deduped before
+    // the single exact verify; same derived clone corpus as q62, so
+    // the result is a provable superset of the single-set pairs
+    "q70_embedding_neardup_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clones = emb.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).union(clones)
+      Similarity.cosineNearDupPairsMulti(corpus, col("vec_id"),
+          col("embedding"), minCosine = 0.875, planeSets = 2)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -2084,7 +2101,49 @@ object SparkEntry {
         |    w.severity_override, 'email' AS kind
         |  FROM alerts a JOIN wem w ON a.email = w.value)
         |SELECT * FROM ip UNION ALL SELECT * FROM em
-        |ORDER BY kind, ts_ms, event_id""".stripMargin
+        |ORDER BY kind, ts_ms, event_id""".stripMargin,
+
+    // multi-plane-set near-dup: per-set buckets from salted md5
+    // weights (set 0 salt '', set s salt 's:'), candidates = pairs
+    // equal in ANY set's bucket, deduped, then one exact verify
+    "q70_embedding_neardup_multi" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_prepend(-embedding[1], embedding[2:]) AS embedding
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |  FROM corpus),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |wts AS (SELECT s, p, d,
+        |    (strpos('0123456789abcdef',
+        |       md5((CASE WHEN s = 0 THEN '' ELSE s || ':' END)
+        |         || p || ':' || d)[1]) - 1)*2 - 15 AS w
+        |  FROM (SELECT unnest(generate_series(0,1)) s)
+        |  CROSS JOIN (SELECT unnest(generate_series(0,3)) p)
+        |  CROSS JOIN (SELECT unnest(generate_series(0,63)) d)),
+        |pb AS (SELECT wts.s, ed.vec_id, wts.p,
+        |    CASE WHEN SUM(wts.w * ed.v) > 0
+        |      THEN CAST(power(2, wts.p) AS BIGINT) ELSE 0 END bb
+        |  FROM ed JOIN wts ON wts.d = ed.d - 1 GROUP BY 1, 2, 3),
+        |bk AS (SELECT s, vec_id, CAST(SUM(bb) AS BIGINT) bucket
+        |  FROM pb GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b FROM bk a
+        |  JOIN bk b ON a.s = b.s AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id),
+        |dots AS (SELECT c.vec_a, c.vec_b, CAST(SUM(ae.v * be.v) AS BIGINT) dot
+        |  FROM cand c JOIN ed ae ON ae.vec_id = c.vec_a
+        |    JOIN ed be ON be.vec_id = c.vec_b AND be.d = ae.d
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT vec_a, vec_b,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = vec_a
+        |    JOIN nrm nb ON nb.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cosine FROM scored
+        |WHERE cosine >= 0.875 ORDER BY vec_a, vec_b""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank —
     // same rows, same oracle

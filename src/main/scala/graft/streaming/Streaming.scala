@@ -204,6 +204,96 @@ object Streaming {
     }
   }
 
+  /** [[SuppressProcessor]] seeded from an initial state dataset — the
+    * RESTORE half of the cross-run snapshot design (SURVEY §2.6
+    * design point d: the reference's Datastore is replaced by Spark
+    * state plus parquet snapshots; a new run must be able to pick up
+    * exactly where a snapshotted one stopped). `handleInitialState`
+    * runs once per seeded key before any input rows. */
+  class SuppressProcessorWithInit(expiryUs: Long, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, Keyed, Emitted, SuppressState] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[SuppressState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      last = getHandle.getValueState[SuppressState]("lastEmit",
+        org.apache.spark.sql.Encoders.product[SuppressState], ttl)
+    }
+
+    override def handleInitialState(key: String, st0: SuppressState,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      last.update(st0)
+
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Emitted] = {
+      var lastUs = if (last.exists()) last.get().lastEmitUs else Long.MinValue
+      val out = Seq.newBuilder[Emitted]
+      rows.toSeq.sortBy(_.tsUs).foreach { e =>
+        if (lastUs == Long.MinValue || e.tsUs - lastUs >= expiryUs) {
+          lastUs = e.tsUs
+          out += Emitted(key, e.tsUs)
+        }
+      }
+      if (lastUs != Long.MinValue) last.update(SuppressState(lastUs))
+      out.result().iterator
+    }
+  }
+
+  /** `suppressTws` seeded from a restored state snapshot: semantics
+    * identical to an uninterrupted `suppressTws` run whose state at
+    * the snapshot point was `initial` (StreamingSpec pins the full
+    * stop → snapshot → restore → continue round-trip). */
+  def suppressTwsFrom(ds: Dataset[Keyed], expirySeconds: Long,
+      initial: Dataset[(String, SuppressState)],
+      stateTtlSeconds: Long = 0): Dataset[Emitted] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new SuppressProcessorWithInit(expirySeconds * 1000000L,
+          stateTtlSeconds * 1000L),
+        mode, OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** SNAPSHOT half of the cross-run state design: read a (stopped)
+    * transformWithState query's named value state out of its
+    * checkpoint through Spark's state-store data source and land it
+    * as plain parquet — engine-neutral bytes a later run (or another
+    * system entirely, as with the reference's Datastore) can restore
+    * from. */
+  def snapshotTwsValueState(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String, stateVarName: String, outPath: String): Unit =
+    spark.read.format("statestore")
+      .option("path", checkpointDir)
+      .option("stateVarName", stateVarName)
+      .load()
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Restore a [[snapshotTwsValueState]] parquet snapshot of the
+    * suppressor's `lastEmit` state into the dataset shape
+    * [[suppressTwsFrom]] seeds from. */
+  def readSuppressSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): Dataset[(String, SuppressState)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("key.value").as("_1"),
+        col("value").cast("struct<lastEmitUs:bigint>").as("_2"))
+      .as[(String, SuppressState)]
+  }
+
   /** `suppress` on transformWithState (see SuppressProcessor). TTL is
     * opt-in for the same reason as in `suppress`: it switches the query
     * to processing-time scheduling, which keeps scheduling micro-batches
@@ -373,6 +463,104 @@ object Streaming {
       else org.apache.spark.sql.streaming.TimeMode.None()
     ds.groupByKey(_.key)
       .transformWithState(new AtRiskProcessor(stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
+  }
+
+  case class SeqEvent(key: String, tsUs: Long, seq: Long,
+      isFirst: Boolean, isSecond: Boolean)
+  case class SeqState(lastFirstUs: Long)
+  case class SeqViolation(key: String, tsUs: Long)
+
+  /** Per-batch sequence-abuse kernel, shared verbatim by the
+    * flatMapGroupsWithState and transformWithState forms — the same
+    * last-first pairing as the batch analytic scan
+    * ([[graft.operators.Heuristics.sequenceAbuse]], ref
+    * s/httprequest/heuristics/EndpointSequenceAbuse.java:201-233):
+    * events scan in (ts, firsts-before-seconds, seq) order; a
+    * first-half event advances the tracker (before the second-half
+    * test, so a same-timestamp first+second pairs); a second-half
+    * event strictly inside `deltaUs` of the tracked last first emits
+    * ONE violation — earlier firsts are superseded, never multiplied. */
+  private def seqAbuseScan(key: String, lastFirst0: Long, deltaUs: Long,
+      events: Seq[SeqEvent]): (Long, Seq[SeqViolation]) = {
+    var lastFirst = lastFirst0
+    val out = Seq.newBuilder[SeqViolation]
+    events.sortBy(e => (e.tsUs, !e.isFirst, e.seq)).foreach { e =>
+      if (e.isFirst) lastFirst = e.tsUs
+      if (e.isSecond && lastFirst != Long.MinValue &&
+        e.tsUs < lastFirst + deltaUs)
+        out += SeqViolation(key, e.tsUs)
+    }
+    (lastFirst, out.result())
+  }
+
+  /** Streaming last-first sequence abuse: per-key state is ONE
+    * timestamp (the latest first-half event seen), carried across
+    * micro-batches. Violations emit as individual rows — the
+    * count/threshold the batch form applies per key is a downstream
+    * aggregation choice, exactly as the reference applies it inside
+    * its session windows. */
+  def sequenceAbuseStream(ds: Dataset[SeqEvent],
+      deltaMs: Long): Dataset[SeqViolation] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val deltaUs = deltaMs * 1000L
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SeqState, SeqViolation](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[SeqEvent], state: GroupState[SeqState]) =>
+          val (lastFirst, out) = seqAbuseScan(key,
+            if (state.exists) state.get.lastFirstUs else Long.MinValue,
+            deltaUs, it.toSeq)
+          if (lastFirst != Long.MinValue) state.update(SeqState(lastFirst))
+          out.iterator
+      }
+  }
+
+  /** transformWithState twin of [[sequenceAbuseStream]] (see
+    * SuppressProcessor for the API rationale). Native TTL is lossless
+    * here when >= delta: a tracked first older than delta can never
+    * pair again, so aging it out of the store changes nothing. */
+  class SequenceAbuseProcessor(deltaUs: Long, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SeqEvent, SeqViolation] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SeqState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[SeqState]("lastFirst",
+        org.apache.spark.sql.Encoders.product[SeqState], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SeqEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SeqViolation] = {
+      val (lastFirst, out) = seqAbuseScan(key,
+        if (st.exists()) st.get().lastFirstUs else Long.MinValue,
+        deltaUs, rows.toSeq)
+      if (lastFirst != Long.MinValue) st.update(SeqState(lastFirst))
+      out.iterator
+    }
+  }
+
+  /** `sequenceAbuseStream` on transformWithState. */
+  def sequenceAbuseTws(ds: Dataset[SeqEvent], deltaMs: Long,
+      stateTtlSeconds: Long = 0): Dataset[SeqViolation] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new SequenceAbuseProcessor(deltaMs * 1000L, stateTtlSeconds * 1000L),
         mode, OutputMode.Append())
   }
 

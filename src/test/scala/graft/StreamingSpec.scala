@@ -373,4 +373,169 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.contains(("a", 2L, 0L, 40000L)))
     } finally q.stop()
   }
+
+  /** Shared fixture for the sequence-abuse twins: alice's first at
+    * t=0 pairs her second at t=30m (inside the 1h delta, ACROSS a
+    * micro-batch boundary); a later first at t=3h supersedes, so her
+    * second at t=5h (2h after it) is outside; bob has a second with
+    * no first at all. Expected violations: alice@30m only. */
+  private val seqEvents: Seq[Seq[Streaming.SeqEvent]] = Seq(
+    Seq(Streaming.SeqEvent("alice", 0L, 1L, isFirst = true, isSecond = false),
+      Streaming.SeqEvent("bob", 0L, 2L, isFirst = false, isSecond = true)),
+    Seq(Streaming.SeqEvent("alice", 1800000000L, 3L,
+        isFirst = false, isSecond = true),
+      Streaming.SeqEvent("alice", 10800000000L, 4L,
+        isFirst = true, isSecond = false)),
+    Seq(Streaming.SeqEvent("alice", 18000000000L, 5L,
+      isFirst = false, isSecond = true)))
+
+  private def seqBatchExpected = {
+    import spark.implicits._
+    // the batch analytic-scan operator over the SAME events (ms time)
+    graft.operators.Heuristics.sequenceAbuse(
+      seqEvents.flatten
+        .map(e => (e.key, new Timestamp(e.tsUs / 1000L), e.seq,
+          e.isFirst, e.isSecond))
+        .toDF("k", "t", "seq", "f", "s"),
+      col("t"), col("seq"), col("k"), col("f"), col("s"),
+      deltaMs = 3600000L, threshold = 1)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+        r.getAs[Long]("latest_ms"))).toSet
+  }
+
+  test("TWS state → parquet snapshot → restore → continuation ≡ uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("snapshot_rt").toString
+    val batch1 = Seq(Streaming.Keyed("alice", 0L),
+      Streaming.Keyed("alice", 100000000L), // suppressed (inside expiry)
+      Streaming.Keyed("bob", 50000000L))
+    val batch2 = Seq(
+      Streaming.Keyed("alice", 1800000000L), // still inside alice's expiry
+      Streaming.Keyed("alice", 4000000000L), // past expiry -> emits
+      Streaming.Keyed("bob", 7200000000L)) // past expiry -> emits
+    try {
+      // run 1: two keys through the suppressor, checkpointed, stopped
+      val in1 = MemoryStream[Streaming.Keyed]
+      val q1 = Streaming.suppressTws(in1.toDS(), expirySeconds = 3600)
+        .writeStream.format("memory").queryName("snap_run1")
+        .option("checkpointLocation", s"$root/ckpt1")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in1.addData(batch1: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val out1 = spark.table("snap_run1").as[Streaming.Emitted]
+        .collect().toSet
+      assert(out1 == Set(Streaming.Emitted("alice", 0L),
+        Streaming.Emitted("bob", 50000000L)))
+
+      // snapshot the stopped query's state to parquet, then restore
+      Streaming.snapshotTwsValueState(spark, s"$root/ckpt1", "lastEmit",
+        s"$root/snap")
+      val restored = Streaming.readSuppressSnapshot(spark, s"$root/snap")
+      assert(restored.collect().toSet ==
+        Set(("alice", Streaming.SuppressState(0L)),
+          ("bob", Streaming.SuppressState(50000000L))))
+
+      // run 2: a FRESH query (new checkpoint) seeded from the snapshot
+      val in2 = MemoryStream[Streaming.Keyed]
+      val q2 = Streaming.suppressTwsFrom(in2.toDS(), expirySeconds = 3600,
+          initial = restored)
+        .writeStream.format("memory").queryName("snap_run2")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in2.addData(batch2: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val out2 = spark.table("snap_run2").as[Streaming.Emitted]
+        .collect().toSet
+      // alice@1800s suppressed ONLY because the restored state knows
+      // about her emit at t=0 from run 1
+      assert(out2 == Set(Streaming.Emitted("alice", 4000000000L),
+        Streaming.Emitted("bob", 7200000000L)))
+
+      // the stitched output equals one uninterrupted run over both
+      // batches through the same operator
+      val in3 = MemoryStream[Streaming.Keyed]
+      val q3 = Streaming.suppressTws(in3.toDS(), expirySeconds = 3600)
+        .writeStream.format("memory").queryName("snap_unbroken")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in3.addData(batch1: _*)
+        q3.processAllAvailable()
+        in3.addData(batch2: _*)
+        q3.processAllAvailable()
+      } finally q3.stop()
+      val unbroken = spark.table("snap_unbroken").as[Streaming.Emitted]
+        .collect().toSet
+      assert((out1 ++ out2) == unbroken)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("streaming sequence abuse: last-first pairing across micro-batches ≡ batch scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.SeqEvent]
+    val q = Streaming.sequenceAbuseStream(in.toDS(), deltaMs = 3600000L)
+      .writeStream.format("memory").queryName("seqabuse")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      seqEvents.foreach { batch =>
+        in.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("seqabuse").as[(String, Long)].collect().toSeq
+      assert(got == Seq(("alice", 1800000000L)))
+      // per-key count of streamed violations == the batch operator
+      val streamAgg = got.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong, vs.map(_._2).max / 1000L)
+      }.toSet
+      assert(streamAgg == seqBatchExpected)
+    } finally q.stop()
+  }
+
+  test("transformWithState sequence abuse matches fMGWS and batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.SeqEvent]
+    val q = Streaming.sequenceAbuseTws(in.toDS(), deltaMs = 3600000L)
+      .writeStream.format("memory").queryName("seqabuse_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      seqEvents.foreach { batch =>
+        in.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("seqabuse_tws").as[(String, Long)].collect().toSeq
+      assert(got == Seq(("alice", 1800000000L)))
+      val streamAgg = got.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong, vs.map(_._2).max / 1000L)
+      }.toSet
+      assert(streamAgg == seqBatchExpected)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
