@@ -612,6 +612,8 @@ object SparkEntry {
           col("user_id"), col("addr"), col("lat"), col("lon"),
           pruneAgeSeconds = 86400L * 100, maxKmStatic = 2000)
         .withColumn("user_id", col("key").cast("long")).drop("key")
+        // entry_key is null without named subnets; not oracle-modeled
+        .drop("entry_key")
         // cache before the global sort: range sampling would re-run
         // the opaque mapPartitions state scan twice
         .cache()

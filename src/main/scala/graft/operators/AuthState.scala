@@ -41,9 +41,13 @@ object AuthState {
   val UnknownGeoFailure = "unknown_ip_geo_failure"
 
   /** Internal row shape for the state scan (public: Spark's encoder
-    * codegen cannot construct private classes). */
+    * codegen cannot construct private classes). lat/lon are optional:
+    * events whose GeoIP resolution failed still classify (ref
+    * UNKNOWN_IP_MINFRAUD_GEO_FAILURE — found by replaying the
+    * reference's authprof_buffer2 fixture, whose 127.0.0.1 GCP-audit
+    * event has no geo yet must alert). */
   case class Ev(key: String, tsUs: Long, seq: Long, addr: String,
-      lat: Double, lon: Double)
+      lat: Option[Double], lon: Option[Double])
 
   /** Known-IP state analysis. Per identity `key`, events are scanned
     * in (ts, seq) order against a map of previously-seen source
@@ -66,18 +70,35 @@ object AuthState {
     * known inside a window, further events from it in that window are
     * dropped entirely (no output, no state refresh).
     *
-    * Output: (key, ts_ms, addr, action, km_centi, prev_addr) — the
-    * distance quantized to centi-km, null for known/failure rows.
+    * `namedSubnets` maps (name, cidr) — the reference's
+    * IdentityManager named_subnets (getEntryKey, AuthProfile.java:
+    * 632-635): addresses inside a named subnet share ONE model entry
+    * under the subnet's name, so a login from a second office address
+    * classifies known; v4 and v6 CIDRs both work. The emitted
+    * `entry_key` is the subnet name when it differs from the raw
+    * address (the reference's ENTRY_KEY metadata), else null.
+    *
+    * Geo-failure semantics (ref UNKNOWN_IP_MINFRAUD_GEO_FAILURE): a
+    * NEW address classifies by distance only when BOTH the event and
+    * the latest surviving model entry carry geo; either side missing
+    * ⇒ `unknown_ip_geo_failure` — but known-ness itself never needs
+    * geo.
+    *
+    * Output: (key, ts_ms, addr, action, km_centi, prev_addr,
+    * entry_key) — the distance quantized to centi-km, null for
+    * known/failure rows.
     */
   def stateAnalyze(df: DataFrame, ts: Column, seq: Column, key: Column,
       addr: Column, lat: Column, lon: Column,
       pruneAgeSeconds: Long, maxKmStatic: Double,
-      dedupeWindowSeconds: Option[Long] = None): DataFrame = {
+      dedupeWindowSeconds: Option[Long] = None,
+      namedSubnets: Seq[(String, String)] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pruneUs = pruneAgeSeconds * 1000000L
     val dedupeUs = dedupeWindowSeconds.map(_ * 1000000L)
     val maxCenti = maxKmStatic * 100
+    val subnets = namedSubnets // stable local for the closure
     val prepared = df
       .select(key.cast("string").as("key"), unix_micros(ts).as("tsUs"),
         seq.cast("long").as("seq"), addr.cast("string").as("addr"),
@@ -87,11 +108,17 @@ object AuthState {
       .sortWithinPartitions(col("key"), col("tsUs"), col("seq"))
       .as[Ev]
     prepared.mapPartitions { it =>
+      def entryKeyOf(a: String): String =
+        subnets.collectFirst {
+          case (name, cidr) if graft.util.CidrUtil.cidrContainsAny(cidr, a) =>
+            name
+        }.getOrElse(a)
       var curKey: String = null
-      // addr → (lastTouchUs, lastSeq, lat, lon); the compare target is
-      // the latest-touched entry, ties broken by event seq so the
-      // choice matches a (ts, seq)-ordered lag exactly
-      val entries = mutable.HashMap.empty[String, (Long, Long, Double, Double)]
+      // entryKey → (lastTouchUs, lastSeq, lat?, lon?); the compare
+      // target is the latest-touched entry, ties broken by event seq
+      // so the choice matches a (ts, seq)-ordered lag exactly
+      val entries = mutable.HashMap
+        .empty[String, (Long, Long, Option[Double], Option[Double])]
       val seenKnown = mutable.HashSet.empty[String]
       var seenWindow = Long.MinValue
       it.flatMap { e =>
@@ -99,9 +126,12 @@ object AuthState {
           curKey = e.key; entries.clear(); seenKnown.clear()
           seenWindow = Long.MinValue
         }
+        val ek = entryKeyOf(e.addr)
+        val ekOut = if (ek == e.addr) None else Some(ek)
         // entry-age prune relative to the current event
         entries.filterInPlace { case (_, (t, _, _, _)) => e.tsUs - t <= pruneUs }
-        // per-window known-address skip
+        // per-window known-address skip (keyed on the raw address,
+        // matching the reference's seenKnownAddresses list)
         val skip = dedupeUs match {
           case Some(wUs) =>
             val w = Math.floorDiv(e.tsUs, wUs)
@@ -110,30 +140,37 @@ object AuthState {
           case None => false
         }
         if (skip) None
-        else if (entries.contains(e.addr)) {
-          entries(e.addr) = (e.tsUs, e.seq, e.lat, e.lon)
+        else if (entries.contains(ek)) {
+          entries(ek) = (e.tsUs, e.seq, e.lat, e.lon)
           if (dedupeUs.isDefined) seenKnown += e.addr
           Some((e.key, e.tsUs / 1000, e.addr, KnownIp,
-            None: Option[Long], None: Option[String]))
+            None: Option[Long], None: Option[String], ekOut))
         } else {
           val prev = if (entries.isEmpty) None
             else Some(entries.maxBy { case (_, (t, sq, _, _)) => (t, sq) })
-          entries(e.addr) = (e.tsUs, e.seq, e.lat, e.lon)
+          entries(ek) = (e.tsUs, e.seq, e.lat, e.lon)
           prev match {
             case None =>
               Some((e.key, e.tsUs / 1000, e.addr, UnknownGeoFailure,
-                None: Option[Long], None: Option[String]))
-            case Some((pAddr, (_, _, pLat, pLon))) =>
-              val kmCenti = math.floor(graft.util.GeoUtil
-                .haversineKm(pLat, pLon, e.lat, e.lon) * 100 + 0.5).toLong
-              val action =
-                if (kmCenti > maxCenti) UnknownOutsideGeo else UnknownWithinGeo
-              Some((e.key, e.tsUs / 1000, e.addr, action,
-                Some(kmCenti), Some(pAddr)))
+                None: Option[Long], None: Option[String], ekOut))
+            case Some((pAddr, (_, _, pLatO, pLonO))) =>
+              (e.lat, e.lon, pLatO, pLonO) match {
+                case (Some(la), Some(lo), Some(pLat), Some(pLon)) =>
+                  val kmCenti = math.floor(graft.util.GeoUtil
+                    .haversineKm(pLat, pLon, la, lo) * 100 + 0.5).toLong
+                  val action = if (kmCenti > maxCenti) UnknownOutsideGeo
+                    else UnknownWithinGeo
+                  Some((e.key, e.tsUs / 1000, e.addr, action,
+                    Some(kmCenti), Some(pAddr), ekOut))
+                case _ => // either side lacks geo: failure action
+                  Some((e.key, e.tsUs / 1000, e.addr, UnknownGeoFailure,
+                    None: Option[Long], Some(pAddr), ekOut))
+              }
           }
         }
       }
-    }.toDF("key", "ts_ms", "addr", "action", "km_centi", "prev_addr")
+    }.toDF("key", "ts_ms", "addr", "action", "km_centi", "prev_addr",
+      "entry_key")
   }
 
   /** CritObjectAnalyze: auth events whose acted-on object matches one

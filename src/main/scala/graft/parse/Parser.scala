@@ -121,22 +121,26 @@ object Parser {
     }
   }
 
-  /** OpenSSH syslog auth line (ref s/parser/OpenSSH.java:110). */
+  /** OpenSSH syslog auth line (ref s/parser/OpenSSH.java:110). The
+    * syslog preamble's hostname becomes the acted-on object (ref
+    * OpenSSH.java setObject — the reference's auth summaries read
+    * "… to emit-bastion"; found replaying authprof_buffer1). */
   object OpenSshMatcher extends PayloadMatcher {
     val name = "openssh"
     private val re =
-      """(?:^|.*sshd\[\d+\]: )(Accepted|Failed) (\S+) for (?:invalid user )?(\S+) from (\S+) port (\d+).*""".r
+      """(?:^\S+ +\d+ \S+ (\S+) sshd\[\d+\]: |.*sshd\[\d+\]: |^)(Accepted|Failed) (\S+) for (?:invalid user )?(\S+) from (\S+) port (\d+).*""".r
     val fastKeywords = Seq("sshd")
     def parse(ctx: ParseCtx): Option[Event] = {
       val msg = ctx.json.map(j =>
         if (j.has("textPayload")) j.path("textPayload").asText("") else ctx.raw)
         .getOrElse(ctx.raw)
       msg match {
-        case re(outcome, authMethod, user, addr, _) =>
+        case re(host, outcome, authMethod, user, addr, _) =>
           Some(mkEvent(ctx, name, Normalized(
             types = Seq(NormalizedType.Auth),
             subjectUser = Some(user),
-            sourceAddress = Some(addr)),
+            sourceAddress = Some(addr),
+            objectValue = Option(host)), // null when no syslog preamble
             fields = Map("outcome" -> outcome, "auth_method" -> authMethod)))
         case _ => None
       }
@@ -360,17 +364,32 @@ object Parser {
     val fastKeywords = Seq("client_id")
     def parse(ctx: ParseCtx): Option[Event] = ctx.json.flatMap { root =>
       val r = if (root.has("jsonPayload")) root.path("jsonPayload") else root
-      if (!r.has("client_id") || !r.has("type") || !r.has("user_name")) None
+      if (!r.has("client_id") || !r.has("type")) None
       else {
         val code = r.path("type").asText("")
         val ts = strOpt(r, "date").flatMap(TimeUtil.parseIso8601)
           .orElse(ctx.timestamp)
+        // username: top-level user_name when present, else the first
+        // details.prompts[] entry carrying one (ref s/parser/
+        // Auth0.java:212-231 — real tenant logs put it only in the
+        // prompt; found replaying the reference's authprof_buffer6)
+        val user = strOpt(r, "user_name").orElse {
+          val prompts = r.path("details").path("prompts")
+          if (!prompts.isArray) None
+          else scala.jdk.CollectionConverters
+            .IteratorHasAsScala(prompts.elements()).asScala
+            .flatMap(p => strOpt(p, "user_name")).toSeq.headOption
+        }
         Some(mkEvent(ctx.copy(timestamp = ts), name, Normalized(
           types = if (successCodes(code)) Seq(NormalizedType.Auth) else Seq.empty,
-          subjectUser = strOpt(r, "user_name"),
-          sourceAddress = strOpt(r, "ip")),
+          subjectUser = user,
+          sourceAddress = strOpt(r, "ip"),
+          // the acted-on object is the tenant application (ref
+          // Auth0.java:154 setObject(getClientName()))
+          objectValue = strOpt(r, "client_name")),
           fields = Map("type" -> code,
-            "client_id" -> r.path("client_id").asText(""))))
+            "client_id" -> r.path("client_id").asText(""),
+            "client_name" -> r.path("client_name").asText(""))))
       }
     }
   }
@@ -956,7 +975,11 @@ object Parser {
     case "HTTP_REQUEST" => Seq("glb", "nginx", "apache_combined")
     case "AUTH" => Seq("openssh", "cloudtrail", "duopull", "auth0",
       "taskcluster", "bmoaudit")
-    case "AUTH_SESSION" => Seq("fxaauth")
+    // every matcher that can emit AUTH_SESSION (gcpaudit/phabricator
+    // were missing — the fast filter silently pruned GCP audit events
+    // out of the auth-profile pipeline; found replaying the
+    // reference's authprof_buffer2 fixture)
+    case "AUTH_SESSION" => Seq("fxaauth", "gcpaudit", "phabricator")
     case _ => Seq.empty
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.filter.EventFilter
 import graft.model.Event
@@ -28,23 +28,50 @@ object AuthProfilePipeline {
       maxKmStatic: Double = 800.0,
       critObjectPatterns: Seq[String] = Nil)
 
-  /** Parse raw lines, keep AUTH events (fast-match pushdown first). */
+  /** The reference's pre-analysis event ignores (ref AuthProfile.java
+    * 204-236, found by replaying its authprof_buffer8 fixture, which
+    * must produce ZERO alerts): cloudtrail rows whose source is the
+    * literal "AWS Internal", GCP-audit rows carrying a GCP-internal
+    * placeholder source (::1 / 0:0:0:0:0:0:0:1 / 0.1.0.1), and
+    * GCP-audit rows for system service accounts. */
+  def referenceIgnores: Column = {
+    val src = col("normalized.sourceAddress")
+    val user = col("normalized.subjectUser")
+    val ignored =
+      (col("payloadType") === "cloudtrail" && src === "AWS Internal") ||
+        (col("payloadType") === "gcpaudit" &&
+          (src.isin("::1", "0:0:0:0:0:0:0:1", "0.1.0.1") ||
+            user.startsWith("system:") ||
+            user.endsWith("@gcp-sa-logging.iam.gserviceaccount.com") ||
+            user.endsWith("@system.gserviceaccount.com")))
+    // null src/user must KEEP the row (three-valued logic would drop it)
+    !coalesce(ignored, lit(false))
+  }
+
+  /** Parse raw lines, keep AUTH and AUTH_SESSION events (the
+    * reference accepts both, AuthProfile.java:143-144; fast-match
+    * pushdown first). */
   def parsedAuth(lines: Dataset[String]): DataFrame =
     Parser.parse(lines
-        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("AUTH"))))
+        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("AUTH") ++
+          Parser.payloadTypesFor("AUTH_SESSION"))))
       .toDF()
-      .filter(EventFilter.compile(Seq(EventFilter.Rule(
-        wantNormalizedTypes = Seq("AUTH")))))
+      .filter(EventFilter.compile(Seq(
+        EventFilter.Rule(wantNormalizedTypes = Seq("AUTH")),
+        EventFilter.Rule(wantNormalizedTypes = Seq("AUTH_SESSION")))))
+      .filter(referenceIgnores)
 
   def parsedAuthEnriched(lines: Dataset[String],
       resolver: GeoIp.GeoIpResolver): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     GeoIp.enrich(Parser.parse(lines
-        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("AUTH")))), resolver)
+        .filter(Parser.fastFilterAny(Parser.payloadTypesFor("AUTH") ++
+          Parser.payloadTypesFor("AUTH_SESSION")))), resolver)
       .toDF()
-      .filter(EventFilter.compile(Seq(EventFilter.Rule(
-        wantNormalizedTypes = Seq("AUTH")))))
+      .filter(EventFilter.compile(Seq(
+        EventFilter.Rule(wantNormalizedTypes = Seq("AUTH")),
+        EventFilter.Rule(wantNormalizedTypes = Seq("AUTH_SESSION")))))
   }
 
   /** Full batch analysis: lines + alias table + geo resolver →
@@ -81,10 +108,14 @@ object AuthProfilePipeline {
     * (known_ip rows deduped per day window, as the reference's
     * seenKnownAddresses list does). */
   def stateAnalysis(lines: Dataset[String], aliases: DataFrame,
-      resolver: GeoIp.GeoIpResolver, cfg: Config = Config()): DataFrame = {
+      resolver: GeoIp.GeoIpResolver, cfg: Config = Config(),
+      namedSubnets: Seq[(String, String)] = Nil): DataFrame = {
+    // geo may be missing (unresolvable address): such events still
+    // classify — stateAnalyze emits the geo-failure action for them,
+    // per the reference's UNKNOWN_IP_MINFRAUD_GEO_FAILURE path
     val auth = parsedAuthEnriched(lines, resolver)
-      .filter(col("normalized.geo").isNotNull &&
-        col("normalized.sourceAddress").isNotNull)
+      .filter(referenceIgnores)
+      .filter(col("normalized.sourceAddress").isNotNull)
     val resolved = Identity.resolve(auth,
       col("normalized.subjectUser"), aliases)
     AuthState.stateAnalyze(resolved, col("timestamp"),
@@ -92,7 +123,8 @@ object AuthProfilePipeline {
       col("normalized.sourceAddress"),
       col("normalized.geo.latitude"), col("normalized.geo.longitude"),
       cfg.pruneAgeSeconds, cfg.maxKmStatic,
-      dedupeWindowSeconds = Some(86400L))
+      dedupeWindowSeconds = Some(86400L),
+      namedSubnets = namedSubnets)
   }
 
   /** Critical-object branch (ref CritObjectAnalyze): immediate

@@ -52,6 +52,31 @@ object CidrUtil {
     }
   }
 
+  /** Protocol-agnostic CIDR membership (IPv4 AND IPv6) via address
+    * byte-prefix comparison — needed for named-subnet entry keys,
+    * which the reference declares as v6 CIDRs (identitymanager
+    * named_subnets, e.g. fd00::/48). Inputs must be literal
+    * addresses: `InetAddress.getByName` performs no DNS lookup for a
+    * valid literal, and anything malformed returns false. */
+  def cidrContainsAny(cidr: String, addr: String): Boolean = try {
+    // refuse non-literal input up front: getByName on a hostname
+    // would fall through to DNS resolution
+    if (!(addr.contains(':') || isValidIpv4(addr))) return false
+    val Array(baseS, lenS) = cidr.split("/")
+    val plen = lenS.toInt
+    val base = java.net.InetAddress.getByName(baseS).getAddress
+    val a = java.net.InetAddress.getByName(addr).getAddress
+    if (a.length != base.length || plen < 0 || plen > a.length * 8) false
+    else {
+      val fullBytes = plen / 8
+      val remBits = plen % 8
+      (0 until fullBytes).forall(i => a(i) == base(i)) && (remBits == 0 || {
+        val mask = (0xff00 >> remBits) & 0xff
+        (a(fullBytes) & mask) == (base(fullBytes) & mask)
+      })
+    }
+  } catch { case _: Exception => false }
+
   /** RFC1918 + loopback + link-local, as the reference's internal-address
     * exclusion set (ref s/CidrUtil.java:298-380). */
   val privateRanges: Seq[String] = Seq(

@@ -593,4 +593,199 @@ class FixtureReplaySpec extends AnyFunSuite {
       "test12345@example-email.com")
     assert(out.head.getAs[Long]("n_aliases") == 6L)
   }
+
+  // --- AuthProfile state-analysis fixtures (ref TestAuthProfile) ------
+
+  /** The reference's MaxMind City test database through our MMDB
+    * binary reader. */
+  private lazy val cityResolver: graft.parse.GeoIp.GeoIpResolver = {
+    val p = java.nio.file.Paths.get(refData, "GeoIP2-City-Test.mmdb")
+    assume(java.nio.file.Files.exists(p))
+    new graft.parse.MaxmindDb.MmdbResolver(
+      new graft.parse.MaxmindDb(java.nio.file.Files.readAllBytes(p)))
+  }
+
+  /** The reference's identitymanager.json, parsed to the alias table
+    * Identity.resolve consumes (alias → canonical, canonical →
+    * canonical) and the named-subnet list. */
+  private lazy val idManagerJson = {
+    val p = java.nio.file.Paths.get(refData, "identitymanager.json")
+    assume(java.nio.file.Files.exists(p))
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
+  }
+
+  private def aliasDf: DataFrame = {
+    import spark.implicits._
+    scala.jdk.CollectionConverters
+      .IteratorHasAsScala(idManagerJson.get("identities").fields()).asScala
+      .flatMap { e =>
+        val canonical = e.getKey
+        val al = e.getValue.path("aliases")
+        val aliases =
+          if (!al.isArray) Nil
+          else scala.jdk.CollectionConverters
+            .IteratorHasAsScala(al.elements()).asScala.map(_.asText()).toSeq
+        aliases.map(a => (a, canonical))
+      }.toSeq.toDF("alias", "canonical")
+  }
+
+  private def namedSubnets: Seq[(String, String)] =
+    scala.jdk.CollectionConverters
+      .IteratorHasAsScala(idManagerJson.path("named_subnets").fields())
+      .asScala.map(e => (e.getKey, e.getValue.asText())).toSeq
+
+  import graft.operators.AuthState
+
+  test("authprof_buffer1: one new-source + one deduped known for the resolved identity (ref TestAuthProfile#analyzeTest)") {
+    // object + username come from the syslog preamble / sshd line
+    val parsed = pipelines.AuthProfilePipeline.parsedAuth(
+      lines("authprof_buffer1.txt"))
+    val first = parsed.select(col("normalized.subjectUser"),
+      col("normalized.objectValue"), col("normalized.sourceAddress")).head()
+    assert(first.getString(0) == "riker")
+    assert(first.getString(1) == "emit-bastion")
+    assert(first.getString(2) == "216.160.83.56")
+    val out = pipelines.AuthProfilePipeline.stateAnalysis(
+      lines("authprof_buffer1.txt"), aliasDf, cityResolver).collect()
+    // 5 duplicate events: 1 new source (no prior state -> the
+    // reference's minfraud/geo-failure escalation), 1 known, 3 deduped
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("key") == "wriker@mozilla.com"))
+    assert(out.forall(_.getAs[String]("addr") == "216.160.83.56"))
+    assert(out.forall(_.getAs[Long]("ts_ms") == 1537308938000L))
+    val actions = out.map(_.getAs[String]("action"))
+    assert(actions.count(_ == AuthState.UnknownGeoFailure) == 1)
+    assert(actions.count(_ == AuthState.KnownIp) == 1)
+  }
+
+  test("authprof_buffer2: mixed sshd/gcpaudit/cloudtrail — 2 new sources, AWS Internal dropped, untracked kept (ref TestAuthProfile#analyzeMixedTest)") {
+    val out = pipelines.AuthProfilePipeline.stateAnalysis(
+      lines("authprof_buffer2.txt"), aliasDf, cityResolver).collect()
+    val wriker = out.filter(_.getAs[String]("key") == "wriker@mozilla.com")
+      .map(r => (r.getAs[String]("addr"), r.getAs[String]("action")))
+    // sshd 2018-09: new + deduped known; gcpaudit 2019-01 via alias
+    // riker@mozilla.com from 127.0.0.1: the 10-day entry-age prune has
+    // forgotten 2018's address and 127.0.0.1 has no geo -> geo-failure
+    // new source — the reference's 2 new + 1 known for this identity
+    assert(wriker.count(_ == (("216.160.83.56", AuthState.UnknownGeoFailure))) == 1)
+    assert(wriker.count(_ == (("216.160.83.56", AuthState.KnownIp))) == 1)
+    assert(wriker.count(_ == (("127.0.0.1", AuthState.UnknownGeoFailure))) == 1)
+    assert(wriker.length == 3)
+    // laforge has no identitymanager entry: untracked, keyed by itself
+    // (the reference's second informational)
+    val laforge = out.filter(_.getAs[String]("key") == "laforge@mozilla.com")
+    assert(laforge.length == 1)
+    assert(laforge.head.getAs[String]("addr") == "127.0.0.1")
+    // the cloudtrail ConsoleLogin row carries source "AWS Internal"
+    // and must have been dropped before analysis
+    assert(out.length == 4)
+    assert(!out.exists(_.getAs[String]("addr") == "AWS Internal"))
+  }
+
+  test("authprof_buffer3: named-subnet entry keys — second office v6 address is KNOWN (ref TestAuthProfile#analyzeNamedSubnetsTest)") {
+    val out = pipelines.AuthProfilePipeline.stateAnalysis(
+        lines("authprof_buffer3.txt"), aliasDf, cityResolver,
+        namedSubnets = namedSubnets)
+      .collect()
+    assert(out.forall(_.getAs[String]("key") == "wriker@mozilla.com"))
+    // all five events share one timestamp, so which office address the
+    // scan meets first is tie-dependent — like the reference's own
+    // test, assert the order-independent facts: the office SUBNET
+    // produces exactly ONE new source across its two addresses (the
+    // other classifies known against the shared entry), and aaaa::1
+    // (outside every named subnet) is its own new source
+    val fd = out.filter(_.getAs[String]("addr").startsWith("fd00"))
+    assert(fd.nonEmpty)
+    assert(fd.forall(_.getAs[String]("entry_key") == "office"))
+    assert(fd.count(_.getAs[String]("action") != AuthState.KnownIp) == 1)
+    assert(fd.exists(_.getAs[String]("action") == AuthState.KnownIp))
+    val aa = out.filter(_.getAs[String]("addr").startsWith("aaaa"))
+    assert(aa.count(_.getAs[String]("action") != AuthState.KnownIp) == 1)
+    assert(aa.count(_.getAs[String]("action") == AuthState.KnownIp) == 1)
+    assert(aa.forall(_.getAs[String]("entry_key") == null))
+    // the reference's 2-new-source expectation: fd00 once + aaaa once
+    assert(out.count(r => r.getAs[String]("action") != AuthState.KnownIp) == 2)
+  }
+
+  test("authprof_buffer5: GCP-origin audit event parses as untracked session auth (ref TestAuthProfile#analyzeGcpAlertIOIgnoreTest)") {
+    val out = pipelines.AuthProfilePipeline.stateAnalysis(
+      lines("authprof_buffer5.txt"), aliasDf, cityResolver).collect()
+    // laforge is untracked; the single event is a new source
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("key") == "laforge@mozilla.com")
+    assert(out.head.getAs[String]("addr") == "35.232.216.1")
+    assert(out.head.getAs[String]("action") != AuthState.KnownIp)
+  }
+
+  test("authprof_buffer6: auth0 tenant logs — client-id gate, prompt username, clientName object (ref TestAuthProfile#analyzeTestAuth0)") {
+    // the reference analyzes only configured auth0ClientIds
+    val parsed = pipelines.AuthProfilePipeline.parsedAuthEnriched(
+        lines("authprof_buffer6.txt"), cityResolver)
+      .filter(!(col("payloadType") === "auth0") ||
+        element_at(col("fields"), "client_id") === "1234567890")
+    // username comes from details.prompts[].user_name, the object is
+    // the tenant application
+    assert(parsed.count() == 3)
+    val row = parsed.select(col("normalized.subjectUser"),
+      col("normalized.objectValue"), col("normalized.sourceAddress")).head()
+    assert(row.getString(0) == "wriker@mozilla.com")
+    assert(row.getString(1) == "www.enterprise.com")
+    assert(row.getString(2) == "216.160.83.56")
+    val resolved = graft.operators.Identity.resolve(parsed,
+      col("normalized.subjectUser"), aliasDf)
+    val out = AuthState.stateAnalyze(resolved, col("timestamp"),
+      unix_micros(col("timestamp")), col("identity"),
+      col("normalized.sourceAddress"),
+      col("normalized.geo.latitude"), col("normalized.geo.longitude"),
+      pruneAgeSeconds = 864000L, maxKmStatic = 800.0,
+      dedupeWindowSeconds = Some(86400L)).collect()
+    // 3 gated events: 1 new + 1 known + 1 deduped, all wriker
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("key") == "wriker@mozilla.com"))
+    assert(out.count(_.getAs[String]("action") == AuthState.KnownIp) == 1)
+  }
+
+  test("authprof_buffer7: preloaded model entry makes the new source WITHIN geo (ref TestAuthProfile#analyzeTestMaxDistance)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val auth = pipelines.AuthProfilePipeline.parsedAuthEnriched(
+      lines("authprof_buffer7.txt"), cityResolver)
+    val resolved = graft.operators.Identity.resolve(auth,
+        col("normalized.subjectUser"), aliasDf)
+      .select(col("identity").as("key"), col("timestamp"),
+        unix_micros(col("timestamp")).as("seq"),
+        col("normalized.sourceAddress").as("addr"),
+        col("normalized.geo.latitude").as("lat"),
+        col("normalized.geo.longitude").as("lon"))
+    // the reference preloads the state model with 89.160.20.128 at
+    // (58.4162, 15.6162) one hour before; the batch analogue is a
+    // prior event row
+    val fixtureTsUs = resolved.select(min(unix_micros(col("timestamp"))))
+      .head().getLong(0)
+    val preload = Seq(("wriker@mozilla.com",
+        new java.sql.Timestamp((fixtureTsUs - 3600000000L) / 1000L),
+        0L, "89.160.20.128", Some(58.4162), Some(15.6162)))
+      .toDF("key", "timestamp", "seq", "addr", "lat", "lon")
+    val out = AuthState.stateAnalyze(preload.union(resolved),
+        col("timestamp"), col("seq"), col("key"), col("addr"),
+        col("lat"), col("lon"),
+        pruneAgeSeconds = 864000L, maxKmStatic = 800.0,
+        dedupeWindowSeconds = Some(86400L)).collect()
+      .filter(_.getAs[String]("addr") == "89.160.20.112")
+    // Linköping (test MMDB) vs the preloaded entry: ~a few km, far
+    // under the 800 km static max -> new-but-WITHIN-geo notification,
+    // then 1 known (third duplicate deduped)
+    assert(out.length == 2)
+    val nw = out.filter(_.getAs[String]("action") == AuthState.UnknownWithinGeo)
+    assert(nw.length == 1)
+    assert(nw.head.getAs[String]("prev_addr") == "89.160.20.128")
+    assert(nw.head.getAs[Long]("km_centi") < 80000L)
+    assert(out.count(_.getAs[String]("action") == AuthState.KnownIp) == 1)
+  }
+
+  test("authprof_buffer8: GCP-internal placeholder sources produce ZERO events (ref TestAuthProfile#testFilterGcpInternal)") {
+    val out = pipelines.AuthProfilePipeline.parsedAuth(
+      lines("authprof_buffer8.txt"))
+    assert(out.count() == 0)
+  }
 }
