@@ -900,20 +900,24 @@ object Parser {
         }.getOrElse(Map.empty)
         // Second-stage strip: a Mozlog record nested in the LogEntry's
         // jsonPayload (ref Parser.java second envelope pass — e.g.
-        // k8s-containerized mozlog emitters). LogEntry timestamp wins;
-        // mozlog ns Timestamp is the fallback.
+        // k8s-containerized mozlog emitters). The mozlog ns Timestamp
+        // WINS over the LogEntry timestamp (ref Event.setMozlog,
+        // s/parser/Event.java:127-135 — found replaying
+        // customs_velocity1, whose per-event times live only in the
+        // mozlog header while the LogEntry timestamp is constant);
+        // the LogEntry timestamp is the fallback.
         val jp = root.path("jsonPayload")
         if (jp.isObject && jp.has("Timestamp") && jp.has("Fields")) {
-          val mts = ts.orElse(
-            if (jp.path("Timestamp").isNumber)
-              Some(TimeUtil.parseEpoch(jp.path("Timestamp").asLong)) else None)
+          val mts = (if (jp.path("Timestamp").isNumber)
+              Some(TimeUtil.parseEpochNanos(jp.path("Timestamp").asLong))
+            else None).orElse(ts)
           ParseCtx(line, Some(jp.path("Fields")), mts, project, labels,
             strOpt(jp, "Hostname"), strOpt(jp, "Type"), strOpt(jp, "Logger"))
         } else ParseCtx(line, Some(root), ts, project, labels, None, None)
       case Some(root) if root.has("Timestamp") && root.has("Fields") =>
         // Mozlog envelope: ns epoch timestamp, payload under Fields
         val ts = if (root.path("Timestamp").isNumber)
-          Some(TimeUtil.parseEpoch(root.path("Timestamp").asLong)) else None
+          Some(TimeUtil.parseEpochNanos(root.path("Timestamp").asLong)) else None
         ParseCtx(line, Some(root.path("Fields")), ts,
           None, Map.empty, strOpt(root, "Hostname"), strOpt(root, "Type"),
           strOpt(root, "Logger"))

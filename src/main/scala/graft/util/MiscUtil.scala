@@ -113,4 +113,13 @@ object TimeUtil {
     else if (v > 100000000000L) Instant.ofEpochMilli(v)
     else Instant.ofEpochSecond(v)
   }
+
+  /** Mozlog envelope `Timestamp` is ALWAYS nanoseconds — the
+    * reference divides by 10⁶ unconditionally (Event.setMozlog,
+    * s/parser/Event.java:131-134), so small values mean small times
+    * (64000000000 = 64 s past the epoch in its test fixtures), and
+    * the magnitude heuristic of [[parseEpoch]] must not apply. */
+  def parseEpochNanos(v: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(v, 1000000000L),
+      Math.floorMod(v, 1000000000L))
 }

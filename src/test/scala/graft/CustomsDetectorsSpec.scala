@@ -22,7 +22,7 @@ class CustomsDetectorsSpec extends AnyFunSuite {
       s""""method":"$method","op":"request.summary","path":"$path",""" +
       s""""remoteAddressChain":"[\\"$addr\\"]","service":"sync",""" +
       s""""status":$status,"t":12,"uid":"$uid"},""" +
-      s""""Logger":"fxa-auth-server","Pid":1,"Severity":6,"Timestamp":0,""" +
+      s""""Logger":"fxa-auth-server","Pid":1,"Severity":6,"Timestamp":${t}000000000,""" +
       s""""Type":"request.summary"},"logName":"projects/fxa",""" +
       s""""resource":{"type":"gce_instance"},"timestamp":"$iso"}"""
   }
