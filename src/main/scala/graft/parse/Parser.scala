@@ -769,6 +769,19 @@ object Parser {
         else if (bareRequired.forall(root.has)) Some(root)
         else None
       finding.map { f =>
+        // dns action domain + instance tags feed the config-driven
+        // finding matchers (ref GuardDutyFindingMatcher.java — tags
+        // land as tag:<key> entries)
+        val domain = strOpt(
+          f.path("service").path("action").path("dnsRequestAction"), "domain")
+        val tagsNode = f.path("resource").path("instanceDetails").path("tags")
+        val tags =
+          if (!tagsNode.isArray) Nil
+          else scala.jdk.CollectionConverters
+            .IteratorHasAsScala(tagsNode.elements()).asScala.flatMap { t =>
+              strOpt(t, "key").zip(strOpt(t, "value"))
+                .map { case (k, v) => s"tag:$k" -> v }
+            }.toSeq
         mkEvent(ctx, name, Normalized(), fields =
           Map.empty[String, String] ++
             strOpt(f, "type").map("finding_type" -> _) ++
@@ -778,6 +791,7 @@ object Parser {
             strOpt(f, "title").map("title" -> _) ++
             strOpt(f, "description").map("description" -> _) ++
             strOpt(f, "id").map("finding_id" -> _) ++
+            domain.map("domain" -> _) ++ tags ++
             (if (f.path("severity").isNumber)
                Some("severity" -> f.path("severity").asDouble.toString)
              else None))

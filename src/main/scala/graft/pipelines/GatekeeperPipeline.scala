@@ -32,6 +32,112 @@ object GatekeeperPipeline {
   def severityOf(sev: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(sev >= 7.0, "critical").when(sev >= 4.0, "warn").otherwise("info")
 
+  /** One GuardDuty finding matcher (ref GuardDutyFindingMatcher.java):
+    * a CONJUNCTION of whichever fields are set — finding-type regex
+    * (full match, like Java's Matcher.matches), exact account id,
+    * tag key → value-regex pairs (tags land in the parsed fields map
+    * as tag:<key>), exact dns-action domain. A matcher with nothing
+    * set matches everything; a matcher list is OR'd. */
+  case class GdMatcher(
+      findingType: Option[String] = None,
+      accountId: Option[String] = None,
+      awsTags: Map[String, String] = Map.empty,
+      domainName: Option[String] = None) {
+    def toColumn: org.apache.spark.sql.Column = {
+      val conds =
+        findingType.map(re =>
+          coalesce(col("finding_type").rlike(s"^(?:$re)$$"), lit(false))).toSeq ++
+        accountId.map(a =>
+          coalesce(col("account") === a, lit(false))).toSeq ++
+        domainName.map(d =>
+          coalesce(col("domain") === d, lit(false))).toSeq ++
+        awsTags.map { case (k, vre) =>
+          coalesce(element_at(col("fields"), s"tag:$k")
+            .rlike(s"^(?:$vre)$$"), lit(false))
+        }
+      conds.reduceOption(_ && _).getOrElse(lit(true))
+    }
+  }
+
+  private def anyMatcher(ms: Seq[GdMatcher]): org.apache.spark.sql.Column =
+    ms.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(false))
+
+  /** GuardDuty branch (ref GuardDutyTransforms): parse findings,
+    * drop ignore-matcher hits, mark high-severity-matcher hits with
+    * handling=high (the reference's escalation email path), suppress
+    * repeats of the SAME FINDING ID inside the expiry window (ref
+    * GuardDutyTransforms.java:274 — the suppression state key is the
+    * finding id). All emitted alerts are critical, category
+    * gatekeeper:aws. */
+  def guardDutyAlerts(lines: Dataset[String],
+      ignore: Seq[GdMatcher] = Nil, high: Seq[GdMatcher] = Nil,
+      suppressSeconds: Long = 900): DataFrame = {
+    val findings = Parser.parse(lines.filter(Parser.fastFilter("guardduty")))
+      .toDF()
+      .filter(col("payloadType") === "guardduty")
+      .select(col("timestamp"), col("fields"),
+        element_at(col("fields"), "finding_type").as("finding_type"),
+        element_at(col("fields"), "severity").cast("double").as("sev"),
+        element_at(col("fields"), "account").as("account"),
+        element_at(col("fields"), "region").as("region"),
+        element_at(col("fields"), "finding_id").as("finding_id"),
+        element_at(col("fields"), "domain").as("domain"))
+      .filter(!anyMatcher(ignore))
+      .withColumn("handling",
+        when(anyMatcher(high), lit("high")).otherwise(lit("low")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+    val emitted = Stateful.suppress(findings, col("timestamp"),
+        col("finding_id"), suppressSeconds)
+      .withColumnRenamed("key", "finding_id")
+    // duplicates at the SAME instant share (key, ts_us): still one
+    // alert, like the reference's keyed suppression
+    findings.join(emitted, Seq("finding_id", "ts_us"))
+      .dropDuplicates("finding_id", "ts_us")
+      .select(
+        concat(lit("suspicious activity detected in aws account "),
+          col("account")).as("summary"),
+        lit("gatekeeper:aws").as("category"),
+        lit("critical").as("severity"),
+        col("finding_type"), col("finding_id"), col("account"),
+        col("region"), col("handling"),
+        unix_millis(col("timestamp")).as("ts_ms"))
+  }
+
+  /** ETD branch (ref ETDTransforms): parse findings, drop rule-name
+    * regex ignores, suppress repeats of the same (project, rule,
+    * technique, indicator) — the reference's concatenated suppression
+    * state key (ETDTransforms.java:263-274). Category gatekeeper:gcp,
+    * critical. */
+  def etdAlerts(lines: Dataset[String],
+      ignoreRuleRegexes: Seq[String] = Nil,
+      suppressSeconds: Long = 900): DataFrame = {
+    val findings = Parser.parse(lines.filter(Parser.fastFilter("etd")))
+      .toDF()
+      .filter(col("payloadType") === "etd")
+      .select(col("timestamp"),
+        element_at(col("fields"), "project_number").as("project_number"),
+        element_at(col("fields"), "rule_name").as("rule_name"),
+        element_at(col("fields"), "technique").as("technique"),
+        element_at(col("fields"), "indicator").as("indicator"))
+      .filter(!anyMatch(col("rule_name"), ignoreRuleRegexes))
+      .withColumn("skey", concat_ws("-", col("project_number"),
+        col("rule_name"), col("technique"), col("indicator")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+    val emitted = Stateful.suppress(findings, col("timestamp"), col("skey"),
+        suppressSeconds)
+      .withColumnRenamed("key", "skey")
+    findings.join(emitted, Seq("skey", "ts_us"))
+      .dropDuplicates("skey", "ts_us")
+      .select(
+        concat(lit("suspicious activity detected in gcp org "),
+          col("project_number")).as("summary"),
+        lit("gatekeeper:gcp").as("category"),
+        lit("critical").as("severity"),
+        col("project_number"), col("rule_name"), col("technique"),
+        col("indicator"),
+        unix_millis(col("timestamp")).as("ts_ms"))
+  }
+
   def analyze(lines: Dataset[String], cfg: Config = Config()): DataFrame = {
     val findings = Parser.parse(lines.filter(Parser.fastFilter("finding")))
       .toDF()

@@ -788,4 +788,223 @@ class FixtureReplaySpec extends AnyFunSuite {
       lines("authprof_buffer8.txt"))
     assert(out.count() == 0)
   }
+
+  // --- Customs velocity / comparator / activity fixtures --------------
+
+  test("customs_velocity1: Milton→London, 7740.82 km in 9 s, exactly one alert (ref TestCustoms#velocityTest)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val resolver = cityResolver
+    val geoOf = udf((ip: String) =>
+      resolver.lookup(ip).map(g => (g.latitude, g.longitude)))
+    val fxa = parsedFxa(lines("customs_velocity1.txt"))
+      .filter(col("summary") === "loginSuccess")
+      .withColumn("uid", element_at(col("fields"), "uid"))
+      .withColumn("geo", geoOf(col("src")))
+    val out = CustomsDetectors.velocity(fxa, col("timestamp"),
+        unix_micros(col("timestamp")), col("uid"), col("email"),
+        col("src"), col("geo._1"), col("geo._2"),
+        maxKmPerSecond = 800.0 / 3600.0, minDistanceKm = 0).collect()
+    // the 12-h return to Milton stays under 800 km/h: one alert only
+    assert(out.length == 1)
+    val a = out.head
+    assert(a.getAs[String]("uid") == "00000000000000000000000000000000")
+    assert(a.getAs[String]("email") == "riker@mozilla.com")
+    assert(a.getAs[String]("addr") == "81.2.69.192")
+    assert(a.getAs[String]("prev_addr") == "216.160.83.56")
+    assert(a.getAs[Long]("td_s") == 9L)
+    // the reference's summary says "7740.82 km"
+    assert(a.getAs[Long]("km_centi") == 774082L)
+    // the geo the reference renders: London/GB from Milton/US
+    assert(resolver.lookup("81.2.69.192").flatMap(_.city).contains("London"))
+    assert(resolver.lookup("216.160.83.56").flatMap(_.city).contains("Milton"))
+  }
+
+  test("customs_status_comparator1+2: monitored-address hit then at-risk login failure (ref TestCustoms#statusComparatorTest)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val monitored = fixture("customs_status_comparator_address_list.txt").toDS()
+    val fxa = parsedFxa(lines("customs_status_comparator1.txt",
+        "customs_status_comparator2.txt"))
+      .withColumn("path", element_at(col("fields"), "path"))
+    val checks = fxa.filter(col("summary").isin(
+      "accountStatusCheckSuccess", "accountStatusCheckBlocked"))
+    val hits = CustomsDetectors.statusComparator(checks, col("timestamp"),
+      col("src"), col("email"), monitored).collect()
+    // only spock's status check comes from a listed address
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("email") == "spock@mozilla.com")
+    assert(hits.head.getAs[String]("src") == "3.3.3.3")
+    // a comparator hit marks the account at risk; spock's later login
+    // failure then alerts (kirk/uhura fail too but were never flagged)
+    val flags = hits.map(r => (r.getAs[String]("email"),
+      r.getAs[Long]("ts_ms"))).toSeq.toDF("email", "flag_ms")
+    val failures = fxa.filter(col("summary") === "loginFailure")
+      .select(col("email"), unix_millis(col("timestamp")).as("ts_ms"),
+        col("src"))
+    val atRisk = failures.join(flags, Seq("email"))
+      .filter(col("ts_ms") >= col("flag_ms")).collect()
+    assert(atRisk.length == 1)
+    assert(atRisk.head.getAs[String]("email") == "spock@mozilla.com")
+    assert(atRisk.head.getAs[String]("src") == "10.0.1.11")
+  }
+
+  test("customs_status_comparator: streaming at-risk twin flags then alerts across batches (ref TestCustoms#statusComparatorTest)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the same fixture content through the streaming at-risk state op:
+    // batch 1 = comparator hits (flags), batch 2 = login failures
+    val monitored = fixture("customs_status_comparator_address_list.txt").toDS()
+    val b1 = parsedFxa(lines("customs_status_comparator1.txt"))
+    val flagged = CustomsDetectors.statusComparator(
+      b1.filter(col("summary").isin("accountStatusCheckSuccess",
+        "accountStatusCheckBlocked")),
+      col("timestamp"), col("src"), col("email"), monitored)
+      .collect().map(r => graft.streaming.Streaming.AccountEvent(
+        r.getAs[String]("email"), r.getAs[Long]("ts_ms") * 1000L, "flag"))
+    val fails = parsedFxa(lines("customs_status_comparator2.txt"))
+      .filter(col("summary") === "loginFailure").collect()
+      .map(r => graft.streaming.Streaming.AccountEvent(
+        r.getAs[String]("email"),
+        r.getAs[java.sql.Timestamp]("timestamp").getTime * 1000L, "fail"))
+    implicit val sqlCtx = spark2.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streaming.AccountEvent]
+    val q = graft.streaming.Streaming.atRiskAccounts(in.toDS())
+      .writeStream.format("memory").queryName("atrisk_replay")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(flagged.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(fails.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark2.table("atrisk_replay")
+        .as[graft.streaming.Streaming.AtRiskAlert].collect()
+      assert(got.length == 1)
+      assert(got.head.key == "spock@mozilla.com")
+    } finally q.stop()
+  }
+
+  // --- Gatekeeper config matchers + suppression fixtures --------------
+
+  /** Parse a reference guardduty matcher config json into GdMatcher
+    * lists (ignore, high). */
+  private def gdConfig(name: String)
+      : (Seq[pipelines.GatekeeperPipeline.GdMatcher],
+         Seq[pipelines.GatekeeperPipeline.GdMatcher]) = {
+    val p = java.nio.file.Paths.get(refData, name)
+    assume(java.nio.file.Files.exists(p))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
+    def parseList(key: String) = {
+      val arr = root.path(key)
+      if (!arr.isArray) Nil
+      else scala.jdk.CollectionConverters
+        .IteratorHasAsScala(arr.elements()).asScala.map { m =>
+          val tags = if (!m.path("aws_tags").isObject) Map.empty[String, String]
+            else scala.jdk.CollectionConverters
+              .IteratorHasAsScala(m.path("aws_tags").fields()).asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          pipelines.GatekeeperPipeline.GdMatcher(
+            findingType = Option(m.path("finding_type").asText(null)),
+            accountId = Option(m.path("account_id").asText(null)),
+            awsTags = tags,
+            domainName = Option(m.path("domain_name").asText(null)))
+        }.toSeq
+    }
+    (parseList("ignore_matchers"), parseList("high_severity_matchers"))
+  }
+
+  test("gatekeeper guardduty + matcher config: ignore and high buckets (ref TestGatekeeper#gatekeeperGDTest)") {
+    val (ignore, high) = gdConfig("guarddutyconfig.json")
+    val out = pipelines.GatekeeperPipeline.guardDutyAlerts(
+      lines("gatekeeper/guardduty-sample-findings.txt"), ignore, high)
+      .collect()
+    val types = out.map(_.getAs[String]("finding_type"))
+    // the ignore matchers drop exactly three findings: the Recon:EC2
+    // probe (type regex), the Trojan resolving ignore.com (type +
+    // domain conjunction), and the Trojan whose instance carries the
+    // Name=iTalkToCryptoMiningServers tag (aws_tags matcher)
+    assert(!types.contains("Recon:EC2/PortProbeEMRUnprotectedPort"))
+    assert(!types.contains("Trojan:EC2/DriveBySourceTraffic!DNS"))
+    assert(!types.contains("Trojan:EC2/DropPoint!DNS"))
+    // every emitted alert is critical, category fixed
+    assert(out.forall(_.getAs[String]("severity") == "critical"))
+    assert(out.forall(_.getAs[String]("category") == "gatekeeper:aws"))
+    // the reference's exact buckets: 17 alerts, 6 high (3 remaining
+    // Trojans + 2 Backdoors + the 999999999-account Stealth), 11 low
+    val highs = out.filter(_.getAs[String]("handling") == "high")
+      .map(_.getAs[String]("finding_type")).sorted
+    assert(highs.count(_.startsWith("Trojan")) == 3)
+    assert(highs.count(_.startsWith("Backdoor")) == 2)
+    assert(out.filter(_.getAs[String]("account") == "999999999")
+      .forall(_.getAs[String]("handling") == "high"))
+    assert(out.length == 17)
+    assert(highs.length == 6)
+    assert(out.count(_.getAs[String]("handling") == "low") == 11)
+  }
+
+  test("gatekeeper guardduty duplicates: same finding id suppresses to one alert (ref TestGatekeeper#gatekeeperSuppressRepeatedGDFindingsOneInstant)") {
+    val out = pipelines.GatekeeperPipeline.guardDutyAlerts(
+      lines("gatekeeper/guardduty-sample-findings-with-duplicates.txt"))
+      .collect()
+    // 5 findings: 2 share one id, 3 share another -> 2 alerts
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("finding_id")).distinct.length == 2)
+  }
+
+  test("gatekeeper etd duplicates: same (project, rule, technique, indicator) suppresses (ref TestGatekeeper#gatekeeperSuppressRepeatedETDFindingsOneInstant)") {
+    val out = pipelines.GatekeeperPipeline.etdAlerts(
+      lines("gatekeeper/etd-sample-findings-with-duplicates.txt"))
+      .collect()
+    // 5 findings: 2 share one project id, 3 share another -> 2 alerts
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("project_number")).distinct.length == 2)
+  }
+
+  test("gatekeeper ignore-all configs: one branch silenced, the other intact (ref TestGatekeeper#gatekeeperETDTest / #gatekeeperIgnoreAllETDTest)") {
+    // guardduty ignore-all config -> zero aws alerts
+    val (ignoreAll, _) = gdConfig("guarddutyconfig-ignore-all.json")
+    val gd = pipelines.GatekeeperPipeline.guardDutyAlerts(
+      lines("gatekeeper/guardduty-sample-findings.txt"), ignoreAll, Nil)
+    assert(gd.count() == 0)
+    // the etd branch still alerts on all three projects
+    val etd = pipelines.GatekeeperPipeline.etdAlerts(
+      lines("gatekeeper/etd-sample-findings.txt")).collect()
+    assert(etd.length == 3)
+    assert(etd.map(_.getAs[String]("project_number")).toSet ==
+      Set("123456789012", "123456785822", "123456789210"))
+    assert(etd.forall(_.getAs[String]("rule_name") == "iam_anomalous_grant"))
+    assert(etd.forall(_.getAs[String]("technique") == "persistence"))
+    assert(etd.forall(_.getAs[String]("indicator") == "audit_log"))
+    // and the reference's ignore-ETD regex empties it symmetrically
+    assert(pipelines.GatekeeperPipeline.etdAlerts(
+      lines("gatekeeper/etd-sample-findings.txt"),
+      ignoreRuleRegexes = Seq(".+")).count() == 0)
+  }
+
+  test("customs_activity_for_monitored_accounts: 3 alerts for the listed account (ref TestCustoms#activityMonitorTest)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val accounts =
+      fixture("customs_activity_for_monitored_accounts_account_list.txt").toDS()
+    // no XFF selector in this detector: the normalized source is the
+    // last chain element (127.0.0.1), exactly what the reference
+    // asserts as SOURCEADDRESS
+    val fxa = Parser.parse(lines(
+        "customs_activity_for_monitored_accounts1.txt",
+        "customs_activity_for_monitored_accounts2.txt")).toDF()
+      .filter(col("payloadType") === "fxaauth")
+      .withColumn("email", element_at(col("fields"), "email"))
+      .withColumn("summary", element_at(col("fields"), "event_summary"))
+      .filter(col("summary").isin("loginSuccess", "loginFailure"))
+    val out = CustomsDetectors.monitoredActivity(fxa, col("timestamp"),
+      col("email"), col("normalized.sourceAddress"), col("summary"),
+      accounts).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("email") == "spock@mozilla.com"))
+    assert(out.forall(_.getAs[String]("src") == "127.0.0.1"))
+    val actions = out.map(_.getAs[String]("action"))
+    assert(actions.count(_ == "loginSuccess") == 1)
+    assert(actions.count(_ == "loginFailure") == 2)
+  }
 }
