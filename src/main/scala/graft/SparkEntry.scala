@@ -954,6 +954,25 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // §2.3 AlertSummary pane comparison with the reference's EXACT
+    // sliding semantics (width-30m windows sliding by 15m, midpoint
+    // split, empty-half skip, truncated strict-percent compare) —
+    // fixture-replayed against the reference's own expectations and
+    // oracled here over the events table
+    "q71_alert_summary_panes" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("mr", when(col("user_id") % 3 =!= 0,
+          concat(lit("r"), col("user_id") % 2)))
+        .withColumn("cat", col("event_type"))
+        .withColumn("subcat", when(col("event_id") % 2 === 0, lit("sub")))
+      Heuristics.alertSummaryPanes(e, col("ts"), col("mr"), col("cat"),
+          col("subcat"), widthMinutes = 30, Seq(
+            Heuristics.SummaryThreshold("*", 10.0, 10.0, 2),
+            Heuristics.SummaryThreshold("r1", 10.0, 10.0, 2),
+            Heuristics.SummaryThreshold("r0-view", 10.0, 10.0, 2)))
+        .orderBy(col("classifier"), col("window_start_ms"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -2145,7 +2164,50 @@ object SparkEntry {
         |  FROM dots JOIN nrm na ON na.vec_id = vec_a
         |    JOIN nrm nb ON nb.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM scored
-        |WHERE cosine >= 0.875 ORDER BY vec_a, vec_b""".stripMargin
+        |WHERE cosine >= 0.875 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // sliding pane compare: slot = 15-min half-block; each event is
+    // the OLD half of the window at its slot and the NEW half of the
+    // window one half earlier; trunc() matches Spark's int cast
+    // (toward zero), where a bare DuckDB INTEGER cast would round
+    "q71_alert_summary_panes" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms,
+        |    CASE WHEN user_id % 3 <> 0 THEN 'r' || (user_id % 2) END AS mr,
+        |    event_type AS cat,
+        |    CASE WHEN event_id % 2 = 0 THEN 'sub' END AS subcat
+        |  FROM events),
+        |cl AS (
+        |  SELECT ms, '*' AS classifier FROM e
+        |  UNION ALL SELECT ms, mr FROM e WHERE mr IS NOT NULL
+        |  UNION ALL SELECT ms, cat FROM e WHERE mr IS NOT NULL
+        |  UNION ALL SELECT ms, mr || '-' || cat FROM e WHERE mr IS NOT NULL
+        |  UNION ALL SELECT ms, mr || '-' || cat || '-' || subcat FROM e
+        |    WHERE mr IS NOT NULL AND subcat IS NOT NULL),
+        |panes AS (
+        |  SELECT (ms // 900000) * 900000 AS ws, classifier,
+        |    TRUE AS is_old FROM cl
+        |  UNION ALL
+        |  SELECT (ms // 900000) * 900000 - 900000 AS ws, classifier,
+        |    FALSE AS is_old FROM cl),
+        |agg AS (
+        |  SELECT ws AS window_start_ms, classifier,
+        |    COUNT(*) FILTER (is_old) AS old_n,
+        |    COUNT(*) FILTER (NOT is_old) AS new_n
+        |  FROM panes GROUP BY 1, 2
+        |  HAVING COUNT(*) FILTER (is_old) > 0
+        |    AND COUNT(*) FILTER (NOT is_old) > 0),
+        |thr AS (SELECT * FROM (VALUES
+        |  ('*', 10, 10, 2), ('r1', 10, 10, 2), ('r0-view', 10, 10, 2))
+        |  t(classifier, pct_up, pct_down, min_count))
+        |SELECT a.classifier, window_start_ms, old_n, new_n
+        |FROM agg a JOIN thr USING (classifier)
+        |WHERE new_n >= min_count AND (
+        |  (pct_up > 0 AND
+        |    CAST(trunc((new_n - old_n) * 100.0 / old_n) AS INTEGER) > pct_up)
+        |  OR (pct_down > 0 AND
+        |    CAST(trunc((old_n - new_n) * 100.0 / old_n) AS INTEGER) > pct_down))
+        |ORDER BY classifier, window_start_ms""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank —
     // same rows, same oracle

@@ -190,6 +190,72 @@ object Heuristics {
         col("prev_n"), col("pct_change"))
   }
 
+  /** AlertSummary with the reference's EXACT pane pairing (ref
+    * s/postprocessing/AlertSummary.java:284-520): SLIDING windows of
+    * `widthMinutes` sliding by width/2, split at the midpoint into an
+    * old and a new half. Each configured threshold compares the two
+    * halves for its classifier, SKIPPING windows where either half is
+    * empty (the reference's isEmpty pane check — which is also why a
+    * burst-then-silence never alerts as a decrease), and alerts when
+    * the TRUNCATED percent move strictly exceeds the bound and the
+    * new half meets the floor. Classifiers per alert (ref
+    * classifierCounters): "*" always; resource, category,
+    * resource-category, resource-category-subcategory only when the
+    * alert carries a monitored resource.
+    *
+    * Scale shape: the slide-by-half window assigns each alert to two
+    * windows (constant fan-out), the split is a conditional count
+    * inside one hash aggregate, and the threshold table joins
+    * broadcast — no self-join of panes. */
+  def alertSummaryPanes(df: DataFrame, ts: Column, resource: Column,
+      category: Column, subcategory: Column, widthMinutes: Int,
+      thresholds: Seq[SummaryThreshold]): DataFrame = {
+    require(widthMinutes % 2 == 0, "width must halve evenly")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val half = widthMinutes / 2
+    val classified = df
+      .select(ts.as("__ts"), resource.as("r"), category.as("c"),
+        subcategory.as("s"))
+      .withColumn("classifier", explode(array(
+        lit("*"),
+        col("r"),
+        when(col("r").isNotNull, col("c")),
+        when(col("r").isNotNull, concat_ws("-", col("r"), col("c"))),
+        when(col("r").isNotNull && col("s").isNotNull,
+          concat_ws("-", col("r"), col("c"), col("s"))))))
+      .filter(col("classifier").isNotNull)
+    val thr = thresholds
+      .toDF("classifier", "pct_up", "pct_down", "min_count")
+    // slide = width/2, so every event sits in exactly two windows:
+    // the OLD half of the window starting at its own half-block, and
+    // the NEW half of the window one half earlier — derived
+    // arithmetically (integer epoch math) instead of via window(),
+    // whose struct alias an aggregate cannot reference
+    val halfMs = half * 60000L
+    val slot = (unix_millis(col("__ts")).cast("long") / halfMs).cast("long") *
+      halfMs
+    classified
+      .withColumn("pane", explode(array(
+        struct(slot.as("ws"), lit(true).as("is_old")),
+        struct((slot - halfMs).as("ws"), lit(false).as("is_old")))))
+      .groupBy(col("pane.ws").as("window_start_ms"), col("classifier"))
+      .agg(
+        count(when(col("pane.is_old"), 1)).as("old_n"),
+        count(when(!col("pane.is_old"), 1)).as("new_n"))
+      .filter(col("old_n") > 0 && col("new_n") > 0)
+      .join(broadcast(thr), Seq("classifier"))
+      .filter(col("new_n") >= col("min_count") &&
+        (((col("pct_up") > 0) &&
+          (((col("new_n") - col("old_n")) * lit(100.0) / col("old_n"))
+            .cast("int") > col("pct_up"))) ||
+         ((col("pct_down") > 0) &&
+          (((col("old_n") - col("new_n")) * lit(100.0) / col("old_n"))
+            .cast("int") > col("pct_down")))))
+      .select(col("classifier"), col("window_start_ms"),
+        col("old_n"), col("new_n"))
+  }
+
   /** Ordered-pair detection within a per-key timeline (ref
     * EndpointSequenceAbuse): count occurrences of `firstPred` followed by
     * `secondPred` within `withinSeconds`, per key. Expressed as an

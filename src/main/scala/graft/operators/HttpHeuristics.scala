@@ -53,17 +53,26 @@ object HttpHeuristics {
     * endpoint_method, endpoint_path, n, latest_ts_ms, useragent).
     * The alert user agent is the latest monitored request's agent
     * (deterministic refinement of the reference's iteration-order
-    * pick, EndpointAbuseAnalysis.java:182-186). */
+    * pick, EndpointAbuseAnalysis.java:182-186).
+    *
+    * `customVarianceSubstrings` match against the FULL request URL —
+    * including the query string, e.g. the reference's own "init?"
+    * test value — per the reference's keyed tuple (HTTPRequest.java:
+    * 141-147 index 4 = url; EndpointAbuseAnalysis.java:164). Pass
+    * `url` when using them; it falls back to `path` (which cannot
+    * carry a query string) otherwise. */
   def endpointAbuse(df: DataFrame, ts: Column, addr: Column,
       method: Column, path: Column, userAgent: Column, window: String,
       endpoints: Seq[Endpoint], varianceSupportingOnly: Boolean = false,
-      customVarianceSubstrings: Seq[String] = Nil): DataFrame = {
+      customVarianceSubstrings: Seq[String] = Nil,
+      url: Option[Column] = None): DataFrame = {
     val monIdx = endpoints.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (e, i)) =>
         when(method === e.method && path === e.path, i).otherwise(acc)
     }
+    val urlCol = url.getOrElse(path)
     val customVariance = customVarianceSubstrings
-      .map(s => userAgent.contains(s)).reduceOption(_ || _).getOrElse(lit(false))
+      .map(s => urlCol.contains(s)).reduceOption(_ || _).getOrElse(lit(false))
     val extendedVarianceEvent =
       monIdx.isNull && (isSupporting(path) || customVariance)
     val varianceEvent = if (varianceSupportingOnly) extendedVarianceEvent

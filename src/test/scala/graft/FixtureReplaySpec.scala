@@ -159,6 +159,43 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("latest_ts_ms") == 15000L)
   }
 
+  test("httpreq_endpointabuse2: extended variance — ANY unmonitored browsing exempts (ref TestEndpointAbuse1#endpointAbuseTestStreamExtendedVariance)") {
+    val parsed = parsedHttp(lines(
+      "httpreq_endpointabuse2/httpreq_endpointabuse2_1.txt",
+      "httpreq_endpointabuse2/httpreq_endpointabuse2_2.txt",
+      "httpreq_endpointabuse2/httpreq_endpointabuse2_3.txt"))
+    val out = HttpHeuristics.endpointAbuse(parsed, col("timestamp"),
+      col("normalized.sourceAddress"), col("normalized.requestMethod"),
+      col("normalized.urlRequestPath"), col("normalized.userAgent"),
+      "1 hour", Seq(HttpHeuristics.Endpoint("GET", "/test", 8)),
+      varianceSupportingOnly = true).collect()
+    // the reference's one alert: 192.168.1.2 at 10 monitored GETs,
+    // UA Mozilla; the other client's supporting-content browsing
+    // counts as variance under the extended flag and exempts it
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("addr") == "192.168.1.2")
+    assert(out.head.getAs[Long]("n") == 10L)
+    assert(out.head.getAs[String]("useragent") == "Mozilla")
+  }
+
+  test("httpreq_endpointabuse5: custom variance substrings exempt matching requests (ref TestEndpointAbuse1#endpointAbuseTestStreamCustomVariance)") {
+    val parsed = parsedHttp(lines(
+      "httpreq_endpointabuse5/httpreq_endpointabuse5_1.txt",
+      "httpreq_endpointabuse5/httpreq_endpointabuse5_2.txt",
+      "httpreq_endpointabuse5/httpreq_endpointabuse5_3.txt"))
+    val out = HttpHeuristics.endpointAbuse(parsed, col("timestamp"),
+      col("normalized.sourceAddress"), col("normalized.requestMethod"),
+      col("normalized.urlRequestPath"), col("normalized.userAgent"),
+      "1 hour", Seq(HttpHeuristics.Endpoint("GET", "/test", 8)),
+      varianceSupportingOnly = true,
+      customVarianceSubstrings = Seq("init?"),
+      url = Some(col("normalized.requestUrl"))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("addr") == "192.168.1.2")
+    assert(out.head.getAs[Long]("n") == 10L)
+    assert(out.head.getAs[String]("useragent") == "Mozilla")
+  }
+
   test("httpreq_sessionlimitanalysis1: proxy-XFF client, 20-min session of 7 monitored posts (ref TestSessionLimitAnalysis)") {
     import spark.implicits._
     // nginx variant-1 lines whose true client rides X-Forwarded-For
@@ -883,6 +920,73 @@ class FixtureReplaySpec extends AnyFunSuite {
       assert(got.length == 1)
       assert(got.head.key == "spock@mozilla.com")
     } finally q.stop()
+  }
+
+  test("authprof_geovelocity buffers: impossible travel Milton→London alerts, the slow return does not") {
+    // (dead fixtures upstream — no reference test reads them — but
+    // they are real bastion logs spanning three MMDB cities, ideal
+    // for the impossible-travel branch)
+    val out = pipelines.AuthProfilePipeline.analyze(
+      lines("authprof_geovelocity_buffer1.txt",
+        "authprof_geovelocity_buffer2.txt",
+        "authprof_geovelocity_buffer3.txt"),
+      aliasDf, cityResolver,
+      pipelines.AuthProfilePipeline.Config(maxKmh = 800.0)).collect()
+    // Milton -> London one hour later is ~7700 km/h; the later hops
+    // (London repeat at the same instant dedupes to speed 0 within
+    // suppression, Linköping 4.7 days later is slow) stay silent
+    assert(out.length == 1)
+    val a = out.head
+    assert(a.getAs[String]("identity") == "wriker@mozilla.com")
+    assert(a.getAs[String]("subcategory") == "geo_velocity")
+    assert(a.getAs[Long]("speed_kmh") > 5000L)
+  }
+
+  test("detectnat1 + detectnatlist1: UA-variety NAT view plus known gateways (ref TestDetectNat)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val parsed = parsedHttp(lines("detectnat1.txt"))
+    val detected = graft.operators.Heuristics.distinctCardinality(
+        parsed, col("timestamp"), col("normalized.sourceAddress"),
+        col("normalized.userAgent"), "1 minute", minDistinct = 2)
+      .select(col("key")).distinct()
+      .as[String].collect().toSet
+    // 192.168.1.1 rotates two agents in-window; 192.168.1.2 does not
+    assert(detected == Set("192.168.1.1"))
+    // with the known-gateway file the view unions in 192.168.1.2
+    val known = fixture("detectnatlist1.txt").toSet
+    assert((detected ++ known) == Set("192.168.1.1", "192.168.1.2"))
+  }
+
+  test("alertsummary_buffer1: sliding pane compare reproduces the reference's three threshold alerts (ref TestPostProcessing#alertSummaryThreshold)") {
+    val parsed = Parser.parse(lines("alertsummary_buffer1.txt")).toDF()
+      .filter(col("payloadType") === "alert")
+      .select(col("timestamp"),
+        element_at(col("fields"), "meta_monitored_resource").as("mr"),
+        element_at(col("fields"), "category").as("cat"),
+        element_at(col("fields"), "meta_category").as("subcat"))
+    assert(parsed.count() == 57)
+    val rules = Seq(graft.operators.Heuristics.SummaryThreshold(
+      "*", 50.0, 50.0, 1))
+    // 15-minute comparison (30-minute sliding width): the reference's
+    // 1→10 increase at 00:00 and 5→1 decrease at 00:45 — and nothing
+    // else (halves with zero alerts skip, so the 10→0 silence and the
+    // 0→20 burst never compare)
+    val small = graft.operators.Heuristics.alertSummaryPanes(parsed,
+      col("timestamp"), col("mr"), col("cat"), col("subcat"),
+      widthMinutes = 30, rules).collect()
+      .map(r => (r.getAs[Long]("window_start_ms"), r.getAs[Long]("old_n"),
+        r.getAs[Long]("new_n"))).toSet
+    assert(small == Set(
+      (1577836800000L, 1L, 10L), // 2020-01-01T00:00, 1 -> 10
+      (1577839500000L, 5L, 1L))) // 2020-01-01T00:45, 5 -> 1
+    // 1-hour comparison (2-hour width): the 16 -> 41 increase
+    val large = graft.operators.Heuristics.alertSummaryPanes(parsed,
+      col("timestamp"), col("mr"), col("cat"), col("subcat"),
+      widthMinutes = 120, rules).collect()
+      .map(r => (r.getAs[Long]("window_start_ms"), r.getAs[Long]("old_n"),
+        r.getAs[Long]("new_n"))).toSet
+    assert(large == Set((1577836800000L, 16L, 41L)))
   }
 
   // --- Gatekeeper config matchers + suppression fixtures --------------
