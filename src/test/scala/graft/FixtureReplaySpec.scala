@@ -989,6 +989,74 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(large == Set((1577836800000L, 16L, 41L)))
   }
 
+  test("httpreq_multi1.json: MULTIPLEX config drives per-resource toggled analyses (ref TestMulti#testMulti1)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cfgPath = java.nio.file.Paths.get(refData, "httpreq_multi1.json")
+    assume(java.nio.file.Files.exists(cfgPath))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cfgPath.toFile)
+    assert(root.path("input").path("mode").asText() == "MULTIPLEX")
+    // build the multiplexed frame exactly as the config declares it:
+    // one named element per resource, its file inputs resolved into
+    // the reference checkout
+    val elems = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(root.path("input").path("elements").elements())
+      .asScala.map { e =>
+        val name = e.path("name").asText()
+        val files = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(e.path("file_inputs").elements()).asScala
+          .map(_.asText().split("/testdata/").last).toSeq
+        name -> files
+      }.toSeq
+    assert(elems.map(_._1) == Seq("resource1", "resource2"))
+    val mux = sources.Multiplex.union(elems.map { case (n, fs) =>
+      sources.Multiplex.named(lines(fs: _*), n)
+    })
+    // per-resource service toggles route each branch to its analyses
+    val toggles = root.path("service_toggles")
+    val analyses: Map[String,
+        org.apache.spark.sql.Dataset[String] => DataFrame] =
+      elems.map { case (n, _) =>
+        val t = toggles.path(n)
+        n -> { (ls: org.apache.spark.sql.Dataset[String]) =>
+          val parsed = parsedHttp(ls)
+          val raw =
+            if (t.path("enable_hard_limit_analysis").asBoolean(false))
+              Heuristics.hardLimit(parsed, col("timestamp"),
+                  col("normalized.sourceAddress"), "1 minute",
+                  t.path("hard_limit_request_count").asLong(10))
+                .withColumn("kind", lit("hard_limit"))
+                .withColumnRenamed("n", "count")
+            else
+              Heuristics.errorRate(parsed, col("timestamp"),
+                  col("normalized.sourceAddress"),
+                  col("normalized.requestStatus").between(400, 499),
+                  "1 minute", maxErrors = 30)
+                .withColumn("kind", lit("error_rate"))
+                .withColumnRenamed("errors", "count")
+          if (!t.path("enable_nat_detection").asBoolean(false)) raw
+          else { // UA-variety NAT gateways are exempt, per the toggle
+            val nat = Heuristics.distinctCardinality(parsed,
+              col("timestamp"), col("normalized.sourceAddress"),
+              col("normalized.userAgent"), "1 minute", minDistinct = 2)
+            raw.join(nat.select(col("window_start_ms"), col("key")),
+              Seq("window_start_ms", "key"), "left_anti")
+          }
+        }
+      }.toMap
+    val out = sources.Multiplex.analyzeAll(mux, analyses).collect()
+    // the reference's two alerts, each tagged with ITS resource: the
+    // hard limit fires only on resource2's stream, the error rate
+    // only on resource1's — per-branch config isolation
+    assert(out.length == 2)
+    val byRes = out.map(r => r.getAs[String]("resource") ->
+      (r.getAs[String]("kind"), r.getAs[String]("key"),
+        r.getAs[Long]("count"))).toMap
+    assert(byRes("resource1") == (("error_rate", "10.0.0.1", 35L)))
+    assert(byRes("resource2") == (("hard_limit", "192.168.1.2", 11L)))
+  }
+
   // --- Gatekeeper config matchers + suppression fixtures --------------
 
   /** Parse a reference guardduty matcher config json into GdMatcher
