@@ -503,6 +503,64 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("window_start_ms") == 0L))
   }
 
+  test("httpreq_perendpointerrorrate2+4: repeat batches still one alert per client; sub-threshold stays silent (ref TestPerEndpointErrorRateAnalysis)") {
+    def run(files: String*) = {
+      val parsed = parsedHttp(lines(files: _*))
+      HttpHeuristics.perEndpointErrorRate(
+        parsed.filter(col("normalized.requestStatus").between(400, 499)),
+        col("timestamp"), col("normalized.sourceAddress"),
+        col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+        "1 minute", Seq(HttpHeuristics.ErrorRule("GET", "/test", 4))).collect()
+    }
+    // rate2: the same two clients as rate1 spread across three
+    // micro-batch files — per-(window, client) aggregation still
+    // yields exactly one alert each (the reference's suppression
+    // collapses the repeats; batch windows make it structural)
+    val o2 = run(
+      "httpreq_perendpointerrorrate2/httpreq_perendpointerrorrate2_1.txt",
+      "httpreq_perendpointerrorrate2/httpreq_perendpointerrorrate2_2.txt",
+      "httpreq_perendpointerrorrate2/httpreq_perendpointerrorrate2_3.txt")
+    val byAddr2 = o2.map(r => r.getAs[String]("addr") ->
+      r.getAs[Long]("n_errors")).toMap
+    assert(byAddr2.keySet == Set("192.168.1.1", "192.168.1.2"))
+    assert(byAddr2.values.forall(_ >= 5L))
+    // rate4: a single batch file, exactly one client over the rule
+    val o4 = run(
+      "httpreq_perendpointerrorrate4/httpreq_perendpointerrorrate4_1.txt")
+    assert(o4.length == 1)
+  }
+
+  test("pioneer/exfiltration2a-c: the growing session's early panes as batch prefixes (ref TestPioneer#pioneerExfiltration2)") {
+    def run(files: String*) = {
+      val parsed = Parser.parse(lines(files: _*)).toDF()
+      pipelines.PioneerPipeline.exfiltrationFromFlows(parsed,
+        thresholdSeconds = 3600, thresholdBytes = 100000000L,
+        gapSeconds = 1200).collect()
+    }
+    def epoch(s: String) = java.time.Instant.parse(s).toEpochMilli
+    // the first delivery alone is the reference's first early pane:
+    // 1000004000 bytes ending 00:08
+    val a = run("pioneer/exfiltration2a.txt")
+    assert(a.length == 1)
+    assert(a.head.getAs[String]("key") == "192.168.1.1-22")
+    assert(a.head.getAs[Long]("bytes") == 1000004000L)
+    assert(a.head.getAs[Long]("end_ms") == epoch("2020-01-01T00:08:00Z"))
+    // the second delivery is zero-byte keepalives: the session end
+    // advances but the byte total does not
+    val ab = run("pioneer/exfiltration2a.txt", "pioneer/exfiltration2b.txt")
+    assert(ab.length == 1)
+    assert(ab.head.getAs[Long]("bytes") == 1000004000L)
+    assert(ab.head.getAs[Long]("end_ms") > epoch("2020-01-01T00:08:00Z"))
+    // with the third delivery the same session reaches 1000006000
+    // bytes ending 00:18 — the reference's final pane
+    val abc = run("pioneer/exfiltration2a.txt", "pioneer/exfiltration2b.txt",
+      "pioneer/exfiltration2c.txt")
+    assert(abc.length == 1)
+    assert(abc.head.getAs[Long]("bytes") == 1000006000L)
+    assert(abc.head.getAs[Long]("start_ms") == epoch("2020-01-01T00:02:00Z"))
+    assert(abc.head.getAs[Long]("end_ms") == epoch("2020-01-01T00:18:00Z"))
+  }
+
   test("pioneer/exfiltration1: vpc-flow session exceeds the byte threshold once (ref TestPioneer)") {
     val parsed = Parser.parse(lines("pioneer/exfiltration1.txt")).toDF()
     val out = pipelines.PioneerPipeline.exfiltrationFromFlows(parsed,
@@ -1055,6 +1113,98 @@ class FixtureReplaySpec extends AnyFunSuite {
         r.getAs[Long]("count"))).toMap
     assert(byRes("resource1") == (("error_rate", "10.0.0.1", 35L)))
     assert(byRes("resource2") == (("hard_limit", "192.168.1.2", 11L)))
+  }
+
+  test("httpreq_endpointsequenceabuse2-10: ordering, delta bound, multi-pattern max, NAT exemption (ref TestEndpointSequenceAbuse)") {
+    def run(file: String, first: String = "/test",
+        second: String = "/test2"): Array[org.apache.spark.sql.Row] = {
+      val parsed = parsedHttp(lines(file))
+      Heuristics.sequenceAbuse(parsed, col("timestamp"),
+        unix_micros(col("timestamp")), col("normalized.sourceAddress"),
+        col("normalized.requestMethod") === "GET" &&
+          col("normalized.urlRequestPath") === first,
+        col("normalized.requestMethod") === "GET" &&
+          col("normalized.urlRequestPath") === second,
+        deltaMs = 1000L, threshold = 1).collect()
+    }
+    // abuse2: the second-half request precedes its first in FILE order
+    // but not in event time — still exactly one violation at t=10ms
+    val o2 = run("httpreq_endpointsequenceabuse2.txt")
+    assert(o2.length == 1 && o2.head.getAs[String]("key") == "192.168.1.2")
+    assert(o2.head.getAs[Long]("n") == 1L)
+    assert(o2.head.getAs[Long]("latest_ms") == 10L)
+    // abuse4: second halves land exactly AT first+delta — the strict
+    // bound rejects both pairs (the reference's zero-alert case)
+    assert(run("httpreq_endpointsequenceabuse4.txt").isEmpty)
+    // abuse5: 60 s between the tracked first and the second half
+    assert(run("httpreq_endpointsequenceabuse5.txt").isEmpty)
+    // abuse6/7 equivalents: a pattern whose first or second half
+    // matches nothing never fires on the abuse1 traffic
+    assert(run("httpreq_endpointsequenceabuse1.txt",
+      first = "/nosuch").isEmpty)
+    assert(run("httpreq_endpointsequenceabuse1.txt",
+      second = "/nosuch").isEmpty)
+    // abuse3: two configured patterns alert on the MAX count — the
+    // test/test2 pattern pairs twice (t=0.5 s and t=10.5 s), the
+    // test3/test4 pattern once; the winner carries count 2 at 10.5 s
+    val p1 = run("httpreq_endpointsequenceabuse3.txt")
+    val p2 = run("httpreq_endpointsequenceabuse3.txt", "/test3", "/test4")
+    assert(p1.length == 1 && p1.head.getAs[Long]("n") == 2L)
+    assert(p1.head.getAs[Long]("latest_ms") == 10500L)
+    assert(p2.length == 1 && p2.head.getAs[Long]("n") == 1L)
+    val winner = (p1 ++ p2).maxBy(_.getAs[Long]("n"))
+    assert(winner.getAs[Long]("n") == 2L &&
+      winner.getAs[Long]("latest_ms") == 10500L)
+    // abuse8: two abusers, one violation each
+    val o8 = run("httpreq_endpointsequenceabuse8.txt")
+    assert(o8.map(r => r.getAs[String]("key") -> r.getAs[Long]("latest_ms"))
+      .toSet == Set("192.168.1.2" -> 10L, "192.168.1.3" -> 40L))
+    // abuse9: the abuser rotates user agents — NAT detection exempts it
+    val parsed9 = parsedHttp(lines("httpreq_endpointsequenceabuse9.txt"))
+    val raw9 = Heuristics.sequenceAbuse(parsed9, col("timestamp"),
+      unix_micros(col("timestamp")), col("normalized.sourceAddress"),
+      col("normalized.requestMethod") === "GET" &&
+        col("normalized.urlRequestPath") === "/test",
+      col("normalized.requestMethod") === "GET" &&
+        col("normalized.urlRequestPath") === "/test2",
+      deltaMs = 1000L, threshold = 1)
+    assert(raw9.count() == 1) // fires without the NAT view...
+    val nat9 = Heuristics.distinctCardinality(parsed9, col("timestamp"),
+      col("normalized.sourceAddress"), col("normalized.userAgent"),
+      "1 minute", minDistinct = 2).select(col("key"))
+    assert(raw9.join(nat9, Seq("key"), "left_anti").count() == 0) // ...exempt with it
+    // abuse10: unmatched later traffic does not extend the count
+    val o10 = run("httpreq_endpointsequenceabuse10.txt")
+    assert(o10.length == 1 && o10.head.getAs[Long]("n") == 1L)
+    assert(o10.head.getAs[Long]("latest_ms") == 10L)
+  }
+
+  test("customs_account_status_abuse2 + contentserver2: per-window variance gating leaves ONE alert (ref TestCustoms#accountEnumerationWithContentServerVarianceTest two-window form)") {
+    val all = Parser.parse(lines("customs_account_status_abuse1.txt",
+      "customs_contentserver.txt", "customs_account_status_abuse2.txt",
+      "customs_contentserver2.txt")).toDF().cache()
+    try {
+      val fxa = parsedFxa(lines("customs_account_status_abuse1.txt",
+          "customs_account_status_abuse2.txt"))
+        .withColumn("path", element_at(col("fields"), "path"))
+      val variance = CustomsDetectors.contentServerVariance(
+        all.filter(col("payloadType") === "fxacontent"),
+        col("timestamp"), col("normalized.sourceAddress"), "10 minutes")
+      val isStatusCheck = col("summary").isin(
+        "accountStatusCheckSuccess", "accountStatusCheckBlocked")
+      val gated = CustomsDetectors.accountEnumeration(fxa, col("timestamp"),
+        col("src"), col("email"), col("path"), isStatusCheck,
+        "10 minutes", threshold = 3,
+        variance = Some(variance), minVarianceClients = 3).collect()
+      // window 1: organic content traffic exists for 10.0.0.2/10.0.0.3
+      // but NOT 10.0.0.1 -> only 10.0.0.1 alerts. window 2: the
+      // variance view has fewer than 3 distinct clients, so the whole
+      // window is suppressed (the reference's single-alert outcome).
+      assert(gated.length == 1)
+      assert(gated.head.getAs[String]("src") == "10.0.0.1")
+      assert(gated.head.getAs[Long]("window_start_ms") == 0L)
+      assert(gated.head.getAs[Long]("n_emails") == 3L)
+    } finally all.unpersist()
   }
 
   // --- Gatekeeper config matchers + suppression fixtures --------------
