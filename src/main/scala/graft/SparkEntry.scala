@@ -973,6 +973,22 @@ object SparkEntry {
         .orderBy(col("classifier"), col("window_start_ms"))
     }),
 
+    // AMO multi-IP-country login abuse: per-account distinct login
+    // countries AND addresses per window, both bounds must trip (ref
+    // s/amo/AddonMultiIpLogin.java; fixture-replayed with real MMDB
+    // countries, oracled here over derived columns)
+    "q72_amo_multi_ip_login" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_type") === "view")
+        .withColumn("email", concat(lit("user"), col("user_id")))
+        .withColumn("addr", concat(lit("10.1."), col("event_id") % 7,
+          lit(".1")))
+        .withColumn("country", concat(lit("C"), col("event_id") % 3))
+      operators.AmoDetectors.multiIpLogin(e, col("ts"), col("email"),
+          col("addr"), col("country"), "1 day", alertOn = 2,
+          alertOnIp = 2)
+        .orderBy(col("window_start_ms"), col("email"))
+    }),
+
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
     // 100 TB form of the NAT detector where exactness is not needed.
     // No SQL oracle: HLL sketches are engine-specific (driver records
@@ -2207,7 +2223,18 @@ object SparkEntry {
         |    CAST(trunc((new_n - old_n) * 100.0 / old_n) AS INTEGER) > pct_up)
         |  OR (pct_down > 0 AND
         |    CAST(trunc((old_n - new_n) * 100.0 / old_n) AS INTEGER) > pct_down))
-        |ORDER BY classifier, window_start_ms""".stripMargin
+        |ORDER BY classifier, window_start_ms""".stripMargin,
+
+    "q72_amo_multi_ip_login" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+        |  'user' || user_id AS email,
+        |  COUNT(DISTINCT 'C' || (event_id % 3)) AS n_countries,
+        |  COUNT(DISTINCT '10.1.' || (event_id % 7) || '.1') AS n_addrs
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT 'C' || (event_id % 3)) >= 2
+        |  AND COUNT(DISTINCT '10.1.' || (event_id % 7) || '.1') >= 2
+        |ORDER BY 1, 2""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank —
     // same rows, same oracle

@@ -137,4 +137,50 @@ object AmoDetectors {
       .select(unix_millis(ts).as("ts_ms"), email.as("email"),
         addr.as("src"))
   }
+
+  /** FxaAccountAbuseNewVersion login reputation gate (ref s/amo/
+    * FxaAccountAbuseNewVersion.java:179-209): FXALOGIN events whose
+    * account EMAIL reputation is at or below 50 alert. The reference
+    * queries iprepd per event; the Spark-first stand-in is a small
+    * broadcast (kind, value, score) reputation table — the same seam
+    * the iprepd violation sink writes into, so state written by the
+    * sink is joinable back here. */
+  def newVersionLogin(df: DataFrame, ts: Column, email: Column,
+      addr: Column, reputation: DataFrame): DataFrame =
+    df.filter(email.isNotNull)
+      .select(unix_millis(ts).as("ts_ms"), email.as("email"),
+        addr.as("src"))
+      .join(broadcast(reputation.filter(col("kind") === "email")
+        .select(col("value").as("email"), col("score"))), Seq("email"))
+      .filter(col("score") <= 50)
+      .drop("score")
+
+  /** FxaAccountAbuseNewVersion submission reputation gate (ref
+    * FxaAccountAbuseNewVersion.java:209-240): NEWVERSION/FILEUPLOAD
+    * events whose source-IP reputation is at or below 50 alert. */
+  def newVersionSubmission(df: DataFrame, ts: Column, addr: Column,
+      addonId: Column, addonVersion: Column,
+      reputation: DataFrame): DataFrame =
+    df.select(unix_millis(ts).as("ts_ms"), addr.as("src"),
+        addonId.as("addon_id"), addonVersion.as("addon_version"))
+      .join(broadcast(reputation.filter(col("kind") === "ip")
+        .select(col("value").as("src"), col("score"))), Seq("src"))
+      .filter(col("score") <= 50)
+      .drop("score")
+
+  /** AddonMultiIpLogin (ref s/amo/AddonMultiIpLogin.java:44-80): per
+    * account, logins from `alertOn`+ distinct COUNTRIES and
+    * `alertOnIp`+ distinct addresses within the window — both bounds
+    * must trip. One hash aggregate; geo arrives as a column so the
+    * MMDB lookup cost sits in enrichment, not the detector. */
+  def multiIpLogin(df: DataFrame, ts: Column, email: Column,
+      addr: Column, country: Column, windowDur: String, alertOn: Long,
+      alertOnIp: Long): DataFrame =
+    df.filter(email.isNotNull && addr.isNotNull && country.isNotNull)
+      .groupBy(unix_millis(org.apache.spark.sql.functions
+          .window(ts, windowDur).getField("start")).as("window_start_ms"),
+        email.as("email"))
+      .agg(countDistinct(country).as("n_countries"),
+        countDistinct(addr).as("n_addrs"))
+      .filter(col("n_countries") >= alertOn && col("n_addrs") >= alertOnIp)
 }

@@ -1207,6 +1207,112 @@ class FixtureReplaySpec extends AnyFunSuite {
     } finally all.unpersist()
   }
 
+  test("amo_fxaacctabuse_newversion blocks: full AMO detector sweep incl. reputation gates (ref TestAmo#fxaAccountAbuseNewVersion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.AmoDetectors
+    val amo = parsedAmo(lines(
+      "amo_fxaacctabuse_newversion/block1.txt",
+      "amo_fxaacctabuse_newversion/block2.txt",
+      "amo_fxaacctabuse_newversion/block3.txt")).cache()
+    try {
+      def typed(t: String) =
+        amo.filter(element_at(col("fields"), "amo_type") === t)
+      // the reference's TestIprepdIO-preloaded reputations, as the
+      // broadcast reputation table the Spark ops consume
+      val reputation = Seq(("email", "kurn@mozilla.com", 0),
+        ("email", "locutus@mozilla.com", 0), ("ip", "255.255.25.25", 25))
+        .toDF("kind", "value", "score")
+      // new-version-login: both zero-reputation accounts alert from
+      // their respective addresses
+      val nvl = AmoDetectors.newVersionLogin(typed("fxalogin"),
+        col("timestamp"), element_at(col("fields"), "email"),
+        col("normalized.sourceAddress"), reputation).collect()
+      assert(nvl.map(r => r.getAs[String]("email") -> r.getAs[String]("src"))
+        .toSet == Set("kurn@mozilla.com" -> "255.255.25.26",
+          "locutus@mozilla.com" -> "255.255.25.30"))
+      // ban pattern locutus.* fires on the same login
+      val ban = AmoDetectors.fxaBanPatterns(typed("fxalogin"),
+        col("timestamp"), element_at(col("fields"), "email"),
+        col("normalized.sourceAddress"), Seq("locutus.*")).collect()
+      assert(ban.length == 1)
+      assert(ban.head.getAs[String]("src") == "255.255.25.30")
+      // restriction passthrough
+      val restr = AmoDetectors.reportRestriction(typed("restricted"),
+        col("timestamp"), col("normalized.sourceAddress"),
+        element_at(col("fields"), "restricted_value")).collect()
+      assert(restr.length == 1)
+      assert(restr.head.getAs[String]("restricted_value") == "kurn@mozilla.com")
+      // reputation-gated submissions from the bad ip
+      val nvs = AmoDetectors.newVersionSubmission(
+        typed("newversion").unionByName(typed("fileupload")),
+        col("timestamp"), col("normalized.sourceAddress"),
+        element_at(col("fields"), "addon_id"),
+        element_at(col("fields"), "addon_version"), reputation).collect()
+      assert(nvs.nonEmpty)
+      assert(nvs.forall(_.getAs[String]("src") == "255.255.25.25"))
+      assert(nvs.exists(r => r.getAs[String]("addon_version") == "1.0.0" &&
+        r.getAs[String]("addon_id") == "0000001"))
+      // alias abuse: laforge+test1..6 are six aliases of one account
+      val alias = AmoDetectors.fxaAccountAbuseAlias(typed("fxalogin"),
+        col("timestamp"), element_at(col("fields"), "email"),
+        gapSeconds = 7200, maxAliases = 5).collect()
+      assert(alias.length == 1)
+      assert(alias.head.getAs[String]("email_normalized") ==
+        "laforge@mozilla.com")
+      assert(alias.head.getAs[Long]("n_aliases") == 6L)
+      // matched addon: the configured .*test_submission.* 7500:7500
+      // criterion hits exactly lwaxana's three uploads
+      val matched = AmoDetectors.addonMatcher(typed("fileuploadmnt"),
+        col("timestamp"),
+        element_at(col("fields"), "file_name"),
+        element_at(col("fields"), "bytes").cast("long"),
+        col("normalized.sourceAddress"), element_at(col("fields"), "email"),
+        Seq(AmoDetectors.MatchCriterion(".*test_submission.*", 7500, 7500)))
+        .collect()
+      assert(matched.nonEmpty)
+      assert(matched.forall(r =>
+        r.getAs[String]("file_name") ==
+          "00000000000000000000000000000000_test_submission.zip" &&
+        r.getAs[String]("src") == "216.160.83.63" &&
+        r.getAs[String]("email") == "lwaxana@mozilla.com" &&
+        r.getAs[Long]("bytes") == 7500L))
+      // multi submit: every 7500-byte upload rounds to the 10000
+      // bucket; 11 distinct accounts — the reference's COUNT
+      val msub = AmoDetectors.addonMultiSubmit(typed("fileuploadmnt"),
+        col("timestamp"), element_at(col("fields"), "bytes").cast("long"),
+        element_at(col("fields"), "email"), "30 minutes", alertOn = 10)
+        .collect()
+      assert(msub.length == 1)
+      assert(msub.head.getAs[Long]("size_bucket") == 10000L)
+      assert(msub.head.getAs[Long]("n_emails") == 11L)
+      // multi-ip login: sevenofnine from 2 addresses in 2 countries
+      // (countries resolved through the real MaxMind test MMDB)
+      val resolver = cityResolver
+      val countryOf = udf((ip: String) =>
+        resolver.lookup(ip).flatMap(_.country))
+      val mip = AmoDetectors.multiIpLogin(typed("login"),
+        col("timestamp"), element_at(col("fields"), "email"),
+        col("normalized.sourceAddress"),
+        countryOf(col("normalized.sourceAddress")), "30 minutes",
+        alertOn = 2, alertOnIp = 2).collect()
+      assert(mip.length == 1)
+      assert(mip.head.getAs[String]("email") == "sevenofnine@mozilla.net")
+      assert(mip.head.getAs[Long]("n_countries") == 2L)
+      assert(mip.head.getAs[Long]("n_addrs") == 2L)
+      // cloud submission: the API new-version from AWS address space
+      val cloud = AmoDetectors.addonCloudSubmission(typed("newversion"),
+        col("timestamp"), col("normalized.sourceAddress"),
+        element_at(col("fields"), "guid"), element_at(col("fields"), "email"),
+        awsCidrs = Seq("52.204.0.0/14"), gcpCidrs = Nil).collect()
+      assert(cloud.length == 1)
+      assert(cloud.head.getAs[String]("provider") == "aws")
+      assert(cloud.head.getAs[String]("src") == "52.204.100.1")
+      assert(cloud.head.getAs[String]("email") == "tashayar@mozilla.com")
+      assert(cloud.head.getAs[String]("addon_guid") == "extension_guid")
+    } finally amo.unpersist()
+  }
+
   // --- Gatekeeper config matchers + suppression fixtures --------------
 
   /** Parse a reference guardduty matcher config json into GdMatcher
