@@ -904,8 +904,15 @@ object Parser {
           root.has("jsonPayload") || root.has("textPayload") =>
         // Stackdriver LogEntry
         val ts = strOpt(root, "timestamp").flatMap(TimeUtil.parseIso8601)
-        val project = strOpt(root, "logName")
-          .flatMap(_.split("/").drop(1).headOption)
+        // the project comes from resource.labels.project_id (ref
+        // Parser.getStackdriverProject, Parser.java:295-308 — found
+        // replaying httpreq_filter.txt, whose three lines share one
+        // logName project but differ in resource labels); the logName
+        // path segment is only a fallback for label-less entries
+        val project = strOpt(root.path("resource").path("labels"),
+            "project_id")
+          .orElse(strOpt(root, "logName")
+            .flatMap(_.split("/").drop(1).headOption))
         val labels = Option(root.path("labels")).filter(_.isObject).map { l =>
           val it = l.properties().iterator()
           val b = Map.newBuilder[String, String]

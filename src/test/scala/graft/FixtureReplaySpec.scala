@@ -1313,6 +1313,89 @@ class FixtureReplaySpec extends AnyFunSuite {
     } finally amo.unpersist()
   }
 
+  test("httpreq_sourcecorrelator1: ISP correlation through the real ISP test MMDB (ref TestHTTPRequestSourceCorrelator)") {
+    val ispPath = java.nio.file.Paths.get(refData, "GeoIP2-ISP-Test.mmdb")
+    assume(java.nio.file.Files.exists(ispPath))
+    val ispResolver = new graft.parse.MaxmindDb.MmdbResolver(
+      new graft.parse.MaxmindDb(java.nio.file.Files.readAllBytes(ispPath)))
+    val ispOf = udf((ip: String) =>
+      ispResolver.lookup(ip).flatMap(_.isp).getOrElse("unknown"))
+    val parsed = parsedHttp(lines("httpreq_sourcecorrelator1.txt"))
+    // the reference's threshold analysis: modifier 1.0 over the
+    // per-minute mean with >= 2 requests per client
+    val alerts = Heuristics.thresholdAnalysis(parsed, col("timestamp"),
+      col("normalized.sourceAddress"), "1 minute", modifier = 1.0,
+      minCount = 2)
+    val corr = pipelines.CorrelationPipeline.sourceCorrelation(
+      parsed.select(col("normalized.sourceAddress").as("addr")),
+      alerts.select(col("key").as("addr")),
+      network = ispOf(_), minAddrs = 2, minAlertedRatio = 0.5).collect()
+    // the reference's single correlation alert: Century Link, both of
+    // its two observed addresses alerting
+    val cl = corr.filter(_.getAs[String]("network") == "Century Link")
+    assert(cl.length == 1)
+    assert(cl.head.getAs[Long]("n_addrs") == 2L)
+    assert(cl.head.getAs[Long]("n_alerted") == 2L)
+  }
+
+  test("httpreq_filter + cidrutil2: project, label and CIDR-exclusion filters (ref TestFilter)") {
+    val parsed = parsedHttp(lines("httpreq_filter.txt")).cache()
+    try {
+      assert(parsed.count() == 3)
+      // stackdriver project filter "test" keeps one event
+      assert(parsed.filter(col("stackdriverProject") === "test").count() == 1)
+      // label filter env:holodeck keeps two; a non-matching label none
+      assert(parsed.filter(element_at(col("stackdriverLabels"), "env") ===
+        "holodeck").count() == 2)
+      assert(parsed.filter(element_at(col("stackdriverLabels"), "env") ===
+        "hydroponicsbay").count() == 0)
+      // the cidrutil2 exclusion list (192.168.1.1/32) removes one
+      val cidrs = Functions.broadcastCidrs(spark,
+        fixture("cidrutil2.txt"))
+      assert(parsed.filter(!Functions.cidrMatch(cidrs)(
+        col("normalized.sourceAddress"))).count() == 2)
+    } finally parsed.unpersist()
+  }
+
+  test("httpreq_urlhostfilter: include-host regex list gates the stream (ref TestFilter#hostFilterTest)") {
+    val parsed = parsedHttp(lines("httpreq_urlhostfilter.txt")).cache()
+    try {
+      assert(parsed.count() == 4)
+      def hostMatch(res: Seq[String]) = {
+        val pat = res.map(r => s"(?:$r)").mkString("(?:", "|", ")")
+        col("normalized.urlRequestHost").rlike(pat)
+      }
+      // "wontmatch" OR ^send\..* keeps the two send.* hosts
+      assert(parsed.filter(hostMatch(Seq("wontmatch", "^send\\..*")))
+        .count() == 2)
+      // nothing matching keeps nothing
+      assert(parsed.filter(hostMatch(Seq("wontmatch", "wontmatch2")))
+        .count() == 0)
+    } finally parsed.unpersist()
+  }
+
+  test("parsermetrics_mixedinput: per-type classification counts match the reference's parser metrics (ref TestParserMetrics)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val parsed = Parser.parse(lines("parsermetrics_mixedinput.txt")).toDF()
+    val counts = parsed.groupBy(col("payloadType")).count()
+      .as[(String, Long)].collect().toMap
+    // the reference's exact EnumMap expectations over the mixed file
+    assert(counts == Map("glb" -> 1L, "openssh" -> 5L, "raw" -> 1L,
+      "fxaauth" -> 1L, "guardduty" -> 1L, "cloudtrail" -> 1L,
+      "gcpaudit" -> 1L))
+    // the multiplex double-read of the same file doubles every count
+    // per resource (ref TestParserMetrics#testMultiplexParserMetrics)
+    val mux = sources.Multiplex.union(Seq(
+      sources.Multiplex.named(lines("parsermetrics_mixedinput.txt"), "a"),
+      sources.Multiplex.named(lines("parsermetrics_mixedinput.txt"), "b")))
+    val perRes = Parser.parse(
+        sources.Multiplex.branch(mux, "a"))
+      .toDF().groupBy(col("payloadType")).count()
+      .as[(String, Long)].collect().toMap
+    assert(perRes == counts)
+  }
+
   // --- Gatekeeper config matchers + suppression fixtures --------------
 
   /** Parse a reference guardduty matcher config json into GdMatcher
