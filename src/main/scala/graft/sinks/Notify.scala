@@ -66,4 +66,49 @@ object Notify {
       summary.as("subject"),
       assembledPayload(payload, meta).as("text_body"),
       renderTemplate(template, vars).as("html_body"))
+
+  /** AuthProfile new-source Slack notification body, byte-compatible
+    * with the reference's rendered slack/authprofile.ftlh output (the
+    * engine-produced goldens under its testdata/templateoutput/slack
+    * — FixtureReplaySpec pins every state-action variant against
+    * them at test time). One codegen'd concat per alert: the
+    * action-specific middle paragraph and the within-geo closing
+    * variant select with `when`. */
+  def authProfileSlackText(username: Column, objectValue: Column,
+      src: Column, city: Column, country: Column, eventTs: Column,
+      eventTsLocal: Column, actionType: Column, docLink: Column,
+      contactEmail: Column, alertId: Column): Column = {
+    val head = concat(
+      lit("An authentication event for user "), username,
+      lit(" was detected to access "), objectValue,
+      lit(" from "), src,
+      lit(" ["), coalesce(city, lit("unknown")), lit("/"),
+      coalesce(country, lit("unknown")),
+      lit("].\n\nThis event occurred at "), eventTs, lit(".\n\n"))
+    val middle = when(actionType === "unknown_ip_anon_network",
+        lit("The source address appears to be associated with a known " +
+          "anonymity network.\n\n"))
+      .when(actionType === "unknown_ip_hosting_provider",
+        lit("The source address appears to be associated with a hosting " +
+          "provider.\n\n"))
+      .when(actionType === "unknown_ip_outside_geo",
+        lit("The source address was new, and does not appear to be near " +
+          "any previously known location.\n\n"))
+      .when(actionType === "unknown_ip_within_geo",
+        lit("The source address was new, however is near a previously " +
+          "known location so this message is informational.\n\n"))
+      .otherwise(lit(""))
+    val tsPara = concat(
+      lit("Timestamp for event based on source address time zone was "),
+      eventTsLocal, lit(".\n\n"))
+    val tail = when(actionType === "unknown_ip_within_geo",
+        concat(lit("If this was not you, or you have any questions about " +
+            "this alert, email us at "), contactEmail,
+          lit(" with the alert id.\n\nAs well, you can refer to our user " +
+            "guide: "), docLink, lit("\n\nalert id: "), alertId))
+      .otherwise(concat(
+        lit("If you have any questions about this alert, please refer to " +
+          "our user guide: "), docLink, lit("\n\nalert id: "), alertId))
+    concat(head, middle, tsPara, tail)
+  }
 }

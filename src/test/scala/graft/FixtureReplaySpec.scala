@@ -1396,6 +1396,37 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(perRes == counts)
   }
 
+  test("templateoutput/slack goldens: authprofile slack notification is byte-exact per state action (ref TestAuthProfile#templateRender)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val variants = Map(
+      "unknown_ip_minfraud_geo_failure" -> "authprof_state_new.txt",
+      "unknown_ip_anon_network" -> "authprof_state_new_anon.txt",
+      "unknown_ip_hosting_provider" -> "authprof_state_new_hosting.txt",
+      "unknown_ip_outside_geo" -> "authprof_state_new_outside_geo.txt",
+      "unknown_ip_within_geo" -> "authprof_state_new_within_geo.txt")
+    val eventTs = "2018-09-18T22:15:38.000Z"
+    val eventTsLocal = "2018-09-18T15:15:38.000-07:00"
+    val alertId = "eca99844-96ac-4a44-adba-48ce3c593157"
+    for ((action, golden) <- variants) {
+      val p = java.nio.file.Paths.get(refData, "templateoutput/slack", golden)
+      assume(java.nio.file.Files.exists(p))
+      val expected = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .replaceAll("DATESTAMP", eventTs)
+        .replaceAll("DATELOCALSTAMP", eventTsLocal)
+        .replaceAll("ALERTID", alertId)
+        .stripLineEnd
+      val got = Seq((action)).toDF("action")
+        .select(sinks.Notify.authProfileSlackText(
+          lit("riker"), lit("emit-bastion"), lit("216.160.83.56"),
+          lit("Milton"), lit("US"), lit(eventTs), lit(eventTsLocal),
+          col("action"), lit("https://localhost"), lit("test@localhost"),
+          lit(alertId)).as("text"))
+        .as[String].head()
+      assert(got == expected, s"variant $action drifted from $golden")
+    }
+  }
+
   // --- Gatekeeper config matchers + suppression fixtures --------------
 
   /** Parse a reference guardduty matcher config json into GdMatcher
