@@ -1427,6 +1427,25 @@ class FixtureReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("iprepdio1: engine-produced alert derives both iprepd violations (ref TestIprepdIO#iprepdIOTestWrite)") {
+    // the reference submits this matched-addon alert and expects the
+    // ip's reputation to drop (endpoint abuse violation) AND the
+    // account's to zero (abusive-account violation)
+    val parsed = Parser.parse(lines("iprepdio1.txt")).toDF()
+      .filter(col("payloadType") === "alert")
+    assert(parsed.count() == 1)
+    val out = sinks.Sinks.violationsTyped(parsed,
+      element_at(col("fields"), "meta_category"),
+      element_at(col("fields"), "meta_sourceaddress"),
+      array(element_at(col("fields"), "meta_email"))).collect()
+    val byType = out.map(r => r.getAs[String]("type") ->
+      (r.getAs[String]("object"), r.getAs[String]("violation"))).toMap
+    assert(byType("ip") == (("99.99.99.1", "endpoint_abuse_violation")))
+    assert(byType("email") ==
+      (("testiprepdio1@mozilla.com", "abusive_account_violation")))
+    assert(out.length == 2)
+  }
+
   // --- Gatekeeper config matchers + suppression fixtures --------------
 
   /** Parse a reference guardduty matcher config json into GdMatcher
