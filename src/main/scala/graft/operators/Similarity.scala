@@ -294,7 +294,14 @@ object Similarity {
     * Scale shape: one posexplode to (set, bucket) keys — the
     * equi-join is on (set, bucket), so sets never cross-join; state
     * per bucket is corpus/2^planes as in the single-set form, times
-    * planeSets map-side rows. */
+    * planeSets map-side rows. The candidate join, the `vec_a <
+    * vec_b` filter and the pair-dedup all run over BARE id pairs —
+    * quantized vectors and norms are re-joined from the persisted
+    * base only after each pair is unique, so the widest exchanges in
+    * the plan (candidate join + dedup, both multiplied by planeSets
+    * duplication at corpus scale) move two longs per row instead of
+    * two 64-long arrays (~60x narrower); the vector payload crosses
+    * the wire once per corpus row, not once per candidate. */
   def cosineNearDupPairsMulti(emb: DataFrame, id: Column, vec: Column,
       minCosine: Double, planeSets: Int = 2, planes: Int = DefaultPlanes,
       dims: Int = 64,
@@ -306,21 +313,25 @@ object Similarity {
       bucketColWith(col("qv"), saltedPlaneWeights(salt, planes, dims))
     }
     val q = quantized(emb, id, vec)
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        posexplode(array(bucketCols: _*)))
-      .withColumnRenamed("pos", "pset")
-      .withColumnRenamed("col", "bucket")
     val base =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) q
       else q.persist(storage)
-    val x = base.select(col("pset"), col("bucket"),
-      col("vec_id").as("vec_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
-    val y = base.select(col("pset"), col("bucket"),
-      col("vec_id").as("vec_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b"))
-    x.join(y, Seq("pset", "bucket")).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("qv_a"), col("qv_b"),
-        col("nrm_a"), col("nrm_b"))
+    // id-only (pset, bucket) keys: vectors never enter the candidate join
+    val keyed = base
+      .select(col("vec_id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "pset")
+      .withColumnRenamed("col", "bucket")
+    val x = keyed.select(col("pset"), col("bucket"), col("vec_id").as("vec_a"))
+    val y = keyed.select(col("pset"), col("bucket"), col("vec_id").as("vec_b"))
+    val pairs = x.join(y, Seq("pset", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b") // verify each candidate pair once
+    pairs
+      .join(base.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
       .withColumn("cosine",
         cosine(dotQ(col("qv_a"), col("qv_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("cosine") >= minCosine)

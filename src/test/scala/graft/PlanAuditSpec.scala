@@ -142,6 +142,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-plane near-dup: candidate join and pair-dedup exchanges carry no vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = SparkEntry.queries("q70_embedding_neardup_multi")(spark, sf)
+    // exchanges are inserted by EnsureRequirements: read the prepared
+    // plan, unwrapping the AQE root to its current physical plan
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    // the candidate-duplication-multiplied exchanges are the ones keyed
+    // on (pset, bucket) [candidate join] and (vec_a, vec_b) [pair
+    // dedup]; neither may move array payload — vectors cross the wire
+    // only in the corpus-linear re-join exchanges keyed on a single id
+    val wide = shuffles.filter { e =>
+      val keys = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).toSet
+        case _ => Set.empty[String]
+      }
+      val carriesArray = e.output.exists(_.dataType.isInstanceOf[ArrayType])
+      (keys == Set("pset", "bucket") || keys == Set("vec_a", "vec_b")) &&
+        carriesArray
+    }
+    assert(wide.isEmpty,
+      s"candidate-scale exchange carries vectors:\n${wide.mkString("\n")}")
+    // and the dedup exchange itself must exist in the thin form
+    assert(shuffles.exists { e =>
+      val keys = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).toSet
+        case _ => Set.empty[String]
+      }
+      keys == Set("vec_a", "vec_b") &&
+        !e.output.exists(_.dataType.isInstanceOf[ArrayType])
+    }, s"no thin (vec_a, vec_b) dedup exchange found:\n${shuffles.mkString("\n")}")
+  }
+
   test("aws behavior matcher: one scan regardless of matcher count") {
     val df = SparkEntry.queries("q55_aws_behavior")(spark, sf)
     val p = plan(df)
