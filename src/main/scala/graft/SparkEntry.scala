@@ -974,9 +974,12 @@ object SparkEntry {
     }),
 
     // AMO multi-IP-country login abuse: per-account distinct login
-    // countries AND addresses per window, both bounds must trip (ref
-    // s/amo/AddonMultiIpLogin.java; fixture-replayed with real MMDB
-    // countries, oracled here over derived columns)
+    // countries AND addresses per gap-based SESSION (the reference's
+    // 15-min-gap session form), with account-exception regexes
+    // dropped pre-analysis and aggressive-matcher accounts bypassing
+    // the IP bound (ref s/amo/AddonMultiIpLogin.java:36,113-235;
+    // fixture-replayed with real MMDB countries, oracled here over
+    // derived columns)
     "q72_amo_multi_ip_login" -> ((s, dir) => {
       val e = Tables.events(s, dir).filter(col("event_type") === "view")
         .withColumn("email", concat(lit("user"), col("user_id")))
@@ -984,9 +987,10 @@ object SparkEntry {
           lit(".1")))
         .withColumn("country", concat(lit("C"), col("event_id") % 3))
       operators.AmoDetectors.multiIpLogin(e, col("ts"), col("email"),
-          col("addr"), col("country"), "1 day", alertOn = 2,
-          alertOnIp = 2)
-        .orderBy(col("window_start_ms"), col("email"))
+          col("addr"), col("country"), gapSeconds = 86400, alertOn = 2,
+          alertOnIp = 3, acctExceptions = Seq("user1\\d"),
+          aggMatchers = Seq("user[0-4]"))
+        .orderBy(col("email"), col("session_start_ms"))
     }),
 
     // §2.3 approximate distinct cardinality (HyperLogLog++) — the
@@ -2226,15 +2230,32 @@ object SparkEntry {
         |ORDER BY classifier, window_start_ms""".stripMargin,
 
     "q72_amo_multi_ip_login" ->
-      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
-        |  'user' || user_id AS email,
-        |  COUNT(DISTINCT 'C' || (event_id % 3)) AS n_countries,
-        |  COUNT(DISTINCT '10.1.' || (event_id % 7) || '.1') AS n_addrs
-        |FROM events WHERE event_type = 'view'
-        |GROUP BY 1, 2
-        |HAVING COUNT(DISTINCT 'C' || (event_id % 3)) >= 2
-        |  AND COUNT(DISTINCT '10.1.' || (event_id % 7) || '.1') >= 2
-        |ORDER BY 1, 2""".stripMargin
+      """WITH src AS (
+        |  SELECT 'user' || user_id AS email, ts,
+        |    '10.1.' || (event_id % 7) || '.1' AS addr,
+        |    'C' || (event_id % 3) AS country
+        |  FROM events WHERE event_type = 'view'
+        |    AND NOT regexp_full_match('user' || user_id, 'user1\d')),
+        |t AS (
+        |  SELECT *, CASE WHEN
+        |      lag(ts) OVER (PARTITION BY email ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY email ORDER BY ts)) > 86400000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM src),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_s) OVER (
+        |    PARTITION BY email ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS session_id
+        |  FROM t)
+        |SELECT email, epoch_ms(MIN(ts)) AS session_start_ms,
+        |  COUNT(DISTINCT country) AS n_countries,
+        |  COUNT(DISTINCT addr) AS n_addrs
+        |FROM s GROUP BY email, session_id
+        |HAVING COUNT(DISTINCT country) >= 2
+        |  AND (regexp_full_match(email, 'user[0-4]')
+        |    OR COUNT(DISTINCT addr) >= 3)
+        |ORDER BY email, session_start_ms""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank —
     // same rows, same oracle

@@ -168,19 +168,45 @@ object AmoDetectors {
       .filter(col("score") <= 50)
       .drop("score")
 
-  /** AddonMultiIpLogin (ref s/amo/AddonMultiIpLogin.java:44-80): per
-    * account, logins from `alertOn`+ distinct COUNTRIES and
-    * `alertOnIp`+ distinct addresses within the window — both bounds
-    * must trip. One hash aggregate; geo arrives as a column so the
-    * MMDB lookup cost sits in enrichment, not the detector. */
+  /** AddonMultiIpLogin (ref s/amo/AddonMultiIpLogin.java:36,113-235):
+    * per account, logins from `alertOn`+ distinct COUNTRIES within a
+    * gap-based SESSION (the reference sessionizes with a 15-minute
+    * gap, not a fixed window); accounts full-matching an
+    * `aggMatchers` regex alert on the country bound alone, everyone
+    * else must also reach `alertOnIp` distinct addresses; accounts
+    * full-matching an `acctExceptions` regex are dropped before
+    * analysis. Regexes are anchored to whole-string matches like the
+    * reference's `Matcher.matches()`.
+    *
+    * Scale shape: exception filters are codegen'd rlike predicates on
+    * the scan; sessionization is one exchange + sort per account key
+    * (see [[Sessionize.assignSessions]]); the distinct counts are one
+    * hash aggregate per (account, session). Geo arrives as a column
+    * so the MMDB lookup cost sits in enrichment, not the detector. */
   def multiIpLogin(df: DataFrame, ts: Column, email: Column,
-      addr: Column, country: Column, windowDur: String, alertOn: Long,
-      alertOnIp: Long): DataFrame =
-    df.filter(email.isNotNull && addr.isNotNull && country.isNotNull)
-      .groupBy(unix_millis(org.apache.spark.sql.functions
-          .window(ts, windowDur).getField("start")).as("window_start_ms"),
-        email.as("email"))
-      .agg(countDistinct(country).as("n_countries"),
-        countDistinct(addr).as("n_addrs"))
-      .filter(col("n_countries") >= alertOn && col("n_addrs") >= alertOnIp)
+      addr: Column, country: Column, gapSeconds: Long, alertOn: Long,
+      alertOnIp: Long, acctExceptions: Seq[String] = Nil,
+      aggMatchers: Seq[String] = Nil): DataFrame = {
+    def fullMatch(c: Column, re: String): Column =
+      c.rlike("^(?:" + re + ")$")
+    val base0 = df
+      .filter(email.isNotNull && addr.isNotNull && country.isNotNull)
+      .select(ts.as("__ts"), email.as("email"), addr.as("__a"),
+        country.as("__c"))
+    val filtered = acctExceptions.foldLeft(base0) { (d, re) =>
+      d.filter(!fullMatch(col("email"), re))
+    }
+    val aggMatch = aggMatchers.map(fullMatch(col("email"), _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    Sessionize.assignSessions(filtered, col("__ts"), col("email"),
+        gapSeconds)
+      .groupBy(col("email"), col("session_id"))
+      .agg(unix_millis(min(col("__ts"))).as("session_start_ms"),
+        countDistinct(col("__c")).as("n_countries"),
+        countDistinct(col("__a")).as("n_addrs"))
+      .filter(col("n_countries") >= alertOn &&
+        (aggMatch || col("n_addrs") >= alertOnIp))
+      .select(col("email"), col("session_start_ms"),
+        col("n_countries"), col("n_addrs"))
+  }
 }

@@ -233,8 +233,13 @@ object Heuristics {
     // arithmetically (integer epoch math) instead of via window(),
     // whose struct alias an aggregate cannot reference
     val halfMs = half * 60000L
-    val slot = (unix_millis(col("__ts")).cast("long") / halfMs).cast("long") *
-      halfMs
+    // floor semantics via ts - pmod(ts, half): `/` on longs is double
+    // division and the long cast truncates toward zero, which would
+    // diverge from the oracle's floor division (`//`) for
+    // negative-epoch (pre-1970) timestamps; pmod is non-negative, so
+    // ts - pmod(ts, h) == floorDiv(ts, h) * h for any sign
+    val tsMs = unix_millis(col("__ts")).cast("long")
+    val slot = (tsMs - pmod(tsMs, lit(halfMs))).cast("long")
     classified
       .withColumn("pane", explode(array(
         struct(slot.as("ws"), lit(true).as("is_old")),

@@ -183,14 +183,42 @@ object Multimodal {
     }
   }
 
+  /** Decompression-bomb ceiling for imageio decodes: a payload whose
+    * HEADER declares more pixels than this falls back to the stub
+    * before any raster is allocated. 16M pixels x 4 bands x 1 byte
+    * ~= 64 MiB per in-flight image — safe at 32 concurrent tasks. */
+  private[operators] val MaxDecodePixels: Long = 16L * 1024 * 1024
+
   /** Compressed-image decode through the JDK's own `javax.imageio`
     * readers (JPEG/PNG/GIF/and BMP again — all built into the JRE,
     * headless-safe, no native libraries): (width, height, bands,
     * floor(mean sample value over every band)). Returns None when no
-    * registered reader recognizes the payload. */
+    * registered reader recognizes the payload, or when the declared
+    * dimensions exceed [[MaxDecodePixels]] — probed header-only via
+    * `ImageReader.getWidth/getHeight` BEFORE the raster decode, so a
+    * tiny bomb payload declaring a huge canvas never allocates the
+    * w*h*bands raster (an OOM there is an Error the Try wrapper in
+    * [[decodeMedia]] would not catch). */
   private[operators] def decodeImageIO(b: Array[Byte])
       : Option[(Long, Long, Long, Long)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val dw = reader.getWidth(0).toLong
+        val dh = reader.getHeight(0).toLong
+        if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) return None
+        decodeRaster(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  private def decodeRaster(img: java.awt.image.BufferedImage)
+      : Option[(Long, Long, Long, Long)] = {
     if (img == null) None
     else {
       val r = img.getRaster

@@ -90,17 +90,24 @@ object GatekeeperPipeline {
         col("finding_id"), suppressSeconds)
       .withColumnRenamed("key", "finding_id")
     // duplicates at the SAME instant share (key, ts_us): still one
-    // alert, like the reference's keyed suppression
+    // alert, like the reference's keyed suppression. Two DISTINCT
+    // findings colliding on (finding_id, ts_us) must not collapse to
+    // an arbitrarily-chosen row (dropDuplicates' pick is partition-
+    // order dependent): take the lexicographic minimum of the content
+    // columns instead — same single alert, deterministic pick.
     findings.join(emitted, Seq("finding_id", "ts_us"))
-      .dropDuplicates("finding_id", "ts_us")
+      .groupBy(col("finding_id"), col("ts_us"))
+      .agg(min(struct(col("finding_type"), col("account"), col("region"),
+        col("handling"), col("timestamp"))).as("r"))
       .select(
         concat(lit("suspicious activity detected in aws account "),
-          col("account")).as("summary"),
+          col("r.account")).as("summary"),
         lit("gatekeeper:aws").as("category"),
         lit("critical").as("severity"),
-        col("finding_type"), col("finding_id"), col("account"),
-        col("region"), col("handling"),
-        unix_millis(col("timestamp")).as("ts_ms"))
+        col("r.finding_type").as("finding_type"), col("finding_id"),
+        col("r.account").as("account"),
+        col("r.region").as("region"), col("r.handling").as("handling"),
+        unix_millis(col("r.timestamp")).as("ts_ms"))
   }
 
   /** ETD branch (ref ETDTransforms): parse findings, drop rule-name
@@ -126,16 +133,22 @@ object GatekeeperPipeline {
     val emitted = Stateful.suppress(findings, col("timestamp"), col("skey"),
         suppressSeconds)
       .withColumnRenamed("key", "skey")
+    // deterministic tie-break for same-(skey, ts_us) collisions, as in
+    // guardDutyAlerts above
     findings.join(emitted, Seq("skey", "ts_us"))
-      .dropDuplicates("skey", "ts_us")
+      .groupBy(col("skey"), col("ts_us"))
+      .agg(min(struct(col("project_number"), col("rule_name"),
+        col("technique"), col("indicator"), col("timestamp"))).as("r"))
       .select(
         concat(lit("suspicious activity detected in gcp org "),
-          col("project_number")).as("summary"),
+          col("r.project_number")).as("summary"),
         lit("gatekeeper:gcp").as("category"),
         lit("critical").as("severity"),
-        col("project_number"), col("rule_name"), col("technique"),
-        col("indicator"),
-        unix_millis(col("timestamp")).as("ts_ms"))
+        col("r.project_number").as("project_number"),
+        col("r.rule_name").as("rule_name"),
+        col("r.technique").as("technique"),
+        col("r.indicator").as("indicator"),
+        unix_millis(col("r.timestamp")).as("ts_ms"))
   }
 
   def analyze(lines: Dataset[String], cfg: Config = Config()): DataFrame = {

@@ -73,18 +73,29 @@ object Notify {
     * — FixtureReplaySpec pins every state-action variant against
     * them at test time). One codegen'd concat per alert: the
     * action-specific middle paragraph and the within-geo closing
-    * variant select with `when`. */
+    * variant select with `when`.
+    *
+    * Every interpolated column is null-coalesced to "unknown" (the
+    * same degradation the city/country fields always had): `concat`
+    * is null-propagating, so a single null field would otherwise
+    * silently null the ENTIRE notification body instead of producing
+    * a degraded-but-deliverable one. */
   def authProfileSlackText(username: Column, objectValue: Column,
       src: Column, city: Column, country: Column, eventTs: Column,
       eventTsLocal: Column, actionType: Column, docLink: Column,
       contactEmail: Column, alertId: Column): Column = {
+    def nn(c: Column): Column = coalesce(c.cast("string"), lit("unknown"))
+    val (username0, objectValue0, src0, eventTs0, eventTsLocal0) =
+      (nn(username), nn(objectValue), nn(src), nn(eventTs), nn(eventTsLocal))
+    val (docLink0, contactEmail0, alertId0) =
+      (nn(docLink), nn(contactEmail), nn(alertId))
     val head = concat(
-      lit("An authentication event for user "), username,
-      lit(" was detected to access "), objectValue,
-      lit(" from "), src,
+      lit("An authentication event for user "), username0,
+      lit(" was detected to access "), objectValue0,
+      lit(" from "), src0,
       lit(" ["), coalesce(city, lit("unknown")), lit("/"),
       coalesce(country, lit("unknown")),
-      lit("].\n\nThis event occurred at "), eventTs, lit(".\n\n"))
+      lit("].\n\nThis event occurred at "), eventTs0, lit(".\n\n"))
     val middle = when(actionType === "unknown_ip_anon_network",
         lit("The source address appears to be associated with a known " +
           "anonymity network.\n\n"))
@@ -100,15 +111,15 @@ object Notify {
       .otherwise(lit(""))
     val tsPara = concat(
       lit("Timestamp for event based on source address time zone was "),
-      eventTsLocal, lit(".\n\n"))
+      eventTsLocal0, lit(".\n\n"))
     val tail = when(actionType === "unknown_ip_within_geo",
         concat(lit("If this was not you, or you have any questions about " +
-            "this alert, email us at "), contactEmail,
+            "this alert, email us at "), contactEmail0,
           lit(" with the alert id.\n\nAs well, you can refer to our user " +
-            "guide: "), docLink, lit("\n\nalert id: "), alertId))
+            "guide: "), docLink0, lit("\n\nalert id: "), alertId0))
       .otherwise(concat(
         lit("If you have any questions about this alert, please refer to " +
-          "our user guide: "), docLink, lit("\n\nalert id: "), alertId))
+          "our user guide: "), docLink0, lit("\n\nalert id: "), alertId0))
     concat(head, middle, tsPara, tail)
   }
 }

@@ -132,6 +132,45 @@ class AmoDetectorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_aliases") == 3L)
   }
 
+  test("multi-ip login: gap sessions, account exceptions, aggressive matchers") {
+    import spark.implicits._
+    val t = 1700000000L
+    def row(off: Long, email: String, addr: String, country: String) =
+      (new java.sql.Timestamp((t + off) * 1000L), email, addr, country)
+    val df = Seq(
+      // abuser: 2 countries + 3 addrs inside one 15-min-gap session
+      row(0, "abuser@x.com", "1.1.1.1", "US"),
+      row(60, "abuser@x.com", "2.2.2.2", "DE"),
+      row(120, "abuser@x.com", "3.3.3.3", "DE"),
+      // a >gap pause opens a SECOND session that stays under bounds:
+      // the tumbling-window form would have merged these into one day
+      row(7200, "abuser@x.com", "1.1.1.1", "US"),
+      // excepted account: same pattern, dropped pre-analysis
+      row(0, "svc-runner@x.com", "1.1.1.1", "US"),
+      row(60, "svc-runner@x.com", "2.2.2.2", "DE"),
+      row(120, "svc-runner@x.com", "3.3.3.3", "FR"),
+      // aggressive-matched: 2 countries but only 2 addrs — the IP
+      // bound is bypassed for it
+      row(0, "vip@x.com", "4.4.4.4", "US"),
+      row(60, "vip@x.com", "5.5.5.5", "JP"),
+      // normal account at 2 countries / 2 addrs: below the IP bound
+      row(0, "meh@x.com", "6.6.6.6", "US"),
+      row(60, "meh@x.com", "7.7.7.7", "CA")
+    ).toDF("ts", "email", "addr", "country")
+    val out = AmoDetectors.multiIpLogin(df, col("ts"), col("email"),
+      col("addr"), col("country"), gapSeconds = 900, alertOn = 2,
+      alertOnIp = 3, acctExceptions = Seq("svc-.*"),
+      aggMatchers = Seq("vip@x\\.com"))
+      .orderBy(col("email")).collect()
+    assert(out.map(_.getAs[String]("email")).toSeq ==
+      Seq("abuser@x.com", "vip@x.com"))
+    val ab = out(0)
+    assert(ab.getAs[Long]("n_countries") == 2L &&
+      ab.getAs[Long]("n_addrs") == 3L &&
+      ab.getAs[Long]("session_start_ms") == t * 1000L)
+    assert(out(1).getAs[Long]("n_addrs") == 2L)
+  }
+
   test("fxa ban patterns: anchored full-match on the account") {
     val t = 1700000000L
     val lines = Seq(

@@ -1294,7 +1294,7 @@ class FixtureReplaySpec extends AnyFunSuite {
       val mip = AmoDetectors.multiIpLogin(typed("login"),
         col("timestamp"), element_at(col("fields"), "email"),
         col("normalized.sourceAddress"),
-        countryOf(col("normalized.sourceAddress")), "30 minutes",
+        countryOf(col("normalized.sourceAddress")), gapSeconds = 900,
         alertOn = 2, alertOnIp = 2).collect()
       assert(mip.length == 1)
       assert(mip.head.getAs[String]("email") == "sevenofnine@mozilla.net")
@@ -1511,6 +1511,20 @@ class FixtureReplaySpec extends AnyFunSuite {
     // 5 findings: 2 share one id, 3 share another -> 2 alerts
     assert(out.length == 2)
     assert(out.map(_.getAs[String]("finding_id")).distinct.length == 2)
+    // the same-instant collapse is a DETERMINISTIC pick (lexicographic
+    // min of the content columns), not dropDuplicates' partition-order
+    // pick: re-running with reversed input order yields identical rows
+    val rev = pipelines.GatekeeperPipeline.guardDutyAlerts(
+      spark.createDataset(lines(
+        "gatekeeper/guardduty-sample-findings-with-duplicates.txt")
+        .collect().reverse.toSeq)(
+        org.apache.spark.sql.Encoders.STRING))
+      .collect()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("finding_id"), r.getAs[Long]("ts_ms"),
+        r.getAs[String]("finding_type"), r.getAs[String]("account"),
+        r.getAs[String]("region"))
+    assert(out.map(keyOf).toSet == rev.map(keyOf).toSet)
   }
 
   test("gatekeeper etd duplicates: same (project, rule, technique, indicator) suppresses (ref TestGatekeeper#gatekeeperSuppressRepeatedETDFindingsOneInstant)") {

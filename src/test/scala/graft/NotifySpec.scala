@@ -43,6 +43,21 @@ class NotifySpec extends AnyFunSuite {
     assert(one(r) == "hello world, n=7, missing=${nope}, nullv=[]")
   }
 
+  test("authprofile slack body degrades field-by-field on nulls, never nulls whole") {
+    // concat is null-propagating: without per-field coalescing a single
+    // null interpolation silently nulls the ENTIRE notification body
+    val nullCol = lit(null).cast("string")
+    val body = one(Notify.authProfileSlackText(
+      nullCol, lit("emit-bastion"), lit("1.2.3.4"), nullCol, nullCol,
+      nullCol, nullCol, lit("unknown_ip_outside_geo"),
+      lit("https://doc"), lit("sec@x"), nullCol))
+    assert(body != null, "null field must not null the body")
+    assert(body.contains("authentication event for user unknown"))
+    assert(body.contains("emit-bastion"))
+    assert(body.contains("[unknown/unknown]"))
+    assert(body.contains("alert id: unknown"))
+  }
+
   test("email doc carries subject/text/html") {
     val meta = array(Notify.metaEntry(lit("k"), lit("v")))
     val doc = Notify.emailDoc(lit("s"), lit("p"), meta,
