@@ -173,22 +173,82 @@ object AuthState {
       "entry_key")
   }
 
+  /** Alternate critical-alert Slack escalation policy (ref
+    * s/authprofile/CritObjectAnalyze.java:64-79 — the option string
+    * `<tz>:<start_hour>:<end_hour>:<channel_id>`): alerts whose
+    * timestamp, converted to `tz`, falls on a WEEKDAY with
+    * hour-of-day in [hourStart, hourStop] (both inclusive) route to
+    * the supplementary Slack channel INSTEAD of the direct-email
+    * notification; all other alerts keep the email route and still
+    * log to the channel. */
+  case class CritEscalation(tz: String, hourStart: Int, hourStop: Int,
+      channel: String) {
+    require(hourStart >= 0 && hourStop <= 23 && hourStart <= hourStop)
+  }
+
   /** CritObjectAnalyze: auth events whose acted-on object matches one
     * of the critical-object regexes alert immediately (severity
     * critical), keyed user_object_address for downstream suppression.
     * A single rlike over the alternation keeps the predicate inside
-    * whole-stage codegen. */
+    * whole-stage codegen.
+    *
+    * With an escalation policy (ref CritObjectAnalyze.java:96-151),
+    * the hour-of-day routing is a deterministic Column over the event
+    * timestamp: `from_utc_timestamp` into the policy zone, then
+    * hour + weekday predicates — `notify_email_direct` is nulled and
+    * the channel-ping message selected when the policy window
+    * matches; outside it the email route stays and the supplementary
+    * message records where the notification went ("no one!
+    * <!channel>" when no email is configured, like the reference).
+    * `alertId` feeds the trailing "alert id:" line of both message
+    * forms (pass a deterministic id for golden tests). */
   def critObjectAnalyze(df: DataFrame, ts: Column, user: Column,
-      obj: Column, srcAddr: Column, critPatterns: Seq[String]): DataFrame = {
+      obj: Column, srcAddr: Column, critPatterns: Seq[String],
+      city: Column = lit(null).cast("string"),
+      country: Column = lit(null).cast("string"),
+      critNotifyEmail: Option[String] = None,
+      escalation: Option[CritEscalation] = None,
+      alertId: Column = lit(null).cast("string")): DataFrame = {
     // the reference requires a full match per pattern — anchor the
     // alternation the same way Pattern.matches does
     val pat = critPatterns.map(p => s"(?:$p)").mkString("^(?:", "|", ")$")
+    // ref buildAlertSummary (CritObjectAnalyze.java:153-166); absent
+    // geo renders as "unknown" (createBaseAlert's default)
+    val summary = concat(lit("critical authentication event observed "),
+      user, lit(" to "), obj, lit(", "), srcAddr, lit(" ["),
+      coalesce(city, lit("unknown")), lit("/"),
+      coalesce(country, lit("unknown")), lit("]"))
+    val emailCol = critNotifyEmail
+      .map(e => lit(e)).getOrElse(lit(null)).cast("string")
+    val (notifyEmail, slackChannel, slackMsg) = escalation match {
+      case None =>
+        (emailCol, lit(null).cast("string"), lit(null).cast("string"))
+      case Some(p) =>
+        val local = from_utc_timestamp(ts, p.tz)
+        // reference weekday rule: ISO Saturday(6)/Sunday(7) excluded;
+        // Spark dayofweek is 1=Sunday..7=Saturday
+        val inPolicy = hour(local) >= p.hourStart &&
+          hour(local) <= p.hourStop && !dayofweek(local).isin(1, 7)
+        val idLine = concat(lit("\nalert id: "),
+          coalesce(alertId, lit("")))
+        val altMsg = concat(lit("<!channel> "), summary, idLine)
+        val stdMsg = concat(summary,
+          lit("\nNotification has been sent to " +
+            critNotifyEmail.getOrElse("no one! <!channel>")), idLine)
+        (when(inPolicy, lit(null).cast("string")).otherwise(emailCol),
+          lit(p.channel).cast("string"),
+          when(inPolicy, altMsg).otherwise(stdMsg))
+    }
     df.filter(obj.isNotNull && obj.rlike(pat))
       .select(unix_millis(ts).as("ts_ms"), user.as("username"),
         obj.as("object"), srcAddr.as("sourceaddress"),
         lit("critical_object_analyze").as("subcategory"),
         lit("critical").as("severity"),
-        concat_ws("_", user, obj, srcAddr).as("suppression_key"))
+        concat_ws("_", user, obj, srcAddr).as("suppression_key"),
+        summary.as("summary"),
+        notifyEmail.as("notify_email_direct"),
+        slackChannel.as("notify_slack_supplementary"),
+        slackMsg.as("slack_supplementary_message"))
   }
 
   /** AwsAssumeRoleCorrelator: pair cross-account AssumeRole halves.
@@ -208,12 +268,22 @@ object AuthState {
       ts: Column, dedupeKey: Column, needsFixup: Column,
       isCrossAccount: Column, subjectUser: Column,
       gapSeconds: Long): DataFrame = {
+    // earliest-wins dedupe: the reference's streaming state keeps the
+    // FIRST event per (shared id, event id) — late re-deliveries of
+    // the same event (awscorr4) must not shift the pairing timestamp,
+    // and dropDuplicates' partition-order pick would be
+    // nondeterministic here
     val base = df.select(sharedEventId.as("shared_id"),
         unix_micros(ts).as("ts_us"), dedupeKey.as("dk"),
         needsFixup.as("fixup"), isCrossAccount.as("cross"),
         subjectUser.as("user"))
       .filter(col("shared_id").isNotNull)
-      .dropDuplicates("shared_id", "dk")
+      .groupBy(col("shared_id"), col("dk"))
+      .agg(min(struct(col("ts_us"), col("fixup"), col("cross"),
+        col("user"))).as("r"))
+      .select(col("shared_id"), col("r.ts_us").as("ts_us"), col("dk"),
+        col("r.fixup").as("fixup"), col("r.cross").as("cross"),
+        col("r.user").as("user"))
     val trusted = base.filter(!col("fixup") && col("cross"))
       .select(col("shared_id"), col("ts_us").as("trusted_ts_us"),
         col("user").as("trusted_user"))

@@ -20,4 +20,13 @@ object Identity {
       .join(broadcast(aliasDf), col("_user") === col("alias"), "left")
       .withColumn("identity", coalesce(col("canonical"), col("_user")))
       .drop("alias", "canonical", "_user")
+
+  /** AWS account-id → friendly-name translation (ref IdentityManager
+    * `aws_account_map`, applied to the cloudtrail acted-on object at
+    * parse time in the reference, Cloudtrail.java:105-109). The map is
+    * tiny config, so it rides as a literal map expression — pure
+    * codegen'd projection, no join; unmapped ids pass through. */
+  def mapAwsAccount(obj: Column, accountMap: Map[String, String]): Column =
+    if (accountMap.isEmpty) obj
+    else coalesce(element_at(typedLit(accountMap), obj), obj)
 }

@@ -50,6 +50,38 @@ object Stateful {
     }.toDF("key", "ts_us")
   }
 
+  /** Session-gap suppression (ref s/alert/AlertSuppressorSession.java:
+    * 69-113): per key, emit the first event, then suppress while the
+    * gap since the last SEEN event (emitted or suppressed — the
+    * reference rewrites state on every element) stays at or under
+    * `gapSeconds`; a strictly-larger gap re-emits. Differs from
+    * [[suppress]] in that suppressed events EXTEND the quiet period —
+    * a steady drip never re-alerts here, while the fixed-expiry form
+    * re-emits every `expirySeconds`. Same secondary-sort scan: one
+    * shuffle, one sort, O(1) memory per key. */
+  def suppressSession(df: DataFrame, ts: Column, key: Column,
+      gapSeconds: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val prepared = df
+      .select(key.cast("string").as("key"), unix_micros(ts).as("ts_us"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts_us"))
+      .as[(String, Long)]
+    prepared.mapPartitions { it =>
+      var curKey: String = null
+      var lastSeen = Long.MinValue
+      it.flatMap { case (k, t) =>
+        // strict > like the reference's isExpired
+        val emit = (k != curKey) || (t - lastSeen > gapUs)
+        curKey = k
+        lastSeen = t
+        if (emit) Some((k, t)) else None
+      }
+    }.toDF("key", "ts_us")
+  }
+
   /** Geo-velocity (impossible travel): per key, compare each event's
     * location with the previous one; emit events whose implied speed
     * exceeds `maxKmh`. Speed is rounded to integer km/h. Single window

@@ -171,7 +171,14 @@ object Parser {
   }
 
   /** CloudTrail-style JSON auth record (ref s/parser/Cloudtrail.java:
-    * 309 — Jackson field extraction + AUTH normalization). */
+    * 309 — Jackson field extraction + AUTH normalization). SwitchRole
+    * console events take the subject user from the SwitchFrom ARN's
+    * `user/` resource when present (ref Cloudtrail.java:153-172 — the
+    * switching user, not the assumed-role identity), and the acted-on
+    * object is the recipient account id (ref :86; friendly-name
+    * translation via the identity manager's aws_account_map is a
+    * downstream Column transform, [[graft.operators.Identity
+    * .mapAwsAccount]]). */
   object CloudtrailMatcher extends PayloadMatcher {
     val name = "cloudtrail"
     val fastKeywords = Seq("userIdentity")
@@ -180,14 +187,52 @@ object Parser {
       if (!r.has("userIdentity") || !r.has("eventName")) None
       else {
         val ident = r.path("userIdentity")
-        val user = strOpt(ident, "userName")
+        val eventName = r.path("eventName").asText("")
+        val identType = ident.path("type").asText("")
+        val noError = !r.hasNonNull("errorCode")
+        val isSwitchRole = eventName == "SwitchRole" &&
+          r.path("eventType").asText("") == "AwsConsoleSignIn" &&
+          r.path("responseElements").path("SwitchRole")
+            .asText("") == "Success"
+        // the reference's isAuthEvent gate (ref Cloudtrail.java:175-209):
+        // console login success, IAMUser session-token/assume-role, the
+        // cross-account AssumeRole half (AWSAccount identity, fixed up
+        // by the correlator), or a successful SwitchRole — NOT service
+        // calls (AWSService AssumeRole stays un-normalized, which is
+        // what keeps autoscaling role assumptions out of the
+        // crit-object path, TestAwsAssumeRoleCorrelator awscorr3)
+        val isAuth = isSwitchRole ||
+          (eventName == "ConsoleLogin" &&
+            r.path("eventType").asText("") == "AwsConsoleSignIn" &&
+            r.path("responseElements").path("ConsoleLogin")
+              .asText("") == "Success") ||
+          (eventName == "GetSessionToken" && identType == "IAMUser" &&
+            noError) ||
+          (eventName == "AssumeRole" &&
+            (identType == "IAMUser" || identType == "AWSAccount") &&
+            noError)
+        val switchFromUser =
+          if (!isSwitchRole) None
+          else {
+            // arn:aws:iam::<account>:user/<name> — only the user
+            // resource type overrides the identity (ref :160-168)
+            val parts = r.path("additionalEventData").path("SwitchFrom")
+              .asText("").split(":", 6)
+            if (parts.length == 6 && parts(5).startsWith("user/"))
+              Some(parts(5).substring("user/".length))
+            else None
+          }
+        val user = switchFromUser
+          .orElse(strOpt(ident, "userName"))
           .orElse(strOpt(ident, "arn"))
         val ts = strOpt(r, "eventTime").flatMap(TimeUtil.parseIso8601)
           .orElse(ctx.timestamp)
         Some(mkEvent(ctx.copy(timestamp = ts), name, Normalized(
-          types = Seq(NormalizedType.Auth),
+          types = if (isAuth) Seq(NormalizedType.Auth) else Seq.empty,
           subjectUser = user,
-          sourceAddress = strOpt(r, "sourceIPAddress")),
+          sourceAddress = strOpt(r, "sourceIPAddress"),
+          objectValue =
+            if (isAuth) strOpt(r, "recipientAccountId") else None),
           fields = Map(
             "event_name" -> r.path("eventName").asText(""),
             "event_source" -> r.path("eventSource").asText(""),

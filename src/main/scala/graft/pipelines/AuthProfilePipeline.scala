@@ -26,7 +26,9 @@ object AuthProfilePipeline {
       suppressSeconds: Long = 1800,
       pruneAgeSeconds: Long = 864000L,
       maxKmStatic: Double = 800.0,
-      critObjectPatterns: Seq[String] = Nil)
+      critObjectPatterns: Seq[String] = Nil,
+      critNotifyEmail: Option[String] = None,
+      critEscalation: Option[AuthState.CritEscalation] = None)
 
   /** The reference's pre-analysis event ignores (ref AuthProfile.java
     * 204-236, found by replaying its authprof_buffer8 fixture, which
@@ -128,10 +130,15 @@ object AuthProfilePipeline {
   }
 
   /** Critical-object branch (ref CritObjectAnalyze): immediate
-    * critical alerts for auth events touching configured objects. */
+    * critical alerts for auth events touching configured objects,
+    * with the optional hour-of-day alternate Slack escalation. */
   def critObjects(lines: Dataset[String],
       cfg: Config = Config()): DataFrame =
     AuthState.critObjectAnalyze(parsedAuth(lines), col("timestamp"),
       col("normalized.subjectUser"), col("normalized.objectValue"),
-      col("normalized.sourceAddress"), cfg.critObjectPatterns)
+      col("normalized.sourceAddress"), cfg.critObjectPatterns,
+      city = col("normalized.geo.city"),
+      country = col("normalized.geo.country"),
+      critNotifyEmail = cfg.critNotifyEmail,
+      escalation = cfg.critEscalation)
 }

@@ -11,8 +11,11 @@ class EnrichmentSpec extends AnyFunSuite {
 
   test("cloudtrail matcher: AUTH normalization from JSON auth records") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a faithful successful console login: the reference's isAuthEvent
+    // gate requires the AwsConsoleSignIn event type and a Success
+    // response element (ref Cloudtrail.java:175-186)
     val e = Parser.parseLine(
-      """{"eventName":"ConsoleLogin","eventSource":"signin.amazonaws.com","eventTime":"2024-02-02T08:00:00Z","sourceIPAddress":"203.0.113.9","userIdentity":{"userName":"alice"}}""",
+      """{"eventName":"ConsoleLogin","eventType":"AwsConsoleSignIn","responseElements":{"ConsoleLogin":"Success"},"eventSource":"signin.amazonaws.com","eventTime":"2024-02-02T08:00:00Z","sourceIPAddress":"203.0.113.9","userIdentity":{"userName":"alice"}}""",
       mapper)
     assert(e.payloadType == "cloudtrail")
     assert(e.normalized.types == Seq("AUTH"))

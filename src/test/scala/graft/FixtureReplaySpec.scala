@@ -461,6 +461,113 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(geo.getString(0) == "Milton" && geo.getString(1) == "US")
   }
 
+  test("authprof_critobj3: hour-of-day alternate Slack escalation policy (ref TestCritObject#critObjectTestSupplementaryPolicy + #MissingPolicy)") {
+    val mmdbPath = java.nio.file.Paths.get(refData, "GeoIP2-City-Test.mmdb")
+    assume(java.nio.file.Files.exists(mmdbPath))
+    val db = new graft.parse.MaxmindDb(
+      java.nio.file.Files.readAllBytes(mmdbPath))
+    val enriched = graft.parse.GeoIp.enrich(
+      Parser.parse(lines("authprof_critobj3.txt")),
+      new graft.parse.MaxmindDb.MmdbResolver(db)).toDF()
+      .filter(col("payloadType") === "gcpaudit")
+    def run(email: Option[String]) = operators.AuthState.critObjectAnalyze(
+      enriched, col("timestamp"), col("normalized.subjectUser"),
+      col("normalized.objectValue"), col("normalized.sourceAddress"),
+      Seq("^projects/test$", "super-important-account"),
+      city = col("normalized.geo.city"),
+      country = col("normalized.geo.country"),
+      critNotifyEmail = email,
+      escalation = Some(operators.AuthState.CritEscalation(
+        "EST", 8, 10, "test")),
+      alertId = lit("AID"))
+      .collect().map(r => r.getAs[Long]("ts_ms") -> r).toMap
+    val out = run(Some("section31@mozilla.com"))
+    assert(out.size == 3)
+    // 2019-01-01T13:30Z = EST 08:30 Tuesday: inside the policy window
+    val alt = out(1546349400000L)
+    assert(alt.getAs[String]("notify_email_direct") == null)
+    assert(alt.getAs[String]("notify_slack_supplementary") == "test")
+    assert(alt.getAs[String]("slack_supplementary_message") ==
+      "<!channel> critical authentication event observed " +
+        "laforge@mozilla.com to projects/test, 216.160.83.56 [Milton/US]" +
+        "\nalert id: AID")
+    // 23:00Z = EST 18:00 (outside hours); Jan 5 13:30Z = EST Saturday
+    // (weekday rule) — both take the standard escalation
+    for (ts <- Seq(1546383600000L, 1546695000000L)) {
+      val std = out(ts)
+      assert(std.getAs[String]("notify_email_direct") ==
+        "section31@mozilla.com")
+      assert(std.getAs[String]("notify_slack_supplementary") == "test")
+      assert(std.getAs[String]("slack_supplementary_message") ==
+        "critical authentication event observed laforge@mozilla.com to " +
+          "projects/test, 216.160.83.56 [Milton/US]" +
+          "\nNotification has been sent to section31@mozilla.com" +
+          "\nalert id: AID")
+    }
+    // no notification email configured: standard escalations say so
+    // and carry no direct-email route
+    val out2 = run(None)
+    assert(out2(1546349400000L).getAs[String]("slack_supplementary_message")
+      .startsWith("<!channel> "))
+    for (ts <- Seq(1546383600000L, 1546695000000L)) {
+      assert(out2(ts).getAs[String]("notify_email_direct") == null)
+      assert(out2(ts).getAs[String]("slack_supplementary_message").contains(
+        "\nNotification has been sent to no one! <!channel>\nalert id: AID"))
+    }
+  }
+
+  test("authprof_critobj4: AWS SwitchRole crit object through the account map (ref TestCritObject#critObjectAwsSwitchRoleTest)") {
+    val parsed = Parser.parse(lines("authprof_critobj4.txt")).toDF()
+      .filter(col("payloadType") === "cloudtrail")
+    // the identity manager's aws_account_map, as a literal-map Column
+    val obj = operators.Identity.mapAwsAccount(
+      col("normalized.objectValue"), Map(
+        "123456789" -> "riker-vacationing-on-risa",
+        "123456789012" -> "mock-aws-account-name",
+        "999999999999" -> "super-important-account"))
+    val out = operators.AuthState.critObjectAnalyze(parsed,
+      col("timestamp"), col("normalized.subjectUser"), obj,
+      col("normalized.sourceAddress"),
+      Seq("^projects/test$", "super-important-account"),
+      critNotifyEmail = Some("section31@mozilla.com")).collect()
+    assert(out.length == 1)
+    val a = out.head
+    // the SwitchFrom ARN's user resource, not the assumed-role arn
+    assert(a.getAs[String]("username") == "uhura")
+    assert(a.getAs[String]("object") == "super-important-account")
+    assert(a.getAs[String]("sourceaddress") == "127.0.0.1")
+    assert(a.getAs[String]("summary") ==
+      "critical authentication event observed uhura to " +
+        "super-important-account, 127.0.0.1 [unknown/unknown]")
+    assert(a.getAs[String]("notify_email_direct") == "section31@mozilla.com")
+    assert(a.getAs[String]("severity") == "critical")
+  }
+
+  test("authprof_critobj5+6: session-gap suppression extends on suppressed alerts, keys on address (ref TestCritObject#critObjectWithSessionBasedSuppression*)") {
+    def critEmitted(fixture: String): Seq[(String, Long)] = {
+      val crit = operators.AuthState.critObjectAnalyze(
+        Parser.parse(lines(fixture)).toDF()
+          .filter(col("payloadType") === "gcpaudit"),
+        col("timestamp"), col("normalized.subjectUser"),
+        col("normalized.objectValue"), col("normalized.sourceAddress"),
+        Seq("^projects/test$", "super-important-account"))
+      operators.Stateful.suppressSession(crit,
+        timestamp_millis(col("ts_ms")), col("suppression_key"), 1800L)
+        .collect().map(r => (r.getAs[String]("key"),
+          r.getAs[Long]("ts_us") / 1000)).toSeq.sortBy(_._2)
+    }
+    // critobj5: 13:30 emits, 13:55 suppressed (25m < 30m gap),
+    // 14:30 re-emits (35m since the SUPPRESSED 13:55 > 30m)
+    val e5 = critEmitted("authprof_critobj5.txt")
+    assert(e5.map(_._2) == Seq(1546349400000L, 1546353000000L))
+    // critobj6: the suppression key carries the source address, so the
+    // 13:55 event from a NEW address is not suppressed
+    val e6 = critEmitted("authprof_critobj6.txt")
+    assert(e6.length == 2)
+    assert(e6.map(_._1).distinct.length == 2)
+    assert(e6.map(_._2) == Seq(1546349400000L, 1546350900000L))
+  }
+
   test("watchlist_analyze_buffer2: engine-produced alert JSON parses with metadata incl. list keys") {
     val parsed = Parser.parse(lines("watchlist_analyze_buffer2.txt")).toDF()
       .filter(col("payloadType") === "alert")
@@ -620,6 +727,112 @@ class FixtureReplaySpec extends AnyFunSuite {
       subjectUser = col("normalized.subjectUser"),
       gapSeconds = 120).collect()
     // the reference's correlated alert names uhura as the acting user
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("fixed_user") == "uhura")
+    assert(out.head.getAs[String]("shared_id") ==
+      "1bfc7fd0-0c12-441d-b155-fe2442532683")
+  }
+
+  // shared helpers for the AssumeRole correlator variants
+  private val awsAccountMap = Map(
+    "123456789" -> "riker-vacationing-on-risa",
+    "123456789012" -> "mock-aws-account-name",
+    "999999999999" -> "super-important-account")
+
+  private def assumeRoleAuth(df: org.apache.spark.sql.DataFrame) = df
+    // the correlator consumes AUTH-normalized events only — the
+    // reference's isAuthEvent gate keeps service calls out entirely
+    .filter(col("payloadType") === "cloudtrail" &&
+      array_contains(col("normalized.types"), "AUTH") &&
+      element_at(col("fields"), "event_name") === "AssumeRole")
+    .withColumn("role_acct", regexp_extract(
+      element_at(col("fields"), "request_role_arn"),
+      "arn:aws:iam::(\\d+):", 1))
+
+  private def correlateAws(df: org.apache.spark.sql.DataFrame) =
+    operators.AuthState.assumeRoleCorrelate(df,
+      element_at(col("fields"), "shared_event_id"), col("timestamp"),
+      element_at(col("fields"), "event_id"),
+      needsFixup = col("normalized.subjectUser").isNull,
+      isCrossAccount = col("role_acct") =!=
+        element_at(col("fields"), "identity_account_id"),
+      subjectUser = col("normalized.subjectUser"), gapSeconds = 120)
+
+  test("authprof_awscorr1c: delayed trusted half still pairs; duplicated trusting half still one (ref #CrossAccountDelayBetweenEvents/#WithDuplicateEvent)") {
+    // 1c is the trusted half arriving 70s after the trusting event
+    val delayed = assumeRoleAuth(Parser.parse(
+      lines("authprof_awscorr1a.txt", "authprof_awscorr1c.txt")).toDF())
+    val out = correlateAws(delayed).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("fixed_user") == "uhura")
+    // the trusting event delivered twice: same (shared id, event id)
+    // dedupes first, one correlation either way
+    val dup = assumeRoleAuth(Parser.parse(
+      lines("authprof_awscorr1a.txt")).toDF()
+      .union(Parser.parse(lines("authprof_awscorr1a.txt")).toDF())
+      .union(Parser.parse(lines("authprof_awscorr1c.txt")).toDF()))
+    assert(correlateAws(dup).count() == 1)
+    // full chain: join the fixed subject back on the trusting half and
+    // run crit-object analysis over the account map — the reference's
+    // single "uhura to super-important-account" alert
+    val corr = correlateAws(delayed)
+    val trusting = delayed.filter(col("normalized.subjectUser").isNull)
+      .join(corr, element_at(col("fields"), "shared_event_id") ===
+        corr("shared_id"))
+    val alerts = operators.AuthState.critObjectAnalyze(trusting,
+      col("timestamp"), col("fixed_user"),
+      operators.Identity.mapAwsAccount(col("normalized.objectValue"),
+        awsAccountMap),
+      col("normalized.sourceAddress"),
+      Seq("^projects/test$", "super-important-account"),
+      critNotifyEmail = Some("section31@mozilla.com")).collect()
+    assert(alerts.length == 1)
+    assert(alerts.head.getAs[String]("summary") ==
+      "critical authentication event observed uhura to " +
+        "super-important-account, 127.0.0.1 [unknown/unknown]")
+  }
+
+  test("authprof_awscorr2: same-account AssumeRole has no shared id — plain crit-object alert (ref #critObjectAwsAssumeRoleSameAccountTest)") {
+    val parsed = Parser.parse(lines("authprof_awscorr2.txt")).toDF()
+    // nothing to correlate: no shared event id
+    assert(correlateAws(assumeRoleAuth(parsed)).count() == 0)
+    val out = operators.AuthState.critObjectAnalyze(
+      parsed.filter(col("payloadType") === "cloudtrail" &&
+        array_contains(col("normalized.types"), "AUTH")),
+      col("timestamp"), col("normalized.subjectUser"),
+      operators.Identity.mapAwsAccount(col("normalized.objectValue"),
+        awsAccountMap),
+      col("normalized.sourceAddress"),
+      Seq("^projects/test$", "super-important-account"),
+      critNotifyEmail = Some("section31@mozilla.com")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("username") == "uhura")
+    assert(out.head.getAs[String]("object") == "super-important-account")
+    assert(out.head.getAs[String]("sourceaddress") == "127.0.0.1")
+  }
+
+  test("authprof_awscorr3: AWSService AssumeRole is not an auth event — no alert, no correlation (ref #critObjectAwsAssumeRoleCrossAccountAwsService)") {
+    val parsed = Parser.parse(lines("authprof_awscorr3.txt")).toDF()
+      .filter(col("payloadType") === "cloudtrail")
+    assert(parsed.count() == 1)
+    // the isAuthEvent gate: service-invoked assume-role is NOT
+    // normalized AUTH, so neither the correlator nor the crit-object
+    // path ever sees it — despite the shared event id
+    assert(parsed.filter(
+      array_contains(col("normalized.types"), "AUTH")).count() == 0)
+    assert(parsed.head().getAs[org.apache.spark.sql.Row]("normalized")
+      .getAs[String]("objectValue") == null)
+    assert(correlateAws(assumeRoleAuth(parsed)).count() == 0)
+  }
+
+  test("authprof_awscorr4: late duplicate trusted events keep the first pairing timestamp (ref #critObjectAwsAssumeRoleCrossAccountWithSuppression)") {
+    val all = assumeRoleAuth(Parser.parse(lines("authprof_awscorr1a.txt",
+      "authprof_awscorr1c.txt", "authprof_awscorr4.txt")).toDF())
+    // awscorr4's two re-deliveries share (shared id, event id) with 1c
+    // but carry timestamps 13 and 33 minutes later: earliest-wins
+    // dedupe must keep 1c's 70s-gap pairing — a latest-pick would fall
+    // outside the correlation gap and drop the alert entirely
+    val out = correlateAws(all).collect()
     assert(out.length == 1)
     assert(out.head.getAs[String]("fixed_user") == "uhura")
     assert(out.head.getAs[String]("shared_id") ==

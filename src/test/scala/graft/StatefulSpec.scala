@@ -30,6 +30,27 @@ class StatefulSpec extends AnyFunSuite {
     assert(got == 1)
   }
 
+  test("suppressSession: suppressed events extend the gap; fixed suppress re-emits") {
+    // a steady drip every 500s with a 600s gap: the session form emits
+    // only the first (each drip extends the session), while the
+    // fixed-expiry form re-emits once 600s accumulate from the last
+    // EMITTED event — the distinguishing case for the two reference
+    // suppressors (AlertSuppressor vs AlertSuppressorSession)
+    val df = Seq(("a", ts(0)), ("a", ts(500)), ("a", ts(1000)),
+      ("a", ts(1500)), ("a", ts(2000))).toDF("k", "t")
+    val session = Stateful.suppressSession(df, col("t"), col("k"), 600)
+      .select((col("ts_us") / 1000000L).cast("long")).as[Long].collect().sorted
+    assert(session.toSeq == Seq(0L))
+    val fixed = Stateful.suppress(df, col("t"), col("k"), 600)
+      .select((col("ts_us") / 1000000L).cast("long")).as[Long].collect().sorted
+    assert(fixed.toSeq == Seq(0L, 1000L, 2000L))
+    // strict >: a gap of exactly 600s still suppresses in session form
+    val edge = Seq(("a", ts(0)), ("a", ts(600)), ("a", ts(1201))).toDF("k", "t")
+    val got = Stateful.suppressSession(edge, col("t"), col("k"), 600)
+      .select((col("ts_us") / 1000000L).cast("long")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(0L, 1201L))
+  }
+
   test("geoVelocity flags impossible travel only") {
     val df = Seq(
       // key a: London -> Paris in 1 hour (~344 km/h) then Paris->Paris
