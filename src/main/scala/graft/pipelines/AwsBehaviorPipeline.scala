@@ -46,8 +46,13 @@ object AwsBehaviorPipeline {
       resolve: String => Column = cloudtrailField,
       user: Column = col("normalized.subjectUser")): DataFrame = {
     val arms = matchers.map { m =>
-      val pred = m.fields.map { case (f, re) => resolve(f).rlike(re) }
-        .reduceOption(_ && _).getOrElse(lit(false))
+      // the reference's EventFilterPayload regex terms are FULL
+      // matches (Matcher.matches(), EventFilterPayload.java:116) —
+      // anchor like Pattern.matches so "123456789" cannot partially
+      // match a longer account id
+      val pred = m.fields.map { case (f, re) =>
+        resolve(f).rlike("^(?:" + re + ")$")
+      }.reduceOption(_ && _).getOrElse(lit(false))
       when(pred, struct(
         lit(m.description).as("description"),
         m.resource.map(resolve).getOrElse(lit(null).cast("string"))

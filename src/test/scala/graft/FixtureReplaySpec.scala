@@ -461,6 +461,39 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(geo.getString(0) == "Milton" && geo.getString(1) == "US")
   }
 
+  test("event_matchers.json: config-form cloudtrail matchers over cloudtrail_buffer1 (ref TestAwsBehavior#matcherTest / TestCloudtrailMatcherManager)") {
+    // the reference's matcher CONFIG file, parsed as the manager does
+    val p = java.nio.file.Paths.get(refData, "event_matchers.json")
+    assume(java.nio.file.Files.exists(p))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(p.toFile)
+    val matchers = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(root.path("event_matchers").elements()).asScala
+      .map { m =>
+        val fields = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(m.path("fields").elements()).asScala
+          .map(f => f.get(0).asText() -> f.get(1).asText()).toSeq
+        pipelines.AwsBehaviorPipeline.Matcher(
+          m.path("description").asText(), fields,
+          Option(m.path("resource").asText(null)))
+      }.toSeq
+    assert(matchers.length == 2)
+    assert(matchers.head.description == "access key created")
+    val out = pipelines.AwsBehaviorPipeline.analyze(
+      Parser.parse(lines("cloudtrail_buffer1.txt")).toDF(), matchers)
+      .collect()
+    // the reference's exact three: uhura's CreateAccessKey (resource
+    // guinan) + picard's two mfa-less console GetUsers — the mfa=true
+    // GetUser and the junk line never match
+    assert(out.length == 3)
+    val got = out.map(r => (r.getAs[String]("username"),
+      r.getAs[String]("description"), r.getAs[String]("resource")))
+    assert(got.count(_ == (("uhura", "access key created", "guinan"))) == 1)
+    assert(got.count(_ == (("picard",
+      "IAM action from console without mfa", null))) == 2)
+    assert(out.forall(_.getAs[String]("severity") == "critical"))
+  }
+
   test("authprof_critobj3: hour-of-day alternate Slack escalation policy (ref TestCritObject#critObjectTestSupplementaryPolicy + #MissingPolicy)") {
     val mmdbPath = java.nio.file.Paths.get(refData, "GeoIP2-City-Test.mmdb")
     assume(java.nio.file.Files.exists(mmdbPath))
