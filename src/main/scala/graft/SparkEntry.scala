@@ -1130,7 +1130,7 @@ object SparkEntry {
         |  SELECT user_id, ts, CASE WHEN
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |        PARTITION BY user_id ORDER BY ts)) > 3600000000
+        |        PARTITION BY user_id ORDER BY ts)) >= 3600000000
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (
@@ -1480,7 +1480,7 @@ object SparkEntry {
         |  SELECT user_id, ts, CASE WHEN
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |        PARTITION BY user_id ORDER BY ts)) > 3600000000
+        |        PARTITION BY user_id ORDER BY ts)) >= 3600000000
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (
@@ -1696,7 +1696,7 @@ object SparkEntry {
         |  FROM events WHERE event_id % 3 <> 0),
         |s AS (
         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 86400000000
         |    THEN 1 ELSE 0 END AS ns
         |  FROM f WINDOW w AS (PARTITION BY norm ORDER BY ts)),
         |s2 AS (
@@ -1740,7 +1740,7 @@ object SparkEntry {
       """WITH f AS (SELECT user_id AS uid, ts, event_id AS seq,
         |    event_id % 1000 AS bytes FROM events),
         |s0 AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 172800000000
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 172800000000
         |  THEN 1 ELSE 0 END AS ns
         |  FROM f WINDOW w AS (PARTITION BY uid ORDER BY ts)),
         |s AS (SELECT uid, ts, seq, bytes, CAST(SUM(ns) OVER (
@@ -2240,7 +2240,7 @@ object SparkEntry {
         |  SELECT *, CASE WHEN
         |      lag(ts) OVER (PARTITION BY email ORDER BY ts) IS NULL
         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |        PARTITION BY email ORDER BY ts)) > 86400000000
+        |        PARTITION BY email ORDER BY ts)) >= 86400000000
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM src),
         |s AS (

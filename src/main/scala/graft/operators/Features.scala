@@ -74,6 +74,33 @@ object Features {
       .withColumn("variance", varExpr)
   }
 
+  /** The reference's own variance INDEX — a path-diversity score, not
+    * a statistical variance (ref s/customs/CustomsFeatures.java:65-84,
+    * 303-325): per key, count distinct request paths and distinct
+    * paths that saw at least one 200; when more than one distinct
+    * path exists, index = n_paths + 10 * n_success_paths, clamped at
+    * 100; a single-path key scores 0. `nominal` marks index >= 33
+    * (NOMINAL_VARIANCE_INDEX) — the gate customs detectors use to
+    * exempt organically-browsing clients.
+    *
+    * One hash aggregate of two distinct counts — the per-event
+    * HashMap bookkeeping of the reference's CombineFn collapses into
+    * `countDistinct` with partial aggregation. Output: (key, n_paths,
+    * n_success_paths, variance_index, nominal). */
+  def pathVarianceIndex(df: DataFrame,
+      key: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column,
+      status: org.apache.spark.sql.Column): DataFrame = {
+    val raw = col("n_paths") + lit(10L) * col("n_success_paths")
+    df.filter(path.isNotNull)
+      .groupBy(key.cast("string").as("key"))
+      .agg(countDistinct(path).as("n_paths"),
+        countDistinct(when(status === 200, path)).as("n_success_paths"))
+      .withColumn("variance_index",
+        when(col("n_paths") > 1, least(raw, lit(100L))).otherwise(lit(0L)))
+      .withColumn("nominal", col("variance_index") >= 33)
+  }
+
   /** Per-key feature extraction over (key, class) pairs. */
   def typeFeatures(df: DataFrame, key: org.apache.spark.sql.Column,
       cls: org.apache.spark.sql.Column): DataFrame = {

@@ -117,13 +117,86 @@ object HttpHeuristics {
         col("useragent"))
   }
 
+  /** EndpointAbuseAnalysis over the reference's actual windowing —
+    * per-client session windows (ref HTTPRequest.java:312-325 feeds
+    * EndpointAbuseAnalysis through KeyAndWindowForSessionsFireEarly
+    * with sessionGapDurationMinutes). Same monitored-count + variance
+    * + argmax semantics as [[endpointAbuse]], grouped by (addr,
+    * session) instead of fixed windows; `window_max_ts_ms` is Beam's
+    * session `w.maxTimestamp()` (last session event + gap − 1 ms),
+    * which the reference stamps on the alert. */
+  def endpointAbuseSessions(df: DataFrame, ts: Column, addr: Column,
+      method: Column, path: Column, userAgent: Column,
+      gapSeconds: Long, endpoints: Seq[Endpoint],
+      varianceSupportingOnly: Boolean = false,
+      customVarianceSubstrings: Seq[String] = Nil,
+      url: Option[Column] = None): DataFrame = {
+    val base = Sessionize.assignSessions(
+      df.select(ts.as("__ts"), addr.as("addr"), method.as("__m"),
+        path.as("__p"), userAgent.as("__ua"),
+        url.getOrElse(path).as("__u")).filter(col("addr").isNotNull),
+      col("__ts"), col("addr"), gapSeconds)
+    val monIdx = endpoints.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (e, i)) =>
+        when(col("__m") === e.method && col("__p") === e.path, i)
+          .otherwise(acc)
+    }
+    val customVariance = customVarianceSubstrings
+      .map(s => col("__u").contains(s)).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val extendedVarianceEvent =
+      monIdx.isNull && (isSupporting(col("__p")) || customVariance)
+    val varianceEvent = if (varianceSupportingOnly) extendedVarianceEvent
+      else monIdx.isNull
+    val counts = endpoints.indices.map(i =>
+      count(when(monIdx === i, 1)).as(s"n_$i"))
+    val aggs = counts ++ Seq(
+      count(when(varianceEvent, 1)).as("n_variance"),
+      max(when(monIdx.isNotNull, unix_millis(col("__ts"))))
+        .as("latest_ts_ms"),
+      max_by(when(monIdx.isNotNull, col("__ua")),
+        when(monIdx.isNotNull, unix_millis(col("__ts")))).as("useragent"),
+      max(unix_millis(col("__ts"))).as("__last"))
+    val grouped = base.groupBy(col("addr"), col("session_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_variance") === 0)
+    val qual = endpoints.indices.map(i =>
+      when(col(s"n_$i") >= endpoints(i).threshold, col(s"n_$i"))
+        .otherwise(lit(null).cast("long")))
+    val maxQual = if (qual.length == 1) qual.head else greatest(qual: _*)
+    val bestIdx = endpoints.indices.foldLeft(lit(null).cast("int")) {
+      (acc, i) =>
+        when(acc.isNull && qual(i) === maxQual, i).otherwise(acc)
+    }
+    grouped
+      .withColumn("best", bestIdx)
+      .filter(col("best").isNotNull)
+      .withColumn("endpoint_method",
+        endpoints.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+          when(col("best") === i, endpoints(i).method).otherwise(acc) })
+      .withColumn("endpoint_path",
+        endpoints.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+          when(col("best") === i, endpoints(i).path).otherwise(acc) })
+      .withColumn("n",
+        endpoints.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("best") === i, col(s"n_$i")).otherwise(acc) })
+      .withColumn("window_max_ts_ms",
+        col("__last") + lit(gapSeconds * 1000L) - lit(1L))
+      .select(col("addr"), col("session_id"), col("endpoint_method"),
+        col("endpoint_path"), col("n"), col("latest_ts_ms"),
+        col("useragent"), col("window_max_ts_ms"))
+  }
+
   /** PerEndpointErrorRateAnalysis. Input should already be filtered
     * to error responses. Output: (window_start_ms, addr, rule_method,
-    * rule_path, n_errors, latest_error_ms). */
+    * rule_path, n_errors, latest_error_ms). Rule paths FULL-match
+    * (the reference's Pattern.matcher(path).matches(),
+    * PerEndpointErrorRateAnalysis.java:106-108). */
   def perEndpointErrorRate(df: DataFrame, ts: Column, addr: Column,
       method: Column, path: Column, window: String,
       rules: Seq[ErrorRule]): DataFrame = {
-    val matches = rules.map(r => method === r.method && path.rlike(r.path))
+    val matches = rules.map(r =>
+      method === r.method && path.rlike("^(?:" + r.path + ")$"))
     val counts = rules.indices.map(i =>
       count(when(matches(i), 1)).as(s"n_$i"))
     val latest = rules.indices.map(i =>
@@ -156,6 +229,73 @@ object HttpHeuristics {
           when(col("best") === i, col(s"t_$i")).otherwise(acc) })
       .select(col("window_start_ms"), col("addr"), col("rule_method"),
         col("rule_path"), col("n_errors"), col("latest_error_ms"))
+  }
+
+  /** PerEndpointErrorRateAnalysis, faithful session form (ref
+    * s/httprequest/HTTPRequest.java:96-165
+    * KeyAndWindowForSessionsFireEarly + PerEndpointErrorRateAnalysis
+    * .java:160-250): the reference filters to client errors FIRST and
+    * sessionizes only those per source address (gap =
+    * errorSessionGapDurationMinutes), so quiet error periods split
+    * sessions even while good traffic continues. Per (addr, session),
+    * each rule counts full-match (method, path-regex) errors; the
+    * qualifying rule with the highest count wins (first-listed wins
+    * ties — the reference's strictly-greater max scan); the row
+    * carries the most recent matching error and the session-window
+    * max timestamp (last error + gap − 1 ms, Beam's
+    * `w.maxTimestamp()`).
+    *
+    * Input must already be filtered to the error statuses of interest
+    * (the reference keeps 400–499). One exchange on addr for the
+    * sessionization, then a hash aggregate of conditional counts —
+    * same scan shape as the fixed-window form. */
+  def perEndpointErrorRateSessions(df: DataFrame, ts: Column,
+      addr: Column, method: Column, path: Column, gapSeconds: Long,
+      rules: Seq[ErrorRule]): DataFrame = {
+    val base = Sessionize.assignSessions(
+      df.select(ts.as("__ts"), addr.as("addr"), method.as("__m"),
+        path.as("__p")).filter(col("addr").isNotNull),
+      col("__ts"), col("addr"), gapSeconds)
+    val matches = rules.map(r =>
+      col("__m") === r.method && col("__p").rlike("^(?:" + r.path + ")$"))
+    val counts = rules.indices.map(i =>
+      count(when(matches(i), 1)).as(s"n_$i"))
+    val latest = rules.indices.map(i =>
+      max(when(matches(i), unix_millis(col("__ts")))).as(s"t_$i"))
+    val aggs = counts ++ latest :+
+      max(unix_millis(col("__ts"))).as("__last")
+    val grouped = base.groupBy(col("addr"), col("session_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val qual = rules.indices.map(i =>
+      when(col(s"n_$i") >= rules(i).threshold, col(s"n_$i"))
+        .otherwise(lit(null).cast("long")))
+    val maxQual = if (qual.length == 1) qual.head else greatest(qual: _*)
+    val bestIdx = rules.indices.foldLeft(lit(null).cast("int")) {
+      (acc, i) => when(acc.isNull && qual(i) === maxQual, i).otherwise(acc)
+    }
+    grouped
+      .withColumn("best", bestIdx)
+      .filter(col("best").isNotNull)
+      .withColumn("rule_method",
+        rules.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+          when(col("best") === i, rules(i).method).otherwise(acc) })
+      .withColumn("rule_path",
+        rules.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+          when(col("best") === i, rules(i).path).otherwise(acc) })
+      .withColumn("n_errors",
+        rules.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("best") === i, col(s"n_$i")).otherwise(acc) })
+      .withColumn("latest_error_ms",
+        rules.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("best") === i, col(s"t_$i")).otherwise(acc) })
+      // the session WINDOW tracks every error event in the session,
+      // matching or not (the reference sessionizes before rule
+      // matching), so its max timestamp derives from __last
+      .withColumn("window_max_ts_ms",
+        col("__last") + lit(gapSeconds * 1000L) - lit(1L))
+      .select(col("addr"), col("session_id"), col("rule_method"),
+        col("rule_path"), col("n_errors"), col("latest_error_ms"),
+        col("window_max_ts_ms"))
   }
 
   /** UserAgentBlocklistAnalysis. `natAddrs`, when given, suppresses

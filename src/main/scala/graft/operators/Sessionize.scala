@@ -23,15 +23,21 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Assign a session id to every row: session boundaries open where the
-    * gap to the key's previous event exceeds `gapSeconds`. Output keeps
-    * all input columns plus `session_id` (1-based per key). */
+    * gap to the key's previous event reaches `gapSeconds`. Output keeps
+    * all input columns plus `session_id` (1-based per key).
+    *
+    * Boundary semantics match session WINDOWS (the reference's Beam
+    * `Sessions.withGapDuration` and Spark's own `session_window`): an
+    * event's window is [ts, ts+gap) and windows merge only when they
+    * OVERLAP, so an event arriving exactly `gapSeconds` after the
+    * previous one starts a NEW session (>=, not >). */
   def assignSessions(df: DataFrame, ts: Column, key: Column,
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts)
     df.withColumn("prev_ts", lag(ts, 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(ts) - unix_micros(col("prev_ts")) > gapSeconds * 1000000L,
+          unix_micros(ts) - unix_micros(col("prev_ts")) >= gapSeconds * 1000000L,
           lit(1)).otherwise(lit(0)))
       .withColumn("session_id",
         sum(col("new_session")).over(

@@ -47,4 +47,66 @@ object CorrelationPipeline {
         .select(col("value"), col("severity_override"))),
       idCol === col("value"))
       .drop("value")
+
+  /** Metadata keys the watchlist scans, per kind (ref PostProcessing
+    * .java:130-135: emailKeys = email, username, identity_key; ipKeys
+    * = sourceaddress, sourceaddress_previous). */
+  val WatchlistEmailKeys: Seq[String] =
+    Seq("email", "username", "identity_key")
+  val WatchlistIpKeys: Seq[String] =
+    Seq("sourceaddress", "sourceaddress_previous")
+
+  /** Full PostProcessing watchlist analysis (ref s/postprocessing/
+    * PostProcessing.java:260-374): scan every incoming alert's
+    * email-kind metadata keys (list-valued — split on "," and
+    * trimmed, AlertMeta.java:24) and ip-kind keys against the
+    * watchlist; each (alert, matched key occurrence) emits one
+    * escalation alert carrying the watchlist entry's severity,
+    * created-by, and the matched key/value, plus a direct-email route
+    * chosen by severity.
+    *
+    * `alerts` is the parsed alert frame (fields map with meta_<key>
+    * entries and alert_id); `watchlist` columns: (kind, object,
+    * severity, created_by) — tiny, broadcast (the reference batches
+    * Datastore lookups; a broadcast hash join removes the RPC
+    * batching problem entirely). The key scan is an explode over a
+    * static 5-element array — codegen'd, no UDF. */
+  def watchlistAnalyze(alerts: DataFrame, watchlist: DataFrame,
+      warningEmail: String, criticalEmail: String): DataFrame = {
+    val kd =
+      WatchlistEmailKeys.map { k =>
+        struct(lit(k).as("key"),
+          split(element_at(col("fields"), s"meta_$k"), ",").as("vals"),
+          lit("email").as("kind"))
+      } ++ WatchlistIpKeys.map { k =>
+        struct(lit(k).as("key"),
+          array(element_at(col("fields"), s"meta_$k")).as("vals"),
+          lit("ip").as("kind"))
+      }
+    val wl = broadcast(watchlist.select(col("kind").as("w_kind"),
+      col("object"), col("severity"), col("created_by")))
+    alerts
+      .withColumn("kd", explode(array(kd: _*)))
+      .withColumn("matched_metadata_value", explode_outer(col("kd.vals")))
+      .withColumn("matched_metadata_value",
+        trim(col("matched_metadata_value")))
+      .filter(col("matched_metadata_value").isNotNull)
+      .join(wl, col("kd.kind") === col("w_kind") &&
+        col("matched_metadata_value") === col("object"))
+      .select(
+        lit("postprocessing").as("category"),
+        lit("watchlist").as("subcategory"),
+        concat(lit("matched watchlist object found in alert "),
+          element_at(col("fields"), "alert_id")).as("summary"),
+        col("severity"),
+        when(col("severity") === "warn", warningEmail)
+          .when(col("severity") === "critical", criticalEmail)
+          .as("notify_email_direct"),
+        element_at(col("fields"), "alert_id").as("source_alert"),
+        col("kd.key").as("matched_metadata_key"),
+        col("matched_metadata_value"),
+        col("w_kind").as("matched_type"),
+        col("object").as("matched_object"),
+        col("created_by").as("watchlist_created_by"))
+  }
 }

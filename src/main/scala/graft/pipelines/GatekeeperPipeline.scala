@@ -107,6 +107,13 @@ object GatekeeperPipeline {
         col("r.finding_type").as("finding_type"), col("finding_id"),
         col("r.account").as("account"),
         col("r.region").as("region"), col("r.handling").as("handling"),
+        // console deep-link, emitted only when the region is known
+        // (ref GuardDutyTransforms.java:134-141, 168-176)
+        when(col("r.region").isNotNull, concat(
+          lit("https://"), col("r.region"),
+          lit(".console.aws.amazon.com/guardduty/home?region="),
+          col("r.region"), lit("#/findings?fId="), col("finding_id")))
+          .as("url_to_finding"),
         unix_millis(col("r.timestamp")).as("ts_ms"))
   }
 

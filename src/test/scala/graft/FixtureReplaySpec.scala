@@ -650,7 +650,10 @@ class FixtureReplaySpec extends AnyFunSuite {
         parsed.filter(col("normalized.requestStatus").between(400, 499)),
         col("timestamp"), col("normalized.sourceAddress"),
         col("normalized.requestMethod"), col("normalized.urlRequestPath"),
-        "1 minute", Seq(HttpHeuristics.ErrorRule("GET", "/test", 4))).collect()
+        "1 minute",
+        // rate2's configured rule is 4:GET:/t.* (rate4 overrides below
+        // covers the digit-guessing pattern); paths FULL-match
+        Seq(HttpHeuristics.ErrorRule("GET", "/t.*", 4))).collect()
     }
     // rate2: the same two clients as rate1 spread across three
     // micro-batch files — per-(window, client) aggregation still
@@ -664,10 +667,20 @@ class FixtureReplaySpec extends AnyFunSuite {
       r.getAs[Long]("n_errors")).toMap
     assert(byAddr2.keySet == Set("192.168.1.1", "192.168.1.2"))
     assert(byAddr2.values.forall(_ >= 5L))
-    // rate4: a single batch file, exactly one client over the rule
-    val o4 = run(
-      "httpreq_perendpointerrorrate4/httpreq_perendpointerrorrate4_1.txt")
+    // rate4: the id-guessing pattern 4:GET:/test/(\d+)/profile —
+    // exactly one client (192.168.1.3, 6 errors) over the rule
+    val parsed4 = parsedHttp(lines(
+      "httpreq_perendpointerrorrate4/httpreq_perendpointerrorrate4_1.txt"))
+    val o4 = HttpHeuristics.perEndpointErrorRate(
+      parsed4.filter(col("normalized.requestStatus").between(400, 499)),
+      col("timestamp"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+      "1 minute",
+      Seq(HttpHeuristics.ErrorRule("GET", "/test/(\\d+)/profile", 4)))
+      .collect()
     assert(o4.length == 1)
+    assert(o4.head.getAs[String]("addr") == "192.168.1.3")
+    assert(o4.head.getAs[Long]("n_errors") == 6L)
   }
 
   test("pioneer/exfiltration2a-c: the growing session's early panes as batch prefixes (ref TestPioneer#pioneerExfiltration2)") {
@@ -1827,5 +1840,405 @@ class FixtureReplaySpec extends AnyFunSuite {
     val actions = out.map(_.getAs[String]("action"))
     assert(actions.count(_ == "loginSuccess") == 1)
     assert(actions.count(_ == "loginFailure") == 2)
+  }
+
+  test("httpreq_endpointabuse3: non-4xx pre-filter leaves only the 401 client alerting (ref TestEndpointAbuse1#endpointAbuseTestPreprocessFilter)") {
+    import graft.filter.EventFilter
+    val parsed = parsedHttp(lines(
+      "httpreq_endpointabuse3/httpreq_endpointabuse3_1.txt"))
+    // the reference's filterRequestPath except-rules: drop GET /test
+    // and GET /test2 requests whose status is NOT 4xx (status 0-399
+    // or >= 500), keeping only client-error traffic on those paths
+    // (ref HTTPRequestToggles.toStandardFilter:938-973)
+    def exceptFor(path: String) = EventFilter.Rule(
+      wantNormalizedTypes = Seq("HTTP_REQUEST"),
+      payload = Seq(
+        EventFilter.StringMatch("normalized.requestMethod", "GET"),
+        EventFilter.StringMatch("normalized.urlRequestPath", path),
+        EventFilter.OrMatch(Seq(
+          EventFilter.IntRange("normalized.requestStatus", 0, 399),
+          EventFilter.IntRange("normalized.requestStatus", 500,
+            Int.MaxValue)))))
+    val pred = EventFilter.compile(Seq(EventFilter.Rule(
+      wantNormalizedTypes = Seq("HTTP_REQUEST"),
+      except = Seq(exceptFor("/test"), exceptFor("/test2")))))
+    val filtered = parsed.filter(pred)
+    // 4 of 5 clients ran non-4xx traffic on the monitored paths and
+    // vanish pre-analysis; 192.168.1.6's 8 401s survive and alert
+    val out = HttpHeuristics.endpointAbuse(filtered, col("timestamp"),
+      col("normalized.sourceAddress"), col("normalized.requestMethod"),
+      col("normalized.urlRequestPath"), col("normalized.userAgent"),
+      "1 hour", Seq(HttpHeuristics.Endpoint("GET", "/test", 8),
+        HttpHeuristics.Endpoint("GET", "/test2", 8))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("addr") == "192.168.1.6")
+    assert(out.head.getAs[Long]("n") == 8L)
+  }
+
+  test("httpreq_endpointabuse4: 20-min sessions split the 00:00 and 00:30 bursts into two alerts with the reference's window stamps (ref TestEndpointAbuse1#endpointAbuseTestStreamStateExpiry)") {
+    val parsed = parsedHttp(lines(
+      "httpreq_endpointabuse4/httpreq_endpointabuse4_1.txt",
+      "httpreq_endpointabuse4/httpreq_endpointabuse4_2.txt",
+      "httpreq_endpointabuse4/httpreq_endpointabuse4_3.txt"))
+    val out = HttpHeuristics.endpointAbuseSessions(parsed,
+      col("timestamp"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+      col("normalized.userAgent"), gapSeconds = 1200,
+      Seq(HttpHeuristics.Endpoint("GET", "/test", 8))).collect()
+    // two sessions for 192.168.1.2 (10 monitored GETs each, no
+    // variance); 192.168.1.3 browses /test/somethingelse (variance)
+    // and 192.168.1.1/1.4 stay under threshold
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("addr") == "192.168.1.2"))
+    assert(out.forall(_.getAs[Long]("n") == 10L))
+    assert(out.forall(_.getAs[String]("useragent") == "Mozilla"))
+    // Beam session maxTimestamp: last event + gap - 1ms — the
+    // reference's asserted 00:19:59.999Z and 00:49:59.999Z
+    assert(out.map(_.getAs[Long]("window_max_ts_ms")).sorted.toSeq ==
+      Seq(1199999L, 2999999L))
+  }
+
+  test("httpreq_perendpointerrorrate3: error sessions split at exactly the gap — nothing reaches threshold (ref TestPerEndpointErrorRateAnalysis#perEndpointErrorRateTestStream3)") {
+    val parsed = parsedHttp(lines(
+      "httpreq_perendpointerrorrate3/httpreq_perendpointerrorrate3_1.txt",
+      "httpreq_perendpointerrorrate3/httpreq_perendpointerrorrate3_2.txt",
+      "httpreq_perendpointerrorrate3/httpreq_perendpointerrorrate3_3.txt"))
+    // 192.168.1.2's errors land at 0s,0s,15s then 75s,75s: the 60s
+    // quiet period equals the session gap, so the second burst opens
+    // a NEW session (Beam windows [15,75) and [75,135) do not
+    // overlap) and both sessions stay under the 4-error threshold
+    val out = HttpHeuristics.perEndpointErrorRateSessions(
+      parsed.filter(col("normalized.requestStatus").between(400, 499)),
+      col("timestamp"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+      gapSeconds = 60,
+      Seq(HttpHeuristics.ErrorRule("GET", "/test", 4)))
+    assert(out.count() == 0)
+  }
+
+  test("httpreq_perendpointerrorrate5: good traffic does not extend an error session (ref TestPerEndpointErrorRateAnalysis#perEndpointErrorRateTestStream5)") {
+    val parsed = parsedHttp(lines(
+      "httpreq_perendpointerrorrate5/httpreq_perendpointerrorrate5_1.txt",
+      "httpreq_perendpointerrorrate5/httpreq_perendpointerrorrate5_2.txt",
+      "httpreq_perendpointerrorrate5/httpreq_perendpointerrorrate5_3.txt"))
+    // 192.168.1.3: three 404s at 0s, steady 200s until 45s, then a
+    // 400 at 70s — the reference sessionizes ERRORS ONLY, so the good
+    // traffic cannot bridge the 70s quiet gap and neither error
+    // session reaches 4
+    val out = HttpHeuristics.perEndpointErrorRateSessions(
+      parsed.filter(col("normalized.requestStatus").between(400, 499)),
+      col("timestamp"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+      gapSeconds = 60,
+      Seq(HttpHeuristics.ErrorRule("GET", "/test", 4)))
+    assert(out.count() == 0)
+  }
+
+  test("httpreq_perendpointerrorrate6: multi-pattern max rule, accumulating panes 7 then 18 (ref TestPerEndpointErrorRateAnalysis#perEndpointErrorRateTestStream6)") {
+    def run(files: String*) = {
+      val parsed = parsedHttp(lines(files: _*))
+      HttpHeuristics.perEndpointErrorRateSessions(
+        parsed.filter(col("normalized.requestStatus").between(400, 499)),
+        col("timestamp"), col("normalized.sourceAddress"),
+        col("normalized.requestMethod"),
+        col("normalized.urlRequestPath"), gapSeconds = 60,
+        Seq(HttpHeuristics.ErrorRule("GET", "/test", 4),
+          HttpHeuristics.ErrorRule("GET", "/t.*", 4))).collect()
+    }
+    val base = Seq(
+      "httpreq_perendpointerrorrate6/httpreq_perendpointerrorrate6_1.txt",
+      "httpreq_perendpointerrorrate6/httpreq_perendpointerrorrate6_2.txt",
+      "httpreq_perendpointerrorrate6/httpreq_perendpointerrorrate6_3.txt")
+    // early pane (first batch alone): /t.* full-matches /testing too,
+    // so it carries the max (7 > 5) — the reference's first firing
+    val early = run(base.head)
+    assert(early.length == 1)
+    assert(early.head.getAs[String]("addr") == "192.168.1.2")
+    assert(early.head.getAs[String]("rule_path") == "/t.*")
+    assert(early.head.getAs[Long]("n_errors") == 7L)
+    assert(early.head.getAs[Long]("window_max_ts_ms") == 59999L)
+    // accumulated session (all batches): the 45s burst merges into the
+    // same session; 18 /t.* matches, window max 00:01:44.999
+    val full = run(base: _*)
+    assert(full.length == 1)
+    assert(full.head.getAs[String]("rule_path") == "/t.*")
+    assert(full.head.getAs[Long]("n_errors") == 18L)
+    assert(full.head.getAs[Long]("latest_error_ms") == 45000L)
+    assert(full.head.getAs[Long]("window_max_ts_ms") == 104999L)
+  }
+
+  test("httpreq_sessionlimitanalysis1_0: in-session UA variety marks a NAT and suppresses the limit alert (ref TestSessionLimitAnalysis#sessionLimitAnalysisAlertUAVariancePresent)") {
+    import spark.implicits._
+    val parsed = parsedHttp(lines(
+      "httpreq_sessionlimitanalysis1/httpreq_sessionlimitanalysis1_0.txt",
+      "httpreq_sessionlimitanalysis1/httpreq_sessionlimitanalysis1_2.txt",
+      "httpreq_sessionlimitanalysis1/httpreq_sessionlimitanalysis1_3.txt"))
+      .withColumn("client", Functions.proxyXffClientAddress(
+        element_at(col("fields"), "x_forwarded_for"),
+        element_at(col("fields"), "x_pipeline_proxy").isNotNull))
+    // sessionize ALL of the client's requests; the uaMap covers every
+    // request in session, monitored or not (ref SessionLimitAnalysis
+    // .java:170-193: two distinct agents in-session => treated as NAT,
+    // the per-client analysis returns before thresholding)
+    val sessions = operators.Sessionize.assignSessions(
+        parsed.select(col("timestamp").as("ts"), col("client"),
+          col("normalized.userAgent").as("ua"),
+          (col("normalized.requestMethod") === "POST" &&
+            col("normalized.urlRequestPath").rlike("^/submit/click.*"))
+            .as("mon")),
+        col("ts"), col("client"), gapSeconds = 1200)
+      .groupBy(col("client"), col("session_id"))
+      .agg(count(when(col("mon"), 1)).as("n"),
+        countDistinct(col("ua")).as("n_uas"))
+    // the monitored count DOES cross the limit — only the NAT gate
+    // silences it (the reference's 0-alert + reputation-100 outcome)
+    assert(sessions.filter(col("n") >= 6).count() == 1)
+    assert(sessions.filter(col("n") >= 6 && col("n_uas") < 2).count() == 0)
+  }
+
+  test("httpreq_errorrate1_single.json: one-element MULTIPLEX config behaves as simplex (ref TestErrorRate1#errorRateTestCfg)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cfgPath = java.nio.file.Paths.get(refData, "httpreq_errorrate1_single.json")
+    assume(java.nio.file.Files.exists(cfgPath))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cfgPath.toFile)
+    assert(root.path("input").path("mode").asText() == "MULTIPLEX")
+    val elems = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(root.path("input").path("elements").elements())
+      .asScala.toSeq
+    assert(elems.map(_.path("name").asText()) == Seq("test"))
+    val e = elems.head
+    val files = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(e.path("file_inputs").elements()).asScala
+      .map(_.asText().split("/testdata/").last).toSeq
+    // the element's parser config: substring fast matcher + project filter
+    val fast = e.path("parser_configuration")
+      .path("parser_fast_matcher").asText()
+    val proj = e.path("parser_configuration")
+      .path("stackdriver_project_filter").asText()
+    val toggles = root.path("service_toggles").path("test")
+    assert(toggles.path("enable_error_rate_analysis").asBoolean())
+    val parsed = parsedHttp(lines(files: _*).filter(col("value").contains(fast)))
+      .filter(col("stackdriverProject") === proj)
+    val out = Heuristics.errorRate(parsed, col("timestamp"),
+      col("normalized.sourceAddress"),
+      col("normalized.requestStatus").between(400, 499),
+      "1 minute", maxErrors = 30).collect()
+    // the reference's single error_rate alert: 10.0.0.1, 35 errors,
+    // window [00:00, 00:01)
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("key") == "10.0.0.1")
+    assert(out.head.getAs[Long]("errors") == 35L)
+    assert(out.head.getAs[Long]("window_start_ms") == 0L)
+  }
+
+  test("httpreq_multi2.json: a monitored resource with no matching events stays silent, the others alert (ref TestMulti#testMulti2)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cfgPath = java.nio.file.Paths.get(refData, "httpreq_multi2.json")
+    assume(java.nio.file.Files.exists(cfgPath))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(cfgPath.toFile)
+    val elems = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(root.path("input").path("elements").elements())
+      .asScala.map { e =>
+        val name = e.path("name").asText()
+        val files = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(e.path("file_inputs").elements()).asScala
+          .map(_.asText().split("/testdata/").last).toSeq
+        val fast = Option(e.path("parser_configuration")
+          .path("parser_fast_matcher").asText(null))
+        val proj = Option(e.path("parser_configuration")
+          .path("stackdriver_project_filter").asText(null))
+        (name, files, fast, proj)
+      }.toSeq
+    assert(elems.map(_._1) == Seq("resource1", "resource2", "resource3"))
+    val mux = sources.Multiplex.union(elems.map { case (n, fs, fast, _) =>
+      val ls = fast.foldLeft(lines(fs: _*))((d, f) =>
+        d.filter(col("value").contains(f)))
+      sources.Multiplex.named(ls, n)
+    })
+    val analyses: Map[String,
+        org.apache.spark.sql.Dataset[String] => DataFrame] =
+      elems.map { case (n, _, _, proj) =>
+        n -> { (ls: org.apache.spark.sql.Dataset[String]) =>
+          val parsed = proj.foldLeft(parsedHttp(ls))((d, p) =>
+            d.filter(col("stackdriverProject") === p))
+          Heuristics.errorRate(parsed, col("timestamp"),
+            col("normalized.sourceAddress"),
+            col("normalized.requestStatus").between(400, 499),
+            "1 minute", maxErrors = 30)
+        }
+      }.toMap
+    val out = sources.Multiplex.analyzeAll(mux, analyses).collect()
+    // resource2 reads hardlimit1 through the "stage-send" fast matcher:
+    // nothing matches, so the resource produces NO alerts (the
+    // reference's monitored-resource-without-events case); resource1
+    // (filtered) and resource3 (unfiltered) both see the 35-error
+    // client
+    assert(out.length == 2)
+    val byRes = out.map(r => r.getAs[String]("resource") ->
+      (r.getAs[String]("key"), r.getAs[Long]("errors"))).toMap
+    assert(byRes.keySet == Set("resource1", "resource3"))
+    assert(byRes.values.toSet == Set(("10.0.0.1", 35L)))
+  }
+
+  test("cidrutil1: CIDR file load and containment set (ref TestCidrUtil#fileInputCidrMatchTest)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cidrs = Functions.broadcastCidrs(spark, fixture("cidrutil1.txt"))
+    val probes = Seq("10.0.0.10", "11.0.0.1", "192.168.1.254",
+      "192.168.2.1", "1.1.1.1", "1.1.1.2").toDF("addr")
+    val got = probes
+      .withColumn("hit", Functions.cidrMatch(cidrs)(col("addr")))
+      .as[(String, Boolean)].collect().toMap
+    // the reference's six assertions over 10/8, 192.168.1/24, 1.1.1.1/32
+    assert(got == Map("10.0.0.10" -> true, "11.0.0.1" -> false,
+      "192.168.1.254" -> true, "192.168.2.1" -> false,
+      "1.1.1.1" -> true, "1.1.1.2" -> false))
+  }
+
+  test("detectnatlist2: known-gateway list load keeps every entry (ref TestDetectNat#TestGivenValidPathReturnMapWithAllItemsMany)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val known = fixture("detectnatlist2.txt")
+    assert(known.toSet == Set("192.168.0.0", "10.0.0.0", "255.255.255.255"))
+    // wired as the pipeline consumes it: a broadcast suppression list
+    // that exempts listed gateways from threshold alerts regardless of
+    // observed UA variety (ref DetectNat.java:141-151)
+    val candidates = Seq("192.168.0.0", "10.0.0.1").toDF("key")
+    val kept = candidates.join(
+      org.apache.spark.sql.functions.broadcast(known.toDF("key")),
+      Seq("key"), "left_anti").as[String].collect()
+    assert(kept.toSeq == Seq("10.0.0.1"))
+  }
+
+  test("iprepdio2: alert without the category metadata key derives NO violations (ref TestIprepdIO#iprepdIOTestWriteMalformed)") {
+    // the malformed alert carries amo_category instead of category, so
+    // getSubcategory() is null and Violation.fromAlert returns null —
+    // the reference asserts both reputations stay at 100
+    val parsed = Parser.parse(lines("iprepdio2.txt")).toDF()
+      .filter(col("payloadType") === "alert")
+    assert(parsed.count() == 1)
+    val out = sinks.Sinks.violationsTyped(parsed,
+      element_at(col("fields"), "meta_category"),
+      element_at(col("fields"), "meta_sourceaddress"),
+      array(element_at(col("fields"), "meta_email")))
+    assert(out.count() == 0)
+  }
+
+  test("customs_variance1: the reference's path-diversity variance index per source (ref TestCustomsFeatures#testCustomsFeaturesVariance)") {
+    val fxa = parsedFxa(lines("customs_variance1.txt"))
+    val out = operators.Features.pathVarianceIndex(fxa,
+      col("src"), element_at(col("fields"), "path"),
+      element_at(col("fields"), "status").cast("int")).collect()
+    val byKey = out.map(r => r.getAs[String]("key") ->
+      (r.getAs[Long]("variance_index"), r.getAs[Boolean]("nominal"))).toMap
+    // 10.0.0.1: index 55, nominal; 10.0.0.2: index 24, below the
+    // NOMINAL_VARIANCE_INDEX=33 gate
+    assert(byKey("10.0.0.1") == ((55L, true)))
+    assert(byKey("10.0.0.2") == ((24L, false)))
+    assert(byKey.size == 2)
+  }
+
+  test("watchlist_analyze_buffer1: watched email + ip escalate with full metadata (ref TestPostProcessing#testWatchlistAnalyze)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val parsed = Parser.parse(lines("watchlist_analyze_buffer1.txt")).toDF()
+      .filter(col("payloadType") === "alert")
+    // the reference's Datastore watchlist entries, as the broadcast table
+    val wl = Seq(
+      ("ip", "127.0.0.1", "critical", "picard"),
+      ("email", "example@enterprise.com", "warn", "picard"))
+      .toDF("kind", "object", "severity", "created_by")
+    val out = pipelines.CorrelationPipeline.watchlistAnalyze(parsed, wl,
+      warningEmail = "picard@enterprise.com",
+      criticalEmail = "pagerduty@enterprise.com").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("category") == "postprocessing"))
+    assert(out.forall(_.getAs[String]("subcategory") == "watchlist"))
+    assert(out.forall(_.getAs[String]("source_alert") ==
+      "0e555555-8df8-4b3d-92dd-24e0e5248534"))
+    val emails = out.filter(_.getAs[String]("matched_type") == "email")
+    assert(emails.length == 2)
+    assert(emails.forall(_.getAs[String]("severity") == "warn"))
+    assert(emails.forall(_.getAs[String]("matched_metadata_key") ==
+      "identity_key"))
+    assert(emails.forall(_.getAs[String]("matched_metadata_value") ==
+      "example@enterprise.com"))
+    assert(emails.forall(_.getAs[String]("notify_email_direct") ==
+      "picard@enterprise.com"))
+    val ips = out.filter(_.getAs[String]("matched_type") == "ip")
+    assert(ips.length == 1)
+    assert(ips.head.getAs[String]("severity") == "critical")
+    assert(ips.head.getAs[String]("matched_metadata_key") == "sourceaddress")
+    assert(ips.head.getAs[String]("matched_metadata_value") == "127.0.0.1")
+    assert(ips.head.getAs[String]("notify_email_direct") ==
+      "pagerduty@enterprise.com")
+    assert(out.forall(_.getAs[String]("watchlist_created_by") == "picard"))
+  }
+
+  test("amo_fxaaliasabuse/dotnormalizationabuse2: repeated alias is NOT distinct — no alert (ref TestAmo#testFxaAliasAbuseDotNormalizationNonDistinct)") {
+    val amo = parsedAmo(lines("amo_fxaaliasabuse/dotnormalizationabuse2.txt"))
+      .filter(element_at(col("fields"), "amo_type") === "fxalogin")
+    // seven login events but only two distinct alias spellings of the
+    // account (test12345 + t.est12345 six times) — under the 5-alias bound
+    assert(amo.count() == 7)
+    val out = operators.AmoDetectors.fxaAccountAbuseAlias(amo,
+      col("timestamp"), element_at(col("fields"), "email"),
+      gapSeconds = 1800, maxAliases = 5)
+    assert(out.count() == 0)
+  }
+
+  test("guarddutyconfig-empty.json: no matchers — every finding emits, all low handling, console URL attached (ref TestGatekeeper#gatekeeperNoFiltersTest)") {
+    val (ignore, high) = gdConfig("guarddutyconfig-empty.json")
+    assert(ignore.isEmpty && high.isEmpty)
+    val out = pipelines.GatekeeperPipeline.guardDutyAlerts(
+      lines("gatekeeper/guardduty-sample-findings-default.txt"),
+      ignore, high).collect()
+    // nothing ignored, nothing escalated: one alert per distinct finding
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("handling") == "low"))
+    assert(out.forall(_.getAs[String]("severity") == "critical"))
+    assert(out.forall(_.getAs[String]("account") == "123456789012"))
+    assert(out.forall(_.getAs[String]("region") == "us-west-2"))
+    assert(out.forall(r => r.getAs[String]("summary")
+      .startsWith("suspicious activity detected in aws account")))
+    // the reference's exact deep link for finding 36b59ed2...
+    val f = out.filter(_.getAs[String]("finding_id") ==
+      "36b59ed2edad8b965a0ee921052cb481")
+    assert(f.length == 1)
+    assert(f.head.getAs[String]("url_to_finding") ==
+      "https://us-west-2.console.aws.amazon.com/guardduty/home?region=us-west-2#/findings?fId=36b59ed2edad8b965a0ee921052cb481")
+    assert(out.forall(_.getAs[String]("url_to_finding") != null))
+  }
+
+  test("inputtype_buffer1-3: simplex union, multiplex per-resource counts, per-element raw filter (ref TestInputTypeFileMulti + TestInputJson)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // simplex: both files into one stream, 10 + 20 lines
+    assert(lines("inputtype_buffer1.txt", "inputtype_buffer2.txt")
+      .count() == 30L)
+    // multiplex: named elements keep their per-resource identity
+    val mux = sources.Multiplex.union(Seq(
+      sources.Multiplex.named(lines("inputtype_buffer1.txt"), "a"),
+      sources.Multiplex.named(lines("inputtype_buffer2.txt"), "b")))
+    val counts = mux.groupBy(col("resource")).count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 10L, "b" -> 20L))
+    // parsing keeps the counts (every line parses, RAW as fallthrough)
+    val parsedA = Parser.parse(sources.Multiplex.branch(mux, "a")).toDF()
+    assert(parsedA.count() == 10L)
+    assert(parsedA.filter(col("payloadType") === "raw").count() == 10L)
+    // per-element raw string filter: buffer3 mixes test/test2 lines;
+    // the RAW_RAW match keeps exactly the 10 "test" lines per element
+    // (ref TestInputJson#readTextTestParsingMultiElementFilter)
+    val b3 = Parser.parse(lines("inputtype_buffer3.txt")).toDF()
+    val pred = graft.filter.EventFilter.compile(Seq(
+      graft.filter.EventFilter.Rule(
+        wantSubtype = Some("raw"),
+        payload = Seq(graft.filter.EventFilter.StringMatch("raw", "test")))))
+    assert(b3.filter(pred).count() == 10L)
   }
 }
