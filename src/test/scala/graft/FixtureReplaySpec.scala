@@ -2084,6 +2084,63 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(byRes.values.toSet == Set(("10.0.0.1", 35L)))
   }
 
+  test("httpreq_endpointsequenceabuse6+7: 10ms pair violates the 1s delta bound, 2s pair does not (orphan fixtures, semantics per TestEndpointSequenceAbuse)") {
+    def run(file: String) = {
+      val parsed = parsedHttp(lines(file))
+        .withColumn("eid", monotonically_increasing_id())
+      Heuristics.sequenceAbuse(parsed, col("timestamp"),
+        col("eid"), col("normalized.sourceAddress"),
+        col("normalized.requestMethod") === "GET" &&
+          col("normalized.urlRequestPath") === "/test",
+        col("normalized.requestMethod") === "GET" &&
+          col("normalized.urlRequestPath") === "/test2",
+        deltaMs = 1000L).collect()
+    }
+    val fast = run("httpreq_endpointsequenceabuse6.txt")
+    assert(fast.length == 1)
+    assert(fast.head.getAs[String]("key") == "192.168.1.2")
+    assert(fast.head.getAs[Long]("n") == 1L)
+    // abuse7's /test2 lands 2s after the last /test — outside the bound
+    assert(run("httpreq_endpointsequenceabuse7.txt").isEmpty)
+  }
+
+  test("orphan fixtures parse: authprof_buffer4 openssh, customs_multi1 fxaauth, customs_geo1 raw (no reference parser exists), rl_badlogin_suppress duplicate key") {
+    val spark2 = spark
+    import spark2.implicits._
+    // authprof_buffer4: riker's six bastion logins from the City-test
+    // address, plus two non-auth syslog lines
+    val b4 = Parser.parse(lines("authprof_buffer4.txt")).toDF()
+    val ssh = b4.filter(col("payloadType") === "openssh")
+    assert(ssh.count() == 6)
+    assert(ssh.filter(col("normalized.subjectUser") === "riker" &&
+      col("normalized.sourceAddress") === "216.160.83.56").count() == 6)
+    // customs_multi1: every line is an fxa-auth request.summary
+    val m1 = Parser.parse(lines("customs_multi1.txt")).toDF()
+    assert(m1.count() > 0)
+    assert(m1.filter(col("payloadType") =!= "fxaauth").count() == 0)
+    assert(m1.filter(element_at(col("fields"), "path") ===
+      "/v1/account/status").count() == 20)
+    // customs_geo1: secevent.model lines — the reference declares a
+    // SECEVENT payload enum but ships NO parser for it, so raw
+    // fallthrough is the faithful classification; the embedded
+    // address still geo-resolves through the City test MMDB
+    val g1 = Parser.parse(lines("customs_geo1.txt")).toDF()
+    assert(g1.filter(col("payloadType") =!= "raw").count() == 0)
+    val addr = get_json_object(col("raw"), "$.source_address")
+    val geo = g1.select(addr.as("a")).distinct().as[String].collect()
+    assert(geo.toSeq == Seq("216.160.83.56"))
+    assert(cityResolver.lookup("216.160.83.56")
+      .flatMap(_.city).contains("Milton"))
+    // customs_rl_badlogin_suppress: two identical bad logins — the
+    // (source, account) rate-limit key collapses them to one row of
+    // count 2
+    val rl = parsedFxa(lines("customs_rl_badlogin_suppress.txt"))
+    val keyed = rl.filter(col("summary") === "loginFailure")
+      .groupBy(col("src"), col("email")).count().collect()
+    assert(keyed.length == 1)
+    assert(keyed.head.getAs[Long]("count") == 2L)
+  }
+
   test("cidrutil1: CIDR file load and containment set (ref TestCidrUtil#fileInputCidrMatchTest)") {
     val spark2 = spark
     import spark2.implicits._
