@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.filter.EventFilter
 import graft.operators.{Heuristics, Sessionize}
@@ -101,12 +101,10 @@ object HttpRequestPipeline {
     val ts = col("timestamp")
     val src = col("normalized.sourceAddress")
 
-    val hard = alert(
-      Heuristics.hardLimit(parsed, ts, src, cfg.window, cfg.hardLimit),
-      "hard_limit", "warn", "n")
-
     // NAT view: sources carrying many distinct user agents in the
-    // window are gateways; suppress their threshold alerts. Known
+    // window are gateways; the reference's natView suppresses BOTH
+    // threshold and hard-limit alerts (ThresholdAnalysis +
+    // HardLimitAnalysis.java:88-128 each take the view). Known
     // gateways (ref DetectNat.withKnownGateways) suppress on the key
     // alone, in every window.
     val spark = lines.sparkSession
@@ -115,13 +113,22 @@ object HttpRequestPipeline {
         col("normalized.userAgent"), cfg.window,
         cfg.natMinDistinctUserAgents)
       .select(col("window_start_ms"), col("key"))
-    val thresholdRaw = Heuristics.thresholdAnalysis(parsed, ts, src,
-        cfg.window, cfg.thresholdModifier)
-      .join(broadcast(nat), Seq("window_start_ms", "key"), "left_anti")
+    def natGate(df: DataFrame): DataFrame = {
+      val windowed = df.join(broadcast(nat),
+        Seq("window_start_ms", "key"), "left_anti")
+      if (cfg.knownGateways.isEmpty) windowed
+      else windowed.join(broadcast(cfg.knownGateways.toDF("key")),
+        Seq("key"), "left_anti")
+    }
+
+    val hard = alert(
+      natGate(Heuristics.hardLimit(parsed, ts, src, cfg.window,
+        cfg.hardLimit)),
+      "hard_limit", "warn", "n")
+
     val threshold = alert(
-      if (cfg.knownGateways.isEmpty) thresholdRaw
-      else thresholdRaw.join(broadcast(cfg.knownGateways.toDF("key")),
-        Seq("key"), "left_anti"),
+      natGate(Heuristics.thresholdAnalysis(parsed, ts, src,
+        cfg.window, cfg.thresholdModifier)),
       "threshold", "warn", "n")
 
     val errors = alert(
@@ -218,5 +225,77 @@ object HttpRequestPipeline {
         col("key").as("sourceaddress"),
         col("n").cast("long").as("count"),
         col("window_start_ms"))
+  }
+
+  /** The composed production shape as ONE streaming query (ref
+    * HTTPRequest.java:818-889 expandInputMap: per-resource input →
+    * analyses + cfgtick processor → flatten): raw multiplexed lines →
+    * parse → a SINGLE windowed aggregate per (window, client) carrying
+    * the request count, 4xx count and distinct-UA cardinality →
+    * hard-limit and error-rate alerts, unioned with config-tick
+    * alerts parsed from the same stream (ref CfgTickProcessor — ticks
+    * ride the input).
+    *
+    * NAT gating follows the reference exactly: HardLimitAnalysis
+    * consumes the DetectNat view and skips emission for flagged
+    * sources (HardLimitAnalysis.java:88-128) and for configured known
+    * gateways; ErrorRateAnalysis takes no NAT view. The NAT signal
+    * rides the same aggregate as the counts
+    * (`size(collect_set(ua))` — exact, and one state store instead of
+    * a second aggregation + stream-stream join), so adding it costs
+    * no extra shuffle. Append mode: a window's alerts emit once the
+    * watermark passes its end; later-than-watermark events are
+    * dropped, the streaming twin of the reference's
+    * `withAllowedLateness(ZERO)`.
+    *
+    * Threshold analysis (global per-window mean side input) and
+    * session limits keep their own streaming twins
+    * ([[graft.streaming.Streaming.thresholdStream]] /
+    * [[graft.streaming.Streaming.sessionSummary]]) — the mean join
+    * needs a foreachBatch epilogue that cannot union into this
+    * append-mode query. */
+  def analyzeStreamFull(lines: Dataset[String], cfg: Config = Config(),
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val parsed = parsedHttp(lines)
+    val perClient = parsed
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), cfg.window),
+        col("normalized.sourceAddress").as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("normalized.requestStatus").between(400, 499), 1))
+          .as("errors"),
+        size(collect_set(col("normalized.userAgent"))).as("n_ua"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("key"), col("n"), col("errors"), col("n_ua"))
+    val natFlag = col("n_ua") >= cfg.natMinDistinctUserAgents ||
+      (if (cfg.knownGateways.isEmpty) lit(false)
+       else col("key").isin(cfg.knownGateways: _*))
+    def alertRows(pred: Column, subcategory: String, countCol: Column) =
+      perClient.filter(pred).select(
+        lit(s"${subcategory}_exceeded").as("summary"),
+        lit("httprequest").as("category"),
+        lit(subcategory).as("subcategory"),
+        lit("warn").as("severity"),
+        col("key").as("sourceaddress"),
+        countCol.cast("long").as("count"),
+        col("window_start_ms"))
+    val hard = alertRows(col("n") > cfg.hardLimit && !natFlag,
+      "hard_limit", col("n"))
+    val errors = alertRows(col("errors") > cfg.errorMaxCount,
+      "error_rate", col("errors"))
+    val ticks = Parser.parse(lines).toDF()
+      .filter(col("payloadType") === "cfgtick")
+      .select(
+        col("raw").as("summary"),
+        lit("httprequest-cfgtick").as("category"),
+        lit("cfgtick").as("subcategory"),
+        lit("info").as("severity"),
+        lit(null).cast("string").as("sourceaddress"),
+        lit(null).cast("long").as("count"),
+        lit(null).cast("long").as("window_start_ms"))
+    hard.unionByName(errors).unionByName(ticks)
   }
 }

@@ -30,7 +30,10 @@ class PipelinesSpec extends AnyFunSuite {
       .collect()
     val bySub = alerts.groupBy(_.getAs[String]("subcategory"))
       .view.mapValues(_.map(_.getAs[String]("sourceaddress")).toSet).toMap
-    assert(bySub("hard_limit") == Set("1.1.1.1", "2.2.2.2"))
+    // the NAT gateway is suppressed from the hard limit too — the
+    // reference's HardLimitAnalysis consumes the DetectNat view
+    // (HardLimitAnalysis.java:88-128)
+    assert(bySub("hard_limit") == Set("1.1.1.1"))
     // threshold fires for busy sources but the NAT gateway is suppressed
     assert(bySub("threshold").contains("1.1.1.1"))
     assert(!bySub("threshold").contains("2.2.2.2"))

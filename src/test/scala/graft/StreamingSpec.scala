@@ -538,4 +538,97 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("continuous httprequest pipeline e2e: multiplexed stream + cfgtick + NAT-gated hard limit + error rate over 3 micro-batches equals the batch pipeline; a late event is dropped by the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.HttpRequestPipeline
+    val cfg = HttpRequestPipeline.Config(hardLimit = 11,
+      errorMaxCount = 5, natMinDistinctUserAgents = 4)
+
+    def glb(ip: String, status: Int, ua: String, t: String) =
+      s"""{"httpRequest":{"requestMethod":"GET","requestUrl":"https://h/x","status":$status,"remoteIp":"$ip","userAgent":"$ua"},"timestamp":"$t","logName":"projects/p/logs/l"}"""
+    val tick = HttpRequestPipeline.configTickPayload(cfg)
+
+    // minute 0: attacker over the hard limit, a NAT gateway with the
+    // same volume across 5 agents, an errorer, and a sneaky client at
+    // EXACTLY the limit (its 12th request arrives late, below)
+    val batch1: Seq[String] =
+      (0 until 12).map(i => glb("1.1.1.1", 200, "ua", f"2024-01-01T00:00:$i%02dZ")) ++
+      (0 until 12).map(i => glb("2.2.2.2", 200, s"ua${i % 5}", f"2024-01-01T00:00:$i%02dZ")) ++
+      (0 until 6).map(i => glb("3.3.3.3", 404, "ua", f"2024-01-01T00:00:$i%02dZ")) ++
+      (0 until 11).map(i => glb("5.5.5.5", 200, "ua", f"2024-01-01T00:00:$i%02dZ")) :+
+      tick
+    // minute 2: quiet traffic whose event time moves the watermark to
+    // 00:01:32 — past the end of the minute-0 window, so that
+    // window's state finalizes and emits in this micro-batch
+    val batch2: Seq[String] =
+      (0 until 3).map(i => glb("4.4.4.4", 200, "ua", f"2024-01-01T00:02:$i%02dZ")) :+
+      tick
+    // the late minute-0 request for 5.5.5.5 would lift it over the
+    // hard limit, but its window is already behind the watermark
+    val lateLine = glb("5.5.5.5", 200, "ua", "2024-01-01T00:00:30Z")
+    val batch3: Seq[String] =
+      Seq(lateLine, tick) ++
+      // minute 4 pushes the watermark past every open window so the
+      // final micro-batch flushes the minute-2 state too
+      Seq(glb("6.6.6.6", 200, "ua", "2024-01-01T00:04:30Z"))
+
+    // the multiplexed input: (resource, line) pairs, one monitored
+    // resource consumed through its branch, cfg ticks riding the
+    // same stream (ref Input.compositeInputAdapter + CfgTickProcessor)
+    val in = MemoryStream[(String, String)]
+    val mux = in.toDF().toDF("resource", "value")
+    val testLines = graft.sources.Multiplex.branch(mux, "test")
+    val alerts = HttpRequestPipeline.analyzeStreamFull(testLines, cfg,
+      watermarkDelay = "30 seconds")
+    val q = alerts.writeStream.format("memory").queryName("httpe2e")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        in.addData(b.map(l => ("test", l)) :+ (("other", glb("9.9.9.9", 200, "ua", "2024-01-01T00:00:00Z"))): _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("httpe2e")
+      val gotAlerts = got.filter(col("subcategory") =!= "cfgtick")
+        .select(col("subcategory"), col("sourceaddress"), col("count"),
+          col("window_start_ms"))
+        .as[(String, String, Long, Long)].collect().toSet
+
+      // equivalence: the batch pipeline over the lines the stream
+      // actually accepted (everything but the late row), restricted to
+      // the heuristics this query composes
+      val accepted = (batch1 ++ batch2 ++ batch3).filterNot(_ == lateLine)
+      val batchAlerts = HttpRequestPipeline.analyze(accepted.toDS(), cfg)
+        .filter(col("subcategory").isin("hard_limit", "error_rate"))
+        .select(col("subcategory"), col("sourceaddress"), col("count"),
+          col("window_start_ms"))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(gotAlerts == batchAlerts)
+      // the specific shape: attacker hard limit + errorer; the NAT
+      // gateway and the at-the-limit sneaky client stay silent
+      assert(gotAlerts.map(t => (t._1, t._2)) ==
+        Set(("hard_limit", "1.1.1.1"), ("error_rate", "3.3.3.3")))
+
+      // the late event was dropped: batch over ALL lines (late row
+      // included) WOULD alert 5.5.5.5, the stream does not
+      val withLate = HttpRequestPipeline.analyze(
+          (batch1 ++ batch2 ++ batch3).toDS(), cfg)
+        .filter(col("subcategory") === "hard_limit")
+        .select(col("sourceaddress")).as[String].collect().toSet
+      assert(withLate.contains("5.5.5.5"))
+      assert(!gotAlerts.exists(_._2 == "5.5.5.5"))
+
+      // cfg ticks flowed through the same query, one alert per tick,
+      // carrying the self-documenting payload
+      val ticks = got.filter(col("subcategory") === "cfgtick")
+        .select(col("summary"), col("category")).as[(String, String)]
+        .collect()
+      assert(ticks.length == 3)
+      assert(ticks.forall(_._2 == "httprequest-cfgtick"))
+      assert(ticks.forall(_._1.contains("heuristic_HardLimitAnalysis")))
+      // the other resource's traffic never leaked into this branch
+      assert(!gotAlerts.exists(_._2 == "9.9.9.9"))
+    } finally q.stop()
+  }
 }
