@@ -359,12 +359,104 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14 — public algorithm) — the adversarial-diameter upgrade
+    * path the min-label scaladoc above documents. Converges in
+    * O(log n) rounds regardless of component diameter, where
+    * min-label propagation needs O(diameter) rounds (a 64-vertex path
+    * would exhaust its iteration budget).
+    *
+    * Per round, two edge rewrites, each one hash-aggregate + one
+    * keyed join (same shuffle shape as a propagation round):
+    *  - large-star: every node links its LARGER neighbors to its
+    *    minimum neighborhood label m(u) = min({u} ∪ N(u));
+    *  - small-star: on the larger→smaller orientation, every node
+    *    links its smaller neighbors and itself to that minimum.
+    * The fixed point is a forest of stars (child → component min);
+    * both rewrites leave a star set unchanged. Convergence is
+    * detected exactly via two anti-joins on the checkpointed edge
+    * sets — at extreme scale swap the exact probe for a
+    * (count, checksum) observation on the same job.
+    *
+    * Output matches [[connectedComponents]]: (doc_id, cluster_id),
+    * cluster_id = component minimum. */
+  def connectedComponentsStars(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int = 20): DataFrame =
+    starContract(pairs, a, b, maxIter)._1
+
+  /** Round count the star contraction needed on the given pairs —
+    * spec hook for the O(log n) bounded-rounds guarantee. */
+  def starContractionRounds(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int = 20): Int =
+    starContract(pairs, a, b, maxIter)._2
+
+  private def starContract(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nbrs.filter(col("v") > col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient larger -> smaller; key on the larger endpoint
+      val oriented = e
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(m, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    val raw = pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))
+    var edges = raw
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // vertices whose only edges are self-loops still get a label
+    // (their own id), matching the propagation form's vertex set
+    val selfOnly = raw.filter(col("u") === col("v"))
+      .select(col("u")).distinct()
+      .join(edges.select(col("u"))
+          .union(edges.select(col("v").as("u"))).distinct(),
+        Seq("u"), "left_anti")
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged =
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    // star state: children point at the component minimum; centers
+    // appear only on the parent side and label themselves
+    val labels = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .union(selfOnly.select(col("u").as("doc_id"), col("u").as("cluster_id")))
+      .distinct()
+    (labels, iter)
+  }
+
   /** Cluster membership + survivor pick over pair output: each doc in
     * a near-dup component is labeled with the component's minimum doc
     * id, which is also the survivor (the copy a dedup pass would
-    * keep). */
-  def nearDupClusters(pairs: DataFrame, a: Column, b: Column): DataFrame =
-    connectedComponents(pairs, a, b)
+    * keep). `useStarContraction` switches the label computation to
+    * [[connectedComponentsStars]] behind the same API — pick it when
+    * components can be adversarially deep. */
+  def nearDupClusters(pairs: DataFrame, a: Column, b: Column,
+      useStarContraction: Boolean = false): DataFrame =
+    (if (useStarContraction) connectedComponentsStars(pairs, a, b)
+     else connectedComponents(pairs, a, b))
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
 
   /** Per-cluster summary: size and survivor. */

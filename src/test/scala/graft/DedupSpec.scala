@@ -145,4 +145,49 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(labels == (0L to 11L).map(_ -> 0L).toMap)
   }
+
+  test("star-contraction CC: identical labels to min-label propagation on every fixture shape") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = {
+      val byProp = Dedup.connectedComponents(df, col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toMap
+      val byStar = Dedup.connectedComponentsStars(df, col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(byStar == byProp, s"star vs propagation diverged")
+      byStar
+    }
+    // the chain+pair fixture, duplicated edges included
+    labelsOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L))
+      .toDF("doc_a", "doc_b"))
+    // a dense clique plus a triangle sharing no vertices
+    labelsOf((for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .++(Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("doc_a", "doc_b"))
+    // reversed-orientation edges and self-loops
+    labelsOf(Seq((5L, 3L), (3L, 1L), (7L, 7L), (9L, 8L))
+      .toDF("doc_a", "doc_b"))
+    // empty input
+    assert(Dedup.connectedComponentsStars(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      col("doc_a"), col("doc_b")).count() == 0)
+    // the same API switch on the cluster former
+    val starClusters = Dedup.nearDupClusters(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
+      col("doc_a"), col("doc_b"), useStarContraction = true)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(starClusters == Set((1L, 1L, true), (2L, 1L, false),
+      (3L, 1L, false)))
+  }
+
+  test("star-contraction CC: O(log n) rounds on a 64-vertex path where propagation needs O(diameter)") {
+    import spark.implicits._
+    // diameter 63: min-label propagation moves the label one hop per
+    // round (its default 25-round budget cannot even finish); the
+    // contraction halves star depth per round
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsStars(path,
+      col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toMap
+    assert(labels == (0L to 63L).map(_ -> 0L).toMap)
+    val rounds = Dedup.starContractionRounds(path, col("doc_a"), col("doc_b"))
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+  }
 }
