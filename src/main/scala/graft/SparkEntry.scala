@@ -1004,6 +1004,83 @@ object SparkEntry {
           approxRsd = 0.02)
         .withColumnRenamed("key", "user_id")
         .orderBy(col("window_start_ms"), col("user_id"))
+    }),
+
+    // §2.3 CustomsFeatures path-diversity variance index (ref
+    // s/customs/CustomsFeatures.java:65-84, 303-325): distinct paths
+    // + distinct successful paths per key -> clamped score + nominal
+    // gate, one hash aggregate
+    "q73_path_variance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("path", concat(lit("/p/"), col("event_id") % 5))
+        .withColumn("status",
+          when(col("event_id") % 3 === 0, 200).otherwise(404))
+      operators.Features.pathVarianceIndex(e, col("user_id"),
+          col("path"), col("status"))
+        .orderBy(col("key"))
+    }),
+
+    // §2.5/§2.6 PostProcessing watchlist ANALYZE (ref PostProcessing
+    // .java:260-374): the full metadata-key scan — list-valued email
+    // keys split and trimmed, ip keys scalar — against a broadcast
+    // watchlist, with severity routing and match provenance
+    "q74_watchlist_scan" -> ((s, dir) => {
+      val alerts = Tables.events(s, dir).select(
+        map(
+          lit("alert_id"), concat(lit("a"), col("event_id")),
+          lit("meta_email"), concat(lit("u"), col("user_id") % 97,
+            lit("@x.com, u"), col("event_id") % 97, lit("@x.com")),
+          lit("meta_username"), concat(lit("name"), col("user_id") % 53),
+          lit("meta_sourceaddress"), concat(lit("10.2."),
+            col("event_id") % 40, lit(".9"))).as("fields"))
+      val wl = s.range(0, 97, 13).select(lit("email").as("kind"),
+          concat(lit("u"), col("id"), lit("@x.com")).as("object"),
+          lit("warn").as("severity"), lit("ops").as("created_by"))
+        .union(s.range(0, 40, 7).select(lit("ip"),
+          concat(lit("10.2."), col("id"), lit(".9")), lit("critical"),
+          lit("sec")))
+      pipelines.CorrelationPipeline.watchlistAnalyze(alerts, wl,
+          warningEmail = "warn@x.com", criticalEmail = "crit@x.com")
+        .orderBy(col("source_alert"), col("matched_metadata_key"),
+          col("matched_metadata_value"), col("matched_type"))
+    }),
+
+    // §2.4 PerEndpointErrorRateAnalysis in its production windowing —
+    // per-client sessions over error events, full-match rule regexes,
+    // first-index-wins argmax (ref PerEndpointErrorRateAnalysis
+    // .java:160-250 + HTTPRequest.java:96-165)
+    "q75_endpoint_error_sessions" -> ((s, dir) => {
+      import operators.HttpHeuristics
+      val e = Tables.events(s, dir).filter(col("event_type") === "error")
+        .withColumn("addr", concat(lit("10.3.0."), col("user_id") % 7))
+        .withColumn("method", lit("GET"))
+        .withColumn("path",
+          concat(lit("/api/"), col("event_id") % 4, lit("/x")))
+      HttpHeuristics.perEndpointErrorRateSessions(e, col("ts"),
+          col("addr"), col("method"), col("path"), gapSeconds = 3600,
+          Seq(HttpHeuristics.ErrorRule("GET", "/api/[01]/.*", 2),
+            HttpHeuristics.ErrorRule("GET", "/api/.*", 2)))
+        .orderBy(col("addr"), col("session_id"))
+    }),
+
+    // §2.7 connected components by large-star/small-star contraction —
+    // same pairs and labels as q53, O(log n) rounds instead of
+    // O(diameter) (Kiveris et al. SOCC'14)
+    "q76_cc_stars" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3, minJaccard = 0.5)
+      Dedup.nearDupClusters(pairs, col("doc_a"), col("doc_b"),
+          useStarContraction = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.3 session-gap alert suppression (ref the reference's state
+    // suppressor semantics: suppressed events EXTEND the quiet
+    // period; a strictly-larger gap re-emits)
+    "q77_suppress_session" -> ((s, dir) => {
+      operators.Stateful.suppressSession(Tables.events(s, dir),
+          col("ts"), col("user_id"), gapSeconds = 1800)
+        .orderBy(col("key"), col("ts_us"))
     })
   )
 
@@ -2257,8 +2334,116 @@ object SparkEntry {
         |    OR COUNT(DISTINCT addr) >= 3)
         |ORDER BY email, session_start_ms""".stripMargin
     )
-    // q65 is the row_number-window form of q19's aggregator rank —
-    // same rows, same oracle
-    base + ("q65_cosine_topk_window" -> base("q19_cosine_topk"))
+    val extra = Map(
+    "q73_path_variance" ->
+      """WITH f AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    '/p/' || (event_id % 5) AS path,
+        |    CASE WHEN event_id % 3 = 0 THEN 200 ELSE 404 END AS status
+        |  FROM events),
+        |g AS (SELECT key, COUNT(DISTINCT path) AS n_paths,
+        |    COUNT(DISTINCT CASE WHEN status = 200 THEN path END)
+        |      AS n_success_paths
+        |  FROM f GROUP BY 1)
+        |SELECT key, n_paths, n_success_paths,
+        |  CASE WHEN n_paths > 1
+        |    THEN LEAST(n_paths + 10 * n_success_paths, 100) ELSE 0
+        |    END AS variance_index,
+        |  CASE WHEN n_paths > 1
+        |    THEN LEAST(n_paths + 10 * n_success_paths, 100) ELSE 0
+        |    END >= 33 AS nominal
+        |FROM g ORDER BY key""".stripMargin,
+
+    "q74_watchlist_scan" ->
+      """WITH al AS (SELECT 'a' || event_id AS alert_id,
+        |    'u' || (user_id % 97) || '@x.com, u' || (event_id % 97)
+        |      || '@x.com' AS email,
+        |    'name' || (user_id % 53) AS username,
+        |    '10.2.' || (event_id % 40) || '.9' AS src FROM events),
+        |kd AS (
+        |  SELECT alert_id, 'email' AS mkey, trim(x) AS val,
+        |    'email' AS kind
+        |  FROM al, unnest(string_split(email, ',')) AS t(x)
+        |  UNION ALL
+        |  SELECT alert_id, 'username', username, 'email' FROM al
+        |  UNION ALL
+        |  SELECT alert_id, 'sourceaddress', src, 'ip' FROM al),
+        |wl AS (
+        |  SELECT 'email' AS kind, 'u' || i || '@x.com' AS object,
+        |    'warn' AS severity, 'ops' AS created_by
+        |  FROM range(0, 97, 13) t(i)
+        |  UNION ALL
+        |  SELECT 'ip', '10.2.' || i || '.9', 'critical', 'sec'
+        |  FROM range(0, 40, 7) t(i))
+        |SELECT 'postprocessing' AS category, 'watchlist' AS subcategory,
+        |  'matched watchlist object found in alert ' || alert_id AS summary,
+        |  severity,
+        |  CASE severity WHEN 'warn' THEN 'warn@x.com'
+        |    WHEN 'critical' THEN 'crit@x.com' END AS notify_email_direct,
+        |  alert_id AS source_alert, mkey AS matched_metadata_key,
+        |  val AS matched_metadata_value, wl.kind AS matched_type,
+        |  object AS matched_object, created_by AS watchlist_created_by
+        |FROM kd JOIN wl ON kd.kind = wl.kind AND kd.val = wl.object
+        |ORDER BY source_alert, matched_metadata_key,
+        |  matched_metadata_value, matched_type""".stripMargin,
+
+    "q75_endpoint_error_sessions" ->
+      """WITH f AS (SELECT ts, '10.3.0.' || (user_id % 7) AS addr,
+        |    '/api/' || (event_id % 4) || '/x' AS path
+        |  FROM events WHERE event_type = 'error'),
+        |s0 AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+        |  THEN 1 ELSE 0 END AS ns
+        |  FROM f WINDOW w AS (PARTITION BY addr ORDER BY ts)),
+        |s AS (SELECT addr, ts, path, CAST(SUM(ns) OVER (
+        |    PARTITION BY addr ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS session_id FROM s0),
+        |g AS (SELECT addr, session_id,
+        |    COUNT(CASE WHEN regexp_full_match(path, '/api/[01]/.*')
+        |      THEN 1 END) AS n0,
+        |    COUNT(CASE WHEN regexp_full_match(path, '/api/.*')
+        |      THEN 1 END) AS n1,
+        |    epoch_ms(MAX(CASE WHEN regexp_full_match(path, '/api/[01]/.*')
+        |      THEN ts END)) AS t0,
+        |    epoch_ms(MAX(CASE WHEN regexp_full_match(path, '/api/.*')
+        |      THEN ts END)) AS t1,
+        |    epoch_ms(MAX(ts)) AS last_ms
+        |  FROM s GROUP BY 1, 2),
+        |q AS (SELECT *,
+        |    CASE WHEN n0 >= 2 THEN n0 END AS q0,
+        |    CASE WHEN n1 >= 2 THEN n1 END AS q1 FROM g),
+        |b AS (SELECT *,
+        |    GREATEST(COALESCE(q0, -1), COALESCE(q1, -1)) AS maxq,
+        |    CASE WHEN q0 IS NOT NULL
+        |        AND q0 = GREATEST(COALESCE(q0, -1), COALESCE(q1, -1))
+        |      THEN 0
+        |      WHEN q1 IS NOT NULL
+        |        AND q1 = GREATEST(COALESCE(q0, -1), COALESCE(q1, -1))
+        |      THEN 1 END AS best
+        |  FROM q)
+        |SELECT addr, session_id, 'GET' AS rule_method,
+        |  CASE best WHEN 0 THEN '/api/[01]/.*' ELSE '/api/.*'
+        |    END AS rule_path,
+        |  CASE best WHEN 0 THEN n0 ELSE n1 END AS n_errors,
+        |  CASE best WHEN 0 THEN t0 ELSE t1 END AS latest_error_ms,
+        |  last_ms + 3600000 - 1 AS window_max_ts_ms
+        |FROM b WHERE best IS NOT NULL
+        |ORDER BY addr, session_id""".stripMargin,
+
+    "q77_suppress_session" ->
+      """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT key, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY key ORDER BY ts_us) AS prev
+        |  FROM t)
+        |SELECT key, ts_us FROM s
+        |WHERE prev IS NULL OR ts_us - prev > 1800000000
+        |ORDER BY key, ts_us""".stripMargin
+    )
+    // q65 is the row_number-window form of q19's aggregator rank, and
+    // q76 the star-contraction form of q53's cluster labels — same
+    // rows, same oracles
+    base ++ extra +
+      ("q65_cosine_topk_window" -> base("q19_cosine_topk")) +
+      ("q76_cc_stars" -> base("q53_dedup_clusters"))
   }
 }

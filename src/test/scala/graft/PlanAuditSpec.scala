@@ -183,6 +183,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }, s"no thin (vec_a, vec_b) dedup exchange found:\n${shuffles.mkString("\n")}")
   }
 
+  test("watchlist scan: watchlist broadcast, alerts never sort-merge-shuffled") {
+    val p = plan(SparkEntry.queries("q74_watchlist_scan")(spark, sf))
+    // the watchlist is tiny by construction; the alert stream (the
+    // 100 TB side) must reach it through a broadcast hash join only
+    assert(p.contains("BroadcastHashJoin"),
+      s"watchlist should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"alert stream got shuffle-joined:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("session error rate: one addr exchange feeds sessionization, no extra event shuffle") {
+    val p = plan(SparkEntry.queries("q75_endpoint_error_sessions")(spark, sf))
+    // lag + running-sum session assignment share one (addr) sort;
+    // the (addr, session) aggregate re-shuffles only the aggregated
+    // rows. The raw error stream crosses the wire once.
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("aws behavior matcher: one scan regardless of matcher count") {
     val df = SparkEntry.queries("q55_aws_behavior")(spark, sf)
     val p = plan(df)
