@@ -1074,6 +1074,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.4 EndpointAbuseAnalysis in its production windowing —
+    // per-client sessions with the variance exemption and argmax over
+    // monitored endpoints (ref EndpointAbuseAnalysis.java:136-299 fed
+    // through KeyAndWindowForSessionsFireEarly)
+    "q78_endpoint_abuse_sessions" -> ((s, dir) => {
+      import operators.HttpHeuristics
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase") ||
+          (col("event_type") === "click" && col("user_id") % 7 === 0))
+        .withColumn("addr", concat(lit("10.4.0."), col("user_id") % 5))
+        .withColumn("method",
+          when(col("event_type") === "purchase", "POST").otherwise("GET"))
+        .withColumn("path", concat(lit("/e/"), col("event_type")))
+        .withColumn("ua", concat(lit("ua-"), col("user_id") % 5))
+      HttpHeuristics.endpointAbuseSessions(e, col("ts"), col("addr"),
+          col("method"), col("path"), col("ua"), gapSeconds = 3600,
+          Seq(HttpHeuristics.Endpoint("GET", "/e/view", 2),
+            HttpHeuristics.Endpoint("POST", "/e/purchase", 2)))
+        .orderBy(col("addr"), col("session_id"))
+    }),
+
     // §2.3 session-gap alert suppression (ref the reference's state
     // suppressor semantics: suppressed events EXTEND the quiet
     // period; a strictly-larger gap re-emits)
@@ -2425,6 +2446,58 @@ object SparkEntry {
         |    END AS rule_path,
         |  CASE best WHEN 0 THEN n0 ELSE n1 END AS n_errors,
         |  CASE best WHEN 0 THEN t0 ELSE t1 END AS latest_error_ms,
+        |  last_ms + 3600000 - 1 AS window_max_ts_ms
+        |FROM b WHERE best IS NOT NULL
+        |ORDER BY addr, session_id""".stripMargin,
+
+    "q78_endpoint_abuse_sessions" ->
+      """WITH f AS (SELECT ts,
+        |    '10.4.0.' || (user_id % 5) AS addr,
+        |    CASE WHEN event_type = 'purchase' THEN 'POST'
+        |      ELSE 'GET' END AS method,
+        |    '/e/' || event_type AS path,
+        |    'ua-' || (user_id % 5) AS ua
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase')
+        |     OR (event_type = 'click' AND user_id % 7 = 0)),
+        |m AS (SELECT *, CASE
+        |    WHEN method = 'GET' AND path = '/e/view' THEN 0
+        |    WHEN method = 'POST' AND path = '/e/purchase' THEN 1
+        |    END AS mi FROM f),
+        |s0 AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+        |  THEN 1 ELSE 0 END AS ns
+        |  FROM m WINDOW w AS (PARTITION BY addr ORDER BY ts)),
+        |s AS (SELECT addr, ts, mi, ua, CAST(SUM(ns) OVER (
+        |    PARTITION BY addr ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS session_id FROM s0),
+        |g AS (SELECT addr, session_id,
+        |    COUNT(CASE WHEN mi = 0 THEN 1 END) AS n0,
+        |    COUNT(CASE WHEN mi = 1 THEN 1 END) AS n1,
+        |    COUNT(CASE WHEN mi IS NULL THEN 1 END) AS nv,
+        |    epoch_ms(MAX(CASE WHEN mi IS NOT NULL THEN ts END))
+        |      AS latest_ts_ms,
+        |    MAX(CASE WHEN mi IS NOT NULL THEN ua END) AS useragent,
+        |    epoch_ms(MAX(ts)) AS last_ms
+        |  FROM s GROUP BY 1, 2),
+        |q AS (SELECT *,
+        |    CASE WHEN n0 >= 2 THEN n0 END AS q0,
+        |    CASE WHEN n1 >= 2 THEN n1 END AS q1
+        |  FROM g WHERE nv = 0),
+        |b AS (SELECT *,
+        |    CASE WHEN q0 IS NOT NULL
+        |        AND q0 = GREATEST(COALESCE(q0, -1), COALESCE(q1, -1))
+        |      THEN 0
+        |      WHEN q1 IS NOT NULL
+        |        AND q1 = GREATEST(COALESCE(q0, -1), COALESCE(q1, -1))
+        |      THEN 1 END AS best
+        |  FROM q)
+        |SELECT addr, session_id,
+        |  CASE best WHEN 0 THEN 'GET' ELSE 'POST' END AS endpoint_method,
+        |  CASE best WHEN 0 THEN '/e/view' ELSE '/e/purchase'
+        |    END AS endpoint_path,
+        |  CASE best WHEN 0 THEN n0 ELSE n1 END AS n,
+        |  latest_ts_ms, useragent,
         |  last_ms + 3600000 - 1 AS window_max_ts_ms
         |FROM b WHERE best IS NOT NULL
         |ORDER BY addr, session_id""".stripMargin,
