@@ -374,10 +374,10 @@ object Dedup {
     *  - small-star: on the larger→smaller orientation, every node
     *    links its smaller neighbors and itself to that minimum.
     * The fixed point is a forest of stars (child → component min);
-    * both rewrites leave a star set unchanged. Convergence is
-    * detected exactly via two anti-joins on the checkpointed edge
-    * sets — at extreme scale swap the exact probe for a
-    * (count, checksum) observation on the same job.
+    * both rewrites leave a star set unchanged. Convergence detection
+    * is two-tier: a cheap (count, sum, hash) fingerprint per round,
+    * and only on a fingerprint match the exact two-anti-join probe —
+    * the expensive check runs once at the fixed point, not per round.
     *
     * Output matches [[connectedComponents]]: (doc_id, cluster_id),
     * cluster_id = component minimum. */
@@ -429,11 +429,26 @@ object Dedup {
         Seq("u"), "left_anti")
     var converged = edges.isEmpty
     var iter = 0
+    // convergence in two tiers: a (count, sum, xor-hash) fingerprint
+    // rides the aggregate that the rewrite already runs (no extra
+    // job), and only when fingerprints MATCH does the exact
+    // two-anti-join probe confirm — so the expensive check runs once
+    // at the fixed point instead of every round
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("u") + col("v")),
+        sum(hash(col("u"), col("v")).cast("long"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var fp = if (converged) (0L, 0L, 0L) else fingerprint(edges)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged =
+      val nfp = fingerprint(next)
+      converged = nfp == fp &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
         edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      fp = nfp
       edges = next
       iter += 1
     }
