@@ -101,6 +101,28 @@ object Features {
       .withColumn("nominal", col("variance_index") >= 33)
   }
 
+  /** [[pathVarianceIndex]] over fixed windows — the shape the customs
+    * detectors consume (CustomsFeaturesCombiner runs per 10-minute
+    * window per source). Output: (window_start_ms, key, n_paths,
+    * n_success_paths, variance_index, nominal). */
+  def pathVarianceIndexWindowed(df: DataFrame,
+      ts: org.apache.spark.sql.Column, window: String,
+      key: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column,
+      status: org.apache.spark.sql.Column): DataFrame = {
+    val raw = col("n_paths") + lit(10L) * col("n_success_paths")
+    df.filter(path.isNotNull)
+      .groupBy(
+        unix_millis(org.apache.spark.sql.functions.window(ts, window)
+          .getField("start")).as("window_start_ms"),
+        key.cast("string").as("key"))
+      .agg(countDistinct(path).as("n_paths"),
+        countDistinct(when(status === 200, path)).as("n_success_paths"))
+      .withColumn("variance_index",
+        when(col("n_paths") > 1, least(raw, lit(100L))).otherwise(lit(0L)))
+      .withColumn("nominal", col("variance_index") >= 33)
+  }
+
   /** Per-key feature extraction over (key, class) pairs. */
   def typeFeatures(df: DataFrame, key: org.apache.spark.sql.Column,
       cls: org.apache.spark.sql.Column): DataFrame = {

@@ -28,7 +28,7 @@ object CustomsPipeline {
       window: String = "10 minutes",
       maxLoginFailuresPerSource: Long = 5,
       maxCreationsPerSource: Long = 3,
-      maxResetsPerEmail: Long = 3,
+      maxResetsPerSource: Long = 3,
       distMinSources: Long = 3,
       distMaxEditDistance: Long = 2)
 
@@ -54,30 +54,60 @@ object CustomsPipeline {
         element_at(col("fields"), "email").as("email"),
         element_at(col("fields"), "action").as("action"),
         element_at(col("fields"), "status").as("status"),
+        element_at(col("fields"), "path").as("path"),
         col("normalized.sourceAddress").as("src"))
       .withColumn("norm_email", Functions.normalizeEmailPlus(lower(col("email"))))
       .withColumn("domain", Functions.emailDomain(col("norm_email")))
       .cache()
 
+    // the reference's varianceView: a per-(window, source) path
+    // diversity score; NOMINAL sources (organic browsing, index >= 33)
+    // are exempt from all three per-source detectors
+    // (CustomsAccountCreation.java:92, SourceLoginFailure.java:90,
+    // CustomsPasswordResetAbuse.java:92 each return on
+    // cf.nominalVariance())
+    val nominal = graft.operators.Features.pathVarianceIndexWindowed(
+        fxa.filter(col("src").isNotNull), col("timestamp"), cfg.window,
+        col("src"), col("path"), col("status").cast("int"))
+      .filter(col("nominal"))
+      .select(col("window_start_ms"), col("key"))
+    def varianceGate(df: DataFrame): DataFrame =
+      df.join(broadcast(nominal), Seq("window_start_ms", "key"),
+        "left_anti")
+
     def windowed(pred: org.apache.spark.sql.Column,
-        key: org.apache.spark.sql.Column, minN: Long): DataFrame =
+        key: org.apache.spark.sql.Column, minN: Long,
+        distinctOf: Option[org.apache.spark.sql.Column] = None): DataFrame =
       fxa.filter(pred)
         .groupBy(unix_millis(window(col("timestamp"), cfg.window)
           .getField("start")).as("window_start_ms"), key.as("key"))
-        .agg(count(lit(1)).as("n"))
+        .agg(distinctOf.map(countDistinct(_))
+          .getOrElse(count(lit(1))).as("n"))
         .filter(col("n") >= minN)
 
-    val loginFailure = alert(windowed(
-      col("action") === "loginFailure", col("src"),
-      cfg.maxLoginFailuresPerSource), "source_login_failure", "sourceaddress")
+    // count = failures carrying an account (ref SourceLoginFailure
+    // .java:75-89 skips null-email events before counting)
+    val loginFailure = alert(varianceGate(windowed(
+      col("action") === "loginFailure" && col("email").isNotNull,
+      col("src"), cfg.maxLoginFailuresPerSource)),
+      "source_login_failure", "sourceaddress")
 
-    val creationAbuse = alert(windowed(
-      col("action") === "accountCreate", col("src"),
-      cfg.maxCreationsPerSource), "account_creation_abuse", "sourceaddress")
+    // count = DISTINCT accounts created by the source
+    // (ref CustomsAccountCreation.java:77-89 dedups seen accounts)
+    val creationAbuse = alert(varianceGate(windowed(
+      col("action") === "accountCreate" && col("email").isNotNull,
+      col("src"), cfg.maxCreationsPerSource,
+      distinctOf = Some(col("email")))),
+      "account_creation_abuse", "sourceaddress")
 
-    val resetAbuse = alert(windowed(
-      col("action") === "passwordReset", col("norm_email"),
-      cfg.maxResetsPerEmail), "password_reset_abuse", "email")
+    // keyed by SOURCE, counting DISTINCT reset accounts — the
+    // reference's CustomsPasswordResetAbuse runs on the
+    // source-address keying (Customs.java:565), not per account
+    val resetAbuse = alert(varianceGate(windowed(
+      col("action") === "passwordReset" && col("email").isNotNull,
+      col("src"), cfg.maxResetsPerSource,
+      distinctOf = Some(col("email")))),
+      "password_reset_abuse", "sourceaddress")
 
     // distributed creation: similar emails (edit distance on the local
     // part) created from >= distMinSources distinct sources within a
