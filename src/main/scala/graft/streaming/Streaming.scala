@@ -80,6 +80,64 @@ object Streaming {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("key"), col("n_events"))
 
+  /** Per-endpoint error rate over native session windows — the
+    * streaming twin of
+    * [[graft.operators.HttpHeuristics.perEndpointErrorRateSessions]]
+    * (ref PerEndpointErrorRateAnalysis fed by
+    * KeyAndWindowForSessionsFireEarly). Input must already be
+    * filtered to client errors; one `session_window` keyed state per
+    * (addr, session), conditional counts per rule, first-index-wins
+    * argmax. Append mode emits a session once the watermark passes
+    * its gap — the reference's final-pane semantics;
+    * `window_max_ts_ms` (session end − 1 ms) matches the batch form's
+    * last-event + gap − 1 ms. */
+  def perEndpointErrorRateStream(df: DataFrame, tsName: String,
+      addr: Column, method: Column, path: Column, gap: String,
+      watermarkDelay: String,
+      rules: Seq[graft.operators.HttpHeuristics.ErrorRule]): DataFrame = {
+    val base = df.select(col(tsName).as("__ts"), addr.as("addr"),
+        method.as("__m"), path.as("__p"))
+      .filter(col("addr").isNotNull)
+      .withWatermark("__ts", watermarkDelay)
+    val matches = rules.map(r =>
+      col("__m") === r.method && col("__p").rlike("^(?:" + r.path + ")$"))
+    val counts = rules.indices.map(i =>
+      count(when(matches(i), 1)).as(s"n_$i"))
+    val latest = rules.indices.map(i =>
+      max(when(matches(i), unix_millis(col("__ts")))).as(s"t_$i"))
+    val aggs = counts ++ latest
+    val grouped = base
+      .groupBy(session_window(col("__ts"), gap), col("addr"))
+      .agg(aggs.head, aggs.tail: _*)
+    val qual = rules.indices.map(i =>
+      when(col(s"n_$i") >= rules(i).threshold, col(s"n_$i"))
+        .otherwise(lit(null).cast("long")))
+    val maxQual = if (qual.length == 1) qual.head else greatest(qual: _*)
+    val bestIdx = rules.indices.foldLeft(lit(null).cast("int")) {
+      (acc, i) => when(acc.isNull && qual(i) === maxQual, i).otherwise(acc)
+    }
+    grouped
+      .withColumn("best", bestIdx)
+      .filter(col("best").isNotNull)
+      .select(
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("addr"),
+        rules.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+          when(col("best") === i, rules(i).method).otherwise(acc) }
+          .as("rule_method"),
+        rules.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+          when(col("best") === i, rules(i).path).otherwise(acc) }
+          .as("rule_path"),
+        rules.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("best") === i, col(s"n_$i")).otherwise(acc) }
+          .as("n_errors"),
+        rules.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("best") === i, col(s"t_$i")).otherwise(acc) }
+          .as("latest_error_ms"),
+        (unix_millis(col("session_window.end")) - 1)
+          .as("window_max_ts_ms"))
+  }
+
   /** Streaming exact dedup: first occurrence of each content hash
     * passes, replays are dropped; watermark bounds the dedup state to
     * the lateness horizon (the unbounded-corpus twin of the batch

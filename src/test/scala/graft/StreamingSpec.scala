@@ -539,6 +539,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session error rate streaming twin: native session_window over the reference's rate6 fixture equals the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.HttpHeuristics
+    val refData = "/root/reference/src/test/resources/testdata"
+    val files = (1 to 3).map(i => java.nio.file.Paths.get(refData,
+      s"httpreq_perendpointerrorrate6/httpreq_perendpointerrorrate6_$i.txt"))
+    assume(files.forall(java.nio.file.Files.exists(_)))
+    def read(p: java.nio.file.Path): Seq[String] =
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(_.nonEmpty)
+    val rules = Seq(HttpHeuristics.ErrorRule("GET", "/test", 4),
+      HttpHeuristics.ErrorRule("GET", "/t.*", 4))
+    def errorsOf(ds: org.apache.spark.sql.Dataset[String]) =
+      graft.pipelines.HttpRequestPipeline.parsedHttp(ds)
+        .filter(col("normalized.requestStatus").between(400, 499))
+
+    // a far-future error advances the watermark so the fixture's
+    // session closes and emits its FINAL accumulated pane
+    val flush = """{"httpRequest":{"requestMethod":"GET","requestUrl":"https://send/t9","status":400,"remoteIp":"203.0.113.9","userAgent":"x"},"timestamp":"1970-01-01T01:00:00Z","logName":"projects/test/logs/requests"}"""
+
+    val in = MemoryStream[String]
+    val stream = Streaming.perEndpointErrorRateStream(
+      errorsOf(in.toDS()), "timestamp",
+      col("normalized.sourceAddress"), col("normalized.requestMethod"),
+      col("normalized.urlRequestPath"), "60 seconds", "0 seconds", rules)
+    val q = stream.writeStream.format("memory").queryName("peerastream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      files.foreach { f => in.addData(read(f): _*); q.processAllAvailable() }
+      in.addData(flush); q.processAllAvailable()
+      val got = spark.table("peerastream")
+        .filter(col("addr") =!= "203.0.113.9")
+        .select(col("addr"), col("rule_path"), col("n_errors"),
+          col("latest_error_ms"), col("window_max_ts_ms"))
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      // batch twin on the same lines: the single accumulated session
+      val batch = HttpHeuristics.perEndpointErrorRateSessions(
+          errorsOf(files.flatMap(read).toDS()), col("timestamp"),
+          col("normalized.sourceAddress"),
+          col("normalized.requestMethod"),
+          col("normalized.urlRequestPath"), gapSeconds = 60, rules)
+        .select(col("addr"), col("rule_path"), col("n_errors"),
+          col("latest_error_ms"), col("window_max_ts_ms"))
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      // the reference's final pane: 18 /t.* errors, window 00:01:44.999
+      assert(got == Set(("192.168.1.2", "/t.*", 18L, 45000L, 104999L)))
+    } finally q.stop()
+  }
+
   test("continuous httprequest pipeline e2e: multiplexed stream + cfgtick + NAT-gated hard limit + error rate over 3 micro-batches equals the batch pipeline; a late event is dropped by the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
