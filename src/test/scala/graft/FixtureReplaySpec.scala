@@ -2236,6 +2236,30 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("watchlist_created_by") == "picard"))
   }
 
+  test("watchlist_analyze_buffer2: list-valued email key splits and matches once per occurrence (ref TestPostProcessing#testWatchlistAnalyzeMultiValueEmailKey)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val parsed = Parser.parse(lines("watchlist_analyze_buffer2.txt")).toDF()
+      .filter(col("payloadType") === "alert")
+    val wl = Seq(
+      ("ip", "127.0.0.1", "critical", "picard"),
+      ("email", "example@enterprise.com", "warn", "picard"))
+      .toDF("kind", "object", "severity", "created_by")
+    val out = pipelines.CorrelationPipeline.watchlistAnalyze(parsed, wl,
+      warningEmail = "picard@enterprise.com",
+      criticalEmail = "pagerduty@enterprise.com").collect()
+    // the reference's exact counts: two email matches (one from the
+    // 3-entry list, one single-valued), zero ip matches
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("matched_type") == "email"))
+    assert(out.forall(_.getAs[String]("matched_metadata_key") == "email"))
+    assert(out.forall(_.getAs[String]("matched_metadata_value") ==
+      "example@enterprise.com"))
+    assert(out.forall(_.getAs[String]("source_alert") ==
+      "e116e0ee-5747-4cd5-a1b1-d36d91ac62b9"))
+    assert(out.forall(_.getAs[String]("severity") == "warn"))
+  }
+
   test("amo_fxaaliasabuse/dotnormalizationabuse2: repeated alias is NOT distinct — no alert (ref TestAmo#testFxaAliasAbuseDotNormalizationNonDistinct)") {
     val amo = parsedAmo(lines("amo_fxaaliasabuse/dotnormalizationabuse2.txt"))
       .filter(element_at(col("fields"), "amo_type") === "fxalogin")
