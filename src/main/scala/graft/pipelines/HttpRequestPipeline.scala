@@ -267,7 +267,12 @@ object HttpRequestPipeline {
         count(lit(1)).as("n"),
         count(when(col("normalized.requestStatus").between(400, 499), 1))
           .as("errors"),
-        size(collect_set(col("normalized.userAgent"))).as("n_ua"))
+        // HLL++, not collect_set: the NAT signal only needs to clear
+        // a single-digit threshold, where the sparse sketch is exact,
+        // and the per-key state stays bounded no matter how many
+        // distinct agents a proxy fans out
+        approx_count_distinct(col("normalized.userAgent"), 0.01)
+          .as("n_ua"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("key"), col("n"), col("errors"), col("n_ua"))
     val natFlag = col("n_ua") >= cfg.natMinDistinctUserAgents ||
