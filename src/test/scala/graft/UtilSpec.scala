@@ -60,6 +60,38 @@ class UtilSpec extends AnyFunSuite {
     assert(n.contains("10.200.0.1") && n.contains("10.1.1.1"))
   }
 
+  test("InetRadix: the reference's own lookup vectors (ref TestInetRadix#testLookup)") {
+    val r = InetRadix(Seq("192.168.0.0/24", "10.10.10.10/32",
+      "1.0.0.0/8", "192.168.10.0/28"))
+    for (miss <- Seq("10.0.0.1", "192.168.1.1", "10.10.10.9",
+        "10.10.10.11", "255.255.255.255", "0.0.0.0", "192.168.10.16"))
+      assert(!r.contains(miss), miss)
+    for (hit <- Seq("192.168.0.10", "10.10.10.10", "1.0.0.1",
+        "1.255.255.255", "192.168.10.1", "192.168.10.15"))
+      assert(r.contains(hit), hit)
+    // incremental widening: /32 then the covering /30
+    val r2a = InetRadix(Seq("1.2.3.4/32"))
+    assert(r2a.contains("1.2.3.4"))
+    assert(!r2a.contains("1.2.3.3") && !r2a.contains("1.2.3.5"))
+    val r2b = InetRadix(Seq("1.2.3.4/32", "1.2.3.4/30", "1.2.4.4/30"))
+    for (hit <- Seq("1.2.3.4", "1.2.3.5", "1.2.3.6", "1.2.3.7",
+        "1.2.4.4", "1.2.4.5", "1.2.4.6", "1.2.4.7"))
+      assert(r2b.contains(hit), hit)
+    for (miss <- Seq("1.2.3.3", "1.2.3.8", "1.2.4.3"))
+      assert(!r2b.contains(miss), miss)
+  }
+
+  test("StringDistance ratio: the reference's exact values (ref TestStringDistance)") {
+    assert(StringDistance.levenshtein("a", "a") == 0)
+    assert(StringDistance.levenshtein("test", "test1") == 1)
+    assert(StringDistance.levenshtein("test", "test10") == 2)
+    assert(StringDistance.levenshtein("test", "abcd") == 4)
+    assert(StringDistance.ratio("test", "test") == 0.0)
+    assert(StringDistance.ratio("aaaa", "bbbb") == 1.0)
+    assert(math.abs(StringDistance.ratio("test100", "test102") - 0.142)
+      < 0.001)
+  }
+
   test("privateTrie covers RFC1918 + loopback + link-local") {
     assert(CidrUtil.isPrivate("10.0.0.1"))
     assert(CidrUtil.isPrivate("172.16.5.5"))
