@@ -1095,6 +1095,19 @@ object SparkEntry {
         .orderBy(col("addr"), col("session_id"))
     }),
 
+    // §2.5 AlertNotifyMerge (ref s/alert/AlertIO.java:40-110):
+    // same-merge-key alerts collapse to one representative with the
+    // "(n-1 similar alerts)" suffix; keyless/singleton pass through
+    "q79_notify_merge" -> ((s, dir) => {
+      val alerts = Tables.events(s, dir).select(
+        concat(lit("alert for user "), col("user_id"), lit(" ev "),
+          col("event_id")).as("summary"),
+        when(col("event_id") % 5 =!= 0,
+          concat(lit("k"), col("user_id") % 100)).as("mk"))
+      sinks.Sinks.notifyMerge(alerts, col("mk"))
+        .orderBy(col("summary"), col("mk"))
+    }),
+
     // §2.3 session-gap alert suppression (ref the reference's state
     // suppressor semantics: suppressed events EXTEND the quiet
     // period; a strictly-larger gap re-emits)
@@ -2501,6 +2514,25 @@ object SparkEntry {
         |  last_ms + 3600000 - 1 AS window_max_ts_ms
         |FROM b WHERE best IS NOT NULL
         |ORDER BY addr, session_id""".stripMargin,
+
+    "q79_notify_merge" ->
+      """WITH al AS (SELECT
+        |    'alert for user ' || user_id || ' ev ' || event_id AS summary,
+        |    CASE WHEN event_id % 5 <> 0
+        |      THEN 'k' || (user_id % 100) END AS mk
+        |  FROM events),
+        |g AS (SELECT mk, MIN(summary) AS summary, COUNT(*) AS n
+        |  FROM al WHERE mk IS NOT NULL GROUP BY mk)
+        |SELECT summary, mk, CAST(NULL AS BIGINT) AS notify_merged_count
+        |FROM al WHERE mk IS NULL
+        |UNION ALL
+        |SELECT CASE WHEN n > 1
+        |    THEN summary || ' (' || (n - 1) || ' similar alerts)'
+        |    ELSE summary END AS summary,
+        |  mk,
+        |  CASE WHEN n > 1 THEN n END AS notify_merged_count
+        |FROM g
+        |ORDER BY summary, mk""".stripMargin,
 
     "q77_suppress_session" ->
       """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS key,

@@ -93,6 +93,43 @@ object Sinks {
       .withColumn("ip", when(col("type") === "ip", col("object")))
   }
 
+  /** Notification merge (ref s/alert/AlertIO.AlertNotifyMerge,
+    * AlertIO.java:40-110): alerts sharing a notify-merge key collapse
+    * to ONE representative whose summary gains " (n-1 similar
+    * alerts)" and which carries notify_merged_count = n; keyless
+    * alerts and singleton groups pass through untouched (null count).
+    *
+    * One hash aggregate on the merge key. The representative is the
+    * lexicographic minimum over (summary, remaining columns) — the
+    * reference ships whichever alert iteration order yields first,
+    * which a distributed engine must not reproduce; the min pick is
+    * the deterministic refinement.
+    *
+    * `summaryCol` names the summary column in `alerts`; output keeps
+    * the input columns plus `notify_merged_count`. */
+  def notifyMerge(alerts: DataFrame, mergeKey: Column,
+      summaryCol: String = "summary"): DataFrame = {
+    val cols = alerts.columns.toSeq
+    val ordered = summaryCol +: cols.filterNot(_ == summaryCol)
+    val keyed = alerts.withColumn("__mk", mergeKey)
+    val keyless = keyed.filter(col("__mk").isNull)
+      .drop("__mk")
+      .withColumn("notify_merged_count", lit(null).cast("long"))
+    val merged = keyed.filter(col("__mk").isNotNull)
+      .groupBy(col("__mk"))
+      .agg(min(struct(ordered.map(col): _*)).as("r"),
+        count(lit(1)).as("n"))
+      .select(cols.map(c => col(s"r.$c").as(c)) :+ col("n"): _*)
+      .withColumn(summaryCol,
+        when(col("n") > 1, concat(col(summaryCol), lit(" ("),
+          col("n") - 1, lit(" similar alerts)")))
+          .otherwise(col(summaryCol)))
+      .withColumn("notify_merged_count",
+        when(col("n") > 1, col("n")).cast("long"))
+      .drop("n")
+    keyless.unionByName(merged)
+  }
+
   /** Deterministic JSON rendering of alert rows: fixed field order,
     * epoch-ms timestamps (the reference keeps byte-stable JSON for
     * golden tests; we keep field order via to_json over an explicit

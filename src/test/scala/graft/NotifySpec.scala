@@ -68,4 +68,26 @@ class NotifySpec extends AnyFunSuite {
     assert(row.getString(1) == "p\n\nAlert metadata:\nk = v\n")
     assert(row.getString(2) == "<b>v</b>")
   }
+
+  test("notify merge: shared keys collapse with count suffix, keyless and singletons pass (ref TestAlertMerge#alertMergeTest)") {
+    import spark.implicits._
+    // the reference's exact four alerts: two sharing "key", one
+    // keyless, one alone on "something"
+    val alerts = Seq(
+      ("test1", Some("key")),
+      ("test2", None),
+      ("test3", Some("key")),
+      ("test4", Some("something"))).toDF("summary", "mk")
+    val out = sinks.Sinks.notifyMerge(alerts, col("mk"))
+      .select(col("summary"), col("notify_merged_count"))
+      .collect()
+      .map(r => r.getAs[String]("summary") ->
+        Option(r.getAs[java.lang.Long]("notify_merged_count"))).toMap
+    // three alerts out: the "key" pair merged into its lexicographic
+    // minimum with the " (1 similar alerts)" suffix and count 2
+    assert(out.size == 3)
+    assert(out("test1 (1 similar alerts)") == Some(2L))
+    assert(out("test2") == None)
+    assert(out("test4") == None)
+  }
 }
