@@ -356,6 +356,16 @@ object Dedup {
       iter += 1
     }
     fwd.unpersist()
+    // Non-convergence within the budget must be an ERROR, not a
+    // silent cap: truncated propagation returns plausible but WRONG
+    // labels (vertices still carrying a non-minimal component id).
+    // Deep graphs belong on [[connectedComponentsStars]].
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge in $maxIter rounds " +
+          s"($changed labels still moving); the component diameter " +
+          "exceeds the budget - raise maxIter or use " +
+          "connectedComponentsStars (O(log n) rounds)")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -189,5 +189,11 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == (0L to 63L).map(_ -> 0L).toMap)
     val rounds = Dedup.starContractionRounds(path, col("doc_a"), col("doc_b"))
     assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+    // the propagation form must REFUSE rather than silently return
+    // truncated (wrong) labels when the diameter exceeds its budget
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, col("doc_a"), col("doc_b")).count()
+    }
+    assert(e.getMessage.contains("connectedComponentsStars"))
   }
 }
