@@ -205,6 +205,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("event-type filters reach the parquet scan as pushed filters") {
+    // the error-only detectors must prune at the scan: a 100 TB
+    // events table read for its 'error' slice cannot afford a
+    // post-scan filter over every row group
+    val df = SparkEntry.queries("q75_endpoint_error_sessions")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(event_type,error)"),
+      s"event_type filter not pushed to the scan:\n$p")
+  }
+
   test("aws behavior matcher: one scan regardless of matcher count") {
     val df = SparkEntry.queries("q55_aws_behavior")(spark, sf)
     val p = plan(df)
