@@ -291,7 +291,12 @@ object HttpRequestPipeline {
       "hard_limit", col("n"))
     val errors = alertRows(col("errors") > cfg.errorMaxCount,
       "error_rate", col("errors"))
-    val ticks = Parser.parse(lines).toDF()
+    // second branch over the same source: the cfgtick fast-keyword
+    // pushdown prunes non-tick lines before this branch's parse, so
+    // the double scan costs one substring probe per line, not two
+    // full parses
+    val ticks = Parser.parse(
+        lines.filter(Parser.fastFilter("cfgtick"))).toDF()
       .filter(col("payloadType") === "cfgtick")
       .select(
         col("raw").as("summary"),
