@@ -29,18 +29,25 @@ object Functions {
     lit(2 * graft.util.GeoUtil.EarthRadiusKm) * asin(sqrt(a))
   }
 
-  /** "user+tag@host" → "user@host" (ref MiscUtil.normalizeEmailPlus). */
+  /** "user+tag@host" → "user@host" (ref MiscUtil.normalizeEmailPlus:
+    * 31-50): splice from the FIRST '+' to the first '@' after it.
+    * The anchored single-match pattern carries the reference's three
+    * no-op guards — `([^+]+)` refuses a leading '+', the '@' must
+    * follow the '+', and the `(?=.)` lookahead refuses a trailing
+    * '@' — and anchoring also stops regexp_replace's replace-ALL from
+    * splicing later +…@ groups the reference never touches. */
   def normalizeEmailPlus(email: Column): Column =
-    regexp_replace(email, "\\+[^@]*@", "@")
+    regexp_replace(email, "^([^+]+)\\+[^@]*@(?=.)", "$1@")
 
   /** Plus-strip and remove dots from the local part (gmail-style):
-    * "u.s.e.r+t@host" → "user@host" (ref MiscUtil
-    * .normalizeEmailPlusDotStrip; scalar twin in util.MiscUtil). */
+    * "u.s.e.r+t@host" → "user@host"; a local part that strips to
+    * nothing keeps the plus-normalized form (ref MiscUtil
+    * .normalizeEmailPlusDotStrip:61-76; scalar twin in util.MiscUtil). */
   def normalizeEmailPlusDotStrip(email: Column): Column = {
     val p = normalizeEmailPlus(email)
-    when(instr(p, "@") > 0,
-      concat(regexp_replace(substring_index(p, "@", 1), "\\.", ""),
-        substr(p, instr(p, "@"))))
+    val local = regexp_replace(substring_index(p, "@", 1), "\\.", "")
+    when(instr(p, "@") > 0 && local =!= "",
+      concat(local, substr(p, instr(p, "@"))))
       .otherwise(p)
   }
 

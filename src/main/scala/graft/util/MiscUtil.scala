@@ -57,22 +57,29 @@ object GeoUtil {
 object MiscUtil {
 
   /** Strip a plus-extension from the local part:
-    * "user+tag@host" → "user@host" (ref MiscUtil.normalizeEmailPlus). */
-  def normalizeEmailPlus(email: String): String = email.indexOf('@') match {
-    case -1 => email
-    case at =>
-      val local = email.substring(0, at)
-      val plus = local.indexOf('+')
-      if (plus == -1) email else local.substring(0, plus) + email.substring(at)
+    * "user+tag@host" → "user@host" (ref MiscUtil.normalizeEmailPlus:
+    * 31-50 — splice from the FIRST '+' to the first '@' after it;
+    * unchanged when the '+' leads the string, no '@' follows it, or
+    * that '@' ends the string). */
+  def normalizeEmailPlus(email: String): String = {
+    val p = email.indexOf('+')
+    if (p <= 0) return email // absent or leading '+'
+    val q = email.indexOf('@', p)
+    if (q == -1 || q == email.length - 1) return email
+    email.substring(0, p) + email.substring(q)
   }
 
   /** Plus-strip and remove dots from the local part (gmail-style):
-    * "u.s.e.r+t@host" → "user@host". */
+    * "u.s.e.r+t@host" → "user@host"; a local part that strips to
+    * nothing keeps the plus-normalized form (ref MiscUtil
+    * .normalizeEmailPlusDotStrip:61-76). */
   def normalizeEmailPlusDotStrip(email: String): String = {
     val e = normalizeEmailPlus(email)
     e.indexOf('@') match {
       case -1 => e
-      case at => e.substring(0, at).replace(".", "") + e.substring(at)
+      case at =>
+        val local = e.substring(0, at).replace(".", "")
+        if (local.isEmpty) e else local + e.substring(at)
     }
   }
 

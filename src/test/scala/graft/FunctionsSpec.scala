@@ -84,4 +84,22 @@ class FunctionsSpec extends AnyFunSuite {
       .as[String].collect()
     assert(got.toSeq == cases.map(graft.util.MiscUtil.normalizeEmailPlusDotStrip))
   }
+
+  test("email normalization columns match the scalar twins on every reference edge vector") {
+    // the reference's TestMiscUtil vectors plus multi-@ splices — the
+    // Column expressions must agree with the scalar algorithm exactly
+    val cases = Seq("test@mozilla.com", "test+x@mozilla.com",
+      "test+x+x@mozilla.com", "test+@mozilla.com", "+@mozilla.com",
+      "test", "test@", "test+x@", "+", "", ".@mozilla.com",
+      "..@mozilla.com", "test.+x@mozilla.com",
+      "test+test.test@mozilla.com", "a@b+c@d", "a+b@c+d@e")
+    val got = cases.toDF("e")
+      .select(Functions.normalizeEmailPlus(col("e")).as("p"),
+        Functions.normalizeEmailPlusDotStrip(col("e")).as("pd"))
+      .as[(String, String)].collect()
+    assert(got.map(_._1).toSeq ==
+      cases.map(graft.util.MiscUtil.normalizeEmailPlus))
+    assert(got.map(_._2).toSeq ==
+      cases.map(graft.util.MiscUtil.normalizeEmailPlusDotStrip))
+  }
 }

@@ -92,6 +92,27 @@ class UtilSpec extends AnyFunSuite {
       < 0.001)
   }
 
+  test("email plus/dot normalization: the reference's exact vectors incl. malformed inputs (ref TestMiscUtil)") {
+    import graft.util.MiscUtil
+    assert(MiscUtil.normalizeEmailPlus("test@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlus("test+x@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlus("test+x+x@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlus("test+@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlus("+@mozilla.com") == "+@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlus("test") == "test")
+    assert(MiscUtil.normalizeEmailPlus("test@") == "test@")
+    assert(MiscUtil.normalizeEmailPlus("test+x@") == "test+x@")
+    assert(MiscUtil.normalizeEmailPlus("+") == "+")
+    assert(MiscUtil.normalizeEmailPlus("") == "")
+    assert(MiscUtil.normalizeEmailPlusDotStrip("test@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlusDotStrip("test.@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlusDotStrip("test.+x@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlusDotStrip("test.+@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlusDotStrip("test+test.test@mozilla.com") == "test@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlusDotStrip(".@mozilla.com") == ".@mozilla.com")
+    assert(MiscUtil.normalizeEmailPlusDotStrip("..@mozilla.com") == "..@mozilla.com")
+  }
+
   test("privateTrie covers RFC1918 + loopback + link-local") {
     assert(CidrUtil.isPrivate("10.0.0.1"))
     assert(CidrUtil.isPrivate("172.16.5.5"))
