@@ -51,8 +51,14 @@ object Functions {
       .otherwise(p)
   }
 
-  /** Email → domain (ref s/customs/Customs.java:510-519). */
-  def emailDomain(email: Column): Column = substring_index(email, "@", -1)
+  /** Email → domain. The reference's DOMAIN keying splits on '@' and
+    * SKIPS anything that is not exactly two parts (ref s/customs/
+    * Customs.java:508-519) — null here, so malformed addresses drop
+    * out of domain-keyed joins instead of grouping under themselves. */
+  def emailDomain(email: Column): Column =
+    when(size(split(email, "@", -1)) === 2 &&
+        substring_index(email, "@", -1) =!= "",
+      substring_index(email, "@", -1))
 
   /** Event timestamp rendered in an escalation timezone — the alert
     * local-time metadata (ref s/authprofile/AuthProfile.java:921-932
