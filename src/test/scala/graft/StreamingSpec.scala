@@ -591,9 +591,11 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming pipeline survives a restart: checkpointed state resumes mid-stream with no lost or duplicated alerts") {
+  /** Restart body shared by the HDFS- and RocksDB-store variants:
+    * minute-0 volume split across a stop/start of the query — only a
+    * correctly resumed state store totals the counts. */
+  private def runRestartScenario(): Unit = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     import graft.pipelines.HttpRequestPipeline
     val cfg = HttpRequestPipeline.Config(hardLimit = 5, errorMaxCount = 3)
     def glb(ip: String, status: Int, t: String) =
@@ -647,6 +649,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set(("hard_limit", "1.1.1.1", 7L),
         ("error_rate", "3.3.3.3", 4L)))
     } finally q2.stop()
+  }
+
+  test("streaming pipeline survives a restart: checkpointed state resumes mid-stream with no lost or duplicated alerts") {
+    runRestartScenario()
+  }
+
+  test("streaming pipeline restart under the RocksDB state store (the at-scale provider)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runRestartScenario()
+    finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("continuous httprequest pipeline e2e: multiplexed stream + cfgtick + NAT-gated hard limit + error rate over 3 micro-batches equals the batch pipeline; a late event is dropped by the watermark") {
