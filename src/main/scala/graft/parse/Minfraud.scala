@@ -48,6 +48,32 @@ object Minfraud {
     }
   }
 
+  /** Resolver over cached Insights RESPONSE documents — the
+    * reference's own test seam (Minfraud.cacheInsightsResource,
+    * Minfraud.java:79) pre-loads per-address response JSON exactly
+    * like this. Parses the real MaxMind response shape the reference
+    * consumes (Normalized.insightsEnrichment, Normalized.java:574-590:
+    * risk from `ip_address.risk`, the trait booleans from
+    * `ip_address.traits`); only the HTTP transport stays out of
+    * scope. */
+  final class JsonInsightsResolver(cached: Map[String, String])
+      extends InsightsResolver {
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+    def lookup(ip: String): Option[Insights] = cached.get(ip).flatMap { js =>
+      try {
+        val root = mapper.readTree(js)
+        val ipNode = root.path("ip_address")
+        val traits = ipNode.path("traits")
+        Some(Insights(
+          riskScore = ipNode.path("risk").asDouble(0.0),
+          isAnonymous = traits.path("is_anonymous").asBoolean(false),
+          isHostingProvider =
+            traits.path("is_hosting_provider").asBoolean(false)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Enrich parsed events: attach insights for the source address as
     * event fields (minfraud_risk_score / minfraud_anonymous /
     * minfraud_hosting). One resolver per partition, matching the

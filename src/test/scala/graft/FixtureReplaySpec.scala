@@ -2141,6 +2141,25 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(keyed.head.getAs[Long]("count") == 2L)
   }
 
+  test("minfraud/insights_normal1+hosting1: real Insights response JSON parses to the consumed flags (ref TestAuthProfile cacheInsightsResource fixtures)") {
+    def insights(name: String): String = {
+      val p = java.nio.file.Paths.get(refData, "minfraud", name)
+      assume(java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    val resolver = new graft.parse.Minfraud.JsonInsightsResolver(Map(
+      "216.160.83.56" -> insights("insights_normal1.json"),
+      "81.2.69.192" -> insights("insights_hosting1.json")))
+    val normal = resolver.lookup("216.160.83.56").get
+    assert(normal.riskScore == 0.01)
+    assert(!normal.isAnonymous && !normal.isHostingProvider)
+    // the hosting fixture differs only in the is_hosting_provider
+    // trait — the flag AuthProfile's new-source escalation keys on
+    val hosting = resolver.lookup("81.2.69.192").get
+    assert(hosting.isHostingProvider && !hosting.isAnonymous)
+    assert(resolver.lookup("10.9.9.9").isEmpty)
+  }
+
   test("cidrutil1: CIDR file load and containment set (ref TestCidrUtil#fileInputCidrMatchTest)") {
     val spark2 = spark
     import spark2.implicits._
