@@ -39,6 +39,11 @@ object AuthState {
   /** GeoIP/minFraud resolution failed — here: no prior live entry to
     * compare against (ref UNKNOWN_IP_MINFRAUD_GEO_FAILURE). */
   val UnknownGeoFailure = "unknown_ip_geo_failure"
+  /** New source on an anonymity network / hosting provider (minFraud
+    * Insights flags) — these escalate BEFORE any geo comparison (ref
+    * AuthProfile.java:663-690 else-if chain). */
+  val UnknownAnonNetwork = "unknown_ip_anon_network"
+  val UnknownHostingProvider = "unknown_ip_hosting_provider"
 
   /** Internal row shape for the state scan (public: Spark's encoder
     * codegen cannot construct private classes). lat/lon are optional:
@@ -47,7 +52,8 @@ object AuthState {
     * reference's authprof_buffer2 fixture, whose 127.0.0.1 GCP-audit
     * event has no geo yet must alert). */
   case class Ev(key: String, tsUs: Long, seq: Long, addr: String,
-      lat: Option[Double], lon: Option[Double])
+      lat: Option[Double], lon: Option[Double],
+      anon: Boolean = false, hosting: Boolean = false)
 
   /** Known-IP state analysis. Per identity `key`, events are scanned
     * in (ts, seq) order against a map of previously-seen source
@@ -92,7 +98,9 @@ object AuthState {
       addr: Column, lat: Column, lon: Column,
       pruneAgeSeconds: Long, maxKmStatic: Double,
       dedupeWindowSeconds: Option[Long] = None,
-      namedSubnets: Seq[(String, String)] = Nil): DataFrame = {
+      namedSubnets: Seq[(String, String)] = Nil,
+      isAnonymous: Column = lit(false),
+      isHostingProvider: Column = lit(false)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pruneUs = pruneAgeSeconds * 1000000L
@@ -102,7 +110,10 @@ object AuthState {
     val prepared = df
       .select(key.cast("string").as("key"), unix_micros(ts).as("tsUs"),
         seq.cast("long").as("seq"), addr.cast("string").as("addr"),
-        lat.cast("double").as("lat"), lon.cast("double").as("lon"))
+        lat.cast("double").as("lat"), lon.cast("double").as("lon"),
+        coalesce(isAnonymous.cast("boolean"), lit(false)).as("anon"),
+        coalesce(isHostingProvider.cast("boolean"), lit(false))
+          .as("hosting"))
       .filter(col("key").isNotNull && col("addr").isNotNull)
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("tsUs"), col("seq"))
@@ -149,7 +160,16 @@ object AuthState {
           val prev = if (entries.isEmpty) None
             else Some(entries.maxBy { case (_, (t, sq, _, _)) => (t, sq) })
           entries(ek) = (e.tsUs, e.seq, e.lat, e.lon)
-          prev match {
+          // minFraud flags pre-empt geo analysis for a NEW source:
+          // anonymity network first, then hosting provider (ref
+          // AuthProfile.java:663-690 else-if chain)
+          if (e.anon)
+            Some((e.key, e.tsUs / 1000, e.addr, UnknownAnonNetwork,
+              None: Option[Long], prev.map(_._1), ekOut))
+          else if (e.hosting)
+            Some((e.key, e.tsUs / 1000, e.addr, UnknownHostingProvider,
+              None: Option[Long], prev.map(_._1), ekOut))
+          else prev match {
             case None =>
               Some((e.key, e.tsUs / 1000, e.addr, UnknownGeoFailure,
                 None: Option[Long], None: Option[String], ekOut))

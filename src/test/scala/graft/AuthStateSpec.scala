@@ -202,4 +202,39 @@ class AuthStateSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("shared_id") == "s1")
     assert(out.head.getAs[String]("fixed_user") == "real.user")
   }
+
+  test("minFraud flags pre-empt geo for new sources: anon first, hosting second, known stays known (ref AuthProfile.java:663-690)") {
+    import spark.implicits._
+    val t = 1700000000L
+    val df = Seq(
+      // baseline known entry for u1 in London
+      (new Timestamp(t * 1000), 0L, "u1", "1.1.1.1",
+        London._1, London._2, false, false),
+      // new NEARBY source flagged as an anonymity network: the anon
+      // escalation beats the within-geo classification
+      (new Timestamp((t + 100) * 1000), 1L, "u1", "2.2.2.2",
+        Nearby._1, Nearby._2, true, false),
+      // new nearby source flagged hosting-provider (anon false)
+      (new Timestamp((t + 200) * 1000), 2L, "u1", "3.3.3.3",
+        Nearby._1, Nearby._2, false, true),
+      // flags on a KNOWN address never escalate — known wins first
+      (new Timestamp((t + 300) * 1000), 3L, "u1", "1.1.1.1",
+        London._1, London._2, true, true),
+      // unflagged new nearby source still classifies by geo
+      (new Timestamp((t + 400) * 1000), 4L, "u1", "4.4.4.4",
+        Nearby._1, Nearby._2, false, false)
+    ).toDF("ts", "seq", "key", "addr", "lat", "lon", "anon", "hosting")
+    val got = AuthState.stateAnalyze(df, col("ts"), col("seq"),
+        col("key"), col("addr"), col("lat"), col("lon"),
+        pruneAgeSeconds = 864000L, maxKmStatic = 1000,
+        isAnonymous = col("anon"), isHostingProvider = col("hosting"))
+      .orderBy(col("ts_ms")).collect()
+      .map(r => (r.getAs[String]("addr"), r.getAs[String]("action")))
+    assert(got.toSeq == Seq(
+      ("1.1.1.1", AuthState.UnknownGeoFailure), // first ever: no prev
+      ("2.2.2.2", AuthState.UnknownAnonNetwork),
+      ("3.3.3.3", AuthState.UnknownHostingProvider),
+      ("1.1.1.1", AuthState.KnownIp),
+      ("4.4.4.4", AuthState.UnknownWithinGeo)))
+  }
 }
