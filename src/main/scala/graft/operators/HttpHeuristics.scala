@@ -131,10 +131,13 @@ object HttpHeuristics {
       varianceSupportingOnly: Boolean = false,
       customVarianceSubstrings: Seq[String] = Nil,
       url: Option[Column] = None): DataFrame = {
+    // null keyed fields drop pre-sessionization, as in the keying
+    // DoFn (HTTPRequest.java:125-140; a null UA becomes "unknown")
     val base = Sessionize.assignSessions(
       df.select(ts.as("__ts"), addr.as("addr"), method.as("__m"),
-        path.as("__p"), userAgent.as("__ua"),
-        url.getOrElse(path).as("__u")).filter(col("addr").isNotNull),
+        path.as("__p"), coalesce(userAgent, lit("unknown")).as("__ua"),
+        url.getOrElse(path).as("__u")).filter(col("addr").isNotNull &&
+        col("__m").isNotNull && col("__p").isNotNull),
       col("__ts"), col("addr"), gapSeconds)
     val monIdx = endpoints.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (e, i)) =>
@@ -252,9 +255,12 @@ object HttpHeuristics {
   def perEndpointErrorRateSessions(df: DataFrame, ts: Column,
       addr: Column, method: Column, path: Column, gapSeconds: Long,
       rules: Seq[ErrorRule]): DataFrame = {
+    // the reference's keying DoFn drops events missing any of the
+    // keyed fields before sessionizing (HTTPRequest.java:125-140)
     val base = Sessionize.assignSessions(
       df.select(ts.as("__ts"), addr.as("addr"), method.as("__m"),
-        path.as("__p")).filter(col("addr").isNotNull),
+        path.as("__p")).filter(col("addr").isNotNull &&
+        col("__m").isNotNull && col("__p").isNotNull),
       col("__ts"), col("addr"), gapSeconds)
     val matches = rules.map(r =>
       col("__m") === r.method && col("__p").rlike("^(?:" + r.path + ")$"))
