@@ -1095,6 +1095,30 @@ object SparkEntry {
         .orderBy(col("addr"), col("session_id"))
     }),
 
+    // §2.x the COMPOSED batch HTTPRequest pipeline, oracled end to
+    // end: GLB rendering -> parse -> hard limit + threshold (both
+    // NAT-gated) + error rate + session limit, one alert union (ref
+    // HTTPRequest.expandInputMap) — the pipeline-level twin of the
+    // per-operator oracles q02/q03/q04/q14
+    "q80_http_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.fanOut(Tables.events(s, dir)).select(format_string(
+        """{"httpRequest":{"requestMethod":"GET","requestUrl":"https://app.test/e/%s","status":%s,"remoteIp":"%s","userAgent":"ua-%s"},"timestamp":"%s","logName":"projects/graft-test/logs/requests","resource":{"type":"http_load_balancer"}}""",
+        col("event_id"),
+        when(col("event_type") === "error", 404).otherwise(200),
+        concat(lit("10.0.0."), col("user_id") % 37),
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        .as("value")).as[String]
+      pipelines.HttpRequestPipeline.analyze(lines,
+          pipelines.HttpRequestPipeline.Config(window = "1 day",
+            hardLimit = 5, thresholdModifier = 1.5, errorMaxCount = 2,
+            natMinDistinctUserAgents = 4, sessionGapSeconds = 2700,
+            maxSessionEvents = 3))
+        .orderBy(col("subcategory"), col("sourceaddress"),
+          col("window_start_ms"))
+    }),
+
     // §2.5 AlertNotifyMerge (ref s/alert/AlertIO.java:40-110):
     // same-merge-key alerts collapse to one representative with the
     // "(n-1 similar alerts)" suffix; keyless/singleton pass through
@@ -2514,6 +2538,50 @@ object SparkEntry {
         |  last_ms + 3600000 - 1 AS window_max_ts_ms
         |FROM b WHERE best IS NOT NULL
         |ORDER BY addr, session_id""".stripMargin,
+
+    "q80_http_pipeline" ->
+      """WITH base AS (SELECT ts,
+        |    '10.0.0.' || (user_id % 37) AS addr,
+        |    'ua-' || user_id AS ua,
+        |    CASE WHEN event_type = 'error' THEN 404 ELSE 200 END AS status
+        |  FROM events),
+        |w AS (SELECT epoch_ms(date_trunc('day', ts)) AS wms, addr, ua,
+        |    status, ts FROM base),
+        |per_key AS (SELECT wms, addr, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |nat AS (SELECT wms, addr FROM (
+        |    SELECT wms, addr, COUNT(DISTINCT ua) AS du
+        |    FROM w GROUP BY 1, 2) WHERE du >= 4),
+        |gated AS (SELECT k.* FROM per_key k
+        |  LEFT JOIN nat USING (wms, addr) WHERE nat.addr IS NULL),
+        |mean AS (SELECT wms, AVG(n) AS mean_n FROM per_key GROUP BY 1),
+        |hard AS (SELECT 'hard_limit_exceeded' AS summary,
+        |    'httprequest' AS category, 'hard_limit' AS subcategory,
+        |    'warn' AS severity, addr AS sourceaddress,
+        |    CAST(n AS BIGINT) AS count, wms AS window_start_ms
+        |  FROM gated WHERE n > 5),
+        |thr AS (SELECT 'threshold_exceeded', 'httprequest', 'threshold',
+        |    'warn', g.addr, CAST(g.n AS BIGINT), g.wms
+        |  FROM gated g JOIN mean m ON m.wms = g.wms
+        |  WHERE g.n >= m.mean_n * 1.5),
+        |err AS (SELECT 'error_rate_exceeded', 'httprequest', 'error_rate',
+        |    'warn', addr, CAST(COUNT(*) AS BIGINT), wms
+        |  FROM w WHERE status BETWEEN 400 AND 499
+        |  GROUP BY addr, wms HAVING COUNT(*) > 2),
+        |s0 AS (SELECT addr, ts, CASE WHEN lag(ts) OVER sw IS NULL
+        |    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER sw) >= 2700000
+        |  THEN 1 ELSE 0 END AS ns
+        |  FROM base WINDOW sw AS (PARTITION BY addr ORDER BY ts)),
+        |s1 AS (SELECT addr, CAST(SUM(ns) OVER (
+        |    PARTITION BY addr ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sid FROM s0),
+        |sg AS (SELECT addr, sid, COUNT(*) AS n FROM s1 GROUP BY 1, 2),
+        |sess AS (SELECT 'session_limit_exceeded', 'httprequest',
+        |    'session_limit', 'critical', addr,
+        |    CAST(MAX(n) AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM sg GROUP BY addr HAVING MAX(n) >= 3)
+        |SELECT * FROM hard UNION ALL SELECT * FROM thr
+        |UNION ALL SELECT * FROM err UNION ALL SELECT * FROM sess
+        |ORDER BY subcategory, sourceaddress, window_start_ms""".stripMargin,
 
     "q79_notify_merge" ->
       """WITH al AS (SELECT
