@@ -111,13 +111,26 @@ object AuthProfilePipeline {
     * seenKnownAddresses list does). */
   def stateAnalysis(lines: Dataset[String], aliases: DataFrame,
       resolver: GeoIp.GeoIpResolver, cfg: Config = Config(),
-      namedSubnets: Seq[(String, String)] = Nil): DataFrame = {
+      namedSubnets: Seq[(String, String)] = Nil,
+      insights: Option[graft.parse.Minfraud.InsightsResolver] = None)
+      : DataFrame = {
     // geo may be missing (unresolvable address): such events still
     // classify — stateAnalyze emits the geo-failure action for them,
     // per the reference's UNKNOWN_IP_MINFRAUD_GEO_FAILURE path
-    val auth = parsedAuthEnriched(lines, resolver)
+    val auth0 = parsedAuthEnriched(lines, resolver)
       .filter(referenceIgnores)
       .filter(col("normalized.sourceAddress").isNotNull)
+    // minFraud Insights, when a resolver is supplied: the anonymity /
+    // hosting flags pre-empt geo classification for new sources (ref
+    // AuthProfile.java:645-690)
+    val auth = insights match {
+      case None => auth0
+      case Some(r) =>
+        import org.apache.spark.sql.Encoders
+        graft.parse.Minfraud.enrich(
+          auth0.as[graft.model.Event](Encoders.product[graft.model.Event]),
+          r).toDF()
+    }
     val resolved = Identity.resolve(auth,
       col("normalized.subjectUser"), aliases)
     AuthState.stateAnalyze(resolved, col("timestamp"),
@@ -126,7 +139,10 @@ object AuthProfilePipeline {
       col("normalized.geo.latitude"), col("normalized.geo.longitude"),
       cfg.pruneAgeSeconds, cfg.maxKmStatic,
       dedupeWindowSeconds = Some(86400L),
-      namedSubnets = namedSubnets)
+      namedSubnets = namedSubnets,
+      isAnonymous = element_at(col("fields"), "minfraud_anonymous") === "true",
+      isHostingProvider =
+        element_at(col("fields"), "minfraud_hosting") === "true")
   }
 
   /** Critical-object branch (ref CritObjectAnalyze): immediate

@@ -1012,6 +1012,23 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(actions.count(_ == AuthState.KnownIp) == 1)
   }
 
+  test("authprof_buffer1 + insights_hosting1: the hosting-provider flag pre-empts the geo-failure classification (ref AuthProfile.java:663-690 + the cacheInsightsResource seam)") {
+    val p = java.nio.file.Paths.get(refData, "minfraud/insights_hosting1.json")
+    assume(java.nio.file.Files.exists(p))
+    val resolver = new graft.parse.Minfraud.JsonInsightsResolver(Map(
+      "216.160.83.56" ->
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+    val out = pipelines.AuthProfilePipeline.stateAnalysis(
+      lines("authprof_buffer1.txt"), aliasDf, cityResolver,
+      insights = Some(resolver)).collect()
+    assert(out.length == 2)
+    val actions = out.map(_.getAs[String]("action"))
+    // the new source now escalates as a hosting provider; the repeat
+    // stays known (flags never demote a known address)
+    assert(actions.count(_ == AuthState.UnknownHostingProvider) == 1)
+    assert(actions.count(_ == AuthState.KnownIp) == 1)
+  }
+
   test("authprof_buffer2: mixed sshd/gcpaudit/cloudtrail — 2 new sources, AWS Internal dropped, untracked kept (ref TestAuthProfile#analyzeMixedTest)") {
     val out = pipelines.AuthProfilePipeline.stateAnalysis(
       lines("authprof_buffer2.txt"), aliasDf, cityResolver).collect()
