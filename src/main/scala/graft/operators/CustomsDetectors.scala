@@ -285,11 +285,11 @@ object CustomsDetectors {
   val HeuristicDescriptions: Map[String, String] = Map(
     "account_creation_abuse" ->
       "many accounts created from one address in a session",
-    "account_creation_abuse_dist" ->
+    "account_creation_abuse_distributed" ->
       "many near-identical accounts created across addresses",
     "source_login_failure" ->
       "many login failures from one source in the window",
-    "source_login_failure_dist" ->
+    "source_login_failure_distributed" ->
       "one account failing login from many sources in the window",
     "password_reset_abuse" ->
       "many password resets from one source across accounts",
@@ -319,10 +319,10 @@ object CustomsDetectors {
     def emailList = transform(emails, e => ind("email", e))
     def addrList = transform(addrs, a => ind("sourceaddress", a))
     val fan = when(subcategory === "source_login_failure", array(ipInd))
-      .when(subcategory === "source_login_failure_dist", addrList)
+      .when(subcategory === "source_login_failure_distributed", addrList)
       .when(subcategory === "account_creation_abuse",
         concat(array(ipInd), emailList))
-      .when(subcategory === "account_creation_abuse_dist",
+      .when(subcategory === "account_creation_abuse_distributed",
         array(ipInd, emailInd))
       .when(subcategory === "password_reset_abuse", array(ipInd))
       .when(subcategory === "velocity", array(ipInd, emailInd))

@@ -128,7 +128,7 @@ object CustomsPipeline {
       .agg(countDistinct(col("s")).as("n"))
       .filter(col("n") >= cfg.distMinSources)
       .withColumn("window_start_ms", lit(null).cast("long"))
-    val distAlert = alert(dist, "account_creation_dist", "domain")
+    val distAlert = alert(dist, "account_creation_abuse_distributed", "domain")
 
     loginFailure.unionByName(creationAbuse).unionByName(resetAbuse)
       .unionByName(distAlert)
@@ -201,7 +201,7 @@ object CustomsPipeline {
         fxa, col("timestamp"), col("email"), col("src"),
         col("summary") === "loginFailure", cfg.window,
         cfg.srcFailDistThreshold),
-      "source_login_failure_dist", "email", col("email"),
+      "source_login_failure_distributed", "email", col("email"),
       col("n_src"), col("window_start_ms"))
 
     val summary = alert(CustomsDetectors.summary(fxa, col("timestamp"),

@@ -344,7 +344,7 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     import spark.implicits._
     val alerts = Seq(
       // dist failure: one row per listed address
-      ("source_login_failure_dist", 1000L, null, "v@x.com",
+      ("source_login_failure_distributed", 1000L, null, "v@x.com",
         Seq.empty[String], Seq("1.1.1.1", "1.1.1.2")),
       // creation abuse: the ip plus each created account
       ("account_creation_abuse", 2000L, "9.9.9.9", null,
@@ -363,8 +363,8 @@ class CustomsDetectorsSpec extends AnyFunSuite {
         r.getAs[String]("indicator_type"), r.getAs[String]("indicator")))
       .toSet
     assert(out == Set(
-      ("source_login_failure_dist", "sourceaddress", "1.1.1.1"),
-      ("source_login_failure_dist", "sourceaddress", "1.1.1.2"),
+      ("source_login_failure_distributed", "sourceaddress", "1.1.1.1"),
+      ("source_login_failure_distributed", "sourceaddress", "1.1.1.2"),
       ("account_creation_abuse", "sourceaddress", "9.9.9.9"),
       ("account_creation_abuse", "email", "a@x.com"),
       ("account_creation_abuse", "email", "b@x.com"),
@@ -377,6 +377,42 @@ class CustomsDetectorsSpec extends AnyFunSuite {
         col("ts_ms"), col("src"), col("email"), col("emails"),
         col("addrs"))).as[String].collect()
     assert(js.forall(_.contains("\"suggested_action\":\"suspect\"")))
+  }
+
+  test("customs alert fan-out: the reference's exact conversion cardinalities (ref TestCustomsAlert#testAlertConversion)") {
+    import spark.implicits._
+    // one row per reference test case, same indicator shapes: creation
+    // abuse with 3 created accounts -> 4; distributed creation -> 2
+    // (primary + source only, similars convert on their own alerts);
+    // source login failure -> 1; reset abuse -> 1; distributed login
+    // failure across 10 addresses -> 10; velocity -> 2
+    val alerts = Seq(
+      ("account_creation_abuse", 0L, "216.160.83.56", null,
+        Seq("user@mail.com", "user.1@mail.com", "user.1.@mail.com"),
+        Seq.empty[String]),
+      ("account_creation_abuse_distributed", 1L, "216.160.83.54",
+        "user6@mail.com", Seq.empty[String], Seq.empty[String]),
+      ("source_login_failure", 2L, "216.160.83.56", "spock@mozilla.com",
+        Seq.empty[String], Seq.empty[String]),
+      ("password_reset_abuse", 3L, "10.0.0.1", null,
+        Seq.empty[String], Seq.empty[String]),
+      ("source_login_failure_distributed", 4L, null, "kirk@mozilla.com",
+        Seq.empty[String], (1 to 10).map(i => s"10.0.0.$i")),
+      ("velocity", 5L, "81.2.69.192", "riker@mozilla.com",
+        Seq.empty[String], Seq.empty[String]))
+      .toDF("sub", "ts_ms", "src", "email", "emails", "addrs")
+    val counts = graft.operators.CustomsDetectors.alertFanout(alerts,
+        col("sub"), col("ts_ms"), col("src"), col("email"),
+        col("emails"), col("addrs"))
+      .groupBy(col("heuristic")).count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map(
+      "account_creation_abuse" -> 4L,
+      "account_creation_abuse_distributed" -> 2L,
+      "source_login_failure" -> 1L,
+      "password_reset_abuse" -> 1L,
+      "source_login_failure_distributed" -> 10L,
+      "velocity" -> 2L))
   }
 
   test("customs summary: per-class windowed counts") {

@@ -41,7 +41,7 @@ class CustomsSpec extends AnyFunSuite {
       .view.mapValues(_.map(r => r.getAs[String]("key")).toSet).toMap
     assert(bySub("source_login_failure") == Set("1.1.1.1"))
     assert(bySub("password_reset_abuse") == Set("9.9.9.9"))
-    assert(bySub("account_creation_dist") == Set("spam.net"))
+    assert(bySub("account_creation_abuse_distributed") == Set("spam.net"))
     assert(!bySub.contains("account_creation_abuse")) // max 1 distinct per source
     // the reset alerts carry the sourceaddress keying
     assert(alerts.filter(_.getAs[String]("subcategory") ==

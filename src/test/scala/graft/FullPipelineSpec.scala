@@ -57,7 +57,7 @@ class FullPipelineSpec extends AnyFunSuite {
     val bySub = alerts.groupBy(_.getAs[String]("subcategory"))
       .view.mapValues(_.map(_.getAs[String]("key")).toSet).toMap
     assert(bySub("account_enumeration") == Set("6.6.6.6")) // 7.7.7.7 gated
-    assert(bySub("source_login_failure_dist") == Set("victim@x.com"))
+    assert(bySub("source_login_failure_distributed") == Set("victim@x.com"))
     assert(bySub("status_comparator") == Set("4.4.4.4"))
     assert(bySub("activity_monitor") == Set("mon@x.com"))
     assert(bySub("summary").contains("login_failure"))
