@@ -142,6 +142,12 @@ object CustomsPipeline {
       srcFailDistThreshold: Long = 3,
       velocityMaxKmPerSecond: Double = 0.25,
       velocityMinDistanceKm: Double = 100,
+      /** Experimental lower-bar velocity pass (ref CustomsVelocity
+        * maxKilometersPerSecondMonitorOnly): alerts tagged
+        * velocity_monitor_only, emitted IN ADDITION to escalated
+        * velocity alerts for jumps exceeding both bars. */
+      velocityMonitorOnlyMaxKmPerSecond: Option[Double] = None,
+      velocityMonitorOnlyMinDistanceKm: Double = 0,
       monitoredAddrs: Seq[String] = Nil,
       monitoredAccounts: Seq[String] = Nil)
 
@@ -227,12 +233,27 @@ object CustomsPipeline {
 
     val velocity = geo match {
       case None => None
-      case Some(_) => Some(alert(CustomsDetectors.velocity(
-          fxa.filter(col("summary") === "loginSuccess"),
-          col("timestamp"), col("id"), col("uid"), col("email"),
-          col("src"), col("lat"), col("lon"),
-          cfg.velocityMaxKmPerSecond, cfg.velocityMinDistanceKm),
-        "velocity", "uid", col("uid"), col("km_centi"), col("ts_ms")))
+      case Some(_) =>
+        val logins = fxa.filter(col("summary") === "loginSuccess")
+        val escalated = alert(CustomsDetectors.velocity(logins,
+            col("timestamp"), col("id"), col("uid"), col("email"),
+            col("src"), col("lat"), col("lon"),
+            cfg.velocityMaxKmPerSecond, cfg.velocityMinDistanceKm),
+          "velocity", "uid", col("uid"), col("km_centi"), col("ts_ms"))
+        // the experimental lower-bar pass over the SAME state: an
+        // event exceeding both bars emits both alerts (ref
+        // CustomsVelocity.java:281-320 runs the monitor-only check
+        // unconditionally after the escalated one)
+        val monitorOnly = cfg.velocityMonitorOnlyMaxKmPerSecond match {
+          case None => None
+          case Some(kms) => Some(alert(CustomsDetectors.velocity(logins,
+              col("timestamp"), col("id"), col("uid"), col("email"),
+              col("src"), col("lat"), col("lon"),
+              kms, cfg.velocityMonitorOnlyMinDistanceKm),
+            "velocity_monitor_only", "uid", col("uid"), col("km_centi"),
+            col("ts_ms")))
+        }
+        Some(monitorOnly.fold(escalated)(escalated.unionByName(_)))
     }
 
     val base = enumeration.unionByName(srcFailDist).unionByName(summary)

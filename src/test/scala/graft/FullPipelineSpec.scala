@@ -63,6 +63,43 @@ class FullPipelineSpec extends AnyFunSuite {
     assert(bySub("summary").contains("login_failure"))
   }
 
+  test("customs velocity monitor-only: the lower experimental bar emits its own alerts alongside escalations (ref CustomsVelocity.java:281-320)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = 1700000000L
+    val lines = Seq(
+      // u1: London -> Sydney in 60s (escalated AND monitor-only)
+      authLine(t, "/v1/account/login", "post", 200, "a@x.com", "u1", "203.0.113.5"),
+      authLine(t + 60, "/v1/account/login", "post", 200, "a@x.com", "u1", "198.51.100.7"),
+      // u2: London -> Paris (~340 km) in 1800s = 0.19 km/s — under the
+      // 0.25 escalation bar, over the 0.05 monitor-only bar
+      authLine(t, "/v1/account/login", "post", 200, "b@x.com", "u2", "203.0.113.9"),
+      authLine(t + 1800, "/v1/account/login", "post", 200, "b@x.com", "u2", "192.0.2.4")
+    ).toDS()
+    val geo = new graft.parse.GeoIp.CidrTableResolver(Seq(
+      "203.0.113.0/24" -> graft.model.Geo(latitude = Some(51.5),
+        longitude = Some(-0.1)),
+      "198.51.100.0/24" -> graft.model.Geo(latitude = Some(-33.9),
+        longitude = Some(151.2)),
+      "192.0.2.0/24" -> graft.model.Geo(latitude = Some(48.85),
+        longitude = Some(2.35))))
+    val alerts = CustomsPipeline.analyzeFull(lines,
+      CustomsPipeline.FullConfig(
+        velocityMaxKmPerSecond = 0.25, velocityMinDistanceKm = 100,
+        velocityMonitorOnlyMaxKmPerSecond = Some(0.05),
+        velocityMonitorOnlyMinDistanceKm = 100),
+      geo = Some(geo)).collect()
+    val vel = alerts.filter(_.getAs[String]("subcategory") == "velocity")
+      .map(_.getAs[String]("key")).toSet
+    val mon = alerts.filter(
+        _.getAs[String]("subcategory") == "velocity_monitor_only")
+      .map(_.getAs[String]("key")).toSet
+    // the impossible jump escalates AND appears in the monitor pass;
+    // the moderate jump only clears the monitor-only bar
+    assert(vel == Set("u1"))
+    assert(mon == Set("u1", "u2"))
+  }
+
   test("authprofile state analysis + crit objects end to end") {
     import spark.implicits._
     val t = 1700000000L
