@@ -61,7 +61,27 @@ object CustomsDetectors {
   def velocity(df: DataFrame, ts: Column, seq: Column, uid: Column,
       email: Column, addr: Column, lat: Column, lon: Column,
       maxKmPerSecond: Double, minDistanceKm: Double,
-      dedupeWindow: String = "5 minutes"): DataFrame = {
+      dedupeWindow: String = "5 minutes"): DataFrame =
+    velocityLagged(df, ts, seq, uid, email, addr, lat, lon, dedupeWindow)
+      .filter(velocityExceeds(maxKmPerSecond, minDistanceKm))
+
+  /** The threshold predicate over the lagged frame's (km_centi, td_s)
+    * — exact integer/centi-km compare, shared by the escalated and
+    * monitor-only bars. */
+  private def velocityExceeds(maxKmPerSecond: Double,
+      minDistanceKm: Double): Column =
+    col("km_centi") >= lit(minDistanceKm * 100) &&
+      col("km_centi") > lit(maxKmPerSecond * 100) * col("td_s")
+
+  /** The shared dedup + lag state pass of [[velocity]]: per-uid
+    * per-dedupe-window address dedup, then consecutive differing-
+    * address deltas. Both threshold bars read THIS one frame — the
+    * reference runs its escalated and monitor-only checks over a
+    * single state read (CustomsVelocity.java:281-320), so the Spark
+    * form must not sort the login stream twice either. */
+  private def velocityLagged(df: DataFrame, ts: Column, seq: Column,
+      uid: Column, email: Column, addr: Column, lat: Column,
+      lon: Column, dedupeWindow: String): DataFrame = {
     val base = df.select(uid.as("uid"), ts.as("ts"), seq.as("seq"),
         email.as("email"), addr.as("addr"), lat.as("lat"), lon.as("lon"))
       .filter(col("uid").isNotNull && col("addr").isNotNull &&
@@ -85,11 +105,39 @@ object CustomsDetectors {
       .withColumn("td_s",
         floor(unix_millis(col("ts")) / 1000).cast("long") -
           floor(unix_millis(col("prev_ts")) / 1000).cast("long"))
-      .filter(col("km_centi") >= lit(minDistanceKm * 100) &&
-        col("km_centi") > lit(maxKmPerSecond * 100) * col("td_s"))
       .select(col("uid"), col("email"),
         unix_millis(col("ts")).as("ts_ms"), col("addr"),
         col("prev_addr"), col("td_s"), col("km_centi"))
+  }
+
+  /** Escalated + monitor-only velocity from ONE dedup+lag pass.
+    * Output = [[velocity]] columns plus `subcategory` ("velocity" /
+    * "velocity_monitor_only"); an event exceeding both bars emits
+    * both rows, exactly the reference's unconditional second check
+    * over the same state (CustomsVelocity.java:281-320). With no
+    * monitor-only bar configured this degrades to the single
+    * escalated set. */
+  def velocityDual(df: DataFrame, ts: Column, seq: Column, uid: Column,
+      email: Column, addr: Column, lat: Column, lon: Column,
+      maxKmPerSecond: Double, minDistanceKm: Double,
+      monitorOnlyMaxKmPerSecond: Option[Double],
+      monitorOnlyMinDistanceKm: Double = 0,
+      dedupeWindow: String = "5 minutes"): DataFrame = {
+    val lagged = velocityLagged(df, ts, seq, uid, email, addr, lat,
+      lon, dedupeWindow)
+    monitorOnlyMaxKmPerSecond match {
+      case None =>
+        lagged.filter(velocityExceeds(maxKmPerSecond, minDistanceKm))
+          .withColumn("subcategory", lit("velocity"))
+      case Some(kms) =>
+        lagged
+          .withColumn("subcategory", explode(array(
+            when(velocityExceeds(maxKmPerSecond, minDistanceKm),
+              lit("velocity")),
+            when(velocityExceeds(kms, monitorOnlyMinDistanceKm),
+              lit("velocity_monitor_only")))))
+          .filter(col("subcategory").isNotNull)
+    }
   }
 
   /** ContentServerVariance presence view: distinct source addresses
@@ -278,6 +326,32 @@ object CustomsDetectors {
         explode(array((-2 to 2).map(d => col("band0") + d): _*)).as("band"))
       .drop("band0")
     a.join(b, Seq("window_start_ms", "domain", "band"))
+  }
+
+  /** Absolute-edit-distance variant of [[pairCandidates]], shared by
+    * the simple pipeline's distributed-creation branch: lev(localA,
+    * localB) ≤ d forces |lenA − lenB| ≤ d, so FIXED-width length
+    * bands of width d+1 put any qualifying pair within one band of
+    * each other; the probe side emits ±1 neighbor bands (distinct
+    * values, so each candidate pair appears exactly once) and the
+    * exact levenshtein filter downstream is unchanged. The equi-join
+    * key is (domain, band) — a hot consumer domain's candidate count
+    * drops from |group|² to Σ per-band |a-band|·|b-band±1|, the same
+    * blocking soundness argument as the ratio kernel with the
+    * simpler width-(d+1) band in place of the geometric one.
+    * Input columns: (domain, email, src, local). */
+  private[graft] def pairCandidatesAbsolute(creations: DataFrame,
+      maxDist: Long): DataFrame = {
+    val w = maxDist + 1
+    def bandOf(len: Column): Column = floor(len / w).cast("int")
+    val a = creations.toDF("domain", "email", "src", "local")
+      .withColumn("band", bandOf(length(col("local"))))
+    val b = creations.toDF("domain", "email_b", "src_b", "local_b")
+      .withColumn("band0", bandOf(length(col("local_b"))))
+      .select(col("domain"), col("email_b"), col("src_b"), col("local_b"),
+        explode(array((-1 to 1).map(d => col("band0") + d): _*)).as("band"))
+      .drop("band0")
+    a.join(b, Seq("domain", "band"))
   }
 
   /** Heuristic one-liners attached to fanned-out customs alerts

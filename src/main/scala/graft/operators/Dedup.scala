@@ -459,9 +459,24 @@ object Dedup {
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
         edges.join(next, Seq("u", "v"), "left_anti").isEmpty
       fp = nfp
+      // the probe above was the last reader of the prior round's
+      // checkpointed edges — release it, or every intermediate edge
+      // set stays cached for the life of the job (O(log n) rounds,
+      // but unbounded aggregate bytes at corpus scale)
+      edges.unpersist()
       edges = next
       iter += 1
     }
+    // Labels derived from a NON-star edge set are silently wrong —
+    // the same failure mode the propagation form throws on. The star
+    // fixed point is reached in O(log n) rounds, so hitting the
+    // budget means the budget is too small for the graph, not that
+    // the answer is approximately right.
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not reach the star fixed point in " +
+          s"$maxIter rounds; raise maxIter (rounds needed grow " +
+          "O(log n) in the component size)")
     // star state: children point at the component minimum; centers
     // appear only on the parent side and label themselves
     val labels = edges

@@ -58,9 +58,12 @@ object CorrelationPipeline {
 
   /** Full PostProcessing watchlist analysis (ref s/postprocessing/
     * PostProcessing.java:260-374): scan every incoming alert's
-    * email-kind metadata keys (list-valued — split on "," and
-    * trimmed, AlertMeta.java:24) and ip-kind keys against the
-    * watchlist; each (alert, matched key occurrence) emits one
+    * email-kind metadata keys and ip-kind keys against the watchlist;
+    * only EMAIL is declared ValueType.LIST (AlertMeta.java:134), so
+    * only that key's value splits on "," (trimmed); USERNAME and
+    * IDENTITY_KEY make splitListValues throw and the reference falls
+    * back to whole-value matching (PostProcessing.java:278-288).
+    * Each (alert, matched key occurrence) emits one
     * escalation alert carrying the watchlist entry's severity,
     * created-by, and the matched key/value, plus a direct-email route
     * chosen by severity.
@@ -75,8 +78,11 @@ object CorrelationPipeline {
       warningEmail: String, criticalEmail: String): DataFrame = {
     val kd =
       WatchlistEmailKeys.map { k =>
-        struct(lit(k).as("key"),
-          split(element_at(col("fields"), s"meta_$k"), ",").as("vals"),
+        val vals =
+          if (k == "email")
+            split(element_at(col("fields"), s"meta_$k"), ",")
+          else array(element_at(col("fields"), s"meta_$k"))
+        struct(lit(k).as("key"), vals.as("vals"),
           lit("email").as("kind"))
       } ++ WatchlistIpKeys.map { k =>
         struct(lit(k).as("key"),

@@ -111,19 +111,22 @@ object CustomsPipeline {
 
     // distributed creation: similar emails (edit distance on the local
     // part) created from >= distMinSources distinct sources within a
-    // domain — pair join bounded by the domain group
+    // domain. The pair join goes through the shared length-band
+    // kernel (CustomsDetectors.pairCandidatesAbsolute) — the plain
+    // (domain)-keyed self-join is quadratic on a hot consumer domain
+    // at corpus scale; banding on floor(len/(d+1)) bounds candidates
+    // while provably keeping every pair within edit distance d
     val creations = fxa.filter(col("action") === "accountCreate")
-      .select(col("domain"), col("norm_email"), col("src"))
+      .select(col("domain"), col("norm_email").as("email"), col("src"),
+        substring_index(col("norm_email"), "@", 1).as("local"))
       .dropDuplicates()
-    val a = creations.toDF("domain", "email_a", "src_a")
-    val b = creations.toDF("domain", "email_b", "src_b")
-    val dist = a.join(b, Seq("domain"))
-      .filter(col("email_a") < col("email_b") &&
-        col("src_a") =!= col("src_b") &&
-        levenshtein(substring_index(col("email_a"), "@", 1),
-          substring_index(col("email_b"), "@", 1)) <= cfg.distMaxEditDistance)
+    val dist = graft.operators.CustomsDetectors
+      .pairCandidatesAbsolute(creations, cfg.distMaxEditDistance)
+      .filter(col("email") < col("email_b") &&
+        col("src") =!= col("src_b") &&
+        levenshtein(col("local"), col("local_b")) <= cfg.distMaxEditDistance)
       // count sources across BOTH sides of the similar pairs
-      .select(col("domain"), explode(array(col("src_a"), col("src_b"))).as("s"))
+      .select(col("domain"), explode(array(col("src"), col("src_b"))).as("s"))
       .groupBy(col("domain").as("key"))
       .agg(countDistinct(col("s")).as("n"))
       .filter(col("n") >= cfg.distMinSources)
@@ -235,25 +238,22 @@ object CustomsPipeline {
       case None => None
       case Some(_) =>
         val logins = fxa.filter(col("summary") === "loginSuccess")
-        val escalated = alert(CustomsDetectors.velocity(logins,
+        // escalated + experimental lower-bar alerts from ONE
+        // dedup+lag state pass — the reference runs both threshold
+        // checks over a single state read (CustomsVelocity.java:
+        // 281-320), so the plan sorts the login stream once, not
+        // once per bar; an event exceeding both bars emits both
+        Some(CustomsDetectors.velocityDual(logins,
             col("timestamp"), col("id"), col("uid"), col("email"),
             col("src"), col("lat"), col("lon"),
-            cfg.velocityMaxKmPerSecond, cfg.velocityMinDistanceKm),
-          "velocity", "uid", col("uid"), col("km_centi"), col("ts_ms"))
-        // the experimental lower-bar pass over the SAME state: an
-        // event exceeding both bars emits both alerts (ref
-        // CustomsVelocity.java:281-320 runs the monitor-only check
-        // unconditionally after the escalated one)
-        val monitorOnly = cfg.velocityMonitorOnlyMaxKmPerSecond match {
-          case None => None
-          case Some(kms) => Some(alert(CustomsDetectors.velocity(logins,
-              col("timestamp"), col("id"), col("uid"), col("email"),
-              col("src"), col("lat"), col("lon"),
-              kms, cfg.velocityMonitorOnlyMinDistanceKm),
-            "velocity_monitor_only", "uid", col("uid"), col("km_centi"),
-            col("ts_ms")))
-        }
-        Some(monitorOnly.fold(escalated)(escalated.unionByName(_)))
+            cfg.velocityMaxKmPerSecond, cfg.velocityMinDistanceKm,
+            cfg.velocityMonitorOnlyMaxKmPerSecond,
+            cfg.velocityMonitorOnlyMinDistanceKm)
+          .select(lit("customs").as("category"), col("subcategory"),
+            lit("warn").as("severity"), lit("uid").as("key_kind"),
+            col("uid").cast("string").as("key"),
+            col("km_centi").cast("long").as("count"),
+            col("ts_ms").cast("long").as("window_start_ms")))
     }
 
     val base = enumeration.unionByName(srcFailDist).unionByName(summary)

@@ -195,5 +195,13 @@ class DedupSpec extends AnyFunSuite {
       Dedup.connectedComponents(path, col("doc_a"), col("doc_b")).count()
     }
     assert(e.getMessage.contains("connectedComponentsStars"))
+    // the star form holds itself to the same contract: labels derived
+    // from a non-star edge set are wrong, so an exhausted budget must
+    // throw, not return
+    val e2 = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStars(path, col("doc_a"), col("doc_b"),
+        maxIter = 1)
+    }
+    assert(e2.getMessage.contains("star fixed point"))
   }
 }

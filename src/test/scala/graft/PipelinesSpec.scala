@@ -101,4 +101,32 @@ class PipelinesSpec extends AnyFunSuite {
     assert(alerts(0).getAs[String]("identity") == "acct-alice")
     assert(alerts(0).getAs[Long]("speed_kmh") > 800)
   }
+
+  test("watchlist scan: only the EMAIL key is list-valued — a comma in username/identity_key matches whole, never piecewise (ref AlertMeta.java:134, PostProcessing.java:278-288)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // username carries a comma: the reference's splitListValues throws
+    // for non-LIST keys and PostProcessing falls back to the whole value
+    val alerts = Seq(
+      ("a1", "x@e.com, y@e.com", "alpha,beta"),
+      ("a2", "z@e.com", "alpha")).toDF("id", "email", "user")
+      .select(map(
+        lit("alert_id"), col("id"),
+        lit("meta_email"), col("email"),
+        lit("meta_username"), col("user")).as("fields"))
+    val wl = Seq(
+      ("email", "alpha,beta", "warn", "ops"),   // whole comma value
+      ("email", "alpha", "warn", "ops"),        // piece — must NOT match a1's username
+      ("email", "y@e.com", "warn", "ops"))      // list piece of the EMAIL key
+      .toDF("kind", "object", "severity", "created_by")
+    val out = pipelines.CorrelationPipeline.watchlistAnalyze(
+      alerts, wl, "w@e.com", "c@e.com").collect()
+    val hits = out.map(r => (r.getAs[String]("source_alert"),
+      r.getAs[String]("matched_metadata_key"),
+      r.getAs[String]("matched_metadata_value"))).toSet
+    assert(hits == Set(
+      ("a1", "username", "alpha,beta"), // whole-value match
+      ("a1", "email", "y@e.com"),       // EMAIL splits on ","
+      ("a2", "username", "alpha")))     // plain single value still matches
+  }
 }

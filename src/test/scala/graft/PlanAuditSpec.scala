@@ -225,4 +225,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(generates == 1, s"expected one Generate:\n$p")
     assert(!p.contains("Union"), s"per-matcher scan union crept in:\n$p")
   }
+
+  test("dual-bar velocity: escalated + monitor-only share ONE dedup+lag pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val logins = Seq(
+      ("u1", 1700000000L, 1L, "a@x.com", "1.1.1.1", 51.5, -0.1),
+      ("u1", 1700000060L, 2L, "a@x.com", "2.2.2.2", -33.9, 151.2))
+      .toDF("uid", "t", "seq", "email", "addr", "lat", "lon")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val dual = graft.operators.CustomsDetectors.velocityDual(logins,
+      col("ts"), col("seq"), col("uid"), col("email"), col("addr"),
+      col("lat"), col("lon"), 0.25, 100, Some(0.05), 100)
+    val p = plan(dual)
+    // one row_number dedup window + one lag window — the second
+    // threshold bar must NOT re-sort the login stream (the reference
+    // runs both checks over one state read, CustomsVelocity.java:
+    // 281-320); the two-call form had four Window nodes
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2, s"expected 2 Window passes, got $windows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("customs distributed creation: the pair join is banded, never domain-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the email-domain key is the canonical hot key at corpus scale
+    // (one consumer domain can hold most creations); the pair join
+    // must carry the length band in its equi-join key so a hot
+    // domain's candidates stay Σ per-band products, not |group|²
+    val lines = (0 until 8).map(i =>
+      s"""{"Timestamp":1700000000000000000,"Type":"fxa-auth","Hostname":"h","Fields":{"email":"bot$i@spam.net","action":"accountCreate","status":"200","path":"/v1/x","sourceaddress":"7.7.7.$i"}}""")
+      .toDS()
+    val df = graft.pipelines.CustomsPipeline.analyze(lines)
+    val joined = df.queryExecution.optimizedPlan.toString
+    assert(joined.contains("band"),
+      s"distributed-creation join lost its band column:\n$joined")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // and the banded path is output-identical to the unbanded join
+    val out = df.collect().filter(
+      _.getAs[String]("subcategory") == "account_creation_abuse_distributed")
+    assert(out.map(_.getAs[String]("key")).toSet == Set("spam.net"))
+    assert(out.head.getAs[Long]("count") == 8)
+  }
 }
