@@ -248,12 +248,19 @@ object HttpRequestPipeline {
     * dropped, the streaming twin of the reference's
     * `withAllowedLateness(ZERO)`.
     *
-    * Threshold analysis (global per-window mean side input) and
-    * session limits keep their own streaming twins
-    * ([[graft.streaming.Streaming.thresholdStream]] /
-    * [[graft.streaming.Streaming.sessionSummary]]) — the mean join
-    * needs a foreachBatch epilogue that cannot union into this
-    * append-mode query. */
+    * Session limits ride this SAME query as a third stateful branch
+    * (a `session_window` aggregate unioned with the time-window
+    * aggregate — Spark 4 runs the two state stores side by side in
+    * one append query); one alert per offending session, where the
+    * batch form reports one row per key with its max session (the
+    * difference only shows when a key offends in two separate
+    * sessions of one run). Threshold analysis (global per-window mean
+    * side input) is the ONE heuristic that stays a sibling query —
+    * [[thresholdAlertStream]] — because the mean join needs a
+    * foreachBatch epilogue at window finalization that cannot union
+    * into an append-mode branch. Run both over the same multiplexed
+    * input for the reference's full per-resource fan-out
+    * (HTTPRequest.java:182-385). */
   def analyzeStreamFull(lines: Dataset[String], cfg: Config = Config(),
       watermarkDelay: String = "30 seconds"): DataFrame = {
     val spark = lines.sparkSession
@@ -291,6 +298,25 @@ object HttpRequestPipeline {
       "hard_limit", col("n"))
     val errors = alertRows(col("errors") > cfg.errorMaxCount,
       "error_rate", col("errors"))
+    // session-limit branch: its own keyed session_window state over
+    // the same parsed stream; a session emits once the watermark
+    // passes its gap (final pane), mirroring the batch
+    // Sessionize.sessionLimit >= bound
+    val sessions = parsed
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(session_window(col("timestamp"),
+          s"${cfg.sessionGapSeconds} seconds"),
+        col("normalized.sourceAddress").as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= cfg.maxSessionEvents)
+      .select(
+        lit("session_limit_exceeded").as("summary"),
+        lit("httprequest").as("category"),
+        lit("session_limit").as("subcategory"),
+        lit("critical").as("severity"),
+        col("key").as("sourceaddress"),
+        col("n_events").cast("long").as("count"),
+        lit(null).cast("long").as("window_start_ms"))
     // second branch over the same source: the cfgtick fast-keyword
     // pushdown prunes non-tick lines before this branch's parse, so
     // the double scan costs one substring probe per line, not two
@@ -306,6 +332,53 @@ object HttpRequestPipeline {
         lit(null).cast("string").as("sourceaddress"),
         lit(null).cast("long").as("count"),
         lit(null).cast("long").as("window_start_ms"))
-    hard.unionByName(errors).unionByName(ticks)
+    hard.unionByName(errors).unionByName(sessions).unionByName(ticks)
+  }
+
+  /** The threshold branch of the streaming fan-out, NAT-gated like
+    * the batch form (ThresholdAnalysis consumes the DetectNat view):
+    * ONE stateful aggregate carries the per-(window, client) count
+    * AND the distinct-UA NAT signal; when the watermark finalizes a
+    * window, every key of that window lands in the same micro-batch,
+    * so the global per-window mean, the threshold compare, and the
+    * NAT suppression run as a plain batch join inside foreachBatch
+    * (see [[graft.streaming.Streaming.thresholdStream]] for why a
+    * chained agg→agg formulation silently drops the finalized rows).
+    * `onAlerts` receives alert rows in the [[analyze]] schema. Start
+    * this alongside [[analyzeStreamFull]] over the same lines for
+    * the full per-resource fan-out. */
+  def thresholdAlertStream(lines: Dataset[String], cfg: Config = Config(),
+      watermarkDelay: String = "30 seconds")(onAlerts: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val perClient = parsedHttp(lines)
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), cfg.window),
+        col("normalized.sourceAddress").as("key"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("normalized.userAgent"), 0.01)
+          .as("n_ua"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("key"), col("n"), col("n_ua"))
+    perClient.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val mean = b.groupBy(col("window_start_ms"))
+          .agg(avg(col("n")).as("mean_n"))
+        val natFlag = col("n_ua") >= cfg.natMinDistinctUserAgents ||
+          (if (cfg.knownGateways.isEmpty) lit(false)
+           else col("key").isin(cfg.knownGateways: _*))
+        onAlerts(b.join(broadcast(mean), Seq("window_start_ms"))
+          .filter(col("n") >= col("mean_n") * cfg.thresholdModifier &&
+            !natFlag)
+          .select(
+            lit("threshold_exceeded").as("summary"),
+            lit("httprequest").as("category"),
+            lit("threshold").as("subcategory"),
+            lit("warn").as("severity"),
+            col("key").as("sourceaddress"),
+            col("n").cast("long").as("count"),
+            col("window_start_ms")))
+      }
   }
 }

@@ -668,39 +668,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("continuous httprequest pipeline e2e: multiplexed stream + cfgtick + NAT-gated hard limit + error rate over 3 micro-batches equals the batch pipeline; a late event is dropped by the watermark") {
+  test("continuous httprequest pipeline e2e: the full per-resource fan-out — NAT-gated hard limit + error rate + session limit + cfgtick in ONE query, threshold as the sibling mean-join stream — equals the batch pipeline; a late event is dropped by the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.pipelines.HttpRequestPipeline
     val cfg = HttpRequestPipeline.Config(hardLimit = 11,
-      errorMaxCount = 5, natMinDistinctUserAgents = 4)
+      errorMaxCount = 5, natMinDistinctUserAgents = 4,
+      sessionGapSeconds = 60, maxSessionEvents = 20)
 
     def glb(ip: String, status: Int, ua: String, t: String) =
       s"""{"httpRequest":{"requestMethod":"GET","requestUrl":"https://h/x","status":$status,"remoteIp":"$ip","userAgent":"$ua"},"timestamp":"$t","logName":"projects/p/logs/l"}"""
     val tick = HttpRequestPipeline.configTickPayload(cfg)
 
     // minute 0: attacker over the hard limit, a NAT gateway with the
-    // same volume across 5 agents, an errorer, and a sneaky client at
-    // EXACTLY the limit (its 12th request arrives late, below)
+    // same volume across 5 agents, an errorer, a sneaky client at
+    // EXACTLY the limit (its 12th request arrives late, below), and a
+    // slow-burn client whose per-minute volume stays under every rate
+    // bar but whose SESSION (60s gaps) accumulates over the limit
     val batch1: Seq[String] =
       (0 until 12).map(i => glb("1.1.1.1", 200, "ua", f"2024-01-01T00:00:$i%02dZ")) ++
       (0 until 12).map(i => glb("2.2.2.2", 200, s"ua${i % 5}", f"2024-01-01T00:00:$i%02dZ")) ++
       (0 until 6).map(i => glb("3.3.3.3", 404, "ua", f"2024-01-01T00:00:$i%02dZ")) ++
-      (0 until 11).map(i => glb("5.5.5.5", 200, "ua", f"2024-01-01T00:00:$i%02dZ")) :+
+      (0 until 11).map(i => glb("5.5.5.5", 200, "ua", f"2024-01-01T00:00:$i%02dZ")) ++
+      (0 until 8).map(i => glb("8.8.8.8", 200, "ua", f"2024-01-01T00:00:${i * 7}%02dZ")) :+
       tick
-    // minute 2: quiet traffic whose event time moves the watermark to
-    // 00:01:32 — past the end of the minute-0 window, so that
-    // window's state finalizes and emits in this micro-batch
+    // minute 1: a burst client far over the per-window mean (threshold
+    // AND hard limit), the NAT gateway at the same volume (suppressed
+    // from both rate alerts but NOT from the session limit), quiet
+    // background keys shaping the mean, slow-burn continues
     val batch2: Seq[String] =
-      (0 until 3).map(i => glb("4.4.4.4", 200, "ua", f"2024-01-01T00:02:$i%02dZ")) :+
+      (0 until 30).map(i => glb("7.7.7.7", 200, "ua", f"2024-01-01T00:01:${i * 2}%02dZ")) ++
+      (0 until 30).map(i => glb("2.2.2.2", 200, s"ua${i % 5}", f"2024-01-01T00:01:${i * 2}%02dZ")) ++
+      (0 until 8).map(i => glb("8.8.8.8", 200, "ua", f"2024-01-01T00:01:${i * 7}%02dZ")) ++
+      Seq("10.0.0.1", "10.0.0.2", "10.0.0.3").flatMap(ip =>
+        (0 until 3).map(i => glb(ip, 200, "ua", f"2024-01-01T00:01:$i%02dZ"))) :+
+      tick
+    // minute 2: quiet traffic; slow-burn's last events. The max event
+    // time moves the watermark past the minute-0 and minute-1 windows
+    val batch3: Seq[String] =
+      (0 until 3).map(i => glb("4.4.4.4", 200, "ua", f"2024-01-01T00:02:$i%02dZ")) ++
+      (0 until 8).map(i => glb("8.8.8.8", 200, "ua", f"2024-01-01T00:02:${i * 7}%02dZ")) :+
       tick
     // the late minute-0 request for 5.5.5.5 would lift it over the
     // hard limit, but its window is already behind the watermark
     val lateLine = glb("5.5.5.5", 200, "ua", "2024-01-01T00:00:30Z")
-    val batch3: Seq[String] =
+    val batch4: Seq[String] =
       Seq(lateLine, tick) ++
-      // minute 4 pushes the watermark past every open window so the
-      // final micro-batch flushes the minute-2 state too
+      // minute 4 pushes the watermark past every open window AND past
+      // every closed session's gap so the final micro-batch flushes them
       Seq(glb("6.6.6.6", 200, "ua", "2024-01-01T00:04:30Z"))
 
     // the multiplexed input: (resource, line) pairs, one monitored
@@ -713,36 +728,63 @@ class StreamingSpec extends AnyFunSuite {
       watermarkDelay = "30 seconds")
     val q = alerts.writeStream.format("memory").queryName("httpe2e")
       .outputMode(OutputMode.Append()).start()
+    // the threshold sibling over the SAME multiplexed input (ref
+    // HTTPRequest.java:182-385 — all heuristic subgraphs off one
+    // per-resource parse)
+    val thresholdRows =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    val tq = HttpRequestPipeline.thresholdAlertStream(testLines, cfg,
+        watermarkDelay = "30 seconds") { df =>
+      val rows = df.select(col("subcategory"), col("sourceaddress"),
+          col("count"), coalesce(col("window_start_ms"), lit(-1L)))
+        .as[(String, String, Long, Long)].collect()
+      thresholdRows.synchronized { thresholdRows ++= rows }
+    }.start()
     try {
-      Seq(batch1, batch2, batch3).foreach { b =>
+      Seq(batch1, batch2, batch3, batch4).foreach { b =>
         in.addData(b.map(l => ("test", l)) :+ (("other", glb("9.9.9.9", 200, "ua", "2024-01-01T00:00:00Z"))): _*)
         q.processAllAvailable()
+        tq.processAllAvailable()
       }
       val got = spark.table("httpe2e")
-      val gotAlerts = got.filter(col("subcategory") =!= "cfgtick")
+      val composedAlerts = got.filter(col("subcategory") =!= "cfgtick")
         .select(col("subcategory"), col("sourceaddress"), col("count"),
-          col("window_start_ms"))
+          coalesce(col("window_start_ms"), lit(-1L)))
         .as[(String, String, Long, Long)].collect().toSet
+      val gotAlerts = composedAlerts ++
+        thresholdRows.synchronized(thresholdRows.toSet)
 
       // equivalence: the batch pipeline over the lines the stream
-      // actually accepted (everything but the late row), restricted to
-      // the heuristics this query composes
-      val accepted = (batch1 ++ batch2 ++ batch3).filterNot(_ == lateLine)
+      // actually accepted (everything but the late row), across ALL
+      // FOUR heuristics of the fan-out
+      val accepted =
+        (batch1 ++ batch2 ++ batch3 ++ batch4).filterNot(_ == lateLine)
       val batchAlerts = HttpRequestPipeline.analyze(accepted.toDS(), cfg)
-        .filter(col("subcategory").isin("hard_limit", "error_rate"))
         .select(col("subcategory"), col("sourceaddress"), col("count"),
-          col("window_start_ms"))
+          coalesce(col("window_start_ms"), lit(-1L)))
         .as[(String, String, Long, Long)].collect().toSet
       assert(gotAlerts == batchAlerts)
-      // the specific shape: attacker hard limit + errorer; the NAT
-      // gateway and the at-the-limit sneaky client stay silent
-      assert(gotAlerts.map(t => (t._1, t._2)) ==
-        Set(("hard_limit", "1.1.1.1"), ("error_rate", "3.3.3.3")))
+      // the specific shape: the attacker and the burst client trip the
+      // hard limit; the burst client alone trips threshold; the
+      // errorer trips error rate; the slow-burn client (24 events, no
+      // single minute over any rate bar), the burst client and the NAT
+      // gateway (42 events — NAT suppresses rate alerts, not session
+      // limits) trip the session limit; the at-the-limit sneaky client
+      // stays silent everywhere
+      assert(gotAlerts.map(t => (t._1, t._2)) == Set(
+        ("hard_limit", "1.1.1.1"), ("hard_limit", "7.7.7.7"),
+        ("threshold", "7.7.7.7"),
+        ("error_rate", "3.3.3.3"),
+        ("session_limit", "8.8.8.8"), ("session_limit", "7.7.7.7"),
+        ("session_limit", "2.2.2.2")))
+      assert(gotAlerts.collect {
+        case ("session_limit", ip, n, _) => (ip, n) }.toSet ==
+        Set(("8.8.8.8", 24L), ("7.7.7.7", 30L), ("2.2.2.2", 42L)))
 
       // the late event was dropped: batch over ALL lines (late row
       // included) WOULD alert 5.5.5.5, the stream does not
       val withLate = HttpRequestPipeline.analyze(
-          (batch1 ++ batch2 ++ batch3).toDS(), cfg)
+          (batch1 ++ batch2 ++ batch3 ++ batch4).toDS(), cfg)
         .filter(col("subcategory") === "hard_limit")
         .select(col("sourceaddress")).as[String].collect().toSet
       assert(withLate.contains("5.5.5.5"))
@@ -753,11 +795,11 @@ class StreamingSpec extends AnyFunSuite {
       val ticks = got.filter(col("subcategory") === "cfgtick")
         .select(col("summary"), col("category")).as[(String, String)]
         .collect()
-      assert(ticks.length == 3)
+      assert(ticks.length == 4)
       assert(ticks.forall(_._2 == "httprequest-cfgtick"))
       assert(ticks.forall(_._1.contains("heuristic_HardLimitAnalysis")))
       // the other resource's traffic never leaked into this branch
       assert(!gotAlerts.exists(_._2 == "9.9.9.9"))
-    } finally q.stop()
+    } finally { q.stop(); tq.stop() }
   }
 }
