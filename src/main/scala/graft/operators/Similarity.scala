@@ -254,25 +254,15 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, id: Column, vec: Column,
       minCosine: Double, planes: Int = DefaultPlanes, dims: Int = 64,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val q = quantized(emb, id, vec)
-      .withColumn("bucket", bucketCol(col("qv"), planes, dims))
-    // StorageLevel.NONE = recompute both join sides (the right call at
-    // corpus scale, and the escape hatch for repeated bench runs that
-    // would otherwise accumulate leaked cached frames)
-    val base =
-      if (storage == org.apache.spark.storage.StorageLevel.NONE) q
-      else q.persist(storage)
-    val x = base.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("qv").as("qv_a"), col("nrm").as("nrm_a"))
-    val y = base.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("qv").as("qv_b"), col("nrm").as("nrm_b"))
-    x.join(y, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        cosine(dotQ(col("qv_a"), col("qv_b")), col("nrm_a"), col("nrm_b")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
-  }
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    // ONE code path for single- and multi-set near-dup: planeSets = 1
+    // uses the identical salt-"" plane set this form always used, and
+    // inherits the thinned kernel — the bucket self-join and pair
+    // dedup move bare id pairs, with vectors re-joined from the
+    // persisted base only for unique pairs (the multi-set scaladoc
+    // has the exchange-width argument)
+    cosineNearDupPairsMulti(emb, id, vec, minCosine, planeSets = 1,
+      planes = planes, dims = dims, storage = storage)
 
   /** Per-query top-k rank — the DEFAULT path is the bounded
     * [[graft.functions.TopKAggregator]]: partial aggregation keeps at

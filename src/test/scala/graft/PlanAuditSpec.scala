@@ -142,10 +142,10 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-plane near-dup: candidate join and pair-dedup exchanges carry no vectors") {
+  private def assertThinCandidateExchanges(queryName: String): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
-    val df = SparkEntry.queries("q70_embedding_neardup_multi")(spark, sf)
+    val df = SparkEntry.queries(queryName)(spark, sf)
     // exchanges are inserted by EnsureRequirements: read the prepared
     // plan, unwrapping the AQE root to its current physical plan
     val root = df.queryExecution.executedPlan match {
@@ -181,6 +181,14 @@ class PlanAuditSpec extends AnyFunSuite {
       keys == Set("vec_a", "vec_b") &&
         !e.output.exists(_.dataType.isInstanceOf[ArrayType])
     }, s"no thin (vec_a, vec_b) dedup exchange found:\n${shuffles.mkString("\n")}")
+  }
+
+  test("multi-plane near-dup: candidate join and pair-dedup exchanges carry no vectors") {
+    assertThinCandidateExchanges("q70_embedding_neardup_multi")
+  }
+
+  test("single-set near-dup rides the same thinned kernel (planeSets = 1)") {
+    assertThinCandidateExchanges("q62_embedding_neardup")
   }
 
   test("watchlist scan: watchlist broadcast, alerts never sort-merge-shuffled") {
