@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * partition, no per-row driver interaction, schema declared up
   * front).
   *
-  * DECODE STATUS: images and PCM audio are REALLY decoded in pure
+  * DECODE STATUS: images and audio are REALLY decoded in pure
   * JVM — uncompressed BMP, binary PPM and PCM WAV via hand parsers
   * (`decodeMedia`: header parse + content statistics from the actual
-  * payload bytes), and JPEG/PNG/GIF via the JDK's own
-  * `javax.imageio` readers (headless-safe, zero native
-  * dependencies). Only codecs the JDK genuinely lacks (video,
-  * compressed audio: H.264/MP3/...) fall back to `decodeStub` —
+  * payload bytes), JPEG/PNG/GIF via the JDK's own `javax.imageio`
+  * readers (headless-safe, zero native dependencies), and COMPRESSED
+  * audio via [[FlacCodec]] — a full FLAC bitstream decoder (rice
+  * residuals, fixed + LPC predictors, stereo decorrelation, CRC
+  * verification; public format, RFC 9639). Only codecs the JVM
+  * genuinely lacks (video, lossy audio: H.264/MP3/...) fall back to
+  * `decodeStub` —
   * deterministic fake features from the payload md5, clearly flagged
   * `decoded=false`. The schema, partitioning, batch iteration and
   * column plumbing are identical on both paths: swap the stub for a
@@ -273,6 +276,11 @@ object Multimodal {
             case "wav" => decodeWav(m.bytes).map { case (c, rate, ns, mean) =>
               MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns, mean,
                 decoded = true)
+            }
+            case "flac" => FlacCodec.decode(m.bytes).map {
+              case (c, rate, ns, mean) =>
+                MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns, mean,
+                  decoded = true)
             }
             case "jpg" | "jpeg" | "png" | "gif" =>
               decodeImageIO(m.bytes).map { case (w, h, c, mean) =>
