@@ -203,6 +203,34 @@ object CustomsDetectors {
       .filter(col("src").isNotNull && col("email").isNotNull)
       .join(broadcast(monitoredAddrs.toDF("src")), Seq("src"), "left_semi")
 
+  /** CustomsLoginFailureForAtRiskAccount (ref s/customs/
+    * CustomsLoginFailureForAtRiskAccount.java:63-150): login failures
+    * for accounts the status comparator previously flagged as at
+    * risk. The reference's Datastore state read (ScannedByEntry keyed
+    * by email, written by CustomsStatusComparator.java:155-166)
+    * becomes a per-email aggregate of the comparator's hit set —
+    * earliest flag timestamp, since "a state entry exists when the
+    * failure is scanned" is exactly `fail_ts >= min(flag_ts)` under
+    * the ordered-scan semantics the streaming twin
+    * (`Streaming.atRiskAccounts`) applies per key. The flagged side
+    * is bounded by activity from the monitored address list, so it
+    * broadcasts; the failure stream is never shuffled.
+    *
+    * `flagged` is the [[statusComparator]] output (ts_ms, src,
+    * email). Output: one row per qualifying failure
+    * (ts_ms, email, src). */
+  def loginFailureAtRiskAccount(fails: DataFrame, ts: Column,
+      email: Column, addr: Column, flagged: DataFrame): DataFrame = {
+    val f = flagged.groupBy(col("email"))
+      .agg(min(col("ts_ms")).as("flag_ms"))
+    fails.select(unix_millis(ts).as("ts_ms"), email.as("email"),
+        addr.as("src"))
+      .filter(col("email").isNotNull && col("src").isNotNull)
+      .join(broadcast(f), Seq("email"))
+      .filter(col("ts_ms") >= col("flag_ms"))
+      .drop("flag_ms")
+  }
+
   /** CustomsActivityForMonitoredAccounts: login activity for accounts
     * on a (small, broadcast) monitored-account list. */
   def monitoredActivity(df: DataFrame, ts: Column, email: Column,

@@ -221,11 +221,23 @@ object CustomsPipeline {
         "15 minutes"),
       "summary", "class", col("class"), col("n"), col("window_start_ms"))
 
-    val comparator = alert(CustomsDetectors.statusComparator(
-        fxa.filter(col("summary") === "accountStatusCheckSuccess"),
-        col("timestamp"), col("src"), col("email"),
-        spark.createDataset(cfg.monitoredAddrs)),
+    // the comparator's hit set doubles as the at-risk account state
+    // that CustomsLoginFailureForAtRiskAccount reads (ref
+    // CustomsStatusComparator.java:155-166 writes the Datastore entry
+    // the lfara transform looks up) — compute it once, alert on it,
+    // and feed it to the login-failure join
+    val comparatorHits = CustomsDetectors.statusComparator(
+      fxa.filter(col("summary") === "accountStatusCheckSuccess"),
+      col("timestamp"), col("src"), col("email"),
+      spark.createDataset(cfg.monitoredAddrs))
+    val comparator = alert(comparatorHits,
       "status_comparator", "sourceaddress", col("src"), lit(1),
+      col("ts_ms"))
+
+    val atRisk = alert(CustomsDetectors.loginFailureAtRiskAccount(
+        fxa.filter(col("summary") === "loginFailure"),
+        col("timestamp"), col("email"), col("src"), comparatorHits),
+      "login_failure_at_risk_account", "email", col("email"), lit(1),
       col("ts_ms"))
 
     val monitored = alert(CustomsDetectors.monitoredActivity(
@@ -257,7 +269,7 @@ object CustomsPipeline {
     }
 
     val base = enumeration.unionByName(srcFailDist).unionByName(summary)
-      .unionByName(comparator).unionByName(monitored)
+      .unionByName(comparator).unionByName(atRisk).unionByName(monitored)
     velocity.fold(base)(base.unionByName(_))
   }
 }

@@ -100,6 +100,52 @@ class FullPipelineSpec extends AnyFunSuite {
     assert(mon == Set("u1", "u2"))
   }
 
+  test("customs at-risk chain: comparator flag then later login failure " +
+      "alerts (ref CustomsLoginFailureForAtRiskAccount.java:63-150), " +
+      "batch equals streaming kernel") {
+    import spark.implicits._
+    val t = 1700000000L
+    val lines = Seq(
+      // failure BEFORE the flag: no state entry yet, no alert
+      authLine(t - 100, "/v1/account/login", "post", 400, "flagged@x.com",
+        "u1", "1.2.3.4", errno = 103),
+      // the comparator flag: status check from the monitored address
+      authLine(t, "/v1/account/status", "post", 200, "flagged@x.com",
+        "u1", "4.4.4.4"),
+      // failures AFTER the flag: one at-risk alert each
+      authLine(t + 100, "/v1/account/login", "post", 400, "flagged@x.com",
+        "u1", "1.2.3.5", errno = 103),
+      authLine(t + 200, "/v1/account/login", "post", 400, "flagged@x.com",
+        "u1", "1.2.3.6", errno = 103),
+      // failure on an account the comparator never flagged: no alert
+      authLine(t + 100, "/v1/account/login", "post", 400, "other@x.com",
+        "u2", "1.2.3.7", errno = 103)
+    ).toDS()
+    val alerts = CustomsPipeline.analyzeFull(lines,
+      CustomsPipeline.FullConfig(monitoredAddrs = Seq("4.4.4.4"))).collect()
+    assert(alerts.filter(_.getAs[String]("subcategory") ==
+      "status_comparator").map(_.getAs[String]("key")).toSet == Set("4.4.4.4"))
+    val atRisk = alerts.filter(_.getAs[String]("subcategory") ==
+      "login_failure_at_risk_account")
+    assert(atRisk.map(_.getAs[String]("key")).toSet == Set("flagged@x.com"))
+    assert(atRisk.map(_.getAs[Long]("window_start_ms")).toSet ==
+      Set((t + 100) * 1000L, (t + 200) * 1000L))
+    // the streaming at-risk kernel over the equivalent flag/fail event
+    // stream emits the same (account, ts) alert set
+    import graft.streaming.Streaming
+    val ev = Seq(
+      Streaming.AccountEvent("flagged@x.com", (t - 100) * 1000000L, "fail"),
+      Streaming.AccountEvent("flagged@x.com", t * 1000000L, "flag"),
+      Streaming.AccountEvent("flagged@x.com", (t + 100) * 1000000L, "fail"),
+      Streaming.AccountEvent("flagged@x.com", (t + 200) * 1000000L, "fail"),
+      Streaming.AccountEvent("other@x.com", (t + 100) * 1000000L, "fail")
+    ).toDS()
+    val streamed = Streaming.atRiskAccounts(ev).collect()
+    assert(streamed.map(a => (a.key, a.tsUs / 1000)).toSet ==
+      atRisk.map(r => (r.getAs[String]("key"),
+        r.getAs[Long]("window_start_ms"))).toSet)
+  }
+
   test("authprofile state analysis + crit objects end to end") {
     import spark.implicits._
     val t = 1700000000L
