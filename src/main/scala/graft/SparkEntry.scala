@@ -1139,6 +1139,70 @@ object SparkEntry {
       operators.Stateful.suppressSession(Tables.events(s, dir),
           col("ts"), col("user_id"), gapSeconds = 1800)
         .orderBy(col("key"), col("ts_us"))
+    }),
+
+    // §2.6 CustomsLoginFailureForAtRiskAccount: login failures for
+    // accounts the status comparator flagged as at risk (ref
+    // s/customs/CustomsLoginFailureForAtRiskAccount.java:63-150;
+    // the Datastore state CustomsStatusComparator.java:155-166
+    // writes becomes a broadcast per-email min-flag-ts aggregate)
+    "q81_at_risk_failure" -> ((s, dir) => {
+      import s.implicits._
+      import operators.CustomsDetectors
+      val monitored =
+        s.createDataset(Seq("10.9.0.1", "10.9.0.2", "10.9.0.3"))
+      val e = Tables.events(s, dir)
+        .withColumn("email", concat(lit("user"), col("user_id") % 500))
+        .withColumn("src",
+          when(col("event_type") === "click" && col("event_id") % 7 === 0,
+            concat(lit("10.9.0."), col("event_id") % 3 + 1))
+            .otherwise(concat(lit("10.0.0."), col("user_id") % 50)))
+      val flags = CustomsDetectors.statusComparator(
+        e.filter(col("event_type") === "click"),
+        col("ts"), col("src"), col("email"), monitored)
+      CustomsDetectors.loginFailureAtRiskAccount(
+          e.filter(col("event_type") === "error"),
+          col("ts"), col("email"), col("src"), flags)
+        .orderBy(col("ts_ms"), col("email"), col("src"))
+    }),
+
+    // training-data ops: PII detection + scrubbing (regex redaction
+    // pass; patterns valid in both Java regex and RE2 so the oracle
+    // engine agrees bit-for-bit)
+    "q82_pii_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("t2",
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-1234 ip 10.0."), col("doc_id") % 256,
+            lit(".7 ssn 123-45-6789")))
+          .otherwise(col("text")))
+      TextAnalysis.piiScrub(d, col("doc_id"), col("t2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: benchmark decontamination — corpus docs
+    // covering >= 50% of a (broadcast) benchmark item's 3-gram
+    // shingles; the corpus side never shuffles
+    "q83_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000).as("bid"), col("text"))
+      TextAnalysis.decontaminate(docs, col("doc_id"), col("text"),
+          bench, col("bid"), col("text"), n = 3, minOverlapFrac = 0.5)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // training-data ops: Gopher-style repetition signals (dup-line
+    // fraction + top-bigram concentration with the published gates)
+    "q84_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("t2",
+        when(col("doc_id") % 7 === 0,
+          concat_ws("\n", col("text"), col("text"), col("text")))
+          .otherwise(col("text")))
+      TextAnalysis.repetitionStats(d, col("doc_id"), col("t2"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2610,7 +2674,107 @@ object SparkEntry {
         |  FROM t)
         |SELECT key, ts_us FROM s
         |WHERE prev IS NULL OR ts_us - prev > 1800000000
-        |ORDER BY key, ts_us""".stripMargin
+        |ORDER BY key, ts_us""".stripMargin,
+
+    "q81_at_risk_failure" ->
+      """WITH ev AS (
+        |  SELECT epoch_ms(ts) AS ts_ms, event_type,
+        |    'user' || (user_id % 500) AS email,
+        |    CASE WHEN event_type = 'click' AND event_id % 7 = 0
+        |      THEN '10.9.0.' || (event_id % 3 + 1)
+        |      ELSE '10.0.0.' || (user_id % 50) END AS src
+        |  FROM events),
+        |flags AS (
+        |  SELECT email, MIN(ts_ms) AS flag_ms FROM ev
+        |  WHERE event_type = 'click'
+        |    AND src IN ('10.9.0.1', '10.9.0.2', '10.9.0.3')
+        |  GROUP BY email)
+        |SELECT e.ts_ms, e.email, e.src
+        |FROM ev e JOIN flags f USING (email)
+        |WHERE e.event_type = 'error' AND e.ts_ms >= f.flag_ms
+        |ORDER BY e.ts_ms, e.email, e.src""".stripMargin,
+
+    "q82_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+        |      doc_id || '@example.com or 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |      '-1234 ip 10.0.' || (doc_id % 256) || '.7 ssn 123-45-6789'
+        |    ELSE text END AS t2
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(regexp_extract_all(t2,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(t2,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        |    len(regexp_extract_all(t2,
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone,
+        |    len(regexp_extract_all(t2,
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IPV4]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS scrubbed
+        |  FROM d)
+        |SELECT doc_id, n_email, n_ipv4, n_phone, n_ssn, scrubbed,
+        |  n_email + n_ipv4 + n_phone + n_ssn AS n_pii,
+        |  (n_email + n_ipv4 + n_phone + n_ssn) > 0 AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q83_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |bsh AS (SELECT doc_id + 1000000 AS bench_id, s FROM sh
+        |  WHERE doc_id % 97 = 0),
+        |bn AS (SELECT bench_id, COUNT(*) AS n_bench_sh FROM bsh GROUP BY 1),
+        |ov AS (SELECT c.doc_id AS corpus_id, b.bench_id, COUNT(*) AS n_overlap
+        |  FROM sh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
+        |SELECT bench_id, corpus_id, n_overlap, n_bench_sh,
+        |  n_overlap / n_bench_sh AS overlap_frac
+        |FROM ov JOIN bn USING (bench_id)
+        |WHERE n_overlap / n_bench_sh >= 0.5
+        |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q84_repetition" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || chr(10) || text || chr(10) || text
+        |    ELSE text END AS t2
+        |  FROM documents),
+        |lstat AS (SELECT doc_id,
+        |    len(list_filter(string_split(t2, chr(10)), l -> l <> ''))
+        |      AS n_lines,
+        |    len(list_distinct(list_filter(string_split(t2, chr(10)),
+        |      l -> l <> ''))) AS n_distinct_lines
+        |  FROM d),
+        |w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(t2),' '), t -> t <> '') ws
+        |  FROM d),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-1))) i FROM w),
+        |gr AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') g FROM pos),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    MAX(c) AS top_gram_n FROM gc GROUP BY 1)
+        |SELECT l.doc_id, l.n_lines, l.n_distinct_lines,
+        |  CASE WHEN l.n_lines > 0
+        |    THEN (l.n_lines - l.n_distinct_lines) / l.n_lines
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  COALESCE(g.n_grams, 0) AS n_grams,
+        |  COALESCE(g.top_gram_n, 0) AS top_gram_n,
+        |  g.top_gram_n / g.n_grams AS top_gram_frac,
+        |  (CASE WHEN l.n_lines > 0
+        |     THEN (l.n_lines - l.n_distinct_lines) / l.n_lines
+        |     ELSE 0.0 END) <= 0.30
+        |    AND COALESCE(g.top_gram_n / g.n_grams <= 0.20, TRUE)
+        |      AS repetition_ok
+        |FROM lstat l LEFT JOIN gs g USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

@@ -82,4 +82,104 @@ object TextAnalysis {
     df.select(id.as("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(text))), " "))
         .as("fp"))
+
+  /** PII pattern registry. Every pattern is simultaneously valid Java
+    * regex AND RE2 (no lookaround, no backreferences, no possessive
+    * quantifiers), and no two patterns can match overlapping spans —
+    * so per-type counts on the original text plus sequential
+    * replacement are order-independent, and an RE2-based oracle engine
+    * agrees bit-for-bit. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  /** PII detection + scrubbing — the redaction pass a training-data
+    * pipeline runs before anything else sees the text. Per-type match
+    * counts (on the original text) and a scrubbed copy with each match
+    * replaced by its `[TYPE]` placeholder. Pure codegen'd Column ops
+    * (regexp_extract_all / regexp_replace), one narrow projection: at
+    * 100 TB this is a map-only pass fused into the parquet scan. */
+  def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+        .as(s"n_$name")
+    }
+    val scrubbed = PiiPatterns.foldLeft(text) { case (t, (name, pat)) =>
+      regexp_replace(t, pat, s"[${name.toUpperCase}]")
+    }
+    df.select((id.as("doc_id") +: counts :+ scrubbed.as("scrubbed")): _*)
+      .withColumn("n_pii",
+        PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+      .withColumn("has_pii", col("n_pii") > 0)
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose n-gram
+    * shingles cover at least `minOverlapFrac` of some benchmark item's
+    * shingles — the standard "is this eval example in the training
+    * set" sweep (public method: the GPT-3/PaLM-style n-gram collision
+    * check).
+    *
+    * Scale shape: the benchmark side is small (eval sets are 10^3-10^5
+    * items) and is BROADCAST after its own explode, so the 100 TB
+    * corpus is never shuffled — scan → explode → broadcast hash join →
+    * (corpus_id, bench_id)-keyed partial aggregate. The corpus-side
+    * explode reuses [[Dedup.explodedShingles]]'s codegen'd path. */
+  def decontaminate(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      n: Int = 3, minOverlapFrac: Double = 0.5): DataFrame = {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val c = Dedup.explodedShingles(corpus, corpusId, corpusText, n, none)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val b = Dedup.explodedShingles(bench, benchId, benchText, n, none)
+      .withColumnRenamed("doc_id", "bench_id")
+    val bSizes = b.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    c.join(broadcast(b), Seq("s"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("overlap_frac", col("n_overlap") / col("n_bench_sh"))
+      .filter(col("overlap_frac") >= minOverlapFrac)
+  }
+
+  /** Gopher-style repetition quality signals: duplicate-line fraction
+    * and top-n-gram concentration, with a combined keep/drop gate (the
+    * published thresholds from Rae et al. 2021's quality filtering:
+    * dup-line fraction <= 0.30, top 2-gram fraction <= 0.20).
+    *
+    * Two doc_id-keyed hash aggregates (line stats ride the projection;
+    * gram concentration needs explode → count → max), then a keyed
+    * join — nothing shuffles more than (doc_id, gram) counts. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, maxDupLineFrac: Double = 0.30,
+      maxTopGramFrac: Double = 0.20): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("doc_text"))
+    val lineStats = base.select(col("doc_id"),
+        filter(split(col("doc_text"), "\n"), l => length(l) > 0).as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+        size(array_distinct(col("ls"))).cast("long").as("n_distinct_lines"))
+      .withColumn("dup_line_frac",
+        when(col("n_lines") > 0,
+          (col("n_lines") - col("n_distinct_lines")) / col("n_lines"))
+          .otherwise(lit(0.0)))
+    val grams = base.select(col("doc_id"),
+        tokens(col("doc_text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(k => element_at(col("ws"), col("i") + k)): _*).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_n"))
+      .withColumn("top_gram_frac", col("top_gram_n") / col("n_grams"))
+    lineStats.join(grams, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("top_gram_n", coalesce(col("top_gram_n"), lit(0L)))
+      .withColumn("repetition_ok",
+        col("dup_line_frac") <= maxDupLineFrac &&
+          coalesce(col("top_gram_frac") <= maxTopGramFrac, lit(true)))
+  }
 }

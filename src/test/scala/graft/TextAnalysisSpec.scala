@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Hand-computed cases for the training-data text operators added in
+  * round 7: PII detection/scrubbing, benchmark decontamination and
+  * Gopher-style repetition signals. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("piiScrub counts and redacts each PII type; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, ip 10.0.0.1, " +
+        "call 555-123-4567, ssn 123-45-6789"),
+      (2L, "no pii here, just words and numbers 12345"),
+      (3L, "9.9.9.9 9.9.9.9") // repeated type
+    ).toDF("id", "t")
+    val out = TextAnalysis.piiScrub(df, col("id"), col("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1).getAs[Long]("n_email") == 2L)
+    assert(out(1).getAs[Long]("n_ipv4") == 1L)
+    assert(out(1).getAs[Long]("n_phone") == 1L)
+    assert(out(1).getAs[Long]("n_ssn") == 1L)
+    assert(out(1).getAs[Long]("n_pii") == 5L)
+    assert(out(1).getAs[Boolean]("has_pii"))
+    assert(out(1).getAs[String]("scrubbed") ==
+      "mail [EMAIL] and [EMAIL], ip [IPV4], call [PHONE], ssn [SSN]")
+    assert(out(2).getAs[Long]("n_pii") == 0L)
+    assert(!out(2).getAs[Boolean]("has_pii"))
+    assert(out(2).getAs[String]("scrubbed") ==
+      "no pii here, just words and numbers 12345")
+    assert(out(3).getAs[Long]("n_ipv4") == 2L)
+    assert(out(3).getAs[String]("scrubbed") == "[IPV4] [IPV4]")
+  }
+
+  test("piiScrub: ssn and phone patterns never cross-match") {
+    import spark.implicits._
+    val out = TextAnalysis.piiScrub(
+      Seq((1L, "s 123-45-6789 p 555-123-4567")).toDF("id", "t"),
+      col("id"), col("t")).head()
+    assert(out.getAs[Long]("n_ssn") == 1L)
+    assert(out.getAs[Long]("n_phone") == 1L)
+    assert(out.getAs[String]("scrubbed") == "s [SSN] p [PHONE]")
+  }
+
+  test("decontaminate flags docs covering a benchmark item's shingles") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox sat still"), // shares a prefix
+      (3L, "completely different words entirely here now")
+    ).toDF("id", "t")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps") // 3 trigrams
+    ).toDF("bid", "bt")
+    val out = TextAnalysis.decontaminate(corpus, col("id"), col("t"),
+        bench, col("bid"), col("bt"), n = 3, minOverlapFrac = 0.5)
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Long]("n_overlap"),
+        r.getAs[Double]("overlap_frac"))).toSet
+    // doc 1 contains all 3 of the bench trigrams; doc 2 shares 2 of 3
+    // ("the quick brown", "quick brown fox"); doc 3 shares none
+    assert(out == Set((1L, 100L, 3L, 1.0), (2L, 100L, 2L, 2.0 / 3.0)))
+  }
+
+  test("repetitionStats: dup lines and top-bigram concentration gate") {
+    import spark.implicits._
+    val df = Seq(
+      // 3 lines, 2 distinct -> dup_line_frac 1/3; bigrams across the
+      // \n-joined text: tokens include the "c\na" seam token
+      (1L, "a b c\na b c\nx y z"),
+      // heavy bigram repetition, single line
+      (2L, "go go go go go go"),
+      (3L, "clean text with several distinct words here")
+    ).toDF("id", "t")
+    val out = TextAnalysis.repetitionStats(df, col("id"), col("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1).getAs[Long]("n_lines") == 3L)
+    assert(out(1).getAs[Long]("n_distinct_lines") == 2L)
+    assert(out(1).getAs[Double]("dup_line_frac") == 1.0 / 3.0)
+    // "go go" appears 5 times out of 5 bigrams -> frac 1.0, gated out
+    assert(out(2).getAs[Long]("n_grams") == 5L)
+    assert(out(2).getAs[Long]("top_gram_n") == 5L)
+    assert(out(2).getAs[Double]("top_gram_frac") == 1.0)
+    assert(!out(2).getAs[Boolean]("repetition_ok"))
+    assert(out(3).getAs[Boolean]("repetition_ok"))
+  }
+
+  test("repetitionStats: a doc shorter than n grams still gates ok") {
+    import spark.implicits._
+    val out = TextAnalysis.repetitionStats(
+      Seq((1L, "word")).toDF("id", "t"), col("id"), col("t")).head()
+    assert(out.getAs[Long]("n_grams") == 0L)
+    assert(out.getAs[Boolean]("repetition_ok"))
+  }
+}
