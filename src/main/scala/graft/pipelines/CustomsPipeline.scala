@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.Functions
 import graft.parse.Parser
+import graft.operators.CustomsDetectors
 
 /** The Customs pipeline (ref EP3, s/customs/Customs.java:601-702):
   * FxA auth events keyed three ways — source address, email,
@@ -164,7 +165,6 @@ object CustomsPipeline {
     */
   def analyzeFull(lines: Dataset[String], cfg: FullConfig = FullConfig(),
       geo: Option[graft.parse.GeoIp.GeoIpResolver] = None): DataFrame = {
-    import graft.operators.CustomsDetectors
     val spark = lines.sparkSession
     import spark.implicits._
     val candidates = lines.filter(
@@ -271,5 +271,196 @@ object CustomsPipeline {
     val base = enumeration.unionByName(srcFailDist).unionByName(summary)
       .unionByName(comparator).unionByName(atRisk).unionByName(monitored)
     velocity.fold(base)(base.unionByName(_))
+  }
+
+  /** The parsed fxa-auth stream projected to the detector fields —
+    * shared by every streaming branch: one fast-match-pruned parse,
+    * the streaming analogue of analyzeFull's cached batch frame. */
+  private def fxaStreamFields(lines: Dataset[String]): DataFrame =
+    parsedFxa(lines)
+      .select(col("timestamp"),
+        element_at(col("fields"), "email").as("email"),
+        element_at(col("fields"), "uid").as("uid"),
+        element_at(col("fields"), "path").as("path"),
+        element_at(col("fields"), "event_summary").as("summary"),
+        col("normalized.sourceAddress").as("src"))
+
+  private def streamAlert(df: DataFrame, subcategory: String,
+      keyKind: String, key: Column, n: Column, wms: Column): DataFrame =
+    df.select(lit("customs").as("category"),
+      lit(subcategory).as("subcategory"),
+      lit("warn").as("severity"),
+      lit(keyKind).as("key_kind"),
+      key.cast("string").as("key"),
+      n.cast("long").as("count"),
+      wms.cast("long").as("window_start_ms"))
+
+  /** The continuous form of [[analyzeFull]]: the reference's streaming
+    * Customs deployment runs every detector off ONE parse
+    * (ref s/customs/Customs.java:601-702 wires ~12 transforms over one
+    * multiplexed read). Here one append query unions:
+    *
+    *  - per-class summary counts (15m windowed aggregate);
+    *  - source-login-failure-distributed (windowed aggregate per
+    *    account; distinct sources via the bounded HLL sketch, exact in
+    *    the single-digit-threshold regime — same contract as the NAT
+    *    signal in HttpRequestPipeline.analyzeStreamFull);
+    *  - the stateless status-comparator and monitored-activity
+    *    broadcast joins (stream-static, no state).
+    *
+    * Two detectors stay siblings over the SAME multiplexed input, for
+    * the same structural reasons as the HTTP threshold stream:
+    * [[enumerationAlertStream]] (the variance gate needs a
+    * window-level second aggregation over the finalized window —
+    * foreachBatch epilogue), and [[atRiskAlertStream]] (keyed
+    * transformWithState, a different state family than windowed
+    * aggregates). Geo velocity composes via
+    * `Streaming.customsVelocityTws` when a resolver is available.
+    * StreamingSpec proves composed + siblings ≡ analyzeFull batch on
+    * the same lines, with the late-event drop pinned. */
+  def analyzeStreamFull(lines: Dataset[String],
+      cfg: FullConfig = FullConfig(),
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    // the watermark is assigned on the UNFILTERED parsed stream, so
+    // every event of the resource advances it — a watermark placed
+    // after a branch's filter would stall the whole query's (global,
+    // min-of-branches) watermark whenever that event class goes quiet
+    val fxa = fxaStreamFields(lines)
+      .withWatermark("timestamp", watermarkDelay)
+
+    val summary = streamAlert(
+      fxa.withColumn("class",
+          when(col("summary") === "loginFailure", "login_failure")
+            .when(col("summary") === "accountCreateSuccess",
+              "account_create_success")
+            .when(col("summary") === "loginSuccess", "login_success"))
+        .filter(col("class").isNotNull)
+        .groupBy(window(col("timestamp"), "15 minutes"), col("class"))
+        .agg(count(lit(1)).as("n")),
+      "summary", "class", col("class"), col("n"),
+      unix_millis(col("window.start")))
+
+    val srcFailDist = streamAlert(
+      fxa.filter(col("summary") === "loginFailure" && col("email").isNotNull)
+        .groupBy(window(col("timestamp"), cfg.window), col("email"))
+        .agg(count(lit(1)).as("n_failures"),
+          approx_count_distinct(col("src"), 0.01).as("n_src"))
+        .filter(col("n_failures") >= cfg.srcFailDistThreshold &&
+          col("n_src") >= cfg.srcFailDistThreshold),
+      "source_login_failure_distributed", "email", col("email"),
+      col("n_src"), unix_millis(col("window.start")))
+
+    val comparator = streamAlert(CustomsDetectors.statusComparator(
+        fxa.filter(col("summary") === "accountStatusCheckSuccess"),
+        col("timestamp"), col("src"), col("email"),
+        spark.createDataset(cfg.monitoredAddrs)),
+      "status_comparator", "sourceaddress", col("src"), lit(1),
+      col("ts_ms"))
+
+    val monitored = streamAlert(CustomsDetectors.monitoredActivity(
+        fxa.filter(col("summary").isin("loginSuccess", "loginFailure")),
+        col("timestamp"), col("email"), col("src"), col("summary"),
+        spark.createDataset(cfg.monitoredAccounts)),
+      "activity_monitor", "email", col("email"), lit(1), col("ts_ms"))
+
+    summary.unionByName(srcFailDist).unionByName(comparator)
+      .unionByName(monitored)
+  }
+
+  /** Streaming account enumeration with the content-server variance
+    * gate — the sibling query of [[analyzeStreamFull]] (the gate is a
+    * second, window-level aggregation over the finalized windows, so
+    * it runs as a foreachBatch epilogue exactly like the HTTP
+    * threshold stream's mean join). Auth and content events merge
+    * into ONE keyed aggregate (the per-src content-presence flag
+    * rides the same state as the enumeration counters); distinct
+    * emails/paths use the bounded sketch, exact at threshold scale.
+    * `onAlerts` receives each finalized batch's alert rows. */
+  def enumerationAlertStream(lines: Dataset[String],
+      cfg: FullConfig = FullConfig(),
+      watermarkDelay: String = "30 seconds")(onAlerts: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val parsedAll = Parser.parse(lines.filter(
+      Parser.fastFilter("fxaauth") || Parser.fastFilter("fxacontent"))).toDF()
+    val auth = parsedAll.filter(col("payloadType") === "fxaauth")
+      .select(col("timestamp"),
+        col("normalized.sourceAddress").as("src"),
+        element_at(col("fields"), "email").as("email"),
+        element_at(col("fields"), "path").as("path"),
+        (element_at(col("fields"), "event_summary").isin(
+          "accountStatusCheckSuccess", "accountStatusCheckBlocked"))
+          .as("is_sc"),
+        lit(false).as("is_content"))
+    val content = parsedAll.filter(col("payloadType") === "fxacontent")
+      .select(col("timestamp"),
+        col("normalized.sourceAddress").as("src"),
+        lit(null).cast("string").as("email"),
+        lit(null).cast("string").as("path"),
+        lit(false).as("is_sc"),
+        lit(true).as("is_content"))
+    val perSrc = auth.unionByName(content)
+      .filter(col("src").isNotNull)
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), cfg.window), col("src"))
+      .agg(
+        count(when(col("is_sc"), 1)).as("n_checks"),
+        approx_count_distinct(col("path"), 0.01).as("n_paths"),
+        approx_count_distinct(when(col("is_sc"), col("email")), 0.01)
+          .as("n_emails"),
+        max(when(col("is_content"), 1).otherwise(0)).as("has_content"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("src"), col("n_checks"), col("n_paths"), col("n_emails"),
+        col("has_content"))
+    perSrc.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        // the reference's side-input size gate: a window below the
+        // variance-client floor produces no alerts at all
+        val qualifying = b.filter(col("has_content") === 1)
+          .groupBy(col("window_start_ms"))
+          .agg(countDistinct(col("src")).as("n_clients"))
+          .filter(col("n_clients") >= cfg.minVarianceClients)
+          .select(col("window_start_ms"))
+        val alerts = streamAlert(
+          b.filter(col("has_content") === 0 &&
+              col("n_checks") >= cfg.enumerationThreshold &&
+              col("n_paths") === 1 &&
+              col("n_emails") >= cfg.enumerationThreshold)
+            .join(broadcast(qualifying), Seq("window_start_ms"), "left_semi"),
+          "account_enumeration", "sourceaddress", col("src"),
+          col("n_emails"), col("window_start_ms"))
+        onAlerts(alerts)
+      }
+  }
+
+  /** Streaming at-risk login-failure chain — comparator flags and
+    * login failures feed the keyed
+    * [[graft.streaming.Streaming.atRiskAccountsTws]] state kernel
+    * (the reference's Datastore `ScannedByEntry` written by the
+    * status comparator and read by the lfara transform). Sibling of
+    * [[analyzeStreamFull]] because per-key transformWithState is a
+    * different state family than its windowed aggregates. */
+  def atRiskAlertStream(lines: Dataset[String],
+      cfg: FullConfig = FullConfig()): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val fxa = fxaStreamFields(lines)
+      .filter(col("src").isNotNull && col("email").isNotNull)
+    val monitored = typedLit(cfg.monitoredAddrs)
+    val ev = fxa.select(col("email").as("key"),
+        unix_micros(col("timestamp")).as("tsUs"),
+        when(col("summary") === "accountStatusCheckSuccess" &&
+            array_contains(monitored, col("src")), "flag")
+          .when(col("summary") === "loginFailure", "fail")
+          .as("kind"))
+      .filter(col("kind").isNotNull)
+      .as[Streaming.AccountEvent]
+    streamAlert(Streaming.atRiskAccountsTws(ev).toDF(),
+      "login_failure_at_risk_account", "email", col("key"), lit(1),
+      col("tsUs") / 1000)
   }
 }

@@ -802,4 +802,146 @@ class StreamingSpec extends AnyFunSuite {
       assert(!gotAlerts.exists(_._2 == "9.9.9.9"))
     } finally { q.stop(); tq.stop() }
   }
+
+  test("continuous customs pipeline e2e: summary + distributed failures + " +
+      "comparator + monitored activity in ONE query, variance-gated " +
+      "enumeration and the at-risk chain as siblings — equals the batch " +
+      "suite; a late event is dropped by the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.CustomsPipeline
+    val cfg = CustomsPipeline.FullConfig(
+      enumerationThreshold = 5, minVarianceClients = 3,
+      srcFailDistThreshold = 3,
+      monitoredAddrs = Seq("4.4.4.4"),
+      monitoredAccounts = Seq("mon@x.com"))
+    val t = 1700000000L
+    def authLine(tt: Long, path: String, status: Int, email: String,
+        uid: String, addr: String, errno: Int = 0): String = {
+      val iso = java.time.Instant.ofEpochSecond(tt).toString
+      s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+        s""""agent":"Mozilla/5.0","email":"$email","errno":$errno,""" +
+        s""""method":"post","op":"request.summary","path":"$path",""" +
+        s""""remoteAddressChain":"[\\"$addr\\"]","service":"sync",""" +
+        s""""status":$status,"t":12,"uid":"$uid"},""" +
+        s""""Logger":"fxa-auth-server","Pid":1,"Severity":6,"Timestamp":${tt}000000000,""" +
+        s""""Type":"request.summary"},"timestamp":"$iso"}"""
+    }
+    def contentLine(tt: Long, addr: String): String =
+      s"""{"Timestamp":${tt}000000000,"Type":"request","Logger":"fxa-content-server",""" +
+        s""""Hostname":"h","Fields":{"clientaddress":"$addr","path":"/signin",""" +
+        s""""method":"get","status":200}}"""
+
+    // batch 1: the full scenario inside one 10m window
+    val batch1: Seq[String] =
+      // enumerator: 5 status checks, distinct accounts, single path
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"e$i@x.com", s"v$i", "6.6.6.6")) ++
+      // same shape but variance-exempt: browses the content server
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"e$i@x.com", s"v$i", "7.7.7.7")) ++
+      Seq(contentLine(t, "7.7.7.7"), contentLine(t, "8.8.8.8"),
+        contentLine(t, "9.9.9.9")) ++
+      // distributed failures: one account, 3 sources
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", 400,
+        "victim@x.com", "u1", s"1.2.3.$i", errno = 103)) ++
+      // comparator flag from the monitored address + monitored account
+      Seq(authLine(t + 10, "/v1/account/status", 200, "a@x.com",
+          "u3", "4.4.4.4"),
+        authLine(t + 20, "/v1/account/login", 200, "mon@x.com",
+          "u2", "5.5.5.5"))
+    // batch 2: the flagged account fails a login (at-risk chain), and a
+    // far-future event pushes the watermark past every open window.
+    // The pushers are STATUS CHECKS (summary class null, below every
+    // detector threshold) so they close windows without creating
+    // summary rows in windows the stream itself would never finalize
+    val batch2: Seq[String] = Seq(
+      authLine(t + 100, "/v1/account/login", 400, "a@x.com", "u3",
+        "1.2.3.9", errno = 103),
+      authLine(t + 7200, "/v1/account/status", 200, "z@x.com", "u9",
+        "3.3.3.3"))
+    // batch 3: a LATE failure for the victim from a brand-new source —
+    // its 10m window is behind the watermark, so the stream must hold
+    // the distributed-failure count at 3 where batch-with-late says 4
+    val lateLine = authLine(t + 5, "/v1/account/login", 400,
+      "victim@x.com", "u1", "1.2.3.99", errno = 103)
+    val batch3: Seq[String] = Seq(lateLine,
+      authLine(t + 7300, "/v1/account/status", 200, "z2@x.com", "u9",
+        "3.3.3.3"))
+
+    // the at-risk sibling runs on transformWithState -> RocksDB store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, String)]
+    val mux = in.toDF().toDF("resource", "value")
+    val lines = graft.sources.Multiplex.branch(mux, "fxa")
+    val q = CustomsPipeline.analyzeStreamFull(lines, cfg,
+        watermarkDelay = "30 seconds")
+      .writeStream.format("memory").queryName("customse2e")
+      .outputMode(OutputMode.Append()).start()
+    val enumRows =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    val eq = CustomsPipeline.enumerationAlertStream(lines, cfg,
+        watermarkDelay = "30 seconds") { df =>
+      val rows = df.select(col("subcategory"), col("key"), col("count"),
+          coalesce(col("window_start_ms"), lit(-1L)))
+        .as[(String, String, Long, Long)].collect()
+      enumRows.synchronized { enumRows ++= rows }
+    }.start()
+    val aq = CustomsPipeline.atRiskAlertStream(lines, cfg)
+      .writeStream.format("memory").queryName("customsatrisk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        in.addData(b.map(l => ("fxa", l)) :+
+          (("other", authLine(t, "/v1/account/login", 400,
+            "leak@x.com", "u8", "8.8.4.4", errno = 103))): _*)
+        q.processAllAvailable()
+        eq.processAllAvailable()
+        aq.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("subcategory"), col("key"), col("count"),
+            coalesce(col("window_start_ms"), lit(-1L)))
+          .as[(String, String, Long, Long)].collect().toSet
+      val gotAlerts = rows(spark.table("customse2e")) ++
+        rows(spark.table("customsatrisk")) ++
+        enumRows.synchronized(enumRows.toSet)
+
+      // equivalence with the batch suite over the lines the stream
+      // accepted (everything but the late row), across all SIX
+      // detector families of the fan-out
+      val accepted = (batch1 ++ batch2 ++ batch3).filterNot(_ == lateLine)
+      val batchAlerts = rows(CustomsPipeline.analyzeFull(
+        accepted.toDS(), cfg))
+      assert(gotAlerts == batchAlerts)
+      // the specific shape
+      assert(gotAlerts.map(a => (a._1, a._2)) == Set(
+        ("account_enumeration", "6.6.6.6"),
+        ("source_login_failure_distributed", "victim@x.com"),
+        ("status_comparator", "4.4.4.4"),
+        ("activity_monitor", "mon@x.com"),
+        ("login_failure_at_risk_account", "a@x.com"),
+        ("summary", "login_failure"), ("summary", "login_success")))
+      // late-drop pinned: with the late line, batch counts 4 sources
+      val withLate = CustomsPipeline.analyzeFull(
+          (batch1 ++ batch2 ++ batch3).toDS(), cfg)
+        .filter(col("subcategory") === "source_login_failure_distributed")
+        .select(col("count")).as[Long].collect().toSet
+      assert(withLate == Set(4L))
+      assert(gotAlerts.collect {
+        case ("source_login_failure_distributed", _, n, _) => n } == Set(3L))
+      // the other resource's traffic never leaked into this branch
+      assert(!gotAlerts.exists(_._2 == "leak@x.com"))
+    } finally {
+      q.stop(); eq.stop(); aq.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
