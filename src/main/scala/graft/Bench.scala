@@ -32,19 +32,32 @@ object Bench {
     // Median of 3 timed runs per query: one contended or cold run must not
     // become the official number (an n=1 bench once misreported 30s as 381s).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A crashed query must surface AS a crash, never as its crash
+    // wall-time: round 7's loader breakage recorded 55 broken queries
+    // as ~0.07s "speedups" with rc 0. None here = failed.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // queries that cache internally must not feed the next run
-      dt
+      if (ok) Some(dt) else None
     }
     // median (official) AND min per query: the min approximates the
     // uncontended engine cost, so median/min >> 1 across the board is
     // direct evidence the host was contended during the run (a round-1
     // n=1 bench once misreported 30s as 381s for exactly this reason)
-    val timings = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to runs).map(_ => timeOnce(fn)).sorted
+    val rawTimings = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to runs).map(_ => timeOnce(fn))
+    }
+    // a query is failed if ANY timed run crashed — partial timings would
+    // bias the min/median low exactly when the engine is flaky
+    val failed = rawTimings.collect { case (n, ts) if ts.exists(_.isEmpty) => n }.toSeq.sorted
+    val timings = rawTimings.collect { case (n, ts) if ts.forall(_.isDefined) =>
+      n -> ts.flatten.sorted
     }
     val results = timings.map { case (n, ts) => n -> ts(ts.length / 2) }
     val mins = timings.map { case (n, ts) => n -> ts.head }
@@ -72,10 +85,13 @@ object Bench {
     val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
     val noise = if (totalMin > 0) total / totalMin else 1.0
 
+    val valid = failed.isEmpty && parseEps > 0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     // Full-precision record for humans/judge — NOT the contract line.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"queries":$qsFull}""")
+    println(s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"valid":$valid,"failed":$failedJson,"queries":$qsFull}""")
 
     // The driver keeps only the LAST 2000 chars of output and parses the
     // contract JSON out of that window, so the final line must (a) be the
@@ -102,7 +118,11 @@ object Bench {
         val key = if (shortKeys) k.takeWhile(_ != '_') else k
         "\"" + key + "\":" + fmt.format(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"sf":"$sfDir"}"""
+      // valid:false + failed names (qNN tokens) travel IN the contract
+      // line: a consumer that reads only this JSON must see the breakage
+      val failedShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+        .mkString("[", ",", "]")
+      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"sf":"$sfDir"}"""
     }
     val candidates = Seq((3, false), (2, false), (2, true), (1, true))
       .map { case (dp, sk) => line(dp, sk) }

@@ -17,18 +17,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table. `events.ts` is parquet TIMESTAMP(NANOS) which Spark
-    * cannot map to its microsecond TimestampType; we read it as a long
-    * (legacy conf) and truncate ns→µs, which matches DuckDB's
-    * `epoch_ns(ts)//1000` exactly (both floor for positive epochs).
+  /** Read one table, adapting `events.ts` to whatever physical type the
+    * current testdata generation used. Two shapes have been observed:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark cannot map nanos to its µs
+    *    TimestampType, so we read it as a long (legacy conf) and
+    *    truncate ns→µs, matching DuckDB's `epoch_ns(ts)//1000` exactly
+    *    (both floor for positive epochs).
+    *  - parquet TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ
+    *    in Spark): cast to the session TimestampType. The session TZ is
+    *    pinned to UTC everywhere in this engine, so NTZ→timestamp is
+    *    value-preserving and agrees bit-for-bit with DuckDB.
+    *
+    * Branching on the ANALYZED schema (not a config) means the next
+    * testdata regeneration that keeps either shape keeps working, and a
+    * third shape fails one named spec (SchemaProbeSpec) instead of 55
+    * scattered analysis errors.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // integer division: ts is ~1.7e18 ns, above 2^53 — a double
-      // division here would round and shift some stamps by ±µs
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer division: ts is ~1.7e18 ns, above 2^53 — a double
+          // division here would round and shift some stamps by ±µs
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     else df
   }
 
