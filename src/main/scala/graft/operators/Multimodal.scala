@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   * readers (headless-safe, zero native dependencies), and COMPRESSED
   * audio via [[FlacCodec]] — a full FLAC bitstream decoder (rice
   * residuals, fixed + LPC predictors, stereo decorrelation, CRC
-  * verification; public format, RFC 9639). Only codecs the JVM
-  * genuinely lacks (video, lossy audio: H.264/MP3/...) fall back to
-  * `decodeStub` —
+  * verification; public format, RFC 9639) — and [[AdpcmCodec]] — IMA
+  * ADPCM inside the WAV container (4 bits/sample adaptive
+  * differential coding, format tag 0x11). MP3 payloads get a REAL
+  * frame-header walk ([[Mp3Codec]]: exact channels / sample rate /
+  * per-channel sample count from the frame sequence) but content
+  * statistics stay stub-derived with `decoded=false` — full Layer III
+  * PCM decode needs spec tables (huffman B.7, synthesis window B.3)
+  * that cannot be reproduced from memory with confidence. Codecs the
+  * JVM genuinely lacks (video, other lossy audio: H.264/Opus/...)
+  * fall back to `decodeStub` —
   * deterministic fake features from the payload md5, clearly flagged
   * `decoded=false`. The schema, partitioning, batch iteration and
   * column plumbing are identical on both paths: swap the stub for a
@@ -137,15 +144,20 @@ object Multimodal {
     }
   }
 
-  /** PCM WAV (RIFF/WAVE, fmt audioFormat=1, 8- or 16-bit): (channels,
-    * sample_rate, n_samples per channel, floor(mean |amplitude|)). */
+  /** WAV (RIFF/WAVE): PCM (fmt audioFormat=1, 8- or 16-bit) decoded
+    * inline; IMA ADPCM (audioFormat=0x11, 4-bit — a REAL compressed
+    * codec) via [[AdpcmCodec]]. Returns (channels, sample_rate,
+    * n_samples per channel, floor(mean |amplitude|)) on either path —
+    * identical stat contract, so downstream never sees which container
+    * coding was used. Other format tags fall to the stub path. */
   private[operators] def decodeWav(b: Array[Byte])
       : Option[(Long, Long, Long, Long)] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
     var pos = 12
-    var fmt: Option[(Int, Long, Int)] = None // channels, rate, bits
+    // audioFormat, channels, rate, blockAlign, bits
+    var fmt: Option[(Int, Int, Long, Int, Int)] = None
     var data: Option[(Int, Int)] = None // offset, length
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
@@ -157,33 +169,37 @@ object Multimodal {
       // past b.length ending the loop)
       if (size < 0) return None
       if (id == "fmt " && size >= 16 && pos + 8 + 16 <= b.length) {
-        val audioFormat = le16(b, pos + 8)
-        if (audioFormat != 1) return None // compressed: stub path
-        fmt = Some((le16(b, pos + 10), le32(b, pos + 12), le16(b, pos + 22)))
+        fmt = Some((le16(b, pos + 8), le16(b, pos + 10), le32(b, pos + 12),
+          le16(b, pos + 20), le16(b, pos + 22)))
       } else if (id == "data") {
         data = Some((pos + 8, math.min(size, b.length - pos - 8)))
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     for {
-      (chans, rate, bits) <- fmt
+      (audioFormat, chans, rate, blockAlign, bits) <- fmt
       (off, len) <- data
-      if chans > 0 && (bits == 8 || bits == 16)
-    } yield {
-      val bytesPerSample = bits / 8
-      val nTotal = len / bytesPerSample
-      var sum = 0L
-      var i = 0
-      while (i < nTotal) {
-        val v =
-          if (bits == 8) (b(off + i) & 0xff) - 128 // 8-bit WAV is unsigned
-          else le16(b, off + i * 2).toShort.toInt
-        sum += math.abs(v)
-        i += 1
+      if chans > 0
+      stats <- audioFormat match {
+        case 1 if bits == 8 || bits == 16 =>
+          val bytesPerSample = bits / 8
+          val nTotal = len / bytesPerSample
+          var sum = 0L
+          var i = 0
+          while (i < nTotal) {
+            val v =
+              if (bits == 8) (b(off + i) & 0xff) - 128 // 8-bit WAV is unsigned
+              else le16(b, off + i * 2).toShort.toInt
+            sum += math.abs(v)
+            i += 1
+          }
+          Some((nTotal.toLong / chans,
+            if (nTotal == 0) 0L else Math.floorDiv(sum, nTotal.toLong)))
+        case 0x11 if bits == 4 =>
+          AdpcmCodec.decodeData(b, off, len, chans, blockAlign)
+        case _ => None // other compressed tags: stub path
       }
-      (chans.toLong, rate, nTotal.toLong / chans,
-        if (nTotal == 0) 0L else Math.floorDiv(sum, nTotal.toLong))
-    }
+    } yield (chans.toLong, rate, stats._1, stats._2)
   }
 
   /** Decompression-bomb ceiling for imageio decodes: a payload whose
@@ -286,6 +302,17 @@ object Multimodal {
               decodeImageIO(m.bytes).map { case (w, h, c, mean) =>
                 MediaDecoded(m.media_id, m.kind, n, w, h, c, 0L, w * h, mean,
                   decoded = true)
+              }
+            case "mp3" =>
+              // header-walked REAL metadata (exact channels / rate /
+              // per-channel sample count from the frame sequence), but
+              // decoded stays false: content stats are stub-derived
+              // until a full Layer III PCM decode exists (see Mp3Codec
+              // scaladoc for why the huffman/window tables block that)
+              Mp3Codec.walkFrames(m.bytes).map { case (c, rate, ns) =>
+                val (f0, _, _, _) = decodeStub(m.bytes)
+                MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns,
+                  f0, decoded = false)
               }
             case _ => None
           }
