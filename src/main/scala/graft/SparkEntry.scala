@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Heuristics, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Heuristics, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1203,6 +1203,38 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.repetitionStats(d, col("doc_id"), col("t2"))
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: embedding-space benchmark decontamination —
+    // bench side (every 50th vector) broadcast, corpus map-scored with
+    // the codegen'd integer dot; contaminated rows = injected clones
+    // (one dim sign-flipped, as q62's construction) + natural hits
+    "q85_embedding_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+      val clones = bench.select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding")).union(clones)
+      Similarity.embeddingDecontaminate(corpus, col("vec_id"),
+          col("embedding"), bench, col("vec_id"), col("embedding"),
+          minCosine = 0.875)
+        .orderBy(col("vec_id"))
+    }),
+
+    // training-data ops: deterministic hash-stratified mixture
+    // sampling — map-only md5-bucket predicate on the scan, no
+    // shuffle, reproducible on any cluster layout
+    "q86_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("lang"), col("n_chars")),
+          col("doc_id"), col("source"),
+          rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+            "src3" -> 0.25),
+          defaultRate = 0.125)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1409,7 +1441,7 @@ object SparkEntry {
 
     "q19_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
         |  FROM embeddings),
         |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
         |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
@@ -1429,7 +1461,7 @@ object SparkEntry {
 
     "q20_lsh_topk" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
         |  FROM embeddings),
         |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
         |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
@@ -1693,7 +1725,7 @@ object SparkEntry {
 
     "q41_ivf_topk" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
         |  FROM embeddings),
         |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
         |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
@@ -2180,7 +2212,7 @@ object SparkEntry {
         |    list_prepend(-embedding[1], embedding[2:]) AS embedding
         |  FROM embeddings WHERE vec_id % 4 = 0),
         |e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
         |  FROM corpus),
         |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
         |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
@@ -2217,7 +2249,7 @@ object SparkEntry {
 
     "q66_ivf_refined" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
         |  FROM embeddings),
         |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
         |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
@@ -2354,7 +2386,7 @@ object SparkEntry {
         |    list_prepend(-embedding[1], embedding[2:]) AS embedding
         |  FROM embeddings WHERE vec_id % 4 = 0),
         |e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) qv
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
         |  FROM corpus),
         |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
         |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
@@ -2774,7 +2806,51 @@ object SparkEntry {
         |    AND COALESCE(g.top_gram_n / g.n_grams <= 0.20, TRUE)
         |      AS repetition_ok
         |FROM lstat l LEFT JOIN gs g USING (doc_id)
-        |ORDER BY l.doc_id""".stripMargin
+        |ORDER BY l.doc_id""".stripMargin,
+
+    "q85_embedding_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_prepend(-embedding[1], embedding[2:]) AS embedding
+        |  FROM bench),
+        |cq AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM corpus),
+        |bq AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM bench),
+        |ce AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM cq),
+        |be AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM bq),
+        |cn AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ce GROUP BY 1),
+        |bn AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM be GROUP BY 1),
+        |dots AS (SELECT ce.vec_id cid, be.vec_id bid,
+        |    CAST(SUM(ce.v * be.v) AS BIGINT) dot
+        |  FROM ce JOIN be ON be.d = ce.d GROUP BY 1, 2),
+        |scored AS (SELECT cid, bid,
+        |    dot / sqrt(CAST(cn.nrm * bn.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN cn ON cn.vec_id = cid JOIN bn ON bn.vec_id = bid)
+        |SELECT cid AS vec_id, COUNT(*) AS n_bench_hits,
+        |  MAX(cosine) AS max_cosine
+        |FROM scored WHERE cosine >= 0.875
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_stratified_sample" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    (strpos('0123456789abcdef',
+        |       md5(CAST(doc_id AS VARCHAR) || ':' || source)[1]) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |       md5(CAST(doc_id AS VARCHAR) || ':' || source)[2]) - 1)
+        |      AS bucket,
+        |    CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 192
+        |      WHEN 'src2' THEN 128 WHEN 'src3' THEN 64 ELSE 32 END
+        |      AS threshold
+        |  FROM documents)
+        |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling operators for training-data pipelines. A data
+  * mixture is built by DOWN-sampling each source/stratum to a target
+  * rate (The Pile, Gopher/MassiveText and LLaMA all publish per-source
+  * sampling weights); at 100 TB the sampling decision must be a pure
+  * function of the row — no RNG state, no coordination — so the same
+  * command reproduces the same corpus on any cluster layout, and the
+  * decision predicate sits directly on the scan.
+  */
+object Sampling {
+
+  /** Deterministic hash-stratified sampling: keep a row iff
+    * `bucket(id, stratum) < floor(rate(stratum) * 256)` where the
+    * bucket is the first byte of `md5("<id>:<stratum>")` — uniform in
+    * [0, 256), engine-portable (any engine with md5 reproduces the
+    * exact sample), and independent across strata because the stratum
+    * is hashed with the id.
+    *
+    * Scale shape: map-only — the predicate is a codegen'd md5+compare
+    * on the scan, there is NO shuffle, no sort, no RNG seed plumbing;
+    * rate granularity is 1/256 (sufficient for mixture weights, which
+    * published pipelines quote at whole-percent granularity).
+    * Compared to `df.sample`: reproducible across runs/partitionings,
+    * per-stratum rates in one pass, and joins/anti-joins over the
+    * SAME id set stay consistent (the sample is a function of the
+    * data, not of the task layout).
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = conv(substring(
+      md5(concat(id.cast("string"), lit(":"), stratum)), 1, 2), 16, 10)
+      .cast("long")
+    val threshold = rates.foldLeft(
+      lit(math.floor(defaultRate * 256).toLong)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(math.floor(r * 256).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+}

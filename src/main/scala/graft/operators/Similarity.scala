@@ -379,4 +379,38 @@ object Similarity {
   def bruteForceTopKAgg(emb: DataFrame, id: Column, vec: Column,
       queryIds: Seq[Long], k: Int): DataFrame =
     bruteForceTopK(emb, id, vec, queryIds, k)
+
+  /** Embedding-space benchmark decontamination — the similarity-space
+    * twin of [[TextAnalysis.decontaminate]]'s n-gram sweep (the
+    * GPT-3/PaLM-style protocol applied to embeddings): flag every
+    * corpus vector whose exact cosine against ANY benchmark vector
+    * clears `minCosine`, with the hit count and the worst (highest)
+    * similarity per flagged vector.
+    *
+    * Scale shape: benchmark suites are tiny (thousands of vectors)
+    * against a 100 TB corpus, so the BENCHMARK side is quantized and
+    * broadcast; the corpus is scored in its scan partitions via the
+    * codegen'd integer dot product ([[dotQ]]) and filtered BEFORE the
+    * aggregation, so the only exchange in the plan is the partial-agg
+    * collapse of (vec_id, count, max) triples for the flagged subset
+    * — corpus vectors never shuffle, mirroring q83's
+    * corpus-never-moves contract. Brute-force against the bench side
+    * is deliberate: recall must be exact for decontamination (an LSH
+    * bucket miss would leak a contaminated document into training),
+    * and bench × corpus work is the small side times a map-only
+    * scan. */
+  def embeddingDecontaminate(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, bench: DataFrame, benchId: Column,
+      benchVec: Column, minCosine: Double): DataFrame = {
+    val c = quantized(corpus, corpusId, corpusVec)
+    val b = quantized(bench, benchId, benchVec)
+      .select(col("vec_id").as("bench_id"), col("qv").as("b_qv"),
+        col("nrm").as("b_nrm"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cosine",
+        cosine(dotQ(col("qv"), col("b_qv")), col("nrm"), col("b_nrm")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cosine"))
+  }
 }

@@ -251,4 +251,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets.getLong(0) >= 0 && buckets.getLong(1) <= 15)
     assert(buckets.getLong(2) > 1) // vectors actually spread across buckets
   }
+
+  test("embedding decontamination: exact clones flagged, bench broadcast, corpus never shuffles vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    // corpus = the rest + exact copies of the bench vectors (cosine 1.0)
+    val clones = bench.select((col("vec_id") + 5000000L).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding")).union(clones)
+    val out = Similarity.embeddingDecontaminate(corpus, col("vec_id"),
+      col("embedding"), bench, col("vec_id"), col("embedding"),
+      minCosine = 0.999)
+    val rows = out.collect().map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("n_bench_hits"), r.getAs[Double]("max_cosine"))).toMap
+    val benchIds = bench.select("vec_id").collect().map(_.getLong(0))
+    // every injected clone is caught with cosine exactly 1.0
+    benchIds.foreach { id =>
+      val (hits, maxCos) = rows.getOrElse(id + 5000000L,
+        fail(s"clone of bench vector $id not flagged"))
+      assert(hits >= 1L && maxCos == 1.0)
+    }
+    // recall is exact by construction (brute force vs bench): nothing
+    // below the threshold sneaks in
+    assert(rows.values.forall(_._2 >= 0.999))
+    // plan shape: the bench side is broadcast (no shuffle of corpus
+    // vectors to candidate reducers), and the only exchange is the
+    // (vec_id, count, max) partial-agg collapse
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
