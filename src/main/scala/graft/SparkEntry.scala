@@ -1223,6 +1223,16 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // training-data ops: exact substring-level dup sweep (Lee et al.
+    // ExactSubstr as a window-fingerprint inverted index — narrow
+    // window projection, equi-join on the hash, never all-pairs)
+    "q87_exact_substring" -> ((s, dir) => {
+      Dedup.sharedSubstringPairs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), windowSize = 50, stride = 25,
+          minShared = 1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // training-data ops: deterministic hash-stratified mixture
     // sampling — map-only md5-bucket predicate on the scan, no
     // shuffle, reproducible on any cluster layout
@@ -1235,6 +1245,17 @@ object SparkEntry {
             "src3" -> 0.25),
           defaultRate = 0.125)
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: the mixture planner feeding q86's sampler —
+    // per-source availability vs target weight -> 1/256-granular keep
+    // threshold (one hash aggregate on the stratum key)
+    "q88_mixture_plan" -> ((s, dir) => {
+      Sampling.mixturePlan(Tables.documents(s, dir), col("source"),
+          col("n_chars"),
+          weights = Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.10),
+          defaultWeight = 0.05, budget = 100000L)
+        .orderBy(col("stratum"))
     })
   )
 
@@ -2850,7 +2871,31 @@ object SparkEntry {
         |      WHEN 'src2' THEN 128 WHEN 'src3' THEN 64 ELSE 32 END
         |      AS threshold
         |  FROM documents)
-        |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+        |WHERE bucket < threshold ORDER BY doc_id""".stripMargin,
+
+    "q87_exact_substring" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(generate_series(0, (length(text)-50)//25)) i, text
+        |  FROM documents WHERE length(text) >= 50),
+        |h AS (SELECT doc_id, md5(substr(text, i*25+1, 50)) hash FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS n_shared_windows
+        |FROM h a JOIN h b ON a.hash = b.hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q88_mixture_plan" ->
+      """WITH agg AS (SELECT source AS stratum, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS available,
+        |    CAST(floor(CAST(100000 AS DOUBLE) *
+        |      CAST(CASE source WHEN 'src0' THEN 0.30
+        |        WHEN 'src1' THEN 0.20 WHEN 'src2' THEN 0.10
+        |        ELSE 0.05 END AS DOUBLE)) AS BIGINT) AS target
+        |  FROM documents GROUP BY source)
+        |SELECT stratum, n_docs, available, target,
+        |  least(256, CAST(floor(
+        |    CAST(target * 256 AS DOUBLE) / CAST(available AS DOUBLE))
+        |    AS BIGINT)) AS bucket_threshold
+        |FROM agg ORDER BY stratum""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

@@ -42,4 +42,36 @@ object Sampling {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Mixture planning — the aggregation that produces
+    * [[stratifiedSample]]'s rate table: given a target mixture weight
+    * per stratum and a global size budget (tokens/chars), compute per
+    * stratum the available mass, the target mass
+    * (`floor(budget * weight)`), and the keep threshold in the SAME
+    * 1/256 bucket granularity the sampler enforces —
+    * `least(256, floor(target*256 / available))`, capped because a
+    * stratum cannot yield more than it has (published mixtures
+    * up-weight by epochs, not by sampling > 100%).
+    *
+    * Scale shape: one partial-agg groupBy on the stratum key (tens of
+    * strata) — the plan is a single hash aggregate; everything after
+    * the agg operates on a stratum-count-sized frame. */
+  def mixturePlan(df: DataFrame, stratum: Column, size: Column,
+      weights: Map[String, Double], defaultWeight: Double,
+      budget: Long): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    require(budget >= 0, "budget must be non-negative")
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, w)) => when(col("stratum") === k, lit(w)).otherwise(acc)
+    }
+    df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(size).cast("long").as("available"))
+      .withColumn("target", floor(lit(budget.toDouble) * weight).cast("long"))
+      .withColumn("bucket_threshold",
+        least(lit(256L),
+          floor(col("target") * 256 / col("available")).cast("long")))
+      .select(col("stratum"), col("n_docs"), col("available"),
+        col("target"), col("bucket_threshold"))
+  }
 }

@@ -204,4 +204,41 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("star fixed point"))
   }
+
+  test("exact substring pairs: copied passage caught, window count exact, hot cap drops boilerplate") {
+    import spark.implicits._
+    // doc 2 embeds a verbatim 100-char passage from doc 1 at a
+    // stride-aligned offset; doc 3 is unrelated; docs 4/5/6 share a
+    // boilerplate window (hot-cap fodder)
+    // non-repeating passage: its stride windows are pairwise distinct,
+    // so each shared window has corpus frequency exactly 2
+    val passage = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+    val boiler = "b" * 50
+    val docs = Seq(
+      (1L, passage + ("u" * 100)),
+      (2L, ("v" * 50) + passage + ("w" * 25)),
+      (3L, "z" * 300),
+      (4L, boiler + "1" * 50), (5L, boiler + "2" * 50),
+      (6L, boiler + "3" * 50)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSubstringPairs(docs, col("doc_id"),
+      col("text"), windowSize = 50, stride = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // passage[0:50] / [25:75] / [50:100] each appear once per doc
+    // (doc1 offsets 0/25/50; doc2 offsets 50/75/100) -> 3 shared windows
+    assert(pairs((1L, 2L)) == 3L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // boilerplate trio pairs up without the cap...
+    assert(pairs.contains((4L, 5L)) && pairs.contains((4L, 6L)))
+    // ...and the hot-window cap (freq > 2) removes exactly those
+    val capped = Dedup.sharedSubstringPairs(docs, col("doc_id"),
+      col("text"), windowSize = 50, stride = 25, maxWindowFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // plan: inverted-index equi-join, never all-pairs
+    val plan = Dedup.sharedSubstringPairs(docs, col("doc_id"),
+      col("text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

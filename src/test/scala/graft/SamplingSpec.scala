@@ -57,6 +57,47 @@ class SamplingSpec extends AnyFunSuite {
       s"sampling must not shuffle:\n$plan")
   }
 
+  test("mixture plan: thresholds are exact bucket math, then drive the sampler") {
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("src0" -> 0.30, "src1" -> 0.20)
+    val plan = Sampling.mixturePlan(docs, col("source"), col("n_chars"),
+      weights, defaultWeight = 0.05, budget = 100000L).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("available"),
+          r.getAs[Long]("target"), r.getAs[Long]("bucket_threshold"))).toMap
+    // recompute the threshold contract per stratum
+    plan.foreach { case (s, (nDocs, avail, target, thr)) =>
+      val w = weights.getOrElse(s, 0.05)
+      assert(nDocs > 0 && avail > 0)
+      assert(target == math.floor(100000L.toDouble * w).toLong)
+      assert(thr == math.min(256L,
+        math.floor(target * 256 / avail.toDouble).toLong), s)
+    }
+    // composition: feed the planned thresholds back through the sampler
+    // (threshold/256 = rate) and check realized char mass lands near the
+    // target for uncapped strata — loose bound, 500-doc hash uniformity
+    val rates = plan.map { case (s, (_, _, _, thr)) =>
+      s -> thr.toDouble / 256.0 }
+    val sampled = Sampling.stratifiedSample(docs, col("doc_id"),
+        col("source"), rates, defaultRate = 0.0)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("got"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("got"))
+      .toMap
+    // per-stratum strata here are ~25 docs, so the binomial 3-sigma
+    // deviation is ~30% of available — this is a smoke bound on the
+    // composition wiring, not a statistics test (the md5 bucket's
+    // uniformity itself is pinned in the rate test above)
+    plan.foreach { case (s, (_, avail, target, thr)) =>
+      if (thr >= 256L) assert(sampled(s) == avail) // capped: keep all
+      else {
+        val got = sampled.getOrElse(s, 0L).toDouble
+        assert(got <= avail)
+        assert(math.abs(got - target) < avail * 0.35,
+          s"$s: got $got vs target $target (available $avail)")
+      }
+    }
+  }
+
   test("rates outside [0,1] are rejected") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException] {
