@@ -1247,6 +1247,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: corpus-model surprisal quality score — the
+    // CCNet/LLaMA perplexity-filter shape with an engine-exact integer
+    // statistic (ilog2 via binary-string length, no float log); model
+    // agg on the gram key, score re-join on the same key, minCount=2
+    // pruning is lossless for this statistic (ilog2(1)=0)
+    "q89_surprisal" -> ((s, dir) => {
+      TextAnalysis.surprisalScore(Tables.documents(s, dir),
+          col("doc_id"), col("text"), n = 2, minCount = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: the mixture planner feeding q86's sampler —
     // per-source availability vs target weight -> 1/256-granular keep
     // threshold (one hash aggregate on the stratum key)
@@ -2895,7 +2906,28 @@ object SparkEntry {
         |  least(256, CAST(floor(
         |    CAST(target * 256 AS DOUBLE) / CAST(available AS DOUBLE))
         |    AS BIGINT)) AS bucket_threshold
-        |FROM agg ORDER BY stratum""".stripMargin
+        |FROM agg ORDER BY stratum""".stripMargin,
+
+    "q89_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-1))) i
+        |  FROM w WHERE len(ws) >= 2),
+        |gr AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') g FROM pos),
+        |model AS (SELECT g, COUNT(*) c FROM gr GROUP BY 1
+        |  HAVING COUNT(*) >= 2),
+        |tot AS (SELECT COUNT(*) t FROM gr),
+        |sc AS (SELECT gr.doc_id,
+        |    (length(bin(tot.t)) - 1) - (length(bin(COALESCE(model.c, 1))) - 1)
+        |      AS s
+        |  FROM gr LEFT JOIN model USING (g) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_ngrams,
+        |  CAST(SUM(s) AS BIGINT) AS surprisal,
+        |  CAST(floor(CAST(CAST(SUM(s) AS BIGINT) * 1000 AS DOUBLE)
+        |    / COUNT(*)) AS BIGINT) AS mean_x1000
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

@@ -182,4 +182,59 @@ object TextAnalysis {
         col("dup_line_frac") <= maxDupLineFrac &&
           coalesce(col("top_gram_frac") <= maxTopGramFrac, lit(true)))
   }
+
+  /** Integer floor(log2(x)) for a positive BIGINT column, computed as
+    * `length(bin(x)) - 1` — EXACT in any engine with a binary-string
+    * function (no double log whose last-ulp rounding could flip a
+    * floor boundary between engines). */
+  private def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
+  /** Corpus-model surprisal scoring — the LM-based quality-signal
+    * shape (CCNet/LLaMA filter docs by language-model perplexity; this
+    * is the same two-pass architecture with an engine-exact integer
+    * statistic): pass 1 aggregates the corpus's n-gram counts into a
+    * model; pass 2 scores every document by the total information
+    * content of its n-grams under that model,
+    * `surprisal = Σ (ilog2(T) − ilog2(c(gram)))` — high mean surprisal
+    * = improbable text (gibberish/noise), abnormally low = boilerplate.
+    * All arithmetic is integer ([[ilog2]]), so the score is
+    * reproducible bit-for-bit across engines, unlike a float log-prob.
+    *
+    * `minCount` prunes the model to grams seen at least that often,
+    * with pruned/unseen grams floored to count 1 (maximum surprisal).
+    * At minCount=2 the pruning is LOSSLESS for this statistic —
+    * ilog2(1) = 0 is exactly what true-count-1 grams contribute — while
+    * dropping the hapax mass, which by Zipf's law is roughly half of
+    * all distinct n-grams: the model side of the join shrinks ~2×
+    * for free.
+    *
+    * Scale shape: gram explode is narrow; the model is one hash
+    * aggregate on the gram key; scoring re-joins doc grams to the
+    * model on that same gram key (shuffle keyed by gram — at corpus
+    * scale the model is itself large, so a broadcast is NOT assumed),
+    * then one doc_id-keyed aggregate. The total-count scalar rides a
+    * broadcast singleton, the same side-input pattern as the global
+    * stats combine. Docs with fewer than n tokens produce no grams and
+    * are absent from the output (nothing to score). */
+  def surprisalScore(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, minCount: Long = 2): DataFrame = {
+    require(n >= 1 && minCount >= 1)
+    val grams = df.select(id.as("doc_id"), tokens(text).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(k => element_at(col("ws"), col("i") + k)): _*).as("g"))
+    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val total = grams.agg(count(lit(1)).as("t"))
+    grams.join(model, Seq("g"), "left")
+      .withColumn("c", coalesce(col("c"), lit(1L))) // OOV floor
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), (ilog2(col("t")) - ilog2(col("c"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("s")).as("surprisal"))
+      .withColumn("mean_x1000",
+        floor(col("surprisal") * 1000 / col("n_ngrams")).cast("long"))
+  }
 }

@@ -220,6 +220,33 @@ class AdpcmMp3Spec extends AnyFunSuite {
     assert(Mp3Codec.walkFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("decode fuzz: seeded random payloads never throw on ANY kind") {
+    import spark.implicits._
+    // deterministic fuzz sweep across every dispatch branch: random
+    // bytes, random prefixes of valid magic numbers, and truncations.
+    // The contract under test: a hostile payload NEVER kills the task —
+    // it decodes for real or degrades to a stub row (one row in, one
+    // row out, decoded flag set accordingly).
+    val rnd = new scala.util.Random(0x5eed)
+    val kinds = Seq("bmp", "ppm", "wav", "flac", "mp3", "png", "jpg",
+      "gif", "bin")
+    val magics = Seq("BM", "P6", "RIFF", "fLaC", "ID3",
+      "ÿû", "PNG").map(_.getBytes("ISO-8859-1"))
+    val payloads = (0 until 300).map { i =>
+      val len = rnd.nextInt(200)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      if (i % 3 == 0 && len > 8) { // graft a real-looking magic on front
+        val m = magics(rnd.nextInt(magics.length))
+        System.arraycopy(m, 0, b, 0, math.min(m.length, len))
+      }
+      Multimodal.MediaRow(i.toLong, kinds(i % kinds.length), b)
+    }
+    val out = Multimodal.decodeMedia(payloads.toDS()).collect()
+    assert(out.length == payloads.length, "every payload must yield a row")
+    assert(out.forall(_.n_bytes >= 0))
+  }
+
   test("decodeMedia mp3: real header metadata, content honestly stubbed") {
     import spark.implicits._
     val b = (1 to 4).flatMap(_ => mp3Frame(V1L3Stereo, 417)).toArray

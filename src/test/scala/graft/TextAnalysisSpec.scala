@@ -96,4 +96,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_grams") == 0L)
     assert(out.getAs[Boolean]("repetition_ok"))
   }
+
+  test("surprisalScore: hand-computed integer goldens, OOV floor, lossless minCount=2 pruning") {
+    import spark.implicits._
+    // corpus bigram counts: "a b"=3, "b a"=1, "b c"=1 -> T=5, ilog2=2
+    // model at minCount=2 keeps only "a b" (c=3, ilog2=1); the pruned
+    // singletons come back through the OOV floor at c=1 (ilog2=0) —
+    // exactly their true contribution
+    val docs = Seq((1L, "a b a b"), (2L, "a B c"), (3L, "x"))
+      .toDF("id", "t")
+    val out = TextAnalysis.surprisalScore(docs, col("id"), col("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("surprisal"),
+          r.getAs[Long]("mean_x1000"))).toMap
+    assert(out(1L) == ((3L, 4L, 1333L))) // 1 + 2 + 1; floor(4000/3)
+    assert(out(2L) == ((2L, 3L, 1500L))) // "a b"->1, "b c"->2
+    assert(!out.contains(3L)) // < n tokens: nothing to score
+    // pruning losslessness: minCount=1 (full model) gives identical rows
+    val full = TextAnalysis.surprisalScore(docs, col("id"), col("t"),
+      minCount = 1).collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("surprisal"),
+          r.getAs[Long]("mean_x1000"))).toMap
+    assert(full == out)
+  }
 }
