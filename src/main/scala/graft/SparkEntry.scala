@@ -1247,6 +1247,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: URL/domain blocklist curation — label-suffix
+    // equi-join (UT1 semantics: an entry blocks itself and its
+    // subdomains, never substring matches), blocklist broadcast,
+    // doc text never in the projection
+    "q90_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("lang"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("cdn."))
+            .when(col("doc_id") % 5 === 1, lit("www."))
+            .otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 3 === 0, lit(".tracker.net"))
+            .when(col("doc_id") % 3 === 1, lit(".example.com"))
+            .otherwise(lit(".example.org"))).as("host"))
+      val blocklist = Seq("tracker.net", "www.src1.example.com",
+        "src2.example.org").toDF("domain")
+      operators.Curation.filterBlockedDomains(d, col("doc_id"),
+          col("host"), blocklist, col("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: corpus-model surprisal quality score — the
     // CCNet/LLaMA perplexity-filter shape with an engine-exact integer
     // statistic (ilog2 via binary-string length, no float log); model
@@ -2927,7 +2950,29 @@ object SparkEntry {
         |  CAST(SUM(s) AS BIGINT) AS surprisal,
         |  CAST(floor(CAST(CAST(SUM(s) AS BIGINT) * 1000 AS DOUBLE)
         |    / COUNT(*)) AS BIGINT) AS mean_x1000
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q90_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.'
+        |      WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END)
+        |    || source ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.tracker.net'
+        |      WHEN doc_id % 3 = 1 THEN '.example.com'
+        |      ELSE '.example.org' END) AS host
+        |  FROM documents),
+        |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM d),
+        |s AS (SELECT doc_id, parts,
+        |    unnest(generate_series(1, len(parts))) AS k FROM p),
+        |sfx AS (SELECT doc_id,
+        |    array_to_string(parts[len(parts)-k+1:len(parts)], '.') AS sfx
+        |  FROM s),
+        |blocked AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE sfx IN ('tracker.net', 'www.src1.example.com',
+        |    'src2.example.org'))
+        |SELECT doc_id, source, lang, host FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+        |ORDER BY doc_id""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

@@ -277,4 +277,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("key")).toSet == Set("spam.net"))
     assert(out.head.getAs[Long]("count") == 8)
   }
+
+  test("embedding decontamination: bench side broadcast, corpus never exchanges vectors") {
+    val p = plan(SparkEntry.queries("q85_embedding_decontaminate")(spark, sf))
+    // the bench side rides a broadcast; the corpus-side quantized
+    // vectors must not appear in any shuffle exchange (only the
+    // (vec_id, count, max) partial-agg collapse shuffles)
+    assert(p.contains("BroadcastExchange"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val shuffleLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.forall(l => !l.contains("qv")),
+      s"corpus vectors must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("exact substring sweep: hash equi-join, window text dropped before the join") {
+    val p = plan(SparkEntry.queries("q87_exact_substring")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the self-join must be keyed on the md5 fingerprint, and no
+    // exchange may carry the raw document text column
+    val shuffleLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty)
+    assert(shuffleLines.forall(l => !l.contains("text")),
+      s"document text must not shuffle:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("surprisal: gram-keyed model join plus one doc-keyed aggregate, no forced model broadcast") {
+    val df = SparkEntry.queries("q89_surprisal")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // the corpus-total singleton IS broadcast (scalar side input),
+    // and at sf0.001 Catalyst may auto-broadcast the tiny model too —
+    // that is the CORRECT size-based choice; what must hold is that
+    // the model join is keyed on the gram
+    assert(p.contains("BroadcastExchange"), s"total scalar should broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("[g#")),
+      s"model join must be a g-keyed equi-join:\n$p")
+    // and the broadcast is stats-driven, not a hint baked into the
+    // operator: with auto-broadcast off the model join must fall back
+    // to a keyed shuffle join (a hardcoded broadcast() would OOM the
+    // driver on a corpus-sized model)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(SparkEntry.queries("q89_surprisal")(spark, sf))
+      assert(p2.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("[g#")),
+        s"model join must degrade to a keyed shuffle join:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
