@@ -1290,6 +1290,56 @@ object SparkEntry {
           weights = Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.10),
           defaultWeight = 0.05, budget = 100000L)
         .orderBy(col("stratum"))
+    }),
+
+    // training-data ops: corpus-level line dedup (RefinedWeb/CCNet
+    // boilerplate-line removal) — synthetic footers shared across doc
+    // groups are stripped (corpus freq > 5), the 2-char footer is
+    // exempt via minLineChars; freq table is one hash agg on the line
+    // hash, membership an equi-join on it (no broadcast assumption:
+    // the duplicated-line set is corpus-sized)
+    "q91_line_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nsubscribe to our newsletter today"))
+            .when(col("doc_id") % 4 === 1,
+              lit("\nall rights reserved worldwide"))
+            .when(col("doc_id") % 4 === 2, lit("\nok"))
+            .otherwise(lit(""))).as("t2"))
+      Dedup.lineDedup(d, col("doc_id"), col("t2"),
+          maxLineFreq = 5, minLineChars = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: deterministic sequence-packing plan
+    // (concatenate-and-chunk into 2048-token contexts, per-source
+    // shards) — one window cumsum partitioned by the shard key, no
+    // global sort; offsets/bins are integer DIV, exact at any corpus
+    // size
+    "q92_packing_plan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      Sampling.packingPlan(d, col("doc_id"), col("nt"), col("source"),
+          ctxLen = 512L)
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
+    // training-data ops: SemDeDup semantic dedup — seed-centroid cell
+    // assignment (q41's clustering), pair comparison ONLY within the
+    // cell (equi-join on the cell key, never corpus-squared), smallest
+    // id survives per duplicate group; injected clones (q85's dim-0
+    // sign-flip construction) guarantee semantic dups to drop
+    "q93_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val clones = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).union(clones)
+      Similarity.semanticDedup(corpus, col("vec_id"),
+          col("embedding"), minCosine = 0.85, nCells = 16)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -2972,7 +3022,95 @@ object SparkEntry {
         |    'src2.example.org'))
         |SELECT doc_id, source, lang, host FROM d
         |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q91_line_dedup" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'subscribe to our newsletter today'
+        |    WHEN doc_id % 4 = 1
+        |      THEN chr(10) || 'all rights reserved worldwide'
+        |    WHEN doc_id % 4 = 2 THEN chr(10) || 'ok'
+        |    ELSE '' END AS t2
+        |  FROM documents),
+        |ls0 AS (SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), l -> l <> '') AS ls
+        |  FROM d),
+        |ls AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS line_no FROM ls0),
+        |freq AS (SELECT md5(line) h, COUNT(*) f FROM ls GROUP BY 1),
+        |k AS (SELECT doc_id, line_no, line,
+        |    (hot.f IS NULL OR length(line) < 5) AS keep
+        |  FROM ls LEFT JOIN (SELECT h, f FROM freq WHERE f > 5) hot
+        |    ON md5(line) = hot.h),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_lines,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    string_agg(CASE WHEN keep THEN line END, chr(10)
+        |      ORDER BY line_no) AS cleaned_text
+        |  FROM k GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_lines, 0) AS n_lines,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(n_lines, 0) - COALESCE(n_kept, 0) AS n_dropped,
+        |  COALESCE(cleaned_text, '') AS cleaned_text
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q92_packing_plan" ->
+      """WITH t AS (SELECT source AS shard, doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tokens,
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
+        |  FROM t)
+        |SELECT shard, doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS bin_first,
+        |  (start_offset + greatest(n_tokens, 1) - 1) // 512 AS bin_last,
+        |  (start_offset + greatest(n_tokens, 1) - 1) // 512
+        |    > start_offset // 512 AS crosses
+        |FROM c ORDER BY shard, doc_id""".stripMargin,
+
+    "q93_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_prepend(-embedding[1], embedding[2:]) AS embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM corpus),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |cd AS (SELECT vec_id AS cent_id, d, v FROM ed WHERE vec_id < 16),
+        |cdot AS (SELECT ed.vec_id, cd.cent_id, CAST(SUM(ed.v * cd.v) AS BIGINT) dot
+        |  FROM ed JOIN cd ON cd.d = ed.d GROUP BY 1, 2),
+        |cscore AS (SELECT cdot.vec_id, cent_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS c_cos
+        |  FROM cdot JOIN nrm na ON na.vec_id = cdot.vec_id
+        |    JOIN nrm nb ON nb.vec_id = cent_id),
+        |cell AS (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) rn
+        |    FROM cscore) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id va, b.vec_id vb FROM cell a
+        |  JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |dots AS (SELECT va, vb, CAST(SUM(x.v * y.v) AS BIGINT) dot
+        |  FROM pairs JOIN ed x ON x.vec_id = va
+        |    JOIN ed y ON y.vec_id = vb AND y.d = x.d
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT va, vb,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = va
+        |    JOIN nrm nb ON nb.vec_id = vb),
+        |dups AS (SELECT vb AS vec_id, COUNT(*) AS n_dup_smaller,
+        |    MAX(cosine) AS max_cosine
+        |  FROM scored WHERE cosine >= 0.85 GROUP BY 1)
+        |SELECT c.vec_id, c.cell,
+        |  COALESCE(n_dup_smaller, 0) AS n_dup_smaller, max_cosine,
+        |  (n_dup_smaller IS NULL) AS keep
+        |FROM cell c LEFT JOIN dups USING (vec_id) ORDER BY vec_id""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

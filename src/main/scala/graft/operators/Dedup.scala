@@ -161,6 +161,64 @@ object Dedup {
       .filter(col("n_shared_windows") >= minShared)
   }
 
+  /** Corpus-level line deduplication — the RefinedWeb/CCNet cleaning
+    * pass that removes boilerplate LINES repeated across the corpus
+    * (nav menus, cookie banners, footers) while keeping each document
+    * otherwise intact. A non-empty line is dropped from every document
+    * when its corpus-wide frequency exceeds `maxLineFreq`; lines
+    * shorter than `minLineChars` are exempt (always kept) — short
+    * generic lines ("---", section numbers) would otherwise gut
+    * unrelated documents.
+    *
+    * Output: one row per input document — (doc_id, n_lines, n_kept,
+    * n_dropped, cleaned_text), cleaned_text = kept lines joined by \n
+    * in original order (empty string when nothing survives; documents
+    * with no non-empty lines pass through with zero counts).
+    *
+    * Scale shape: line explode + md5 is a narrow codegen'd projection;
+    * the frequency table is ONE hash aggregate on the 32-byte line
+    * hash; membership is an equi-join on that hash (the duplicated-line
+    * set is corpus-sized, so no broadcast is assumed — unlike the
+    * hot-shingle caps, which prune a small TOP set); reassembly is one
+    * doc_id-keyed aggregate. Line text crosses the shuffle twice (hash
+    * join + reassembly agg) — at 100 TB the reassembly would instead
+    * emit (doc_id, dropped line_no) patch sets and rewrite text in the
+    * scan of the next stage, but the join/agg keying here is already
+    * the scale shape. */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      maxLineFreq: Long = 1, minLineChars: Int = 0): DataFrame = {
+    require(maxLineFreq >= 1, "maxLineFreq must be >= 1")
+    val src = graft.sources.Tables.fanOutBy(
+      df.select(id.as("doc_id"), text.as("doc_text")), col("doc_id"))
+    val lines = src
+      .select(col("doc_id"),
+        posexplode(filter(split(col("doc_text"), "\n"), l => length(l) > 0)))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"))
+      .withColumn("h", md5(col("line")))
+    val hot = lines.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxLineFreq)
+    val kept = lines.join(hot, Seq("h"), "left")
+      .withColumn("keep",
+        col("f").isNull || length(col("line")) < minLineChars)
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("line_no"), col("line"))))),
+          s => s.getField("line"))).as("cleaned_text"))
+    // collect_list drops the nulls from non-kept lines, so the sorted
+    // struct list holds exactly the survivors in original order
+    src.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded permutations,
     * the signature is the lexicographic min of md5(seed:shingle) over
     * the doc's shingle set. Output: (doc_id, seed, sig). */

@@ -43,6 +43,47 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Sequence-packing plan — the deterministic "concatenate and chunk"
+    * layout every LM training pipeline runs last: documents are laid
+    * end to end in a canonical order and the token stream is cut into
+    * fixed `ctxLen` windows. For each document the plan reports its
+    * global token offset, the context window (`bin_first`) its first
+    * token lands in, and whether it straddles a window boundary
+    * (`crosses` — the fraction of boundary-crossing docs is the
+    * attention-contamination metric packing policies optimize).
+    *
+    * Layout order is (shard, doc_id): a pure function of the data, so
+    * the same corpus always packs identically on any cluster layout —
+    * the same reproducibility contract as [[stratifiedSample]].
+    *
+    * Scale shape: ONE window cumulative sum partitioned by `shard`.
+    * Real pipelines pack per shard/worker-file anyway (a single global
+    * token stream would serialize reading), so the window partitions by
+    * the shard key and the plan is one exchange + one in-partition
+    * running sum — no global sort, no driver state. A degenerate
+    * single-shard call is the global-order special case and costs one
+    * range-partitioned sort, which is still the right shape when a
+    * single canonical stream is genuinely required. */
+  def packingPlan(df: DataFrame, id: Column, nTokens: Column,
+      shard: Column, ctxLen: Long): DataFrame = {
+    require(ctxLen >= 1, "ctxLen must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(shard.as("shard"), id.as("doc_id"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not floor(double /): a global token offset is
+      // exactly the kind of counter that outgrows a double's 2^53
+      // integer range at real corpus size
+      .withColumn("last_token",
+        col("start_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
+      .withColumn("bin_first", expr(s"start_offset DIV $ctxLen"))
+      .withColumn("bin_last", expr(s"last_token DIV $ctxLen"))
+      .withColumn("crosses", col("bin_last") > col("bin_first"))
+      .drop("last_token")
+  }
+
   /** Mixture planning — the aggregation that produces
     * [[stratifiedSample]]'s rate table: given a target mixture weight
     * per stratum and a global size budget (tokens/chars), compute per

@@ -380,6 +380,67 @@ object Similarity {
       queryIds: Seq[Long], k: Int): DataFrame =
     bruteForceTopK(emb, id, vec, queryIds, k)
 
+  /** Semantic deduplication — the SemDeDup protocol (Abbas et al.
+    * 2023, public method): cluster the embedding space, then compare
+    * vectors ONLY within their cluster and drop all but one of every
+    * semantic-duplicate group. Here the clustering is the same
+    * deterministic seed-centroid assignment as [[ivfTopK]] (lowest
+    * `nCells` ids as centroids, exact integer cosine, min_by hash-agg
+    * argmax), and the keep policy is deterministic: a vector is DROPPED
+    * iff some SMALLER-id vector in its cell clears `minCosine` against
+    * it — so every duplicate group keeps exactly its minimum id, the
+    * same survivor rule as the text-side dedup family.
+    *
+    * Output: one row per vector — (vec_id, cell, n_dup_smaller,
+    * max_cosine, keep); max_cosine is the worst smaller-id similarity
+    * (NULL for vectors with none above threshold).
+    *
+    * Scale shape: this is the whole point of SemDeDup — the pair
+    * comparison is an equi-join on the CELL key, never corpus², and
+    * cell population is corpus/nCells on average (nCells is chosen
+    * ~sqrt(corpus) at scale, bounding per-cell pair work; hot cells
+    * are the residual skew risk and get the same frequency-cap
+    * treatment as hot shingles if a real corpus needs it). The
+    * candidate join moves bare (cell, vec_id) pairs; quantized vectors
+    * re-join from the persisted base only per unique pair — the
+    * thinned-kernel shape shared with [[cosineNearDupPairsMulti]]. */
+  def semanticDedup(emb: DataFrame, id: Column, vec: Column,
+      minCosine: Double, nCells: Int = 16,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val base0 = quantized(emb, id, vec)
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(storage)
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"))
+    val assigned0 = assignCells(base, cents)
+    val assigned =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0
+      else assigned0.persist(storage)
+    val ids = assigned.select(col("cell"), col("vec_id"))
+    val pairs = ids.select(col("cell"), col("vec_id").as("vec_a"))
+      .join(ids.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+    val dups = pairs
+      .join(assigned.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(assigned.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .withColumn("cosine",
+        cosine(dotQ(col("qv_a"), col("qv_b")), col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_smaller"), max(col("cosine")).as("max_cosine"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
+        col("max_cosine"),
+        col("n_dup_smaller").isNull.as("keep"))
+  }
+
   /** Embedding-space benchmark decontamination — the similarity-space
     * twin of [[TextAnalysis.decontaminate]]'s n-gram sweep (the
     * GPT-3/PaLM-style protocol applied to embeddings): flag every

@@ -241,4 +241,48 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("line dedup: corpus-hot lines drop, short lines exempt, order survives") {
+    import spark.implicits._
+    val lineDocs = Seq(
+      (1L, "alpha beta\nFOOTER LINE\ngamma"),
+      (2L, "FOOTER LINE\ndelta"),
+      (3L, "FOOTER LINE"),
+      (4L, "epsilon\nok"),
+      (5L, "ok\nzeta\nok"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(lineDocs, col("doc_id"), col("text"),
+        maxLineFreq = 2, minLineChars = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // "FOOTER LINE" occurs in 3 docs (freq 3 > 2): dropped everywhere
+    assert(out(1L) == ((3L, 2L, 1L, "alpha beta\ngamma")))
+    assert(out(2L) == ((2L, 1L, 1L, "delta")))
+    // a doc that was ONLY boilerplate survives as an empty shell
+    assert(out(3L) == ((1L, 0L, 1L, "")))
+    // "ok" occurs 3 times corpus-wide but is 2 chars < minLineChars:
+    // exempt, kept — including both copies of the in-doc duplicate,
+    // in original positions
+    assert(out(4L) == ((2L, 2L, 0L, "epsilon\nok")))
+    assert(out(5L) == ((3L, 3L, 0L, "ok\nzeta\nok")))
+    // a document with no non-empty lines still gets its output row
+    assert(out(6L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("line dedup: freq == maxLineFreq is kept (strict > drop), plan never all-pairs") {
+    import spark.implicits._
+    val lineDocs = Seq(
+      (1L, "twice line\na1"), (2L, "twice line\nb1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(lineDocs, col("doc_id"), col("text"),
+        maxLineFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("n_dropped") == 0L))
+    val plan = Dedup.lineDedup(lineDocs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

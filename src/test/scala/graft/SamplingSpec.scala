@@ -105,4 +105,72 @@ class SamplingSpec extends AnyFunSuite {
         Map("src0" -> 1.5), defaultRate = 0.5)
     }
   }
+
+  test("packing plan: hand-computed offsets, bins and boundary crossings") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L),
+      ("b", 10L, 512L), ("b", 11L, 1L)
+    ).toDF("src", "id", "nt")
+    val rows = Sampling.packingPlan(docs, col("id"), col("nt"), col("src"),
+        ctxLen = 512L)
+      .orderBy("shard", "doc_id")
+      .select("shard", "doc_id", "start_offset", "bin_first", "bin_last",
+        "crosses")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      // shard a: [0,299] bin 0; [300,599] crosses 0->1; [600,1099] 1->2
+      ("a", 1L, 0L, 0L, 0L, false),
+      ("a", 2L, 300L, 0L, 1L, true),
+      ("a", 3L, 600L, 1L, 2L, true),
+      // shard b restarts at offset 0: [0,511] fills bin 0 exactly
+      ("b", 10L, 0L, 0L, 0L, false),
+      ("b", 11L, 512L, 1L, 1L, false)))
+  }
+
+  test("packing plan: zero-token docs hold one slot and don't advance the stream") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, 0L), ("a", 2L, 100L)).toDF("src", "id", "nt")
+    val rows = Sampling.packingPlan(docs, col("id"), col("nt"), col("src"),
+        ctxLen = 512L)
+      .orderBy("doc_id").collect()
+    // doc 1: zero tokens, occupies [0,0] via the greatest(n,1) floor
+    assert(rows(0).getAs[Long]("start_offset") == 0L &&
+      rows(0).getAs[Long]("bin_first") == 0L &&
+      !rows(0).getAs[Boolean]("crosses"))
+    // doc 2 starts at 0 too: the empty doc contributed no tokens
+    assert(rows(1).getAs[Long]("start_offset") == 0L)
+  }
+
+  test("packing plan: layout is a pure function of the data, not the partitioning") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (s"s${i % 3}", i, i % 37 + 1)).toDF("src", "id", "nt")
+    val a = Sampling.packingPlan(docs, col("id"), col("nt"), col("src"), 64L)
+      .orderBy("shard", "doc_id").collect().toSeq
+    val b = Sampling.packingPlan(docs.repartition(7).sortWithinPartitions(desc("id")),
+        col("id"), col("nt"), col("src"), 64L)
+      .orderBy("shard", "doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("packing plan shape: one shard-keyed exchange, no global sort") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (s"s${i % 3}", i, i % 7 + 1)).toDF("src", "id", "nt")
+    val plan = Sampling.packingPlan(docs, col("id"), col("nt"), col("src"), 64L)
+      .queryExecution.executedPlan.toString
+    // windows partitioned by the shard key: hash exchange, not a
+    // range-partitioned global sort
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("packing plan rejects a non-positive context length") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, 5L)).toDF("src", "id", "nt")
+    intercept[IllegalArgumentException] {
+      Sampling.packingPlan(docs, col("id"), col("nt"), col("src"), 0L)
+    }
+  }
 }

@@ -283,4 +283,60 @@ class SimilaritySpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("semantic dedup: within-cell near-dups drop to the minimum id, cross-cell pairs untouched") {
+    import spark.implicits._
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    // 2 seed centroids (ids 0, 1) on orthogonal axes; 10/11 are a
+    // near-identical pair in cell 0; 12 lives in cell 1
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      10L -> Array(0.99f, 0.12f, 0f, 0f),
+      11L -> Array(0.98f, 0.13f, 0f, 0f),
+      12L -> Array(0.12f, 0.99f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, col("vec_id"), col("embedding"),
+        minCosine = 0.999, nCells = 2, storage = none)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // cells: centroid ids label their own cells
+    assert(out(0L)._1 == 0L && out(10L)._1 == 0L && out(11L)._1 == 0L)
+    assert(out(1L)._1 == 1L && out(12L)._1 == 1L)
+    // 11 is the only vector with a smaller-id near-twin above 0.999
+    // (10 vs the centroid is ~0.993: below threshold, kept)
+    assert(!out(11L)._3 && out(11L)._2 >= 1L)
+    assert(Seq(0L, 1L, 10L, 12L).forall(id => out(id)._3 && out(id)._2 == 0L))
+  }
+
+  test("semantic dedup on the corpus: injected clones drop, survivors keep min id, cell-keyed plan") {
+    val emb = Tables.embeddings(spark, sf)
+    // q93's construction: dim-0 sign-flipped clone of every 25th vector
+    val clones = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(clones)
+    val out = Similarity.semanticDedup(corpus, col("vec_id"),
+      col("embedding"), minCosine = 0.85, nCells = 16)
+    val rows = out.collect()
+    val dropped = rows.filter(!_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    val nClones = clones.count()
+    // every clone lands in its original's cell and is dropped (the
+    // original has the smaller id); no original is dropped for a clone
+    assert(dropped.size == nClones.toInt)
+    assert(dropped.forall(_ >= 1000000L))
+    // dropped rows carry their evidence; kept rows carry none
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("keep")) assert(r.getAs[Long]("n_dup_smaller") == 0L)
+      else assert(r.getAs[Long]("n_dup_smaller") >= 1L &&
+        r.getAs[Double]("max_cosine") >= 0.85)
+    }
+    // the pair comparison is an equi-join on the cell key — never a
+    // cartesian across cells (the only nested-loop is the broadcast
+    // centroid assignment, same as the IVF plans)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
