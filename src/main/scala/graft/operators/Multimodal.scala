@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   * residuals, fixed + LPC predictors, stereo decorrelation, CRC
   * verification; public format, RFC 9639) — and [[AdpcmCodec]] — IMA
   * ADPCM inside the WAV container (4 bits/sample adaptive
-  * differential coding, format tag 0x11). MP3 payloads get a REAL
-  * frame-header walk ([[Mp3Codec]]: exact channels / sample rate /
-  * per-channel sample count from the frame sequence) but content
-  * statistics stay stub-derived with `decoded=false` — full Layer III
-  * PCM decode needs spec tables (huffman B.7, synthesis window B.3)
-  * that cannot be reproduced from memory with confidence. Codecs the
-  * JVM genuinely lacks (video, other lossy audio: H.264/Opus/...)
+  * differential coding, format tag 0x11) — plus ITU-T G.711 µ-law and
+  * A-law WAV (format tags 7/6), expanded by the published formulas.
+  * MP3 payloads get a REAL frame-header walk ([[Mp3Codec]]: exact
+  * channels / sample rate / per-channel sample count from the frame
+  * sequence), MP4/M4A/MOV a REAL ISO-BMFF box walk ([[Mp4Codec]]:
+  * exact dimensions / duration / audio shape from the moov tree), and
+  * Ogg (Opus/Vorbis) a REAL CRC-verified page walk ([[OggCodec]]:
+  * channels + rate from the id header, samples from granule
+  * positions) — but their content statistics stay stub-derived with
+  * `decoded=false`: the payloads are H.264/AAC/Opus/MDCT bitstreams,
+  * and full Layer III PCM decode needs spec tables (huffman B.7,
+  * synthesis window B.3) that cannot be reproduced from memory with
+  * confidence. Codecs the JVM genuinely lacks
   * fall back to `decodeStub` —
   * deterministic fake features from the payload md5, clearly flagged
   * `decoded=false`. The schema, partitioning, batch iteration and
@@ -144,12 +150,37 @@ object Multimodal {
     }
   }
 
+  /** ITU-T G.711 µ-law expansion, byte → 16-bit linear PCM. The
+    * formula is the published one (complement, 3-bit exponent, 4-bit
+    * mantissa, bias 0x84) — no lookup table to get wrong. */
+  private[operators] def ulawToLinear(byte: Byte): Int = {
+    val u = ~byte & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion, byte → 16-bit linear PCM (XOR 0x55,
+    * segmented: segment 0 adds 8, higher segments add 0x108 and shift). */
+  private[operators] def alawToLinear(byte: Byte): Int = {
+    val a = (byte ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    val t = (a & 0x0f) << 4
+    val mag = seg match {
+      case 0 => t + 8
+      case 1 => t + 0x108
+      case _ => (t + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
   /** WAV (RIFF/WAVE): PCM (fmt audioFormat=1, 8- or 16-bit) decoded
     * inline; IMA ADPCM (audioFormat=0x11, 4-bit — a REAL compressed
-    * codec) via [[AdpcmCodec]]. Returns (channels, sample_rate,
-    * n_samples per channel, floor(mean |amplitude|)) on either path —
-    * identical stat contract, so downstream never sees which container
-    * coding was used. Other format tags fall to the stub path. */
+    * codec) via [[AdpcmCodec]]; ITU-T G.711 A-law (audioFormat=6) and
+    * µ-law (audioFormat=7) expanded to linear PCM via the published
+    * formulas. Returns (channels, sample_rate, n_samples per channel,
+    * floor(mean |amplitude|)) on every path — identical stat contract,
+    * so downstream never sees which container coding was used. Other
+    * format tags fall to the stub path. */
   private[operators] def decodeWav(b: Array[Byte])
       : Option[(Long, Long, Long, Long)] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
@@ -197,6 +228,18 @@ object Multimodal {
             if (nTotal == 0) 0L else Math.floorDiv(sum, nTotal.toLong)))
         case 0x11 if bits == 4 =>
           AdpcmCodec.decodeData(b, off, len, chans, blockAlign)
+        case 6 | 7 if bits == 8 => // G.711 A-law / µ-law
+          var sum = 0L
+          var i = 0
+          while (i < len) {
+            val v =
+              if (audioFormat == 7) ulawToLinear(b(off + i))
+              else alawToLinear(b(off + i))
+            sum += math.abs(v)
+            i += 1
+          }
+          Some((len.toLong / chans,
+            if (len == 0) 0L else Math.floorDiv(sum, len.toLong)))
         case _ => None // other compressed tags: stub path
       }
     } yield (chans.toLong, rate, stats._1, stats._2)
@@ -310,6 +353,26 @@ object Multimodal {
               // until a full Layer III PCM decode exists (see Mp3Codec
               // scaladoc for why the huffman/window tables block that)
               Mp3Codec.walkFrames(m.bytes).map { case (c, rate, ns) =>
+                val (f0, _, _, _) = decodeStub(m.bytes)
+                MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns,
+                  f0, decoded = false)
+              }
+            case "mp4" | "m4a" | "mov" =>
+              // ISO-BMFF box walk: REAL dimensions / duration / audio
+              // shape from the moov tree; content stays stub-derived
+              // (the sample payloads are H.264/AAC bitstreams) —
+              // same decoded=false contract as the mp3 walk
+              Mp4Codec.parse(m.bytes).map { info =>
+                val (f0, _, _, _) = decodeStub(m.bytes)
+                MediaDecoded(m.media_id, m.kind, n, info.width, info.height,
+                  info.channels, info.sampleRate, info.nSamples, f0,
+                  decoded = false)
+              }
+            case "ogg" | "opus" =>
+              // Ogg page walk (CRC-verified): REAL channels / rate /
+              // per-channel sample count from granule positions;
+              // content stays stub-derived (Opus/Vorbis bitstreams)
+              OggCodec.parse(m.bytes).map { case (c, rate, ns) =>
                 val (f0, _, _, _) = decodeStub(m.bytes)
                 MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns,
                   f0, decoded = false)

@@ -229,9 +229,9 @@ class AdpcmMp3Spec extends AnyFunSuite {
     // row out, decoded flag set accordingly).
     val rnd = new scala.util.Random(0x5eed)
     val kinds = Seq("bmp", "ppm", "wav", "flac", "mp3", "png", "jpg",
-      "gif", "bin")
+      "gif", "mp4", "ogg", "bin")
     val magics = Seq("BM", "P6", "RIFF", "fLaC", "ID3",
-      "ÿû", "PNG").map(_.getBytes("ISO-8859-1"))
+      "ÿû", "PNG", "OggS", "ftyp").map(_.getBytes("ISO-8859-1"))
     val payloads = (0 until 300).map { i =>
       val len = rnd.nextInt(200)
       val b = new Array[Byte](len)
