@@ -1340,6 +1340,43 @@ object SparkEntry {
       Similarity.semanticDedup(corpus, col("vec_id"),
           col("embedding"), minCosine = 0.85, nCells = 16)
         .orderBy(col("vec_id"))
+    }),
+
+    // training-data ops: trained quality classifier (the GPT-3/CCNet
+    // quality-classifier shape): integer floor-log2 LLR over per-token
+    // class counts learned from a labeled half of the corpus (content
+    // -derived weak label); training = one token-keyed hash agg,
+    // scoring = token-keyed model join + doc-keyed agg
+    "q94_quality_classifier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labeled = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("lab", size(filter(Dedup.tokens(col("text")),
+          t => t.isin("vector", "stream", "batch"))) >= 3)
+      TextAnalysis.llrQualityScore(d, col("doc_id"), col("text"),
+          labeled, col("text"), col("lab"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: distributed BPE merge training (Sennrich
+    // 2016) — corpus collapses to a (word, count) vocabulary in ONE
+    // hash agg, then each round is a pair-count agg + 1-row argmax;
+    // symbol wrapping makes the merge a boundary-safe literal replace
+    "q95_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeTrainMerges(Tables.documents(s, dir),
+          col("text"), nMerges = 6)
+        .orderBy(col("round"))
+    }),
+
+    // training-data ops: apply the trained merge table and report
+    // per-doc BPE token counts — tokenize once per distinct word (the
+    // vocabulary collapse), map-only codegen'd replace fold
+    "q96_bpe_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(d, col("text"), nMerges = 6)
+        .orderBy(col("round")).collect()
+        .map(r => r.getString(1) -> r.getString(2)).toSeq
+      TextAnalysis.bpeEncodeCounts(d, col("doc_id"), col("text"), merges)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3110,13 +3147,97 @@ object SparkEntry {
         |SELECT c.vec_id, c.cell,
         |  COALESCE(n_dup_smaller, 0) AS n_dup_smaller, max_cosine,
         |  (n_dup_smaller IS NULL) AS keep
-        |FROM cell c LEFT JOIN dups USING (vec_id) ORDER BY vec_id""".stripMargin
+        |FROM cell c LEFT JOIN dups USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    "q94_quality_classifier" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |lab AS (SELECT doc_id, ws,
+        |    len(list_filter(ws,
+        |      t -> t IN ('vector', 'stream', 'batch'))) >= 3 AS l_pos
+        |  FROM w WHERE doc_id % 2 = 0),
+        |tr AS (SELECT unnest(ws) tok, l_pos FROM lab),
+        |model AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN l_pos THEN 1 ELSE 0 END) AS BIGINT) c_pos,
+        |    CAST(SUM(CASE WHEN NOT l_pos THEN 1 ELSE 0 END) AS BIGINT) c_neg
+        |  FROM tr GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN l_pos THEN 1 ELSE 0 END) AS BIGINT) t_pos,
+        |    CAST(SUM(CASE WHEN NOT l_pos THEN 1 ELSE 0 END) AS BIGINT) t_neg
+        |  FROM tr),
+        |ct AS (SELECT doc_id, unnest(ws) tok FROM w),
+        |sc AS (SELECT doc_id,
+        |    ((length(bin(COALESCE(c_pos, 0) + 1)) - 1)
+        |      - (length(bin(t_pos)) - 1))
+        |    - ((length(bin(COALESCE(c_neg, 0) + 1)) - 1)
+        |      - (length(bin(t_neg)) - 1)) AS s
+        |  FROM ct LEFT JOIN model USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(s) AS BIGINT) AS score,
+        |  CAST(SUM(s) AS BIGINT) > 0 AS pred_quality
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same
     // rows, same oracles
     base ++ extra +
       ("q65_cosine_topk_window" -> base("q19_cosine_topk")) +
-      ("q76_cc_stars" -> base("q53_dedup_clusters"))
+      ("q76_cc_stars" -> base("q53_dedup_clusters")) +
+      ("q95_bpe_merges" -> bpeMergesSql(6)) +
+      ("q96_bpe_encode" -> bpeEncodeSql(6))
   }
+
+  /** Shared DuckDB CTE chain mirroring [[operators.TextAnalysis
+    * .bpeTrainMerges]]: vocabulary collapse, then `n` unrolled rounds
+    * of (pair count → argmax → boundary-safe replace). Generated
+    * rather than hand-unrolled so the round template is stated once. */
+  private def bpeCtes(n: Int): String = {
+    val prefix =
+      """wd AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |w AS (SELECT unnest(ws) word FROM wd),
+        |v AS (SELECT word, COUNT(*) cnt FROM w GROUP BY 1),
+        |s0 AS (SELECT word, '<' || array_to_string(
+        |    list_transform(generate_series(1, length(word)),
+        |      i -> word[i]), '> <') || '>' AS seq, cnt FROM v)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""p$k AS (SELECT pr, CAST(SUM(cnt) AS BIGINT) c FROM (
+         |    SELECT cnt, arr[i] || ' ' || arr[i+1] pr FROM (
+         |      SELECT string_split(seq, ' ') arr, cnt,
+         |        unnest(generate_series(1, len(string_split(seq, ' ')) - 1)) i
+         |      FROM s${k - 1})) GROUP BY 1),
+         |b$k AS (SELECT pr, c FROM p$k ORDER BY c DESC, pr LIMIT 1),
+         |s$k AS (SELECT word, replace(seq, (SELECT pr FROM b$k),
+         |    replace((SELECT pr FROM b$k), '> <', '')) seq, cnt
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"$prefix,\n$rounds"
+  }
+
+  private def bpeMergesSql(n: Int): String = {
+    val ms = (1 to n).map { k =>
+      s"""SELECT CAST($k AS BIGINT) round,
+         |  (string_split(pr, ' ')[1])[2:length(string_split(pr, ' ')[1]) - 1]
+         |    AS pair_a,
+         |  (string_split(pr, ' ')[2])[2:length(string_split(pr, ' ')[2]) - 1]
+         |    AS pair_b,
+         |  c AS cnt FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(n)}
+       |SELECT round, pair_a, pair_b, pair_a || pair_b AS merged, cnt
+       |FROM ($ms) ORDER BY round""".stripMargin
+  }
+
+  private def bpeEncodeSql(n: Int): String =
+    s"""WITH ${bpeCtes(n)},
+       |wn AS (SELECT word,
+       |    CAST(len(string_split(seq, ' ')) AS BIGINT) n_sym FROM s$n),
+       |dw AS (SELECT doc_id, unnest(ws) word FROM wd),
+       |docc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) n_occ
+       |  FROM dw GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_occ * n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM docc JOIN wn USING (word) GROUP BY 1 ORDER BY 1""".stripMargin
 }

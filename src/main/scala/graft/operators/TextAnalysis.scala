@@ -189,6 +189,149 @@ object TextAnalysis {
     * floor boundary between engines). */
   private def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
 
+  /** Byte-pair-encoding merge training — the Sennrich et al. 2016
+    * algorithm (the public method behind GPT-2/RoBERTa-style
+    * tokenizers), distributed: train `nMerges` merge rules on the
+    * corpus's word-frequency vocabulary.
+    *
+    * Representation: each word becomes a symbol sequence with every
+    * symbol wrapped as `<sym>` and symbols space-joined
+    * (`"ab"` → `"<a> <b>"`). The wrapping makes a merge a plain
+    * substring replacement that is symbol-boundary-safe (a pattern
+    * `"<a> <b>"` can never match inside a longer symbol) and leaves
+    * adjacent same-pair occurrences disjoint, so the engines' shared
+    * left-to-right non-overlapping `replace` semantics reproduce the
+    * reference algorithm's merge application exactly. Pair counts are
+    * adjacent-index counts weighted by word frequency (Sennrich's
+    * `get_stats`), and ties break on the pair string ascending —
+    * fully deterministic.
+    *
+    * Scale shape: the corpus collapses to a (word, count) vocabulary
+    * first — ONE hash aggregate, after which corpus size never
+    * re-enters; each round is one pair-count hash aggregate over the
+    * vocabulary (map-side combined) plus a 1-row argmax collect (the
+    * standard iterative-trainer shape, like the k-means refinement
+    * loop: rounds are bounded and tiny on the driver). The vocabulary
+    * frame is localCheckpoint'd per round so plan depth stays O(1).
+    *
+    * Output: (round, pair_a, pair_b, merged, cnt) — the merge table a
+    * tokenizer ships. */
+  def bpeTrainMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wrapChars = concat(lit("<"),
+      array_join(split(col("word"), ""), "> <"), lit(">"))
+    var vocab = df.select(explode(tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(wrapChars.as("seq"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      val arr = split(col("seq"), " ")
+      val best = vocab
+        .select(col("cnt"), arr.as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"),
+          explode(sequence(lit(1), size(col("a")) - 1)).as("i"), col("a"))
+        .select(col("cnt"), concat(element_at(col("a"), col("i")), lit(" "),
+          element_at(col("a"), col("i") + 1)).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pr").asc)
+        .limit(1).collect()
+      if (best.isEmpty) {
+        // vocabulary fully merged: nothing left to learn
+        vocab.unpersist()
+        return merges.result()
+          .toDF("round", "pair_a", "pair_b", "merged", "cnt")
+      }
+      val pr = best(0).getString(0)
+      val cnt = best(0).getLong(1)
+      val Array(wa, wb) = pr.split(" ")
+      def unwrap(s: String) = s.substring(1, s.length - 1)
+      merges += ((round.toLong, unwrap(wa), unwrap(wb),
+        unwrap(wa) + unwrap(wb), cnt))
+      val prev = vocab
+      vocab = vocab.select(
+        replace(col("seq"), lit(pr), lit(s"<${unwrap(wa)}${unwrap(wb)}>"))
+          .as("seq"), col("cnt"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    vocab.unpersist()
+    merges.result().toDF("round", "pair_a", "pair_b", "merged", "cnt")
+  }
+
+  /** Apply a trained merge table to the corpus and report per-document
+    * BPE token counts — the "how many tokens will this doc cost"
+    * statistic every training pipeline computes with its real
+    * tokenizer. The merge fold is a chain of literal substring
+    * replacements on the wrapped symbol form (see [[bpeTrainMerges]]),
+    * entirely codegen'd, map-only: per-word token counts aggregate
+    * over the SAME (word, count) vocabulary collapse as training, and
+    * docs join their word multiset back to the vocabulary — so the
+    * corpus text is tokenized once per distinct word, not once per
+    * occurrence. */
+  def bpeEncodeCounts(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wrapChars = concat(lit("<"),
+      array_join(split(col("word"), ""), "> <"), lit(">"))
+    val folded = merges.foldLeft(wrapChars) { case (seqCol, (a, b)) =>
+      replace(seqCol, lit(s"<$a> <$b>"), lit(s"<$a$b>"))
+    }
+    val perWord = df.select(id.as("doc_id"), explode(tokens(text)).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("n_sym", size(split(folded, " ")).cast("long"))
+    perWord.groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** Trained quality classifier — the fastText/CCNet "quality
+    * classifier" architecture (GPT-3 trained a linear classifier on
+    * WebText-vs-CommonCrawl and kept high-scoring documents; LLaMA/
+    * CCNet the same shape): learn per-token class statistics from a
+    * LABELED subset, then score the whole corpus by a log-likelihood
+    * ratio. As with [[surprisalScore]], the statistic is integer end
+    * to end — per token
+    * `s(t) = (ilog2(c_pos(t)+1) − ilog2(T_pos)) −
+    *         (ilog2(c_neg(t)+1) − ilog2(T_neg))`
+    * (add-one smoothed, class-mass normalized, floor-log2), doc score
+    * = Σ s(t), predict positive when > 0 — bit-reproducible across
+    * engines, no float log-prob drift. Out-of-vocabulary tokens score
+    * the smoothing floor exactly like count-0 training tokens.
+    *
+    * Scale shape: training is ONE hash aggregate on the token key over
+    * the labeled subset; the class-total scalars ride a broadcast
+    * singleton; scoring re-joins corpus tokens to the model on the
+    * token key (the model is vocabulary-sized — no broadcast
+    * assumption; Catalyst broadcasts iff stats allow, and the join
+    * degrades to a keyed shuffle join otherwise, the same contract as
+    * [[surprisalScore]]), then one doc_id-keyed aggregate. Docs with
+    * no tokens are absent (nothing to score). */
+  def llrQualityScore(corpus: DataFrame, id: Column, text: Column,
+      labeled: DataFrame, labeledText: Column, label: Column): DataFrame = {
+    val train = labeled.select(labeledText.as("l_text"), label.as("l_pos"))
+      .select(explode(tokens(col("l_text"))).as("tok"), col("l_pos"))
+    val model = train.groupBy(col("tok"))
+      .agg(sum(when(col("l_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("l_pos"), 1L).otherwise(0L)).as("c_neg"))
+    val totals = train.agg(
+      sum(when(col("l_pos"), 1L).otherwise(0L)).as("t_pos"),
+      sum(when(!col("l_pos"), 1L).otherwise(0L)).as("t_neg"))
+    corpus.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .join(model, Seq("tok"), "left")
+      .withColumn("c_pos", coalesce(col("c_pos"), lit(0L)))
+      .withColumn("c_neg", coalesce(col("c_neg"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((ilog2(col("c_pos") + 1) - ilog2(col("t_pos"))) -
+          (ilog2(col("c_neg") + 1) - ilog2(col("t_neg")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("score"))
+      .withColumn("pred_quality", col("score") > 0)
+  }
+
   /** Corpus-model surprisal scoring — the LM-based quality-signal
     * shape (CCNet/LLaMA filter docs by language-model perplexity; this
     * is the same two-pass architecture with an engine-exact integer

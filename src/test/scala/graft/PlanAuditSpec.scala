@@ -329,4 +329,52 @@ class PlanAuditSpec extends AnyFunSuite {
         s"model join must degrade to a keyed shuffle join:\n$p2")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("line dedup: membership join keyed on the line hash, no forced broadcast of a corpus-sized freq table") {
+    val p = plan(SparkEntry.queries("q91_line_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // with auto-broadcast off (the corpus-scale situation: the
+    // duplicated-line set is NOT small) the membership join must
+    // degrade to a keyed shuffle join on the hash — a baked-in
+    // broadcast() would OOM the driver at 100 TB
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(SparkEntry.queries("q91_line_dedup")(spark, sf))
+      assert(p2.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("[h#")),
+        s"freq join must be an h-keyed shuffle join:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("packing plan: one shard-keyed hash exchange, never a global range sort") {
+    val p = plan(SparkEntry.queries("q92_packing_plan")(spark, sf))
+    // the orderBy in the query entry is presentation; the WINDOW
+    // itself must partition by shard (hash), not range-sort the corpus
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("shard")),
+      s"window must hash-partition by shard:\n$p")
+  }
+
+  test("semantic dedup: candidate join is cell-keyed and carries bare ids, vectors re-join per unique pair") {
+    val df = SparkEntry.queries("q93_semantic_dedup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the within-cell candidate self-join must be an equi-join on the
+    // cell key...
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell")),
+      s"candidate join must key on cell:\n$p")
+    // ...and no hash exchange may move the quantized vector arrays
+    // together with a pair-side key (vec_a/vec_b): candidates travel
+    // as bare id pairs, vectors cross the wire once with vec_id only
+    val pairExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("vec_a") || l.contains("vec_b"))).toSeq
+    assert(pairExchanges.forall(l => !l.contains("qv")),
+      s"pair exchanges must not carry vectors:\n${pairExchanges.mkString("\n")}")
+  }
 }

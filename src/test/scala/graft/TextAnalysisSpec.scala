@@ -119,4 +119,85 @@ class TextAnalysisSpec extends AnyFunSuite {
           r.getAs[Long]("mean_x1000"))).toMap
     assert(full == out)
   }
+
+  test("llrQualityScore: hand-computed integer LLR goldens, OOV scores zero, strict > gate") {
+    import spark.implicits._
+    // model from the labeled pair: good(2,0) nice(1,0) bad(0,2)
+    // ugly(0,1); T_pos = T_neg = 3 (ilog2 = 1)
+    // s(good) = (ilog2(3)-1) - (ilog2(1)-1) = 1;  s(nice) = 1
+    // s(bad) = -1; s(ugly) = -1; OOV "meh" = (0-1)-(0-1) = 0
+    val corpus = Seq((1L, "good good nice"), (2L, "bad bad ugly"),
+      (3L, "good bad meh")).toDF("id", "t")
+    val labeled = Seq(("good good nice", true), ("bad bad ugly", false))
+      .toDF("lt", "lab")
+    val out = TextAnalysis.llrQualityScore(corpus, col("id"), col("t"),
+        labeled, col("lt"), col("lab"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("score"),
+          r.getAs[Boolean]("pred_quality")))).toMap
+    assert(out(1L) == ((3L, 3L, true)))
+    assert(out(2L) == ((3L, -3L, false)))
+    // mixed doc lands exactly on 0: the gate is strictly positive
+    assert(out(3L) == ((3L, 0L, false)))
+  }
+
+  test("llrQualityScore separates classes it was trained on") {
+    import spark.implicits._
+    // 40 docs, half marker-laden, half plain; train on the even half,
+    // score everything — every marker doc must outscore every plain doc
+    val docs = (1L to 40L).map { i =>
+      val t = if (i % 2 == 0) "vector stream batch vector data row"
+      else "the a slow small data row"
+      (i, t)
+    }.toDF("id", "t")
+    val labeled = docs.filter(col("id") <= 20L)
+      .withColumn("lab", col("t").contains("vector"))
+    val rows = TextAnalysis.llrQualityScore(docs, col("id"), col("t"),
+        labeled, col("t"), col("lab")).collect()
+    val (marker, plain) = rows.partition(_.getAs[Long]("doc_id") % 2 == 0)
+    assert(marker.map(_.getAs[Long]("score")).min >
+      plain.map(_.getAs[Long]("score")).max)
+    assert(marker.forall(_.getAs[Boolean]("pred_quality")))
+  }
+
+  test("bpeTrainMerges: the Sennrich low/lower example, ties on pair order") {
+    import spark.implicits._
+    // word counts: low x2, lower x1, new x1, newer x1
+    // pair counts r1: l-o 3, o-w 3, w-e 2, e-r 2, n-e 2, e-w 2
+    //  -> tie at 3 breaks to '<l> <o>' (asc) -> lo
+    // r2: lo-w 3 -> low;  r3: tie at 2 -> er;  r4: tie at 2 -> ew
+    val docs = Seq((1L, "low lower low"), (2L, "new newer")).toDF("id", "t")
+    val merges = TextAnalysis.bpeTrainMerges(docs, col("t"), nMerges = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1L, "l", "o", "lo", 3L),
+      (2L, "lo", "w", "low", 3L),
+      (3L, "e", "r", "er", 2L),
+      (4L, "e", "w", "ew", 2L)))
+  }
+
+  test("bpeTrainMerges: fully-merged vocabulary ends training early") {
+    import spark.implicits._
+    // 'ab' merges to one symbol in round 1; round 2 has no pairs left
+    val docs = Seq((1L, "ab ab")).toDF("id", "t")
+    assert(TextAnalysis.bpeTrainMerges(docs, col("t"), 5).count() == 1L)
+    // single-char words have no pairs at all: zero learnable merges
+    val single = Seq((1L, "a b a b")).toDF("id", "t")
+    assert(TextAnalysis.bpeTrainMerges(single, col("t"), 5).count() == 0L)
+  }
+
+  test("bpeEncodeCounts: per-doc token costs under the trained merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower low"), (2L, "new newer")).toDF("id", "t")
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "e" -> "w")
+    val out = TextAnalysis.bpeEncodeCounts(docs, col("id"), col("t"), merges)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // low -> <low> (1), lower -> <low> <er> (2): 3 words, 4 tokens
+    assert(out(1L) == ((3L, 4L)))
+    // new -> <n> <ew> (2), newer -> <n> <ew> <er> (3): 2 words, 5 tokens
+    assert(out(2L) == ((2L, 5L)))
+  }
 }
