@@ -119,36 +119,19 @@ object Multimodal {
 
   /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
     * #-comments, one whitespace, then w*h*3 RGB bytes. Returns
-    * (width, height, floor(mean byte)). */
+    * (width, height, floor(mean byte)). Header scan shared with the
+    * perceptual-hash raster reader via [[ppmHeader]]; digit runs
+    * longer than 9 chars are rejected there (untrusted input would
+    * otherwise overflow toInt). */
   private[operators] def decodePpm(b: Array[Byte])
-      : Option[(Long, Long, Long)] = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
-    var pos = 2
-    def nextInt(): Option[Int] = {
-      while (pos < b.length &&
-        (Character.isWhitespace(b(pos)) || b(pos) == '#')) {
-        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
-        else pos += 1
-      }
-      val start = pos
-      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
-      // >9 digits can't be a sane dimension and would overflow toInt
-      // (NumberFormatException from untrusted bytes): reject, don't throw
-      if (pos == start || pos - start > 9) None
-      else Some(new String(b, start, pos - start, "US-ASCII").toInt)
-    }
-    for {
-      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
-      if w > 0 && h > 0 && maxv == 255 && pos < b.length
-    } yield {
-      pos += 1 // the single whitespace after maxval
+      : Option[(Long, Long, Long)] =
+    ppmHeader(b).map { case (w, h, pos) =>
       val n = math.min(w.toLong * h * 3, (b.length - pos).toLong)
       var sum = 0L
       var i = pos
       while (i < pos + n) { sum += b(i) & 0xff; i += 1 }
       (w.toLong, h.toLong, if (n == 0) 0L else Math.floorDiv(sum, n))
     }
-  }
 
   /** ITU-T G.711 µ-law expansion, byte → 16-bit linear PCM. The
     * formula is the published one (complement, 3-bit exponent, 4-bit
@@ -387,6 +370,204 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** PPM header fields (width, height, pixel-data offset) — shared by
+    * the stat decode and the raster reader. */
+  private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var pos = 2
+    def nextInt(): Option[Int] = {
+      while (pos < b.length &&
+        (Character.isWhitespace(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      val start = pos
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+      if (pos == start || pos - start > 9) None
+      else Some(new String(b, start, pos - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
+      if w > 0 && h > 0 && maxv == 255 && pos < b.length
+    } yield (w, h, pos + 1)
+  }
+
+  /** Difference-hash (dHash) grid shape: 9x8 cell means -> 64
+    * horizontal comparisons. The standard public perceptual-hash
+    * recipe (Krawetz): robust to re-encoding and resizing because
+    * only the ORDER of neighboring region brightnesses matters, not
+    * their values. */
+  private val PHashGridW = 9
+  private val PHashGridH = 8
+
+  /** 64-bit dHash from a cell-mean grid laid out row-major
+    * (PHashGridH rows x PHashGridW cols): bit r*8+c = 1 iff
+    * cell(r,c+1) > cell(r,c) — 8 comparisons per 9-cell row x 8 rows
+    * fills all 64 bits (a monotone-brightness image hashes to -1). */
+  private[operators] def dhashFromGrid(grid: Array[Long]): Long = {
+    var hash = 0L
+    var r = 0
+    while (r < PHashGridH) {
+      var c = 0
+      while (c < PHashGridW - 1) {
+        if (grid(r * PHashGridW + c + 1) > grid(r * PHashGridW + c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Cell-mean grid over a decoded raster: cell (r,c) = floor(mean
+    * gray) over its pixel block, gray = floor(mean of bands). Images
+    * smaller than the grid are rejected (None) — a sub-9x8 payload
+    * has no meaningful perceptual content. */
+  private def gridFromRaster(img: java.awt.image.BufferedImage)
+      : Option[Array[Long]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < PHashGridW || h < PHashGridH) return None
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val grid = new Array[Long](PHashGridW * PHashGridH)
+    var r = 0
+    while (r < PHashGridH) {
+      var c = 0
+      while (c < PHashGridW) {
+        val x0 = c * w / PHashGridW; val x1 = (c + 1) * w / PHashGridW
+        val y0 = r * h / PHashGridH; val y1 = (r + 1) * h / PHashGridH
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var g = 0L
+            var bnd = 0
+            while (bnd < bands) { g += raster.getSample(x, y, bnd); bnd += 1 }
+            sum += g / bands
+            x += 1
+          }
+          y += 1
+        }
+        grid(r * PHashGridW + c) = sum / ((x1 - x0).toLong * (y1 - y0))
+        c += 1
+      }
+      r += 1
+    }
+    Some(grid)
+  }
+
+  /** PPM (P6) raster as a BufferedImage, for the perceptual-hash path. */
+  private def ppmImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    ppmHeader(b).flatMap { case (w, h, off) =>
+      if (off.toLong + w.toLong * h * 3 > b.length ||
+        w.toLong * h > MaxDecodePixels) None
+      else {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = off + (y * w + x) * 3
+            img.setRGB(x, y, ((b(i) & 0xff) << 16) |
+              ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        Some(img)
+      }
+    }
+
+  /** ImageIO decode with the same header-first bomb guard as
+    * [[decodeImageIO]], returning the raster itself. */
+  private def imageIoRaster(b: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val dw = reader.getWidth(0).toLong
+        val dh = reader.getHeight(0).toLong
+        if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) return None
+        Option(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  case class MediaPHash(media_id: Long, phash: Long, decoded: Boolean)
+
+  /** Perceptual hash over REAL decoded rasters — the multimodal member
+    * of the near-dup family: re-encoded/resized copies of an image
+    * share (or nearly share) a dHash even though their bytes and md5
+    * differ entirely, which is exactly what byte-level dedup misses.
+    * Images the JVM can decode (BMP/PNG/JPEG/GIF via `javax.imageio`,
+    * PPM via the native raster reader) hash for real (`decoded=true`);
+    * everything else degrades to a deterministic md5-derived stub
+    * hash flagged `decoded=false` — same honest contract as
+    * [[decodeMedia]], same narrow no-shuffle shape (payloads never
+    * leave their scan partition; 8 bytes per image come out). */
+  def perceptualHash(ds: Dataset[MediaRow]): Dataset[MediaPHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val real = scala.util.Try {
+          (m.kind match {
+            case "ppm" => ppmImage(m.bytes)
+            case "bmp" | "jpg" | "jpeg" | "png" | "gif" =>
+              imageIoRaster(m.bytes)
+            case _ => None
+          }).flatMap(gridFromRaster).map(dhashFromGrid)
+        }.toOption.flatten
+        real match {
+          case Some(h) => MediaPHash(m.media_id, h, decoded = true)
+          case None =>
+            val (f0, f1, f2, f3) = decodeStub(m.bytes)
+            MediaPHash(m.media_id,
+              (f0 << 48) | (f1 << 32) | (f2 << 16) | f3, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs over [[perceptualHash]] output:
+    * candidates from exact agreement on any of four 16-bit bands
+    * (equi-join — never all-pairs; two hashes within hamming 3 of
+    * each other MUST agree on at least one band by pigeonhole),
+    * verified by full 64-bit hamming distance <= maxHamming. Stub
+    * rows (decoded=false) are excluded: md5 noise must not vote on
+    * perceptual similarity. Same banded shape as
+    * [[Dedup.simhashPairs]], on the binary-payload family. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val real = hashes.filter(col("decoded"))
+      .select(col("media_id"), col("phash"))
+    val banded = real.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      // SQL shiftright takes a column shift amount (the Scala helper
+      // only takes a literal); dHash uses all 64 bits (8 comparisons
+      // x 8 rows), so phash can be negative — the 0xffff mask strips
+      // the arithmetic shift's sign extension
+      .withColumn("bkey",
+        expr("shiftright(phash, band * 16)").bitwiseAND(lit(0xffffL)))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.phash").as("h_a"), col("y.phash").as("h_b"))
+      .dropDuplicates("media_a", "media_b")
+    cand.withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
   }
 
   /** Per-partition batched feature extraction over binary payloads. */

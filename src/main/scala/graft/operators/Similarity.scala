@@ -398,14 +398,17 @@ object Similarity {
     * Scale shape: this is the whole point of SemDeDup — the pair
     * comparison is an equi-join on the CELL key, never corpus², and
     * cell population is corpus/nCells on average (nCells is chosen
-    * ~sqrt(corpus) at scale, bounding per-cell pair work; hot cells
-    * are the residual skew risk and get the same frequency-cap
-    * treatment as hot shingles if a real corpus needs it). The
+    * ~sqrt(corpus) at scale, bounding per-cell pair work). Hot cells
+    * are the residual skew risk: `maxCellSize > 0` excludes cells
+    * above that population from the pair comparison entirely — the
+    * same frequency-cap recipe as hot shingles, and CONSERVATIVE for
+    * a dedup (an uncompared vector is kept, never wrongly dropped;
+    * a capped cell really means "re-cluster this region finer"). The
     * candidate join moves bare (cell, vec_id) pairs; quantized vectors
     * re-join from the persisted base only per unique pair — the
     * thinned-kernel shape shared with [[cosineNearDupPairsMulti]]. */
   def semanticDedup(emb: DataFrame, id: Column, vec: Column,
-      minCosine: Double, nCells: Int = 16,
+      minCosine: Double, nCells: Int = 16, maxCellSize: Long = 0,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val base0 = quantized(emb, id, vec)
@@ -419,7 +422,14 @@ object Similarity {
     val assigned =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0
       else assigned0.persist(storage)
-    val ids = assigned.select(col("cell"), col("vec_id"))
+    val ids0 = assigned.select(col("cell"), col("vec_id"))
+    val ids =
+      if (maxCellSize > 0) {
+        val hot = ids0.groupBy(col("cell")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxCellSize).select(col("cell"))
+        // the hot set is at most nCells rows: broadcast anti-join
+        ids0.join(broadcast(hot), Seq("cell"), "left_anti")
+      } else ids0
     val pairs = ids.select(col("cell"), col("vec_id").as("vec_a"))
       .join(ids.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))

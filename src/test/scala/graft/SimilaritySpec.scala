@@ -307,6 +307,14 @@ class SimilaritySpec extends AnyFunSuite {
     // (10 vs the centroid is ~0.993: below threshold, kept)
     assert(!out(11L)._3 && out(11L)._2 >= 1L)
     assert(Seq(0L, 1L, 10L, 12L).forall(id => out(id)._3 && out(id)._2 == 0L))
+    // hot-cell cap is conservative: cell 0 holds 3 vectors, so at
+    // maxCellSize = 2 it is excluded from comparison and 11 is KEPT
+    val capped = Similarity.semanticDedup(vecs, col("vec_id"),
+        col("embedding"), minCosine = 0.999, nCells = 2, maxCellSize = 2,
+        storage = none)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(capped.values.forall(identity),
+      "capping a hot cell must keep, never drop")
   }
 
   test("semantic dedup on the corpus: injected clones drop, survivors keep min id, cell-keyed plan") {
