@@ -118,12 +118,28 @@ object FlacCodec {
     * samples)) — the same shape [[Multimodal.decodeWav]] reports for
     * PCM, so compressed and raw audio are interchangeable downstream. */
   def decode(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
-    try decodeOrThrow(b)
+    try decodeOrThrow(b, null)
     catch { case _: Eof | _: ArithmeticException |
       _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
       _: IllegalArgumentException => None }
 
-  private def decodeOrThrow(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  /** Per-block sample consumer for envelope-style analyses:
+    * (channels array, blockSize, per-channel base position). Channel
+    * arrays hold the fully reconstructed PCM of one frame. */
+  type BlockConsumer = (Array[Array[Long]], Int, Long) => Unit
+
+  /** [[decode]] with a per-frame PCM consumer — single pass, no full
+    * materialization of the stream (one frame's channels live at a
+    * time, same as the stat path). */
+  def decodeWith(b: Array[Byte], consumer: BlockConsumer)
+      : Option[(Long, Long, Long, Long)] =
+    try decodeOrThrow(b, consumer)
+    catch { case _: Eof | _: ArithmeticException |
+      _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+      _: IllegalArgumentException => None }
+
+  private def decodeOrThrow(b: Array[Byte], consumer: BlockConsumer)
+      : Option[(Long, Long, Long, Long)] = {
     if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
       b(3) != 'C') return None
     val r = new BitReader(b)
@@ -156,8 +172,9 @@ object FlacCodec {
     var nTotal = 0L
     var nPerChannel = 0L
     while (r.bitsLeft >= 8) {
-      val (blockSamples, frameSum, frameN) = decodeFrame(r, b, info)
-        .getOrElse(return None)
+      val (blockSamples, frameSum, frameN) =
+        decodeFrame(r, b, info, consumer, nPerChannel)
+          .getOrElse(return None)
       nPerChannel += blockSamples
       sumAbs += frameSum
       nTotal += frameN
@@ -168,9 +185,13 @@ object FlacCodec {
       Math.floorDiv(sumAbs, nTotal)))
   }
 
-  /** One frame: returns (block size, sum |amplitude|, samples in frame). */
+  /** One frame: returns (block size, sum |amplitude|, samples in frame).
+    * `consumer` (nullable) sees the reconstructed channels after
+    * decorrelation, with `basePos` = per-channel position of the
+    * frame's first sample. */
   private def decodeFrame(r: BitReader, raw: Array[Byte],
-      info: StreamInfo): Option[(Long, Long, Long)] = {
+      info: StreamInfo, consumer: BlockConsumer = null,
+      basePos: Long = 0L): Option[(Long, Long, Long)] = {
     val frameStart = r.bytePos
     if (r.readInt(14) != 0x3ffe) return None // sync
     if (r.readBit() != 0) return None // reserved
@@ -250,6 +271,7 @@ object FlacCodec {
         }
       case _ => ()
     }
+    if (consumer != null) consumer(chans, blockSize, basePos)
     var sum = 0L
     c = 0
     while (c < nChans) {

@@ -164,13 +164,15 @@ object Multimodal {
     * floor(mean |amplitude|)) on every path — identical stat contract,
     * so downstream never sees which container coding was used. Other
     * format tags fall to the stub path. */
-  private[operators] def decodeWav(b: Array[Byte])
-      : Option[(Long, Long, Long, Long)] = {
+  /** RIFF/WAVE chunk walk shared by the stat decode and the audio
+    * fingerprint: ((audioFormat, channels, rate, blockAlign, bits),
+    * (data offset, clamped data length)). */
+  private def riffFmtData(b: Array[Byte])
+      : Option[((Int, Int, Long, Int, Int), (Int, Int))] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
     var pos = 12
-    // audioFormat, channels, rate, blockAlign, bits
     var fmt: Option[(Int, Int, Long, Int, Int)] = None
     var data: Option[(Int, Int)] = None // offset, length
     while (pos + 8 <= b.length) {
@@ -190,9 +192,14 @@ object Multimodal {
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
+    for (f <- fmt; d <- data) yield (f, d)
+  }
+
+  private[operators] def decodeWav(b: Array[Byte])
+      : Option[(Long, Long, Long, Long)] = {
+    val parsed = riffFmtData(b)
     for {
-      (audioFormat, chans, rate, blockAlign, bits) <- fmt
-      (off, len) <- data
+      ((audioFormat, chans, rate, blockAlign, bits), (off, len)) <- parsed
       if chans > 0
       stats <- audioFormat match {
         case 1 if bits == 8 || bits == 16 =>
@@ -569,6 +576,136 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("media_a"), col("media_b"), col("hamming"))
   }
+
+  case class MediaAHash(media_id: Long, ahash: Long, decoded: Boolean)
+
+  /** Temporal-envelope chunk accumulator: chunk k = sum of
+    * |amplitude| over per-channel positions [k*chunkSize,
+    * (k+1)*chunkSize), summed across channels. Keyed by per-channel
+    * POSITION, not decode order — so any container of the same PCM
+    * (interleaved WAV, block-wise FLAC) builds the identical
+    * envelope. Chunk count is bounded by the decoders' sample
+    * budgets. */
+  private final class EnvelopeAcc(chunkSize: Int) {
+    private val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def add(pos: Long, v: Long): Unit = {
+      val k = (pos / chunkSize).toInt
+      while (sums.length <= k) sums += 0L
+      sums(k) += math.abs(v)
+    }
+    def chunks: Array[Long] = sums.toArray
+  }
+
+  /** dHash-style 64-bit hash over the envelope: 65 equal windows of
+    * the chunk series, bit w = 1 iff window(w+1) > window(w). Like
+    * the image dHash, only the ORDER of neighboring energies matters
+    * — so the hash survives uniform gain changes and lossy re-encodes
+    * that preserve the loudness contour. None when the clip is
+    * shorter than 65 chunks (too short to fingerprint). */
+  private[operators] def envelopeHash(chunks: Array[Long]): Option[Long] = {
+    val n = chunks.length
+    if (n < 65) return None
+    val win = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var c = (w.toLong * n / 65).toInt
+      val end = ((w + 1).toLong * n / 65).toInt
+      var s = 0L
+      while (c < end) { s += chunks(c); c += 1 }
+      win(w) = s
+      w += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (win(i + 1) > win(i)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Audio fingerprint over REALLY decoded PCM — the audio member of
+    * the perceptual near-dup family (image twin: [[perceptualHash]]).
+    * The same recording re-encoded WAV↔FLAC hashes identically
+    * (lossless, position-keyed envelope); G.711 re-encodes land
+    * within a small hamming distance (lossy but contour-preserving).
+    * Decodable payloads: PCM/G.711 WAV (via the RIFF walk) and FLAC
+    * (via [[FlacCodec.decodeWith]]'s streaming block consumer — one
+    * frame of PCM in memory at a time). Everything else degrades to
+    * a flagged md5 stub. Narrow map-only shape: payloads never
+    * shuffle, 8 bytes per clip come out. */
+  def audioFingerprint(ds: Dataset[MediaRow],
+      chunkSize: Int = 1024): Dataset[MediaAHash] = {
+    require(chunkSize >= 1)
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val real = scala.util.Try {
+          val acc = new EnvelopeAcc(chunkSize)
+          val decoded = m.kind match {
+            case "wav" => riffFmtData(m.bytes).exists {
+              case ((audioFormat, chans, rate, _, bits), (off, len)) =>
+                if (chans <= 0 || rate <= 0) false
+                else audioFormat match {
+                  case 1 if bits == 8 || bits == 16 =>
+                    val bytesPerSample = bits / 8
+                    val nTotal = len / bytesPerSample
+                    var i = 0
+                    while (i < nTotal) {
+                      val v =
+                        if (bits == 8) (m.bytes(off + i) & 0xff) - 128
+                        else le16(m.bytes, off + i * 2).toShort.toInt
+                      acc.add(i.toLong / chans, v)
+                      i += 1
+                    }
+                    nTotal > 0
+                  case 6 | 7 if bits == 8 =>
+                    var i = 0
+                    while (i < len) {
+                      val v =
+                        if (audioFormat == 7) ulawToLinear(m.bytes(off + i))
+                        else alawToLinear(m.bytes(off + i))
+                      acc.add(i.toLong / chans, v)
+                      i += 1
+                    }
+                    len > 0
+                  case _ => false
+                }
+            }
+            case "flac" =>
+              FlacCodec.decodeWith(m.bytes, (chans, blockSize, basePos) => {
+                var c = 0
+                while (c < chans.length) {
+                  var i = 0
+                  while (i < blockSize) {
+                    acc.add(basePos + i, chans(c)(i))
+                    i += 1
+                  }
+                  c += 1
+                }
+              }).isDefined
+            case _ => false
+          }
+          if (decoded) envelopeHash(acc.chunks) else None
+        }.toOption.flatten
+        real match {
+          case Some(h) => MediaAHash(m.media_id, h, decoded = true)
+          case None =>
+            val (f0, f1, f2, f3) = decodeStub(m.bytes)
+            MediaAHash(m.media_id,
+              (f0 << 48) | (f1 << 32) | (f2 << 16) | f3, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Banded near-dup pairs over [[audioFingerprint]] output — the
+    * same 16-bit-band equi-join + hamming verify as
+    * [[phashNearDupPairs]], on the audio hash column. */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashNearDupPairs(
+      hashes.withColumnRenamed("ahash", "phash"), maxHamming)
 
   /** Per-partition batched feature extraction over binary payloads. */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
