@@ -36,6 +36,15 @@ object TextAnalysis {
   /** Demo stopword list over the corpus vocabulary. */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Quality-gate thresholds shared by [[qualityScore]] (batch, with
+    * the full diagnostic columns) and [[qualityOk]] (the single
+    * boolean used on streams) — one source of truth, so the streaming
+    * gate can never drift from the batch gate. */
+  val MinTokens = 10L
+  val MinStopRatio = 0.01
+  val MaxStopRatio = 0.6
+  val MaxMeanTokenLen = 12.0
+
   /** Per-doc quality heuristics: char/token counts, stopword ratio,
     * mean token length, and a boolean gate combining them (the shape of
     * C4/Gopher-style quality filters). */
@@ -52,8 +61,24 @@ object TextAnalysis {
       .withColumn("mean_token_len",
         (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
       .withColumn("quality_ok",
-        col("n_tokens") >= 10 && col("stop_ratio") >= 0.01 &&
-          col("stop_ratio") <= 0.6 && col("mean_token_len") <= 12.0)
+        col("n_tokens") >= MinTokens && col("stop_ratio") >= MinStopRatio &&
+          col("stop_ratio") <= MaxStopRatio &&
+          col("mean_token_len") <= MaxMeanTokenLen)
+  }
+
+  /** [[qualityScore]]'s gate as ONE boolean Column over the text —
+    * no frame reshaping, so it drops into streaming selects and
+    * filter chains. Same thresholds by construction. */
+  def qualityOk(text: Column, stopwords: Seq[String] = Stopwords): Column = {
+    val ws = tokens(text)
+    val nTokens = size(ws).cast("long")
+    val nChars = length(text).cast("long")
+    val nStop = size(filter(ws,
+      t => array_contains(typedLit(stopwords), t))).cast("long")
+    val stopRatio = nStop / nTokens
+    val meanTokenLen = (nChars - (nTokens - 1)) / nTokens
+    nTokens >= MinTokens && stopRatio >= MinStopRatio &&
+      stopRatio <= MaxStopRatio && meanTokenLen <= MaxMeanTokenLen
   }
 
   /** Marker-based class scoring (the n-gram-list language-ID shape):

@@ -40,4 +40,36 @@ object CorpusPipeline {
       .select(col("doc_id"), col("pred_class"), col("n_tokens"),
         col("n_copies"))
   }
+
+  /** Streaming corpus ingestion — the same curation discipline over a
+    * live document stream (the shape of a crawl-ingest pipeline that
+    * cleans as it lands rather than in a nightly batch):
+    *
+    *  1. PII scrub FIRST — a map-only projection, so redacted text is
+    *     the only text any later stage (or state store) ever holds;
+    *  2. quality gate ([[TextAnalysis.qualityOk]] — the batch gate's
+    *     thresholds, by construction);
+    *  3. exact dedup within the watermark
+    *     ([[graft.streaming.Streaming.dedupStream]]:
+    *     `dropDuplicatesWithinWatermark` on the content hash — state
+    *     is one md5 per kept doc and ages out with the watermark).
+    *
+    * Emits an append stream of (ts, doc_id, scrubbed) — every row is
+    * quality-passing, PII-redacted and the first copy of its content
+    * within the watermark horizon. Scale: stages 1-2 are stateless
+    * projections fused into the stream scan; the only state is the
+    * dedup hash set, bounded by the watermark delay. */
+  def curateStream(docs: DataFrame, tsName: String, id: Column,
+      text: Column, watermarkDelay: String): DataFrame = {
+    val scrubbed = TextAnalysis.PiiPatterns.foldLeft(text) {
+      case (t, (name, pat)) =>
+        regexp_replace(t, pat, s"[${name.toUpperCase}]")
+    }
+    val base = docs.select(col(tsName), id.as("doc_id"),
+        scrubbed.as("scrubbed"))
+      .filter(TextAnalysis.qualityOk(col("scrubbed")))
+    graft.streaming.Streaming
+      .dedupStream(base, tsName, col("scrubbed"), watermarkDelay)
+      .select(col(tsName), col("doc_id"), col("scrubbed"))
+  }
 }

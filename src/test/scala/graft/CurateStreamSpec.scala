@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextAnalysis}
+import graft.pipelines.CorpusPipeline
+
+/** Streaming corpus ingestion ≡ the batch curation discipline: PII
+  * scrubbed before anything holds the text, the shared quality gate,
+  * and watermark-bounded exact dedup. */
+class CurateStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private val goodA =
+    "the quick brown fox jumps over the lazy dog and then naps contact bob@example.com today"
+  private val goodB =
+    "spark executes the shuffle and a broadcast join of wide tables quickly"
+  private val goodC =
+    "a third clean document with the usual stopword mixture in it okay"
+
+  test("curateStream: scrubs, gates, dedups within the watermark; equals the batch discipline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDS().toDF("ts", "doc_id", "text")
+    val q = CorpusPipeline.curateStream(docs, "ts", col("doc_id"),
+        col("text"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts(1000), 1L, goodA),
+        (ts(1010), 2L, goodA), // exact dup in the same batch
+        (ts(1020), 3L, "short junk"), // fails the quality gate
+        (ts(1030), 4L, goodB))
+      q.processAllAvailable()
+      in.addData(
+        (ts(1100), 5L, goodA), // dup across batches, inside watermark
+        (ts(1200), 6L, goodC))
+      q.processAllAvailable()
+      val rows = spark.table("curated").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("scrubbed"))
+        .toMap
+      assert(rows.keySet == Set(1L, 4L, 6L))
+      // PII never reaches the output (or the dedup state: the hash is
+      // of the scrubbed text)
+      assert(rows(1L).contains("[EMAIL]") && !rows(1L).contains("bob@"))
+
+      // the batch discipline over the same rows lands on the same
+      // survivor set (stream keeps first-seen; batch keeps min id —
+      // identical here because arrival order is id order)
+      val batch = Seq((1L, goodA), (2L, goodA), (3L, "short junk"),
+        (4L, goodB), (5L, goodA), (6L, goodC)).toDF("doc_id", "text")
+      val scrubbed = TextAnalysis.piiScrub(batch, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("scrubbed"))
+        .filter(TextAnalysis.qualityOk(col("scrubbed")))
+      val survivors = Dedup.exactDedup(scrubbed, col("doc_id"), col("scrubbed"))
+        .select(col("canonical_id")).as[Long].collect().toSet
+      assert(survivors == rows.keySet)
+    } finally q.stop()
+  }
+
+  test("curateStream: the quality gate is the batch gate, by shared thresholds") {
+    import spark.implicits._
+    // boundary doc: exactly MinTokens tokens must pass, one fewer must not
+    val atMin = (1 to TextAnalysis.MinTokens.toInt)
+      .map(i => if (i % 3 == 0) "the" else s"w$i").mkString(" ")
+    val below = atMin.split(" ").drop(1).mkString(" ")
+    val df = Seq((1L, atMin), (2L, below)).toDF("doc_id", "text")
+    val viaScore = TextAnalysis.qualityScore(df, col("doc_id"), col("text"))
+      .filter(col("quality_ok")).select("doc_id").as[Long].collect().toSet
+    val viaGate = df.filter(TextAnalysis.qualityOk(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaScore == viaGate && viaGate == Set(1L))
+  }
+}
