@@ -1377,6 +1377,26 @@ object SparkEntry {
         .map(r => r.getString(1) -> r.getString(2)).toSeq
       TextAnalysis.bpeEncodeCounts(d, col("doc_id"), col("text"), merges)
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: context-window chunking (40-token windows,
+    // 5-token overlap) — one narrow explode + codegen'd slice, zero
+    // shuffle: fuses into the scan at any corpus size
+    "q97_chunk_documents" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+          col("doc_id"), col("text"), maxTokens = 40, overlap = 5)
+        .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
+    // training-data ops: deterministic train/val/test assignment —
+    // salted md5 bucket onto cumulative 1/256 boundaries, map-only;
+    // a doc can never migrate splits when the corpus changes
+    "q98_split_assign" -> ((s, dir) => {
+      Sampling.assignSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          col("doc_id"),
+          fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3176,7 +3196,32 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(s) AS BIGINT) AS score,
         |  CAST(SUM(s) AS BIGINT) > 0 AS pred_quality
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q97_chunk_documents" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, CAST(greatest(0,
+        |      ceil((len(ws) - 40) / CAST(35 AS DOUBLE))) AS BIGINT))) k
+        |  FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, k AS chunk_no,
+        |  CAST(len(ws[k*35+1 : k*35+40]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[k*35+1 : k*35+40], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "q98_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN bucket < 204 THEN 'train'
+        |    WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |    (strpos('0123456789abcdef',
+        |       md5(CAST(doc_id AS VARCHAR) || ':split')[1]) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |       md5(CAST(doc_id AS VARCHAR) || ':split')[2]) - 1) AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

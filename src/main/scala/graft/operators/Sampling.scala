@@ -43,6 +43,37 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic train/validation/test assignment: the row's
+    * md5-bucket (same construction as [[stratifiedSample]], salted so
+    * split and sampling decisions are independent) is mapped onto
+    * cumulative fraction boundaries in 1/256 granularity. A pure
+    * function of (id, salt): re-runs, re-partitions and other engines
+    * reproduce the exact assignment, and a document can never migrate
+    * between splits when the corpus around it changes — the property
+    * that keeps eval sets honest across corpus versions.
+    *
+    * `fractions` is (name -> fraction) in the order given; names get
+    * the bucket ranges cumulatively and any remainder falls to the
+    * LAST split. Map-only: a codegen'd md5 + case chain on the scan,
+    * no shuffle. */
+  def assignSplit(df: DataFrame, id: Column,
+      fractions: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split")
+    require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to at most 1")
+    val bucket = conv(substring(
+      md5(concat(id.cast("string"), lit(":"), lit(salt))), 1, 2), 16, 10)
+      .cast("long")
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(f => math.floor(f * 256).toLong)
+    val assigned = fractions.map(_._1).zip(bounds)
+      .foldRight(lit(fractions.last._1)) { case ((name, bound), acc) =>
+        when(bucket < bound, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Sequence-packing plan — the deterministic "concatenate and chunk"
     * layout every LM training pipeline runs last: documents are laid
     * end to end in a canonical order and the token stream is cut into

@@ -312,6 +312,43 @@ object TextAnalysis {
         sum(col("n_occ") * col("n_sym")).as("n_bpe_tokens"))
   }
 
+  /** Context-window chunking — split long documents into token
+    * windows of `maxTokens` with `overlap` tokens carried between
+    * consecutive chunks (the RAG/pretraining "chunk long docs"
+    * step; overlap preserves cross-boundary context). Chunk k covers
+    * tokens [k*(maxTokens-overlap), k*(maxTokens-overlap)+maxTokens);
+    * the last chunk may be short; documents at or under `maxTokens`
+    * yield exactly themselves as chunk 0. Token = whitespace token of
+    * the lower-cased text (the family's shared tokenizer), and the
+    * chunk text is the space-joined token slice — deterministic and
+    * engine-portable.
+    *
+    * Scale shape: one narrow explode over chunk indices (array slice
+    * + join are codegen'd) — no shuffle at all; at 100 TB this fuses
+    * into the scan like every other map-only curation stage. */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    df.select(id.as("doc_id"), tokens(text).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        // ceil over the stride of the span after the first window,
+        // in integer math: 1 + max(0, ceil((n - maxTokens) / stride))
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            ceil((size(col("ws")) - maxTokens) / lit(stride.toDouble))
+              .cast("long")))).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        slice(col("ws"), (col("chunk_no") * stride + 1).cast("int"),
+          lit(maxTokens)).as("cw"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        array_join(col("cw"), " ").as("chunk_text"))
+  }
+
   /** Trained quality classifier — the fastText/CCNet "quality
     * classifier" architecture (GPT-3 trained a linear classifier on
     * WebText-vs-CommonCrawl and kept high-scoring documents; LLaMA/

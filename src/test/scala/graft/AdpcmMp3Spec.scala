@@ -245,6 +245,11 @@ class AdpcmMp3Spec extends AnyFunSuite {
     val out = Multimodal.decodeMedia(payloads.toDS()).collect()
     assert(out.length == payloads.length, "every payload must yield a row")
     assert(out.forall(_.n_bytes >= 0))
+    // the perceptual paths share the same never-throw contract
+    val ph = Multimodal.perceptualHash(payloads.toDS()).collect()
+    assert(ph.length == payloads.length)
+    val ah = Multimodal.audioFingerprint(payloads.toDS()).collect()
+    assert(ah.length == payloads.length)
   }
 
   test("decodeMedia mp3: real header metadata, content honestly stubbed") {

@@ -358,6 +358,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window must hash-partition by shard:\n$p")
   }
 
+  test("quality classifier: scoring join degrades to a token-keyed shuffle join without auto-broadcast") {
+    val p = plan(SparkEntry.queries("q94_quality_classifier")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the class-total singleton must broadcast (scalar side input)
+    assert(p.contains("BroadcastExchange"), p)
+    // at corpus scale the model is vocabulary-sized: no baked-in
+    // broadcast hint — stats off must yield a tok-keyed shuffle join
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(SparkEntry.queries("q94_quality_classifier")(spark, sf))
+      assert(p2.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("[tok#")),
+        s"model join must degrade to a tok-keyed shuffle join:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("semantic dedup: candidate join is cell-keyed and carries bare ids, vectors re-join per unique pair") {
     val df = SparkEntry.queries("q93_semantic_dedup")(spark, sf)
     val p = plan(df)

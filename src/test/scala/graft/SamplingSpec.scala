@@ -173,4 +173,39 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.packingPlan(docs, col("id"), col("nt"), col("src"), 0L)
     }
   }
+
+  test("split assignment: deterministic, exhaustive, near the fractions, map-only") {
+    val docs = Tables.documents(spark, sf)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.assignSplit(docs, col("doc_id"), fr)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // every doc gets exactly one split; proportions land near targets
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(total == docs.count().toDouble)
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    // pure function of (id, salt): identical on re-run
+    val s2 = Sampling.assignSplit(docs, col("doc_id"), fr)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    s1.select("doc_id", "split").collect().foreach { r =>
+      assert(s2(r.getLong(0)) == r.getString(1))
+    }
+    // a different salt reshuffles assignments (split and sampling
+    // decisions stay independent)
+    val salted = Sampling.assignSplit(docs, col("doc_id"), fr, salt = "other")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s2.exists { case (id, sp) => salted(id) != sp })
+    // map-only predicate: no exchange
+    val plan = Sampling.assignSplit(docs.select(col("doc_id")),
+      col("doc_id"), fr).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // invalid fraction sets rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, col("doc_id"), Seq("a" -> 0.9, "b" -> 0.3))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, col("doc_id"), Seq.empty)
+    }
+  }
 }

@@ -188,6 +188,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeTrainMerges(single, col("t"), 5).count() == 0L)
   }
 
+  test("chunkDocuments: window/overlap arithmetic, short docs, rejects bad overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"),
+      (3L, "")).toDF("id", "t")
+    val out = TextAnalysis.chunkDocuments(docs, col("id"), col("t"),
+        maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // stride 3: starts 0, 3, 6 — ceil((10-4)/3)+1 = 3 chunks, the
+    // overlap token shared between consecutive windows
+    assert(out((1L, 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) == ((4L, "t4 t5 t6 t7")))
+    assert(out((1L, 2L)) == ((4L, "t7 t8 t9 t10")))
+    // short doc: exactly itself as chunk 0
+    assert(out((2L, 0L)) == ((2L, "a b")))
+    // empty doc yields nothing; no other chunks exist
+    assert(out.size == 4)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, col("id"), col("t"), 4, 4)
+    }
+    // map-only: no exchange anywhere in the plan
+    val plan = TextAnalysis.chunkDocuments(docs, col("id"), col("t"), 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("bpeEncodeCounts: per-doc token costs under the trained merges") {
     import spark.implicits._
     val docs = Seq((1L, "low lower low"), (2L, "new newer")).toDF("id", "t")
