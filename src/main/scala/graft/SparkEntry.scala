@@ -1397,6 +1397,16 @@ object SparkEntry {
           col("doc_id"),
           fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: winnowing fingerprint sweep (MOSS) — window
+    // minimum selection over char 8-gram hashes (ONE doc-keyed window
+    // sort), then the family's inverted-index equi-join on the
+    // fingerprint value
+    "q99_winnowing" -> ((s, dir) => {
+      Dedup.winnowingPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), k = 16, w = 8, minShared = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -3221,7 +3231,23 @@ object SparkEntry {
         |    + (strpos('0123456789abcdef',
         |       md5(CAST(doc_id AS VARCHAR) || ':split')[2]) - 1) AS bucket
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q99_winnowing" ->
+      """WITH d AS (SELECT doc_id, lower(text) t FROM documents
+        |  WHERE length(text) >= 16),
+        |g AS (SELECT doc_id, length(t) - 15 AS n, i,
+        |    substr(md5(substr(t, i, 16)), 1, 8) AS h
+        |  FROM (SELECT doc_id, t,
+        |      unnest(generate_series(1, length(t) - 15)) i FROM d)),
+        |wm AS (SELECT doc_id, n, i, MIN(h) OVER (PARTITION BY doc_id
+        |    ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= n - 7)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS n_shared_fp
+        |FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

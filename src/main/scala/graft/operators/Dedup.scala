@@ -219,6 +219,59 @@ object Dedup {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS algorithm; public method): hash every character
+    * `k`-gram of the lower-cased text, slide a window of `w`
+    * consecutive hashes, and keep the minimum hash of each window.
+    * The paper's guarantee: any shared substring of length >= k+w-1
+    * yields at least one shared fingerprint, while the fingerprint
+    * DENSITY is ~2/(w+1) of all k-grams — the principled sparse
+    * sampling that stride-based fingerprinting
+    * ([[sharedSubstringPairs]]) approximates ad hoc. Fingerprints are
+    * the distinct selected hash VALUES per document (tie positions
+    * inside a window don't change the value set, keeping the
+    * selection engine-portable).
+    *
+    * Scale shape: gram hashing is a narrow codegen'd projection; the
+    * window minimum is ONE doc-keyed sort (the same
+    * exchange-per-analysis-key shape as sessionization); the pair
+    * sweep is the family's inverted-index equi-join on the
+    * fingerprint value — never all-pairs. */
+  def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val t = lower(text)
+    val grams = graft.sources.Tables.fanOutBy(
+      df.select(id.as("doc_id"), t.as("t")), col("doc_id"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), (length(col("t")) - (k - 1)).as("n"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("n"), col("i"),
+        substring(md5(col("t").substr(col("i"), lit(k))), 1, 8).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("mh", min(col("h")).over(win))
+      .filter(col("i") <= col("n") - (w - 1))
+      .select(col("doc_id"), col("mh")).distinct()
+  }
+
+  /** Document pairs sharing at least `minShared` winnowing
+    * fingerprints — the MOSS match sweep as the family's standard
+    * inverted-index join. */
+  def winnowingPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 4, minShared: Long = 2): DataFrame = {
+    val fp = winnowingFingerprints(df, id, text, k, w)
+    val a = fp.select(col("doc_id").as("doc_a"), col("mh"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("mh"))
+    a.join(b, Seq("mh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded permutations,
     * the signature is the lexicographic min of md5(seed:shingle) over
     * the doc's shingle set. Output: (doc_id, seed, sig). */

@@ -242,6 +242,41 @@ class DedupSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("winnowing: shared-substring guarantee, sparse density, pair sweep") {
+    import spark.implicits._
+    val passage = "the winnowing guarantee holds for shared strings"
+    val wdocs = Seq(
+      (1L, "left filler aaaa " + passage + " right filler bbbb"),
+      (2L, "totally different prefix " + passage),
+      (3L, "unrelated content about spark plans and shuffles entirely"),
+      (4L, "zz")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(wdocs, col("doc_id"), col("text"),
+      k = 8, w = 4)
+    // the paper's guarantee: a shared substring of length >= k+w-1
+    // yields at least one shared fingerprint
+    val f1 = fp.filter(col("doc_id") === 1L).select("mh").as[String].collect().toSet
+    val f2 = fp.filter(col("doc_id") === 2L).select("mh").as[String].collect().toSet
+    assert((f1 & f2).nonEmpty)
+    // density: winnowing SELECTS, it doesn't keep every gram (expected
+    // ~2/(w+1) of positions; allow slack, assert clearly sparse)
+    val grams1 = wdocs.filter(col("doc_id") === 1L)
+      .select((length(col("text")) - 7).as("n")).head().getInt(0)
+    assert(f1.size < grams1 / 2)
+    // sub-k docs contribute nothing
+    assert(fp.filter(col("doc_id") === 4L).count() == 0L)
+    // pair sweep: the passage-sharing pair survives, the stranger doesn't
+    val pairs = Dedup.winnowingPairs(wdocs, col("doc_id"), col("text"),
+      k = 8, w = 4, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val plan = Dedup.winnowingPairs(wdocs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("line dedup: corpus-hot lines drop, short lines exempt, order survives") {
     import spark.implicits._
     val lineDocs = Seq(
