@@ -1407,8 +1407,74 @@ object SparkEntry {
       Dedup.winnowingPairs(Tables.documents(s, dir), col("doc_id"),
           col("text"), k = 16, w = 8, minShared = 5)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // training-data ops: engine-exact BM25 lexical retrieval — the
+    // keyword sibling of the embedding ANN family: inverted-index
+    // probe via a broadcast query-term join, integer Okapi weights
+    // (k1=1.2, b=0.75 as exact rationals, floor-log2 idf),
+    // TopKAggregator ranking (k rows per query per map task)
+    "q100_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"),
+          col("text"), queries = Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // training-data ops: C4's published page-cleaning rules (Raffel
+    // et al. 2020 §2.2) over a deterministic multi-line rebuild of
+    // the corpus (8-token lines, punctuation/javascript/lorem/brace/
+    // bad-word decorations keyed off doc_id so every rule fires)
+    "q101_c4_filters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 1)
+      val linesArr = transform(
+        sequence(lit(1), expr("(size(ws) + 7) DIV 8").cast("int")),
+        i => {
+          val base = array_join(slice(col("ws"), (i - lit(1)) * 8 + 1, lit(8)), " ")
+          val deco = when((col("doc_id") + i) % 4 === 0, ".")
+            .when((col("doc_id") + i) % 4 === 1, "!")
+            .when((col("doc_id") + i) % 4 === 2, "?")
+            .otherwise("")
+          when((col("doc_id") * 7 + i) % 13 === 0,
+            concat(base, lit(" javascript included today.")))
+            .otherwise(concat(base, deco))
+        })
+      val t2 = concat(array_join(linesArr, "\n"),
+        when(col("doc_id") % 37 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 41 === 0,
+          lit("\nconfig uses { braces } for scope here."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 43 === 0,
+          lit("\nsome heinous words lurk in here somewhere."))
+          .otherwise(lit("")))
+      TextAnalysis.c4Filters(d.select(col("doc_id"), t2.as("t2")),
+          col("doc_id"), col("t2"), minLineWords = 5, minKeptLines = 3,
+          badWords = Seq("heinous"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: DSIR importance weights (Xie et al. 2023) —
+    // hashed-bigram (md5 -> 4096 buckets, engine-portable) likelihood
+    // ratio of a target domain (source = src0) vs the raw corpus;
+    // both models are fixed 4096-row aggregates, the lambda table a
+    // guaranteed broadcast
+    "q102_dsir" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
+          d.filter(col("source") === "src0"), col("text"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Query set for q100 (terms from the synthetic corpus vocabulary;
+    * `the` exercises the idf=0 stopword clamp). */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "q_spark" -> "vector stream batch shuffle",
+    "q_db" -> "query table join index",
+    "q_mixed" -> "the customer window merge")
 
   /** Marker token lists for q23 (vocabulary-aware demo classes). */
   val MarkerClasses: Map[String, Seq[String]] = Map(
@@ -3247,7 +3313,128 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  COUNT(*) AS n_shared_fp
         |FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""".stripMargin,
+
+    "q100_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |tl AS (SELECT doc_id, len(ws) dl, unnest(ws) term FROM toks
+        |  WHERE len(ws) >= 1),
+        |posts AS (SELECT doc_id, dl, term, COUNT(*) tf FROM tl
+        |  GROUP BY 1, 2, 3),
+        |stats AS (SELECT COUNT(DISTINCT doc_id) n_docs,
+        |    CAST(SUM(tf) AS BIGINT) // COUNT(DISTINCT doc_id) avgdl
+        |  FROM posts),
+        |qt AS (SELECT * FROM (VALUES
+        |    ('q_spark','vector'),('q_spark','stream'),('q_spark','batch'),
+        |    ('q_spark','shuffle'),
+        |    ('q_db','query'),('q_db','table'),('q_db','join'),
+        |    ('q_db','index'),
+        |    ('q_mixed','the'),('q_mixed','customer'),('q_mixed','window'),
+        |    ('q_mixed','merge')) t(query_id, term)),
+        |enr AS (SELECT qt.query_id, d.term,
+        |    (length(bin(stats.n_docs // d.df_t)) - 1) idf, stats.avgdl
+        |  FROM (SELECT term, COUNT(*) df_t FROM posts GROUP BY 1) d
+        |  JOIN qt USING (term) CROSS JOIN stats),
+        |sc AS (SELECT query_id, doc_id,
+        |    CAST(SUM(idf * ((44 * tf * avgdl * 10000)
+        |      // (20 * tf * avgdl + 6 * avgdl + 18 * dl))) AS BIGINT) score
+        |  FROM posts JOIN enr USING (term) GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) rk
+        |  FROM sc)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "q101_c4_filters" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |ln AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, (len(ws) + 7) // 8)) i
+        |  FROM w WHERE len(ws) >= 1),
+        |l1 AS (SELECT doc_id, i,
+        |    CASE WHEN (doc_id * 7 + i) % 13 = 0
+        |      THEN array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ')
+        |        || ' javascript included today.'
+        |      ELSE array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ')
+        |        || CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+        |          WHEN 2 THEN '?' ELSE '' END END AS line
+        |  FROM ln),
+        |doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i)
+        |    || CASE WHEN doc_id % 37 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 41 = 0
+        |      THEN chr(10) || 'config uses { braces } for scope here.'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 43 = 0
+        |      THEN chr(10) || 'some heinous words lurk in here somewhere.'
+        |      ELSE '' END AS t2
+        |  FROM l1 GROUP BY 1),
+        |ls AS (SELECT doc_id, t2,
+        |    list_filter(string_split(t2, chr(10)), l -> l <> '') lsx
+        |  FROM doc),
+        |lx AS (SELECT doc_id, t2, unnest(lsx) line,
+        |    generate_subscripts(lsx, 1) line_no FROM ls),
+        |g AS (SELECT doc_id, line_no, line,
+        |    (right(line, 1) IN ('.', '!', '?', '"'))
+        |    AND len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+        |    AND NOT list_contains(list_transform(
+        |      list_filter(string_split(lower(line), ' '), x -> x <> ''),
+        |      x -> regexp_replace(x, '[.!?"]+$', '')), 'javascript')
+        |      AS keep
+        |  FROM lx),
+        |pg AS (SELECT doc_id, NOT (contains(lower(t2), 'lorem ipsum')
+        |    OR contains(t2, '{')
+        |    OR list_contains(list_transform(list_filter(
+        |      string_split_regex(lower(t2), '[ \n]'), x -> x <> ''),
+        |      x -> regexp_replace(x, '[.!?"]+$', '')), 'heinous'))
+        |    AS clean
+        |  FROM doc),
+        |agg AS (SELECT doc_id, COUNT(*) n_lines,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+        |    string_agg(CASE WHEN keep THEN line END, chr(10)
+        |      ORDER BY line_no) joined
+        |  FROM g GROUP BY 1)
+        |SELECT a.doc_id, a.n_lines, a.n_kept,
+        |  (p.clean AND a.n_kept >= 3) AS page_ok,
+        |  CASE WHEN a.n_kept >= 1 THEN a.joined END AS cleaned_text
+        |FROM agg a JOIN pg p USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    "q102_dsir" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, source, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws) - 1))) i
+        |  FROM w WHERE len(ws) >= 2),
+        |rg AS (SELECT doc_id, source,
+        |    (strpos('0123456789abcdef',
+        |       md5(array_to_string(ws[i:i+1], ' '))[1]) - 1) * 256
+        |    + (strpos('0123456789abcdef',
+        |       md5(array_to_string(ws[i:i+1], ' '))[2]) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |       md5(array_to_string(ws[i:i+1], ' '))[3]) - 1) AS b
+        |  FROM pos),
+        |ct AS (SELECT b, COUNT(*) c_t FROM rg WHERE source = 'src0'
+        |  GROUP BY 1),
+        |cr AS (SELECT b, COUNT(*) c_r FROM rg GROUP BY 1),
+        |tt AS (SELECT COUNT(*) t FROM rg WHERE source = 'src0'),
+        |tr AS (SELECT COUNT(*) t FROM rg),
+        |lam AS (SELECT cr.b,
+        |    ((length(bin(COALESCE(ct.c_t, 0) + 1)) - 1)
+        |      - (length(bin(tt.t)) - 1))
+        |    - ((length(bin(cr.c_r + 1)) - 1)
+        |      - (length(bin(tr.t)) - 1)) AS lam
+        |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tt CROSS JOIN tr),
+        |sc AS (SELECT rg.doc_id, lam.lam FROM rg JOIN lam USING (b))
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(lam) AS BIGINT) AS logw,
+        |  CAST(floor(CAST(CAST(SUM(lam) AS BIGINT) * 1000 AS DOUBLE)
+        |    / COUNT(*)) AS BIGINT) AS mean_x1000
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

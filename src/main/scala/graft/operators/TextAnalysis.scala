@@ -442,4 +442,216 @@ object TextAnalysis {
       .withColumn("mean_x1000",
         floor(col("surprisal") * 1000 / col("n_ngrams")).cast("long"))
   }
+
+  /** Engine-exact BM25 lexical retrieval (the Okapi ranking function,
+    * Robertson et al., TREC-3) — top-k documents per query over the
+    * corpus's whitespace tokens via an inverted index: the keyword
+    * sibling of the embedding ANN family in
+    * [[graft.operators.Similarity]].
+    *
+    * Every statistic is integer end to end (the [[surprisalScore]]
+    * idiom), so scores are bit-reproducible across engines:
+    *
+    *  - `idf(t) = ilog2(N DIV df_t)` — floor-log2 of the inverse
+    *    document frequency; a term in more than half the corpus scores
+    *    0, which is the classic BM25 negative-idf clamp and built-in
+    *    stopword suppression in one.
+    *  - `avgdl = total_tokens DIV N` (floor).
+    *  - term weight: Okapi saturation `tf·(k1+1) / (tf + k1·(1−b +
+    *    b·dl/avgdl))` with the standard k1=1.2, b=0.75 cleared of
+    *    floats — multiply through by 20·avgdl to get the exact
+    *    rational `44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)`,
+    *    then quantize ×10000 with ONE integer floor-division so each
+    *    term contributes an exact long and the doc score (a long sum)
+    *    is independent of aggregation order.
+    *
+    * Scale shape: postings `(doc, term, tf, dl)` form in ONE hash
+    * aggregate — `dl` rides the grouping key (it is functionally
+    * dependent on doc_id), so no second doc-keyed pass and no window.
+    * The corpus-global scalars (N, avgdl) reduce the postings map-side
+    * into a broadcast singleton. `df_t` reduces postings on the term
+    * key but is immediately equi-joined to the literal query-term
+    * list, so the vocabulary-sized df table collapses to |query terms|
+    * rows before anything broadcasts. Candidate generation is then a
+    * broadcast equi-join of those enriched query terms back against
+    * postings — the inverted-index probe: the corpus never shuffles on
+    * anything wider than its own (doc, term) aggregate. Ranking
+    * reuses [[graft.functions.TopKAggregator]] (k rows per query per
+    * map task), not a row_number window that would drag every
+    * candidate of a hot term to one partition.
+    *
+    * Output: (query_id, rank, doc_id, score) with rank 1..k by score
+    * desc, doc_id asc (deterministic ties). */
+  def bm25TopK(corpus: DataFrame, id: Column, text: Column,
+      queries: Seq[(String, String)], k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val postings = corpus
+      .select(id.as("doc_id"), tokens(text).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = postings
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("tot_tokens"))
+      .select(col("n_docs"),
+        expr("tot_tokens DIV n_docs").as("avgdl"))
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val enriched = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", ilog2(expr("n_docs DIV df_t")))
+    val scored = postings.join(broadcast(enriched), Seq("term"))
+      .withColumn("w", expr(
+        "(44 * tf * avgdl * 10000) DIV (20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf") * col("w")).as("score"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    // scores are integer longs well under 2^53, so the aggregator's
+    // double slot holds them exactly; ties break doc_id asc in both
+    // the aggregator's total order and the oracle's window
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("doc_id"), col("score").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vecId").as("doc_id"),
+        col("col.cosine").cast("long").as("score"))
+  }
+
+  /** C4's heuristic page-cleaning filters (Raffel et al. 2020, §2.2 —
+    * the published rule set behind the C4/T5 corpus), line-level gates
+    * plus page-level drops over newline-delimited text:
+    *
+    *  - keep a line only if it ends in a terminal punctuation mark
+    *    (`.`, `!`, `?`, or closing `"`), has at least `minLineWords`
+    *    whitespace words (C4 used 5), and does not contain the word
+    *    "javascript" (case-insensitive);
+    *  - drop the whole page when fewer than `minKeptLines` lines
+    *    survive (C4 used 3 sentences), when the page contains the
+    *    phrase "lorem ipsum" or a curly bracket `{`, or when any
+    *    whitespace token is on the `badWords` blocklist (C4 used the
+    *    public "dirty naughty obscene" list; parameterized here).
+    *
+    * Scale shape: one narrow posexplode of the line split, per-line
+    * gates as codegen'd Column predicates, then ONE doc_id-keyed hash
+    * aggregate that rebuilds the cleaned text by sorting the (tiny,
+    * per-doc) kept-line array — the [[graft.operators.Dedup.lineDedup]]
+    * reassembly idiom. Nothing shuffles wider than (doc_id, line).
+    *
+    * Output: (doc_id, n_lines, n_kept, page_ok, cleaned_text) —
+    * cleaned_text is the kept lines newline-joined in original order,
+    * null when no line survives. */
+  def c4Filters(df: DataFrame, id: Column, text: Column,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      badWords: Seq[String] = Seq.empty): DataFrame = {
+    val lines = df
+      .select(id.as("doc_id"), text.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(filter(split(col("t"), "\n"), l => l =!= "")))
+      .withColumnRenamed("pos", "line_no")
+      .withColumnRenamed("col", "line")
+    val lineWords = filter(split(col("line"), " "), w => w =!= "")
+    val keepLine =
+      substring(col("line"), -1, 1).isin(".", "!", "?", "\"") &&
+        size(lineWords) >= minLineWords &&
+        !array_contains(transform(lineWords,
+          w => regexp_replace(lower(w), "[.!?\"]+$", "")), "javascript")
+    val pageClean =
+      !contains(lower(col("t")), lit("lorem ipsum")) &&
+        !contains(col("t"), lit("{")) &&
+        (if (badWords.isEmpty) lit(true)
+         else !arrays_overlap(
+           transform(filter(split(lower(col("t")), "[ \n]"), w => w =!= ""),
+             w => regexp_replace(w, "[.!?\"]+$", "")),
+           typedLit(badWords)))
+    lines
+      .withColumn("keep", keepLine)
+      .withColumn("clean", pageClean)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("clean")).as("clean"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), "\n").as("joined"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("clean") && col("n_kept") >= minKeptLines).as("page_ok"),
+        when(col("n_kept") >= 1, col("joined")).as("cleaned_text"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" — the published hashed-n-gram method): score every
+    * raw-corpus document by how much more likely its hashed bigram
+    * features are under a TARGET domain's bag-of-ngrams model than
+    * under the raw corpus's own.
+    *
+    * Feature hashing: each bigram maps to one of 4096 buckets via the
+    * first 3 hex chars of its md5 — an engine-portable hash (md5 is
+    * bit-identical everywhere; Spark's murmur `hash()` is not), the
+    * same trick as the deterministic sampler. Per bucket,
+    * `λ[b] = (ilog2(ct[b]+1) − ilog2(Tt)) − (ilog2(cr[b]+1) −
+    * ilog2(Tr))` — the add-one-smoothed, mass-normalized floor-log2
+    * likelihood ratio of target vs raw (the integer idiom shared with
+    * [[llrQualityScore]], here over hashed features of two CORPORA
+    * rather than token features of two classes). Doc weight =
+    * Σ_grams λ[bucket(gram)]; resampling keeps the highest-weight
+    * docs.
+    *
+    * Scale shape: both corpora reduce to fixed 4096-row bucket tables
+    * (one hash aggregate each — map-side combined, so the shuffle is
+    * 4096 rows per task regardless of corpus size); the joined λ
+    * table is a guaranteed broadcast (≤4096 rows BY CONSTRUCTION,
+    * unlike a vocabulary-keyed model); scoring is a map-only broadcast
+    * probe plus one doc_id-keyed aggregate. The raw corpus never
+    * shuffles on anything wider than (doc_id, bucket-hash).
+    *
+    * Output: (doc_id, n_grams, logw, mean_x1000), logw the integer
+    * Σλ. */
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column): DataFrame = {
+    def grams(first: DataFrame, keep: Seq[String]): DataFrame = {
+      val ks = keep.map(col)
+      first
+        .filter(size(col("ws")) >= 2)
+        .select(ks :+
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i") :+
+          col("ws"): _*)
+        .select(ks :+ conv(substring(md5(concat_ws(" ",
+          element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1))), 1, 3), 16, 10)
+          .cast("long").as("b"): _*)
+    }
+    val rawGrams = grams(
+      raw.select(id.as("doc_id"), tokens(text).as("ws")), Seq("doc_id"))
+    val tgtGrams = grams(
+      target.select(tokens(targetText).as("ws")), Seq.empty)
+    def bucketCounts(g: DataFrame): DataFrame =
+      g.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val ct = bucketCounts(tgtGrams)
+    val cr = bucketCounts(rawGrams.select(col("b")))
+    val tt = tgtGrams.agg(count(lit(1)).as("tt"))
+    val tr = rawGrams.agg(count(lit(1)).as("tr"))
+    val lambda = cr.join(ct.withColumnRenamed("c", "c_t"), Seq("b"), "full")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col("b"),
+        ((ilog2(col("c_t") + 1) - ilog2(col("tt"))) -
+          (ilog2(col("c_r") + 1) - ilog2(col("tr")))).as("lam"))
+    rawGrams.join(broadcast(lambda), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("logw"))
+      .withColumn("mean_x1000",
+        floor(col("logw") * 1000 / col("n_grams")).cast("long"))
+  }
 }

@@ -395,4 +395,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pairExchanges.forall(l => !l.contains("qv")),
       s"pair exchanges must not carry vectors:\n${pairExchanges.mkString("\n")}")
   }
+
+  test("bm25: inverted-index probe is a broadcast of the enriched query terms, no window rank") {
+    val df = SparkEntry.queries("q100_bm25")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate join must broadcast the (tiny, literal) query-term
+    // side against postings — never shuffle postings by term for it
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term probe must broadcast:\n$p")
+    // ranking rides the TopK aggregator (k rows per query per map
+    // task), not a row_number window over every candidate
+    assert(!p.contains("Window"), s"no window rank in BM25:\n$p")
+    // no exchange may carry the raw document text: everything past
+    // the scan is (doc_id, dl, term, tf)-shaped
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(l => !l.contains("text")),
+      s"document text must not shuffle:\n${shuffles.mkString("\n")}")
+  }
+
+  test("c4 filters: one doc-keyed aggregate, no joins, text never shuffles twice") {
+    val df = SparkEntry.queries("q101_c4_filters")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"c4 filters are line gates + one reassembly aggregate, no join:\n$p")
+    // exactly the doc_id-keyed reassembly exchange (partial-agg pairs)
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 1, s"expected at most one doc-keyed exchange, got $n:\n$p")
+  }
+
+  test("dsir: bucket model joins broadcast (4096-row tables by construction)") {
+    val df = SparkEntry.queries("q102_dsir")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the lambda table is <= 4096 rows BY CONSTRUCTION, so the scoring
+    // probe must be a broadcast hash join even with auto-broadcast off
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(SparkEntry.queries("q102_dsir")(spark, sf))
+      assert(p2.contains("BroadcastHashJoin"),
+        s"lambda probe must stay broadcast with auto-broadcast off:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

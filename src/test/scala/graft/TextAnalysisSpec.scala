@@ -229,4 +229,154 @@ class TextAnalysisSpec extends AnyFunSuite {
     // new -> <n> <ew> (2), newer -> <n> <ew> <er> (3): 2 words, 5 tokens
     assert(out(2L) == ((2L, 5L)))
   }
+
+  test("bm25TopK: hand-computed integer Okapi scores and ranking") {
+    import spark.implicits._
+    // N=4, tot=12, avgdl = 12 DIV 4 = 3; w(tf,dl) =
+    // (1320000*tf) DIV (60*tf + 18 + 18*dl)
+    val docs = Seq(
+      (1L, "apple banana apple"),          // dl=3
+      (2L, "apple cherry"),                // dl=2
+      (3L, "banana banana banana banana"), // dl=4
+      (4L, "durian elder fig")             // dl=3
+    ).toDF("id", "t")
+    val out = TextAnalysis.bm25TopK(docs, col("id"), col("t"),
+        Seq("qa" -> "apple banana",
+          "qb" -> "apple banana cherry durian"), k = 10)
+      .collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("score")))).toMap
+    // qa: idf(apple)=idf(banana)=ilog2(4 DIV 2)=1
+    //   d1: apple tf=2,dl=3 -> 2640000 DIV 192 = 13750; banana -> 10000
+    //   d2: apple tf=1,dl=2 -> 1320000 DIV 114 = 11578
+    //   d3: banana tf=4,dl=4 -> 5280000 DIV 330 = 16000
+    assert(out(("qa", 1L)) == ((1L, 23750L)))
+    assert(out(("qa", 2L)) == ((3L, 16000L)))
+    assert(out(("qa", 3L)) == ((2L, 11578L)))
+    // qb adds cherry/durian at idf=ilog2(4)=2
+    assert(out(("qb", 1L)) == ((2L, 11578L + 2 * 11578L)))
+    assert(out(("qb", 2L)) == ((1L, 23750L)))
+    assert(out(("qb", 3L)) == ((4L, 2 * 10000L)))
+    assert(out(("qb", 4L)) == ((3L, 16000L)))
+    assert(out.size == 7)
+  }
+
+  test("bm25TopK: majority-term idf clamps to 0; k truncates; ties break on doc_id") {
+    import spark.implicits._
+    val docs = Seq((1L, "x the"), (2L, "y the"), (3L, "z the"),
+      (4L, "w q")).toDF("id", "t")
+    val all = TextAnalysis.bm25TopK(docs, col("id"), col("t"),
+        Seq("q" -> "the x"), k = 10).collect()
+      .map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("score")))).toMap
+    // 'the' is in 3 of 4 docs: idf = ilog2(4 DIV 3) = 0 — docs 2,3
+    // surface as candidates but score exactly 0, ranked by doc_id
+    assert(all(1L)._1 == 1L && all(1L)._2 > 0L)
+    assert(all(2L) == ((2L, 0L)))
+    assert(all(3L) == ((3L, 0L)))
+    assert(all.size == 3) // doc 4 shares no query term
+    val trunc = TextAnalysis.bm25TopK(docs, col("id"), col("t"),
+      Seq("q" -> "the x"), k = 2).collect()
+    assert(trunc.length == 2)
+  }
+
+  test("c4Filters: each published rule fires on its own line/page") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(
+        "this line has six words here.",      // keep
+        "too short.",                          // < 5 words
+        "no terminal punctuation at all here", // no punctuation
+        "javascript makes this line get dropped now.", // javascript
+        "another good line with six words!",   // keep
+        "quoted lines can end with a quote\"", // keep (closing quote)
+        "we should avoid using bare javascript." // trailing-punct strip
+      ).mkString("\n")),
+      (2L, Seq( // 3 kept lines but the page has the lorem phrase
+        "this page looks quite acceptable today.",
+        "but lorem ipsum appears right here sadly.",
+        "a third acceptable line appears here too.").mkString("\n")),
+      (3L, "function f() { return 1; } is code."), // curly bracket
+      (4L, "some heinous content appears in this line today."), // bad word
+      (5L, "two acceptable lines are not enough sadly.\n\n" + // blank line
+        "since the threshold requires three kept lines.")
+    ).toDF("id", "t")
+    val out = TextAnalysis.c4Filters(docs, col("id"), col("t"),
+        badWords = Seq("heinous")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 7L)
+    assert(out(1L).getAs[Long]("n_kept") == 3L)
+    assert(out(1L).getAs[Boolean]("page_ok"))
+    assert(out(1L).getAs[String]("cleaned_text") == Seq(
+      "this line has six words here.",
+      "another good line with six words!",
+      "quoted lines can end with a quote\"").mkString("\n"))
+    assert(out(2L).getAs[Long]("n_kept") == 3L &&
+      !out(2L).getAs[Boolean]("page_ok")) // lorem ipsum page drop
+    assert(!out(3L).getAs[Boolean]("page_ok")) // curly bracket page drop
+    assert(!out(4L).getAs[Boolean]("page_ok")) // blocklist page drop
+    assert(out(5L).getAs[Long]("n_lines") == 2L) // blank line skipped
+    assert(out(5L).getAs[Long]("n_kept") == 2L &&
+      !out(5L).getAs[Boolean]("page_ok")) // below minKeptLines
+    // a page with zero kept lines reports null cleaned_text
+    val empty = TextAnalysis.c4Filters(
+      Seq((9L, "no punctuation anywhere on this page")).toDF("id", "t"),
+      col("id"), col("t")).head()
+    assert(empty.getAs[Long]("n_kept") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("cleaned_text")))
+  }
+
+  /** Independent scalar reference for [[TextAnalysis.dsirWeights]]:
+    * same published method, computed with plain JVM collections. */
+  private def dsirReference(raw: Seq[(Long, String)], target: Seq[String])
+      : Map[Long, (Long, Long, Long)] = {
+    def grams(t: String): Seq[String] = {
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 3), 16)
+    }
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val tg = target.flatMap(grams).map(bucket)
+    val rgAll = raw.map { case (id, t) => id -> grams(t).map(bucket) }
+    val rg = rgAll.flatMap(_._2)
+    val ct = tg.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val cr = rg.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (ttot, rtot) = (tg.size.toLong, rg.size.toLong)
+    def lam(b: Long): Long =
+      (ilog2(ct.getOrElse(b, 0L) + 1) - ilog2(ttot)) -
+        (ilog2(cr(b) + 1) - ilog2(rtot))
+    rgAll.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val logw = bs.map(lam).sum
+      id -> ((bs.size.toLong, logw,
+        math.floor(logw * 1000.0 / bs.size).toLong))
+    }.toMap
+  }
+
+  test("dsirWeights matches an independent scalar implementation exactly") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "spark streams batch data very fast today"),
+      (2L, "cats purr softly near warm windows"),
+      (3L, "spark streams batch data"),
+      (4L, "one"), // < 2 tokens: absent from output
+      (5L, "cats purr spark streams"))
+    val target = Seq("spark streams batch data pipelines",
+      "streams batch data flows")
+    val out = TextAnalysis.dsirWeights(
+        raw.toDF("id", "t"), col("id"), col("t"),
+        target.map(Tuple1(_)).toDF("tt"), col("tt"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("logw"),
+          r.getAs[Long]("mean_x1000")))).toMap
+    val ref = dsirReference(raw, target)
+    assert(out == ref)
+    assert(!out.contains(4L))
+    // target-aligned doc outranks the off-domain doc of equal length
+    assert(out(3L)._3 > out(2L)._3)
+  }
 }
