@@ -1466,6 +1466,26 @@ object SparkEntry {
       TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
           d.filter(col("source") === "src0"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: exact heavy hitters via two-pass Misra-Gries
+    // — a bounded 40-counter sketch prunes candidates (never shuffling
+    // the vocabulary), then the <=k survivors are re-counted exactly;
+    // the integer threshold cnt*(k+1) > N keeps terms above 1/41 of
+    // the corpus mass (the 30 common vocabulary terms; 'dup' is below)
+    "q103_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyTerms(Tables.documents(s, dir), col("text"),
+          k = 40)
+        .orderBy(col("term"))
+    }),
+
+    // training-data ops: deterministic exact-k per-stratum sample —
+    // k smallest salted-md5 ranks per source, ranked by the TopK
+    // aggregator (k rows per stratum per map task, no window shuffle)
+    "q104_exactk_sample" -> ((s, dir) => {
+      Sampling.exactKSample(Tables.documents(s, dir), col("doc_id"),
+          col("source"), k = 10)
+        .orderBy(col("stratum"), col("rank"))
     })
   )
 
@@ -3434,7 +3454,25 @@ object SparkEntry {
         |  CAST(SUM(lam) AS BIGINT) AS logw,
         |  CAST(floor(CAST(CAST(SUM(lam) AS BIGINT) * 1000 AS DOUBLE)
         |    / COUNT(*)) AS BIGINT) AS mean_x1000
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q103_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(lower(text),
+        |    ' '), x -> x <> '')) term FROM documents),
+        |tot AS (SELECT COUNT(*) n FROM t),
+        |c AS (SELECT term, COUNT(*) cnt FROM t GROUP BY 1)
+        |SELECT term, cnt FROM c CROSS JOIN tot
+        |WHERE cnt * 41 > n ORDER BY term""".stripMargin,
+
+    "q104_exactk_sample" ->
+      """WITH d AS (SELECT doc_id, source AS stratum,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':exactk:' || source),
+        |      1, 12) h
+        |  FROM documents),
+        |r AS (SELECT stratum, doc_id, row_number() OVER (
+        |    PARTITION BY stratum ORDER BY h, doc_id) rk FROM d)
+        |SELECT stratum, CAST(rk AS BIGINT) AS rank, doc_id FROM r
+        |WHERE rk <= 10 ORDER BY stratum, rk""".stripMargin
     )
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same

@@ -146,4 +146,41 @@ object Sampling {
       .select(col("stratum"), col("n_docs"), col("available"),
         col("target"), col("bucket_threshold"))
   }
+
+  /** Deterministic EXACT-k per-stratum sample — the fixed-size
+    * complement to [[stratifiedSample]]'s rate-based keep: the k docs
+    * whose salted md5 sorts lowest within each stratum. A pure
+    * function of (doc_id, stratum, salt): re-running, re-partitioning
+    * or re-ordering the corpus reproduces the identical sample, and a
+    * different salt gives an independent draw (the
+    * [[assignSplit]]/[[stratifiedSample]] independence argument).
+    *
+    * Scale shape: ranking rides [[graft.functions.TopKAggregator]] —
+    * partial aggregation keeps at most k rows per stratum per map
+    * task, so the shuffle moves O(k · strata · tasks) rows instead of
+    * the whole corpus the row_number-window form would drag to each
+    * stratum's reducer. The rank key is the md5's first 12 hex digits
+    * as a long (48 bits — exact in the aggregator's double slot),
+    * negated because the aggregator keeps HIGHEST first; ties (a
+    * 48-bit prefix collision) break on doc_id ascending in both this
+    * and the window/oracle form, which order by the hex string —
+    * lexicographic on fixed-width lowercase hex IS the numeric
+    * order.
+    *
+    * Output: (stratum, rank, doc_id), rank 1..k by sample order. */
+  def exactKSample(df: DataFrame, id: Column, stratum: Column, k: Int,
+      salt: String = "exactk"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    df.select(id.as("doc_id"), stratum.as("stratum"))
+      .withColumn("rk",
+        -conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$salt:"), col("stratum"))), 1, 12), 16, 10)
+          .cast("long").cast("double"))
+      .groupBy(col("stratum"))
+      .agg(topk(col("doc_id"), col("rk")).as("top"))
+      .select(col("stratum"), posexplode(col("top.items")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vecId").as("doc_id"))
+  }
 }

@@ -654,4 +654,37 @@ object TextAnalysis {
       .withColumn("mean_x1000",
         floor(col("logw") * 1000 / col("n_grams")).cast("long"))
   }
+
+  /** Exact corpus heavy hitters via the two-pass Misra–Gries protocol:
+    * every term whose exact frequency exceeds N/(k+1) of the N total
+    * tokens, with its exact count.
+    *
+    * Pass 1 summarizes the token stream through
+    * [[graft.functions.HeavyHittersAggregator]] — a bounded k-counter
+    * sketch whose partial buffers are at most k entries per map task,
+    * so discovering frequent terms never shuffles the corpus
+    * vocabulary (at 100 TB the distinct-term table is itself huge; a
+    * plain groupBy-count-filter would shuffle all of it to find a
+    * handful of rows). The MG guarantee — any term with true
+    * frequency > N/(k+1) survives the sketch, counts under-estimate
+    * but never over — makes the summary a sound candidate set. Pass 2
+    * re-counts ONLY the (≤ k, broadcast) candidates exactly and
+    * applies the integer threshold `cnt·(k+1) > N` — no floats, no
+    * sketch error in the output: the sketch prunes, the re-count
+    * decides.
+    *
+    * Output: (term, cnt) for each heavy hitter, exact. */
+  def heavyTerms(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.HeavyHittersAggregator(k))
+    val terms = df.select(explode(tokens(text)).as("term"))
+    val summary = terms.agg(mg(col("term")).as("sk"),
+      count(lit(1)).as("n_total"))
+      .select(col("sk.items").as("cand"), col("n_total"))
+    terms.crossJoin(broadcast(summary))
+      .filter(array_contains(col("cand"), col("term")))
+      .groupBy(col("term"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("term"), col("cnt"))
+  }
 }

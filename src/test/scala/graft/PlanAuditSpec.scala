@@ -425,6 +425,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n <= 1, s"expected at most one doc-keyed exchange, got $n:\n$p")
   }
 
+  test("heavy hitters: sketch summary broadcasts; recount is a partial hash agg, never a vocabulary shuffle") {
+    val df = SparkEntry.queries("q103_heavy_hitters")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row MG summary rides a broadcast to the candidate filter
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), s"summary must broadcast:\n$p")
+    // both aggregates are partial (map-side combined): the only
+    // hash-partitioned exchange is keyed on the <=k candidate terms,
+    // and nothing wider than the term string crosses it
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size <= 2, s"too many exchanges:\n$p")
+    assert(shuffles.forall(l => !l.contains("text")),
+      s"document text must not shuffle:\n${shuffles.mkString("\n")}")
+  }
+
   test("dsir: bucket model joins broadcast (4096-row tables by construction)") {
     val df = SparkEntry.queries("q102_dsir")(spark, sf)
     val p = plan(df)

@@ -208,4 +208,51 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.assignSplit(docs, col("doc_id"), Seq.empty)
     }
   }
+
+  test("exact-k sample: deterministic, exactly min(k, |stratum|) rows, salt-independent draws") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    def run(salt: String) = Sampling.exactKSample(docs, col("id"),
+        col("src"), k = 10, salt = salt).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = run("exactk")
+    assert(a.sameElements(run("exactk"))) // pure function of the data
+    val perStratum = a.groupBy(_._1)
+    assert(perStratum.keySet == Set("s0", "s1", "s2"))
+    perStratum.values.foreach { rows =>
+      assert(rows.length == 10)
+      assert(rows.map(_._2).sorted.sameElements(1L to 10L))
+    }
+    // a stratum smaller than k yields all of it
+    val small = Sampling.exactKSample(docs.filter(col("id") < 4),
+      col("id"), col("src"), k = 10).collect()
+    assert(small.length == 4)
+    // a different salt is an independent draw
+    assert(!a.sameElements(run("other-salt")))
+  }
+
+  test("exact-k sample: aggregator ranking matches the row_number window form exactly") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val got = Sampling.exactKSample(docs, col("id"), col("src"), k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // independent window form ordering by the md5 HEX STRING — the
+    // oracle's formulation; fixed-width lowercase hex sorts like the
+    // numeric rank the aggregator uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(substring(md5(concat(col("id").cast("string"),
+        lit(":exactk:"), col("src"))), 1, 12), col("id"))
+    val want = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 7)
+      .collect().map(r => (r.getAs[String]("src"),
+        r.getAs[Int]("rk").toLong, r.getAs[Long]("id"))).toSet
+    assert(got == want)
+    // scale-shape pin: the aggregator form has no Window, and ranks
+    // ride an object hash aggregate with partial (map-side) buffers
+    val plan = Sampling.exactKSample(docs, col("id"), col("src"), k = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }

@@ -379,4 +379,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     // target-aligned doc outranks the off-domain doc of equal length
     assert(out(3L)._3 > out(2L)._3)
   }
+
+  test("misra-gries aggregator: decrement step, merge offset, survivor guarantee") {
+    import graft.functions.{HeavyHittersAggregator, MgBuf}
+    val mg = new HeavyHittersAggregator(2)
+    // stream a a a b c d with k=2: c arrives on a full buffer and
+    // decrements everything; d then takes the freed slot
+    val buf = Seq("a", "a", "a", "b", "c", "d")
+      .foldLeft(mg.zero)(mg.reduce)
+    val m = buf.items.zip(buf.counts).toMap
+    assert(m == Map("a" -> 2L, "d" -> 1L))
+    // merge: counts sum, then the (k+1)-th largest count is
+    // subtracted from all (the mergeable-summaries offset)
+    val merged = mg.merge(MgBuf(Seq("a", "b"), Seq(5L, 3L)),
+      MgBuf(Seq("c", "d"), Seq(4L, 2L)))
+    assert(merged.items.zip(merged.counts).toMap == Map("a" -> 2L, "c" -> 1L))
+    // guarantee on an adversarial stream: 100 distinct singletons
+    // cannot evict an item holding > N/(k+1) of the mass
+    val n = 100
+    val stream = Seq.fill(60)("hot") ++ (1 to n).map(i => s"r$i")
+    val out = scala.util.Random.shuffle(stream)
+      .foldLeft(new HeavyHittersAggregator(4).zero)(
+        new HeavyHittersAggregator(4).reduce)
+    assert(out.items.contains("hot"))
+    // counts under-estimate, never over
+    assert(out.items.zip(out.counts).toMap.apply("hot") <= 60L)
+  }
+
+  test("heavyTerms: sketch prunes, exact recount decides — exact counts out") {
+    import spark.implicits._
+    // true frequencies: x=50, y=30, plus 40 singletons; N=120,
+    // k=5 -> threshold N/6 = 20: exactly {x:50, y:30}
+    val words = Seq.fill(50)("x") ++ Seq.fill(30)("y") ++
+      (1 to 40).map(i => s"rare$i")
+    val docs = scala.util.Random.shuffle(words).grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("id", "t")
+    val out = TextAnalysis.heavyTerms(docs, col("t"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 50L, "y" -> 30L))
+    // raising k admits nothing new here but keeps counts exact
+    val out2 = TextAnalysis.heavyTerms(docs, col("t"), k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("x") == 50L && out2("y") == 30L)
+    assert(out2.values.forall(c => c * 51 > 120))
+  }
 }
