@@ -1486,8 +1486,43 @@ object SparkEntry {
       Sampling.exactKSample(Tables.documents(s, dir), col("doc_id"),
           col("source"), k = 10)
         .orderBy(col("stratum"), col("rank"))
+    }),
+
+    // training-data ops: content-defined chunking (the gear rolling
+    // hash under FastCDC) — boundaries depend only on the trailing 32
+    // chars, so the whole operator is map-only (zero shuffle) and
+    // chunk boundaries re-align across shifted copies
+    "q105_gear_chunks" -> ((s, dir) => {
+      // fanOut: the interpreted HOF hash is CPU-bound per row, so a
+      // one-row-group file must not run it as a single task
+      Dedup.gearChunks(Tables.fanOut(Tables.documents(s, dir)),
+          col("doc_id"), col("text"), maskBits = 6)
+        .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
+    // training-data ops: cross-document duplicate chunks — a shared
+    // boilerplate passage appended to every 7th doc lands at a
+    // DIFFERENT offset in each, yet its interior chunks hash
+    // identically (the shift-resistance fixed-stride q87 cannot have)
+    "q106_gear_dedup" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + GearPassage)))
+            .otherwise(col("text")).as("t2"))
+      Dedup.gearDupChunks(d, col("doc_id"), col("t2"), maskBits = 6)
+        .orderBy(col("chunk_md5"))
     })
   )
+
+  /** Shared boilerplate passage for q106 (chosen to contain several
+    * interior gear-hash boundaries at maskBits=6, so shifted copies
+    * are guaranteed to share chunks). */
+  val GearPassage: String =
+    "licensing policy notice corpus appears rights common documents " +
+    "cookie text data contact disclaimer legal terms all reserved " +
+    "verbatim subscribe across copy privacy footer everywhere " +
+    "boilerplate consent"
 
   /** Query set for q100 (terms from the synthetic corpus vocabulary;
     * `the` exercises the idf=0 stopword clamp). */
@@ -3481,8 +3516,62 @@ object SparkEntry {
       ("q65_cosine_topk_window" -> base("q19_cosine_topk")) +
       ("q76_cc_stars" -> base("q53_dedup_clusters")) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
-      ("q96_bpe_encode" -> bpeEncodeSql(6))
+      ("q96_bpe_encode" -> bpeEncodeSql(6)) +
+      ("q105_gear_chunks" -> gearSql(
+        """d AS (SELECT doc_id, text AS t, length(text) AS n
+          |  FROM documents WHERE length(text) >= 1)""".stripMargin,
+        """SELECT doc_id, chunk_no, "start", chunk_len, chunk_md5
+          |FROM chunks ORDER BY doc_id, chunk_no""".stripMargin)) +
+      ("q106_gear_dedup" -> gearSql(
+        s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
+           |    SELECT doc_id, CASE WHEN doc_id % 7 = 0
+           |      THEN text || ' $GearPassage' ELSE text END AS t
+           |    FROM documents)
+           |  WHERE length(t) >= 1)""".stripMargin,
+        """SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs,
+          |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc,
+          |  MIN(chunk_len) AS chunk_len
+          |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+          |ORDER BY chunk_md5""".stripMargin))
   }
+
+  /** Shared DuckDB CTE chain mirroring [[operators.Dedup.gearChunks]]
+    * at maskBits=6/window=32: the md5-generated gear table, the
+    * per-position windowed gear sum with each term pre-masked to its
+    * surviving 33-k low bits (exact mod-2^32 in bigint arithmetic),
+    * boundary selection, and chunk assembly. `docCte` must define
+    * d(doc_id, t, n); `select` consumes
+    * chunks(doc_id, chunk_no, "start", chunk_len, chunk_md5). */
+  private def gearSql(docCte: String, select: String): String =
+    s"""WITH gtab AS (SELECT b,
+       |    CAST(list_sum(list_transform(generate_series(1, 8), j ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5(CAST(b AS VARCHAR) || ':gear'), j, 1)) - 1)
+       |      * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) AS g
+       |  FROM generate_series(0, 255) t(b)),
+       |$docCte,
+       |p AS (SELECT doc_id, t, n, unnest(generate_series(1, n)) i FROM d),
+       |gv AS (SELECT doc_id, i, g FROM p
+       |  JOIN gtab ON b = (ascii(substr(t, i, 1)) % 256)),
+       |hc AS (SELECT a.doc_id, a.i FROM gv a JOIN gv b
+       |    ON b.doc_id = a.doc_id AND b.i >= a.i - 31 AND b.i <= a.i
+       |  GROUP BY a.doc_id, a.i
+       |  HAVING (CAST(SUM(
+       |    (b.g % CAST(power(2, 33 - (a.i - b.i + 1)) AS BIGINT))
+       |    * CAST(power(2, a.i - b.i) AS BIGINT)) AS BIGINT) & 63) = 0),
+       |ends AS (SELECT doc_id, i AS e FROM hc
+       |  UNION SELECT doc_id, n FROM d),
+       |ch AS (SELECT doc_id, e,
+       |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+       |      AS st,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS cn
+       |  FROM ends),
+       |chunks AS (SELECT c.doc_id, CAST(cn AS BIGINT) AS chunk_no,
+       |    CAST(st AS BIGINT) AS "start",
+       |    CAST(e - st + 1 AS BIGINT) AS chunk_len,
+       |    md5(substr(d.t, st, CAST(e - st + 1 AS INT))) AS chunk_md5
+       |  FROM ch c JOIN d USING (doc_id))
+       |$select""".stripMargin
 
   /** Shared DuckDB CTE chain mirroring [[operators.TextAnalysis
     * .bpeTrainMerges]]: vocabulary collapse, then `n` unrolled rounds

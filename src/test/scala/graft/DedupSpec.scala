@@ -320,4 +320,91 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  /** Independent scalar reference for [[Dedup.gearChunks]]. */
+  private def gearRef(t: String, maskBits: Int, window: Int = 32)
+      : Seq[(Long, Long, Long, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gear = (0 until 256)
+      .map(b => java.lang.Long.parseLong(md5hex(s"$b:gear").take(8), 16))
+    val mask = (1L << maskBits) - 1
+    val cuts = (1 to t.length).filter { i =>
+      val h = (1 to math.min(i, window)).map { k =>
+        (gear(t.charAt(i - k).toInt % 256) & ((1L << (33 - k)) - 1)) *
+          (1L << (k - 1))
+      }.sum
+      (h & mask) == 0
+    }
+    val ends = (cuts :+ t.length).distinct.sorted
+    ends.zipWithIndex.map { case (e, idx) =>
+      val st = if (idx == 0) 1 else ends(idx - 1) + 1
+      (idx.toLong, st.toLong, (e - st + 1).toLong,
+        md5hex(t.substring(st - 1, e)))
+    }
+  }
+
+  test("gear chunks: exact match vs an independent scalar reference; chunks tile the text") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and " +
+        "again while the slow red panda watches from a nearby tree"),
+      (2L, "a"), // shorter than the window: chunk = whole text
+      (3L, "completely different content with other words here"))
+    val out = Dedup.gearChunks(texts.toDF("id", "t"), col("id"),
+        col("t"), maskBits = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.sortBy(_.getAs[Long]("chunk_no"))
+        .map(r => (r.getAs[Long]("chunk_no"), r.getAs[Long]("start"),
+          r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_md5"))).toSeq }
+    texts.foreach { case (id, t) =>
+      assert(out(id) == gearRef(t, maskBits = 4), s"doc $id")
+      // chunks tile the text exactly: starts chain, lengths sum to n
+      val rs = out(id)
+      assert(rs.head._2 == 1L)
+      assert(rs.map(_._3).sum == t.length.toLong)
+      rs.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 == a._2 + a._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("gear chunks are shift-resistant: shared passage at different offsets yields shared chunks") {
+    import spark.implicits._
+    val passage = SparkEntry.GearPassage
+    val docs = Seq(
+      (1L, "xy " + passage),
+      (2L, "a much longer and entirely different document prefix " +
+        "goes here before the common part today " + passage)).toDF("id", "t")
+    val chunks = Dedup.gearChunks(docs, col("id"), col("t"), maskBits = 6)
+    val byDoc = chunks.collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("chunk_md5")).toSet }
+    val shared = byDoc(1L).intersect(byDoc(2L))
+    // the passage's interior boundaries re-align regardless of prefix
+    assert(shared.size >= 4, s"expected >=4 shared chunks, got $shared")
+    // fixed-stride fingerprinting at these offsets shares nothing:
+    // the prefixes differ in length by a non-multiple of any stride>1
+    val dup = Dedup.gearDupChunks(docs, col("id"), col("t"), maskBits = 6)
+      .collect()
+    assert(dup.nonEmpty)
+    assert(dup.forall(r => r.getAs[Long]("n_docs") == 2L))
+    // map-only: the chunker itself never shuffles
+    val plan = Dedup.gearChunks(docs, col("id"), col("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("gear chunks: parameter bounds rejected") {
+    import spark.implicits._
+    val d = Seq((1L, "abc")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      Dedup.gearChunks(d, col("id"), col("t"), maskBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.gearChunks(d, col("id"), col("t"), maskBits = 6, window = 33)
+    }
+  }
 }
