@@ -1512,6 +1512,26 @@ object SparkEntry {
             .otherwise(col("text")).as("t2"))
       Dedup.gearDupChunks(d, col("doc_id"), col("t2"), maskBits = 6)
         .orderBy(col("chunk_md5"))
+    }),
+
+    // training-data ops: deterministic fill-in-the-middle planning
+    // (Bavarian et al. 2022) — md5-gated 50% FIM rate, two md5 split
+    // draws, PSM rearrangement; map-only, fuses into the scan
+    "q107_fim_split" -> ((s, dir) => {
+      TextAnalysis.fimSplit(Tables.documents(s, dir), col("doc_id"),
+          col("text"), fimRate = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: T5 span-corruption planning (15% of tokens
+    // in 3-token spans) — deterministic stride placement (one span
+    // per stride at an md5 offset: non-overlapping by construction,
+    // order-free), with the sentinel input/target renders as per-doc
+    // Column folds
+    "q108_span_corruption" -> ((s, dir) => {
+      TextAnalysis.spanCorruptionPlan(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("span_no"))
     })
   )
 
@@ -3498,6 +3518,86 @@ object SparkEntry {
         |c AS (SELECT term, COUNT(*) cnt FROM t GROUP BY 1)
         |SELECT term, cnt FROM c CROSS JOIN tot
         |WHERE cnt * 41 > n ORDER BY term""".stripMargin,
+
+    "q107_fim_split" ->
+      """WITH d AS (SELECT doc_id, text t, CAST(length(text) AS BIGINT) n
+        |  FROM documents WHERE length(text) >= 1),
+        |c AS (SELECT doc_id, t, n,
+        |    ((strpos('0123456789abcdef',
+        |        md5(CAST(doc_id AS VARCHAR) || ':fim:p')[1]) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |        md5(CAST(doc_id AS VARCHAR) || ':fim:p')[2]) - 1) < 128
+        |      AS do_fim,
+        |    CAST(list_sum(list_transform(generate_series(1, 6), j ->
+        |      (strpos('0123456789abcdef', substr(md5(
+        |         CAST(doc_id AS VARCHAR) || ':fim:a'), j, 1)) - 1)
+        |      * CAST(power(16, 6 - j) AS BIGINT))) AS BIGINT) % (n + 1)
+        |      AS da,
+        |    CAST(list_sum(list_transform(generate_series(1, 6), j ->
+        |      (strpos('0123456789abcdef', substr(md5(
+        |         CAST(doc_id AS VARCHAR) || ':fim:b'), j, 1)) - 1)
+        |      * CAST(power(16, 6 - j) AS BIGINT))) AS BIGINT) % (n + 1)
+        |      AS db
+        |  FROM d)
+        |SELECT doc_id, do_fim,
+        |  CASE WHEN do_fim THEN least(da, db) END AS split_u,
+        |  CASE WHEN do_fim THEN greatest(da, db) END AS split_v,
+        |  CASE WHEN do_fim THEN
+        |    '<PRE>' || substr(t, 1, CAST(least(da, db) AS INT))
+        |    || '<SUF>' || substr(t, CAST(greatest(da, db) + 1 AS INT),
+        |         CAST(n - greatest(da, db) AS INT))
+        |    || '<MID>' || substr(t, CAST(least(da, db) + 1 AS INT),
+        |         CAST(greatest(da, db) - least(da, db) AS INT))
+        |  ELSE t END AS text_out
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q108_span_corruption" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) n,
+        |    CAST(floor(CAST(len(ws) AS BIGINT) * 0.15 / 3) AS BIGINT)
+        |      n_spans
+        |  FROM w),
+        |base AS (SELECT doc_id, ws, n, n_spans, n // n_spans AS stride
+        |  FROM b WHERE n_spans >= 1),
+        |spans AS (SELECT doc_id, ws, n, stride,
+        |    unnest(generate_series(0, n_spans - 1)) AS span_no
+        |  FROM base),
+        |sp AS (SELECT doc_id, ws, n, span_no,
+        |    span_no * stride + 1 +
+        |    CAST(list_sum(list_transform(generate_series(1, 6), j ->
+        |      (strpos('0123456789abcdef', substr(md5(
+        |         CAST(doc_id AS VARCHAR) || ':span:'
+        |         || CAST(span_no AS VARCHAR)), j, 1)) - 1)
+        |      * CAST(power(16, 6 - j) AS BIGINT))) AS BIGINT)
+        |      % (stride - 2) AS start_tok
+        |  FROM spans),
+        |r AS (SELECT doc_id, MAX(n) n, MAX(ws) ws,
+        |    list(start_tok ORDER BY span_no) starts,
+        |    COUNT(*) m
+        |  FROM sp GROUP BY 1),
+        |rr AS (SELECT doc_id,
+        |    array_to_string(flatten(list_transform(
+        |      generate_series(0, CAST(m AS INT)), i -> list_concat(
+        |        ws[CAST(list_prepend(CAST(1 AS BIGINT),
+        |            list_transform(starts, s -> s + 3))[i+1] AS INT) :
+        |          CAST(list_append(starts, n + 1)[i+1] - 1 AS INT)],
+        |        CASE WHEN i < m
+        |          THEN ['<extra_id_' || CAST(i AS VARCHAR) || '>']
+        |          ELSE [] END))), ' ') AS corrupted_input,
+        |    array_to_string(flatten(list_transform(
+        |      generate_series(0, CAST(m - 1 AS INT)), i -> list_concat(
+        |        ['<extra_id_' || CAST(i AS VARCHAR) || '>'],
+        |        ws[CAST(starts[i+1] AS INT) :
+        |           CAST(starts[i+1] + 2 AS INT)]))), ' ')
+        |      AS target_output
+        |  FROM r)
+        |SELECT s.doc_id, s.span_no, s.start_tok,
+        |  CAST(3 AS BIGINT) AS len_tok, rr.corrupted_input,
+        |  rr.target_output
+        |FROM sp s JOIN rr USING (doc_id)
+        |ORDER BY s.doc_id, s.span_no""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query names] — the filter
+    // is a local-iteration convenience; the driver always passes 2 args.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -23,7 +27,11 @@ object Verify {
     // stderr: round 7's loader breakage silently shrank the dump from 84
     // to 29 queries and absence was the only failure signal.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,16 +51,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracleSel = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(kv => names(kv._1))
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracleSel
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = s"""{"expected": ${SparkEntry.queries.size}, "dumped": ${SparkEntry.queries.size - failures.size}, "failed": ${
+    val errJson = s"""{"expected": ${selected.size}, "dumped": ${selected.size - failures.size}, "failed": ${
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     }}"""
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
     if (failures.nonEmpty) {
-      System.err.println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED")
+      System.err.println(s"[verify] ${failures.size}/${selected.size} queries FAILED")
       sys.exit(1)
     }
   }

@@ -674,6 +674,136 @@ object TextAnalysis {
     * decides.
     *
     * Output: (term, cnt) for each heavy hitter, exact. */
+  /** Fill-in-the-middle split planning (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle" —
+    * the published FIM transform): with probability `fimRate`, a
+    * document is rearranged into PSM order
+    * `<PRE>prefix<SUF>suffix<MID>middle` around two uniform character
+    * split points; the model then learns infilling from the same
+    * corpus mass.
+    *
+    * Determinism (the [[graft.operators.Sampling]] discipline): the
+    * FIM decision is `first md5 byte < floor(rate·256)` and the two
+    * split points are independent md5 draws mod (n+1), min/max
+    * ordered — a pure function of (doc_id, salt), so the plan is
+    * reproducible in any engine, and re-running or re-partitioning
+    * the corpus can never flip a document's transform.
+    *
+    * Scale: map-only (one narrow projection, zero shuffle) — the
+    * transform fuses into the scan.
+    *
+    * Output: (doc_id, do_fim, split_u, split_v, text_out) where
+    * text_out is the PSM rearrangement for FIM docs and the original
+    * text otherwise. */
+  def fimSplit(df: DataFrame, id: Column, text: Column,
+      fimRate: Double = 0.5, salt: String = "fim"): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0, "fimRate must be in [0,1]")
+    val thresh = math.floor(fimRate * 256).toLong
+    def draw(tag: String): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s":$salt:$tag"))), 1, 6), 16, 10).cast("long")
+    df.select(id.as("doc_id"), text.as("t"))
+      .filter(length(col("t")) >= 1)
+      .withColumn("n", length(col("t")).cast("long"))
+      .withColumn("do_fim",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$salt:p"))), 1, 2), 16, 10).cast("long") < thresh)
+      .withColumn("split_u",
+        when(col("do_fim"), least(draw("a") % (col("n") + 1),
+          draw("b") % (col("n") + 1))).otherwise(lit(null)))
+      .withColumn("split_v",
+        when(col("do_fim"), greatest(draw("a") % (col("n") + 1),
+          draw("b") % (col("n") + 1))).otherwise(lit(null)))
+      .withColumn("text_out", when(col("do_fim"),
+        concat(lit("<PRE>"), col("t").substr(lit(1), col("split_u")),
+          lit("<SUF>"), col("t").substr(col("split_v") + 1,
+            col("n") - col("split_v")),
+          lit("<MID>"), col("t").substr(col("split_u") + 1,
+            col("split_v") - col("split_u"))))
+        .otherwise(col("t")))
+      .select(col("doc_id"), col("do_fim"), col("split_u"),
+        col("split_v"), col("text_out"))
+  }
+
+  /** T5-style span-corruption planning (Raffel et al. 2020 §3.1.4:
+    * corrupt ~`corruptRate` of the tokens in spans of `spanLen`,
+    * replacing each span with a sentinel and emitting the spans as
+    * the target) — as a DETERMINISTIC distributed plan: the doc's
+    * tokens divide into `nSpans = floor(n·rate / spanLen)` equal
+    * strides and the k-th span lands inside the k-th stride at an
+    * md5-drawn offset. Spans are non-overlapping BY CONSTRUCTION
+    * (one per stride), every engine reproduces the identical plan,
+    * and the realized corruption mass is within one span of the
+    * target. (T5's reference sampler places spans by sequential
+    * rejection — equivalent coverage, but inherently serial and
+    * RNG-stateful; stride placement is the order-free restatement.)
+    *
+    * Scale: one narrow explode (doc → spans) off a map-only
+    * projection; the input/target renders are per-row Column folds.
+    *
+    * Output: one row per span — (doc_id, span_no, start_tok,
+    * len_tok) — plus the doc-level corrupted input and target
+    * renders with `<extra_id_k>` sentinels, repeated per row. */
+  def spanCorruptionPlan(df: DataFrame, id: Column, text: Column,
+      corruptRate: Double = 0.15, spanLen: Int = 3,
+      salt: String = "span"): DataFrame = {
+    require(corruptRate > 0 && corruptRate < 1, "corruptRate in (0,1)")
+    require(spanLen >= 1, "spanLen must be positive")
+    val base = df.select(id.as("doc_id"), tokens(text).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("n_spans",
+        floor(col("n") * corruptRate / spanLen).cast("long"))
+      .filter(col("n_spans") >= 1)
+      .withColumn("stride", expr("n DIV n_spans"))
+    val spans = base
+      .select(col("doc_id"), col("ws"), col("n"), col("stride"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_no"))
+      // offset within the stride: md5 draw mod the slack after the
+      // span itself (stride >= spanLen because n_spans <= n·rate/len)
+      .withColumn("start_tok",
+        col("span_no") * col("stride") + 1 +
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s":$salt:"), col("span_no").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % (col("stride") - spanLen + 1))
+      .withColumn("len_tok", lit(spanLen.toLong))
+    // doc-level renders: fold the (small, per-doc) span list into the
+    // corrupted input and the target — map-only Column folds over the
+    // collected span array, no token-level explode. The per-element
+    // element_at over `froms`/`untils` re-inlines their defining
+    // transform (projection collapse), but those arrays are
+    // span-count-sized (~n·rate/spanLen, tens at most), not
+    // text-sized — the O(m²) is on m = #spans, harmless.
+    val rendered = spans
+      .groupBy(col("doc_id"), col("ws"))
+      .agg(sort_array(collect_list(
+        struct(col("span_no"), col("start_tok")))).as("sp"))
+      .withColumn("m", size(col("sp")))
+      // gap i spans tokens [froms(i), untils(i)-1]; sentinel i after
+      // every gap but the last
+      .withColumn("froms", concat(array(lit(1L)),
+        transform(col("sp"), s => s.getField("start_tok") + spanLen)))
+      .withColumn("untils",
+        concat(transform(col("sp"), s => s.getField("start_tok")),
+          array(size(col("ws")).cast("long") + 1)))
+      .withColumn("corrupted_input", concat_ws(" ", flatten(
+        transform(sequence(lit(0), col("m")), i => concat(
+          slice(col("ws"), element_at(col("froms"), i + 1).cast("int"),
+            greatest(element_at(col("untils"), i + 1) -
+              element_at(col("froms"), i + 1), lit(0L)).cast("int")),
+          when(i < col("m"), array(concat(lit("<extra_id_"),
+            i.cast("string"), lit(">"))))
+            .otherwise(typedLit(Seq.empty[String])))))))
+      .withColumn("target_output", concat_ws(" ", flatten(
+        transform(col("sp"), (s, i) => concat(
+          array(concat(lit("<extra_id_"), i.cast("string"), lit(">"))),
+          slice(col("ws"), s.getField("start_tok").cast("int"),
+            lit(spanLen)))))))
+    spans.join(rendered.select(col("doc_id"), col("corrupted_input"),
+        col("target_output")), Seq("doc_id"))
+      .select(col("doc_id"), col("span_no"), col("start_tok"),
+        col("len_tok"), col("corrupted_input"), col("target_output"))
+  }
+
   def heavyTerms(df: DataFrame, text: Column, k: Int): DataFrame = {
     val mg = udaf(new graft.functions.HeavyHittersAggregator(k))
     val terms = df.select(explode(tokens(text)).as("term"))

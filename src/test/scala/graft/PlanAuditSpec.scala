@@ -455,4 +455,33 @@ class PlanAuditSpec extends AnyFunSuite {
         s"lambda probe must stay broadcast with auto-broadcast off:\n$p2")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("fim split: map-only, fuses into the scan with zero exchanges") {
+    val df = SparkEntry.queries("q107_fim_split")(spark, sf)
+    val p = plan(df)
+    // the transform is a pure projection: the only allowed exchange is
+    // the final presentation orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fim split must not shuffle:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Join") || l.contains("Aggregate")),
+      s"fim split is one projection, no joins/aggregates:\n$p")
+  }
+
+  test("span corruption: render join keyed on doc_id, token arrays never double-shuffle") {
+    val df = SparkEntry.queries("q108_span_corruption")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // spans explode off one projection; the render re-join is doc-keyed
+    // (hash or broadcast) — count doc-sized exchanges, excluding the
+    // presentation sort's range exchange
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 3,
+      s"span corruption should need at most spans+render+join exchanges:\n$p")
+    // the full token array crosses at most once (into the render agg);
+    // the span rows that re-join carry only scalars
+    assert(hashEx.count(_.contains("ws")) <= 1,
+      s"token arrays must not shuffle twice:\n${hashEx.mkString("\n")}")
+  }
 }

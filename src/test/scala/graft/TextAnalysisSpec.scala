@@ -424,4 +424,75 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out2("x") == 50L && out2("y") == 30L)
     assert(out2.values.forall(c => c * 51 > 120))
   }
+
+  test("fimSplit: PSM rearrangement is lossless and deterministic") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"document number $i body " + ("x" * i)))
+      .toDF("id", "t")
+    val out = TextAnalysis.fimSplit(df, col("id"), col("t"), fimRate = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val orig = (1 to 40).map(i =>
+      i.toLong -> (s"document number $i body " + ("x" * i))).toMap
+    var nFim = 0
+    out.foreach { case (id, r) =>
+      val t = orig(id)
+      if (r.getAs[Boolean]("do_fim")) {
+        nFim += 1
+        val (u, v) = (r.getAs[Long]("split_u").toInt, r.getAs[Long]("split_v").toInt)
+        assert(0 <= u && u <= v && v <= t.length)
+        // PSM render decomposes back to the original text exactly
+        assert(r.getAs[String]("text_out") ==
+          s"<PRE>${t.substring(0, u)}<SUF>${t.substring(v)}<MID>${t.substring(u, v)}")
+      } else {
+        assert(r.getAs[String]("text_out") == t)
+        assert(r.isNullAt(r.fieldIndex("split_u")))
+      }
+    }
+    // md5-gated rate: ~50% of 40 docs; bound loosely (binomial tail)
+    assert(nFim >= 10 && nFim <= 30, s"nFim=$nFim")
+    // deterministic: a second run yields the identical plan
+    val again = TextAnalysis.fimSplit(df, col("id"), col("t"), fimRate = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_out")).toMap
+    assert(again == out.map { case (k, r) => k -> r.getAs[String]("text_out") })
+    // rate 0 -> no doc transformed; rate 1 -> all transformed
+    assert(TextAnalysis.fimSplit(df, col("id"), col("t"), fimRate = 0.0)
+      .filter(col("do_fim")).count() == 0L)
+    assert(TextAnalysis.fimSplit(df, col("id"), col("t"), fimRate = 1.0)
+      .filter(!col("do_fim")).count() == 0L)
+  }
+
+  test("spanCorruptionPlan: non-overlapping strided spans; sentinel renders round-trip") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i").mkString(" ") // 60 tokens
+    val df = Seq((7L, words), (8L, "only three words"),
+      (9L, "a b c d e f g h i j k l m n o p q r s t")).toDF("id", "t")
+    val rows = TextAnalysis.spanCorruptionPlan(df, col("id"), col("t"))
+      .collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // doc 8: n=3 -> floor(3*0.15/3)=0 spans -> filtered out entirely
+    assert(!byDoc.contains(8L))
+    // doc 7: n=60 -> n_spans = floor(60*.15/3) = 3, stride 20
+    val d7 = byDoc(7L).sortBy(_.getAs[Long]("span_no"))
+    assert(d7.length == 3)
+    d7.zipWithIndex.foreach { case (r, k) =>
+      val s = r.getAs[Long]("start_tok")
+      assert(r.getAs[Long]("len_tok") == 3L)
+      // span k lies inside stride k: [k*20+1, (k+1)*20-2] so the
+      // 3-token span never crosses the stride boundary
+      assert(s >= k * 20 + 1 && s + 2 <= (k + 1) * 20, s"k=$k s=$s")
+    }
+    // renders: corrupted input has one sentinel per span plus the
+    // closing one; target is sentinel + 3 tokens per span
+    val inp = d7.head.getAs[String]("corrupted_input").split(" ")
+    val tgt = d7.head.getAs[String]("target_output").split(" ")
+    assert((0 to 2).forall(i => inp.contains(s"<extra_id_$i>")))
+    assert(inp.length == 60 - 9 + 3) // 60 toks - 3 spans*3 + 3 sentinels
+    assert(tgt.length == 3 * 4)      // per span: sentinel + 3 tokens
+    // splicing target spans back into input sentinels reconstructs doc
+    val spansByK = tgt.grouped(4).map(g => g.head -> g.tail).toMap
+    val rebuilt = inp.flatMap(w => spansByK.getOrElse(w, Array(w)))
+    assert(rebuilt.mkString(" ") == words)
+    // doc 9: n=20 -> n_spans=1, stride 20; exactly one span
+    assert(byDoc(9L).length == 1)
+  }
 }
