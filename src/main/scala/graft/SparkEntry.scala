@@ -1532,6 +1532,27 @@ object SparkEntry {
       TextAnalysis.spanCorruptionPlan(Tables.documents(s, dir),
           col("doc_id"), col("text"))
         .orderBy(col("doc_id"), col("span_no"))
+    }),
+
+    // training-data ops: quality-aware near-dup survivor ("keep the
+    // best copy, not the lowest id") — q53's clusters re-labeled by a
+    // cluster-keyed max_by on (n_chars, -doc_id)
+    "q109_keep_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5)
+      val clusters = Dedup.nearDupClusters(pairs, col("doc_a"), col("doc_b"))
+      Dedup.clusterKeepBest(clusters, d, col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: temperature-smoothed source mixture (XLM-R
+    // α-sampling at the integer-exact α = 1/2 member) — derives the
+    // weight table q88's mixturePlan consumes
+    "q110_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureWeights(Tables.documents(s, dir),
+          col("source"), budget = 1000L)
+        .orderBy(col("stratum"))
     })
   )
 
@@ -3598,6 +3619,62 @@ object SparkEntry {
         |  rr.target_output
         |FROM sp s JOIN rr USING (doc_id)
         |ORDER BY s.doc_id, s.span_no""".stripMargin,
+
+    "q109_keep_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |n AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |  WHERE shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
+        |e AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT v, v AS r FROM (SELECT DISTINCT v FROM e)
+        |  UNION
+        |  SELECT e.v, reach.r FROM e JOIN reach ON reach.v = e.u),
+        |mem AS (SELECT v AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY v),
+        |mq AS (SELECT m.doc_id, m.cluster_id,
+        |    CAST(d.n_chars AS BIGINT) q_score
+        |  FROM mem m JOIN documents d USING (doc_id)),
+        |rep AS (SELECT cluster_id, doc_id rep_id
+        |  FROM (SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster_id
+        |      ORDER BY q_score DESC, doc_id) rn FROM mq)
+        |  WHERE rn = 1),
+        |cnt AS (SELECT cluster_id, COUNT(*) n_members
+        |  FROM mq GROUP BY 1)
+        |SELECT mq.doc_id, mq.cluster_id,
+        |  CAST(cnt.n_members AS BIGINT) n_members, mq.q_score,
+        |  mq.doc_id = rep.rep_id AS is_kept
+        |FROM mq JOIN rep USING (cluster_id) JOIN cnt USING (cluster_id)
+        |ORDER BY mq.doc_id""".stripMargin,
+
+    "q110_temperature_mix" ->
+      """WITH c AS (SELECT source AS stratum, COUNT(*) n_docs
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT stratum, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 65536) AS BIGINT)
+        |      s_i FROM c),
+        |t AS (SELECT CAST(SUM(s_i) AS BIGINT) s_tot,
+        |    CAST(SUM(n_docs) AS BIGINT) n_tot FROM s)
+        |SELECT stratum, n_docs,
+        |  n_docs * 1000000 // n_tot AS raw_ppm,
+        |  s_i * 1000000 // s_tot AS weight_ppm,
+        |  1000 * (s_i * 1000000 // s_tot) // 1000000 AS expected_docs,
+        |  s_i * 1000000 // s_tot > n_docs * 1000000 // n_tot
+        |    AS upweighted
+        |FROM s CROSS JOIN t ORDER BY stratum""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -663,6 +663,40 @@ object Dedup {
     clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Quality-aware survivor selection: instead of [[nearDupClusters]]'
+    * min-id survivor, keep the member maximizing an integer quality
+    * score (ties → lowest doc id). This is the "keep the best copy"
+    * discipline real curation pipelines want — near-dup groups often
+    * contain one clean original plus boilerplate-wrapped or truncated
+    * variants, and min-id picks among them arbitrarily.
+    *
+    * `quality` is any doc-keyed frame; `score` must be integer-valued
+    * (engine-portable ordering — float score ties are rounding-mode
+    * bait). Determinism: the argmax key is the struct
+    * (q_score, −doc_id) under lexicographic MAX, a pure function of
+    * the cluster's membership.
+    *
+    * Scale: two doc-keyed equi-joins plus ONE cluster-keyed `max_by`
+    * hash aggregate — partial aggregation ships one candidate row per
+    * cluster per map task, never the membership list; no window rank.
+    * Nothing wider than (ids, score) shuffles.
+    *
+    * Output: (doc_id, cluster_id, n_members, q_score, is_kept) — one
+    * row per clustered doc; exactly one `is_kept` per cluster. */
+  def clusterKeepBest(clusters: DataFrame, quality: DataFrame,
+      qid: Column, score: Column): DataFrame = {
+    val q = quality.select(qid.as("doc_id"), score.cast("long").as("q_score"))
+    val member = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(q, Seq("doc_id"))
+    val reps = member.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+          struct(col("q_score"), -col("doc_id"))).as("rep_id"),
+        count(lit(1)).as("n_members"))
+    member.join(reps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        col("q_score"), (col("doc_id") === col("rep_id")).as("is_kept"))
+  }
+
   /** Content-defined chunking with a gear rolling hash (the hash
     * underlying FastCDC, Xia et al., USENIX ATC'16): cut the text
     * wherever the rolling hash of the trailing `window` chars has its

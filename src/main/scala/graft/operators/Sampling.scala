@@ -147,6 +147,53 @@ object Sampling {
         col("target"), col("bucket_threshold"))
   }
 
+  /** Temperature-smoothed mixture weights — the multilingual/
+    * multi-source sampling smoothing of mBERT and XLM-R (Conneau et
+    * al. 2020 §3.1: sample stratum i with p_i ∝ (n_i/N)^α, α<1, so
+    * low-resource strata are up-weighted relative to their raw share
+    * and the head source cannot dominate training) — at the
+    * integer-exact member α = 1/2: the smoothed mass is
+    * `s_i = floor(sqrt(n_i)·2^16)`. IEEE-754 `sqrt` is correctly
+    * rounded in every engine and multiplying by a power of two only
+    * shifts the exponent, so s_i is an engine-portable integer;
+    * every downstream statistic is integer arithmetic on the s_i —
+    * no order-dependent double sums, no `pow` (whose last-ulp
+    * rounding is implementation-defined and would make fractional α
+    * engine-divergent; this is why α is pinned to the sqrt member).
+    *
+    * This produces the weight table [[mixturePlan]] consumes: run
+    * this to DERIVE the mixture, mixturePlan to turn weights + a
+    * budget into per-stratum keep thresholds.
+    *
+    * Scale shape: one partial-agg count on the stratum key, then a
+    * 1-row total broadcast onto the stratum-count-sized frame — the
+    * corpus is touched exactly once.
+    *
+    * Output per stratum: n_docs, raw_ppm (unsmoothed share),
+    * weight_ppm (smoothed share), expected_docs under `budget` docs
+    * (`budget·weight_ppm DIV 10^6` — computed via the ppm to stay
+    * inside long range at any corpus size), and `upweighted`
+    * (smoothed > raw — the low-resource strata the smoothing
+    * exists to protect). */
+  def temperatureWeights(df: DataFrame, stratum: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_i",
+        floor(sqrt(col("n_docs").cast("double")) * 65536).cast("long"))
+    val totals = counts.agg(sum(col("s_i")).as("s_tot"),
+      sum(col("n_docs")).as("n_tot"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("raw_ppm", expr("n_docs * 1000000 DIV n_tot"))
+      .withColumn("weight_ppm", expr("s_i * 1000000 DIV s_tot"))
+      .withColumn("expected_docs",
+        expr(s"$budget * weight_ppm DIV 1000000"))
+      .withColumn("upweighted", col("weight_ppm") > col("raw_ppm"))
+      .select(col("stratum"), col("n_docs"), col("raw_ppm"),
+        col("weight_ppm"), col("expected_docs"), col("upweighted"))
+  }
+
   /** Deterministic EXACT-k per-stratum sample — the fixed-size
     * complement to [[stratifiedSample]]'s rate-based keep: the k docs
     * whose salted md5 sorts lowest within each stratum. A pure

@@ -407,4 +407,32 @@ class DedupSpec extends AnyFunSuite {
       Dedup.gearChunks(d, col("id"), col("t"), maskBits = 6, window = 33)
     }
   }
+
+  test("clusterKeepBest: highest score survives, ties break to lowest id") {
+    import spark.implicits._
+    // clusters: {1,2,3} and {10,11}; singleton 20 never appears in
+    // pair output so (like nearDupClusters) it is out of scope here
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    // doc 2 longest in cluster 1; docs 10/11 tie -> 10 wins
+    val quality = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 70L),
+      (11L, 70L), (20L, 99L)).toDF("id", "len")
+    val out = Dedup.clusterKeepBest(clusters, quality, col("id"), col("len"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+         r.getAs[Long]("q_score"), r.getAs[Boolean]("is_kept"))).toMap
+    assert(out.size == 5)
+    // tie at 90 between docs 2 and 3 -> lower id 2 kept
+    assert(out(2L) == (1L, 3L, 90L, true))
+    assert(out(3L) == (1L, 3L, 90L, false))
+    assert(out(1L) == (1L, 3L, 50L, false))
+    assert(out(10L) == (10L, 2L, 70L, true))
+    assert(out(11L) == (10L, 2L, 70L, false))
+    // exactly one survivor per cluster
+    assert(out.values.count(_._4) == 2)
+    // scale-shape pin: argmax is a max_by hash aggregate, no Window
+    val plan = Dedup.clusterKeepBest(clusters, quality, col("id"), col("len"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -255,4 +255,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("temperatureWeights: α=1/2 smoothing up-weights the tail, hand-computed") {
+    import spark.implicits._
+    // 900 "web" docs, 90 "books", 10 "code": raw 90/9/1 %
+    val docs = ((1 to 900).map(i => (i.toLong, "web")) ++
+      (901 to 990).map(i => (i.toLong, "books")) ++
+      (991 to 1000).map(i => (i.toLong, "code"))).toDF("id", "src")
+    val out = Sampling.temperatureWeights(docs, col("src"), budget = 1000L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    // s_i = floor(sqrt(n)*65536): 900 -> 1966080, 90 -> 621772, 10 -> 207243
+    val s = Map("web" -> math.floor(math.sqrt(900.0) * 65536).toLong,
+      "books" -> math.floor(math.sqrt(90.0) * 65536).toLong,
+      "code" -> math.floor(math.sqrt(10.0) * 65536).toLong)
+    val sTot = s.values.sum
+    for ((k, si) <- s) {
+      assert(out(k).getAs[Long]("weight_ppm") == si * 1000000L / sTot, k)
+      assert(out(k).getAs[Long]("expected_docs") ==
+        1000L * (si * 1000000L / sTot) / 1000000L, k)
+    }
+    assert(out("web").getAs[Long]("raw_ppm") == 900000L)
+    // smoothing: head down-weighted, tail up-weighted
+    assert(!out("web").getAs[Boolean]("upweighted"))
+    assert(out("books").getAs[Boolean]("upweighted"))
+    assert(out("code").getAs[Boolean]("upweighted"))
+    assert(out("web").getAs[Long]("weight_ppm") < 900000L)
+    assert(out("code").getAs[Long]("weight_ppm") > 10000L)
+    // weights still sum to ~1 (ppm floor loss < #strata)
+    val wSum = out.values.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wSum > 1000000L - 3 && wSum <= 1000000L)
+  }
 }
