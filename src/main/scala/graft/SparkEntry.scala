@@ -1553,6 +1553,15 @@ object SparkEntry {
       Sampling.temperatureWeights(Tables.documents(s, dir),
           col("source"), budget = 1000L)
         .orderBy(col("stratum"))
+    }),
+
+    // training-data ops: JL signed random projection — 64-d embeddings
+    // compressed to 16 exact integer components (the hyperplane
+    // family's weights with magnitudes kept), map-only
+    "q111_random_projection" -> ((s, dir) => {
+      Similarity.randomProjectRows(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"), col("p"))
     })
   )
 
@@ -3675,6 +3684,19 @@ object SparkEntry {
         |  s_i * 1000000 // s_tot > n_docs * 1000000 // n_tot
         |    AS upweighted
         |FROM s CROSS JOIN t ORDER BY stratum""".stripMargin,
+
+    "q111_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |wts AS (SELECT p, d,
+        |    (strpos('0123456789abcdef', md5(p || ':' || d)[1]) - 1)*2 - 15 AS w
+        |  FROM (SELECT unnest(generate_series(0,15)) p)
+        |  CROSS JOIN (SELECT unnest(generate_series(0,63)) d))
+        |SELECT ed.vec_id, wts.p, CAST(SUM(wts.w * ed.v) AS BIGINT) proj
+        |FROM ed JOIN wts ON wts.d = ed.d - 1
+        |GROUP BY 1, 2 ORDER BY vec_id, p""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

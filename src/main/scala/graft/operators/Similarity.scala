@@ -127,6 +127,43 @@ object Similarity {
     scoreAndRank(base.join(broadcast(queries), Seq("bucket")), k)
   }
 
+  /** Johnson–Lindenstrauss-style signed random projection: compress a
+    * `dims`-dimensional embedding to `outDims` integer components
+    * `proj_p = Σ_d w(p,d)·qv_d`, with the same md5-derived odd-integer
+    * weight matrix as the hyperplane LSH family ([[planeWeights]] —
+    * odd-integer entries in [−15, 15] rather than Gaussians;
+    * Achlioptas 2003, "Database-friendly random projections", shows
+    * sign/sparse matrices satisfy the same JL distortion bounds as
+    * Gaussian ones). The LSH bucket bit p
+    * is exactly `sign(proj_p)` — this operator keeps the magnitudes,
+    * so downstream ANN can rank by projected cosine instead of only
+    * bucketing, at outDims/dims of the storage and dot-product cost.
+    *
+    * Everything is exact integer arithmetic on the quantized vector
+    * (weights are literals inside ONE codegen'd projection — the
+    * kernel is outDims [[dotQ]] native dots per row); map-only, zero
+    * shuffle, engine-portable.
+    *
+    * Returns (vec_id, proj: Array[Long]). */
+  def randomProject(emb: DataFrame, id: Column, vec: Column,
+      outDims: Int = 16, dims: Int = 64): DataFrame = {
+    require(outDims >= 1 && outDims <= 64, "outDims in [1,64]")
+    val w = planeWeights(outDims, dims)
+    graft.sources.Tables.fanOut(emb.select(id.as("vec_id"), vec.as("v0")))
+      .select(col("vec_id"), quantize(col("v0")).as("qv"))
+      .select(col("vec_id"), array(w.map(wp =>
+        dotQ(typedLit(wp.map(_.toLong)), col("qv"))): _*).as("proj"))
+  }
+
+  /** [[randomProject]] exploded to (vec_id, p, proj) rows — the
+    * oracle-comparable long form (array columns don't sort portably
+    * in the hash compare). */
+  def randomProjectRows(emb: DataFrame, id: Column, vec: Column,
+      outDims: Int = 16, dims: Int = 64): DataFrame =
+    randomProject(emb, id, vec, outDims, dims)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "proj")))
+      .select(col("vec_id"), col("p").cast("long").as("p"), col("proj"))
+
   /** Assign every vector of `base` to its nearest centroid (exact
     * integer cosine, broadcast of the tiny centroid set). The argmax
     * is a `min_by` HASH AGGREGATE, not a window rank: partial

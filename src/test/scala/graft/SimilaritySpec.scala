@@ -347,4 +347,67 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("randomProject: signs agree with the LSH bucket, cosine survives the projection") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = Similarity.randomProject(emb, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Long]]("proj").toSeq).toMap
+    assert(proj.values.forall(_.length == 16))
+    // bit p of the 16-plane LSH bucket IS sign(proj_p): the projection
+    // refines the bucketing, it cannot disagree with it
+    val buckets = emb.select(col("vec_id"), Similarity.bucketCol(
+        Similarity.quantize(col("embedding")), planes = 16, dims = 64)
+        .as("b")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("b")).toMap
+    proj.foreach { case (id, ps) =>
+      ps.zipWithIndex.foreach { case (v, p) =>
+        assert(((buckets(id) >> p) & 1L) == (if (v > 0) 1L else 0L),
+          s"vec $id plane $p: proj=$v bucket=${buckets(id)}")
+      }
+    }
+    // JL property, calibrated to what 16 output dims actually give
+    // (estimator std ~ 1/sqrt(16) = 0.25 for near-orthogonal pairs,
+    // concentrating as cosine -> 1):
+    val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[collection.Seq[Long]]("qv").toSeq).toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      d / math.sqrt(a.map(x => x * x).sum.toDouble *
+        b.map(x => x * x).sum.toDouble)
+    }
+    // (a) random pairs: mean |projected - true| stays inside ~1.5 std
+    val ids = proj.keys.toSeq.sorted.take(201)
+    val errs = ids.sliding(2).map { case Seq(i, j) =>
+      math.abs(cos(q(i), q(j)) - cos(proj(i), proj(j)))
+    }.toSeq
+    assert(errs.sum / errs.size < 0.3,
+      s"mean JL distortion too high: ${errs.sum / errs.size}")
+    // (b) the property ANN actually relies on: near-duplicate pairs
+    // KEEP high projected cosine. Clone every 10th vector with one
+    // perturbed component (true cosine ~0.99) — the projected cosine
+    // must still clearly separate clones from random pairs.
+    val clones = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.2f)).otherwise(x))
+          .as("embedding"))
+    val pboth = Similarity.randomProject(emb.select(col("vec_id"),
+        col("embedding")).union(clones), col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Long]]("proj").toSeq).toMap
+    val cloneCos = pboth.keys.filter(_ >= 1000000L).toSeq.map { cid =>
+      cos(pboth(cid - 1000000L), pboth(cid))
+    }
+    assert(cloneCos.forall(_ > 0.6), s"clone pair lost similarity: $cloneCos")
+    assert(cloneCos.sum / cloneCos.size > 0.9,
+      s"mean clone projected cosine: ${cloneCos.sum / cloneCos.size}")
+    // map-only: no keyed shuffle (the only exchange is fanOut's
+    // round-robin scan parallelization on the single sf0.001 file)
+    val plan = Similarity.randomProject(emb, col("vec_id"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"), plan)
+  }
 }
