@@ -1562,6 +1562,17 @@ object SparkEntry {
       Similarity.randomProjectRows(Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"))
         .orderBy(col("vec_id"), col("p"))
+    }),
+
+    // training-data ops: incremental ingestion gate — every 7th doc
+    // plays the incoming batch, the rest the already-deduped corpus;
+    // exact-hash membership + ASYMMETRIC minhash band join (q17's
+    // parameters; corpus never self-pairs)
+    "q112_incremental_ingest" -> ((s, dir) => {
+      Dedup.incrementalIngest(Tables.documents(s, dir), col("doc_id"),
+          col("text"), col("doc_id") % 7 === 0, n = 3, numHashes = 16,
+          bands = 8, minEstJaccard = 0.5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3697,6 +3708,49 @@ object SparkEntry {
         |SELECT ed.vec_id, wts.p, CAST(SUM(wts.w * ed.v) AS BIGINT) proj
         |FROM ed JOIN wts ON wts.d = ed.d - 1
         |GROUP BY 1, 2 ORDER BY vec_id, p""".stripMargin,
+
+    "q112_incremental_ingest" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 7 = 0 AS is_new
+        |  FROM documents),
+        |ex AS (SELECT n.doc_id, coalesce(o.hit, false) exact_dup
+        |  FROM (SELECT doc_id, md5(text) chash FROM d WHERE is_new) n
+        |  LEFT JOIN (SELECT DISTINCT md5(text) chash, true AS hit
+        |    FROM d WHERE NOT is_new) o ON o.chash = n.chash),
+        |w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM d),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |hs AS (SELECT doc_id, md5('1:' || s) || md5('2:' || s) h FROM sh),
+        |sigs AS (SELECT doc_id, k, MIN(substr(h, k*4 + 1, 4)) sig
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0,15)) k) t
+        |  GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k//2 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY k)) bkey
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id, y.doc_id old_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |  JOIN d dx ON dx.doc_id = x.doc_id
+        |  JOIN d dy ON dy.doc_id = y.doc_id
+        |  WHERE dx.is_new AND NOT dy.is_new),
+        |m AS (SELECT cand.doc_id, old_id,
+        |    CAST(COUNT(*) FILTER (sa.sig = sb.sig) AS BIGINT) n_match
+        |  FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_id
+        |    JOIN sigs sb ON sb.doc_id = old_id AND sb.k = sa.k
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, old_id, n_match, n_match / 16.0 est
+        |  FROM (SELECT doc_id, old_id, n_match, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY n_match DESC, old_id) rn
+        |    FROM m WHERE n_match / 16.0 >= 0.5)
+        |  WHERE rn = 1)
+        |SELECT ex.doc_id, ex.exact_dup, best.old_id AS near_dup_of,
+        |  best.n_match, best.est AS est_jaccard,
+        |  NOT ex.exact_dup AND best.old_id IS NULL AS keep
+        |FROM ex LEFT JOIN best USING (doc_id)
+        |ORDER BY ex.doc_id""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -283,6 +283,33 @@ object Dedup {
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(md5(concat(col("seed"), lit(":"), col("s")))).as("sig"))
 
+  /** The chunked-minhash signature ARRAY per doc — the signature
+    * scheme [[minhashLshPairs]] documents, factored out so the
+    * symmetric (corpus self-join) and asymmetric
+    * ([[incrementalIngest]] new-vs-corpus) candidate joins share one
+    * pipeline: shingles are exploded and hashed in a flat codegen'd
+    * projection (numHashes/8 md5 calls per shingle, each 32-hex
+    * digest sliced into 8 independent 16-bit chunks), then ONE hash
+    * aggregate with numHashes `min` buffers per doc.
+    * Output: (doc_id, sig: Array[String] of numHashes 4-hex mins). */
+  def minhashSigArray(df: DataFrame, id: Column, text: Column, n: Int,
+      numHashes: Int,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(numHashes % 8 == 0, "numHashes must be a multiple of 8 (md5 chunks)")
+    val groups = numHashes / 8
+    val perShingle = explodedShingles(df, id, text, n, storage)
+      .select(col("doc_id"),
+        concat((1 to groups).map(g => md5(concat(lit(s"$g:"), col("s")))): _*)
+          .as("h"))
+    val minCols = (0 until numHashes).map(k =>
+      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
+    perShingle.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(k => col(s"s$k")): _*).as("sig"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs. Signatures are banded
     * (`bands` bands of `numHashes/bands` rows); docs sharing any band
     * key become candidates (equi-join on the band bucket — never
@@ -317,23 +344,12 @@ object Dedup {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(numHashes % 8 == 0, "numHashes must be a multiple of 8 (md5 chunks)")
     val rows = numHashes / bands
-    val groups = numHashes / 8
-    val perShingle = explodedShingles(df, id, text, n, storage)
-      .select(col("doc_id"),
-        concat((1 to groups).map(g => md5(concat(lit(s"$g:"), col("s")))): _*)
-          .as("h"))
-    val minCols = (0 until numHashes).map(k =>
-      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
     // signature frame: read by both sides of the band self-join. Same
     // storage policy as the shingle frame — MEMORY_AND_DISK spills
     // rather than OOMs; pass StorageLevel.NONE at corpus scale to
     // recompute per branch (numHashes*4 bytes + key per doc)
-    val sigArr0 = perShingle.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(k => col(s"s$k")): _*).as("sig"))
+    val sigArr0 = minhashSigArray(df, id, text, n, numHashes, storage)
     val sigArr =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) sigArr0
       else sigArr0.persist(storage)
@@ -355,6 +371,74 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_match").cast("long").as("n_match"),
         col("est_jaccard"))
+  }
+
+  /** Incremental ingestion gate: dedup a NEW batch of documents
+    * against an EXISTING corpus without ever comparing the corpus to
+    * itself — the continuous-crawl shape, where the corpus was
+    * deduped when it was ingested and each incoming batch only needs
+    * checking AGAINST it.
+    *
+    * Two screens per new doc, the standard ingestion discipline:
+    *  - exact: content-md5 membership against the old side (a hash
+    *    equi-join — at deployment scale the corpus hash set is a
+    *    stored table, not recomputed);
+    *  - near: the [[minhashLshPairs]] banded candidate join made
+    *    ASYMMETRIC — new-side band rows join old-side band rows only,
+    *    so candidate volume is |new|·(bucket density), never
+    *    |corpus|²; the corpus side is scanned once to band it and
+    *    never self-pairs. The best match per new doc is a `max_by`
+    *    hash aggregate on (n_match, −old_id) — highest signature
+    *    agreement, ties to the lowest old id; no window rank.
+    *
+    * Output: one row per NEW doc — (doc_id, exact_dup, near_dup_of,
+    * n_match, est_jaccard, keep) with null match columns and
+    * keep=true for novel docs. */
+  def incrementalIngest(df: DataFrame, id: Column, text: Column,
+      isNew: Column, n: Int, numHashes: Int, bands: Int,
+      minEstJaccard: Double,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val base = df.select(id.as("doc_id"), text.as("t"),
+      isNew.cast("boolean").as("is_new"))
+    val exact = base.filter(col("is_new"))
+      .select(col("doc_id"), md5(col("t")).as("chash"))
+      .join(base.filter(!col("is_new"))
+          .select(md5(col("t")).as("chash")).distinct()
+          .withColumn("hit", lit(true)),
+        Seq("chash"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
+    val sigs0 = minhashSigArray(base, col("doc_id"), col("t"), n,
+        numHashes, storage)
+      .join(base.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+    val sigs =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) sigs0
+      else sigs0.persist(storage)
+    val banded = sigs.select(col("doc_id"), col("is_new"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        md5(concat_ws("|", slice(col("sig"), col("band") * rows + 1, lit(rows)))))
+    val cand = banded.filter(col("is_new")).alias("x")
+      .join(banded.filter(!col("is_new")).alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("old_id"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_id", "old_id")
+    val best = cand
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("long"))
+      .withColumn("est_jaccard", col("n_match") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("old_id"), col("n_match"), col("est_jaccard")),
+        struct(col("n_match"), -col("old_id"))).as("b"))
+      .select(col("doc_id"), col("b.old_id").as("near_dup_of"),
+        col("b.n_match").as("n_match"), col("b.est_jaccard").as("est_jaccard"))
+    exact.join(best, Seq("doc_id"), "left")
+      .withColumn("keep", !col("exact_dup") && col("near_dup_of").isNull)
   }
 
   /** 32-bit SimHash over unigram tokens weighted by term frequency.

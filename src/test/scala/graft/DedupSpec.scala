@@ -408,6 +408,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalIngest: exact + near screens against the old side only") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen violinists rehearse quietly beneath the old stone bridge"
+    val docs = Seq(
+      (1L, passage, false),                       // corpus
+      (2L, passage, false),                       // corpus-internal clone
+      (3L, "completely different corpus text about distributed " +
+        "query engines and their shuffle boundaries in production", false),
+      (101L, passage, true),                      // exact dup of 1 (and 2)
+      (102L, "completely different corpus text about distributed " +
+        "query engines and their shuffle boundaries in practice", true),
+      (103L, "a wholly novel document sharing no phrasing with " +
+        "anything already ingested by this pipeline at all", true)
+    ).toDF("id", "t", "fresh")
+    val out = Dedup.incrementalIngest(docs, col("id"), col("t"),
+        col("fresh"), n = 3, numHashes = 16, bands = 8,
+        minEstJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // one row per NEW doc; the corpus-internal clone pair (1,2) is
+    // never examined, let alone emitted
+    assert(out.keySet == Set(101L, 102L, 103L))
+    assert(out(101L).getAs[Boolean]("exact_dup"))
+    assert(!out(101L).getAs[Boolean]("keep"))
+    // 101's best near match: full signature agreement, lowest old id
+    assert(out(101L).getAs[Long]("near_dup_of") == 1L)
+    assert(out(101L).getAs[Long]("n_match") == 16L)
+    assert(!out(102L).getAs[Boolean]("exact_dup"))
+    assert(out(102L).getAs[Long]("near_dup_of") == 3L)
+    assert(out(102L).getAs[Double]("est_jaccard") >= 0.5)
+    assert(!out(102L).getAs[Boolean]("keep"))
+    assert(out(103L).getAs[Boolean]("keep"))
+    assert(out(103L).isNullAt(out(103L).fieldIndex("near_dup_of")))
+  }
+
   test("clusterKeepBest: highest score survives, ties break to lowest id") {
     import spark.implicits._
     // clusters: {1,2,3} and {10,11}; singleton 20 never appears in
