@@ -1573,6 +1573,22 @@ object SparkEntry {
           col("text"), col("doc_id") % 7 === 0, n = 3, numHashes = 16,
           bands = 8, minEstJaccard = 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: product-quantization codes — 64 floats → 8
+    // small ints per vector (Jégou 2011); exact integer sub-space L2
+    "q113_pq_codes" -> ((s, dir) => {
+      Similarity.pqCodes(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"))
+        .orderBy(col("vec_id"), col("m"))
+    }),
+
+    // training-data ops: PQ asymmetric-distance search — the ranking
+    // scan reads ONLY the 8-byte codes; query keeps exact sub-vectors
+    "q114_pq_adc_topk" -> ((s, dir) => {
+      Similarity.pqAdcTopK(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3751,6 +3767,48 @@ object SparkEntry {
         |  NOT ex.exact_dup AND best.old_id IS NULL AS keep
         |FROM ex LEFT JOIN best USING (doc_id)
         |ORDER BY ex.doc_id""".stripMargin,
+
+    "q113_pq_codes" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |sd AS (SELECT vec_id, CAST((d-1)//8 AS BIGINT) m, d, v FROM ed),
+        |cd AS (SELECT vec_id AS code, m, d, v cv FROM sd WHERE vec_id < 16),
+        |dist AS (SELECT s.vec_id, s.m, c.code,
+        |    CAST(SUM((s.v - c.cv)*(s.v - c.cv)) AS BIGINT) dist2
+        |  FROM sd s JOIN cd c ON c.m = s.m AND c.d = s.d
+        |  GROUP BY 1, 2, 3)
+        |SELECT vec_id, m, code FROM (
+        |  SELECT vec_id, m, code, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id, m ORDER BY dist2, code) rn FROM dist)
+        |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin,
+
+    "q114_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |sd AS (SELECT vec_id, CAST((d-1)//8 AS BIGINT) m, d, v FROM ed),
+        |cd AS (SELECT vec_id AS code, m, d, v cv FROM sd WHERE vec_id < 16),
+        |dist AS (SELECT s.vec_id, s.m, c.code,
+        |    CAST(SUM((s.v - c.cv)*(s.v - c.cv)) AS BIGINT) dist2
+        |  FROM sd s JOIN cd c ON c.m = s.m AND c.d = s.d
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, m, code, dist2 FROM (
+        |    SELECT vec_id, m, code, dist2, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, m ORDER BY dist2, code) rn FROM dist)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id query_id, m, code, dist2 FROM dist
+        |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |adc AS (SELECT qd.query_id, b.vec_id,
+        |    CAST(SUM(qd.dist2) AS BIGINT) adc
+        |  FROM best b JOIN qd ON qd.m = b.m AND qd.code = b.code
+        |  WHERE b.vec_id <> qd.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, adc, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY adc, vec_id) rank FROM adc)
+        |SELECT query_id, CAST(rank AS BIGINT) rank, vec_id, adc
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -164,6 +164,102 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "proj")))
       .select(col("vec_id"), col("p").cast("long").as("p"), col("proj"))
 
+  /** Shared PQ decomposition: the corpus exploded to (vec_id, m, sv)
+    * sub-vectors plus the per-sub-space codebook (the sub-vectors of
+    * the first `codes` corpus ids — the IVF seed-centroid
+    * discipline). One narrow explode (M rows per vector, each
+    * dims/M longs wide). */
+  private def pqSubs(emb: DataFrame, id: Column, vec: Column, m: Int,
+      codes: Int, dims: Int): (DataFrame, DataFrame) = {
+    require(dims % m == 0, "m must divide dims")
+    require(codes >= 1, "codes must be positive")
+    val sub = dims / m
+    val subs = quantized(emb, id, vec)
+      .select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), (col("m") * sub + 1).cast("int"), lit(sub)).as("sv"))
+      .withColumn("s_nrm2", dotQ(col("sv"), col("sv")))
+    val cents = subs.filter(col("vec_id") < codes)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"),
+        col("s_nrm2").as("c_nrm2"))
+    (subs, cents)
+  }
+
+  /** Product-quantization codes (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the 64-d vector
+    * splits into `m` sub-vectors; per sub-space the code is the
+    * codebook entry minimizing EXACT integer L2²
+    * (‖s‖² + ‖c‖² − 2·s·c, every term a [[dotQ]] native kernel;
+    * ties → lowest code). The corpus compresses dims floats →
+    * m small ints per vector — the storage/bandwidth member of the
+    * ANN family: at 10⁹ vectors the code table is ~8 GB where the
+    * raw embeddings are ~256 GB, and [[pqAdcTopK]] scans ONLY codes.
+    *
+    * Scale shape: one explode (M narrow rows per vector), one
+    * broadcast codebook join (M·codes rows BY CONSTRUCTION), one
+    * (vec_id, m)-keyed `min_by` hash aggregate — partial aggregation
+    * ships one row per sub-vector per map task; no window.
+    *
+    * Output: (vec_id, m, code), all integer. */
+  def pqCodes(emb: DataFrame, id: Column, vec: Column, m: Int = 8,
+      codes: Int = 16, dims: Int = 64): DataFrame = {
+    val (subs, cents) = pqSubs(emb, id, vec, m, codes, dims)
+    subs.join(broadcast(cents), Seq("m"))
+      .withColumn("dist2", col("s_nrm2") + col("c_nrm2")
+        - lit(2L) * dotQ(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist2"), col("code"))).as("code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: the query keeps its exact
+    * sub-vectors and precomputes a distance table to every codebook
+    * entry (m·codes integers per query — broadcast BY CONSTRUCTION);
+    * the corpus contributes ONLY its [[pqCodes]] — the scan that
+    * ranks 10⁹ vectors reads 8 bytes each and never touches an
+    * embedding. adc(q, v) = Σ_m dtab(q, m, code_v[m]), an exact
+    * integer; ranking rides [[graft.functions.TopKAggregator]]
+    * on −adc (exact in a double below 2^53 — sub-space L2² tops out
+    * near 2^35 here), k rows per query per map task, no window.
+    *
+    * Output: (query_id, rank, vec_id, adc) — lower adc = nearer. */
+  def pqAdcTopK(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, m: Int = 8, codes: Int = 16,
+      dims: Int = 64,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val (subs0, cents) = pqSubs(emb, id, vec, m, codes, dims)
+    // subs feeds the code assignment AND the query distance table; in
+    // a deployment the codes are a stored index, the cache is the
+    // single-job stand-in (same policy as ivfTopK)
+    val subs =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) subs0
+      else subs0.persist(storage)
+    val codeTab = subs.join(broadcast(cents), Seq("m"))
+      .withColumn("dist2", col("s_nrm2") + col("c_nrm2")
+        - lit(2L) * dotQ(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist2"), col("code"))).as("code"))
+    val dtab = subs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"),
+        col("s_nrm2"))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        (col("s_nrm2") + col("c_nrm2")
+          - lit(2L) * dotQ(col("sv"), col("cv"))).as("dist2"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    codeTab.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist2")).as("adc"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adc").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vecId").as("vec_id"),
+        (-col("col.cosine")).cast("long").as("adc"))
+  }
+
   /** Assign every vector of `base` to its nearest centroid (exact
     * integer cosine, broadcast of the tiny centroid set). The argmax
     * is a `min_by` HASH AGGREGATE, not a window rank: partial

@@ -348,6 +348,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pqCodes: codebook vectors code to themselves; codes complete and in range") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.pqCodes(emb, col("vec_id"), col("embedding"))
+      .collect()
+    val n = emb.count()
+    // every vector gets exactly 8 sub-space codes
+    assert(rows.length == n * 8)
+    assert(rows.forall(r => r.getAs[Long]("code") >= 0L &&
+      r.getAs[Long]("code") < 16L))
+    // a codebook member's sub-vector is its own nearest entry (L2 = 0)
+    rows.filter(_.getAs[Long]("vec_id") < 16L).foreach { r =>
+      assert(r.getAs[Long]("code") == r.getAs[Long]("vec_id"),
+        s"vec ${r.getAs[Long]("vec_id")} m ${r.getAs[Long]("m")}")
+    }
+    // no window rank: the argmin is a min_by hash aggregate
+    val plan = Similarity.pqCodes(emb, col("vec_id"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan) // the codebook
+  }
+
+  test("pqAdcTopK: valid ranks, self excluded, adc exact vs driver recomputation") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"),
+      queryIds, k = 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == queryIds.toSet)
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length)))
+    assert(out.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("query_id")))
+    // independently recompute adc in the driver from raw vectors
+    val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Long]]("qv").toSeq).toMap
+    def sub(v: Seq[Long], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def l2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def code(v: Seq[Long], m: Int): Long =
+      (0L until 16L).minBy(c => (l2(sub(v, m), sub(q(c), m)), c))
+    out.foreach { r =>
+      val (qid, vid) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      val want = (0 until 8).map { m =>
+        val c = code(q(vid), m)
+        l2(sub(q(qid), m), sub(q(c), m))
+      }.sum
+      assert(r.getAs[Long]("adc") == want, s"q$qid v$vid")
+    }
+    // PQ is an approximation of the true neighbor order: recall vs
+    // brute force must be nonzero
+    val exact = topSets(Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5))
+    val approx = byQ.view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet)
+    val hits = queryIds.map(qi => (exact(qi) & approx(qi)).size).sum
+    assert(hits > 0)
+  }
+
   test("randomProject: signs agree with the LSH bucket, cosine survives the projection") {
     val emb = Tables.embeddings(spark, sf)
     val proj = Similarity.randomProject(emb, col("vec_id"), col("embedding"))
