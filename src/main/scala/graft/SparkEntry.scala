@@ -1589,6 +1589,15 @@ object SparkEntry {
       Similarity.pqAdcTopK(Tables.embeddings(s, dir), col("vec_id"),
           col("embedding"), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // training-data ops: Broder containment — catches docs CONTAINED
+    // in larger ones (jaccard-blind: wrapped articles, quote pages);
+    // threshold below q16's jaccard bar on purpose
+    "q115_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), n = 3, minContainment = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -3809,6 +3818,26 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY adc, vec_id) rank FROM adc)
         |SELECT query_id, CAST(rank AS BIGINT) rank, vec_id, adc
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q115_containment" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |n AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared,
+        |  CASE WHEN na.n_sh <= nb.n_sh THEN doc_a ELSE doc_b END
+        |    AS contained_doc,
+        |  shared / least(na.n_sh, nb.n_sh) AS containment
+        |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |WHERE shared / least(na.n_sh, nb.n_sh) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

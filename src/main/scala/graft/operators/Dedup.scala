@@ -113,6 +113,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
 
+  /** Containment pairs (Broder 1997's second resemblance measure:
+    * c(A,B) = |S(A) ∩ S(B)| / |S(A)|) — detects when one document is
+    * (nearly) CONTAINED in another: quote-heavy pages, aggregator
+    * pages wrapping a full article, a doc plus boilerplate. Jaccard
+    * misses exactly these — a 100-shingle doc inside a 2000-shingle
+    * page has jaccard ≤ 0.05 but containment 1.0 — so a dedup pass
+    * keyed only on resemblance keeps the wrapped copy.
+    *
+    * Emitted per pair: containment of the SMALLER shingle set in the
+    * larger (the direction that can approach 1), with `contained_doc`
+    * naming the smaller doc (ties → doc_a, the lower id). Same
+    * inverted-index shape and hot-shingle cap as
+    * [[ngramJaccardPairs]]: the shingle equi-join is the only
+    * corpus-sized shuffle, never all-pairs.
+    *
+    * Output: (doc_a, doc_b, shared, contained_doc, containment). */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      minContainment: Double, maxShingleFreq: Long = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sh = explodedShingles(df, id, text, n, storage)
+    val filtered =
+      if (maxShingleFreq > 0) {
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select(col("s"))
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      } else sh
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("doc_id").as("doc_a"), col("s"))
+    val b = filtered.select(col("doc_id").as("doc_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("contained_doc",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("containment",
+        col("shared") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("contained_doc"), col("containment"))
+  }
+
   /** Exact substring-level duplication sweep — the character-window
     * member of the dedup family (the protocol of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better":

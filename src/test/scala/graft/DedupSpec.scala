@@ -408,6 +408,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs: wrapped doc found at containment 1.0 where jaccard misses") {
+    import spark.implicits._
+    val article = "seventeen violinists rehearse quietly beneath " +
+      "the old stone bridge while the river carries their tune away"
+    val wrapper = "aggregator page header with site navigation and " +
+      "trending links plus further teaser paragraphs " + article +
+      " related stories comments section footer copyright notice " +
+      "subscribe banner and a very long tail of unrelated boilerplate " +
+      "text that keeps growing the shingle set of this page"
+    val docs = Seq((1L, article), (2L, wrapper),
+      (3L, "entirely unrelated document about spark physical plans " +
+        "and exchange reuse across stages")).toDF("id", "t")
+    val out = Dedup.containmentPairs(docs, col("id"), col("t"), n = 3,
+      minContainment = 0.6).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("contained_doc") == 1L) // the smaller set
+    assert(r.getAs[Double]("containment") == 1.0) // every shingle of 1 in 2
+    // the same pair is jaccard-invisible at any useful threshold
+    val j = Dedup.ngramJaccardPairs(docs, col("id"), col("t"), n = 3,
+      minJaccard = 0.5).collect()
+    assert(j.isEmpty)
+  }
+
   test("incrementalIngest: exact + near screens against the old side only") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog while " +
