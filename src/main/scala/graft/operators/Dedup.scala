@@ -356,6 +356,18 @@ object Dedup {
         array((0 until numHashes).map(k => col(s"s$k")): _*).as("sig"))
   }
 
+  /** Band explosion over a [[minhashSigArray]] frame: `bands` rows per
+    * doc, each carrying the md5 of its signature slice as the bucket
+    * key. Preserves every other column (the asymmetric join keeps its
+    * is_new flag through here). */
+  def bandedSigs(sigArr: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigArr.select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        md5(concat_ws("|", slice(col("sig"), col("band") * rows + 1, lit(rows)))))
+  }
+
   /** MinHash + LSH near-dup candidate pairs. Signatures are banded
     * (`bands` bands of `numHashes/bands` rows); docs sharing any band
     * key become candidates (equi-join on the band bucket — never
@@ -390,7 +402,6 @@ object Dedup {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // signature frame: read by both sides of the band self-join. Same
     // storage policy as the shingle frame — MEMORY_AND_DISK spills
     // rather than OOMs; pass StorageLevel.NONE at corpus scale to
@@ -399,10 +410,8 @@ object Dedup {
     val sigArr =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) sigArr0
       else sigArr0.persist(storage)
-    val banded = sigArr.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bkey",
-        md5(concat_ws("|", slice(col("sig"), col("band") * rows + 1, lit(rows)))))
+    val banded = bandedSigs(sigArr.select(col("doc_id"), col("sig")),
+      numHashes, bands)
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -446,7 +455,6 @@ object Dedup {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val base = df.select(id.as("doc_id"), text.as("t"),
       isNew.cast("boolean").as("is_new"))
     val exact = base.filter(col("is_new"))
@@ -462,10 +470,9 @@ object Dedup {
     val sigs =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) sigs0
       else sigs0.persist(storage)
-    val banded = sigs.select(col("doc_id"), col("is_new"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bkey",
-        md5(concat_ws("|", slice(col("sig"), col("band") * rows + 1, lit(rows)))))
+    val banded = bandedSigs(
+      sigs.select(col("doc_id"), col("is_new"), col("sig")),
+      numHashes, bands)
     val cand = banded.filter(col("is_new")).alias("x")
       .join(banded.filter(!col("is_new")).alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))

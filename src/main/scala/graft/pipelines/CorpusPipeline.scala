@@ -72,4 +72,132 @@ object CorpusPipeline {
       .dedupStream(base, tsName, col("scrubbed"), watermarkDelay)
       .select(col(tsName), col("doc_id"), col("scrubbed"))
   }
+
+  /** Streaming incremental ingestion — [[graft.operators.Dedup
+    * .incrementalIngest]]'s discipline run CONTINUOUSLY: each
+    * micro-batch screens against a PERSISTENT corpus index (content
+    * hashes + banded minhash signatures, parquet tables under
+    * `indexDir`), per-doc decisions go to `onDecisions`, and only
+    * KEPT docs' index rows are appended — a dropped duplicate never
+    * pollutes the index.
+    *
+    * Within-batch duplicates are screened too, with the batch
+    * operator's ordering discipline (lower doc_id wins): an exact
+    * twin inside the batch marks the higher id `exact_dup`; a
+    * [[graft.operators.Dedup.minhashLshPairs]] near-pair marks the
+    * higher id with the lower as `near_dup_of`. Index matches
+    * dominate within-batch matches in the emitted evidence (the
+    * index copy is the older one).
+    *
+    * This is a foreachBatch sibling by design, like the repo's other
+    * cross-batch-state streams (README "Deploying the streaming
+    * engine"): the index join is a batch join against a stored
+    * table, which no append-mode stateful operator expresses. The
+    * parquet append is idempotence-caveated the usual way — a batch
+    * retried after a mid-append crash can double-append index rows;
+    * duplicates in the index only produce duplicate CANDIDATES
+    * (dedup'd before scoring), never wrong decisions, and a
+    * transactional table format slots in at the two append sites.
+    *
+    * Decisions schema: (doc_id, exact_dup, near_dup_of, n_match,
+    * est_jaccard, keep). Scale: per batch, the index side is an
+    * equi-join on chash/bkey — the corpus index never self-joins,
+    * exactly the asymmetric shape of the batch operator. */
+  def ingestStream(docs: DataFrame, id: Column, text: Column,
+      indexDir: String, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 8, minEstJaccard: Double = 0.5)
+      (onDecisions: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    docs.select(id.as("doc_id"), text.as("t"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.types._
+        def readOr(dir: String, schema: StructType): DataFrame =
+          try spark.read.schema(schema).parquet(dir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          }
+        val hashSchema = StructType(Seq(
+          StructField("chash", StringType), StructField("doc_id", LongType)))
+        val bandSchema = StructType(Seq(
+          StructField("bkey", StringType), StructField("doc_id", LongType),
+          StructField("sig", ArrayType(StringType))))
+        val idxHashes = readOr(s"$indexDir/hashes", hashSchema)
+        val idxBands = readOr(s"$indexDir/bands", bandSchema)
+
+        val b = batch.toDF().persist()
+        val withHash = b.withColumn("chash", md5(col("t")))
+        // exact: against the index, then within the batch (lower id wins)
+        val exIdx = withHash.join(idxHashes
+            .select(col("chash"), lit(true).as("hit_idx")).distinct(),
+          Seq("chash"), "left")
+        val batchMin = withHash.groupBy(col("chash"))
+          .agg(min(col("doc_id")).as("first_id"))
+        val exact = exIdx.join(batchMin, Seq("chash"))
+          .select(col("doc_id"), col("t"),
+            (coalesce(col("hit_idx"), lit(false)) ||
+              col("doc_id") > col("first_id")).as("exact_dup"))
+        // near: banded sigs of the batch vs the index's banded rows
+        val sigs = Dedup.minhashSigArray(b, col("doc_id"), col("t"), n,
+          numHashes, org.apache.spark.storage.StorageLevel.NONE).persist()
+        val banded = Dedup.bandedSigs(sigs, numHashes, bands)
+        val candIdx = banded.alias("x")
+          .join(idxBands.alias("y"), col("x.bkey") === col("y.bkey"))
+          .select(col("x.doc_id").as("doc_id"),
+            col("y.doc_id").as("old_id"),
+            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          .dropDuplicates("doc_id", "old_id")
+        // within-batch near pairs: the symmetric operator, higher id
+        // flagged against the lower (old_id offset keeps index
+        // matches winning ties in the max_by below — an index id and
+        // a batch id never collide in practice; the evidence columns
+        // are what matters)
+        val candBatch = Dedup.minhashLshPairs(b, col("doc_id"),
+            col("t"), n, numHashes, bands, minEstJaccard = 0.0,
+            org.apache.spark.storage.StorageLevel.NONE)
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("old_id"),
+            col("n_match"), col("est_jaccard"))
+        val scoredIdx = candIdx
+          .withColumn("n_match",
+            size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (a, c) => a === c), x => x)).cast("long"))
+          .withColumn("est_jaccard", col("n_match") / lit(numHashes.toDouble))
+          .select(col("doc_id"), col("old_id"), col("n_match"),
+            col("est_jaccard"))
+        val best = scoredIdx.union(candBatch)
+          .filter(col("est_jaccard") >= minEstJaccard)
+          .groupBy(col("doc_id"))
+          .agg(max_by(struct(col("old_id"), col("n_match"),
+              col("est_jaccard")),
+            struct(col("n_match"), -col("old_id"))).as("bst"))
+          .select(col("doc_id"), col("bst.old_id").as("near_dup_of"),
+            col("bst.n_match").as("n_match"),
+            col("bst.est_jaccard").as("est_jaccard"))
+        // localCheckpoint (eager), NOT persist: the appends below write
+        // to the very paths this plan reads, and Spark's write-path
+        // recache would otherwise re-evaluate `kept` AGAINST THE ROWS
+        // JUST APPENDED — a doc would see its own hash land and flip
+        // to exact_dup, emptying the bands append. Truncating the
+        // lineage pins the decisions to this batch's pre-append view.
+        val decisions = exact.join(best, Seq("doc_id"), "left")
+          .withColumn("keep", !col("exact_dup") && col("near_dup_of").isNull)
+          .localCheckpoint(true)
+        onDecisions(decisions.select(col("doc_id"), col("exact_dup"),
+          col("near_dup_of"), col("n_match"), col("est_jaccard"),
+          col("keep")))
+        // index only the kept docs
+        val kept = decisions.filter(col("keep")).select(col("doc_id"))
+        withHash.join(kept, Seq("doc_id"))
+          .select(col("chash"), col("doc_id"))
+          .write.mode("append").parquet(s"$indexDir/hashes")
+        Dedup.bandedSigs(sigs.join(kept, Seq("doc_id")), numHashes, bands)
+          .select(col("bkey"), col("doc_id"), col("sig"))
+          .write.mode("append").parquet(s"$indexDir/bands")
+        decisions.unpersist(); sigs.unpersist(); b.unpersist()
+        ()
+      }
+  }
 }

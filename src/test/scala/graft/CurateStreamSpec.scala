@@ -65,6 +65,68 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestStream: persistent index screens batches; only kept docs are indexed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-idx").toString
+    val art1 = "seventeen violinists rehearse quietly beneath the " +
+      "old stone bridge while the river carries their tune away"
+    val art2 = "spark executes the shuffle and a broadcast join of " +
+      "wide tables quickly across many executor nodes tonight"
+    val art3 = "a wholly novel third document about content defined " +
+      "chunking and its shift resistant boundaries which realign " +
+      "after any insertion because each cut depends only on the " +
+      "trailing window of characters in practice"
+    val art3near = art3.replace("practice", "production")
+    val art2near = art2.replace("tonight", "tomorrow")
+    val in = MemoryStream[(Long, String)]
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Option[Long], Boolean)]
+    val q = CorpusPipeline.ingestStream(in.toDS().toDF("id", "text"),
+        col("id"), col("text"), idxDir) { d =>
+      decisions ++= d.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("exact_dup"),
+        if (r.isNullAt(r.fieldIndex("near_dup_of"))) None
+        else Some(r.getAs[Long]("near_dup_of")),
+        r.getAs[Boolean]("keep")))
+      ()
+    }.option("checkpointLocation", java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt").toString).start()
+    try {
+      in.addData((1L, art1), (2L, art2), (3L, art1))
+      q.processAllAvailable()
+      val b1 = decisions.toSeq.map(d => d._1 -> d).toMap
+      assert(b1.keySet == Set(1L, 2L, 3L))
+      assert(b1(1L)._4 && b1(2L)._4)  // novel docs kept
+      assert(b1(3L)._2 && !b1(3L)._4) // within-batch exact twin dropped
+      assert(b1(3L)._3.contains(1L))  // near evidence names the original
+      decisions.clear()
+
+      in.addData((10L, art1), (11L, art2near), (12L, art3))
+      q.processAllAvailable()
+      val b2 = decisions.toSeq.map(d => d._1 -> d).toMap
+      assert(b2(10L)._2 && !b2(10L)._4) // exact vs the index
+      assert(b2(10L)._3.contains(1L))   // matched doc 1, never doc 3
+      assert(!b2(11L)._2 && b2(11L)._3.contains(2L) && !b2(11L)._4)
+      assert(b2(12L)._4)                // novel
+      decisions.clear()
+
+      // 11 was dropped, so its bands are NOT indexed: a near copy of
+      // art3 matches 12 (kept), and art1 still matches 1
+      in.addData((20L, art3near), (21L, art1))
+      q.processAllAvailable()
+      val b3 = decisions.toSeq.map(d => d._1 -> d).toMap
+      assert(b3(20L)._3.contains(12L) && !b3(20L)._4)
+      assert(b3(21L)._2 && b3(21L)._3.contains(1L))
+
+      // the index holds exactly the kept docs
+      val idxIds = spark.read.parquet(s"$idxDir/hashes")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idxIds == Set(1L, 2L, 12L))
+    } finally q.stop()
+  }
+
   test("curateStream: the quality gate is the batch gate, by shared thresholds") {
     import spark.implicits._
     // boundary doc: exactly MinTokens tokens must pass, one fewer must not
