@@ -484,4 +484,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.count(_.contains("ws")) <= 1,
       s"token arrays must not shuffle twice:\n${hashEx.mkString("\n")}")
   }
+
+  test("incremental ingest: band join is keyed, argmax is a hash agg, never a window or cartesian") {
+    val df = SparkEntry.queries("q112_incremental_ingest")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      s"best-match selection must be max_by, not a window rank:\n$p")
+    // the candidate join is an equi-join on (band, bkey) — a sort-merge
+    // or shuffled-hash join on those keys is fine, a nested loop is not
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pq: codebook and distance table broadcast; the ranking scan carries codes, not vectors") {
+    val codes = SparkEntry.queries("q113_pq_codes")(spark, sf)
+    val pc = plan(codes)
+    assert(!pc.contains("Window"), pc)
+    assert(pc.contains("BroadcastExchange"), s"codebook must broadcast:\n$pc")
+    val adc = SparkEntry.queries("q114_pq_adc_topk")(spark, sf)
+    adc.collect() // finalize AQE
+    val pa = plan(adc)
+    assert(!pa.contains("Window"), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+    // after the code assignment, no exchange carries a sub-vector:
+    // the adc ranking shuffles (query_id, vec_id, code/adc) scalars
+    val ex = pa.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(l => !l.contains("sv#") && !l.contains("qv#")),
+      s"sub-vectors must not ride the ranking exchanges:\n${ex.mkString("\n")}")
+  }
+
+  test("containment pairs: inverted-index equi-join, text never in an exchange") {
+    val df = SparkEntry.queries("q115_containment")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(l => !l.contains("doc_text") && !l.contains("text#")),
+      s"document text must not shuffle:\n${ex.mkString("\n")}")
+  }
 }
