@@ -1598,6 +1598,15 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"),
           col("text"), n = 3, minContainment = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // training-data ops: exact histogram quantiles of token lengths
+    // per source — the context-length-planning statistic, bounded by
+    // |distinct lengths| rather than corpus size
+    "q116_length_quantiles" -> ((s, dir) => {
+      TextAnalysis.lengthQuantiles(Tables.documents(s, dir),
+          col("source"), col("text"))
+        .orderBy(col("stratum"))
     })
   )
 
@@ -3838,6 +3847,25 @@ object SparkEntry {
         |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
         |WHERE shared / least(na.n_sh, nb.n_sh) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q116_length_quantiles" ->
+      """WITH w AS (SELECT source AS stratum,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |      t -> t <> '')) AS BIGINT) v
+        |  FROM documents),
+        |h AS (SELECT stratum, v, COUNT(*) f FROM w GROUP BY 1, 2),
+        |c AS (SELECT stratum, v, f,
+        |    CAST(SUM(f) OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) cum,
+        |    CAST(SUM(f) OVER (PARTITION BY stratum) AS BIGINT) n_docs,
+        |    CAST(SUM(f*v) OVER (PARTITION BY stratum) AS BIGINT) sum_v
+        |  FROM h)
+        |SELECT stratum, MAX(n_docs) n_docs,
+        |  MAX(sum_v) // MAX(n_docs) AS mean_tokens,
+        |  MIN(CASE WHEN cum*100 >= n_docs*50 THEN v END) p50,
+        |  MIN(CASE WHEN cum*100 >= n_docs*90 THEN v END) p90,
+        |  MIN(CASE WHEN cum*100 >= n_docs*99 THEN v END) p99,
+        |  MAX(v) max_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -817,4 +817,49 @@ object TextAnalysis {
       .filter(col("cnt") * (k + 1) > col("n_total"))
       .select(col("term"), col("cnt"))
   }
+
+  /** Exact per-stratum token-length quantiles via a VALUE HISTOGRAM —
+    * the scale-safe form of `percentile` for context-length planning
+    * (how long are this source's docs → what ctxLen / packing /
+    * truncation policy). Token counts are small integers, so the
+    * corpus collapses to a (stratum, n_tokens, freq) histogram in ONE
+    * partial-agg hash aggregate — bounded by |distinct lengths|, not
+    * corpus size; quantiles then come from a cumulative sum over that
+    * tiny frame. `pQ` = the smallest value whose cumulative count
+    * reaches ceil(Q·n/100) — the Type-1 inverse-CDF definition, a
+    * pure integer selection reproducible in any engine (interpolating
+    * definitions mix floats and differ between engines).
+    *
+    * Spark's exact `percentile` aggregate would ship EVERY value to
+    * its group's reducer (corpus-sized shuffle, reducer-sized
+    * buffer); `approx_percentile` is a sketch whose merge order isn't
+    * engine-portable. The histogram form is exact AND bounded — the
+    * window sort runs over at most |distinct lengths| rows per
+    * stratum.
+    *
+    * Output per stratum: (stratum, n_docs, mean_tokens — integer
+    * DIV, p50, p90, p99, max_tokens). */
+  def lengthQuantiles(df: DataFrame, stratum: Column, text: Column,
+      qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "quantiles must be in [1,100]")
+    val hist = df
+      .select(stratum.as("stratum"), size(tokens(text)).cast("long").as("v"))
+      .groupBy(col("stratum"), col("v")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("f")).over(w))
+      .withColumn("n_docs", sum(col("f")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
+      .withColumn("sum_v", sum(col("f") * col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
+    // cum >= ceil(q*n/100)  <=>  100*cum >= q*n  (cum integer)
+    val qCols = qs.map(q =>
+      min(when(col("cum") * 100 >= col("n_docs") * q, col("v"))).as(s"p$q"))
+    cum.groupBy(col("stratum"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        (expr("max(sum_v) DIV max(n_docs)").as("mean_tokens") +: qCols) :+
+          max(col("v")).as("max_tokens"): _*)
+  }
 }

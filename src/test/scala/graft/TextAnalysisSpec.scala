@@ -425,6 +425,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out2.values.forall(c => c * 51 > 120))
   }
 
+  test("lengthQuantiles: type-1 inverse-CDF selection, hand-computed") {
+    import spark.implicits._
+    // stratum a: lengths 1..10 (one doc each): p50 = 5 (cum 5 >= 5),
+    // p90 = 9, p99 = 10, mean = 55 DIV 10 = 5
+    // stratum b: lengths {2 x5, 7 x5}: p50 = 2 (cum 5 >= 5), p90 = 7
+    val docs = ((1 to 10).map(i => ("a", (1 to i).map(j => s"w$j").mkString(" "))) ++
+      (1 to 5).map(_ => ("b", "x y")) ++
+      (1 to 5).map(_ => ("b", "a b c d e f g"))).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }.toDF("id", "src", "t")
+    val out = TextAnalysis.lengthQuantiles(docs, col("src"), col("t"))
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") == 10L)
+    assert(out("a").getAs[Long]("mean_tokens") == 5L)
+    assert(out("a").getAs[Long]("p50") == 5L)
+    assert(out("a").getAs[Long]("p90") == 9L)
+    assert(out("a").getAs[Long]("p99") == 10L)
+    assert(out("a").getAs[Long]("max_tokens") == 10L)
+    assert(out("b").getAs[Long]("p50") == 2L)
+    assert(out("b").getAs[Long]("p90") == 7L)
+    assert(out("b").getAs[Long]("mean_tokens") == (5 * 2 + 5 * 7) / 10L)
+    // the histogram aggregate is partial (map-side combined): the
+    // corpus-sized stage never shuffles raw values, only
+    // (stratum, v, partial count) triples
+    val plan = TextAnalysis.lengthQuantiles(docs, col("src"), col("t"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
   test("fimSplit: PSM rearrangement is lossless and deterministic") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, s"document number $i body " + ("x" * i)))
