@@ -1607,6 +1607,16 @@ object SparkEntry {
       TextAnalysis.lengthQuantiles(Tables.documents(s, dir),
           col("source"), col("text"))
         .orderBy(col("stratum"))
+    }),
+
+    // training-data ops: cross-split leakage audit — near-dup pairs
+    // (q17's parameters) straddling q98's train/val/test assignment
+    "q117_split_leakage" -> ((s, dir) => {
+      Sampling.splitLeakage(Tables.documents(s, dir), col("doc_id"),
+          col("text"), fractions = Seq("train" -> 0.8, "val" -> 0.1,
+            "test" -> 0.1), n = 3, numHashes = 16, bands = 8,
+          minEstJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -3866,6 +3876,45 @@ object SparkEntry {
         |  MIN(CASE WHEN cum*100 >= n_docs*99 THEN v END) p99,
         |  MAX(v) max_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q117_split_leakage" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |hs AS (SELECT doc_id, md5('1:' || s) || md5('2:' || s) h FROM sh),
+        |sigs AS (SELECT doc_id, k, MIN(substr(h, k*4 + 1, 4)) sig
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0,15)) k) t
+        |  GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k//2 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY k)) bkey
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |m AS (SELECT doc_a, doc_b,
+        |    CAST(COUNT(*) FILTER (sa.sig = sb.sig) AS BIGINT) n_match
+        |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+        |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.k = sa.k
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN bucket < 204 THEN 'train'
+        |      WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      (strpos('0123456789abcdef',
+        |         md5(CAST(doc_id AS VARCHAR) || ':split')[1]) - 1) * 16
+        |      + (strpos('0123456789abcdef',
+        |         md5(CAST(doc_id AS VARCHAR) || ':split')[2]) - 1) AS bucket
+        |    FROM documents))
+        |SELECT doc_a, doc_b, sa.split split_a, sb.split split_b,
+        |  n_match, n_match / 16.0 AS est_jaccard
+        |FROM m JOIN sp sa ON sa.doc_id = doc_a
+        |  JOIN sp sb ON sb.doc_id = doc_b
+        |WHERE n_match / 16.0 >= 0.5 AND sa.split <> sb.split
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -74,6 +74,41 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Cross-split leakage audit — the check every train/test split
+    * needs and hash-based splitting alone cannot give: a NEAR-copy of
+    * a training document landing in the test split inflates eval
+    * (the deduplication papers' core motivation), and [[assignSplit]]
+    * splits by doc_id hash, which is blind to content. This composes
+    * the split assignment with the banded minhash candidate join:
+    * near-dup pairs whose members sit in DIFFERENT splits are the
+    * leaks, reported with their split names and signature-agreement
+    * evidence. Fixing policy is the caller's (move the test member
+    * out, or drop it); the audit is the operator.
+    *
+    * Scale shape: exactly [[graft.operators.Dedup.minhashLshPairs]]
+    * (banded equi-join, never all-pairs) plus two doc-keyed joins of
+    * the id→split map — the split map is (doc_id, 8-byte string),
+    * narrow by construction.
+    *
+    * Output: (doc_a, doc_b, split_a, split_b, n_match, est_jaccard),
+    * cross-split pairs only. */
+  def splitLeakage(df: DataFrame, id: Column, text: Column,
+      fractions: Seq[(String, Double)], n: Int, numHashes: Int,
+      bands: Int, minEstJaccard: Double,
+      salt: String = "split"): DataFrame = {
+    val splits = assignSplit(df.select(id.as("doc_id")), col("doc_id"),
+      fractions, salt).select(col("doc_id"), col("split"))
+    graft.operators.Dedup
+      .minhashLshPairs(df, id, text, n, numHashes, bands, minEstJaccard)
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("n_match"), col("est_jaccard"))
+  }
+
   /** Sequence-packing plan — the deterministic "concatenate and chunk"
     * layout every LM training pipeline runs last: documents are laid
     * end to end in a canonical order and the token stream is cut into

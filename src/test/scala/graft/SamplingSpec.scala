@@ -256,6 +256,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("splitLeakage: reports exactly the near-dup pairs that straddle splits") {
+    import spark.implicits._
+    val passage = "seventeen violinists rehearse quietly beneath the " +
+      "old stone bridge while the river carries their tune away " +
+      "and the audience listens in contented silence tonight"
+    // clones of one passage across many ids: some id pairs land in
+    // the same split, some straddle — the audit must return exactly
+    // the straddling subset of the near-dup pairs
+    val docs = (1L to 12L).map(i => (i, passage))
+      .toDF("id", "t")
+    val fr = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = Sampling.splitLeakage(docs, col("id"), col("t"), fr,
+        n = 3, numHashes = 16, bands = 8, minEstJaccard = 0.5)
+      .collect()
+    val splits = Sampling.assignSplit(docs, col("id"), fr)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, col("id"),
+        col("t"), 3, 16, 8, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val wantLeaks = pairs.filter { case (a, b) => splits(a) != splits(b) }.toSet
+    assert(wantLeaks.nonEmpty && wantLeaks.size < pairs.length,
+      s"fixture must mix same-split and cross-split pairs: $splits")
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == wantLeaks)
+    // evidence columns carry the assignment and full-signature match
+    out.foreach { r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      assert(r.getAs[Long]("n_match") == 16L) // exact clones
+    }
+  }
+
   test("temperatureWeights: α=1/2 smoothing up-weights the tail, hand-computed") {
     import spark.implicits._
     // 900 "web" docs, 90 "books", 10 "code": raw 90/9/1 %

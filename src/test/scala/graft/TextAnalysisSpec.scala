@@ -489,6 +489,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(!col("do_fim")).count() == 0L)
   }
 
+  test("fimSplit: unicode and edge lengths stay lossless at rate 1.0") {
+    import spark.implicits._
+    // BMP unicode (single UTF-16 units — Spark's substr counts code
+    // points, the driver check counts units; they agree on BMP)
+    val texts = Seq("é", "a", "xy", "ü ß 漢字 done", "três çãs naïve")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val out = TextAnalysis.fimSplit(df, col("id"), col("t"), fimRate = 1.0)
+      .collect()
+    assert(out.length == texts.length)
+    out.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id").toInt)
+      val (u, v) = (r.getAs[Long]("split_u").toInt, r.getAs[Long]("split_v").toInt)
+      assert(r.getAs[String]("text_out") ==
+        s"<PRE>${t.substring(0, u)}<SUF>${t.substring(v)}<MID>${t.substring(u, v)}")
+    }
+    // empty docs are out of scope by contract (no split points exist)
+    val empty = Seq((9L, "")).toDF("id", "t")
+    assert(TextAnalysis.fimSplit(empty, col("id"), col("t"), 1.0).count() == 0)
+  }
+
+  test("spanCorruptionPlan: threshold doc sizes — one span at n=20, none below") {
+    import spark.implicits._
+    val at = (1 to 20).map(i => s"t$i").mkString(" ")   // n_spans = 1
+    val below = (1 to 19).map(i => s"t$i").mkString(" ") // n_spans = 0
+    val df = Seq((1L, at), (2L, below)).toDF("id", "t")
+    val rows = TextAnalysis.spanCorruptionPlan(df, col("id"), col("t"))
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    assert(rows.length == 1)
+    val s = rows.head.getAs[Long]("start_tok")
+    assert(s >= 1 && s + 2 <= 20)
+  }
+
   test("spanCorruptionPlan: non-overlapping strided spans; sentinel renders round-trip") {
     import spark.implicits._
     val words = (1 to 60).map(i => s"w$i").mkString(" ") // 60 tokens
