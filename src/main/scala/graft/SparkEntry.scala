@@ -1617,6 +1617,19 @@ object SparkEntry {
             "test" -> 0.1), n = 3, numHashes = 16, bands = 8,
           minEstJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // training-data ops: encoding-damage gate (ftfy-style) — U+FFFD,
+    // mojibake digraphs, stray C0 controls; damage is injected
+    // deterministically so the detector has something to catch
+    "q118_encoding_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("t2",
+          when(col("doc_id") % 13 === 0, concat(lit("Ã©"), col("text")))
+            .when(col("doc_id") % 13 === 1, concat(col("text"), lit("�")))
+            .otherwise(col("text")))
+      TextAnalysis.encodingQuality(d, col("doc_id"), col("t2"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3915,6 +3928,26 @@ object SparkEntry {
         |  JOIN sp sb ON sb.doc_id = doc_b
         |WHERE n_match / 16.0 >= 0.5 AND sa.split <> sb.split
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q118_encoding_quality" ->
+      ("""WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Ã©' || text
+        |      WHEN doc_id % 13 = 1 THEN text || '�'
+        |      ELSE text END t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |    CAST(length(t) - length(replace(t, '�', '')) AS BIGINT)
+        |      n_replacement,
+        |    CAST(""" + TextAnalysis.MojibakeSignatures.map(s =>
+          s"(length(t) - length(replace(t, '$s', ''))) // ${s.length}")
+          .mkString(" + ") + """ AS BIGINT) n_mojibake,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) n_control
+        |  FROM d)
+        |SELECT doc_id, n_replacement, n_mojibake, n_control,
+        |  n_replacement = 0 AND n_mojibake = 0 AND n_control = 0
+        |    AS encoding_ok
+        |FROM c ORDER BY doc_id""").stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

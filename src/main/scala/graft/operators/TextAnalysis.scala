@@ -818,6 +818,45 @@ object TextAnalysis {
       .select(col("term"), col("cnt"))
   }
 
+  /** Curated mojibake digraph signatures — the classic UTF-8-read-as-
+    * Latin-1 damage ftfy documents: an accented Latin-1 letter's
+    * 2-byte UTF-8 form re-decoded as two Latin-1 chars ('é' C3 A9 →
+    * "Ã©"; the Windows-1252 punctuation family 'â€¦'). Literal
+    * strings, not regex classes: every engine counts a literal
+    * substring identically, where non-ASCII character-class syntax
+    * diverges between regex dialects. */
+  val MojibakeSignatures: Seq[String] = Seq(
+    "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã¡", "Ã³", "Ãº", "Ã§",
+    "â€™", "â€œ", "â€“", "â€”", "â€¦", "Â«", "Â»", "Â°")
+
+  /** Encoding-damage detection — the text-quality gate for transport
+    * corruption rather than content quality: replacement characters
+    * (U+FFFD — a decoder already gave up), mojibake digraphs
+    * ([[MojibakeSignatures]] — double-decoded UTF-8), and stray C0
+    * control characters (anything below 0x20 except tab/LF/CR).
+    * Counts are substring arithmetic (`length(t) − length(replace(t,
+    * sig))` per literal signature — zero regex for the non-ASCII
+    * classes, so the statistic is engine-exact) plus one ASCII-only
+    * control-char regex. Map-only projection, fuses into the scan.
+    *
+    * Output: (doc_id, n_replacement, n_mojibake, n_control,
+    * encoding_ok). */
+  def encodingQuality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def subCount(t: Column, sig: String): Column =
+      (length(t) - length(replace(t, lit(sig), lit("")))) / sig.length
+    val nRepl = (length(text) - length(replace(text, lit("�"), lit(""))))
+      .cast("long")
+    val nMoji = MojibakeSignatures.map(s => subCount(text, s))
+      .reduce(_ + _).cast("long")
+    val nCtl = size(regexp_extract_all(text,
+      lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(0))).cast("long")
+    df.select(id.as("doc_id"), nRepl.as("n_replacement"),
+        nMoji.as("n_mojibake"), nCtl.as("n_control"))
+      .withColumn("encoding_ok",
+        col("n_replacement") === 0 && col("n_mojibake") === 0 &&
+          col("n_control") === 0)
+  }
+
   /** Exact per-stratum token-length quantiles via a VALUE HISTOGRAM —
     * the scale-safe form of `percentile` for context-length planning
     * (how long are this source's docs → what ctxLen / packing /

@@ -425,6 +425,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out2.values.forall(c => c * 51 > 120))
   }
 
+  test("encodingQuality: counts replacement chars, mojibake digraphs, C0 controls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "café résumé naïve"),        // real accents: NOT mojibake
+      (3L, "double decoded cafÃ© and rÃ©sumÃ©"),            // 3 mojibake digraphs
+      (4L, "lost � chars �� here"),          // 3 replacement chars
+      (5L, "bell and escape but tab\t ok\nline\r")
+    ).toDF("id", "t")
+    val out = TextAnalysis.encodingQuality(df, col("id"), col("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1).getAs[Boolean]("encoding_ok"))
+    // properly-encoded accents trip nothing
+    assert(out(2).getAs[Boolean]("encoding_ok"),
+      out(2).toString)
+    assert(out(3).getAs[Long]("n_mojibake") == 3L)
+    assert(!out(3).getAs[Boolean]("encoding_ok"))
+    assert(out(4).getAs[Long]("n_replacement") == 3L)
+    assert(out(5).getAs[Long]("n_control") == 2L) // tab/LF/CR exempt
+    assert(!out(5).getAs[Boolean]("encoding_ok"))
+  }
+
   test("lengthQuantiles: type-1 inverse-CDF selection, hand-computed") {
     import spark.implicits._
     // stratum a: lengths 1..10 (one doc each): p50 = 5 (cum 5 >= 5),
