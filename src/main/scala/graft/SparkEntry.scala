@@ -1630,6 +1630,15 @@ object SparkEntry {
             .otherwise(col("text")))
       TextAnalysis.encodingQuality(d, col("doc_id"), col("t2"))
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: n-gram novelty vs a reference snapshot —
+    // every 10th doc plays the reference; continuous memorization /
+    // staleness score per probe doc
+    "q119_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), col("doc_id"),
+          col("text"), col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3948,6 +3957,21 @@ object SparkEntry {
         |  n_replacement = 0 AND n_mojibake = 0 AND n_control = 0
         |    AS encoding_ok
         |FROM c ORDER BY doc_id""").stripMargin,
+
+    "q119_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, doc_id % 10 = 0 AS is_ref,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, is_ref, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, is_ref,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |ref AS (SELECT DISTINCT s FROM sh WHERE is_ref)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) n_grams,
+        |  CAST(COUNT(ref.s) AS BIGINT) n_seen,
+        |  1.0 - COUNT(ref.s) / COUNT(*) AS novelty
+        |FROM sh LEFT JOIN ref ON ref.s = sh.s
+        |WHERE NOT is_ref GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

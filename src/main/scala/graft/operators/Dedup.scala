@@ -400,7 +400,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
       numHashes: Int, bands: Int, minEstJaccard: Double,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      maxBandFreq: Long = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // signature frame: read by both sides of the band self-join. Same
     // storage policy as the shingle frame — MEMORY_AND_DISK spills
@@ -410,8 +411,25 @@ object Dedup {
     val sigArr =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) sigArr0
       else sigArr0.persist(storage)
-    val banded = bandedSigs(sigArr.select(col("doc_id"), col("sig")),
+    val banded0 = bandedSigs(sigArr.select(col("doc_id"), col("sig")),
       numHashes, bands)
+    // hot-band cap — the band-join twin of the hot-shingle cap: k
+    // docs in one band bucket cost k² candidate pairs, and a real
+    // corpus HAS such buckets (boilerplate-identical pages, empty-ish
+    // docs sharing a degenerate signature). Buckets above the cap are
+    // dropped by a broadcast anti-join (≤ corpus/maxBandFreq entries
+    // BY DEFINITION of hot — the hot list is small because its
+    // members aren't); conservative like every cap here: an
+    // uncompared doc is kept, never wrongly dropped, and a genuinely
+    // near-dup pair in a dropped bucket still has bands-1 other
+    // chances to collide. 0 = off (the oracle-checked default).
+    val banded =
+      if (maxBandFreq > 0) {
+        val hot = banded0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("f")).filter(col("f") > maxBandFreq)
+          .select(col("band"), col("bkey"))
+        banded0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      } else banded0
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -169,6 +169,42 @@ object TextAnalysis {
       .filter(col("overlap_frac") >= minOverlapFrac)
   }
 
+  /** N-gram novelty against a reference corpus — the continuous
+    * memorization/staleness statistic (the per-doc generalization of
+    * [[decontaminate]]'s boolean flag): what fraction of a document's
+    * distinct n-grams already exist ANYWHERE in the reference (an
+    * earlier snapshot, an eval suite, a licensed set)? Low novelty
+    * means re-crawl/boilerplate (candidate to drop or down-weight);
+    * near-zero against an eval suite means contamination.
+    *
+    * Scale shape: both sides collapse to distinct (doc, gram) rows
+    * (the shingle frame); the reference then collapses further to its
+    * DISTINCT gram set — gram-keyed, vocabulary-sized. The membership
+    * probe is a gram-keyed left join (NO broadcast assumption — a
+    * reference corpus is corpus-sized, unlike decontaminate's bench
+    * side) followed by one doc-keyed count aggregate. Nothing wider
+    * than a gram string shuffles.
+    *
+    * Output per probe doc: (doc_id, n_grams, n_seen, novelty) with
+    * novelty = 1 − n_seen/n_grams; docs shorter than n tokens have no
+    * grams and are out of scope (no row). */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column,
+      isRef: Column, n: Int = 3): DataFrame = {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val base = df.select(id.as("doc_id"), text.as("t"),
+      isRef.cast("boolean").as("is_ref"))
+    val sh = Dedup.explodedShingles(base, col("doc_id"), col("t"), n, none)
+      .join(base.select(col("doc_id"), col("is_ref")), Seq("doc_id"))
+    val refGrams = sh.filter(col("is_ref")).select(col("s")).distinct()
+      .withColumn("seen", lit(true))
+    sh.filter(!col("is_ref"))
+      .join(refGrams, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("seen"), lit(1))).as("n_seen"))
+      .withColumn("novelty", lit(1.0) - col("n_seen") / col("n_grams"))
+  }
+
   /** Gopher-style repetition quality signals: duplicate-line fraction
     * and top-n-gram concentration, with a combined keep/drop gate (the
     * published thresholds from Rae et al. 2021's quality filtering:

@@ -408,6 +408,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashLshPairs: hot-band cap drops the boilerplate bucket, keeps real pairs") {
+    import spark.implicits._
+    val boiler = "identical boilerplate page repeated verbatim across " +
+      "the whole crawl with nothing else inside it at all"
+    val real = "a genuine pair of near duplicate documents sharing " +
+      "most of their shingles but not their trailing words here"
+    val docs = ((1L to 20L).map(i => (i, boiler)) ++
+      Seq((100L, real), (101L, real + " tail"))).toDF("id", "t")
+    // uncapped: the 20 boilerplate clones alone cost C(20,2) = 190 pairs
+    val un = Dedup.minhashLshPairs(docs, col("id"), col("t"), 3, 16, 8, 0.5)
+      .collect()
+    assert(un.length == 190 + 1)
+    // capped at 10 docs/bucket: every boilerplate bucket is hot (all 20
+    // clones share every band), so the clone pairs vanish; the real
+    // pair's buckets hold 2 docs and survive
+    val capped = Dedup.minhashLshPairs(docs, col("id"), col("t"), 3, 16, 8,
+        0.5, maxBandFreq = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(capped.toSeq == Seq((100L, 101L)))
+  }
+
   test("containmentPairs: wrapped doc found at containment 1.0 where jaccard misses") {
     import spark.implicits._
     val article = "seventeen violinists rehearse quietly beneath " +

@@ -425,6 +425,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out2.values.forall(c => c * 51 > 120))
   }
 
+  test("ngramNovelty: exact seen fraction vs the reference gram set") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", true),   // ref
+      (2L, "zeta eta theta iota kappa", true),        // ref
+      (3L, "alpha beta gamma delta epsilon", false),  // clone of ref: novelty 0
+      (4L, "completely fresh words never seen anywhere", false),
+      // 4 grams, first 3 from ref doc 1, last one fresh
+      (5L, "alpha beta gamma delta epsilon zzz", false),
+      (6L, "xy", false)                               // < n tokens: no row
+    ).toDF("id", "t", "ref")
+    val out = TextAnalysis.ngramNovelty(df, col("id"), col("t"), col("ref"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(3L, 4L, 5L))
+    assert(out(3L).getAs[Double]("novelty") == 0.0)
+    assert(out(4L).getAs[Double]("novelty") == 1.0)
+    assert(out(5L).getAs[Long]("n_grams") == 4L)
+    assert(out(5L).getAs[Long]("n_seen") == 3L)
+    assert(out(5L).getAs[Double]("novelty") == 0.25)
+    // the membership probe must degrade to a gram-keyed shuffle join
+    // when the reference is too big to broadcast (it is corpus-sized)
+    val saved = SparkTestSession.spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      SparkTestSession.spark.conf
+        .set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = TextAnalysis.ngramNovelty(df, col("id"), col("t"), col("ref"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+    } finally SparkTestSession.spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("encodingQuality: counts replacement chars, mojibake digraphs, C0 controls") {
     import spark.implicits._
     val df = Seq(
