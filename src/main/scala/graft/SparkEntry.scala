@@ -1639,6 +1639,21 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(Tables.documents(s, dir), col("doc_id"),
           col("text"), col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: template dedup — entity-differing generated
+    // twins (injected for every 11th doc: same page, different order
+    // number + email) collapse onto one masked hash
+    "q120_template_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def twin(offset: Long, prefix: String) =
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(lit(prefix), col("text")).as("text"))
+      val all = d.union(twin(100000L, "order 12345 from user a@b.com: "))
+        .union(twin(200000L, "order 99999 from user c@d.org: "))
+      Dedup.templateDedup(all, col("doc_id"), col("text"))
+        .orderBy(col("template_hash"))
     })
   )
 
@@ -3972,6 +3987,25 @@ object SparkEntry {
         |  1.0 - COUNT(ref.s) / COUNT(*) AS novelty
         |FROM sh LEFT JOIN ref ON ref.s = sh.s
         |WHERE NOT is_ref GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q120_template_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000,
+        |    'order 12345 from user a@b.com: ' || text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 200000,
+        |    'order 99999 from user c@d.org: ' || text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |m AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |    regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') t FROM base)
+        |SELECT md5(t) template_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) canonical_id,
+        |  CAST(COUNT(*) AS BIGINT) n_copies
+        |FROM m GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY 1""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

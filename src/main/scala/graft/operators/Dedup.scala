@@ -78,6 +78,35 @@ object Dedup {
     df.groupBy(md5(text).as("text_hash"))
       .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Template-level dedup — exact dedup on a NORMALIZED text (the
+    * CCNet-style "lazy" normalization pass): digits, email addresses
+    * and URLs are masked before hashing, so machine-generated pages
+    * that differ ONLY in their entities (timestamps, ids, prices,
+    * addresses) collapse into one template group. Exact dedup misses
+    * these (every byte differs somewhere) and near-dup methods rank
+    * them below real near-copies; masking makes them EXACTLY equal.
+    *
+    * Masking order matters and is fixed: URLs first (they contain
+    * digits and dots), then emails, then digit runs — all ASCII-class
+    * regexes, engine-portable like the PII set. Same one-hash-agg
+    * shape as [[exactDedup]]: the 32-byte template hash is all that
+    * shuffles.
+    *
+    * Output: (template_hash, canonical_id, n_copies) for groups with
+    * at least `minCopies` members. */
+  def templateDedup(df: DataFrame, id: Column, text: Column,
+      minCopies: Long = 2): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "https?://[^ ]+", "<URL>"),
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+    df.groupBy(md5(masked).as("template_hash"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= minCopies)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via the sparse inverted-index
     * join: explode distinct shingles, self-join on the shingle (only
     * docs sharing at least one shingle ever pair up), count shared,

@@ -408,6 +408,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("templateDedup: entity-differing twins collapse; real content differences don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "invoice 1001 issued 2026-01-02 to alice@shop.com total 95 dollars"),
+      (2L, "invoice 2002 issued 2026-03-04 to bob@mail.org total 120 dollars"),
+      (3L, "invoice 1001 issued 2026-01-02 to alice@shop.com total 95 euros"),
+      (4L, "see https://example.com/a/1 and https://other.net/b/22 for details"),
+      (5L, "see https://мир.example/x and https://site.io/9 for details"),
+      (6L, "a genuinely different page about something else entirely")
+    ).toDF("id", "t")
+    val out = Dedup.templateDedup(docs, col("id"), col("t"))
+      .collect().map(r => r.getAs[Long]("canonical_id") ->
+        r.getAs[Long]("n_copies")).toMap
+    // 1 and 2 share the masked template (numbers/emails differ only);
+    // 3 differs in a real word (euros), 6 is unrelated
+    assert(out == Map(1L -> 2L, 4L -> 2L))
+    // sanity: dropping the mask threshold to 1 reports every group
+    val all = Dedup.templateDedup(docs, col("id"), col("t"), minCopies = 1)
+      .collect()
+    assert(all.map(_.getAs[Long]("n_copies")).sum == 6L)
+  }
+
   test("minhashLshPairs: hot-band cap drops the boilerplate bucket, keeps real pairs") {
     import spark.implicits._
     val boiler = "identical boilerplate page repeated verbatim across " +
