@@ -1654,6 +1654,14 @@ object SparkEntry {
         .union(twin(200000L, "order 99999 from user c@d.org: "))
       Dedup.templateDedup(all, col("doc_id"), col("text"))
         .orderBy(col("template_hash"))
+    }),
+
+    // training-data ops: per-source data card (Datasheets practice) —
+    // volume, token mass, quality/PII/dup rates as integer permille
+    "q121_data_card" -> ((s, dir) => {
+      pipelines.CorpusPipeline.dataCard(Tables.documents(s, dir),
+          col("doc_id"), col("source"), col("text"))
+        .orderBy(col("stratum"))
     })
   )
 
@@ -4006,6 +4014,44 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) n_copies
         |FROM m GROUP BY 1 HAVING COUNT(*) >= 2
         |ORDER BY 1""".stripMargin,
+
+    "q121_data_card" ->
+      """WITH w AS (SELECT doc_id, source AS stratum, text,
+        |    CAST(length(text) AS BIGINT) n_chars,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, stratum, text, n_chars,
+        |    CAST(len(ws) AS BIGINT) n_tokens,
+        |    CAST(len(list_filter(ws,
+        |      t -> list_contains(['the','a','and','of','to','in'], t)))
+        |      AS BIGINT) n_stop
+        |  FROM w),
+        |f AS (SELECT doc_id, stratum, n_tokens,
+        |    (n_tokens >= 10 AND n_stop / n_tokens >= 0.01
+        |      AND n_stop / n_tokens <= 0.6
+        |      AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0)
+        |      AS quality_ok,
+        |    (len(regexp_extract_all(text,
+        |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |     + len(regexp_extract_all(text,
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(text,
+        |       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+        |     + len(regexp_extract_all(text,
+        |       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) > 0 AS has_pii,
+        |    md5(text) h
+        |  FROM c),
+        |canon AS (SELECT h, MIN(doc_id) can FROM f GROUP BY 1)
+        |SELECT stratum, CAST(COUNT(*) AS BIGINT) n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) n_tokens_total,
+        |  CAST(SUM(n_tokens) AS BIGINT) // COUNT(*) AS mean_tokens,
+        |  COUNT(CASE WHEN quality_ok THEN 1 END) * 1000 // COUNT(*)
+        |    AS quality_ok_permille,
+        |  COUNT(CASE WHEN has_pii THEN 1 END) * 1000 // COUNT(*)
+        |    AS pii_permille,
+        |  COUNT(CASE WHEN doc_id <> can THEN 1 END) * 1000 // COUNT(*)
+        |    AS dup_copy_permille
+        |FROM f JOIN canon USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -41,6 +41,45 @@ object CorpusPipeline {
         col("n_copies"))
   }
 
+  /** Per-source "data card" — the one-row-per-source corpus report
+    * every dataset release publishes (the Datasheets/Data-Cards
+    * practice): volume, token mass, quality pass rate, PII incidence,
+    * exact-dup rate. Rates are integer PERMILLE (count·1000 DIV n) —
+    * engine-exact, no float percentage drift.
+    *
+    * Scale shape: the corpus is scanned once into three doc-keyed
+    * side frames (quality stats, PII flag, content hash) — each a
+    * map-side projection or one hash agg — then joined on doc_id and
+    * collapsed to a strata-count-sized frame. Nothing wider than
+    * (doc_id, small scalars) shuffles; the md5 dedup key is the
+    * [[graft.operators.Dedup.exactDedup]] discipline. */
+  def dataCard(df: DataFrame, id: Column, stratum: Column,
+      text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), stratum.as("stratum"),
+      text.as("t"))
+    val q = TextAnalysis.qualityScore(base, col("doc_id"), col("t"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_ok"))
+    val pii = TextAnalysis.piiScrub(base, col("doc_id"), col("t"))
+      .select(col("doc_id"), col("has_pii"))
+    val hashes = base.select(col("doc_id"), md5(col("t")).as("h"))
+    val canon = hashes.groupBy(col("h")).agg(min(col("doc_id")).as("can"))
+    val isCopy = hashes.join(canon, Seq("h"))
+      .select(col("doc_id"), (col("doc_id") =!= col("can")).as("is_copy"))
+    base.select(col("doc_id"), col("stratum"))
+      .join(q, Seq("doc_id")).join(pii, Seq("doc_id"))
+      .join(isCopy, Seq("doc_id"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        expr("sum(n_tokens) DIV count(1)").as("mean_tokens"),
+        expr("count(CASE WHEN quality_ok THEN 1 END) * 1000 DIV count(1)")
+          .as("quality_ok_permille"),
+        expr("count(CASE WHEN has_pii THEN 1 END) * 1000 DIV count(1)")
+          .as("pii_permille"),
+        expr("count(CASE WHEN is_copy THEN 1 END) * 1000 DIV count(1)")
+          .as("dup_copy_permille"))
+  }
+
   /** Streaming corpus ingestion — the same curation discipline over a
     * live document stream (the shape of a crawl-ingest pipeline that
     * cleans as it lands rather than in a nightly batch):

@@ -127,6 +127,35 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dataCard: hand-computed per-source rates in exact permille") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over a lazy dog and then " +
+      "naps in the shade of an old oak tree nearby"
+    val docs = Seq(
+      (1L, "web", clean),
+      (2L, "web", clean),                       // exact copy of 1
+      (3L, "web", clean + " contact bob@example.com now"), // PII
+      (4L, "web", "short junk"),                // fails quality
+      (5L, "books", clean + " entirely original closing line")
+    ).toDF("id", "src", "t")
+    val out = CorpusPipeline.dataCard(docs, col("id"), col("src"), col("t"))
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") == 4L)
+    // docs 1-3 pass quality, 4 fails: 3*1000 DIV 4 = 750
+    assert(web.getAs[Long]("quality_ok_permille") == 750L)
+    // one PII doc of 4: 250
+    assert(web.getAs[Long]("pii_permille") == 250L)
+    // doc 2 is the one non-canonical copy: 250
+    assert(web.getAs[Long]("dup_copy_permille") == 250L)
+    assert(out("books").getAs[Long]("n_docs") == 1L)
+    assert(out("books").getAs[Long]("dup_copy_permille") == 0L)
+    // token mass is the exact sum of per-doc token counts
+    val wantTokens = Seq(clean, clean, clean + " contact bob@example.com now",
+      "short junk").map(_.split(" ").count(_.nonEmpty).toLong).sum
+    assert(web.getAs[Long]("n_tokens_total") == wantTokens)
+  }
+
   test("curateStream: the quality gate is the batch gate, by shared thresholds") {
     import spark.implicits._
     // boundary doc: exactly MinTokens tokens must pass, one fewer must not
