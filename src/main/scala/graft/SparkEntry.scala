@@ -1662,6 +1662,28 @@ object SparkEntry {
       pipelines.CorpusPipeline.dataCard(Tables.documents(s, dir),
           col("doc_id"), col("source"), col("text"))
         .orderBy(col("stratum"))
+    }),
+
+    // training-data ops: per-label embedding centroid dispersion —
+    // the drift monitor (floored-mean centroid + shifted integer
+    // mean member-to-centroid cosine)
+    "q122_group_dispersion" -> ((s, dir) => {
+      Similarity.groupDispersion(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), col("label"))
+        .orderBy(col("grp"))
+    }),
+
+    // training-data ops: ANN evaluation as a query — recall@5 of the
+    // PQ-ADC scan against the exact brute-force ranking
+    "q123_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qIds = Seq(0L, 1L, 2L, 3L, 4L)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+            qIds, k = 5),
+          Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"),
+            qIds, k = 5))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -4052,6 +4074,80 @@ object SparkEntry {
         |  COUNT(CASE WHEN doc_id <> can THEN 1 END) * 1000 // COUNT(*)
         |    AS dup_copy_permille
         |FROM f JOIN canon USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q122_group_dispersion" ->
+      """WITH e AS (SELECT vec_id, label grp,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, grp, generate_subscripts(qv, 1) d,
+        |    unnest(qv) x FROM e),
+        |bd AS (SELECT grp, d,
+        |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) c
+        |  FROM ed GROUP BY 1, 2),
+        |cn AS (SELECT grp, CAST(SUM(c*c) AS BIGINT) c_nrm FROM bd
+        |  GROUP BY 1),
+        |dots AS (SELECT ed.vec_id, ed.grp,
+        |    CAST(SUM(ed.x * bd.c) AS BIGINT) dot,
+        |    CAST(SUM(ed.x * ed.x) AS BIGINT) nrm
+        |  FROM ed JOIN bd ON bd.grp = ed.grp AND bd.d = ed.d
+        |  GROUP BY 1, 2),
+        |pmy AS (SELECT grp,
+        |    CAST(floor((dot / sqrt(CAST(nrm * c_nrm AS DOUBLE)) + 1.0)
+        |      * 10000) AS BIGINT) cos1_pmy
+        |  FROM dots JOIN cn USING (grp))
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) n_vecs,
+        |  CAST(SUM(cos1_pmy) AS BIGINT) // COUNT(*) - 10000
+        |    AS mean_cos_pmy
+        |FROM pmy GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q123_pq_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v FROM e),
+        |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm FROM ed GROUP BY 1),
+        |q AS (SELECT vec_id query_id, d, v FROM ed WHERE vec_id IN (0,1,2,3,4)),
+        |dots AS (SELECT q.query_id, ed.vec_id, CAST(SUM(q.v * ed.v) AS BIGINT) dot
+        |  FROM q JOIN ed ON q.d = ed.d WHERE ed.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id AS vec_id,
+        |    dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN nrm na ON na.vec_id = query_id
+        |    JOIN nrm nb ON nb.vec_id = dots.vec_id),
+        |exact AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) rank
+        |    FROM scored) WHERE rank <= 5),
+        |sd AS (SELECT vec_id, CAST((d-1)//8 AS BIGINT) m, d, v FROM ed),
+        |cd AS (SELECT vec_id AS code, m, d, v cv FROM sd WHERE vec_id < 16),
+        |dist AS (SELECT s.vec_id, s.m, c.code,
+        |    CAST(SUM((s.v - c.cv)*(s.v - c.cv)) AS BIGINT) dist2
+        |  FROM sd s JOIN cd c ON c.m = s.m AND c.d = s.d
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, m, code, dist2 FROM (
+        |    SELECT vec_id, m, code, dist2, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, m ORDER BY dist2, code) rn FROM dist)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id query_id, m, code, dist2 FROM dist
+        |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |adc AS (SELECT qd.query_id, b.vec_id,
+        |    CAST(SUM(qd.dist2) AS BIGINT) adc
+        |  FROM best b JOIN qd ON qd.m = b.m AND qd.code = b.code
+        |  WHERE b.vec_id <> qd.query_id GROUP BY 1, 2),
+        |approx AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY adc, vec_id) rank FROM adc)
+        |  WHERE rank <= 5),
+        |kk AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) k
+        |  FROM exact GROUP BY 1),
+        |h AS (SELECT e2.query_id, CAST(COUNT(*) AS BIGINT) n_hits
+        |  FROM exact e2 JOIN approx a2
+        |    ON a2.query_id = e2.query_id AND a2.vec_id = e2.vec_id
+        |  GROUP BY 1)
+        |SELECT kk.query_id, kk.k, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) / kk.k AS recall
+        |FROM kk LEFT JOIN h USING (query_id)
+        |ORDER BY kk.query_id""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

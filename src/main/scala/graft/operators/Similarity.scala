@@ -260,6 +260,80 @@ object Similarity {
         (-col("col.cosine")).cast("long").as("adc"))
   }
 
+  /** Per-group centroid + dispersion — the embedding-space drift
+    * monitor: for each group (source, label, time slice) the
+    * element-wise FLOORED-mean centroid of the quantized vectors and
+    * the mean cosine of members to their own centroid (dispersion:
+    * 1.0 = the group is one point; lower = spreading). Run per
+    * snapshot and compare centroids across time to catch a source
+    * changing character — the monitoring twin of the k-means
+    * refinement step, sharing its floored-mean discipline
+    * (exact long sum, ONE IEEE divide + floor — never a running
+    * double mean, whose partial-sum order varies).
+    *
+    * Scale shape: one posexplode to (group, dim, value) and a
+    * partial-agg hash aggregate — at most groups × dims rows per map
+    * task cross the shuffle; the member-to-centroid rescan is a
+    * broadcast of the (tiny) centroid table onto a second corpus
+    * scan. Mean cosine is quantized to an exact integer permyriad
+    * (floor ×10⁴) so the group average is an integer sum — order-free
+    * across engines.
+    *
+    * Output: (grp, n_vecs, mean_cos_pmy — floor(10⁴·Σfloor(10⁴·cos)/n)
+    * staying integer end to end). */
+  def groupDispersion(emb: DataFrame, id: Column, vec: Column,
+      group: Column): DataFrame = {
+    val base = graft.sources.Tables.fanOut(
+        emb.select(id.as("vec_id"), group.as("grp"), vec.as("v0")))
+      .select(col("vec_id"), col("grp"), quantize(col("v0")).as("qv"))
+      .withColumn("nrm", dotQ(col("qv"), col("qv")))
+    val byDim = base
+      .select(col("grp"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("grp"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c", floor(col("sx") / col("cnt")).cast("long"))
+    val cents = byDim.groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("grp"),
+        transform(col("dc"), s => s.getField("c")).as("cent"))
+      .withColumn("c_nrm", dotQ(col("cent"), col("cent")))
+    // (cos+1)·10⁴ keeps every term NON-NEGATIVE: Spark's `DIV`
+    // truncates toward zero where DuckDB's `//` floors — identical
+    // only on non-negative operands, so the statistic is shifted
+    // before the integer mean and shifted back after it
+    base.join(broadcast(cents), Seq("grp"))
+      .withColumn("cos1_pmy",
+        floor((cosine(dotQ(col("qv"), col("cent")), col("nrm"), col("c_nrm"))
+          + lit(1.0)) * 10000).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (expr("sum(cos1_pmy) DIV count(1)") - 10000L).as("mean_cos_pmy"))
+  }
+
+  /** Recall@k of an approximate top-k against the exact one — the
+    * evaluation harness every ANN deployment needs before trusting a
+    * speedup: both inputs are rank frames (query_id, rank, vec_id) as
+    * produced by [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]] /
+    * [[pqAdcTopK]]; per query, the hit count is a keyed semi-join on
+    * (query_id, vec_id) and recall = hits / k_exact (one IEEE
+    * division of two small integers — engine-identical). A query the
+    * approximate method returned nothing for scores 0, not absent.
+    *
+    * Scale: both inputs are k·|queries| rows BY CONSTRUCTION — this
+    * whole operator is small-data; it exists so the measurement is a
+    * query, not a notebook. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val k = e.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+    val hits = e.join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    k.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits") / col("k"))
+  }
+
   /** Assign every vector of `base` to its nearest centroid (exact
     * integer cosine, broadcast of the tiny centroid set). The argmax
     * is a `min_by` HASH AGGREGATE, not a window rank: partial

@@ -348,6 +348,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("recallAtK: exact hit counting, zero for an absent query") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L))
+      .toDF("query_id", "rank", "vec_id")
+    // query 1: 2 of 3 right (order irrelevant); query 2: none returned
+    val approx = Seq((1L, 1L, 12L), (1L, 2L, 99L), (1L, 3L, 10L))
+      .toDF("query_id", "rank", "vec_id")
+    val out = Similarity.recallAtK(exact, approx)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
+         r.getAs[Double]("recall"))).toMap
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    // end to end: PQ recall vs brute force on the real table is the
+    // intersection the driver can recompute
+    val emb = Tables.embeddings(spark, sf)
+    val e = Similarity.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), queryIds, 5)
+    val a = Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"),
+      queryIds, 5)
+    val got = Similarity.recallAtK(e, a).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    val eSets = topSets(e)
+    val aSets = topSets(a)
+    queryIds.foreach { q =>
+      assert(got(q) == (eSets(q) & aSets.getOrElse(q, Set.empty)).size.toLong)
+    }
+  }
+
+  test("groupDispersion: identical group pins at 10000 permyriad, spread group lower") {
+    import spark.implicits._
+    val tightVec = Array(0.6f, 0.8f, 0.0f, 0.0f)
+    val spread = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val rows = (1L to 5L).map(i => (i, "tight", tightVec)) ++
+      spread.zipWithIndex.map { case (v, i) => (10L + i, "spread", v) }
+    val out = Similarity.groupDispersion(rows.toDF("vec_id", "grp0", "v"),
+        col("vec_id"), col("v"), col("grp0"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("tight").getAs[Long]("n_vecs") == 5L)
+    // all members equal their centroid: cosine exactly 1
+    assert(out("tight").getAs[Long]("mean_cos_pmy") == 10000L)
+    // orthogonal members vs the all-equal centroid: cos = 1/2 each
+    assert(out("spread").getAs[Long]("n_vecs") == 4L)
+    assert(out("spread").getAs[Long]("mean_cos_pmy") == 5000L)
+    assert(out("spread").getAs[Long]("mean_cos_pmy") <
+      out("tight").getAs[Long]("mean_cos_pmy"))
+  }
+
   test("pqCodes: codebook vectors code to themselves; codes complete and in range") {
     val emb = Tables.embeddings(spark, sf)
     val rows = Similarity.pqCodes(emb, col("vec_id"), col("embedding"))
