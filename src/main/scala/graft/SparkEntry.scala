@@ -1684,6 +1684,16 @@ object SparkEntry {
           Similarity.pqAdcTopK(emb, col("vec_id"), col("embedding"),
             qIds, k = 5))
         .orderBy(col("query_id"))
+    }),
+
+    // training-data ops: length-bucketed batching plan — power-of-two
+    // buckets with the padding-waste ledger in integer permille
+    "q124_length_buckets" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), size(operators.Dedup.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      Sampling.lengthBucketPlan(toks, col("doc_id"), col("n_tokens"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -4148,6 +4158,24 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) / kk.k AS recall
         |FROM kk LEFT JOIN h USING (query_id)
         |ORDER BY kk.query_id""".stripMargin,
+
+    "q124_length_buckets" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |      t -> t <> '')) AS BIGINT) n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CAST(length(bin(n)) - 1 AS BIGINT) bucket
+        |  FROM w WHERE n >= 1),
+        |g AS (SELECT bucket, MIN(n) min_tokens, MAX(n) max_tokens,
+        |    CAST(COUNT(*) AS BIGINT) n_docs,
+        |    CAST(SUM(n) AS BIGINT) token_mass
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, min_tokens, max_tokens, n_docs, token_mass,
+        |  n_docs * max_tokens AS padded_mass,
+        |  (n_docs * max_tokens - token_mass) * 1000
+        |    // (n_docs * max_tokens) AS waste_permille
+        |FROM g ORDER BY bucket""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -74,6 +74,35 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Length-bucketed batching plan — the padding-waste ledger behind
+    * bucketed batching (batch docs of similar length together so a
+    * batch pads to its own max, not the corpus max): docs bucket by
+    * `floor(log2(n_tokens))` (the power-of-two scheme most loaders
+    * use), and each bucket reports its doc count, real token mass,
+    * padded mass (n_docs·bucket_max — what a batch drawn from this
+    * bucket pays), and waste in integer permille. Compare
+    * `waste_permille` against the single-bucket alternative to
+    * justify the bucket count.
+    *
+    * The bucket index is pure integer arithmetic
+    * (`length(bin(n)) − 1` = floor(log2 n) for positive n — the
+    * [[graft.operators.TextAnalysis]] ilog2 discipline, no float
+    * log); one partial-agg hash aggregate on the bucket key.
+    *
+    * Output: (bucket, min_tokens, max_tokens, n_docs, token_mass,
+    * padded_mass, waste_permille); empty docs are out of scope (no
+    * defined bucket). */
+  def lengthBucketPlan(df: DataFrame, id: Column, nTokens: Column): DataFrame =
+    df.select(id.as("doc_id"), nTokens.cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"),
+        count(lit(1)).as("n_docs"), sum(col("n")).as("token_mass"))
+      .withColumn("padded_mass", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_permille",
+        expr("(padded_mass - token_mass) * 1000 DIV padded_mass"))
+
   /** Cross-split leakage audit — the check every train/test split
     * needs and hash-based splitting alone cannot give: a NEAR-copy of
     * a training document landing in the test split inflates eval

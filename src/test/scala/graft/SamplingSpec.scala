@@ -256,6 +256,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("lengthBucketPlan: power-of-two buckets with exact waste ledger") {
+    import spark.implicits._
+    // lengths: 1 -> b0; 2,3 -> b1; 5,7 -> b2; 9 -> b3; 0 dropped
+    val docs = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 5L), (5L, 7L),
+      (6L, 9L), (7L, 0L)).toDF("id", "nt")
+    val out = Sampling.lengthBucketPlan(docs, col("id"), col("nt"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(1L).getAs[Long]("n_docs") == 2L)
+    assert(out(1L).getAs[Long]("min_tokens") == 2L)
+    assert(out(1L).getAs[Long]("max_tokens") == 3L)
+    assert(out(1L).getAs[Long]("token_mass") == 5L)
+    assert(out(1L).getAs[Long]("padded_mass") == 6L)
+    // (6-5)*1000 DIV 6 = 166
+    assert(out(1L).getAs[Long]("waste_permille") == 166L)
+    // bucket 2: docs 5,7 -> padded 14, mass 12 -> 142
+    assert(out(2L).getAs[Long]("waste_permille") == 142L)
+    // a single-doc bucket wastes nothing
+    assert(out(3L).getAs[Long]("waste_permille") == 0L)
+  }
+
   test("splitLeakage: reports exactly the near-dup pairs that straddle splits") {
     import spark.implicits._
     val passage = "seventeen violinists rehearse quietly beneath the " +
