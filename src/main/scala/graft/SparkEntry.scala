@@ -1694,6 +1694,17 @@ object SparkEntry {
           .cast("long").as("n_tokens"))
       Sampling.lengthBucketPlan(toks, col("doc_id"), col("n_tokens"))
         .orderBy(col("bucket"))
+    }),
+
+    // training-data ops: cross-source duplication matrix — which
+    // sources copy from which (q17's near-dup pairs cell-counted by
+    // their members' unordered source pair)
+    "q125_source_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, col("doc_id"), col("text"),
+        n = 3, numHashes = 16, bands = 8, minEstJaccard = 0.5)
+      Dedup.sourcePairMatrix(pairs, d, col("doc_id"), col("source"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -4176,6 +4187,37 @@ object SparkEntry {
         |  (n_docs * max_tokens - token_mass) * 1000
         |    // (n_docs * max_tokens) AS waste_permille
         |FROM g ORDER BY bucket""".stripMargin,
+
+    "q125_source_matrix" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |hs AS (SELECT doc_id, md5('1:' || s) || md5('2:' || s) h FROM sh),
+        |sigs AS (SELECT doc_id, k, MIN(substr(h, k*4 + 1, 4)) sig
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0,15)) k) t
+        |  GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k//2 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY k)) bkey
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |m AS (SELECT doc_a, doc_b,
+        |    COUNT(*) FILTER (sa.sig = sb.sig) AS n_match
+        |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+        |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.k = sa.k
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM m WHERE n_match / 16.0 >= 0.5)
+        |SELECT least(da.source, db.source) src_a,
+        |  greatest(da.source, db.source) src_b,
+        |  CAST(COUNT(*) AS BIGINT) n_pairs
+        |FROM p JOIN documents da ON da.doc_id = doc_a
+        |  JOIN documents db ON db.doc_id = doc_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

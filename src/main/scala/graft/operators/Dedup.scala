@@ -475,6 +475,35 @@ object Dedup {
         col("est_jaccard"))
   }
 
+  /** Cross-source duplication matrix — provenance analytics over any
+    * pair frame: which sources duplicate WHICH (mirror sites,
+    * aggregators republishing a feed, one crawl seeded from another).
+    * Pairs are labeled with their members' strata (unordered, so
+    * (a,b) and (b,a) land in one cell: the lexicographically smaller
+    * stratum is `src_a`) and counted; `n_internal` pairs
+    * (same-stratum) measure within-source redundancy, the
+    * off-diagonal cells measure cross-source copying — the number a
+    * licensing/provenance review starts from.
+    *
+    * Scale: two doc-keyed joins of the (doc_id, stratum) map onto the
+    * pair frame (narrow by construction) + one hash aggregate on the
+    * (src_a, src_b) cell — strata²-bounded output.
+    *
+    * Output: (src_a, src_b, n_pairs). */
+  def sourcePairMatrix(pairs: DataFrame, strata: DataFrame,
+      id: Column, stratum: Column): DataFrame = {
+    val m = strata.select(id.as("doc_id"), stratum.as("s"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(m.select(col("doc_id").as("doc_a"), col("s").as("sa")),
+        Seq("doc_a"))
+      .join(m.select(col("doc_id").as("doc_b"), col("s").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Incremental ingestion gate: dedup a NEW batch of documents
     * against an EXISTING corpus without ever comparing the corpus to
     * itself — the continuous-crawl shape, where the corpus was

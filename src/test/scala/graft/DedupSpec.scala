@@ -408,6 +408,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sourcePairMatrix: unordered cells, internal vs cross-source counts") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (1L, 6L))
+      .toDF("doc_a", "doc_b")
+    val strata = Seq((1L, "web"), (2L, "web"), (3L, "books"),
+      (4L, "books"), (5L, "web"), (6L, "code")).toDF("id", "src")
+    val out = Dedup.sourcePairMatrix(pairs, strata, col("id"), col("src"))
+      .collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b")) -> r.getAs[Long]("n_pairs")).toMap
+    // (1,3) is web-books, (2,3) books-web, (4,5) books-web: one cell
+    assert(out == Map(
+      ("web", "web") -> 1L,       // (1,2)
+      ("books", "web") -> 3L,     // (1,3), (2,3), (4,5) — unordered
+      ("code", "web") -> 1L))     // (1,6)
+  }
+
   test("templateDedup: entity-differing twins collapse; real content differences don't") {
     import spark.implicits._
     val docs = Seq(
