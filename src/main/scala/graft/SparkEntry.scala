@@ -1705,6 +1705,14 @@ object SparkEntry {
         n = 3, numHashes = 16, bands = 8, minEstJaccard = 0.5)
       Dedup.sourcePairMatrix(pairs, d, col("doc_id"), col("source"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // training-data ops: curation funnel — per-stage doc/token
+    // attrition (encoding -> quality -> exact dedup -> greedy near)
+    "q126_curation_funnel" -> ((s, dir) => {
+      pipelines.CorpusPipeline.curationFunnel(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -4218,6 +4226,60 @@ object SparkEntry {
         |FROM p JOIN documents da ON da.doc_id = doc_a
         |  JOIN documents db ON db.doc_id = doc_b
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q126_curation_funnel" ->
+      ("""WITH b AS (SELECT doc_id, text t,
+        |    CAST(len(list_filter(string_split(lower(text),' '),
+        |      x -> x <> '')) AS BIGINT) n_tokens
+        |  FROM documents),
+        |encg AS (SELECT * FROM b WHERE
+        |    length(t) - length(replace(t, '�', '')) = 0
+        |    AND (""" + TextAnalysis.MojibakeSignatures.map(s =>
+          s"(length(t) - length(replace(t, '$s', ''))) // ${s.length}")
+          .mkString(" + ") + """) = 0
+        |    AND len(regexp_extract_all(t,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0),
+        |qw AS (SELECT doc_id, t, n_tokens,
+        |    CAST(length(t) AS BIGINT) n_chars,
+        |    CAST(len(list_filter(string_split(lower(t),' '),
+        |      x -> list_contains(['the','a','and','of','to','in'], x)))
+        |      AS BIGINT) n_stop
+        |  FROM encg),
+        |qual AS (SELECT doc_id, t, n_tokens FROM qw WHERE
+        |    n_tokens >= 10 AND n_stop / n_tokens >= 0.01
+        |    AND n_stop / n_tokens <= 0.6
+        |    AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0),
+        |ex AS (SELECT q1.doc_id, q1.t, q1.n_tokens FROM qual q1
+        |  JOIN (SELECT md5(t) h, MIN(doc_id) can FROM qual GROUP BY 1) c
+        |  ON md5(q1.t) = c.h AND q1.doc_id = c.can),
+        |w2 AS (SELECT doc_id,
+        |    list_filter(string_split(lower(t),' '), x -> x <> '') ws
+        |  FROM ex),
+        |pos2 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w2),
+        |sh2 AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos2),
+        |n2 AS (SELECT doc_id, COUNT(*) n_sh FROM sh2 GROUP BY 1),
+        |p2 AS (SELECT a.doc_id doc_a, b2.doc_id doc_b, COUNT(*) shared
+        |  FROM sh2 a JOIN sh2 b2 ON a.s = b2.s AND a.doc_id < b2.doc_id
+        |  GROUP BY 1, 2),
+        |drop2 AS (SELECT DISTINCT doc_b AS doc_id FROM p2
+        |  JOIN n2 na ON na.doc_id = doc_a
+        |  JOIN n2 nb ON nb.doc_id = doc_b
+        |  WHERE shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
+        |nr AS (SELECT * FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2))
+        |SELECT '0_raw' stage, CAST(COUNT(*) AS BIGINT) n_docs,
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) token_mass FROM b
+        |UNION ALL SELECT '1_encoding', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM encg
+        |UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM qual
+        |UNION ALL SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM ex
+        |UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM nr
+        |ORDER BY stage""").stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -80,6 +80,59 @@ object CorpusPipeline {
           .as("dup_copy_permille"))
   }
 
+  /** Curation funnel — the attrition ledger a corpus build publishes
+    * next to its data card: how many documents and tokens survive
+    * each curation stage, applied SEQUENTIALLY (each stage filters
+    * the previous stage's survivors, the way the real pipeline
+    * runs):
+    *
+    *  - `0_raw`        — everything;
+    *  - `1_encoding`   — [[graft.operators.TextAnalysis
+    *                      .encodingQuality]]'s gate;
+    *  - `2_quality`    — the shared [[graft.operators.TextAnalysis
+    *                      .qualityOk]] gate;
+    *  - `3_exact_dedup`— lowest id per content md5;
+    *  - `4_near_dedup` — the GREEDY near-dup rule: drop any doc with
+    *    an exact-jaccard pair (`ngramJaccardPairs`, the q16
+    *    semantics) to a LOWER id among stage-3 survivors.
+    *    Deliberately pair-local rather than cluster-min: no iterative
+    *    CC inside a reporting query, deterministic, and conservative
+    *    in the same direction (a doc is only ever dropped against a
+    *    genuinely-smaller neighbor).
+    *
+    * Scale: stages 1–2 are map-only gates; stage 3 is the md5 hash
+    * agg; stage 4 is the inverted-index pair join on the (already
+    * reduced) survivor set; the report is a 5-row union of
+    * stage-keyed aggregates over ONE shared filtered lineage.
+    *
+    * Output: (stage, n_docs, token_mass), 5 rows. */
+  def curationFunnel(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("t"))
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("t"))).cast("long"))
+    val enc = base
+      .join(TextAnalysis.encodingQuality(base, col("doc_id"), col("t"))
+        .select(col("doc_id"), col("encoding_ok")), Seq("doc_id"))
+      .filter(col("encoding_ok")).drop("encoding_ok")
+    val qual = enc.filter(TextAnalysis.qualityOk(col("t")))
+    val exact = qual
+      .withColumn("h", md5(col("t")))
+      .join(qual.groupBy(md5(col("t")).as("h"))
+        .agg(min(col("doc_id")).as("can")), Seq("h"))
+      .filter(col("doc_id") === col("can")).drop("h", "can")
+    val dropNear = Dedup.ngramJaccardPairs(exact, col("doc_id"),
+        col("t"), n = 3, minJaccard = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val near = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    def stage(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("token_mass"))
+        .select(lit(name).as("stage"), col("n_docs"), col("token_mass"))
+    stage("0_raw", base).union(stage("1_encoding", enc))
+      .union(stage("2_quality", qual)).union(stage("3_exact_dedup", exact))
+      .union(stage("4_near_dedup", near))
+  }
+
   /** Streaming corpus ingestion — the same curation discipline over a
     * live document stream (the shape of a crawl-ingest pipeline that
     * cleans as it lands rather than in a nightly batch):

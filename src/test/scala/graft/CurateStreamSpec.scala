@@ -156,6 +156,36 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(web.getAs[Long]("n_tokens_total") == wantTokens)
   }
 
+  test("curationFunnel: monotone attrition with hand-placed stage casualties") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over a lazy dog and then " +
+      "naps in the shade of an old oak tree nearby"
+    val docs = Seq(
+      (1L, clean),
+      (2L, clean + " plus a wholly different continuation about rivers " +
+        "and the bridges that cross them in the spring when melting " +
+        "snow swells every stream beneath their arches loudly"),
+      (3L, clean),                       // exact dup of 1 -> stage 3
+      (4L, clean + " tail"),             // near dup of 1 -> stage 4
+      (5L, "short junk"),                // -> stage 2
+      (6L, "mojibake cafÃ© " + clean)    // -> stage 1
+    ).toDF("id", "t")
+    val out = CorpusPipeline.curationFunnel(docs, col("id"), col("t"))
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"))).toMap
+    assert(out("0_raw")._1 == 6L)
+    assert(out("1_encoding")._1 == 5L)   // doc 6 out
+    assert(out("2_quality")._1 == 4L)    // doc 5 out
+    assert(out("3_exact_dedup")._1 == 3L) // doc 3 out (1 survives)
+    assert(out("4_near_dedup")._1 == 2L) // doc 4 out (vs lower id 1)
+    // token masses are exact sums and monotonically non-increasing
+    val masses = Seq("0_raw", "1_encoding", "2_quality", "3_exact_dedup",
+      "4_near_dedup").map(out(_)._2)
+    assert(masses == masses.sorted.reverse)
+    assert(out("0_raw")._2 == docs.collect().map(
+      _.getAs[String]("t").split(" ").count(_.nonEmpty).toLong).sum)
+  }
+
   test("curateStream: the quality gate is the batch gate, by shared thresholds") {
     import spark.implicits._
     // boundary doc: exactly MinTokens tokens must pass, one fewer must not
