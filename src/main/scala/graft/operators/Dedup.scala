@@ -307,30 +307,24 @@ object Dedup {
     * inside a window don't change the value set, keeping the
     * selection engine-portable).
     *
-    * Scale shape: gram hashing is a narrow codegen'd projection; the
-    * window minimum is ONE doc-keyed sort (the same
-    * exchange-per-analysis-key shape as sessionization); the pair
-    * sweep is the family's inverted-index equi-join on the
-    * fingerprint value — never all-pairs. */
+    * Scale shape: MAP-ONLY. The selection is a pure per-document
+    * function, so it runs as one native codegen'd expression
+    * ([[graft.functions.WinnowFpExpr]] — an O(n) monotone-deque pass,
+    * the [[graft.functions.GearCutsExpr]] pattern) fused into the
+    * scan; only the 8-byte fingerprints leave the projection, and the
+    * pair sweep is the family's inverted-index equi-join on the
+    * fingerprint value — never all-pairs. (The previous declarative
+    * form — explode one row per character + min().over(a doc-keyed
+    * Window) — shuffled ~30× the corpus text volume through the
+    * Window's hash(doc_id) exchange once the bench-scale fan-out
+    * pre-partition no-ops at cluster scale.) */
   def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1)
-    val t = lower(text)
-    val grams = graft.sources.Tables.fanOutBy(
-      df.select(id.as("doc_id"), t.as("t")), col("doc_id"))
-      .filter(length(col("t")) >= k)
-      .select(col("doc_id"), (length(col("t")) - (k - 1)).as("n"),
-        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
-        col("t"))
-      .select(col("doc_id"), col("n"), col("i"),
-        substring(md5(col("t").substr(col("i"), lit(k))), 1, 8).as("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("mh", min(col("h")).over(win))
-      .filter(col("i") <= col("n") - (w - 1))
-      .select(col("doc_id"), col("mh")).distinct()
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(id.as("doc_id"),
+      explode(ColumnBridge.column(graft.functions.WinnowFpExpr(
+        ColumnBridge.expression(lower(text)), k, w))).as("mh"))
   }
 
   /** Document pairs sharing at least `minShared` winnowing

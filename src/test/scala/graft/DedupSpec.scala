@@ -277,6 +277,39 @@ class DedupSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("winnowing kernel matches the declarative definition exactly") {
+    // naive mirror of the oracle SQL: h_i = first 8 hex chars of
+    // md5(codepoint k-gram), fingerprints = distinct min over every
+    // w-window — the native deque kernel must produce the same SET
+    def naive(text: String, k: Int, w: Int): Set[String] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length - (k - 1)
+      if (n < w) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = (0 until n).map { i =>
+        val gram = new String(cps, i, k)
+        md.reset()
+        md.digest(gram.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+      }
+      (0 to n - w).map(j => h.slice(j, j + w).min).toSet
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaa", // all-tie windows: one distinct value
+      "café naïve résumé 你好世界 mixed multibyte text here",
+      "short", // below k
+      "exactly-k+w-2-no-window".take(10))
+    for (s <- samples; (k, w) <- Seq((8, 4), (16, 8), (3, 1))) {
+      val got = graft.util.WinnowFp
+        .fingerprints(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          k, w)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+      assert(got == naive(s, k, w), s"mismatch for '$s' k=$k w=$w")
+    }
+  }
+
   test("line dedup: corpus-hot lines drop, short lines exempt, order survives") {
     import spark.implicits._
     val lineDocs = Seq(

@@ -468,6 +468,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fim split is one projection, no joins/aggregates:\n$p")
   }
 
+  test("winnowing: fingerprinting is map-only, no Window, no exchange before the pair join") {
+    import org.apache.spark.sql.functions._
+    // the fingerprint selection is a pure per-doc function — the native
+    // winnow_fp expression must fuse into the scan with zero exchanges
+    val fp = graft.operators.Dedup.winnowingFingerprints(
+      graft.sources.Tables.documents(spark, sf), col("doc_id"), col("text"),
+      k = 16, w = 8)
+    val pfp = plan(fp)
+    assert(!pfp.contains("Window"), s"fingerprints must not use Window:\n$pfp")
+    assert(!pfp.contains("Exchange"), s"fingerprints must be map-only:\n$pfp")
+    assert(pfp.contains("winnow_fp"), s"native expression missing:\n$pfp")
+    // the full q99 sweep: the ONLY shuffles are the pair join on the
+    // 8-byte fingerprint and its pair aggregate — text never shuffles
+    val df = SparkEntry.queries("q99_winnowing")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"q99: Window node in physical plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(l => l.contains("mh") ||
+        (l.contains("doc_a") && l.contains("doc_b"))),
+      s"q99: exchange carrying more than fingerprints/pair keys:\n$p")
+  }
+
   test("span corruption: render join keyed on doc_id, token arrays never double-shuffle") {
     val df = SparkEntry.queries("q108_span_corruption")(spark, sf)
     val p = plan(df)
