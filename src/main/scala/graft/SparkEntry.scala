@@ -1713,6 +1713,15 @@ object SparkEntry {
       pipelines.CorpusPipeline.curationFunnel(Tables.documents(s, dir),
           col("doc_id"), col("text"))
         .orderBy(col("stage"))
+    }),
+
+    // training-data ops: both Broder measures (resemblance +
+    // containment) off ONE shingle join — q16 ∪ q115's pairs with the
+    // two signals side by side, zero extra shuffle
+    "q127_overlap_measures" -> ((s, dir) => {
+      Dedup.overlapMeasures(Tables.documents(s, dir), col("doc_id"),
+          col("text"), n = 3, minJaccard = 0.5, minContainment = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -4280,6 +4289,28 @@ object SparkEntry {
         |UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT),
         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM nr
         |ORDER BY stage""").stripMargin,
+
+    "q127_overlap_measures" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |n AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared,
+        |  shared / (na.n_sh + nb.n_sh - shared) AS jaccard,
+        |  CASE WHEN na.n_sh <= nb.n_sh THEN doc_a ELSE doc_b END
+        |    AS contained_doc,
+        |  shared / least(na.n_sh, nb.n_sh) AS containment
+        |FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+        |WHERE shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |   OR shared / least(na.n_sh, nb.n_sh) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q104_exactk_sample" ->
       """WITH d AS (SELECT doc_id, source AS stratum,

@@ -107,18 +107,24 @@ object Dedup {
       .filter(col("n_copies") >= minCopies)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via the sparse inverted-index
-    * join: explode distinct shingles, self-join on the shingle (only
-    * docs sharing at least one shingle ever pair up), count shared,
-    * then jaccard = shared / (|A| + |B| - shared).
+  /** The one overlap kernel under [[ngramJaccardPairs]],
+    * [[containmentPairs]] and [[overlapMeasures]]: explode distinct
+    * shingles, drop corpus-hot shingles (skew cap, broadcast
+    * anti-join), self-join on the shingle (only docs sharing at least
+    * one shingle ever pair up — never all-pairs), count shared, and
+    * attach both set sizes. Every overlap MEASURE (jaccard,
+    * containment, …) is a pure projection of this one
+    * (doc_a, doc_b, shared, n_a, n_b) frame — so the shingle
+    * equi-join, the family's only corpus-sized shuffle, is written
+    * (and skew-capped) exactly once.
     *
     * `maxShingleFreq` drops shingles occurring in more than that many
-    * docs before the join (skew cap; 0 = keep all).
-    */
-  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      minJaccard: Double, maxShingleFreq: Long = 0,
-      storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    * docs before the join (0 = keep all). Sizes are computed on the
+    * UNcapped shingle sets, so the measures stay exact for every pair
+    * the cap lets through. */
+  private def shingleOverlapCounts(df: DataFrame, id: Column, text: Column,
+      n: Int, maxShingleFreq: Long,
+      storage: org.apache.spark.storage.StorageLevel): DataFrame = {
     val sh = explodedShingles(df, id, text, n, storage)
     val filtered =
       if (maxShingleFreq > 0) {
@@ -136,11 +142,24 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the sparse inverted-index
+    * join ([[shingleOverlapCounts]]):
+    * jaccard = shared / (|A| + |B| - shared).
+    *
+    * `maxShingleFreq` drops shingles occurring in more than that many
+    * docs before the join (skew cap; 0 = keep all).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      minJaccard: Double, maxShingleFreq: Long = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    shingleOverlapCounts(df, id, text, n, maxShingleFreq, storage)
       .withColumn("jaccard",
         col("shared") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
-  }
 
   /** Containment pairs (Broder 1997's second resemblance measure:
     * c(A,B) = |S(A) ∩ S(B)| / |S(A)|) — detects when one document is
@@ -153,32 +172,16 @@ object Dedup {
     * Emitted per pair: containment of the SMALLER shingle set in the
     * larger (the direction that can approach 1), with `contained_doc`
     * naming the smaller doc (ties → doc_a, the lower id). Same
-    * inverted-index shape and hot-shingle cap as
-    * [[ngramJaccardPairs]]: the shingle equi-join is the only
-    * corpus-sized shuffle, never all-pairs.
+    * kernel as [[ngramJaccardPairs]] ([[shingleOverlapCounts]]): the
+    * shingle equi-join is the only corpus-sized shuffle, never
+    * all-pairs.
     *
     * Output: (doc_a, doc_b, shared, contained_doc, containment). */
   def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minContainment: Double, maxShingleFreq: Long = 0,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val sh = explodedShingles(df, id, text, n, storage)
-    val filtered =
-      if (maxShingleFreq > 0) {
-        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
-          .filter(col("f") > maxShingleFreq).select(col("s"))
-        sh.join(broadcast(hot), Seq("s"), "left_anti")
-      } else sh
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("doc_id").as("doc_a"), col("s"))
-    val b = filtered.select(col("doc_id").as("doc_b"), col("s"))
-    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    shingleOverlapCounts(df, id, text, n, maxShingleFreq, storage)
       .withColumn("contained_doc",
         when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
       .withColumn("containment",
@@ -186,7 +189,32 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("shared"),
         col("contained_doc"), col("containment"))
-  }
+
+  /** Both Broder measures from ONE pass over the overlap kernel —
+    * the frame SCALING.md promised was derivable "at zero extra
+    * shuffle": every pair clearing EITHER bar, with resemblance and
+    * containment side by side so a curation policy can branch on
+    * which signal fired (near-identical twin vs wrapped copy)
+    * without a second shingle join.
+    *
+    * Output: (doc_a, doc_b, shared, jaccard, contained_doc,
+    * containment). */
+  def overlapMeasures(df: DataFrame, id: Column, text: Column, n: Int,
+      minJaccard: Double, minContainment: Double,
+      maxShingleFreq: Long = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    shingleOverlapCounts(df, id, text, n, maxShingleFreq, storage)
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .withColumn("contained_doc",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("containment",
+        col("shared") / least(col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= minJaccard ||
+        col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"),
+        col("contained_doc"), col("containment"))
 
   /** Exact substring-level duplication sweep — the character-window
     * member of the dedup family (the protocol of Lee et al. 2022,

@@ -277,6 +277,51 @@ class DedupSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("overlapMeasures: both Broder measures off one shingle join, equal to the union of the twins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-twin of 1
+      (3L, "alpha beta gamma delta"), // contained in 1 (low jaccard)
+      (4L, "totally unrelated words about spark executors shuffling")
+    ).toDF("doc_id", "text")
+    val both = Dedup.overlapMeasures(docs, col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.5, minContainment = 0.6)
+    val rows = both.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // the combined frame carries exactly q16 ∪ q115's pairs...
+    val jac = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val con = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+      n = 3, minContainment = 0.6).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == (jac.keySet ++ con.keySet))
+    assert(jac.keySet.contains((1L, 2L)) && !jac.keySet.contains((1L, 3L)))
+    assert(con.keySet.contains((1L, 3L))) // the jaccard-blind wrapped copy
+    // ...with measures matching the single-purpose twins exactly
+    for ((k, (sh, j)) <- jac) {
+      assert(rows(k)._1 == sh && rows(k)._2 == j)
+    }
+    for ((k, (sh, cd, c)) <- con) {
+      assert(rows(k)._1 == sh && rows(k)._3 == cd && rows(k)._4 == c)
+    }
+    // ...from a SINGLE scan of the shingle self-join: exactly one join
+    // keyed on the shingle column in the physical plan
+    val p = both.queryExecution.executedPlan.toString
+    // AQE prints the Initial Plan after the Final Plan — count only
+    // the final one
+    val finalP = p.split("== Initial Plan ==")(0)
+    val shingleJoins = finalP.linesIterator.count(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("[s#"))
+    assert(shingleJoins == 1, s"expected 1 shingle join, got $shingleJoins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("winnowing kernel matches the declarative definition exactly") {
     // naive mirror of the oracle SQL: h_i = first 8 hex chars of
     // md5(codepoint k-gram), fingerprints = distinct min over every
