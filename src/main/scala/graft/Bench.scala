@@ -24,9 +24,16 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        // a warmup crash must be visible: silently skipping forfeits
+        // JIT warmup for that plan and inflates its first timed run
+        try fn(spark, warmDir).count() catch {
+          case e: Throwable => System.err.println(
+            s"[bench] warmup failed: $name: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
+    else System.err.println(s"[bench] warmup skipped: $warmDir missing")
     spark.catalog.clearCache() // drop warmup-cached frames before timing
 
     // Median of 3 timed runs per query: one contended or cold run must not

@@ -909,7 +909,11 @@ object Dedup {
     * (engine-portable ordering — float score ties are rounding-mode
     * bait). Determinism: the argmax key is the struct
     * (q_score, −doc_id) under lexicographic MAX, a pure function of
-    * the cluster's membership.
+    * the cluster's membership. A clustered doc MISSING a quality row
+    * still gets its row (left join): q_score null in the output, and
+    * it never beats a scored member (the argmax key coalesces missing
+    * scores to Long.MinValue — an all-unscored cluster falls back to
+    * the lowest doc id).
     *
     * Scale: two doc-keyed equi-joins plus ONE cluster-keyed `max_by`
     * hash aggregate — partial aggregation ships one candidate row per
@@ -922,10 +926,11 @@ object Dedup {
       qid: Column, score: Column): DataFrame = {
     val q = quality.select(qid.as("doc_id"), score.cast("long").as("q_score"))
     val member = clusters.select(col("doc_id"), col("cluster_id"))
-      .join(q, Seq("doc_id"))
+      .join(q, Seq("doc_id"), "left")
     val reps = member.groupBy(col("cluster_id"))
       .agg(max_by(col("doc_id"),
-          struct(col("q_score"), -col("doc_id"))).as("rep_id"),
+          struct(coalesce(col("q_score"), lit(Long.MinValue)),
+            -col("doc_id"))).as("rep_id"),
         count(lit(1)).as("n_members"))
     member.join(reps, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("n_members"),

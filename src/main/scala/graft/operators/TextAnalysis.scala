@@ -583,15 +583,19 @@ object TextAnalysis {
     * reassembly idiom. Nothing shuffles wider than (doc_id, line).
     *
     * Output: (doc_id, n_lines, n_kept, page_ok, cleaned_text) —
-    * cleaned_text is the kept lines newline-joined in original order,
-    * null when no line survives. */
+    * one row per input doc; cleaned_text is the kept lines
+    * newline-joined in original order, null when no line survives.
+    * A doc whose text is empty or all-blank lines surfaces as
+    * (0, 0, false, null) rather than vanishing — posexplode_outer
+    * keeps the doc through the line explode, so the empty-page case
+    * costs no join. */
   def c4Filters(df: DataFrame, id: Column, text: Column,
       minLineWords: Int = 5, minKeptLines: Int = 3,
       badWords: Seq[String] = Seq.empty): DataFrame = {
     val lines = df
       .select(id.as("doc_id"), text.as("t"))
       .select(col("doc_id"), col("t"),
-        posexplode(filter(split(col("t"), "\n"), l => l =!= "")))
+        posexplode_outer(filter(split(col("t"), "\n"), l => l =!= "")))
       .withColumnRenamed("pos", "line_no")
       .withColumnRenamed("col", "line")
     val lineWords = filter(split(col("line"), " "), w => w =!= "")
@@ -612,7 +616,9 @@ object TextAnalysis {
       .withColumn("keep", keepLine)
       .withColumn("clean", pageClean)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"),
+      // count(line), not count(1): the outer explode's null-line row
+      // for an empty page must not count as a line
+      .agg(count(col("line")).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         first(col("clean")).as("clean"),
         array_join(transform(
@@ -691,25 +697,6 @@ object TextAnalysis {
         floor(col("logw") * 1000 / col("n_grams")).cast("long"))
   }
 
-  /** Exact corpus heavy hitters via the two-pass Misra–Gries protocol:
-    * every term whose exact frequency exceeds N/(k+1) of the N total
-    * tokens, with its exact count.
-    *
-    * Pass 1 summarizes the token stream through
-    * [[graft.functions.HeavyHittersAggregator]] — a bounded k-counter
-    * sketch whose partial buffers are at most k entries per map task,
-    * so discovering frequent terms never shuffles the corpus
-    * vocabulary (at 100 TB the distinct-term table is itself huge; a
-    * plain groupBy-count-filter would shuffle all of it to find a
-    * handful of rows). The MG guarantee — any term with true
-    * frequency > N/(k+1) survives the sketch, counts under-estimate
-    * but never over — makes the summary a sound candidate set. Pass 2
-    * re-counts ONLY the (≤ k, broadcast) candidates exactly and
-    * applies the integer threshold `cnt·(k+1) > N` — no floats, no
-    * sketch error in the output: the sketch prunes, the re-count
-    * decides.
-    *
-    * Output: (term, cnt) for each heavy hitter, exact. */
   /** Fill-in-the-middle split planning (Bavarian et al. 2022,
     * "Efficient Training of Language Models to Fill in the Middle" —
     * the published FIM transform): with probability `fimRate`, a
@@ -840,6 +827,25 @@ object TextAnalysis {
         col("len_tok"), col("corrupted_input"), col("target_output"))
   }
 
+  /** Exact corpus heavy hitters via the two-pass Misra–Gries protocol:
+    * every term whose exact frequency exceeds N/(k+1) of the N total
+    * tokens, with its exact count.
+    *
+    * Pass 1 summarizes the token stream through
+    * [[graft.functions.HeavyHittersAggregator]] — a bounded k-counter
+    * sketch whose partial buffers are at most k entries per map task,
+    * so discovering frequent terms never shuffles the corpus
+    * vocabulary (at 100 TB the distinct-term table is itself huge; a
+    * plain groupBy-count-filter would shuffle all of it to find a
+    * handful of rows). The MG guarantee — any term with true
+    * frequency > N/(k+1) survives the sketch, counts under-estimate
+    * but never over — makes the summary a sound candidate set. Pass 2
+    * re-counts ONLY the (≤ k, broadcast) candidates exactly and
+    * applies the integer threshold `cnt·(k+1) > N` — no floats, no
+    * sketch error in the output: the sketch prunes, the re-count
+    * decides.
+    *
+    * Output: (term, cnt) for each heavy hitter, exact. */
   def heavyTerms(df: DataFrame, text: Column, k: Int): DataFrame = {
     val mg = udaf(new graft.functions.HeavyHittersAggregator(k))
     val terms = df.select(explode(tokens(text)).as("term"))

@@ -272,28 +272,30 @@ object CorpusPipeline {
             col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
           .dropDuplicates("doc_id", "old_id")
         // within-batch near pairs: the symmetric operator, higher id
-        // flagged against the lower (old_id offset keeps index
-        // matches winning ties in the max_by below — an index id and
-        // a batch id never collide in practice; the evidence columns
-        // are what matters)
+        // flagged against the lower; an explicit is_index priority in
+        // the max_by key below makes already-indexed matches win
+        // n_match ties over same-batch ones (the evidence invariant:
+        // a doc near-duping BOTH the corpus and a batch sibling
+        // should cite the corpus), then lowest old_id
         val candBatch = Dedup.minhashLshPairs(b, col("doc_id"),
             col("t"), n, numHashes, bands, minEstJaccard = 0.0,
             org.apache.spark.storage.StorageLevel.NONE)
           .select(col("doc_b").as("doc_id"), col("doc_a").as("old_id"),
-            col("n_match"), col("est_jaccard"))
+            col("n_match"), col("est_jaccard"),
+            lit(false).as("is_index"))
         val scoredIdx = candIdx
           .withColumn("n_match",
             size(filter(zip_with(col("sig_a"), col("sig_b"),
               (a, c) => a === c), x => x)).cast("long"))
           .withColumn("est_jaccard", col("n_match") / lit(numHashes.toDouble))
           .select(col("doc_id"), col("old_id"), col("n_match"),
-            col("est_jaccard"))
+            col("est_jaccard"), lit(true).as("is_index"))
         val best = scoredIdx.union(candBatch)
           .filter(col("est_jaccard") >= minEstJaccard)
           .groupBy(col("doc_id"))
           .agg(max_by(struct(col("old_id"), col("n_match"),
               col("est_jaccard")),
-            struct(col("n_match"), -col("old_id"))).as("bst"))
+            struct(col("n_match"), col("is_index"), -col("old_id"))).as("bst"))
           .select(col("doc_id"), col("bst.old_id").as("near_dup_of"),
             col("bst.n_match").as("n_match"),
             col("bst.est_jaccard").as("est_jaccard"))

@@ -631,5 +631,18 @@ class DedupSpec extends AnyFunSuite {
     val plan = Dedup.clusterKeepBest(clusters, quality, col("id"), col("len"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
+    // a clustered doc MISSING a quality row keeps its row (null
+    // q_score, counted in n_members) and never beats a scored member
+    val sparse = Seq((1L, 50L), (10L, 70L), (11L, 70L)).toDF("id", "len")
+    val out2 = Dedup.clusterKeepBest(clusters, sparse, col("id"), col("len"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_members"),
+         if (r.isNullAt(r.fieldIndex("q_score"))) None
+         else Some(r.getAs[Long]("q_score")),
+         r.getAs[Boolean]("is_kept"))).toMap
+    assert(out2.size == 5)
+    assert(out2(1L) == (3L, Some(50L), true)) // only scored member wins
+    assert(out2(2L) == (3L, None, false))
+    assert(out2(3L) == (3L, None, false))
   }
 }

@@ -324,6 +324,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       col("id"), col("t")).head()
     assert(empty.getAs[Long]("n_kept") == 0L)
     assert(empty.isNullAt(empty.fieldIndex("cleaned_text")))
+    // empty / all-blank pages surface as page_ok=false, never vanish
+    val blanks = TextAnalysis.c4Filters(
+      Seq((7L, ""), (8L, "\n\n\n")).toDF("id", "t"),
+      col("id"), col("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(blanks.keySet == Set(7L, 8L))
+    for (r <- blanks.values) {
+      assert(r.getAs[Long]("n_lines") == 0L)
+      assert(r.getAs[Long]("n_kept") == 0L)
+      assert(!r.getAs[Boolean]("page_ok"))
+      assert(r.isNullAt(r.fieldIndex("cleaned_text")))
+    }
   }
 
   /** Independent scalar reference for [[TextAnalysis.dsirWeights]]:
