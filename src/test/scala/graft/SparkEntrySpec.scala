@@ -56,6 +56,36 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(math.abs(approx(k) - v) <= math.max(1, v / 10)) }
   }
 
+  // q40 is the ONE query with no DuckDB oracle (HLL sketches are
+  // engine-specific by declared design), so this named spec IS its
+  // official per-round verification: at the driver's sf0.01 gate
+  // scale, every approximate count must land within 5x the declared
+  // rsd (0.02 -> 10%) of the exact count(distinct), and the key sets
+  // must match exactly. Referenced from COVERAGE.md.
+  test("q40 self-check: approx_count_distinct within declared rsd bound at sf0.01") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val approx = SparkEntry.queries("q40_approx_distinct")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("window_start_ms"),
+        r.getAs[Long]("user_id")) -> r.getAs[Long]("n_distinct")).toMap
+    val exact = graft.operators.Heuristics.distinctCardinality(
+        graft.sources.Tables.events(spark, dir),
+        col("ts"), col("user_id"), col("event_type"), "1 day", 1)
+      .collect().map(r => (r.getAs[Long]("window_start_ms"),
+        r.getAs[Long]("key")) -> r.getAs[Long]("n_distinct")).toMap
+    // rows-level: the sketch can never invent or lose a key (every
+    // group has >= 1 distinct attr, so the minDistinct filter cannot
+    // diverge between the approximate and exact paths)
+    assert(approx.keySet == exact.keySet)
+    // error-bound: 5 standard errors at the declared rsd, floor 1
+    exact.foreach { case (k, v) =>
+      val bound = math.max(1L, math.ceil(5 * 0.02 * v).toLong)
+      assert(math.abs(approx(k) - v) <= bound,
+        s"key $k: approx ${approx(k)} vs exact $v exceeds ±$bound")
+    }
+  }
+
   test("q01 groups to 6 flag/status combinations") {
     assert(SparkEntry.queries("q01_pricing_summary")(spark, sf).count() == 6)
   }
