@@ -1715,6 +1715,24 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: q91's line dedup through the 100 TB
+    // patch-set path — only (doc_id, line_no) pairs shuffle, text is
+    // rewritten map-side in the apply scan; same decorated input and
+    // same oracle as q91, so the two paths are oracle-proven equal
+    "q128_line_patches" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nsubscribe to our newsletter today"))
+            .when(col("doc_id") % 4 === 1,
+              lit("\nall rights reserved worldwide"))
+            .when(col("doc_id") % 4 === 2, lit("\nok"))
+            .otherwise(lit(""))).as("t2"))
+      Dedup.lineDedupViaPatches(d, col("doc_id"), col("t2"),
+          maxLineFreq = 5, minLineChars = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: both Broder measures (resemblance +
     // containment) off ONE shingle join — q16 ∪ q115's pairs with the
     // two signals side by side, zero extra shuffle
@@ -3423,6 +3441,39 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q91_line_dedup" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'subscribe to our newsletter today'
+        |    WHEN doc_id % 4 = 1
+        |      THEN chr(10) || 'all rights reserved worldwide'
+        |    WHEN doc_id % 4 = 2 THEN chr(10) || 'ok'
+        |    ELSE '' END AS t2
+        |  FROM documents),
+        |ls0 AS (SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), l -> l <> '') AS ls
+        |  FROM d),
+        |ls AS (SELECT doc_id, unnest(ls) AS line,
+        |    generate_subscripts(ls, 1) AS line_no FROM ls0),
+        |freq AS (SELECT md5(line) h, COUNT(*) f FROM ls GROUP BY 1),
+        |k AS (SELECT doc_id, line_no, line,
+        |    (hot.f IS NULL OR length(line) < 5) AS keep
+        |  FROM ls LEFT JOIN (SELECT h, f FROM freq WHERE f > 5) hot
+        |    ON md5(line) = hot.h),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_lines,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    string_agg(CASE WHEN keep THEN line END, chr(10)
+        |      ORDER BY line_no) AS cleaned_text
+        |  FROM k GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_lines, 0) AS n_lines,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(n_lines, 0) - COALESCE(n_kept, 0) AS n_dropped,
+        |  COALESCE(cleaned_text, '') AS cleaned_text
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q128 is q91 through the patch-set path: same decisions, same
+    // output contract, so the oracle is the same SQL — the hash match
+    // IS the proof the two paths agree
+    "q128_line_patches" ->
       """WITH d AS (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 4 = 0
         |      THEN chr(10) || 'subscribe to our newsletter today'

@@ -284,10 +284,10 @@ object Dedup {
     * set is corpus-sized, so no broadcast is assumed — unlike the
     * hot-shingle caps, which prune a small TOP set); reassembly is one
     * doc_id-keyed aggregate. Line text crosses the shuffle twice (hash
-    * join + reassembly agg) — at 100 TB the reassembly would instead
-    * emit (doc_id, dropped line_no) patch sets and rewrite text in the
-    * scan of the next stage, but the join/agg keying here is already
-    * the scale shape. */
+    * join + reassembly agg) — the 100 TB path is
+    * [[lineDedupPatches]] + [[applyLinePatches]], which makes the SAME
+    * drop decisions while shuffling only (doc_id, line_no) pairs and
+    * rewriting text map-side in the next stage's scan. */
   def lineDedup(df: DataFrame, id: Column, text: Column,
       maxLineFreq: Long = 1, minLineChars: Int = 0): DataFrame = {
     require(maxLineFreq >= 1, "maxLineFreq must be >= 1")
@@ -321,6 +321,74 @@ object Dedup {
           .as("n_dropped"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /** The 100 TB step-up of [[lineDedup]] (the one SCALING.md
+    * documents): identical drop DECISIONS, but only (doc_id, line_no)
+    * pairs cross the shuffle. [[lineDedup]] ships line TEXT through
+    * two exchanges — roughly the corpus volume, twice. Here the line
+    * projection keeps only the 32-hex-char line hash plus the
+    * length-exemption bit; hot-line membership is a semi-join on the
+    * hash; and the patch aggregate collects dropped line numbers per
+    * doc — the widest shuffled payload is a (doc_id, line_no) pair.
+    * Text is rewritten map-side by [[applyLinePatches]] inside the
+    * scan of the NEXT pipeline stage, which reads the text anyway.
+    *
+    * Output: (doc_id, dropped_nos: sorted array<long> of 0-based
+    * non-empty-line ordinals) — only docs with at least one dropped
+    * line appear. The patch table is typically a small fraction of
+    * the corpus (often broadcastable into the apply scan); the apply
+    * join never assumes it. */
+  def lineDedupPatches(df: DataFrame, id: Column, text: Column,
+      maxLineFreq: Long = 1, minLineChars: Int = 0): DataFrame = {
+    require(maxLineFreq >= 1, "maxLineFreq must be >= 1")
+    // no fanOutBy here, deliberately: the bench-scale fan-out
+    // repartition would shuffle the doc text — the one thing this
+    // path exists to avoid; the hash projection is map-only and the
+    // freq/patch aggregates redistribute on their own keys
+    val lines = df.select(id.as("doc_id"), text.as("doc_text"))
+      .select(col("doc_id"),
+        posexplode(filter(split(col("doc_text"), "\n"), l => length(l) > 0)))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        md5(col("col")).as("h"),
+        (length(col("col")) < minLineChars).as("exempt"))
+    val hot = lines.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxLineFreq).select(col("h"))
+    lines.filter(!col("exempt"))
+      .join(hot, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("line_no"))).as("dropped_nos"))
+  }
+
+  /** Apply [[lineDedupPatches]] patch sets during a scan of the doc
+    * frame: one doc-keyed left join (text crosses at most ONE
+    * exchange, zero when the patch table broadcasts) plus a map-only
+    * indexed-filter rebuild. Output schema identical to [[lineDedup]]:
+    * (doc_id, n_lines, n_kept, n_dropped, cleaned_text). */
+  def applyLinePatches(df: DataFrame, id: Column, text: Column,
+      patches: DataFrame): DataFrame =
+    df.select(id.as("doc_id"), text.as("doc_text"))
+      .join(patches, Seq("doc_id"), "left")
+      .withColumn("lines",
+        filter(split(col("doc_text"), "\n"), l => length(l) > 0))
+      .withColumn("n_dropped",
+        when(col("dropped_nos").isNull, 0L)
+          .otherwise(size(col("dropped_nos")).cast("long")))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - col("n_dropped")).cast("long").as("n_kept"),
+        col("n_dropped"),
+        concat_ws("\n", filter(col("lines"), (l, i) =>
+          col("dropped_nos").isNull ||
+            !array_contains(col("dropped_nos"), i.cast("long"))))
+          .as("cleaned_text"))
+
+  /** [[lineDedup]] behind the patch-set path — same signature, same
+    * output, for swapping the scale shape in without touching
+    * callers. */
+  def lineDedupViaPatches(df: DataFrame, id: Column, text: Column,
+      maxLineFreq: Long = 1, minLineChars: Int = 0): DataFrame =
+    applyLinePatches(df, id, text,
+      lineDedupPatches(df, id, text, maxLineFreq, minLineChars))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     * 2003 — the MOSS algorithm; public method): hash every character

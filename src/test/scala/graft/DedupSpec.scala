@@ -322,6 +322,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("patch-set line dedup makes identical decisions to lineDedup") {
+    import spark.implicits._
+    val lineDocs = Seq(
+      (1L, "alpha beta\nFOOTER LINE\ngamma"),
+      (2L, "FOOTER LINE\ndelta"),
+      (3L, "FOOTER LINE"),
+      (4L, "epsilon\nok"),
+      (5L, "ok\nzeta\nok"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+         r.getAs[Long]("n_dropped"), r.getAs[String]("cleaned_text")))
+      .toMap
+    val classic = rows(Dedup.lineDedup(lineDocs, col("doc_id"),
+      col("text"), maxLineFreq = 1, minLineChars = 3))
+    val patched = rows(Dedup.lineDedupViaPatches(lineDocs, col("doc_id"),
+      col("text"), maxLineFreq = 1, minLineChars = 3))
+    assert(patched == classic)
+    // the patch frame itself: only docs with drops, 0-based ordinals
+    val p = Dedup.lineDedupPatches(lineDocs, col("doc_id"), col("text"),
+        maxLineFreq = 1, minLineChars = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("dropped_nos")).toMap
+    assert(p.keySet == Set(1L, 2L, 3L)) // FOOTER LINE repeats 3x
+    assert(p(1L) == Seq(1L) && p(2L) == Seq(0L) && p(3L) == Seq(0L))
+  }
+
   test("winnowing kernel matches the declarative definition exactly") {
     // naive mirror of the oracle SQL: h_i = first 8 hex chars of
     // md5(codepoint k-gram), fingerprints = distinct min over every

@@ -349,6 +349,33 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("patch-set line dedup: no exchange ever carries line or document text") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val d = graft.sources.Tables.documents(spark, sf)
+    // with auto-broadcast off (the 100 TB situation) the decision path
+    // must shuffle nothing wider than (doc_id, line_no) pairs plus the
+    // 32-hex line hash — the whole point of the step-up over lineDedup
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val patches = graft.operators.Dedup.lineDedupPatches(
+        d, col("doc_id"), col("text"), maxLineFreq = 5, minLineChars = 5)
+      val root = patches.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      val textCarrying = shuffles.filter(_.output.exists(a =>
+        a.dataType == StringType && a.name != "h"))
+      assert(textCarrying.isEmpty,
+        s"patch path exchange carries text:\n${textCarrying.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("packing plan: one shard-keyed hash exchange, never a global range sort") {
     val p = plan(SparkEntry.queries("q92_packing_plan")(spark, sf))
     // the orderBy in the query entry is presentation; the WINDOW
