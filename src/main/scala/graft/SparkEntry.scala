@@ -1715,6 +1715,16 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: batched BPE training — top-64-window
+    // symbol-disjoint batch accept, 2 rounds (a 32k vocab at 1
+    // merge/round is hours of driver round-trips; batching is how a
+    // real trainer ships). Greedy-equivalence pinned in spec.
+    "q129_bpe_batched" -> ((s, dir) => {
+      TextAnalysis.bpeTrainMergesBatched(Tables.documents(s, dir),
+          col("text"), batchSize = 64, maxRounds = 2)
+        .orderBy(col("merge_no"))
+    }),
+
     // training-data ops: q91's line dedup through the 100 TB
     // patch-set path — only (doc_id, line_no) pairs shuffle, text is
     // rewritten map-side in the apply scan; same decorated input and
@@ -4381,6 +4391,7 @@ object SparkEntry {
       ("q76_cc_stars" -> base("q53_dedup_clusters")) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
+      ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +
       ("q105_gear_chunks" -> gearSql(
         """d AS (SELECT doc_id, text AS t, length(text) AS n
           |  FROM documents WHERE length(text) >= 1)""".stripMargin,
@@ -4477,6 +4488,60 @@ object SparkEntry {
     s"""WITH ${bpeCtes(n)}
        |SELECT round, pair_a, pair_b, pair_a || pair_b AS merged, cnt
        |FROM ($ms) ORDER BY round""".stripMargin
+  }
+
+  /** Batched-BPE oracle: per round, rank pair counts, window the top
+    * `batchSize`, accept candidates symbol-disjoint from every
+    * higher-ranked candidate (NOT EXISTS self-join — the same
+    * non-recursive rule as the operator), and fold the whole accepted
+    * batch through the vocabulary with list_reduce. */
+  private def bpeBatchedSql(batchSize: Int, rounds: Int): String = {
+    val prefix =
+      """wd AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |w AS (SELECT unnest(ws) word FROM wd),
+        |v AS (SELECT word, COUNT(*) cnt FROM w GROUP BY 1),
+        |s0 AS (SELECT word, '<' || array_to_string(
+        |    list_transform(generate_series(1, length(word)),
+        |      i -> word[i]), '> <') || '>' AS seq, cnt FROM v)""".stripMargin
+    val rcte = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT pr, CAST(SUM(cnt) AS BIGINT) c FROM (
+         |    SELECT cnt, arr[i] || ' ' || arr[i+1] pr FROM (
+         |      SELECT string_split(seq, ' ') arr, cnt,
+         |        unnest(generate_series(1, len(string_split(seq, ' ')) - 1)) i
+         |      FROM s${k - 1})) GROUP BY 1),
+         |r$k AS (SELECT pr, c, row_number() OVER (ORDER BY c DESC, pr) rk
+         |  FROM p$k QUALIFY rk <= $batchSize),
+         |cf$k AS (SELECT DISTINCT x.pr FROM r$k x JOIN r$k y
+         |    ON y.rk < x.rk AND list_has_any(
+         |      string_split(y.pr, ' '), string_split(x.pr, ' '))),
+         |a$k AS (SELECT pr, c, rk FROM r$k
+         |  WHERE pr NOT IN (SELECT pr FROM cf$k)),
+         |l$k AS (SELECT COALESCE(list(pr ORDER BY rk), []) lst FROM a$k),
+         |s$k AS (SELECT word, list_reduce(
+         |    list_prepend(seq, (SELECT lst FROM l$k)),
+         |    (acc, x) -> replace(acc, x, replace(x, '> <', ''))) seq, cnt
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) batch_no, pr, c, rk FROM a$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $prefix,
+       |$rcte,
+       |m AS ($unions)
+       |SELECT CAST(row_number() OVER (ORDER BY batch_no, rk) AS BIGINT)
+       |    AS merge_no,
+       |  batch_no,
+       |  (string_split(pr, ' ')[1])[2:length(string_split(pr, ' ')[1]) - 1]
+       |    AS pair_a,
+       |  (string_split(pr, ' ')[2])[2:length(string_split(pr, ' ')[2]) - 1]
+       |    AS pair_b,
+       |  (string_split(pr, ' ')[1])[2:length(string_split(pr, ' ')[1]) - 1]
+       |  || (string_split(pr, ' ')[2])[2:length(string_split(pr, ' ')[2]) - 1]
+       |    AS merged,
+       |  c AS cnt
+       |FROM m ORDER BY merge_no""".stripMargin
   }
 
   private def bpeEncodeSql(n: Int): String =

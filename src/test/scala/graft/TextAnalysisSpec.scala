@@ -188,6 +188,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeTrainMerges(single, col("t"), 5).count() == 0L)
   }
 
+  test("bpeTrainMergesBatched: batch equals the greedy prefix where pairs are disjoint with distinct counts") {
+    import spark.implicits._
+    // four symbol-disjoint dominant pairs with strictly distinct
+    // counts and no merge-created pair outranking them: the regime
+    // where batched-accept provably reproduces greedy order
+    val docs = Seq((1L,
+      (Seq.fill(50)("ab") ++ Seq.fill(40)("cd") ++ Seq.fill(30)("ef") ++
+        Seq.fill(20)("gh")).mkString(" "))).toDF("id", "t")
+    val greedy = TextAnalysis.bpeTrainMerges(docs, col("t"), nMerges = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val batched = TextAnalysis.bpeTrainMergesBatched(docs, col("t"),
+        batchSize = 4, maxRounds = 1)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(5)))
+    // ONE round learns all four merges, in greedy's exact order
+    assert(batched.map(_._2).toSet == Set(1L))
+    assert(batched.map(b => (b._3, b._4, b._5)).toSeq == greedy)
+    assert(batched.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bpeTrainMergesBatched: symbol conflicts defer to the next round") {
+    import spark.implicits._
+    // 'aaa'x10: top pair <a> <a> (cnt 20); every other <a>-touching
+    // candidate in the window is rejected this round — the follow-up
+    // <aa> <a> merge must wait for round 2's recount
+    val docs = Seq((1L, Seq.fill(10)("aaa").mkString(" "))).toDF("id", "t")
+    val out = TextAnalysis.bpeTrainMergesBatched(docs, col("t"),
+        batchSize = 8, maxRounds = 2)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getLong(1), r.getString(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, "aa", 20L), (2L, "aaa", 10L)))
+  }
+
   test("chunkDocuments: window/overlap arithmetic, short docs, rejects bad overlap") {
     import spark.implicits._
     val docs = Seq(
