@@ -223,10 +223,21 @@ object CorpusPipeline {
     * Decisions schema: (doc_id, exact_dup, near_dup_of, n_match,
     * est_jaccard, keep). Scale: per batch, the index side is an
     * equi-join on chash/bkey — the corpus index never self-joins,
-    * exactly the asymmetric shape of the batch operator. */
+    * exactly the asymmetric shape of the batch operator.
+    *
+    * Small-files control: each trigger appends one more part-file per
+    * index table, so at deployment cadence the index rots into
+    * thousands of tiny files. When a table's part-file count exceeds
+    * `compactAt`, the batch ends by rewriting it through
+    * [[graft.sinks.Sinks.compactParquetDir]] — `compactTo` key-
+    * clustered files (hashes on chash, bands on bkey), contents
+    * untouched, so decisions are identical before and after (pinned
+    * in CurateStreamSpec). Compaction cost amortizes: it runs every
+    * ~compactAt triggers and reads only the index, never the corpus. */
   def ingestStream(docs: DataFrame, id: Column, text: Column,
       indexDir: String, n: Int = 3, numHashes: Int = 16,
-      bands: Int = 8, minEstJaccard: Double = 0.5)
+      bands: Int = 8, minEstJaccard: Double = 0.5,
+      compactAt: Int = 64, compactTo: Int = 8)
       (onDecisions: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -320,6 +331,13 @@ object CorpusPipeline {
           .select(col("bkey"), col("doc_id"), col("sig"))
           .write.mode("append").parquet(s"$indexDir/bands")
         decisions.unpersist(); sigs.unpersist(); b.unpersist()
+        // small-files control (see scaladoc): rewrite any index table
+        // whose part-file count crossed the threshold
+        for ((table, key) <- Seq("hashes" -> "chash", "bands" -> "bkey")) {
+          val dir = s"$indexDir/$table"
+          if (graft.sinks.Sinks.parquetFileCount(spark, dir) > compactAt)
+            graft.sinks.Sinks.compactParquetDir(spark, dir, key, compactTo)
+        }
         ()
       }
   }

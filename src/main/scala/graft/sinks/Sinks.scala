@@ -208,6 +208,45 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Parquet part-file count under `dir` (0 when the dir is absent) —
+    * the small-files health probe append-mode sinks compact on. */
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count { s =>
+      val n = s.getPath.getName
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }
+  }
+
+  /** Compact a parquet directory in place: read it back,
+    * hash-repartition on `key` into `nFiles` key-sorted files written
+    * ALONGSIDE the live dir, then swap via two renames. The cure for
+    * append-mode small-files rot (a per-trigger streaming append
+    * grows one file per micro-batch forever): contents are untouched,
+    * only layout changes — fewer, larger, key-clustered files, so the
+    * next scan's equi-join on `key` reads sorted runs. The swap is
+    * the plain-parquet idempotence trade the ingest scaladoc already
+    * documents: a crash between the renames leaves `<dir>.old` to
+    * recover from; a transactional table format slots in here. */
+  def compactParquetDir(spark: SparkSession, dir: String, key: String,
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    spark.read.parquet(dir)
+      .repartition(nFiles, col(key)).sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old) || !fs.rename(tmp, live))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    fs.delete(old, true)
+  }
+
   /** Dev/test sink. */
   final class ConsoleWriter(limit: Int = 20) extends AlertWriter {
     def write(alerts: DataFrame): Unit = alerts.show(limit, false)

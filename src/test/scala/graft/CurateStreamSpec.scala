@@ -127,6 +127,69 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestStream: index compaction keeps decisions identical and caps file count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> ("seventeen violinists rehearse quietly beneath the old " +
+        "stone bridge while the river carries their tune away"),
+      2L -> ("spark executes the shuffle and a broadcast join of wide " +
+        "tables quickly across many executor nodes tonight"),
+      3L -> ("gardeners plant tomatoes beside the fence and water " +
+        "them every single morning before the summer heat arrives"),
+      4L -> ("the observatory telescope tracked a distant comet while " +
+        "astronomers recorded its spectral lines through the night"))
+    val probe = Seq( // one exact twin, one near copy, one novel
+      100L -> texts.head._2,
+      101L -> texts(1)._2.replace("tonight", "tomorrow"),
+      102L -> ("completely novel closing document about compaction " +
+        "rewrites that change file layout while never changing any " +
+        "decision the screening pipeline emits for future batches"))
+    def run(compactAt: Int): (Seq[(Long, Boolean, Option[Long], Boolean)], Int, Int) = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-compact-idx").toString
+      val in = MemoryStream[(Long, String)]
+      val decisions = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Option[Long], Boolean)]
+      val q = CorpusPipeline.ingestStream(in.toDS().toDF("id", "text"),
+          col("id"), col("text"), idxDir,
+          compactAt = compactAt, compactTo = 1) { d =>
+        decisions ++= d.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Boolean]("exact_dup"),
+          if (r.isNullAt(r.fieldIndex("near_dup_of"))) None
+          else Some(r.getAs[Long]("near_dup_of")),
+          r.getAs[Boolean]("keep")))
+        ()
+      }.option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-compact-ckpt").toString).start()
+      try {
+        for ((docId, t) <- texts) { // one novel doc per trigger
+          in.addData((docId, t)); q.processAllAvailable()
+        }
+        val preProbe = graft.sinks.Sinks
+          .parquetFileCount(spark, s"$idxDir/hashes")
+        in.addData(probe: _*); q.processAllAvailable()
+        (decisions.sortBy(_._1).toSeq, preProbe,
+          graft.sinks.Sinks.parquetFileCount(spark, s"$idxDir/hashes"))
+      } finally q.stop()
+    }
+    val (compacted, preC, postC) = run(compactAt = 3)
+    val (plain, preP, _) = run(compactAt = 1000000)
+    // decisions are IDENTICAL with and without compaction
+    assert(compacted == plain)
+    // and they are the right decisions against the (compacted) index
+    val byId = compacted.map(d => d._1 -> d).toMap
+    assert(byId(100L)._2 && byId(100L)._3.contains(1L) && !byId(100L)._4)
+    assert(!byId(101L)._2 && byId(101L)._3.contains(2L) && !byId(101L)._4)
+    assert(byId(102L)._4)
+    // compaction actually ran and reduced the file count: the
+    // uncompacted run rots past the threshold, the compacted one
+    // stays at or under compactTo + the appends since the last sweep
+    assert(preP > 3, s"fixture too small to rot: $preP files")
+    assert(preC < preP, s"compaction never fired: $preC vs $preP")
+    assert(postC <= 3, s"post-probe count not capped: $postC")
+  }
+
   test("dataCard: hand-computed per-source rates in exact permille") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over a lazy dog and then " +
