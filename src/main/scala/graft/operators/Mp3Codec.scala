@@ -12,16 +12,19 @@ package graft.operators
   * bitrate/samplerate/padding fields, so the walk needs no entropy
   * decoding.
   *
-  * SCOPE — metadata only, and honestly so: full Layer III PCM decode
-  * needs the spec's huffman code tables (Table B.7) and the
-  * 512-coefficient synthesis window (Table B.3) — thousands of
-  * published numeric constants with no generating formula. Embedding
-  * them from memory risks a silently-wrong decoder, which is worse
-  * than a correct partial one; [[Multimodal.decodeMedia]] therefore
-  * reports mp3 payloads with REAL channels/sample_rate/n_samples but
-  * keeps `decoded=false` (content statistics stay stub-derived) until
-  * a verified table source is available. [[FlacCodec]] and
-  * [[AdpcmCodec]] are the full-decode compressed-audio paths.
+  * SCOPE, per layer: LAYER I payloads get a real content decode
+  * ([[decodeLayer1]] — its whole bitstream layer is formulaic, zero
+  * transcribed constants; synthesis scope documented at the decode
+  * section). Layer II needs the ISO Table B.2a-d allocation maps and
+  * Layer III the Table B.7 huffman set plus the Table B.3 synthesis
+  * window — thousands of published numeric constants with no
+  * generating formula. Embedding them from memory risks a
+  * silently-wrong decoder, which is worse than a correct partial one;
+  * [[Multimodal.decodeMedia]] therefore reports Layer II/III payloads
+  * with REAL channels/sample_rate/n_samples but keeps `decoded=false`
+  * (content statistics stay stub-derived) until a verified table
+  * source is available. [[FlacCodec]] and [[AdpcmCodec]] are the
+  * other full-decode compressed-audio paths.
   *
   * The input is UNTRUSTED: the walk skips a leading ID3v2 tag by its
   * syncsafe declared size (bounds-checked), requires every frame to
@@ -58,7 +61,7 @@ object Mp3Codec {
   /** One parsed frame header. */
   private final case class Header(version: Int, layer: Int,
       sampleRate: Int, channels: Int, samplesPerFrame: Int,
-      frameBytes: Int)
+      frameBytes: Int, mode: Int, crc: Boolean)
 
   /** Parse the 4-byte header at `off`; None unless it is a fully valid,
     * non-free-format frame start. */
@@ -100,7 +103,8 @@ object Mp3Codec {
       else samplesPerFrame / 8 * bitrate / sampleRate + padding
     if (frameBytes < 24) return None // smaller than any legal frame
     Some(Header(versionBits, layer, sampleRate,
-      if (mode == 3) 1 else 2, samplesPerFrame, frameBytes))
+      if (mode == 3) 1 else 2, samplesPerFrame, frameBytes, mode,
+      crc = (b(off + 1) & 0x1) == 0))
   }
 
   /** Skip a leading ID3v2 tag ("ID3" + version + flags + 4-byte
@@ -150,5 +154,159 @@ object Mp3Codec {
     }
     if (frames == 0) None
     else Some((h0.channels.toLong, h0.sampleRate.toLong, samples))
+  }
+
+  // ---- Layer I content decode --------------------------------------
+  //
+  // Layer I is the one MPEG-audio layer whose ENTIRE bitstream layer
+  // is formulaic — 4-bit allocations (nb = alloc+1 bits/sample), the
+  // 63-entry scalefactor table 2^(1 - idx/3), and the midrise
+  // (2^nb - 1)-step requantization below — so it can be decoded with
+  // ZERO transcribed constants. Layer II additionally needs the
+  // ISO Table B.2a-d allocation maps and Layer III the Table B.7
+  // huffman set: transcribed-only, so both stay on the header-walk +
+  // decoded=false path (a from-memory table risks a silently-wrong
+  // decoder, which is worse than a correct partial one).
+  //
+  // Synthesis scope, stated plainly: subband samples are dequantized
+  // BIT-EXACTLY per the spec formulas; PCM then comes from the ISO
+  // matrixing cosine kernel as its orthogonal 32-point core (the
+  // filterbank with a rectangular prototype) because Table B.3's
+  // 512-tap interpolation window is ALSO transcribed-only. The
+  // approximation affects only the smoothing window over exact
+  // subband content — amplitude statistics track the real signal
+  // (AdpcmMp3Spec round-trips an in-test encoder through it), which
+  // is precisely what the `decoded` flag guards: perceptual features
+  // must come from real content, never md5 noise.
+
+  /** ISO 11172-3 Layer I requantization: an nb-bit code onto the
+    * (2^nb - 1)-step midrise grid in (-1, 1) —
+    * (2^nb/(2^nb-1)) * (code*2^(1-nb) - 1 + 2^(1-nb)); the all-ones
+    * code is outside the grid (the spec's "number of steps" column)
+    * and never emitted by an encoder. */
+  private[operators] def dequantL1(code: Int, nb: Int): Double = {
+    val q = math.pow(2.0, 1 - nb)
+    ((1 << nb).toDouble / ((1 << nb) - 1)) * (code * q - 1 + q)
+  }
+
+  /** Layer I/II scalefactor table, generated: entry idx = 2^(1-idx/3)
+    * for idx in [0, 62] (63 is reserved). */
+  private[operators] def scalefactorL12(idx: Int): Double =
+    math.pow(2.0, 1.0 - idx / 3.0)
+
+  /** 32-point synthesis matrixing kernel cos((2j+1)(2k+1)*pi/128) —
+    * the orthogonal core of the ISO filterbank (kernel * kernel =
+    * 16*I, pinned in spec), so analysis at gain 1/16 inverts it
+    * exactly. */
+  private[operators] val SynthCos: Array[Array[Double]] =
+    Array.tabulate(32, 32)((j, k) =>
+      math.cos((2 * j + 1) * (2 * k + 1) * math.Pi / 128))
+
+  /** One granule of 32 subband samples -> 32 PCM samples. */
+  private[operators] def synthGranule(s: Array[Double]): Array[Double] = {
+    val out = new Array[Double](32)
+    var j = 0
+    while (j < 32) {
+      var acc = 0.0
+      var k = 0
+      while (k < 32) { acc += SynthCos(j)(k) * s(k); k += 1 }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  /** MSB-first bounded bit reader; overruns latch `ok = false`. */
+  private final class BitReader(b: Array[Byte], startBit: Long,
+      val endBit: Long) {
+    private var pos = startBit
+    var ok = true
+    def read(n: Int): Int = {
+      if (pos + n > endBit) { ok = false; return 0 }
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byte = (pos >> 3).toInt
+        val bit = 7 - (pos & 7).toInt
+        v = (v << 1) | ((b(byte) >> bit) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Full Layer I content decode: walks every frame, dequantizes the
+    * subband samples exactly per spec, synthesizes PCM (see the
+    * section comment for the documented rectangular-prototype scope),
+    * and returns (channels, sample_rate, samples per channel, mean
+    * |16-bit amplitude|) in [[Multimodal.decodeWav]]'s stat
+    * convention. None — degrade to the metadata walk — unless the
+    * payload is a consistent all-Layer-I stream in single/stereo/dual
+    * mode (joint-stereo intensity bound handling is out of scope) with
+    * every frame's data fitting its declared length. */
+  def decodeLayer1(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var pos = skipId3v2(b)
+    val scanEnd = math.min(b.length, pos + 4096)
+    var first: Option[Header] = None
+    while (first.isEmpty && pos < scanEnd) {
+      first = parseHeader(b, pos).filter(h => pos + h.frameBytes <= b.length)
+      if (first.isEmpty) pos += 1
+    }
+    val h0 = first.getOrElse(return None)
+    if (h0.layer != 1 || h0.mode == 1) return None
+    var frames = 0L
+    var absSum = 0L
+    var nOut = 0L
+    var cur: Option[Header] = first
+    while (cur.isDefined) {
+      val h = cur.get
+      if (h.version != h0.version || h.layer != h0.layer ||
+        h.sampleRate != h0.sampleRate || h.channels != h0.channels ||
+        h.mode == 1) return None
+      val nch = h.channels
+      val br = new BitReader(b,
+        (pos + 4 + (if (h.crc) 2 else 0)).toLong * 8,
+        math.min(pos + h.frameBytes, b.length).toLong * 8)
+      val alloc = Array.ofDim[Int](32, nch)
+      for (sb <- 0 until 32; ch <- 0 until nch) {
+        val a = br.read(4)
+        if (a == 15) return None // forbidden allocation
+        alloc(sb)(ch) = a
+      }
+      val scf = Array.ofDim[Double](32, nch)
+      for (sb <- 0 until 32; ch <- 0 until nch; if alloc(sb)(ch) != 0) {
+        val idx = br.read(6)
+        if (idx == 63) return None // reserved scalefactor
+        scf(sb)(ch) = scalefactorL12(idx)
+      }
+      val gran = Array.ofDim[Double](nch, 32)
+      for (s <- 0 until 12) {
+        for (ch <- 0 until nch) java.util.Arrays.fill(gran(ch), 0.0)
+        for (sb <- 0 until 32; ch <- 0 until nch; if alloc(sb)(ch) != 0) {
+          val nb = alloc(sb)(ch) + 1
+          gran(ch)(sb) = scf(sb)(ch) * dequantL1(br.read(nb), nb)
+        }
+        if (!br.ok) return None // frame data overran its declared length
+        for (ch <- 0 until nch) {
+          val x = synthGranule(gran(ch))
+          var j = 0
+          while (j < 32) {
+            val v = math.max(-32768L, math.min(32767L,
+              math.round(x(j) * 32767.0)))
+            absSum += math.abs(v)
+            nOut += 1
+            j += 1
+          }
+        }
+      }
+      frames += 1
+      pos += h.frameBytes
+      cur = parseHeader(b, pos)
+      if (cur.exists(h2 => pos + h2.frameBytes > b.length)) cur = None
+    }
+    if (frames == 0) None
+    else Some((h0.channels.toLong, h0.sampleRate.toLong,
+      frames * 384L, if (nOut == 0) 0L else Math.floorDiv(absSum, nOut)))
   }
 }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * ADPCM inside the WAV container (4 bits/sample adaptive
   * differential coding, format tag 0x11) — plus ITU-T G.711 µ-law and
   * A-law WAV (format tags 7/6), expanded by the published formulas.
-  * MP3 payloads get a REAL frame-header walk ([[Mp3Codec]]: exact
+  * MPEG-audio Layer I payloads get a REAL content decode
+  * ([[Mp3Codec.decodeLayer1]] — the one MPEG layer whose bitstream is
+  * entirely formulaic, zero transcribed tables). Layer II/III MP3
+  * payloads get a REAL frame-header walk ([[Mp3Codec]]: exact
   * channels / sample rate / per-channel sample count from the frame
   * sequence), MP4/M4A/MOV a REAL ISO-BMFF box walk ([[Mp4Codec]]:
   * exact dimensions / duration / audio shape from the moov tree), and
@@ -30,9 +33,9 @@ import org.apache.spark.sql.functions._
   * channels + rate from the id header, samples from granule
   * positions) — but their content statistics stay stub-derived with
   * `decoded=false`: the payloads are H.264/AAC/Opus/MDCT bitstreams,
-  * and full Layer III PCM decode needs spec tables (huffman B.7,
-  * synthesis window B.3) that cannot be reproduced from memory with
-  * confidence. Codecs the JVM genuinely lacks
+  * and their decode tables (Layer II allocation B.2, Layer III
+  * huffman B.7, synthesis window B.3) cannot be reproduced from
+  * memory with confidence. Codecs the JVM genuinely lacks
   * fall back to `decodeStub` —
   * deterministic fake features from the payload md5, clearly flagged
   * `decoded=false`. The schema, partitioning, batch iteration and
@@ -337,15 +340,23 @@ object Multimodal {
                   decoded = true)
               }
             case "mp3" =>
-              // header-walked REAL metadata (exact channels / rate /
-              // per-channel sample count from the frame sequence), but
-              // decoded stays false: content stats are stub-derived
-              // until a full Layer III PCM decode exists (see Mp3Codec
-              // scaladoc for why the huffman/window tables block that)
-              Mp3Codec.walkFrames(m.bytes).map { case (c, rate, ns) =>
-                val (f0, _, _, _) = decodeStub(m.bytes)
-                MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns,
-                  f0, decoded = false)
+              // Layer I: REAL content decode (subband-exact, zero
+              // transcribed tables; synthesis scope documented in
+              // Mp3Codec). Layer II/III: header-walked REAL metadata
+              // (exact channels / rate / per-channel sample count),
+              // decoded=false — content stats stay stub-derived until
+              // a verified source for their huffman/allocation/window
+              // tables exists (Mp3Codec scaladoc)
+              Mp3Codec.decodeLayer1(m.bytes).map {
+                case (c, rate, ns, mean) =>
+                  MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns,
+                    mean, decoded = true)
+              }.orElse {
+                Mp3Codec.walkFrames(m.bytes).map { case (c, rate, ns) =>
+                  val (f0, _, _, _) = decodeStub(m.bytes)
+                  MediaDecoded(m.media_id, m.kind, n, 0L, 0L, c, rate, ns,
+                    f0, decoded = false)
+                }
               }
             case "mp4" | "m4a" | "mov" =>
               // ISO-BMFF box walk: REAL dimensions / duration / audio

@@ -252,6 +252,185 @@ class AdpcmMp3Spec extends AnyFunSuite {
     assert(ah.length == payloads.length)
   }
 
+  // ---- in-test MPEG-1 Layer I encoder ----
+  // Analysis is the decoder's own orthogonal matrixing kernel at gain
+  // 1/16 (orthogonality pinned below), then spec quantization onto
+  // the (2^nb - 1)-step grid with per-subband scalefactors — a fully
+  // legal Layer I bitstream whose exact reconstruction is replayed
+  // through the product's dequant/synthesis primitives, the
+  // AdpcmCodec validation protocol.
+
+  private class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def padToBytes(total: Int): Unit = {
+      if (nBits > 0) { buf += (cur << (8 - nBits)).toByte; cur = 0; nBits = 0 }
+      while (buf.length < total) buf += 0
+    }
+    def toArray: Array[Byte] = buf.toArray
+  }
+
+  /** Encode per-channel PCM (doubles in [-1,1), length a multiple of
+    * 384) as MPEG-1 Layer I @ 32 kHz / 448 kbps with a uniform
+    * allocation in every subband. Returns (bytes, expected decoder
+    * stats (nSamplesPerChannel, mean |16-bit amplitude|) replayed
+    * through the product primitives). */
+  private def encodeLayer1(pcm: Array[Array[Double]], alloc: Int)
+      : (Array[Byte], (Long, Long)) = {
+    val nch = pcm.length
+    val nb = alloc + 1
+    require(pcm.forall(_.length == pcm(0).length))
+    require(pcm(0).length % 384 == 0)
+    val nFrames = pcm(0).length / 384
+    val frameBytes = (12 * 448000 / 32000) * 4 // 672
+    val q = math.pow(2.0, 1 - nb)
+    val steps = (1 << nb) - 1
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    var absSum = 0L
+    var nOut = 0L
+    for (f <- 0 until nFrames) {
+      val w = new BitWriter
+      w.write(0xFF, 8); w.write(0xFF, 8) // sync+V1+L1+no-CRC
+      w.write(14, 4); w.write(2, 2); w.write(0, 2) // 448k, 32kHz, no pad
+      w.write(if (nch == 1) 3 else 0, 2); w.write(0, 6) // mode + rest
+      // analysis: 12 granules x 32 subbands per channel
+      val sub = Array.tabulate(nch, 12, 32) { (ch, g, k) =>
+        var acc = 0.0
+        var j = 0
+        while (j < 32) {
+          acc += pcm(ch)(f * 384 + g * 32 + j) * Mp3Codec.SynthCos(j)(k)
+          j += 1
+        }
+        acc / 16.0
+      }
+      val scfIdx = Array.tabulate(32, nch) { (sb, ch) =>
+        val mx = (0 until 12).map(g => math.abs(sub(ch)(g)(sb))).max
+        if (mx == 0.0) 62
+        else (0 to 62).filter(i => Mp3Codec.scalefactorL12(i) >= mx).max
+      }
+      def quantize(v: Double, scf: Double): Int = {
+        val t = v / scf // in [-1, 1]
+        val code = math.round(
+          ((t * steps / (1 << nb)) + 1 - q) / q).toInt
+        math.max(0, math.min(steps - 1, code))
+      }
+      for (sb <- 0 until 32; ch <- 0 until nch) w.write(alloc, 4)
+      for (sb <- 0 until 32; ch <- 0 until nch) w.write(scfIdx(sb)(ch), 6)
+      val codes = Array.ofDim[Int](nch, 12, 32)
+      for (s <- 0 until 12; sb <- 0 until 32; ch <- 0 until nch) {
+        codes(ch)(s)(sb) = quantize(sub(ch)(s)(sb),
+          Mp3Codec.scalefactorL12(scfIdx(sb)(ch)))
+        w.write(codes(ch)(s)(sb), nb)
+      }
+      w.padToBytes(frameBytes)
+      out ++= w.toArray
+      // expected reconstruction through the PRODUCT primitives
+      for (s <- 0 until 12; ch <- 0 until nch) {
+        val g = Array.tabulate(32)(sb =>
+          Mp3Codec.scalefactorL12(scfIdx(sb)(ch)) *
+            Mp3Codec.dequantL1(codes(ch)(s)(sb), nb))
+        for (x <- Mp3Codec.synthGranule(g)) {
+          val v = math.max(-32768L, math.min(32767L,
+            math.round(x * 32767.0)))
+          absSum += math.abs(v)
+          nOut += 1
+        }
+      }
+    }
+    (out.toArray, (nFrames * 384L,
+      if (nOut == 0) 0L else Math.floorDiv(absSum, nOut)))
+  }
+
+  test("layer I dequantization grid and scalefactor table are the spec's") {
+    // nb=2: the 3-step grid {-2/3, 0, +2/3}; all-ones code is off-grid
+    assert(math.abs(Mp3Codec.dequantL1(0, 2) + 2.0 / 3) < 1e-12)
+    assert(math.abs(Mp3Codec.dequantL1(1, 2)) < 1e-12)
+    assert(math.abs(Mp3Codec.dequantL1(2, 2) - 2.0 / 3) < 1e-12)
+    // grid is symmetric midrise and strictly inside (-1, 1) for all nb
+    for (nb <- 2 to 15) {
+      val lo = Mp3Codec.dequantL1(0, nb)
+      val hi = Mp3Codec.dequantL1((1 << nb) - 2, nb)
+      assert(math.abs(lo + hi) < 1e-12, s"nb=$nb grid not symmetric")
+      assert(hi < 1.0 && lo > -1.0)
+    }
+    assert(Mp3Codec.scalefactorL12(0) == 2.0)
+    assert(math.abs(Mp3Codec.scalefactorL12(3) - 1.0) < 1e-12)
+    assert(Mp3Codec.scalefactorL12(62) < 1e-5)
+  }
+
+  test("layer I synthesis kernel is orthogonal (kernel x kernel = 16I)") {
+    for (a <- 0 until 32; b <- 0 until 32) {
+      var acc = 0.0
+      for (k <- 0 until 32) acc += Mp3Codec.SynthCos(a)(k) * Mp3Codec.SynthCos(b)(k)
+      assert(math.abs(acc - (if (a == b) 16.0 else 0.0)) < 1e-9,
+        s"kernel not orthogonal at ($a, $b): $acc")
+    }
+  }
+
+  test("layer I mono round-trip: decoder matches the exact replayed reconstruction and tracks the source") {
+    val n = 3 * 384
+    val pcm = Array(Array.tabulate(n)(i =>
+      0.5 * math.sin(2 * math.Pi * i / 49.0)))
+    val (bytes, (expN, expMean)) = encodeLayer1(pcm, alloc = 12) // nb=13
+    assert(Mp3Codec.decodeLayer1(bytes)
+      .contains((1L, 32000L, expN, expMean)))
+    // and the reconstruction tracks the SOURCE, not just itself:
+    // nb=13 quantization error is far under 16-bit resolution x32
+    val srcMean = Math.floorDiv(
+      pcm(0).map(x => math.abs(math.round(x * 32767.0))).sum, n.toLong)
+    assert(math.abs(expMean - srcMean) <= 150,
+      s"decoded mean $expMean drifted from source $srcMean")
+  }
+
+  test("layer I stereo round-trip with distinct channels") {
+    val n = 2 * 384
+    val pcm = Array(
+      Array.tabulate(n)(i => 0.7 * math.sin(2 * math.Pi * i / 31.0)),
+      Array.tabulate(n)(i => 0.2 * math.sin(2 * math.Pi * i / 97.0)))
+    val (bytes, (expN, expMean)) = encodeLayer1(pcm, alloc = 5) // nb=6
+    assert(Mp3Codec.decodeLayer1(bytes)
+      .contains((2L, 32000L, expN, expMean)))
+  }
+
+  test("layer I decode degrades honestly: joint stereo, bad alloc, short frame") {
+    // joint stereo (mode 01): intensity bound handling out of scope
+    val (mono, _) = encodeLayer1(
+      Array(Array.fill(384)(0.1)), alloc = 12)
+    val joint = mono.clone()
+    joint(3) = 0x40.toByte // mode 01
+    assert(Mp3Codec.decodeLayer1(joint).isEmpty)
+    assert(Mp3Codec.walkFrames(joint).isDefined, "metadata walk still works")
+    // forbidden allocation 15 in the first subband
+    val badAlloc = mono.clone()
+    badAlloc(4) = (badAlloc(4) | 0xF0).toByte
+    assert(Mp3Codec.decodeLayer1(badAlloc).isEmpty)
+    // Layer III streams never reach the Layer I decoder
+    val l3 = (1 to 3).flatMap(_ => mp3Frame(V1L3Stereo, 417)).toArray
+    assert(Mp3Codec.decodeLayer1(l3).isEmpty)
+  }
+
+  test("decodeMedia mp3 layer I: decoded=true with real content stats") {
+    import spark.implicits._
+    val pcm = Array(Array.tabulate(2 * 384)(i =>
+      0.4 * math.sin(2 * math.Pi * i / 40.0)))
+    val (bytes, (expN, expMean)) = encodeLayer1(pcm, alloc = 12)
+    val media = Seq(Multimodal.MediaRow(1L, "mp3", bytes)).toDS()
+    val d = Multimodal.decodeMedia(media).collect().head
+    assert(d.decoded, "layer I content decode must set decoded=true")
+    assert(d.channels == 1L && d.sample_rate == 32000L &&
+      d.n_samples == expN && d.mean_value == expMean)
+  }
+
   test("decodeMedia mp3: real header metadata, content honestly stubbed") {
     import spark.implicits._
     val b = (1 to 4).flatMap(_ => mp3Frame(V1L3Stereo, 417)).toArray
