@@ -1715,6 +1715,20 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: q83's decontamination behind a Bloom
+    // prefilter — bench grams collapse to one ~MB Bloom row, the
+    // corpus gram stream prunes map-side, the exact join decides
+    // (sketch prunes / exact decides); same bench split, same oracle
+    // as q83, so path equality is hash-proven
+    "q130_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000).as("bid"), col("text"))
+      TextAnalysis.decontaminateBloom(docs, col("doc_id"), col("text"),
+          bench, col("bid"), col("text"), n = 3, minOverlapFrac = 0.5)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
     // training-data ops: batched BPE training — top-64-window
     // symbol-disjoint batch accept, 2 rounds (a 32k vocab at 1
     // merge/round is hours of driver round-trips; batching is how a
@@ -3286,6 +3300,28 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q83_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |bsh AS (SELECT doc_id + 1000000 AS bench_id, s FROM sh
+        |  WHERE doc_id % 97 = 0),
+        |bn AS (SELECT bench_id, COUNT(*) AS n_bench_sh FROM bsh GROUP BY 1),
+        |ov AS (SELECT c.doc_id AS corpus_id, b.bench_id, COUNT(*) AS n_overlap
+        |  FROM sh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
+        |SELECT bench_id, corpus_id, n_overlap, n_bench_sh,
+        |  n_overlap / n_bench_sh AS overlap_frac
+        |FROM ov JOIN bn USING (bench_id)
+        |WHERE n_overlap / n_bench_sh >= 0.5
+        |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    // q130 is q83 behind the Bloom prefilter: the sketch only prunes,
+    // the exact join decides, so the oracle is the same SQL — the
+    // hash match IS the proof the prefilter loses nothing
+    "q130_bloom_decontaminate" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
         |  FROM documents),

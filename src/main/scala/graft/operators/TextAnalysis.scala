@@ -169,6 +169,65 @@ object TextAnalysis {
       .filter(col("overlap_frac") >= minOverlapFrac)
   }
 
+  /** [[decontaminate]] behind a Bloom prefilter — the 100 TB step-up
+    * for a LARGE benchmark/holdout side. Plain decontaminate
+    * broadcasts the raw bench gram frame (correct while benchmarks
+    * are tiny); a large holdout's gram set may not fit raw, but its
+    * Bloom summary always does (numBits/8 bytes at the chosen
+    * capacity — ~1.2 MB per million grams at the default sizing).
+    *
+    * Pass 1 collapses the bench gram set into ONE binary Bloom row
+    * (Spark's own `BloomFilterAggregate`, the runtime-join-filter
+    * machinery driven explicitly; the single bounded row is collected
+    * and embedded as a literal, the same 1-row-summary collect shape
+    * as the BPE argmax — `BloomFilterMightContain` requires a
+    * constant filter side). The corpus gram stream is then pruned
+    * MAP-SIDE by `might_contain` inside the scan projection, so the
+    * exact join's corpus side shrinks from every gram to true hits
+    * plus the fpp's false positives. Pass 2 is decontaminate's exact
+    * gram equi-join over the survivors — false positives die there,
+    * so the OUTPUT is exactly [[decontaminate]]'s (the sketch prunes,
+    * the exact join decides: the heavy-hitters discipline). Neither
+    * the exact join nor the sizes join carries a broadcast hint here:
+    * the large-bench regime is the operator's reason to exist, so
+    * Catalyst's stats pick the join strategy. xxhash64 feeds the
+    * filter on both sides and never reaches the output, so oracle
+    * portability is untouched (q130 shares q83's oracle SQL).
+    *
+    * Output: (bench_id, corpus_id, n_overlap, n_bench_sh,
+    * overlap_frac) — identical to [[decontaminate]]. */
+  def decontaminateBloom(corpus: DataFrame, corpusId: Column,
+      corpusText: Column, bench: DataFrame, benchId: Column,
+      benchText: Column, n: Int = 3, minOverlapFrac: Double = 0.5,
+      expectedGrams: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val c = Dedup.explodedShingles(corpus, corpusId, corpusText, n, none)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val b = Dedup.explodedShingles(bench, benchId, benchText, n, none)
+      .withColumnRenamed("doc_id", "bench_id")
+    val bloomBytes = b.select(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("s"))), expectedGrams)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = c.filter(ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        ColumnBridge.expression(xxhash64(col("s"))))))
+    val bSizes = b.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    pruned.join(b, Seq("s"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(bSizes, Seq("bench_id"))
+      .withColumn("overlap_frac", col("n_overlap") / col("n_bench_sh"))
+      .filter(col("overlap_frac") >= minOverlapFrac)
+  }
+
   /** N-gram novelty against a reference corpus — the continuous
     * memorization/staleness statistic (the per-doc generalization of
     * [[decontaminate]]'s boolean flag): what fraction of a document's

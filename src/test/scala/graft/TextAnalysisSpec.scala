@@ -66,6 +66,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == Set((1L, 100L, 3L, 1.0), (2L, 100L, 2L, 2.0 / 3.0)))
   }
 
+  test("decontaminateBloom: bloom prunes map-side, exact join decides — equal to decontaminate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox sat still"),
+      (3L, "completely different words entirely here now"),
+      (4L, "spark shuffles wide tables across many executors tonight")
+    ).toDF("id", "t")
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("bid", "bt")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_overlap"), r.getAs[Long]("n_bench_sh"),
+        r.getAs[Double]("overlap_frac"))).toSet
+    val exact = rows(TextAnalysis.decontaminate(corpus, col("id"),
+      col("t"), bench, col("bid"), col("bt"), n = 3, minOverlapFrac = 0.5))
+    val bloom = TextAnalysis.decontaminateBloom(corpus, col("id"),
+      col("t"), bench, col("bid"), col("bt"), n = 3, minOverlapFrac = 0.5)
+    assert(rows(bloom) == exact)
+    // the prefilter is IN the plan, map-side, before the gram join
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    // an undersized bloom (capacity 1 for ~dozens of grams -> high
+    // fpp) must change NOTHING: the sketch prunes, the exact join
+    // decides
+    val tiny = rows(TextAnalysis.decontaminateBloom(corpus, col("id"),
+      col("t"), bench, col("bid"), col("bt"), n = 3, minOverlapFrac = 0.5,
+      expectedGrams = 1L))
+    assert(tiny == exact)
+  }
+
   test("repetitionStats: dup lines and top-bigram concentration gate") {
     import spark.implicits._
     val df = Seq(
