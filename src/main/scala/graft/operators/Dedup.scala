@@ -418,9 +418,14 @@ object Dedup {
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1)
     import org.apache.spark.sql.graft.ColumnBridge
-    df.select(id.as("doc_id"),
-      explode(ColumnBridge.column(graft.functions.WinnowFpExpr(
-        ColumnBridge.expression(lower(text)), k, w))).as("mh"))
+    // fanOut: the per-gram md5 work is the operator's whole cost, and
+    // an unsplittable bench-scale file would run it as ONE task; at
+    // cluster scale (scan splits >= cores) this is a designed no-op
+    // and the operator stays map-only
+    graft.sources.Tables.fanOut(df.select(id.as("doc_id"), text.as("t")))
+      .select(col("doc_id"),
+        explode(ColumnBridge.column(graft.functions.WinnowFpExpr(
+          ColumnBridge.expression(lower(col("t"))), k, w))).as("mh"))
   }
 
   /** Document pairs sharing at least `minShared` winnowing

@@ -375,6 +375,104 @@ object Streaming {
         OutputMode.Append())
   }
 
+  // -- element-count early firing (assume-role correlation) --------------
+
+  /** One AssumeRole half on the wire (the streaming row shape of
+    * [[graft.operators.AuthState.assumeRoleCorrelate]]'s inputs). */
+  case class CorrEvent(key: String, tsUs: Long, dk: String,
+      fixup: Boolean, cross: Boolean, user: String)
+  /** An emitted correlation: the trusting half's timestamp with the
+    * trusted side's subject user (the batch operator's output row). */
+  case class CorrPair(key: String, tsMs: Long, fixedUser: String)
+
+  /** Cross-account AssumeRole correlation with TRUE element-count
+    * early firing — the reference's
+    * `AfterPane.elementCountAtLeast(2)` trigger (ref
+    * s/authprofile/AwsAssumeRoleCorrelator.java:47-59), which classic
+    * Spark windowed aggregation cannot express (SURVEY §7(c)): a
+    * session-window aggregate only emits on watermark close, and the
+    * prior approximation here was a short processing-time trigger.
+    * `transformWithState` CAN express it: state is a per-shared-id
+    * buffer of halves seen so far, and a pair is emitted IN THE SAME
+    * MICRO-BATCH the completing half arrives — exactly "fire as soon
+    * as the pane holds 2 elements", with no watermark involved and no
+    * polling. StreamingSpec pins both the early firing (pair emitted
+    * in the arrival batch of the second half) and batch-equivalence
+    * of the emitted pair set.
+    *
+    * Dedupe discipline: the reference keeps the FIRST-ARRIVED event
+    * per (shared id, event id) — late re-deliveries must not shift or
+    * re-fire the pairing (awscorr4) — so a row whose dedupe key is
+    * already buffered is dropped on arrival. Within one micro-batch
+    * (no arrival order exists) rows process in (tsUs, dk) order for
+    * determinism, matching the batch operator's earliest-wins pick.
+    * Each pair fires exactly once: new-vs-stored only — stored pairs
+    * already fired in their own arrival batch.
+    *
+    * The per-key buffer holds one row per distinct CloudTrail event
+    * id inside one correlation window (2-4 rows in practice); TTL
+    * evicts idle shared ids. */
+  class AssumeRoleProcessor(gapUs: Long, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CorrEvent, CorrPair] {
+    @transient private var halves:
+      org.apache.spark.sql.streaming.ListState[CorrEvent] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      halves = getHandle.getListState[CorrEvent]("halves",
+        org.apache.spark.sql.Encoders.product[CorrEvent], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[CorrEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CorrPair] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[CorrEvent]
+      val it = halves.get()
+      while (it.hasNext) stored += it.next()
+      val out = Seq.newBuilder[CorrPair]
+      rows.toSeq.sortBy(e => (e.tsUs, e.dk)).foreach { e =>
+        if (!stored.exists(_.dk == e.dk)) { // first arrival wins
+          if (e.fixup) { // trusting half completes against trusteds
+            stored.iterator
+              .filter(s => !s.fixup && s.cross &&
+                math.abs(e.tsUs - s.tsUs) <= gapUs)
+              .foreach(s => out += CorrPair(key, e.tsUs / 1000, s.user))
+          } else if (e.cross) { // trusted half completes against trustings
+            stored.iterator
+              .filter(t => t.fixup && math.abs(e.tsUs - t.tsUs) <= gapUs)
+              .foreach(t => out += CorrPair(key, t.tsUs / 1000, e.user))
+          }
+          stored += e
+          halves.appendValue(e)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[AssumeRoleProcessor]] behind the standard wrapper (see
+    * suppressTws for the TTL/TimeMode coupling). */
+  def assumeRoleCorrelateTws(ds: Dataset[CorrEvent], gapSeconds: Long,
+      stateTtlSeconds: Long = 0): Dataset[CorrPair] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new AssumeRoleProcessor(gapSeconds * 1000000L,
+          stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
+  }
+
   /** Streaming near-duplicate pair detection — the stream-stream
     * SELF-JOIN form of the batch `Dedup.simhashPairs`: each arriving
     * document is simhashed row-locally (`util.SimHash`, the pure

@@ -504,7 +504,11 @@ class PlanAuditSpec extends AnyFunSuite {
       k = 16, w = 8)
     val pfp = plan(fp)
     assert(!pfp.contains("Window"), s"fingerprints must not use Window:\n$pfp")
-    assert(!pfp.contains("Exchange"), s"fingerprints must be map-only:\n$pfp")
+    // the only allowed exchange is the bench-scale fanOut round-robin
+    // (a designed no-op at cluster scale) — never a hash exchange,
+    // which would mean keyed redistribution of text or gram rows
+    assert(!pfp.contains("Exchange hashpartitioning"),
+      s"fingerprints must not hash-shuffle:\n$pfp")
     assert(pfp.contains("winnow_fp"), s"native expression missing:\n$pfp")
     // the full q99 sweep: the ONLY shuffles are the pair join on the
     // 8-byte fingerprint and its pair aggregate — text never shuffles

@@ -65,6 +65,89 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("assume-role correlation fires on element count, not watermark — and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.CorrEvent]
+    val q = Streaming.assumeRoleCorrelateTws(in.toDS(), gapSeconds = 120)
+      .writeStream.format("memory").queryName("corr_tws")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("corr_tws")
+      .as[(String, Long, String)].collect().toSet
+    try {
+      // batch 1: only the trusted half of e1 — nothing can fire
+      in.addData(Streaming.CorrEvent("e1", 1000000L, "dkT", fixup = false,
+        cross = true, user = "alice"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "half a pair must not fire")
+      // batch 2: the trusting half arrives — the pair fires IN THIS
+      // BATCH (element count 2), with no watermark on the query at all
+      in.addData(Streaming.CorrEvent("e1", 3000000L, "dkF", fixup = true,
+        cross = false, user = "ignored"))
+      q.processAllAvailable()
+      assert(rows() == Set(("e1", 3000L, "alice")), "second half must fire immediately")
+      // batch 3: re-delivery of the trusting half (same dedupe key,
+      // shifted ts) must neither re-fire nor shift the pairing
+      in.addData(Streaming.CorrEvent("e1", 9000000L, "dkF", fixup = true,
+        cross = false, user = "ignored"))
+      q.processAllAvailable()
+      assert(rows() == Set(("e1", 3000L, "alice")), "re-delivery must not re-fire")
+      // batch 4: both halves of e2 in ONE batch (either order) fire
+      // together; out-of-gap e3 never fires; non-cross trusted of e4
+      // never pairs
+      in.addData(
+        Streaming.CorrEvent("e2", 10000000L, "t2", fixup = true,
+          cross = false, user = "x"),
+        Streaming.CorrEvent("e2", 9000000L, "d2", fixup = false,
+          cross = true, user = "bob"),
+        Streaming.CorrEvent("e3", 0L, "t3", fixup = true,
+          cross = false, user = "x"),
+        Streaming.CorrEvent("e3", 500000000L, "d3", fixup = false,
+          cross = true, user = "carol"),
+        Streaming.CorrEvent("e4", 0L, "t4", fixup = true,
+          cross = false, user = "x"),
+        Streaming.CorrEvent("e4", 1000000L, "d4", fixup = false,
+          cross = false, user = "dave"))
+      q.processAllAvailable()
+      assert(rows() == Set(("e1", 3000L, "alice"), ("e2", 10000L, "bob")))
+      // batch-equivalence: the batch operator on the same (in-order)
+      // rows emits the same pair set
+      val batchIn = Seq(
+        ("e1", 1000000L, "dkT", false, true, "alice"),
+        ("e1", 3000000L, "dkF", true, false, "ignored"),
+        ("e2", 10000000L, "t2", true, false, "x"),
+        ("e2", 9000000L, "d2", false, true, "bob"),
+        ("e3", 0L, "t3", true, false, "x"),
+        ("e3", 500000000L, "d3", false, true, "carol"),
+        ("e4", 0L, "t4", true, false, "x"),
+        ("e4", 1000000L, "d4", false, false, "dave"))
+        .toDF("sid", "ts_us", "dk", "fixup", "cross", "user")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.col("ts_us")))
+      val batch = graft.operators.AuthState.assumeRoleCorrelate(batchIn,
+        org.apache.spark.sql.functions.col("sid"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("dk"),
+        org.apache.spark.sql.functions.col("fixup"),
+        org.apache.spark.sql.functions.col("cross"),
+        org.apache.spark.sql.functions.col("user"), gapSeconds = 120)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(batch == rows(), "streaming early-fire set == batch set")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream near-dup self-join finds close duplicates within the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
