@@ -1724,8 +1724,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 1000000).as("bid"), col("text"))
+      // capacity sized to the 1-in-97 bench split (~100k grams at
+      // sf0.1): the default 4M capacity costs a 4.8 MB buffer PER
+      // partial-agg task for no fpp benefit at this bench size
       TextAnalysis.decontaminateBloom(docs, col("doc_id"), col("text"),
-          bench, col("bid"), col("text"), n = 3, minOverlapFrac = 0.5)
+          bench, col("bid"), col("text"), n = 3, minOverlapFrac = 0.5,
+          expectedGrams = 300000L)
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
