@@ -1715,6 +1715,17 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: budgeted selection — "keep the best docs
+    // until the token budget is spent" via histogram inversion (one
+    // score-class aggregate decides every class wholesale; only the
+    // boundary class pays a within-class cumsum), never a global sort
+    "q131_budget_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.budgetSelect(d, col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))), budget = 60000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: q83's decontamination behind a Bloom
     // prefilter — bench grams collapse to one ~MB Bloom row, the
     // corpus gram stream prunes map-side, the exact join decides
@@ -3321,6 +3332,20 @@ object SparkEntry {
         |FROM ov JOIN bn USING (bench_id)
         |WHERE n_overlap / n_bench_sh >= 0.5
         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q131_budget_select" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) q_score,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS BIGINT) n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, q_score, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY q_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM b)
+        |SELECT doc_id, q_score, n_tokens,
+        |  before + n_tokens <= 60000 AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // q130 is q83 behind the Bloom prefilter: the sketch only prunes,
     // the exact join decides, so the oracle is the same SQL — the

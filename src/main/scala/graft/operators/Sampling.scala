@@ -294,4 +294,67 @@ object Sampling {
       .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
         col("col.vecId").as("doc_id"))
   }
+
+  /** Budgeted selection by quality score — "keep the best documents
+    * until the token budget is spent", the final assembly step after
+    * scoring (DSIR/LLR/heuristic quality all emit integer scores).
+    * The greedy contract: walk docs in (q_score desc, doc_id asc)
+    * order, select while the running token total stays within
+    * `budget`.
+    *
+    * Scale shape: HISTOGRAM INVERSION, not a global sort. One hash
+    * aggregate collapses the corpus to (q_score, class token mass) —
+    * bounded by |distinct scores|, never corpus size — and a suffix
+    * cumsum over that tiny frame decides every score class wholesale:
+    * classes whose mass fits entirely are selected map-side, classes
+    * below the threshold are rejected map-side, and ONLY the single
+    * boundary class (the one the budget line crosses) pays a
+    * doc_id-ordered within-class cumsum — an exchange carrying just
+    * that class. The classic top-k-by-sort formulation range-sorts
+    * the whole corpus for the same answer. A degenerate corpus where
+    * most docs share one score makes the boundary class large —
+    * pre-quantize the score if that ever matters.
+    *
+    * Output: one row per doc — (doc_id, q_score, n_tokens, selected).
+    * Deterministic: the order key is (q_score, doc_id), both exact
+    * integers. */
+  def budgetSelect(df: DataFrame, id: Column, score: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val base = df.select(id.as("doc_id"),
+      score.cast("long").as("q_score"),
+      tokens.cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // |distinct scores| rows: mass strictly above each class
+    val classes = base.groupBy(col("q_score"))
+      .agg(sum(col("n_tokens")).as("class_tok"))
+      .withColumn("mass_above", coalesce(sum(col("class_tok")).over(w),
+        lit(0L)))
+    val marked = base.join(broadcast(classes), Seq("q_score"))
+    val fullIn = marked
+      .filter(col("mass_above") + col("class_tok") <= budget)
+      .withColumn("selected", lit(true))
+    // strictly-over classes only: a class starting EXACTLY at the
+    // budget line still goes through the boundary cumsum, so a
+    // zero-token doc there matches the prefix contract (before + 0
+    // <= budget) instead of being rejected wholesale
+    val out = marked.filter(col("mass_above") > budget)
+      .withColumn("selected", lit(false))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_score")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val boundary = marked
+      .filter(col("mass_above") <= budget &&
+        col("mass_above") + col("class_tok") > budget)
+      .withColumn("before",
+        col("mass_above") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
+      .withColumn("selected", col("before") + col("n_tokens") <= budget)
+    fullIn.unionByName(out).unionByName(boundary.drop("before"))
+      .select(col("doc_id"), col("q_score"), col("n_tokens"),
+        col("selected"))
+  }
 }

@@ -337,4 +337,47 @@ class SamplingSpec extends AnyFunSuite {
     val wSum = out.values.map(_.getAs[Long]("weight_ppm")).sum
     assert(wSum > 1000000L - 3 && wSum <= 1000000L)
   }
+
+  test("budgetSelect: greedy (score desc, id asc) prefix under the budget, boundary class split exactly") {
+    import spark.implicits._
+    // classes: score 9 -> docs 1,2 (10+10 tok); score 5 -> docs
+    // 3,4,5 (10 each); score 1 -> doc 6 (10). budget 45 takes all of
+    // class 9 (20), then docs 3,4 of class 5 (40), rejects doc 5
+    // (would hit 50) and the whole class 1
+    val docs = Seq(
+      (1L, 9L, 10L), (2L, 9L, 10L),
+      (3L, 5L, 10L), (4L, 5L, 10L), (5L, 5L, 10L),
+      (6L, 1L, 10L)).toDF("id", "score", "tok")
+    val out = Sampling.budgetSelect(docs, col("id"), col("score"),
+        col("tok"), budget = 45L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("selected")).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false))
+    // prefix-cumsum reference on the full order (the contract is the
+    // maximal PREFIX under budget — a doc that does not fit also
+    // blocks every lower-ranked doc, matching the SQL window form),
+    // for a denser random-ish case
+    val dense = (1L to 60L).map(i => (i, (i * 7) % 13, (i % 5) + 1))
+      .toDF("id", "score", "tok")
+    val got = Sampling.budgetSelect(dense, col("id"), col("score"),
+        col("tok"), budget = 70L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("selected")).toMap
+    var run = 0L
+    val want = (1L to 60L).map(i => (i, (i * 7) % 13, (i % 5) + 1))
+      .sortBy { case (i, s, _) => (-s, i) }
+      .map { case (i, _, t) =>
+        val sel = run + t <= 70L
+        run += t
+        i -> sel
+      }.toMap
+    assert(got == want)
+    // scale pin: no corpus-wide range sort — the only per-doc window
+    // partitions by the boundary score class
+    val p = Sampling.budgetSelect(dense, col("id"), col("score"),
+      col("tok"), budget = 70L).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"budgetSelect must not global-sort the corpus:\n$p")
+  }
 }
