@@ -1715,6 +1715,15 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: per-source n-gram diversity (type-token +
+    // top-gram concentration, integer permille) — the mixture
+    // designer's boilerplate detector, two-level LM-stats reduction
+    "q132_ngram_diversity" -> ((s, dir) => {
+      TextAnalysis.ngramDiversity(Tables.documents(s, dir),
+          col("source"), col("text"), n = 2)
+        .orderBy(col("stratum"))
+    }),
+
     // training-data ops: budgeted selection — "keep the best docs
     // until the token budget is spent" via histogram inversion (one
     // score-class aggregate decides every class wholesale; only the
@@ -3332,6 +3341,21 @@ object SparkEntry {
         |FROM ov JOIN bn USING (bench_id)
         |WHERE n_overlap / n_bench_sh >= 0.5
         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q132_ngram_diversity" ->
+      """WITH w AS (SELECT source AS stratum,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+        |  FROM documents),
+        |g AS (SELECT stratum, array_to_string(ws[i:i+1], ' ') AS g
+        |  FROM (SELECT stratum, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) i
+        |    FROM w WHERE len(ws) >= 2)),
+        |pc AS (SELECT stratum, g, COUNT(*) c FROM g GROUP BY 1, 2)
+        |SELECT stratum, CAST(SUM(c) AS BIGINT) n_grams,
+        |  COUNT(*) n_distinct,
+        |  CAST(COUNT(*) * 1000 // SUM(c) AS BIGINT) ttr_permille,
+        |  CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) top_permille
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q131_budget_select" ->
       """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) q_score,

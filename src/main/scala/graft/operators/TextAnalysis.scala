@@ -781,6 +781,46 @@ object TextAnalysis {
         when(col("n_kept") >= 1, col("joined")).as("cleaned_text"))
   }
 
+  /** Corpus n-gram diversity per stratum — the data-card companion to
+    * the per-doc repetition gates ([[repetitionStats]]): lexical
+    * diversity of each SOURCE, the statistic mixture designers read
+    * before up-weighting a source (a low type-token ratio or a fat
+    * top gram means templated/boilerplate content that dedup hasn't
+    * caught yet). Per stratum: total gram occurrences, distinct
+    * grams, type-token ratio in integer permille, and the heaviest
+    * gram's share in permille.
+    *
+    * Scale shape: the canonical two-level LM-stats reduction — one
+    * (stratum, gram)-keyed hash aggregate (map-side combined;
+    * vocabulary-sized shuffle, the [[surprisalScore]] model shape)
+    * collapsed by a stratum-keyed aggregate into |strata| rows.
+    * Integer permilles (count·1000 DIV total) keep the report
+    * engine-portable.
+    *
+    * Output: (stratum, n_grams, n_distinct, ttr_permille,
+    * top_permille). Strata with no grams (every doc shorter than n
+    * tokens) are out of scope — no row. */
+  def ngramDiversity(df: DataFrame, stratum: Column, text: Column,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val ws = tokens(text)
+    val grams = df
+      .select(stratum.as("stratum"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("stratum"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))).as("g"))
+    grams.groupBy(col("stratum"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("stratum"), col("n_grams"), col("n_distinct"),
+        expr("n_distinct * 1000 DIV n_grams").as("ttr_permille"),
+        expr("top_c * 1000 DIV n_grams").as("top_permille"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling" — the published hashed-n-gram method): score every

@@ -419,6 +419,28 @@ class AdpcmMp3Spec extends AnyFunSuite {
     assert(Mp3Codec.decodeLayer1(l3).isEmpty)
   }
 
+  test("layer I bitstream fuzz: corrupted payloads never throw, only degrade") {
+    val (good, _) = encodeLayer1(
+      Array(Array.tabulate(2 * 384)(i => 0.3 * math.sin(i / 9.0))),
+      alloc = 12)
+    val rnd = new scala.util.Random(0xf00d)
+    for (trial <- 0 until 200) {
+      val b = good.clone()
+      // corrupt 1-8 bytes anywhere past the first header
+      for (_ <- 0 to rnd.nextInt(8))
+        b(4 + rnd.nextInt(b.length - 4)) = rnd.nextInt(256).toByte
+      // must not throw; any Some must carry sane stream metadata
+      Mp3Codec.decodeLayer1(b).foreach { case (c, rate, ns, mean) =>
+        assert(c == 1L && rate == 32000L && ns % 384 == 0 && mean >= 0,
+          s"trial $trial produced insane metadata")
+      }
+      Mp3Codec.walkFrames(b) // the metadata walk shares the guarantee
+    }
+    // truncation sweep: every prefix length is safe
+    for (len <- 0 to good.length by 41)
+      Mp3Codec.decodeLayer1(java.util.Arrays.copyOf(good, len))
+  }
+
   test("decodeMedia mp3 layer I: decoded=true with real content stats") {
     import spark.implicits._
     val pcm = Array(Array.tabulate(2 * 384)(i =>

@@ -96,6 +96,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("ngramDiversity: hand-computed per-stratum type-token and top-gram share") {
+    import spark.implicits._
+    val docs = Seq(
+      // stratum A bigrams: "a b","b a","a b" + "a b" -> total 4,
+      // distinct 2 {"a b":3, "b a":1}: ttr 500, top 750
+      ("A", "a b a b"), ("A", "a b"),
+      // stratum B: all distinct bigrams -> ttr 1000, top 333
+      ("B", "x y z w"),
+      // stratum C: single token, no bigrams -> no row
+      ("C", "solo")
+    ).toDF("src", "t")
+    val out = TextAnalysis.ngramDiversity(docs, col("src"), col("t"), n = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A") == (4L, 2L, 500L, 750L))
+    assert(out("B") == (3L, 3L, 1000L, 333L))
+  }
+
   test("repetitionStats: dup lines and top-bigram concentration gate") {
     import spark.implicits._
     val df = Seq(
