@@ -1715,6 +1715,37 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: corpus snapshot diff — per-doc
+    // added/removed/changed/unchanged between two releases; one
+    // full-outer join on doc_id carrying only 32-byte hashes
+    "q133_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val neu = d.filter(col("doc_id") % 13 =!= 0) // removals
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [rev2]"))) // edits
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0) // additions
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      pipelines.CorpusPipeline.corpusDiff(d, col("doc_id"), col("text"),
+          neu, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: Unicode script mix per doc (codepoint-range
+    // arithmetic, never non-ASCII regex classes) with deterministic
+    // CJK/Cyrillic/digit decorations so every family actually counts
+    "q134_script_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" 你好世界机器学习"))
+            .when(col("doc_id") % 5 === 1, lit(" Привет мир"))
+            .when(col("doc_id") % 5 === 2, lit(" 1234567890"))
+            .otherwise(lit(""))).as("t2"))
+      TextAnalysis.scriptMix(d, col("doc_id"), col("t2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source n-gram diversity (type-token +
     // top-gram concentration, integer permille) — the mixture
     // designer's boilerplate detector, two-level LM-stats reduction
@@ -3341,6 +3372,59 @@ object SparkEntry {
         |FROM ov JOIN bn USING (bench_id)
         |WHERE n_overlap / n_bench_sh >= 0.5
         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q133_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) old_md5 FROM documents),
+        |n0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' [rev2]' ELSE text END AS text
+        |    FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+        |    WHERE doc_id % 11 = 0),
+        |n AS (SELECT doc_id, md5(text) new_md5 FROM n0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN old_md5 = new_md5 THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
+        |  old_md5, new_md5
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q134_script_mix" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' 你好世界机器学习'
+        |      WHEN doc_id % 5 = 1 THEN ' Привет мир'
+        |      WHEN doc_id % 5 = 2 THEN ' 1234567890'
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |cp AS (SELECT doc_id, list_transform(
+        |    list_filter(string_split_regex(t2, ''), c -> c <> ''),
+        |    c -> unicode(c)) AS cps
+        |  FROM d),
+        |ct AS (SELECT doc_id, CAST(len(cps) AS BIGINT) n_cp,
+        |    CAST(len(list_filter(cps, c -> (c BETWEEN 65 AND 90)
+        |      OR (c BETWEEN 97 AND 122)
+        |      OR (c BETWEEN 192 AND 591))) AS BIGINT) n_latin,
+        |    CAST(len(list_filter(cps, c -> c BETWEEN 48 AND 57))
+        |      AS BIGINT) n_digit,
+        |    CAST(len(list_filter(cps, c -> c BETWEEN 1024 AND 1279))
+        |      AS BIGINT) n_cyrillic,
+        |    CAST(len(list_filter(cps, c -> c BETWEEN 19968 AND 40959))
+        |      AS BIGINT) n_cjk
+        |  FROM cp),
+        |f AS (SELECT *, n_cp - n_latin - n_digit - n_cyrillic - n_cjk
+        |    AS n_other,
+        |    greatest(n_latin, n_digit, n_cyrillic, n_cjk,
+        |      n_cp - n_latin - n_digit - n_cyrillic - n_cjk) AS m
+        |  FROM ct)
+        |SELECT doc_id, n_cp, n_latin, n_digit, n_cyrillic, n_cjk, n_other,
+        |  CASE WHEN n_cp = 0 THEN 'empty'
+        |    WHEN n_latin = m THEN 'latin'
+        |    WHEN n_digit = m THEN 'digit'
+        |    WHEN n_cyrillic = m THEN 'cyrillic'
+        |    WHEN n_cjk = m THEN 'cjk'
+        |    ELSE 'other' END AS main_script
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q132_ngram_diversity" ->
       """WITH w AS (SELECT source AS stratum,

@@ -781,6 +781,54 @@ object TextAnalysis {
         when(col("n_kept") >= 1, col("joined")).as("cleaned_text"))
   }
 
+  /** Unicode script mix per document — the language-surface signal a
+    * curation pipeline reads before language-ID proper: per-doc
+    * codepoint counts by script family (Latin incl. the Latin-1/
+    * Extended accent ranges, ASCII digits, Cyrillic, CJK unified
+    * ideographs, everything else) plus the dominant family. Mixed
+    * CJK-in-Latin pages, transliteration spam, and wrong-script
+    * content all surface here as skewed mixes.
+    *
+    * Engine portability: classification is numeric codepoint-range
+    * arithmetic on `ascii(char)` (Spark) / `unicode(char)` (DuckDB) —
+    * never a non-ASCII regex character class, whose semantics diverge
+    * between engines (the [[encodingQuality]] rule). BMP scope:
+    * per-character splitting keeps astral codepoints (emoji) intact
+    * in both engines' codepoint semantics, but they simply count as
+    * `other` here. Map-only: one narrow projection, the per-char
+    * array never leaves the row.
+    *
+    * Output: (doc_id, n_cp, n_latin, n_digit, n_cyrillic, n_cjk,
+    * n_other, main_script) — main_script resolved on ties in the
+    * fixed order latin > digit > cyrillic > cjk > other. */
+  def scriptMix(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val cps = transform(filter(split(text, ""), c => c =!= ""),
+      c => ascii(c))
+    def inRange(c: Column, ranges: Seq[(Int, Int)]): Column =
+      ranges.map { case (lo, hi) => c >= lo && c <= hi }.reduce(_ || _)
+    def cnt(ranges: Seq[(Int, Int)]): Column =
+      size(filter(col("cps"), c => inRange(c, ranges))).cast("long")
+    val base = df.select(id.as("doc_id"), cps.as("cps"))
+      .select(col("doc_id"),
+        size(col("cps")).cast("long").as("n_cp"),
+        cnt(Seq((65, 90), (97, 122), (0xC0, 0x24F))).as("n_latin"),
+        cnt(Seq((48, 57))).as("n_digit"),
+        cnt(Seq((0x400, 0x4FF))).as("n_cyrillic"),
+        cnt(Seq((0x4E00, 0x9FFF))).as("n_cjk"))
+      .withColumn("n_other",
+        col("n_cp") - col("n_latin") - col("n_digit") -
+          col("n_cyrillic") - col("n_cjk"))
+    val m = greatest(col("n_latin"), col("n_digit"), col("n_cyrillic"),
+      col("n_cjk"), col("n_other"))
+    base.withColumn("main_script",
+      when(col("n_cp") === 0, "empty")
+        .when(col("n_latin") === m, "latin")
+        .when(col("n_digit") === m, "digit")
+        .when(col("n_cyrillic") === m, "cyrillic")
+        .when(col("n_cjk") === m, "cjk")
+        .otherwise("other"))
+  }
+
   /** Corpus n-gram diversity per stratum — the data-card companion to
     * the per-doc repetition gates ([[repetitionStats]]): lexical
     * diversity of each SOURCE, the statistic mixture designers read

@@ -41,6 +41,32 @@ object CorpusPipeline {
         col("n_copies"))
   }
 
+  /** Corpus snapshot diff — the ops view behind incremental releases:
+    * what changed between two corpus snapshots, per document. A doc
+    * present only in the new snapshot is `added`, only in the old one
+    * `removed`, in both with different content `changed`, else
+    * `unchanged` (content compared by md5, the
+    * [[graft.operators.Dedup.exactDedup]] key discipline).
+    *
+    * Scale shape: two map-only (doc_id, md5) projections — text never
+    * leaves the scan — and ONE full-outer equi-join on doc_id
+    * carrying 32-byte hashes; the report is corpus-row-sized but
+    * 3-columns thin.
+    *
+    * Output: (doc_id, status, old_md5, new_md5). */
+  def corpusDiff(oldSnap: DataFrame, oldId: Column, oldText: Column,
+      newSnap: DataFrame, newId: Column, newText: Column): DataFrame = {
+    val o = oldSnap.select(oldId.as("doc_id"), md5(oldText).as("old_md5"))
+    val n = newSnap.select(newId.as("doc_id"), md5(newText).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+  }
+
   /** Per-source "data card" — the one-row-per-source corpus report
     * every dataset release publishes (the Datasheets/Data-Cards
     * practice): volume, token mass, quality pass rate, PII incidence,

@@ -190,6 +190,30 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(postC <= 3, s"post-probe count not capped: $postC")
   }
 
+  test("corpusDiff: added/removed/changed/unchanged, thin join only") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "t")
+    val neu = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"))
+      .toDF("id", "t")
+    val diff = CorpusPipeline.corpusDiff(old, col("id"), col("t"),
+      neu, col("id"), col("t"))
+    val out = diff.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // the join carries hashes, never text
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = diff.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case pl => pl
+    }
+    val wide = root.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(a => a.name == "t" || a.name == "text"))
+    assert(wide.isEmpty, "diff exchanges must carry hashes, not text")
+  }
+
   test("dataCard: hand-computed per-source rates in exact permille") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over a lazy dog and then " +

@@ -96,6 +96,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("scriptMix: codepoint-range counts and dominant family, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc 12"),          // 3 latin, 2 digit, 1 space(other) -> latin
+      (2L, "你好世界 ok"),      // 4 cjk, 2 latin, 1 other -> cjk
+      (3L, "Привет!"),         // 6 cyrillic, 1 other -> cyrillic
+      (4L, "café"),            // é = U+00E9 counts latin (extended range)
+      (5L, ""),                // empty
+      (6L, "... ---")          // all other
+    ).toDF("id", "t")
+    val out = TextAnalysis.scriptMix(docs, col("id"), col("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_cp"), r.getAs[Long]("n_latin"),
+         r.getAs[Long]("n_digit"), r.getAs[Long]("n_cyrillic"),
+         r.getAs[Long]("n_cjk"), r.getAs[Long]("n_other"),
+         r.getAs[String]("main_script"))).toMap
+    assert(out(1L) == (6L, 3L, 2L, 0L, 0L, 1L, "latin"))
+    assert(out(2L) == (7L, 2L, 0L, 0L, 4L, 1L, "cjk"))
+    assert(out(3L) == (7L, 0L, 0L, 6L, 0L, 1L, "cyrillic"))
+    assert(out(4L) == (4L, 4L, 0L, 0L, 0L, 0L, "latin"))
+    assert(out(5L) == (0L, 0L, 0L, 0L, 0L, 0L, "empty"))
+    assert(out(6L) == (7L, 0L, 0L, 0L, 0L, 7L, "other"))
+  }
+
   test("ngramDiversity: hand-computed per-stratum type-token and top-gram share") {
     import spark.implicits._
     val docs = Seq(
