@@ -1715,6 +1715,43 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: per-source stop-word-permille quantiles —
+    // the quality-threshold calibration view (where should the gate
+    // sit for THIS source?), via the generalized integer-histogram
+    // quantile kernel
+    "q135_stop_quantiles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityScore(d, col("doc_id"), col("text"))
+        .filter(col("n_tokens") >= 1)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextAnalysis.integerQuantiles(q, col("source"),
+          expr("n_stop * 1000 DIV n_tokens"))
+        .orderBy(col("stratum"))
+    }),
+
+    // training-data ops: tokenizer fertility by source (BPE tokens
+    // per word, integer permille) under the q95-trained merge table
+    "q136_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(d, col("text"), nMerges = 6)
+        .orderBy(col("round")).collect()
+        .map(r => r.getString(1) -> r.getString(2)).toSeq
+      TextAnalysis.bpeFertility(d, col("doc_id"), col("source"),
+          col("text"), merges)
+        .orderBy(col("stratum"))
+    }),
+
+    // training-data ops: near-dup degree ("dup hub" triage) over
+    // q17's LSH pairs — one symmetric union + one doc-keyed aggregate
+    "q137_dup_hubs" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3, numHashes = 16, bands = 8,
+        minEstJaccard = 0.5)
+      Dedup.dupDegree(pairs, col("doc_a"), col("doc_b"),
+          col("est_jaccard"), minDegree = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: corpus snapshot diff — per-doc
     // added/removed/changed/unchanged between two releases; one
     // full-outer join on doc_id carrying only 32-byte hashes
@@ -3373,6 +3410,64 @@ object SparkEntry {
         |WHERE n_overlap / n_bench_sh >= 0.5
         |ORDER BY corpus_id, bench_id""".stripMargin,
 
+    "q135_stop_quantiles" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+        |    CAST(len(list_filter(ws,
+        |      t -> list_contains(['the','a','and','of','to','in'], t)))
+        |      AS BIGINT) n_stop
+        |  FROM w),
+        |v AS (SELECT d.source AS stratum,
+        |    CAST(n_stop * 1000 // n_tokens AS BIGINT) AS v
+        |  FROM c JOIN documents d USING (doc_id) WHERE n_tokens >= 1),
+        |h AS (SELECT stratum, v, COUNT(*) f FROM v GROUP BY 1, 2),
+        |cm AS (SELECT stratum, v, f,
+        |    CAST(SUM(f) OVER (PARTITION BY stratum ORDER BY v)
+        |      AS BIGINT) cum,
+        |    CAST(SUM(f) OVER (PARTITION BY stratum) AS BIGINT) n_rows,
+        |    CAST(SUM(f*v) OVER (PARTITION BY stratum) AS BIGINT) sum_v
+        |  FROM h)
+        |SELECT stratum, MAX(n_rows) n_rows,
+        |  MAX(sum_v) // MAX(n_rows) AS mean_v,
+        |  MIN(CASE WHEN cum*100 >= n_rows*50 THEN v END) p50,
+        |  MIN(CASE WHEN cum*100 >= n_rows*90 THEN v END) p90,
+        |  MIN(CASE WHEN cum*100 >= n_rows*99 THEN v END) p99,
+        |  MAX(v) max_v
+        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q137_dup_hubs" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(0, len(ws)-2))) i FROM w),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i:i+2], ' ') s FROM pos),
+        |hs AS (SELECT doc_id, md5('1:' || s) || md5('2:' || s) h FROM sh),
+        |sigs AS (SELECT doc_id, k, MIN(substr(h, k*4 + 1, 4)) sig
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0,15)) k) t
+        |  GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k//2 AS band,
+        |    md5(string_agg(sig, '|' ORDER BY k)) bkey
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |m AS (SELECT doc_a, doc_b,
+        |    COUNT(*) FILTER (sa.sig = sb.sig) AS n_match
+        |  FROM cand JOIN sigs sa ON sa.doc_id = doc_a
+        |    JOIN sigs sb ON sb.doc_id = doc_b AND sb.k = sa.k
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b, n_match / 16.0 AS est FROM m
+        |  WHERE n_match / 16.0 >= 0.5),
+        |sym AS (SELECT doc_a AS doc_id, est FROM p
+        |  UNION ALL SELECT doc_b, est FROM p)
+        |SELECT doc_id, COUNT(*) n_partners, MAX(est) max_est
+        |FROM sym GROUP BY 1 HAVING COUNT(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q133_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) old_md5 FROM documents),
         |n0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
@@ -4565,6 +4660,7 @@ object SparkEntry {
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +
+      ("q136_bpe_fertility" -> bpeFertilitySql(6)) +
       ("q105_gear_chunks" -> gearSql(
         """d AS (SELECT doc_id, text AS t, length(text) AS n
           |  FROM documents WHERE length(text) >= 1)""".stripMargin,
@@ -4727,4 +4823,23 @@ object SparkEntry {
        |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,
        |  CAST(SUM(n_occ * n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM docc JOIN wn USING (word) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q136: [[bpeEncodeSql]]'s per-doc costs rolled up to per-source
+    * fertility permille. */
+  private def bpeFertilitySql(n: Int): String =
+    s"""WITH ${bpeCtes(n)},
+       |wn AS (SELECT word,
+       |    CAST(len(string_split(seq, ' ')) AS BIGINT) n_sym FROM s$n),
+       |dw AS (SELECT doc_id, unnest(ws) word FROM wd),
+       |docc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) n_occ
+       |  FROM dw GROUP BY 1, 2),
+       |ds AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_occ * n_sym) AS BIGINT) AS n_bpe
+       |  FROM docc JOIN wn USING (word) GROUP BY 1)
+       |SELECT d.source AS stratum, CAST(SUM(n_words) AS BIGINT) n_words,
+       |  CAST(SUM(n_bpe) AS BIGINT) n_bpe_tokens,
+       |  CAST(SUM(n_bpe) * 1000 // SUM(n_words) AS BIGINT)
+       |    AS fertility_permille
+       |FROM ds JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

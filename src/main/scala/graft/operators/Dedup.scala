@@ -1010,6 +1010,25 @@ object Dedup {
         col("q_score"), (col("doc_id") === col("rep_id")).as("is_kept"))
   }
 
+  /** Near-dup degree per document over any pair frame — the "dup hub"
+    * detector: a boilerplate/template page near-dups MANY documents,
+    * so it surfaces as a high-degree node in the pair graph long
+    * before clustering runs (and a hub's cluster via [[nearDupClusters]]
+    * would absorb half the corpus — degree is the triage signal for
+    * capping or hand-reviewing such pages). One symmetric id-pair
+    * union + one doc-keyed hash aggregate; nothing wider than
+    * (doc_id, measure) shuffles.
+    *
+    * Output: (doc_id, n_partners, max_est) for docs with at least
+    * `minDegree` partners. */
+  def dupDegree(pairs: DataFrame, a: Column, b: Column, est: Column,
+      minDegree: Long = 1): DataFrame =
+    pairs.select(a.as("doc_id"), est.as("e"))
+      .unionByName(pairs.select(b.as("doc_id"), est.as("e")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_partners"), max(col("e")).as("max_est"))
+      .filter(col("n_partners") >= minDegree)
+
   /** Content-defined chunking with a gear rolling hash (the hash
     * underlying FastCDC, Xia et al., USENIX ATC'16): cut the text
     * wherever the rolling hash of the trailing `window` chars has its

@@ -1160,26 +1160,70 @@ object TextAnalysis {
     * Output per stratum: (stratum, n_docs, mean_tokens — integer
     * DIV, p50, p90, p99, max_tokens). */
   def lengthQuantiles(df: DataFrame, stratum: Column, text: Column,
+      qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    integerQuantiles(
+        df.select(stratum.as("stratum"),
+          size(tokens(text)).cast("long").as("v")),
+        col("stratum"), col("v"), qs)
+      .withColumnRenamed("n_rows", "n_docs")
+      .withColumnRenamed("mean_v", "mean_tokens")
+      .withColumnRenamed("max_v", "max_tokens")
+
+  /** The histogram-quantile kernel under [[lengthQuantiles]],
+    * generalized to ANY small-integer per-row statistic (quality
+    * permilles, surprisal buckets, line counts…): one partial-agg
+    * hash aggregate to a (stratum, value, freq) histogram — bounded
+    * by |distinct values|, never corpus size — then Type-1
+    * inverse-CDF selection over the tiny cumulative frame. See
+    * [[lengthQuantiles]] for why this beats `percentile` (corpus
+    * shuffle) and `approx_percentile` (non-portable sketch) at scale.
+    *
+    * Output: (stratum, n_rows, mean_v — integer DIV, p<q>…, max_v). */
+  def integerQuantiles(df: DataFrame, stratum: Column, value: Column,
       qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
       "quantiles must be in [1,100]")
     val hist = df
-      .select(stratum.as("stratum"), size(tokens(text)).cast("long").as("v"))
+      .select(stratum.as("stratum"), value.cast("long").as("v"))
       .groupBy(col("stratum"), col("v")).agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum")).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = hist.withColumn("cum", sum(col("f")).over(w))
-      .withColumn("n_docs", sum(col("f")).over(
+      .withColumn("n_rows", sum(col("f")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
       .withColumn("sum_v", sum(col("f") * col("v")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
     // cum >= ceil(q*n/100)  <=>  100*cum >= q*n  (cum integer)
     val qCols = qs.map(q =>
-      min(when(col("cum") * 100 >= col("n_docs") * q, col("v"))).as(s"p$q"))
+      min(when(col("cum") * 100 >= col("n_rows") * q, col("v"))).as(s"p$q"))
     cum.groupBy(col("stratum"))
-      .agg(max(col("n_docs")).as("n_docs"),
-        (expr("max(sum_v) DIV max(n_docs)").as("mean_tokens") +: qCols) :+
-          max(col("v")).as("max_tokens"): _*)
+      .agg(max(col("n_rows")).as("n_rows"),
+        (expr("max(sum_v) DIV max(n_rows)").as("mean_v") +: qCols) :+
+          max(col("v")).as("max_v"): _*)
+  }
+
+  /** Tokenizer fertility per stratum — BPE tokens per word by source,
+    * THE statistic for judging how well a trained tokenizer fits each
+    * corpus slice (fertility near 1 = words mostly single tokens;
+    * high fertility = the vocabulary underserves that source and its
+    * effective context shrinks). Integer permille
+    * (Σ bpe_tokens · 1000 DIV Σ words).
+    *
+    * Scale shape: [[bpeEncodeCounts]]'s per-doc costs (vocabulary-
+    * collapsed tokenize, map-only merge fold) joined doc-keyed to the
+    * stratum map, collapsed to |strata| rows in one hash aggregate.
+    *
+    * Output: (stratum, n_words, n_bpe_tokens, fertility_permille). */
+  def bpeFertility(df: DataFrame, id: Column, stratum: Column,
+      text: Column, merges: Seq[(String, String)]): DataFrame = {
+    val counts = bpeEncodeCounts(df, id, text, merges)
+    val strata = df.select(id.as("doc_id"), stratum.as("stratum"))
+    counts.join(strata, Seq("doc_id"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("stratum"), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000 DIV n_words").as("fertility_permille"))
   }
 }

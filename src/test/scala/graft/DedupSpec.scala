@@ -322,6 +322,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dupDegree: hub surfaces with its degree and best measure") {
+    import spark.implicits._
+    // pair graph: hub 1 pairs with 2,3,4; isolated pair (5,6)
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.6), (1L, 4L, 0.7), (5L, 6L, 0.55)
+    ).toDF("doc_a", "doc_b", "est")
+    val deg = Dedup.dupDegree(pairs, col("doc_a"), col("doc_b"),
+        col("est"), minDegree = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_partners"), r.getAs[Double]("max_est"))).toMap
+    assert(deg(1L) == (3L, 0.9))
+    assert(deg(2L) == (1L, 0.9) && deg(5L) == (1L, 0.55))
+    assert(deg.size == 6)
+    // degree threshold isolates the hub
+    val hubs = Dedup.dupDegree(pairs, col("doc_a"), col("doc_b"),
+      col("est"), minDegree = 2).collect()
+    assert(hubs.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
   test("patch-set line dedup makes identical decisions to lineDedup") {
     import spark.implicits._
     val lineDocs = Seq(

@@ -96,6 +96,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("bpeFertility: per-stratum tokens-per-word permille under a merge table") {
+    import spark.implicits._
+    // merges fuse 'a b' -> 'ab': words "ab" cost 1 token, others
+    // cost |chars| tokens
+    val docs = Seq(
+      (1L, "X", "ab ab cd"),  // 2*1 + 2 = 4 bpe over 3 words
+      (2L, "Y", "ab xyz")     // 1 + 3 = 4 bpe over 2 words
+    ).toDF("id", "src", "t")
+    val out = TextAnalysis.bpeFertility(docs, col("id"), col("src"),
+        col("t"), Seq("a" -> "b")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("X") == (3L, 4L, 1333L))
+    assert(out("Y") == (2L, 4L, 2000L))
+  }
+
   test("scriptMix: codepoint-range counts and dominant family, hand-computed") {
     import spark.implicits._
     val docs = Seq(
