@@ -495,6 +495,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fim split is one projection, no joins/aggregates:\n$p")
   }
 
+  test("corpusDiff over bucketed snapshots: zero-exchange co-located diff") {
+    import org.apache.spark.sql.functions._
+    // the deployment shape: corpus snapshots are WRITTEN bucketed by
+    // doc_id (Sinks.writeBucketed at release time), so the diff's
+    // full-outer join needs no shuffle at all — release-over-release
+    // diffing of a 100 TB corpus costs two co-located scans
+    val d = graft.sources.Tables.documents(spark, sf)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sinks.Sinks.writeBucketed(
+        d.select(col("doc_id"), md5(col("text")).as("old_md5")),
+        "snap_old", "doc_id", 8)
+      graft.sinks.Sinks.writeBucketed(
+        d.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("new_md5")),
+        "snap_new", "doc_id", 8)
+      val diff = spark.table("snap_old")
+        .join(spark.table("snap_new"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_md5").isNull, "added")
+            .when(col("new_md5").isNull, "removed")
+            .when(col("old_md5") === col("new_md5"), "unchanged")
+            .otherwise("changed").as("status"))
+      val p = plan(diff)
+      assert(!p.contains("Exchange"),
+        s"bucketed snapshot diff must not shuffle:\n$p")
+      val statuses = diff.groupBy(col("status")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(statuses.getOrElse("removed", 0L) > 0)
+      assert(statuses.getOrElse("unchanged", 0L) > 0)
+      assert(!statuses.contains("changed") && !statuses.contains("added"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS snap_old")
+      spark.sql("DROP TABLE IF EXISTS snap_new")
+    }
+  }
+
   test("winnowing: fingerprinting is map-only, no Window, no exchange before the pair join") {
     import org.apache.spark.sql.functions._
     // the fingerprint selection is a pure per-doc function — the native
