@@ -370,6 +370,49 @@ class DedupSpec extends AnyFunSuite {
     assert(p(1L) == Seq(1L) && p(2L) == Seq(0L) && p(3L) == Seq(0L))
   }
 
+  test("winnowing kernel property: random unicode strings match the naive definition") {
+    // scalacheck-driven sweep over adversarial strings (mixed-plane
+    // unicode, repeats, whitespace) and parameter pairs — the fixed
+    // samples below pin known edges; this pins the general case
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    def naive(text: String, k: Int, w: Int): Set[String] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length - (k - 1)
+      if (n < w) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = (0 until n).map { i =>
+        md.reset()
+        md.digest(new String(cps, i, k).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+      }
+      (0 to n - w).map(j => h.slice(j, j + w).min).toSet
+    }
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (2, Gen.const(' ')),
+      (1, Gen.oneOf('é', 'ß', 'Ж', '你', '界')),
+      (1, Gen.const('a'))) // tie pressure
+    val emoji = new String(Character.toChars(0x1F600)) // astral: 4-byte UTF-8
+    val strGen = for {
+      n <- Gen.chooseNum(0, 60)
+      s <- Gen.stringOfN(n, charGen)
+      splice <- Gen.oneOf(true, false)
+      at <- Gen.chooseNum(0, math.max(0, s.length))
+    } yield if (splice) s.substring(0, at) + emoji + s.substring(at) else s
+    val prop = Prop.forAll(strGen, Gen.chooseNum(1, 9),
+        Gen.chooseNum(1, 6)) { (s: String, k: Int, w: Int) =>
+      val got = graft.util.WinnowFp
+        .fingerprints(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          k, w)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+      got == naive(s, k, w)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("winnowing kernel matches the declarative definition exactly") {
     // naive mirror of the oracle SQL: h_i = first 8 hex chars of
     // md5(codepoint k-gram), fingerprints = distinct min over every
