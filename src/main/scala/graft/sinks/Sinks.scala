@@ -194,6 +194,43 @@ object Sinks {
       alerts.write.mode("append").parquet(path)
   }
 
+  /** SQS queue-spec parsing (ref SqsIO.java:33-39 parseQueueInfo):
+    * the expected wire format is `queueurl:accesskey:secret:region`
+    * where the queue url itself contains exactly one ':' (the
+    * https:// scheme), so a VALID spec splits into 5 raw parts whose
+    * first two recombine into the url. Returns (queueUrl, key,
+    * secret, region); None on any other shape — the reference treats
+    * that as a fatal configuration error. */
+  def parseSqsQueueInfo(input: String): Option[(String, String, String, String)] = {
+    val parts = input.split(":")
+    if (parts.length != 5) None
+    else Some((parts(0) + ":" + parts(1), parts(2), parts(3), parts(4)))
+  }
+
+  /** SQS sink (ref SqsIO.java:62-118): consumes ALREADY-RENDERED
+    * message strings — the reference shape, where CompositeOutput
+    * renders alert JSON once and each transport consumes strings —
+    * and wraps each in a SendMessageRequest-shaped record
+    * (queue_url, delay_seconds = 0, message_body). The request
+    * assembly and queue-spec parsing are the analytic parts and are
+    * real; the AWS client call is the SURVEY §2.1 scoped-out
+    * transport, stood in by a parquet append (same stand-in contract
+    * as the BigQuery sink). A frame that is not a single rendered
+    * `value` column renders as whole-row JSON. */
+  final class SqsWriter(queueInfo: String, path: String) extends AlertWriter {
+    private val queueUrl = parseSqsQueueInfo(queueInfo).getOrElse(
+      throw new IllegalArgumentException(
+        "format of sqs queue information was invalid"))._1
+    def write(alerts: DataFrame): Unit = {
+      val body =
+        if (alerts.columns.sameElements(Array("value"))) col("value")
+        else to_json(struct(alerts.columns.map(col): _*))
+      alerts.select(lit(queueUrl).as("queue_url"),
+          lit(0).as("delay_seconds"), body.as("message_body"))
+        .write.mode("append").parquet(path)
+    }
+  }
+
   /** Write a frame as a BUCKETED (and bucket-sorted) managed table —
     * the 100 TB co-located-join primitive: two tables bucketed on the
     * same key with the same bucket count join WITHOUT any exchange

@@ -19,6 +19,37 @@ class GoldenAlertSpec extends AnyFunSuite {
   private def glb(ip: String, tsIso: String): String =
     s"""{"httpRequest":{"requestMethod":"GET","requestUrl":"https://send.firefox.com/public/locales/en-US/send.js","status":200,"remoteIp":"$ip","userAgent":"Mozilla"},"timestamp":"$tsIso","logName":"projects/test/logs/requests","resource":{"type":"http_load_balancer"}}"""
 
+  test("SQS sink: queue-spec parsing and SendMessageRequest shape") {
+    import spark.implicits._
+    import graft.sinks.Sinks
+    // the reference's 5-part spec: url (contains one ':') + key +
+    // secret + region
+    assert(Sinks.parseSqsQueueInfo(
+      "https://sqs.test-r.example/123/q:AKIA:s3cr3t:test-r")
+      .contains(("https://sqs.test-r.example/123/q", "AKIA", "s3cr3t",
+        "test-r")))
+    assert(Sinks.parseSqsQueueInfo("nocolonanywhere").isEmpty)
+    assert(Sinks.parseSqsQueueInfo("a:b:c").isEmpty)
+    assert(Sinks.parseSqsQueueInfo("a:b:c:d:e:f").isEmpty)
+    intercept[IllegalArgumentException] {
+      new Sinks.SqsWriter("bad", "/tmp/unused")
+    }
+    // writer: rendered strings wrap into (queue_url, delay=0, body)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqs").toString + "/out"
+    val w = new Sinks.SqsWriter(
+      "https://sqs.test-r.example/123/q:AKIA:s3cr3t:test-r", dir)
+    w.write(Seq("""{"summary":"x"}""", """{"summary":"y"}""")
+      .toDF("value"))
+    val rows = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[String]("queue_url"),
+        r.getAs[Int]("delay_seconds"),
+        r.getAs[String]("message_body"))).toSet
+    assert(rows == Set(
+      ("https://sqs.test-r.example/123/q", 0, """{"summary":"x"}"""),
+      ("https://sqs.test-r.example/123/q", 0, """{"summary":"y"}""")))
+  }
+
   test("threshold_analysis alert JSON is byte-exact vs the reference-shaped golden") {
     import spark.implicits._
     // fixture semantics of httpreq_thresholdanalysis1.txt: 100
