@@ -231,6 +231,22 @@ object Sinks {
     }
   }
 
+  /** Pub/Sub sink (ref OutputOptions.java:108 —
+    * `PubsubIO.writeStrings().to(topic)`: plain rendered strings to a
+    * named topic, no attributes): each message string becomes a
+    * (topic, data) record. Transport scoped out per SURVEY §2.1,
+    * parquet stand-in like the SQS/BigQuery sinks. */
+  final class PubsubWriter(topic: String, path: String) extends AlertWriter {
+    require(topic.nonEmpty, "topic must be non-empty")
+    def write(alerts: DataFrame): Unit = {
+      val data =
+        if (alerts.columns.sameElements(Array("value"))) col("value")
+        else to_json(struct(alerts.columns.map(col): _*))
+      alerts.select(lit(topic).as("topic"), data.as("data"))
+        .write.mode("append").parquet(path)
+    }
+  }
+
   /** Write a frame as a BUCKETED (and bucket-sorted) managed table —
     * the 100 TB co-located-join primitive: two tables bucketed on the
     * same key with the same bucket count join WITHOUT any exchange

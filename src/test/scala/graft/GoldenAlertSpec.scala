@@ -50,6 +50,21 @@ class GoldenAlertSpec extends AnyFunSuite {
       ("https://sqs.test-r.example/123/q", 0, """{"summary":"y"}""")))
   }
 
+  test("Pub/Sub sink: writeStrings shape — (topic, data) records") {
+    import spark.implicits._
+    import graft.sinks.Sinks
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pubsub").toString + "/out"
+    new Sinks.PubsubWriter("alerts-topic", dir)
+      .write(Seq("""{"summary":"x"}""").toDF("value"))
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[String]("data"))).toSet
+    assert(rows == Set(("alerts-topic", """{"summary":"x"}""")))
+    intercept[IllegalArgumentException] {
+      new Sinks.PubsubWriter("", "/tmp/unused")
+    }
+  }
+
   test("threshold_analysis alert JSON is byte-exact vs the reference-shaped golden") {
     import spark.implicits._
     // fixture semantics of httpreq_thresholdanalysis1.txt: 100
