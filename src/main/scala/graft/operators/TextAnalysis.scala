@@ -203,10 +203,13 @@ object TextAnalysis {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
-    val none = org.apache.spark.storage.StorageLevel.NONE
-    val c = Dedup.explodedShingles(corpus, corpusId, corpusText, n, none)
+    val c = Dedup.explodedShingles(corpus, corpusId, corpusText, n,
+        org.apache.spark.storage.StorageLevel.NONE) // corpus: one pass
       .withColumnRenamed("doc_id", "corpus_id")
-    val b = Dedup.explodedShingles(bench, benchId, benchText, n, none)
+    // the bench gram frame feeds THREE consumers (bloom aggregate,
+    // sizes, exact join) — cache it instead of re-deriving the grams
+    // from raw text thrice (the operator exists for LARGE benches)
+    val b = Dedup.explodedShingles(bench, benchId, benchText, n)
       .withColumnRenamed("doc_id", "bench_id")
     val bloomBytes = b.select(ColumnBridge.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate
