@@ -805,8 +805,10 @@ object TextAnalysis {
     * n_other, main_script) — main_script resolved on ties in the
     * fixed order latin > digit > cyrillic > cjk > other. */
   def scriptMix(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val cps = transform(filter(split(text, ""), c => c =!= ""),
-      c => ascii(c))
+    // null text counts as empty — size(null array) is -1, which would
+    // otherwise poison every count downstream
+    val cps = transform(filter(split(coalesce(text, lit("")), ""),
+      c => c =!= ""), c => ascii(c))
     def inRange(c: Column, ranges: Seq[(Int, Int)]): Column =
       ranges.map { case (lo, hi) => c >= lo && c <= hi }.reduce(_ || _)
     def cnt(ranges: Seq[(Int, Int)]): Column =

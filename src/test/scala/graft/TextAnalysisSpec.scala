@@ -134,6 +134,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L) == (4L, 4L, 0L, 0L, 0L, 0L, "latin"))
     assert(out(5L) == (0L, 0L, 0L, 0L, 0L, 0L, "empty"))
     assert(out(6L) == (7L, 0L, 0L, 0L, 0L, 7L, "other"))
+    // null text counts as empty, never a -1 size poisoning
+    val withNull = Seq((9L, Option.empty[String])).toDF("id", "t")
+    val n = TextAnalysis.scriptMix(withNull, col("id"), col("t")).head()
+    assert(n.getAs[Long]("n_cp") == 0L &&
+      n.getAs[String]("main_script") == "empty")
   }
 
   test("ngramDiversity: hand-computed per-stratum type-token and top-gram share") {
