@@ -1715,6 +1715,20 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // training-data ops: chunk-level duplicate REMOVAL (the rewrite
+    // half of the CDC family): every duplicated gear chunk keeps its
+    // global first occurrence, later occurrences are cut; q106's
+    // shared-passage decoration guarantees cross-doc dup chunks
+    "q138_chunk_rewrite" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + GearPassage)))
+            .otherwise(col("text")).as("t2"))
+      Dedup.chunkDedupRewrite(d, col("doc_id"), col("t2"), maskBits = 6)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -4676,7 +4690,33 @@ object SparkEntry {
           |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc,
           |  MIN(chunk_len) AS chunk_len
           |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
-          |ORDER BY chunk_md5""".stripMargin))
+          |ORDER BY chunk_md5""".stripMargin)) +
+      ("q138_chunk_rewrite" -> gearSql(
+        s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
+           |    SELECT doc_id, CASE WHEN doc_id % 7 = 0
+           |      THEN text || ' $GearPassage' ELSE text END AS t
+           |    FROM documents)
+           |  WHERE length(t) >= 1)""".stripMargin,
+        """, f AS (SELECT chunk_md5, doc_id f_doc, chunk_no f_no FROM (
+          |    SELECT chunk_md5, doc_id, chunk_no, row_number() OVER (
+          |      PARTITION BY chunk_md5 ORDER BY doc_id, chunk_no) rn
+          |    FROM chunks) WHERE rn = 1),
+          |k AS (SELECT c.doc_id, c.chunk_no, c."start", c.chunk_len,
+          |    (c.doc_id = f.f_doc AND c.chunk_no = f.f_no) AS keep
+          |  FROM chunks c JOIN f USING (chunk_md5)),
+          |agg AS (SELECT k.doc_id, COUNT(*) n_chunks,
+          |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+          |      n_kept,
+          |    string_agg(CASE WHEN keep THEN
+          |      substr(d.t, CAST(k."start" AS INT),
+          |        CAST(k.chunk_len AS INT)) END, '' ORDER BY k.chunk_no)
+          |      cleaned_text
+          |  FROM k JOIN d USING (doc_id) GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(n_chunks, 0) AS n_chunks,
+          |  COALESCE(n_kept, 0) AS n_kept,
+          |  COALESCE(cleaned_text, '') AS cleaned_text
+          |FROM d LEFT JOIN agg USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin))
   }
 
   /** Shared DuckDB CTE chain mirroring [[operators.Dedup.gearChunks]]

@@ -1111,4 +1111,57 @@ object Dedup {
         min(col("doc_id")).as("first_doc"),
         min(col("chunk_len")).as("chunk_len"))
       .filter(col("n_docs") > 1)
+
+  /** Chunk-level duplicate REMOVAL — the rewrite half of the CDC
+    * family (detection: [[gearDupChunks]]), and the
+    * shift-resistant sibling of what ExactSubstr-style byte dedup
+    * (Lee et al. 2022) does to a corpus: every duplicated chunk keeps
+    * exactly its FIRST occurrence (global argmin over
+    * (doc_id, chunk_no) — deterministic) and later occurrences are
+    * cut out of their documents; unique chunks pass through. Because
+    * gear boundaries re-align after insertions, a boilerplate passage
+    * shared at different offsets still lands in identical chunks and
+    * gets cut.
+    *
+    * Scale shape: chunking is the map-only native-kernel projection;
+    * first-occurrence election is ONE hash aggregate on the 32-byte
+    * chunk hash (min_by ships one candidate per hash per map task);
+    * the keep-set joins back on (doc_id-keyed) ranges and documents
+    * rebuild with the [[lineDedup]] ordered-reassembly idiom — kept
+    * chunk text crosses the shuffle once (the same documented trade
+    * as lineDedup; a patch-set form would ship dropped chunk_nos
+    * instead, exactly [[lineDedupPatches]]' step-up).
+    *
+    * Output: one row per doc — (doc_id, n_chunks, n_kept,
+    * cleaned_text), cleaned_text the kept chunks concatenated in
+    * original order (empty when everything was cut). */
+  def chunkDedupRewrite(df: DataFrame, id: Column, text: Column,
+      maskBits: Int = 6, window: Int = 32): DataFrame = {
+    val src = df.select(id.as("doc_id"), text.as("t"))
+    val chunks = gearChunks(df, id, text, maskBits, window)
+    val first = chunks.groupBy(col("chunk_md5"))
+      .agg(min_by(struct(col("doc_id"), col("chunk_no")),
+        struct(col("doc_id"), col("chunk_no"))).as("f"))
+      .select(col("chunk_md5"), col("f.doc_id").as("f_doc"),
+        col("f.chunk_no").as("f_no"))
+    val kept = chunks.join(first, Seq("chunk_md5"))
+      .withColumn("keep",
+        col("doc_id") === col("f_doc") && col("chunk_no") === col("f_no"))
+    val perDoc = kept
+      .join(src, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("chunk_no"),
+              col("t").substr(col("start").cast("int"),
+                col("chunk_len").cast("int")).as("piece"))))),
+          s => s.getField("piece"))).as("cleaned_text"))
+    src.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

