@@ -1729,6 +1729,79 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: q138's chunk-level rewrite through the
+    // 100 TB patch-set path — only (doc_id, chunk_no, chunk hash)
+    // shuffle, text is rebuilt map-side by re-running the gear kernel
+    // in the apply scan; same decorated input and same oracle as
+    // q138, so the two paths are oracle-proven equal
+    "q139_chunk_patches" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + GearPassage)))
+            .otherwise(col("text")).as("t2"))
+      Dedup.chunkRewriteViaPatches(d, col("doc_id"), col("t2"),
+          maskBits = 6)
+        .orderBy(col("doc_id"))
+    }),
+
+    // scale ops: the skew-salting join on its real target — the
+    // skewed event stream enriched with a per-key dimension too big
+    // to assume broadcastable. Salting never changes the pairs (the
+    // oracle IS the plain equi-join); it bounds the worst reducer by
+    // construction — SkewSpec pins the ~salts-fold spread
+    "q140_salted_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val dim = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"),
+          min(col("event_id")).as("first_event"))
+      operators.Skew.saltedJoin(
+          e.select(col("event_id"), col("event_type")), dim,
+          Seq("event_type"), salts = 8)
+        .orderBy(col("event_id"))
+    }),
+
+    // training-data ops: the composed corpus REWRITE — boilerplate
+    // line removal then chunk-level dedup, BOTH through their
+    // decisions-only patch-set paths (the scale-safe default for the
+    // composed pipelines); the oracle chains q91's line CTEs into
+    // q138's gear CTEs, so the whole two-stage rewrite is hash-proven
+    "q142_corpus_rewrite" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit("\nsubscribe to our newsletter today"))
+              .when(col("doc_id") % 4 === 1,
+                lit("\nall rights reserved worldwide"))
+              .when(col("doc_id") % 4 === 2, lit("\nok"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" " + GearPassage))
+              .otherwise(lit(""))).as("t2"))
+      pipelines.CorpusPipeline.rewriteCorpus(d, col("doc_id"),
+          col("t2"), maxLineFreq = 5, minLineChars = 5, maskBits = 6)
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.6 AlertSuppressorCount (batch form): count-aware suppression
+    // over per-(user, 10-min window) event counts — a count above the
+    // emitted maximum re-emits even inside the expiry window (the
+    // alert got "bigger"); the q27 recursive-CTE oracle pattern with
+    // the max-count ratchet carried through the recursion
+    "q141_suppress_count" -> ((s, dir) => {
+      val wc = Tables.events(s, dir)
+        .withColumn("wus",
+          expr("unix_micros(ts) DIV 600000000 * 600000000"))
+        .groupBy(col("user_id"), col("wus"))
+        .agg(count(lit(1)).as("n"))
+      operators.Stateful.suppressCount(wc,
+          timestamp_micros(col("wus")), col("user_id"), col("n"),
+          expirySeconds = 1800)
+        .select(col("key").cast("long").as("user_id"),
+          expr("ts_us DIV 1000").as("ts_ms"), col("count").as("n"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -4668,7 +4741,7 @@ object SparkEntry {
     // q65 is the row_number-window form of q19's aggregator rank, and
     // q76 the star-contraction form of q53's cluster labels — same
     // rows, same oracles
-    base ++ extra +
+    withPathEqualityTwins(base ++ extra +
       ("q65_cosine_topk_window" -> base("q19_cosine_topk")) +
       ("q76_cc_stars" -> base("q53_dedup_clusters")) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
@@ -4691,33 +4764,120 @@ object SparkEntry {
           |  MIN(chunk_len) AS chunk_len
           |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
           |ORDER BY chunk_md5""".stripMargin)) +
+      ("q140_salted_join" ->
+        """WITH dim AS (SELECT event_type, COUNT(*) AS type_n,
+          |    MIN(event_id) AS first_event
+          |  FROM events GROUP BY 1)
+          |SELECT e.event_id, e.event_type, d.type_n, d.first_event
+          |FROM events e JOIN dim d USING (event_type)
+          |ORDER BY e.event_id""".stripMargin) +
+      ("q141_suppress_count" ->
+        """WITH RECURSIVE ev AS (
+          |  SELECT user_id,
+          |    (epoch_us(ts) // 600000000) * 600000000 AS wus,
+          |    COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (
+          |  SELECT user_id, wus, n, n AS mx FROM (
+          |    SELECT user_id, wus, n, row_number() OVER (
+          |      PARTITION BY user_id ORDER BY wus) rn FROM ev)
+          |  WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.user_id,
+          |    (SELECT MIN(e.wus) FROM ev e WHERE e.user_id = s.user_id
+          |       AND e.wus > s.wus
+          |       AND (e.wus - s.wus >= 1800000000 OR e.n > s.mx)) AS wus,
+          |    (SELECT e.n FROM ev e WHERE e.user_id = s.user_id
+          |       AND e.wus =
+          |      (SELECT MIN(e2.wus) FROM ev e2
+          |       WHERE e2.user_id = s.user_id AND e2.wus > s.wus
+          |         AND (e2.wus - s.wus >= 1800000000 OR e2.n > s.mx)))
+          |      AS n,
+          |    GREATEST(s.mx,
+          |      (SELECT e.n FROM ev e WHERE e.user_id = s.user_id
+          |         AND e.wus =
+          |        (SELECT MIN(e2.wus) FROM ev e2
+          |         WHERE e2.user_id = s.user_id AND e2.wus > s.wus
+          |           AND (e2.wus - s.wus >= 1800000000 OR e2.n > s.mx))))
+          |      AS mx
+          |  FROM s
+          |  WHERE (SELECT MIN(e.wus) FROM ev e
+          |     WHERE e.user_id = s.user_id AND e.wus > s.wus
+          |       AND (e.wus - s.wus >= 1800000000 OR e.n > s.mx))
+          |    IS NOT NULL)
+          |SELECT user_id, wus // 1000 AS ts_ms, n FROM s
+          |ORDER BY user_id, ts_ms""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0
            |      THEN text || ' $GearPassage' ELSE text END AS t
            |    FROM documents)
            |  WHERE length(t) >= 1)""".stripMargin,
-        """, f AS (SELECT chunk_md5, doc_id f_doc, chunk_no f_no FROM (
-          |    SELECT chunk_md5, doc_id, chunk_no, row_number() OVER (
-          |      PARTITION BY chunk_md5 ORDER BY doc_id, chunk_no) rn
-          |    FROM chunks) WHERE rn = 1),
-          |k AS (SELECT c.doc_id, c.chunk_no, c."start", c.chunk_len,
-          |    (c.doc_id = f.f_doc AND c.chunk_no = f.f_no) AS keep
-          |  FROM chunks c JOIN f USING (chunk_md5)),
-          |agg AS (SELECT k.doc_id, COUNT(*) n_chunks,
-          |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-          |      n_kept,
-          |    string_agg(CASE WHEN keep THEN
-          |      substr(d.t, CAST(k."start" AS INT),
-          |        CAST(k.chunk_len AS INT)) END, '' ORDER BY k.chunk_no)
-          |      cleaned_text
-          |  FROM k JOIN d USING (doc_id) GROUP BY 1)
-          |SELECT d.doc_id, COALESCE(n_chunks, 0) AS n_chunks,
-          |  COALESCE(n_kept, 0) AS n_kept,
-          |  COALESCE(cleaned_text, '') AS cleaned_text
-          |FROM d LEFT JOIN agg USING (doc_id)
-          |ORDER BY d.doc_id""".stripMargin))
+        gearRewriteSelect)) +
+      ("q142_corpus_rewrite" -> gearSql(
+        s"""d0 AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 4 = 0
+           |      THEN chr(10) || 'subscribe to our newsletter today'
+           |    WHEN doc_id % 4 = 1
+           |      THEN chr(10) || 'all rights reserved worldwide'
+           |    WHEN doc_id % 4 = 2 THEN chr(10) || 'ok'
+           |    ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' $GearPassage'
+           |    ELSE '' END AS t2
+           |  FROM documents),
+           |ls0 AS (SELECT doc_id,
+           |    list_filter(string_split(t2, chr(10)), l -> l <> '') AS ls
+           |  FROM d0),
+           |ls AS (SELECT doc_id, unnest(ls) AS line,
+           |    generate_subscripts(ls, 1) AS line_no FROM ls0),
+           |freq AS (SELECT md5(line) h, COUNT(*) f FROM ls GROUP BY 1),
+           |k0 AS (SELECT doc_id, line_no, line,
+           |    (hot.f IS NULL OR length(line) < 5) AS keep
+           |  FROM ls LEFT JOIN (SELECT h, f FROM freq WHERE f > 5) hot
+           |    ON md5(line) = hot.h),
+           |lagg AS (SELECT doc_id,
+           |    string_agg(CASE WHEN keep THEN line END, chr(10)
+           |      ORDER BY line_no) AS cleaned_text
+           |  FROM k0 GROUP BY 1),
+           |clean AS (SELECT d0.doc_id, COALESCE(cleaned_text, '') AS ct
+           |  FROM d0 LEFT JOIN lagg USING (doc_id)),
+           |d AS (SELECT doc_id, ct AS t, length(ct) AS n FROM clean
+           |  WHERE length(ct) >= 1)""".stripMargin,
+        gearRewriteSelect)))
   }
+
+  /** The chunk-rewrite tail of the gear oracle (first-occurrence
+    * election + keep flags + ordered reassembly + the all-docs left
+    * join) — shared by q138 and the composed q142, whose only
+    * difference is what the `d` doc CTE holds. */
+  private val gearRewriteSelect: String =
+    """, f AS (SELECT chunk_md5, doc_id f_doc, chunk_no f_no FROM (
+      |    SELECT chunk_md5, doc_id, chunk_no, row_number() OVER (
+      |      PARTITION BY chunk_md5 ORDER BY doc_id, chunk_no) rn
+      |    FROM chunks) WHERE rn = 1),
+      |k AS (SELECT c.doc_id, c.chunk_no, c."start", c.chunk_len,
+      |    (c.doc_id = f.f_doc AND c.chunk_no = f.f_no) AS keep
+      |  FROM chunks c JOIN f USING (chunk_md5)),
+      |agg AS (SELECT k.doc_id, COUNT(*) n_chunks,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |      n_kept,
+      |    string_agg(CASE WHEN keep THEN
+      |      substr(d.t, CAST(k."start" AS INT),
+      |        CAST(k.chunk_len AS INT)) END, '' ORDER BY k.chunk_no)
+      |      cleaned_text
+      |  FROM k JOIN d USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_chunks, 0) AS n_chunks,
+      |  COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(cleaned_text, '') AS cleaned_text
+      |FROM d LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q139 is q138 through the chunk patch-set path: same decisions,
+    * same output contract, so the oracle is the same SQL — the hash
+    * match IS the proof the two paths agree (the q91/q128 pattern). */
+  private def withPathEqualityTwins(m: Map[String, String])
+      : Map[String, String] =
+    m + ("q139_chunk_patches" -> m("q138_chunk_rewrite"))
 
   /** Shared DuckDB CTE chain mirroring [[operators.Dedup.gearChunks]]
     * at maskBits=6/window=32: the md5-generated gear table, the

@@ -368,8 +368,11 @@ object Dedup {
       patches: DataFrame): DataFrame =
     df.select(id.as("doc_id"), text.as("doc_text"))
       .join(patches, Seq("doc_id"), "left")
+      // null text must yield (0, 0, 0, '') exactly like lineDedup's
+      // left-join coalesce does, so the drop-in swap contract holds
       .withColumn("lines",
-        filter(split(col("doc_text"), "\n"), l => length(l) > 0))
+        filter(split(coalesce(col("doc_text"), lit("")), "\n"),
+          l => length(l) > 0))
       .withColumn("n_dropped",
         when(col("dropped_nos").isNull, 0L)
           .otherwise(size(col("dropped_nos")).cast("long")))
@@ -1065,14 +1068,19 @@ object Dedup {
     * Output: (doc_id, chunk_no, start, chunk_len, chunk_md5), chunks
     * covering the text exactly; the final chunk ends at the text end
     * whether or not the hash fires there. */
-  def gearChunks(df: DataFrame, id: Column, text: Column,
-      maskBits: Int = 6, window: Int = 32): DataFrame = {
+  /** Adds the gear chunk-span column `chunks`
+    * (array<struct<start,end>>, 1-based inclusive positions covering
+    * `t` exactly) to a frame carrying a `t` text column — the
+    * map-only kernel projection shared by the chunking view
+    * ([[gearChunks]]) and the patch-apply rebuild
+    * ([[applyChunkPatches]]), so the cut arithmetic is written
+    * exactly once. Passthrough columns survive. */
+  private def withChunkSpans(df: DataFrame, maskBits: Int,
+      window: Int): DataFrame = {
     require(maskBits >= 1 && maskBits <= 31, "maskBits must be in [1,31]")
     require(window >= 1 && window <= 32, "window must be in [1,32]")
     import org.apache.spark.sql.graft.ColumnBridge
-    val chunked = df.select(id.as("doc_id"), text.as("t"))
-      .filter(length(col("t")) >= 1)
-      .withColumn("n", length(col("t")))
+    df.withColumn("n", length(col("t")))
       .withColumn("cuts", ColumnBridge.column(graft.functions.GearCutsExpr(
         ColumnBridge.expression(col("t")), maskBits, window)))
       .withColumn("ends",
@@ -1086,6 +1094,14 @@ object Dedup {
             e => e + 1)),
         col("ends"),
         (s, e) => struct(s.as("start"), e.as("end"))))
+      .drop("n", "cuts", "ends")
+  }
+
+  def gearChunks(df: DataFrame, id: Column, text: Column,
+      maskBits: Int = 6, window: Int = 32): DataFrame = {
+    val chunked = withChunkSpans(
+      df.select(id.as("doc_id"), text.as("t"))
+        .filter(length(col("t")) >= 1), maskBits, window)
     chunked.select(col("doc_id"), col("t"), posexplode(col("chunks")))
       .select(col("doc_id"),
         col("pos").cast("long").as("chunk_no"),
@@ -1129,21 +1145,35 @@ object Dedup {
     * the keep-set joins back on (doc_id-keyed) ranges and documents
     * rebuild with the [[lineDedup]] ordered-reassembly idiom — kept
     * chunk text crosses the shuffle once (the same documented trade
-    * as lineDedup; a patch-set form would ship dropped chunk_nos
-    * instead, exactly [[lineDedupPatches]]' step-up).
+    * as lineDedup; the 100 TB path is [[chunkDedupPatches]] +
+    * [[applyChunkPatches]], which ship dropped chunk_nos only —
+    * exactly [[lineDedupPatches]]' step-up).
     *
-    * Output: one row per doc — (doc_id, n_chunks, n_kept,
-    * cleaned_text), cleaned_text the kept chunks concatenated in
-    * original order (empty when everything was cut). */
-  def chunkDedupRewrite(df: DataFrame, id: Column, text: Column,
-      maskBits: Int = 6, window: Int = 32): DataFrame = {
-    val src = df.select(id.as("doc_id"), text.as("t"))
-    val chunks = gearChunks(df, id, text, maskBits, window)
-    val first = chunks.groupBy(col("chunk_md5"))
+    * Output: one row per NON-EMPTY doc (the gearChunks length >= 1
+    * gate) — (doc_id, n_chunks, n_kept, cleaned_text), cleaned_text
+    * the kept chunks concatenated in original order (empty when
+    * everything was cut). */
+  /** First-occurrence election over a [[gearChunks]] frame: the
+    * global argmin (doc_id, chunk_no) per chunk hash — ONE hash
+    * aggregate on the 32-byte hash (min_by ships one candidate per
+    * hash per map task). Shared by the rewrite and patch paths so
+    * both make identical keep decisions. */
+  private def firstChunkOccurrence(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("chunk_md5"))
       .agg(min_by(struct(col("doc_id"), col("chunk_no")),
         struct(col("doc_id"), col("chunk_no"))).as("f"))
       .select(col("chunk_md5"), col("f.doc_id").as("f_doc"),
         col("f.chunk_no").as("f_no"))
+
+  def chunkDedupRewrite(df: DataFrame, id: Column, text: Column,
+      maskBits: Int = 6, window: Int = 32): DataFrame = {
+    // same length >= 1 gate as gearChunks: empty/null-text docs have
+    // no chunks and no output row (they'd otherwise surface as
+    // n_chunks=0 rows no chunk-level view can account for)
+    val src = df.select(id.as("doc_id"), text.as("t"))
+      .filter(length(col("t")) >= 1)
+    val chunks = gearChunks(df, id, text, maskBits, window)
+    val first = firstChunkOccurrence(chunks)
     val kept = chunks.join(first, Seq("chunk_md5"))
       .withColumn("keep",
         col("doc_id") === col("f_doc") && col("chunk_no") === col("f_no"))
@@ -1164,4 +1194,67 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /** The 100 TB step-up of [[chunkDedupRewrite]] — exactly
+    * [[lineDedupPatches]]' shape applied to the CDC family: identical
+    * cut DECISIONS, but nothing wider than (doc_id, chunk_no,
+    * 32-hex chunk hash) ever crosses a shuffle. Chunking is the
+    * map-only native-kernel projection (text stays in its scan);
+    * first-occurrence election is the same ONE min_by hash aggregate
+    * as the rewrite form; the patch aggregate collects the LOSING
+    * occurrences' chunk ordinals per doc. Text is rebuilt map-side by
+    * [[applyChunkPatches]] inside the next stage's scan — the gear
+    * kernel re-runs there for the cost of a codegen'd projection,
+    * which at 100 TB is noise next to shipping chunk text through a
+    * doc-keyed exchange.
+    *
+    * Output: (doc_id, dropped_nos: sorted array<long> of chunk
+    * ordinals to cut) — only docs losing at least one chunk appear. */
+  def chunkDedupPatches(df: DataFrame, id: Column, text: Column,
+      maskBits: Int = 6, window: Int = 32): DataFrame = {
+    val chunks = gearChunks(df, id, text, maskBits, window)
+      .select(col("doc_id"), col("chunk_no"), col("chunk_md5"))
+    val first = firstChunkOccurrence(chunks)
+    chunks.join(first, Seq("chunk_md5"))
+      .filter(col("doc_id") =!= col("f_doc") ||
+        col("chunk_no") =!= col("f_no"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("chunk_no"))).as("dropped_nos"))
+  }
+
+  /** Apply [[chunkDedupPatches]] patch sets during a scan of the doc
+    * frame: one doc-keyed left join (text crosses at most ONE
+    * exchange, zero when the patch table broadcasts) plus a map-only
+    * re-run of the gear cut kernel and an indexed-filter rebuild.
+    * Output schema identical to [[chunkDedupRewrite]]:
+    * (doc_id, n_chunks, n_kept, cleaned_text). */
+  def applyChunkPatches(df: DataFrame, id: Column, text: Column,
+      patches: DataFrame, maskBits: Int = 6, window: Int = 32)
+      : DataFrame = {
+    val src = df.select(id.as("doc_id"), text.as("t"))
+      .filter(length(col("t")) >= 1) // the gearChunks gate
+    withChunkSpans(src.join(patches, Seq("doc_id"), "left"),
+        maskBits, window)
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        (size(col("chunks")) -
+          coalesce(size(col("dropped_nos")), lit(0))).cast("long")
+          .as("n_kept"),
+        concat_ws("", transform(
+          filter(col("chunks"), (c, i) =>
+            col("dropped_nos").isNull ||
+              !array_contains(col("dropped_nos"), i.cast("long"))),
+          c => col("t").substr(c.getField("start"),
+            c.getField("end") - c.getField("start") + 1)))
+          .as("cleaned_text"))
+  }
+
+  /** [[chunkDedupRewrite]] behind the patch-set path — same
+    * signature, same output, for swapping the scale shape in without
+    * touching callers. */
+  def chunkRewriteViaPatches(df: DataFrame, id: Column, text: Column,
+      maskBits: Int = 6, window: Int = 32): DataFrame =
+    applyChunkPatches(df, id, text,
+      chunkDedupPatches(df, id, text, maskBits, window),
+      maskBits, window)
 }

@@ -305,25 +305,32 @@ object Sampling {
     * Scale shape: HISTOGRAM INVERSION, not a global sort. One hash
     * aggregate collapses the corpus to (q_score, class token mass) —
     * bounded by |distinct scores|, never corpus size — and a suffix
-    * cumsum over that tiny frame decides every score class wholesale:
-    * classes whose mass fits entirely are selected map-side, classes
-    * below the threshold are rejected map-side, and ONLY the single
-    * boundary class (the one the budget line crosses) pays a
-    * doc_id-ordered within-class cumsum — an exchange carrying just
-    * that class. The classic top-k-by-sort formulation range-sorts
-    * the whole corpus for the same answer. A degenerate corpus where
-    * most docs share one score makes the boundary class large —
-    * pre-quantize the score if that ever matters.
+    * cumsum over that tiny frame finds the ONE boundary class the
+    * budget line crosses (collected as a single driver-side row, the
+    * bounded-summary discipline). The corpus then passes through ONE
+    * scan: wholesale classes are decided map-side by comparing the
+    * score against the boundary literal (a pushdown-able predicate —
+    * when the score is a plain column the boundary-class extraction
+    * reaches the parquet scan as a filter), and only the boundary
+    * class pays a doc_id-ordered within-class cumsum, joined back on
+    * doc_id (a tiny side, AQE-broadcastable). The funnel discipline:
+    * never express a report as N filtered copies of one scan — the
+    * previous form unioned three. The classic top-k-by-sort
+    * formulation range-sorts the whole corpus for the same answer. A
+    * degenerate corpus where most docs share one score makes the
+    * boundary class large — pre-quantize the score if that ever
+    * matters.
     *
-    * Output: one row per doc — (doc_id, q_score, n_tokens, selected).
-    * Deterministic: the order key is (q_score, doc_id), both exact
-    * integers. */
+    * Output: one row per doc with a non-null score — (doc_id,
+    * q_score, n_tokens, selected). Deterministic: the order key is
+    * (q_score, doc_id), both exact integers. */
   def budgetSelect(df: DataFrame, id: Column, score: Column,
       tokens: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     val base = df.select(id.as("doc_id"),
       score.cast("long").as("q_score"),
       tokens.cast("long").as("n_tokens"))
+      .filter(col("q_score").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("q_score").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -333,28 +340,38 @@ object Sampling {
       .agg(sum(col("n_tokens")).as("class_tok"))
       .withColumn("mass_above", coalesce(sum(col("class_tok")).over(w),
         lit(0L)))
-    val marked = base.join(broadcast(classes), Seq("q_score"))
-    val fullIn = marked
-      .filter(col("mass_above") + col("class_tok") <= budget)
-      .withColumn("selected", lit(true))
-    // strictly-over classes only: a class starting EXACTLY at the
-    // budget line still goes through the boundary cumsum, so a
-    // zero-token doc there matches the prefix contract (before + 0
-    // <= budget) instead of being rejected wholesale
-    val out = marked.filter(col("mass_above") > budget)
-      .withColumn("selected", lit(false))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_score")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val boundary = marked
+    // the single class whose [mass_above, mass_above + class_tok)
+    // interval contains the budget line — at most ONE row crosses the
+    // driver (absent exactly when the whole corpus fits the budget).
+    // Zero-token classes sitting exactly at the line are not boundary
+    // (their interval is empty): they resolve wholesale, and only
+    // ABOVE the line (see the interval argument in the spec).
+    val boundary = classes
       .filter(col("mass_above") <= budget &&
         col("mass_above") + col("class_tok") > budget)
-      .withColumn("before",
-        col("mass_above") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
-      .withColumn("selected", col("before") + col("n_tokens") <= budget)
-    fullIn.unionByName(out).unionByName(boundary.drop("before"))
-      .select(col("doc_id"), col("q_score"), col("n_tokens"),
-        col("selected"))
+      .select(col("q_score"), col("mass_above"))
+      .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+    boundary match {
+      case None => // budget >= total mass: every class fits wholesale
+        base.withColumn("selected", lit(true))
+      case Some((bScore, bAbove)) =>
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_score")).orderBy(col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        // prefix contract: `before` sums EVERY prior doc in the walk
+        // order, selected or not — a doc that does not fit blocks all
+        // lower-ranked docs
+        val boundarySel = base.filter(col("q_score") === lit(bScore))
+          .withColumn("before", lit(bAbove) +
+            coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
+          .select(col("doc_id"),
+            (col("before") + col("n_tokens") <= budget).as("sel_b"))
+        base.join(boundarySel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("q_score"), col("n_tokens"),
+            when(col("q_score") > bScore, lit(true))
+              .when(col("q_score") < bScore, lit(false))
+              .otherwise(col("sel_b")).as("selected"))
+    }
   }
 }

@@ -36,6 +36,12 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     require(keys.nonEmpty, "need at least one join key")
+    // withColumn would silently REPLACE a caller's _salt column (and
+    // the final drop would erase it) — refuse rather than corrupt
+    require(!big.columns.contains("_salt"),
+      "big side already carries a _salt column")
+    require(!small.columns.contains("_salt"),
+      "small side already carries a _salt column")
     val bigS = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)))
     val smallS = small.withColumn("_salt",

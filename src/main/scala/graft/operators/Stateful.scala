@@ -50,6 +50,41 @@ object Stateful {
     }.toDF("key", "ts_us")
   }
 
+  /** Count-aware suppression (ref s/alert/AlertSuppressorCount.java:
+    * 14-35) — the batch twin of
+    * [[graft.streaming.Streaming.suppressCount]]: like [[suppress]],
+    * but each event carries a count, and an event whose count exceeds
+    * the maximum count emitted so far re-emits even INSIDE the
+    * suppression window (the alert got "bigger", so it is news
+    * again). The max only ratchets on emission — a suppressed event
+    * by definition had count <= max. Same secondary-sort scan: one
+    * shuffle, one sort, O(1) memory per key.
+    * Returns (key: string, ts_us, count) of emitted events. */
+  def suppressCount(df: DataFrame, ts: Column, key: Column,
+      count: Column, expirySeconds: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expiryUs = expirySeconds * 1000000L
+    val prepared = df
+      .select(key.cast("string").as("key"), unix_micros(ts).as("ts_us"),
+        count.cast("long").as("count"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts_us"))
+      .as[(String, Long, Long)]
+    prepared.mapPartitions { it =>
+      var curKey: String = null
+      var lastEmit = Long.MinValue
+      var maxCount = Long.MinValue
+      it.flatMap { case (k, t, c) =>
+        if (k != curKey) {
+          curKey = k; lastEmit = t; maxCount = c; Some((k, t, c))
+        } else if (t - lastEmit >= expiryUs || c > maxCount) {
+          lastEmit = t; maxCount = math.max(c, maxCount); Some((k, t, c))
+        } else None
+      }
+    }.toDF("key", "ts_us", "count")
+  }
+
   /** Session-gap suppression (ref s/alert/AlertSuppressorSession.java:
     * 69-113): per key, emit the first event, then suppress while the
     * gap since the last SEEN event (emitted or suppressed — the

@@ -41,6 +41,40 @@ object CorpusPipeline {
         col("n_copies"))
   }
 
+  /** Composed corpus REWRITE — the text-mutating chain a corpus build
+    * runs before tokenization, both stages through their 100 TB
+    * patch-set paths: boilerplate line removal
+    * ([[graft.operators.Dedup.lineDedupPatches]] — frequent-line
+    * drops decided over (doc_id, line_no, hash) triples) and then
+    * chunk-level dedup on the line-cleaned text
+    * ([[graft.operators.Dedup.chunkDedupPatches]] — later gear-chunk
+    * occurrences cut, decided over (doc_id, chunk_no, hash)). Text is
+    * rebuilt map-side inside each apply scan; the decision joins are
+    * all doc_id-keyed, so once the line-apply join has partitioned
+    * the corpus by doc_id the chunk-apply join reuses that layout and
+    * document text crosses at most ONE exchange end to end
+    * (plan-pinned; zero when the patch tables broadcast).
+    *
+    * The chunk stage's two consumers (patch derivation + apply) each
+    * recompute the line-cleaned lineage — at deployment scale the
+    * stage boundary is a materialized snapshot (the ingest-index
+    * discipline); in one lineage Catalyst recomputes, trading a scan
+    * for never holding intermediate text.
+    *
+    * Output: [[graft.operators.Dedup.chunkDedupRewrite]]'s contract —
+    * (doc_id, n_chunks, n_kept, cleaned_text) over the line-cleaned,
+    * chunk-deduped corpus (docs whose text empties out at the line
+    * stage drop, the gearChunks gate). */
+  def rewriteCorpus(df: DataFrame, id: Column, text: Column,
+      maxLineFreq: Long = 5, minLineChars: Int = 5,
+      maskBits: Int = 6, window: Int = 32): DataFrame = {
+    val lineCleaned = Dedup.applyLinePatches(df, id, text,
+        Dedup.lineDedupPatches(df, id, text, maxLineFreq, minLineChars))
+      .select(col("doc_id"), col("cleaned_text").as("line_clean"))
+    Dedup.chunkRewriteViaPatches(lineCleaned, col("doc_id"),
+      col("line_clean"), maskBits, window)
+  }
+
   /** Corpus snapshot diff — the ops view behind incremental releases:
     * what changed between two corpus snapshots, per document. A doc
     * present only in the new snapshot is `added`, only in the old one
@@ -272,12 +306,19 @@ object CorpusPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.types._
-        def readOr(dir: String, schema: StructType): DataFrame =
+        def readOr(dir: String, schema: StructType): DataFrame = {
+          // a compaction crash between its two renames leaves
+          // <dir>.old with no live dir; reading that as "empty index"
+          // would silently re-admit previously-seen docs — heal first
+          val p = new org.apache.hadoop.fs.Path(dir)
+          graft.sinks.Sinks.restoreOrphanedCompaction(
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
           try spark.read.schema(schema).parquet(dir)
           catch { case _: org.apache.spark.sql.AnalysisException =>
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           }
+        }
         val hashSchema = StructType(Seq(
           StructField("chash", StringType), StructField("doc_id", LongType)))
         val bandSchema = StructType(Seq(

@@ -288,6 +288,7 @@ object Sinks {
     require(nFiles >= 1, "nFiles must be >= 1")
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreOrphanedCompaction(fs, dir)
     if (!fs.exists(live)) return
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
@@ -298,6 +299,28 @@ object Sinks {
     if (!fs.rename(live, old) || !fs.rename(tmp, live))
       throw new java.io.IOException(s"compaction swap failed for $dir")
     fs.delete(old, true)
+  }
+
+  /** Heal the two-rename swap's crash window: a crash after
+    * rename(live, old) but before rename(tmp, live) leaves
+    * `<dir>.old` present and the live dir ABSENT — and an ingest
+    * batch reading a missing dedup index would silently treat it as
+    * empty and re-admit previously-seen documents (decision
+    * corruption, not just lost layout). Called at the top of every
+    * compaction AND from the ingest read path, so recovery is
+    * automatic rather than operator-driven: restore `.old` back to
+    * live and discard any half-written `.compact`. A no-op whenever
+    * the live dir exists. */
+  def restoreOrphanedCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"failed to restore orphaned compaction backup for $dir")
+      fs.delete(new org.apache.hadoop.fs.Path(dir + ".compact"), true)
+    }
   }
 
   /** Dev/test sink. */

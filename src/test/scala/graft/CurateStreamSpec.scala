@@ -190,6 +190,33 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(postC <= 3, s"post-probe count not capped: $postC")
   }
 
+  test("compaction crash window heals: orphaned .old restores before any read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crash-idx").toString + "/hashes"
+    Seq(("h1", 1L), ("h2", 2L)).toDF("chash", "doc_id")
+      .write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash between the two swap renames: live dir gone,
+    // backup present, a half-written .compact left behind
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".compact"))
+    graft.sinks.Sinks.restoreOrphanedCompaction(fs, dir)
+    // the index is back — a read sees BOTH rows, not an empty frame
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact")))
+    // healthy state: restore is a no-op (does not clobber live data)
+    graft.sinks.Sinks.restoreOrphanedCompaction(fs, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+    // and a compaction straight after the heal works end to end
+    graft.sinks.Sinks.compactParquetDir(spark, dir, "chash", 1)
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(graft.sinks.Sinks.parquetFileCount(spark, dir) == 1)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, thin join only") {
     import spark.implicits._
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))

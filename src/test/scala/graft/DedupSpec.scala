@@ -328,7 +328,9 @@ class DedupSpec extends AnyFunSuite {
     val cdocs = Seq(
       (1L, "first document body " + passage + " trailing tail here"),
       (2L, "second unrelated prefix " + passage), // shares interior chunks
-      (3L, "a wholly unique document about nothing shared at all")
+      (3L, "a wholly unique document about nothing shared at all"),
+      (4L, ""), // empty + null docs: no chunks, NO output row (the
+      (5L, null.asInstanceOf[String]) // gearChunks length>=1 gate)
     ).toDF("doc_id", "text")
     val out = Dedup.chunkDedupRewrite(cdocs, col("doc_id"), col("text"))
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -350,6 +352,38 @@ class DedupSpec extends AnyFunSuite {
     // rewrite is conservative: concatenating every doc's kept chunks
     // never loses non-duplicated bytes (total kept >= unique mass)
     assert(out.values.map(_._2).sum > 0)
+    // empty/null docs are gated out entirely — the q138 oracle's
+    // final LEFT JOIN builds from the length>=1 CTE, so an output row
+    // for them would be a row-count mismatch
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("chunk patch-set path makes identical rewrites to chunkDedupRewrite") {
+    import spark.implicits._
+    val passage = graft.SparkEntry.GearPassage
+    val cdocs = Seq(
+      (1L, "first document body " + passage + " trailing tail here"),
+      (2L, "second unrelated prefix " + passage),
+      (3L, "a wholly unique document about nothing shared at all"),
+      (4L, ""), // gated out on both paths
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+         r.getAs[String]("cleaned_text"))).toMap
+    val classic = rows(Dedup.chunkDedupRewrite(cdocs, col("doc_id"),
+      col("text")))
+    val patched = rows(Dedup.chunkRewriteViaPatches(cdocs, col("doc_id"),
+      col("text")))
+    assert(patched == classic)
+    // the patch frame itself: only docs losing chunks, 0-based
+    // ordinals, and doc 1 (first occurrences) never appears
+    val p = Dedup.chunkDedupPatches(cdocs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("dropped_nos")).toMap
+    assert(p.contains(2L) && !p.contains(1L) && !p.contains(3L))
+    assert(p(2L) == p(2L).sorted && p(2L).forall(_ >= 0))
   }
 
   test("dupDegree: hub surfaces with its degree and best measure") {
@@ -379,7 +413,8 @@ class DedupSpec extends AnyFunSuite {
       (3L, "FOOTER LINE"),
       (4L, "epsilon\nok"),
       (5L, "ok\nzeta\nok"),
-      (6L, "")
+      (6L, ""),
+      (7L, null.asInstanceOf[String]) // null text: both paths (0,0,0,'')
     ).toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -376,6 +376,63 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("chunk patch-set dedup: no exchange ever carries chunk or document text") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val d = graft.sources.Tables.documents(spark, sf)
+    // the decision path's widest shuffled payload is (doc_id,
+    // chunk_no, 32-hex chunk hash) — the whole point of the step-up
+    // over chunkDedupRewrite's text-shipping reassembly
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val patches = graft.operators.Dedup.chunkDedupPatches(
+        d, col("doc_id"), col("text"), maskBits = 6)
+      val root = patches.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      val textCarrying = shuffles.filter(_.output.exists(a =>
+        a.dataType == StringType && a.name != "chunk_md5"))
+      assert(textCarrying.isEmpty,
+        s"patch path exchange carries text:\n${textCarrying.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("composed corpus rewrite: text rides only doc_id-keyed co-location exchanges") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val d = graft.sources.Tables.documents(spark, sf)
+    // the two-stage rewrite's decision frames shuffle hashes and
+    // ordinals only; document text may cross an exchange solely to
+    // co-locate with its doc_id-keyed patches (and Spark reuses that
+    // layout for the chunk stage) — never on any wider key
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = graft.pipelines.CorpusPipeline.rewriteCorpus(
+        d, col("doc_id"), col("text"))
+      val root = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty)
+      val textCarrying = shuffles.filter(_.output.exists(a =>
+        a.dataType == StringType && a.name != "h" && a.name != "chunk_md5"))
+      textCarrying.foreach { e =>
+        assert(e.outputPartitioning.toString.contains("doc_id"),
+          s"text exchange not doc_id-keyed: ${e.outputPartitioning}\n$e")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("packing plan: one shard-keyed hash exchange, never a global range sort") {
     val p = plan(SparkEntry.queries("q92_packing_plan")(spark, sf))
     // the orderBy in the query entry is presentation; the WINDOW
@@ -616,5 +673,27 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(ex.forall(l => !l.contains("doc_text") && !l.contains("text#")),
       s"document text must not shuffle:\n${ex.mkString("\n")}")
+  }
+
+  test("counting detectors partial-aggregate map-side before their exchange") {
+    // hardLimit / distinctCardinality ride one hash aggregate on
+    // (window, key); the 100 TB guarantee is the map-side combine —
+    // each task ships one row per (window, key), never raw events.
+    // In the executedPlan string the partial aggregate renders as a
+    // partial_* function in a HashAggregate BELOW the exchange.
+    val pHard = plan(SparkEntry.queries("q02_hard_limit")(spark, sf))
+    assert(pHard.contains("partial_count"),
+      s"hardLimit must partially aggregate before shuffling:\n$pHard")
+    assert(pHard.contains("Exchange hashpartitioning"), pHard)
+    // the partial agg must sit BELOW (after, in the rendered string)
+    // the final agg's exchange: events never cross unreduced
+    val hardLines = pHard.linesIterator.toSeq
+    val exIdx = hardLines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partIdx = hardLines.indexWhere(_.contains("partial_count"))
+    assert(exIdx >= 0 && partIdx > exIdx,
+      s"partial aggregate must feed the exchange (map-side):\n$pHard")
+    val pCard = plan(SparkEntry.queries("q07_distinct_types")(spark, sf))
+    assert(pCard.contains("partial_count"),
+      s"distinctCardinality must partially aggregate map-side:\n$pCard")
   }
 }

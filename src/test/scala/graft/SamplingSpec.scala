@@ -379,5 +379,19 @@ class SamplingSpec extends AnyFunSuite {
       col("tok"), budget = 70L).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange rangepartitioning"),
       s"budgetSelect must not global-sort the corpus:\n$p")
+    // ...and no union of filtered scan copies (the funnel
+    // discipline): wholesale classes decide in ONE pass via the
+    // boundary literal, only the boundary class joins back
+    assert(!p.contains("Union"),
+      s"budgetSelect must not union filtered copies of the corpus:\n$p")
+    // all-fits edge: no boundary class exists, everything selected
+    val allIn = Sampling.budgetSelect(dense, col("id"), col("score"),
+        col("tok"), budget = 1000000L).collect()
+    assert(allIn.length == 60 &&
+      allIn.forall(_.getAs[Boolean]("selected")))
+    // budget 0: nothing fits (first class is the boundary)
+    val none = Sampling.budgetSelect(dense, col("id"), col("score"),
+        col("tok"), budget = 0L).collect()
+    assert(none.length == 60 && !none.exists(_.getAs[Boolean]("selected")))
   }
 }

@@ -39,4 +39,54 @@ class SkewSpec extends AnyFunSuite {
       .select("_salt").distinct().count()
     assert(hotSalts > 1, "hot key must land on multiple salts")
   }
+
+  test("saltedJoin spreads the hot key's reducer load ~salts-fold") {
+    // a 32x hot key under a forced shuffle join (no broadcast — the
+    // situation the utility exists for — and no AQE, so the raw
+    // reducer imbalance is observable): the plain join lands every
+    // hot row on ONE reducer; salting bounds it by construction.
+    // Partition row counts are deterministic, not timing-based.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = ((1 to 3200).map(i => ("hot", i.toLong)) ++
+        (1 to 100).map(i => (s"k${i % 7}", i.toLong)))
+        .toDF("key", "v").repartition(8) // input balanced; skew is the join's
+      val small = ("hot" +: (0 to 6).map(i => s"k$i"))
+        .map(k => (k, k.toUpperCase)).toDF("key", "p")
+      def maxPart(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+      val plainMax = maxPart(big.join(small, Seq("key")))
+      // salts=32: with 32 shuffle partitions, fewer salts leave the
+      // spread at the mercy of (key, salt)->partition collisions
+      // (8 buckets into 32 bins collide often); 32 salts average the
+      // bucket load out, the deployment guidance for a chosen-k salt
+      val saltedMax = maxPart(Skew.saltedJoin(big, small, Seq("key"), 32))
+      assert(plainMax >= 3200,
+        s"fixture broken: hot key not concentrated ($plainMax)")
+      assert(saltedMax <= plainMax / 3,
+        s"salting must spread the hot reducer: $saltedMax vs $plainMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
+  test("saltedJoin refuses inputs that already carry a _salt column") {
+    // withColumn would silently overwrite (and drop would erase) a
+    // caller's _salt data — the contract is refuse, never corrupt
+    val big = Seq(("k", 1L)).toDF("key", "_salt")
+    val plain = Seq(("k", 1L)).toDF("key", "v")
+    val small = Seq(("k", "p")).toDF("key", "p")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("key"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(plain, big.withColumnRenamed("v", "p"),
+        Seq("key"), 4)
+    }
+  }
 }

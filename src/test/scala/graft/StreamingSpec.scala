@@ -253,6 +253,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("suppressCount streaming form makes the batch twin's decisions (q141 semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    // three keys, varying counts, expiry crossing several gaps — and
+    // delivery split across micro-batches (per-key ts order held, as
+    // the windowed-count producer guarantees)
+    val evs = for {
+      (k, ki) <- Seq("a", "b", "c").zipWithIndex
+      i <- 0 until 24
+    } yield Streaming.KeyedCount(k, i * 100000000L,
+      ((i * (ki + 3)) % 7 + 1).toLong)
+    val in = MemoryStream[Streaming.KeyedCount]
+    val q = Streaming.suppressCount(in.toDS(), expirySeconds = 250)
+      .writeStream.format("memory").queryName("suppc_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = evs.splitAt(30)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("suppc_eq")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Stateful.suppressCount(evs.toDF(),
+          timestamp_micros(col("tsUs")), col("key"), col("count"),
+          expirySeconds = 250)
+        .as[(String, Long, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch)
+      // and the count-ratchet actually fired somewhere: some emission
+      // happened strictly inside an expiry window
+      val sorted = batch.toSeq.sorted
+      val insideWindow = sorted.sliding(2).exists {
+        case Seq((k1, t1, _), (k2, t2, _)) =>
+          k1 == k2 && t2 - t1 < 250000000L
+        case _ => false
+      }
+      assert(insideWindow, "fixture never exercised the count ratchet")
+    } finally q.stop()
+  }
+
   test("cfgTickStream is a streaming frame carrying the config literal") {
     val df = Streaming.cfgTickStream(spark, 60, """{"heuristic":"hard_limit"}""")
     assert(df.isStreaming)
