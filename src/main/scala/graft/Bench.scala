@@ -22,9 +22,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_QUERIES: optional comma-separated name filter
+    // (tools/scale_probe.sh times the heavy family on corpora that
+    // carry only the documents/embeddings tables; also a local
+    // iteration convenience). Parse throughput is skipped in filtered
+    // mode — the probe corpora have no events table.
+    val qFilter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = qFilter match {
+      case Some(f) =>
+        val missing = f.diff(SparkEntry.queries.keySet)
+        require(missing.isEmpty, s"unknown queries in filter: $missing")
+        SparkEntry.queries.filter(kv => f(kv._1))
+      case None => SparkEntry.queries
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         // a warmup crash must be visible: silently skipping forfeits
         // JIT warmup for that plan and inflates its first timed run
         try fn(spark, warmDir).count() catch {
@@ -57,7 +72,7 @@ object Bench {
     // uncontended engine cost, so median/min >> 1 across the board is
     // direct evidence the host was contended during the run (a round-1
     // n=1 bench once misreported 30s as 381s for exactly this reason)
-    val rawTimings = SparkEntry.queries.map { case (name, fn) =>
+    val rawTimings = selected.map { case (name, fn) =>
       name -> (1 to runs).map(_ => timeOnce(fn))
     }
     // a query is failed if ANY timed run crashed — partial timings would
@@ -75,7 +90,7 @@ object Bench {
     // pass approximates the uncontended engine rate, so a contended
     // host cannot misreport throughput (r5's official 281k eps was
     // judge-remeasured at 393k on identical code).
-    val parseEps = try {
+    val parseEps = if (qFilter.isDefined) -1.0 else try {
       val lines = graft.sources.SyntheticLogs
         .glbLines(graft.sources.Tables.events(spark, sfDir)).cache()
       val n = lines.count() // materialize inputs outside the timed runs
@@ -92,7 +107,7 @@ object Bench {
     val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
     val noise = if (totalMin > 0) total / totalMin else 1.0
 
-    val valid = failed.isEmpty && parseEps > 0
+    val valid = failed.isEmpty && (qFilter.isDefined || parseEps > 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full-precision record for humans/judge — NOT the contract line.

@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Empirical scale probe for the heavy dedup/ANN/curation family:
+# generate k-fold synthetic corpora from sf0.1 (graft.ScaleGen — each
+# copy pairwise-dissimilar, so near-dup structure scales ~k-fold
+# instead of deepening), time the heavy queries at each scale through
+# the regular Bench harness (same warmup + min-of-n methodology), and
+# print per-query times ready for exponent fitting (tools/
+# scale_fit.py turns the three JSON lines into a SCALING.md table).
+#
+# Usage: tools/scale_probe.sh [outRoot] [scales] [runs]
+#   defaults: outRoot=/tmp/graft-scale, scales="1 3 10", runs=2
+set -eu
+cd "$(dirname "$0")/.."
+
+OUT="${1:-/tmp/graft-scale}"
+SCALES="${2:-1 3 10}"
+RUNS="${3:-2}"
+SRC=/root/testdata/sf0.1
+
+# the heavy family (the 100 TB claims under test) + the path-equality
+# contrasts (classic vs patch-set line/chunk dedup — the advantage
+# should GROW with scale)
+QUERIES="q16_ngram_jaccard,q17_minhash_lsh,q53_dedup_clusters,q76_cc_stars,q87_exact_substring,q93_semantic_dedup,q99_winnowing,q109_keep_best,q115_containment,q119_ngram_novelty,q127_overlap_measures,q130_bloom_decontaminate,q91_line_dedup,q128_line_patches,q138_chunk_rewrite,q139_chunk_patches,q142_corpus_rewrite,q15_exact_dedup,q64_corpus_curate"
+
+for k in $SCALES; do
+  dir="$OUT/${k}x"
+  if [ ! -d "$dir/documents.parquet" ]; then
+    echo "== scalegen ${k}x -> $dir =="
+    sbt -batch "runMain graft.ScaleGen $SRC $dir $k" 2>&1 | grep -E "scalegen|error" || true
+  fi
+done
+
+for k in $SCALES; do
+  dir="$OUT/${k}x"
+  echo "== probe ${k}x =="
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
+    SPARK_GRAFT_BENCH_QUERIES="$QUERIES" \
+    sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep -o '{"metric".*' | tail -1 | tee "$OUT/probe_${k}x.json"
+done
+
+echo "== probe done; fit exponents: python3 tools/scale_fit.py $OUT =="
