@@ -14,15 +14,23 @@ import org.apache.spark.sql.functions._
   * deeper: a naive copy would hand every document k exact twins and
   * turn every pair-family query quadratically heavier BY DATA (a
   * 10-clique per original doc), which measures the corpus, not the
-  * engine. So each copy is made pairwise-dissimilar to the others:
-  *  - documents: every whitespace token gets a per-copy suffix
-  *    (`word` -> `word_c3`), which preserves intra-copy relationships
-  *    exactly (similar docs stay similar under the same per-token
-  *    rewrite) while cross-copy shingle/line/chunk overlap drops to
-  *    ~zero — each copy contributes its own dup clusters;
+  * engine. So each copy is made pairwise-dissimilar by an ISOMETRY of
+  * the original — a transformation that preserves every repetition
+  * structure WITHIN the copy while making copies mutually disjoint:
+  *  - documents: a per-copy Caesar rotation of the letters (copy 3:
+  *    a->d, b->e, ...). Lengths, whitespace and repetition structure
+  *    are untouched at every granularity the engine analyzes (char
+  *    k-gram, token, line, gear chunk), so similar docs stay exactly
+  *    as similar within a copy, while any cross-copy n-gram
+  *    containing a letter differs. (A first-cut per-token suffix
+  *    scheme was NOT an isometry at the char-gram level: the injected
+  *    suffix itself became a corpus-hot substring and manufactured a
+  *    flat-hot fingerprint tail no real corpus has — it usefully
+  *    exposed winnowingPairs' missing hot-fingerprint cap, but for
+  *    exponent measurement the cipher is the honest instrument.)
   *  - embeddings: a per-copy cyclic shift of the vector components —
-  *    an isometry, so intra-copy distances are untouched, while
-  *    cross-copy cosines fall to the random-vector baseline.
+  *    the same idea in vector space, so intra-copy distances are
+  *    untouched while cross-copy cosines fall to the random baseline.
   * Copy 0 is byte-identical to the source, so the 1x dir is the
   * original data re-laid-out by the same writer (like-for-like
   * timing).
@@ -34,7 +42,7 @@ object ScaleGen {
     require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <k>")
     val Array(srcDir, outDir, kStr) = args
     val k = kStr.toInt
-    require(k >= 1, "k must be >= 1")
+    require(k >= 1 && k <= 26, "k must be in [1, 26] (26 letter rotations)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -47,13 +55,20 @@ object ScaleGen {
 
     val copies = broadcast(spark.range(k).select(col("id").as("copy")))
 
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
+    val shifted = (1 until k).foldLeft(
+      when(col("copy") === 0, col("text"))) { case (acc, i) =>
+      acc.when(col("copy") === i,
+        translate(col("text"), alpha + alpha.toUpperCase,
+          rot(i) + rot(i).toUpperCase))
+    }.otherwise(col("text"))
+
     val docs = sources.Tables.documents(spark, srcDir)
     docs.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * 10000000L).as("doc_id"),
-        when(col("copy") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_c"), col("copy")))).as("text"),
+        shifted.as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(4 * k)

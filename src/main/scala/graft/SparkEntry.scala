@@ -3990,7 +3990,9 @@ object SparkEntry {
         |wm AS (SELECT doc_id, n, i, MIN(h) OVER (PARTITION BY doc_id
         |    ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
         |  FROM g),
-        |fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= n - 7)
+        |fp0 AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= n - 7),
+        |fp AS (SELECT * FROM fp0 WHERE mh NOT IN (
+        |  SELECT mh FROM fp0 GROUP BY mh HAVING COUNT(*) > 256))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  COUNT(*) AS n_shared_fp
         |FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id

@@ -433,13 +433,39 @@ object Dedup {
 
   /** Document pairs sharing at least `minShared` winnowing
     * fingerprints — the MOSS match sweep as the family's standard
-    * inverted-index join. */
+    * inverted-index join, with the family's standard hot-bucket cap:
+    * fingerprints present in more than `maxFpFreq` documents are
+    * excluded BEFORE the self-join. Semantically this is what the
+    * deployed MOSS service does (matches common to many submissions
+    * are boilerplate, not copying — Schleimer et al. §5 discuss
+    * dropping overly-common fingerprints); operationally it is the
+    * same quadratic-bucket bound as the shingle/band caps — without
+    * it one corpus-wide boilerplate fingerprint (a license header, a
+    * template footer) turns the join into d² pairs. The round-10
+    * scale probe measured exactly that cliff: k^1.5 growth on a
+    * corpus with suffix-hot grams, restored to ~linear by the cap. */
   def winnowingPairs(df: DataFrame, id: Column, text: Column,
-      k: Int = 8, w: Int = 4, minShared: Long = 2): DataFrame = {
+      k: Int = 8, w: Int = 4, minShared: Long = 2,
+      maxFpFreq: Long = 256): DataFrame = {
+    require(maxFpFreq >= 1, "maxFpFreq must be >= 1")
+    // posting-list form of the inverted-index sweep: ONE aggregate
+    // groups each fingerprint's doc list (the kernel lineage runs
+    // once — a fp-keyed SELF-join would re-derive it per branch), the
+    // cap is a free size() filter on the grouped row, and surviving
+    // buckets explode into pairs map-side (bounded by cap² per
+    // bucket). The list buffer for a hot value is bounded by that
+    // value's doc count before the filter drops it — spill-backed by
+    // ObjectHashAggregate, and a value hot enough to matter is
+    // dropped anyway; corpora where even buffering is a concern can
+    // pre-screen with the two-pass broadcast-anti form the band cap
+    // uses (minhashLshPairs).
     val fp = winnowingFingerprints(df, id, text, k, w)
-    val a = fp.select(col("doc_id").as("doc_a"), col("mh"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("mh"))
-    a.join(b, Seq("mh")).filter(col("doc_a") < col("doc_b"))
+    val grouped = fp.groupBy(col("mh"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) between (2, maxFpFreq))
+    grouped.select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= minShared)

@@ -277,6 +277,34 @@ class DedupSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("winnowingPairs: corpus-wide boilerplate fingerprints are capped out of the sweep") {
+    import spark.implicits._
+    // 40 otherwise-unrelated docs share one long boilerplate passage
+    // (a license header); one genuine verbatim pair shares RARE
+    // content. The r10 scale probe measured the uncapped sweep at
+    // k^1.5 — one hot fingerprint value is a d^2 join bucket.
+    val boiler = "permission is hereby granted free of charge to any " +
+      "person obtaining a copy of this software and associated " +
+      "documentation files to deal in the software without restriction"
+    val essay = "the genuinely copied essay text appears here verbatim " +
+      "with enough length that several fingerprints are selected from it"
+    val docs = ((1L to 40L).map(i =>
+      (i, s"unique body number $i nothing shared here " + boiler)) ++
+      Seq((100L, essay), (101L, essay))).toDF("doc_id", "text")
+    def pairSet(cap: Long) = Dedup.winnowingPairs(docs, col("doc_id"),
+        col("text"), k = 8, w = 4, minShared = 2, maxFpFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(1000) // cap can't fire at 42 docs
+    val capped = pairSet(16)
+    // uncapped: the boilerplate manufactures pairs among the 40
+    assert(uncapped.exists(p => p._1 <= 40L && p._2 <= 40L))
+    // capped: every boilerplate-only pair dies (its fingerprints sit
+    // in 40 > 16 docs)...
+    assert(!capped.exists(p => p._1 <= 40L && p._2 <= 40L))
+    // ...while the genuine rare-content pair survives in both
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)))
+  }
+
   test("overlapMeasures: both Broder measures off one shingle join, equal to the union of the twins") {
     import spark.implicits._
     val docs = Seq(
