@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * engine. So each copy is made pairwise-dissimilar by an ISOMETRY of
   * the original — a transformation that preserves every repetition
   * structure WITHIN the copy while making copies mutually disjoint:
-  *  - documents: a per-copy Caesar rotation of the letters (copy 3:
-  *    a->d, b->e, ...). Lengths, whitespace and repetition structure
-  *    are untouched at every granularity the engine analyzes (char
+  *  - documents: a per-copy substitution cipher on the letters (a
+  *    seeded Fisher-Yates permutation of the alphabet; copy 0 is the
+  *    identity). Lengths, whitespace and repetition structure are
+  *    untouched at every granularity the engine analyzes (char
   *    k-gram, token, line, gear chunk), so similar docs stay exactly
   *    as similar within a copy, while any cross-copy n-gram
-  *    containing a letter differs. (A first-cut per-token suffix
+  *    containing a letter differs with overwhelming probability. (A first-cut per-token suffix
   *    scheme was NOT an isometry at the char-gram level: the injected
   *    suffix itself became a corpus-hot substring and manufactured a
   *    flat-hot fingerprint tail no real corpus has — it usefully
@@ -41,8 +42,6 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <k>")
     val Array(srcDir, outDir, kStr) = args
-    val k = kStr.toInt
-    require(k >= 1 && k <= 26, "k must be in [1, 26] (26 letter rotations)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -52,16 +51,28 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, kStr.toInt)
+    println(s"[scalegen] wrote ${kStr}x corpus to $outDir")
+    spark.stop()
+  }
 
+  /** The generator body, session-agnostic (specs call this with the
+    * shared test session — main owns session lifecycle). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      k: Int): Unit = {
+    require(k >= 1, "k must be >= 1")
     val copies = broadcast(spark.range(k).select(col("id").as("copy")))
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
+    def perm(i: Int): String = {
+      val r = new scala.util.Random(i)
+      r.shuffle(alpha.toList).mkString
+    }
     val shifted = (1 until k).foldLeft(
       when(col("copy") === 0, col("text"))) { case (acc, i) =>
       acc.when(col("copy") === i,
         translate(col("text"), alpha + alpha.toUpperCase,
-          rot(i) + rot(i).toUpperCase))
+          perm(i) + perm(i).toUpperCase))
     }.otherwise(col("text"))
 
     val docs = sources.Tables.documents(spark, srcDir)
@@ -84,8 +95,5 @@ object ScaleGen {
         col("label"))
       .repartition(2 * k)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
-    println(s"[scalegen] wrote ${k}x corpus to $outDir")
-    spark.stop()
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-probe generator's contract: each copy is an ISOMETRY of
+  * the source corpus (within-copy structure exact, cross-copy overlap
+  * ~zero) — the property that makes the measured exponents about the
+  * ENGINE rather than about manufactured data pathologies. */
+class ScaleGenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("k-fold corpus: copy 0 byte-identical, copies disjoint, structure preserved") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scalegen").toString
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 3)
+    val src = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val gen = spark.read.parquet(s"$out/documents.parquet")
+    assert(gen.count() == 3 * src.count())
+    // copy 0 is byte-identical to the source
+    val mismatch = gen.filter(col("doc_id") < 10000000L)
+      .select(col("doc_id"), col("text").as("t2"))
+      .join(src.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("t2") =!= col("text")).count()
+    assert(mismatch == 0, "copy 0 must be byte-identical")
+    // the rotation is an isometry: per-copy length sums equal
+    val lens = gen.groupBy((col("doc_id") / 10000000L).cast("int").as("copy"))
+      .agg(sum(length(col("text"))).as("chars"),
+        count(lit(1)).as("docs"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lens.size == 3 && lens.values.toSet.size == 1,
+      s"copies must have identical length mass: $lens")
+    // n_chars column matches the (possibly rotated) text
+    assert(gen.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    // cross-copy content is disjoint (no md5 collision between copies)
+    val byCopy = gen.select(
+      (col("doc_id") / 10000000L).cast("int").as("copy"),
+      md5(col("text")).as("h"))
+    val cross = byCopy.alias("a").join(byCopy.alias("b"),
+        col("a.h") === col("b.h") && col("a.copy") < col("b.copy"))
+      .count()
+    assert(cross == 0, "rotated copies must not share any document text")
+    // within-copy dup structure preserved: each copy has the same
+    // number of distinct texts as the source
+    val srcDistinct = src.select(md5(col("text"))).distinct().count()
+    val perCopy = byCopy.groupBy(col("copy"))
+      .agg(count_distinct(col("h")).as("d")).collect()
+      .map(_.getLong(1)).toSet
+    assert(perCopy == Set(srcDistinct),
+      s"within-copy distinct-text structure must be preserved: $perCopy vs $srcDistinct")
+    // embeddings: 3x rows, shift preserves the component multiset
+    val se = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ge = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(ge.count() == 3 * se.count())
+    val sortedSum = (df: org.apache.spark.sql.DataFrame, idBase: Long) =>
+      df.filter(col("vec_id") >= idBase && col("vec_id") < idBase + 10000000L)
+        .select(sum(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")))
+        .head().getDouble(0)
+    val s0 = sortedSum(ge, 0L)
+    val s2 = sortedSum(ge, 20000000L)
+    assert(math.abs(s0 - s2) < 1e-3,
+      "cyclic shift must preserve component sums (isometry)")
+  }
+}
