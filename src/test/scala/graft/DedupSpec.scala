@@ -463,6 +463,43 @@ class DedupSpec extends AnyFunSuite {
     assert(p(1L) == Seq(1L) && p(2L) == Seq(0L) && p(3L) == Seq(0L))
   }
 
+  test("patch paths make the classic paths' decisions on a seeded randomized corpus") {
+    import spark.implicits._
+    // 80 random docs from a tiny vocabulary — dense with repeated
+    // lines and shared chunks — plus empty and null texts; both patch
+    // families must agree with their text-shipping twins row for row
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "ok", "x",
+      "footer", "line", "zz")
+    def mkLine() = Seq.fill(rnd.nextInt(6) + 1)(
+      words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = (1L to 80L).map { i =>
+      val t =
+        if (i % 17 == 0) null
+        else Seq.fill(rnd.nextInt(8))(mkLine()).mkString("\n")
+      (i, t)
+    }.toDF("doc_id", "text")
+    def lineRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+         r.getAs[Long]("n_dropped"), r.getAs[String]("cleaned_text")))
+      .toMap
+    assert(lineRows(Dedup.lineDedupViaPatches(docs, col("doc_id"),
+        col("text"), maxLineFreq = 2, minLineChars = 3)) ==
+      lineRows(Dedup.lineDedup(docs, col("doc_id"), col("text"),
+        maxLineFreq = 2, minLineChars = 3)))
+    def chunkRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+         r.getAs[String]("cleaned_text"))).toMap
+    // maskBits=4: ~1/16 cut rate, so even short docs get several
+    // chunks and the tiny vocabulary guarantees cross-doc dup chunks
+    assert(chunkRows(Dedup.chunkRewriteViaPatches(docs, col("doc_id"),
+        col("text"), maskBits = 4)) ==
+      chunkRows(Dedup.chunkDedupRewrite(docs, col("doc_id"),
+        col("text"), maskBits = 4)))
+  }
+
   test("winnowing kernel property: random unicode strings match the naive definition") {
     // scalacheck-driven sweep over adversarial strings (mixed-plane
     // unicode, repeats, whitespace) and parameter pairs — the fixed

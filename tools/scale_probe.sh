@@ -7,8 +7,10 @@
 # print per-query times ready for exponent fitting (tools/
 # scale_fit.py turns the three JSON lines into a SCALING.md table).
 #
-# Usage: tools/scale_probe.sh [outRoot] [scales] [runs]
-#   defaults: outRoot=/tmp/graft-scale, scales="1 3 10", runs=2
+# Usage: tools/scale_probe.sh [outRoot] [scales] [runs] [queries]
+#   defaults: outRoot=/tmp/graft-scale, scales="1 3 10", runs=2,
+#   queries=the heavy family below (pass a comma-separated list to
+#   probe a subset, e.g. a single operator at a new scale point)
 set -eu
 cd "$(dirname "$0")/.."
 
@@ -20,7 +22,7 @@ SRC=/root/testdata/sf0.1
 # the heavy family (the 100 TB claims under test) + the path-equality
 # contrasts (classic vs patch-set line/chunk dedup — the advantage
 # should GROW with scale)
-QUERIES="q16_ngram_jaccard,q17_minhash_lsh,q53_dedup_clusters,q76_cc_stars,q87_exact_substring,q93_semantic_dedup,q99_winnowing,q109_keep_best,q115_containment,q119_ngram_novelty,q127_overlap_measures,q130_bloom_decontaminate,q91_line_dedup,q128_line_patches,q138_chunk_rewrite,q139_chunk_patches,q142_corpus_rewrite,q15_exact_dedup,q64_corpus_curate"
+QUERIES="${4:-q16_ngram_jaccard,q17_minhash_lsh,q53_dedup_clusters,q76_cc_stars,q87_exact_substring,q93_semantic_dedup,q99_winnowing,q109_keep_best,q115_containment,q119_ngram_novelty,q127_overlap_measures,q130_bloom_decontaminate,q91_line_dedup,q128_line_patches,q138_chunk_rewrite,q139_chunk_patches,q142_corpus_rewrite,q15_exact_dedup,q64_corpus_curate}"
 
 for k in $SCALES; do
   dir="$OUT/${k}x"
