@@ -144,7 +144,12 @@ object Bench {
       // line: a consumer that reads only this JSON must see the breakage
       val failedShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
         .mkString("[", ",", "]")
-      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"sf":"$sfDir"}"""
+      // a filtered run self-describes: its partial-suite total must
+      // never be mistakable for an official full-suite record by a
+      // consumer keying on metric+valid
+      val filteredMark =
+        if (qFilter.isDefined) s""","filtered":true""" else ""
+      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs$filteredMark,"sf":"$sfDir"}"""
     }
     val candidates = Seq((3, false), (2, false), (2, true), (1, true))
       .map { case (dp, sk) => line(dp, sk) }

@@ -61,6 +61,24 @@ object ScaleGen {
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       k: Int): Unit = {
     require(k >= 1, "k must be >= 1")
+    // the disjointness contract needs guarding, not assuming: ids
+    // stride by 10M per copy (a collision would silently give one id
+    // two different texts, corrupting every pair query downstream),
+    // and the embedding shift has period = vector dim (copy `dim`
+    // would be vector-identical to copy 0)
+    val stride = 10000000L
+    val idBounds = sources.Tables.documents(spark, srcDir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    require(idBounds < stride,
+      s"source doc_id $idBounds >= copy stride $stride: copies would collide")
+    val embStats = sources.Tables.embeddings(spark, srcDir)
+      .agg(max(col("vec_id")), min(size(col("embedding"))))
+      .head()
+    require(embStats.getLong(0) < stride,
+      s"source vec_id ${embStats.getLong(0)} >= copy stride $stride")
+    require(k < embStats.getInt(1),
+      s"k=$k >= embedding dim ${embStats.getInt(1)}: the cyclic shift " +
+        "would repeat and copies would stop being disjoint")
     val copies = broadcast(spark.range(k).select(col("id").as("copy")))
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"

@@ -323,7 +323,13 @@ object Sampling {
     *
     * Output: one row per doc with a non-null score — (doc_id,
     * q_score, n_tokens, selected). Deterministic: the order key is
-    * (q_score, doc_id), both exact integers. */
+    * (q_score, doc_id), both exact integers.
+    *
+    * NOTE: the boundary class is resolved EAGERLY at call time (the
+    * collect below runs a job over `df` as it stands), and the
+    * returned frame embeds it as a literal. Re-executing the result
+    * after the input's backing data has changed would mix a stale
+    * boundary with fresh rows — call budgetSelect again instead. */
   def budgetSelect(df: DataFrame, id: Column, score: Column,
       tokens: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

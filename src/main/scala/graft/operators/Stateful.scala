@@ -65,11 +65,16 @@ object Stateful {
     val spark = df.sparkSession
     import spark.implicits._
     val expiryUs = expirySeconds * 1000000L
+    // count joins the sort key as a tiebreak: two events sharing a
+    // (key, ts) must replay in ONE order or the emission set itself
+    // becomes run-dependent (ascending: the smaller count is
+    // considered first, so an equal-ts larger count still re-emits
+    // via the ratchet — the inclusive reading of "got bigger")
     val prepared = df
       .select(key.cast("string").as("key"), unix_micros(ts).as("ts_us"),
         count.cast("long").as("count"))
       .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("ts_us"))
+      .sortWithinPartitions(col("key"), col("ts_us"), col("count"))
       .as[(String, Long, Long)]
     prepared.mapPartitions { it =>
       var curKey: String = null

@@ -1078,7 +1078,10 @@ object Streaming {
           var st = if (state.exists) state.get
             else CountState(Long.MinValue, Long.MinValue)
           val out = Seq.newBuilder[EmittedCount]
-          it.toSeq.sortBy(_.tsUs).foreach { e =>
+          // (ts, count) sort — same tie discipline as the batch twin
+          // (Stateful.suppressCount): equal-ts events replay smaller
+          // count first, so the ratchet still fires for the larger
+          it.toSeq.sortBy(e => (e.tsUs, e.count)).foreach { e =>
             val expired =
               st.lastEmitUs == Long.MinValue || e.tsUs - st.lastEmitUs >= expiryUs
             if (expired || e.count > st.maxCount) {

@@ -292,6 +292,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("suppressCount ties on (key, ts) replay deterministically: smaller count first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // equal-ts events MUST replay in one order (count ascending) or
+    // the emission set itself becomes run-dependent: (3 then 5) emits
+    // both via the ratchet, (5 then 3) would emit only 5
+    val evs = Seq(("a", 0L, 5L), ("a", 0L, 3L), ("a", 1000L, 4L))
+      .toDF("key", "tsUs", "count")
+    val got = graft.operators.Stateful.suppressCount(evs,
+        timestamp_micros(col("tsUs")), col("key"), col("count"),
+        expirySeconds = 600)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 0L, 3L), ("a", 0L, 5L)),
+      s"tie order must be count-ascending: $got")
+  }
+
   test("cfgTickStream is a streaming frame carrying the config literal") {
     val df = Streaming.cfgTickStream(spark, 60, """{"heuristic":"hard_limit"}""")
     assert(df.isStreaming)

@@ -25,10 +25,19 @@ if len(runs) < 2:
 ks = sorted(runs)
 names = sorted(set().union(*[set(v) for v in runs.values()]))
 rows = []
+incomplete = []
 for q in names:
-    ts = [(k, runs[k].get(q)) for k in ks if runs[k].get(q)]
+    # explicit None checks: a 0.00-formatted sub-5ms time is a real
+    # point, and a query MISSING at the largest scale (crashed there —
+    # the super-linear symptom itself) must be reported, not dropped
+    ts = [(k, runs[k][q]) for k in ks
+          if q in runs[k] and runs[k][q] is not None]
+    have = {k for k, _ in ts}
+    if ks[-1] not in have and len(have) >= 1:
+        incomplete.append(q)
     if len(ts) < 2:
         continue
+    ts = [(k, max(t, 1e-3)) for k, t in ts]  # log() floor for 0.00 rows
     xs = [math.log(k) for k, _ in ts]
     ys = [math.log(t) for _, t in ts]
     n = len(xs)
@@ -50,6 +59,15 @@ for q, ts, e in rows:
         worst.append(q)
     print(f"| {q} | {cells} | {e:.2f} | {verdict} |")
 print()
+if incomplete:
+    # only flag when a LARGER probe exists that the query should have
+    # appeared in (a deliberately-smaller 30x subset is fine when the
+    # query was never in that probe's filter — but we cannot tell the
+    # difference here, so surface it and let the reader decide)
+    print(f"NOTE: missing at the largest scale ({ks[-1]}x): "
+          f"{', '.join(sorted(incomplete))} — absent from that probe's "
+          f"query set or CRASHED there; a crash at the largest scale "
+          f"is itself the super-linear symptom, check the probe log")
 if worst:
     print(f"FLAGGED (> k^{flag_at}): {', '.join(worst)}")
     sys.exit(1)

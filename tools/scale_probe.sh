@@ -26,9 +26,16 @@ QUERIES="${4:-q16_ngram_jaccard,q17_minhash_lsh,q53_dedup_clusters,q76_cc_stars,
 
 for k in $SCALES; do
   dir="$OUT/${k}x"
-  if [ ! -d "$dir/documents.parquet" ]; then
+  # BOTH tables must exist — a crash between the two writes must not
+  # leave a half-corpus that every later run silently probes
+  if [ ! -d "$dir/documents.parquet" ] || [ ! -d "$dir/embeddings.parquet" ]; then
     echo "== scalegen ${k}x -> $dir =="
-    sbt -batch "runMain graft.ScaleGen $SRC $dir $k" 2>&1 | grep -E "scalegen|error" || true
+    rm -rf "$dir"
+    if ! sbt -batch "runMain graft.ScaleGen $SRC $dir $k" > "$OUT/scalegen_${k}x.log" 2>&1; then
+      echo "SCALEGEN FAILED for ${k}x (log: $OUT/scalegen_${k}x.log)" >&2
+      exit 1
+    fi
+    grep -E "scalegen" "$OUT/scalegen_${k}x.log" || true
   fi
 done
 
@@ -39,6 +46,13 @@ for k in $SCALES; do
     SPARK_GRAFT_BENCH_QUERIES="$QUERIES" \
     sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep -o '{"metric".*' | tail -1 | tee "$OUT/probe_${k}x.json"
+  # a probe whose Bench reported failures must stop the sweep — a
+  # crash at the LARGEST scale is exactly the super-linear symptom
+  # the probe exists to catch, not a row to drop
+  if ! grep -q '"valid":true' "$OUT/probe_${k}x.json"; then
+    echo "PROBE INVALID at ${k}x (failed queries in the contract line above)" >&2
+    exit 1
+  fi
 done
 
 echo "== probe done; fit exponents: python3 tools/scale_fit.py $OUT =="
