@@ -1784,10 +1784,11 @@ object SparkEntry {
     }),
 
     // §2.6 AlertSuppressorCount (batch form): count-aware suppression
-    // over per-(user, 10-min window) event counts — a count above the
-    // emitted maximum re-emits even inside the expiry window (the
-    // alert got "bigger"); the q27 recursive-CTE oracle pattern with
-    // the max-count ratchet carried through the recursion
+    // over per-(user, 10-min window) event counts — a count that
+    // DIFFERS from the last-emitted one re-emits even inside the
+    // expiry window (reference emit-on-change, decreases included);
+    // the q27 recursive-CTE oracle pattern with the last-emitted
+    // count threaded through the recursion
     "q141_suppress_count" -> ((s, dir) => {
       val wc = Tables.events(s, dir)
         .withColumn("wus",
@@ -1800,6 +1801,34 @@ object SparkEntry {
         .select(col("key").cast("long").as("user_id"),
           expr("ts_us DIV 1000").as("ts_ms"), col("count").as("n"))
         .orderBy(col("user_id"), col("ts_ms"))
+    }),
+
+    // §2.6 the AlertSuppressorCount PIPELINE GATE composed end to end
+    // (ref EndpointAbuseAnalysis.java:277: session-window abuse
+    // alerts → GlobalTriggers → AlertSuppressorCount): q78's session
+    // alerts gated per client address on (latest monitored request,
+    // count) — a repeat alert re-emits iff strictly past the expiry
+    // OR the count changed, with the full alert row riding a
+    // triple-keyed join back around the 3-column state scan
+    "q143_endpoint_abuse_suppressed" -> ((s, dir) => {
+      import operators.{HttpHeuristics, Stateful}
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase") ||
+          (col("event_type") === "click" && col("user_id") % 7 === 0))
+        .withColumn("addr", concat(lit("10.4.0."), col("user_id") % 5))
+        .withColumn("method",
+          when(col("event_type") === "purchase", "POST").otherwise("GET"))
+        .withColumn("path", concat(lit("/e/"), col("event_type")))
+        .withColumn("ua", concat(lit("ua-"), col("user_id") % 5))
+      val abuse = HttpHeuristics.endpointAbuseSessions(e, col("ts"),
+        col("addr"), col("method"), col("path"), col("ua"),
+        gapSeconds = 3600,
+        Seq(HttpHeuristics.Endpoint("GET", "/e/view", 2),
+          HttpHeuristics.Endpoint("POST", "/e/purchase", 2)))
+      Stateful.suppressCountGate(abuse,
+          timestamp_millis(col("latest_ts_ms")), col("addr"), col("n"),
+          expirySeconds = 7200)
+        .orderBy(col("addr"), col("session_id"))
     }),
 
     // training-data ops: per-source stop-word-permille quantiles —
@@ -2290,10 +2319,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT s.user_id,
         |    (SELECT MIN(e.ts) FROM events e WHERE e.user_id = s.user_id
-        |       AND e.ts >= s.ts + INTERVAL 7200 SECOND) AS ts
+        |       AND e.ts > s.ts + INTERVAL 7200 SECOND) AS ts
         |  FROM s
         |  WHERE (SELECT MIN(e.ts) FROM events e WHERE e.user_id = s.user_id
-        |       AND e.ts >= s.ts + INTERVAL 7200 SECOND) IS NOT NULL)
+        |       AND e.ts > s.ts + INTERVAL 7200 SECOND) IS NOT NULL)
         |SELECT user_id, epoch_ms(ts) AS ts_ms FROM s
         |ORDER BY user_id, ts_ms""".stripMargin,
 
@@ -4780,7 +4809,7 @@ object SparkEntry {
           |    COUNT(*) AS n
           |  FROM events GROUP BY 1, 2),
           |s AS (
-          |  SELECT user_id, wus, n, n AS mx FROM (
+          |  SELECT user_id, wus, n FROM (
           |    SELECT user_id, wus, n, row_number() OVER (
           |      PARTITION BY user_id ORDER BY wus) rn FROM ev)
           |  WHERE rn = 1
@@ -4788,27 +4817,101 @@ object SparkEntry {
           |  SELECT s.user_id,
           |    (SELECT MIN(e.wus) FROM ev e WHERE e.user_id = s.user_id
           |       AND e.wus > s.wus
-          |       AND (e.wus - s.wus >= 1800000000 OR e.n > s.mx)) AS wus,
+          |       AND (e.wus - s.wus > 1800000000 OR e.n <> s.n)) AS wus,
           |    (SELECT e.n FROM ev e WHERE e.user_id = s.user_id
           |       AND e.wus =
           |      (SELECT MIN(e2.wus) FROM ev e2
           |       WHERE e2.user_id = s.user_id AND e2.wus > s.wus
-          |         AND (e2.wus - s.wus >= 1800000000 OR e2.n > s.mx)))
-          |      AS n,
-          |    GREATEST(s.mx,
-          |      (SELECT e.n FROM ev e WHERE e.user_id = s.user_id
-          |         AND e.wus =
-          |        (SELECT MIN(e2.wus) FROM ev e2
-          |         WHERE e2.user_id = s.user_id AND e2.wus > s.wus
-          |           AND (e2.wus - s.wus >= 1800000000 OR e2.n > s.mx))))
-          |      AS mx
+          |         AND (e2.wus - s.wus > 1800000000 OR e2.n <> s.n)))
+          |      AS n
           |  FROM s
           |  WHERE (SELECT MIN(e.wus) FROM ev e
           |     WHERE e.user_id = s.user_id AND e.wus > s.wus
-          |       AND (e.wus - s.wus >= 1800000000 OR e.n > s.mx))
+          |       AND (e.wus - s.wus > 1800000000 OR e.n <> s.n))
           |    IS NOT NULL)
           |SELECT user_id, wus // 1000 AS ts_ms, n FROM s
           |ORDER BY user_id, ts_ms""".stripMargin) +
+      ("q143_endpoint_abuse_suppressed" ->
+        """WITH RECURSIVE f AS (SELECT ts,
+          |    '10.4.0.' || (user_id % 5) AS addr,
+          |    CASE WHEN event_type = 'purchase' THEN 'POST'
+          |      ELSE 'GET' END AS method,
+          |    '/e/' || event_type AS path,
+          |    'ua-' || (user_id % 5) AS ua
+          |  FROM events
+          |  WHERE event_type IN ('view', 'purchase')
+          |     OR (event_type = 'click' AND user_id % 7 = 0)),
+          |m AS (SELECT *, CASE
+          |    WHEN method = 'GET' AND path = '/e/view' THEN 0
+          |    WHEN method = 'POST' AND path = '/e/purchase' THEN 1
+          |    END AS mi FROM f),
+          |s0 AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+          |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+          |  THEN 1 ELSE 0 END AS ns
+          |  FROM m WINDOW w AS (PARTITION BY addr ORDER BY ts)),
+          |s AS (SELECT addr, ts, mi, ua, CAST(SUM(ns) OVER (
+          |    PARTITION BY addr ORDER BY ts ROWS UNBOUNDED PRECEDING)
+          |    AS BIGINT) AS session_id FROM s0),
+          |g AS (SELECT addr, session_id,
+          |    COUNT(CASE WHEN mi = 0 THEN 1 END) AS n0,
+          |    COUNT(CASE WHEN mi = 1 THEN 1 END) AS n1,
+          |    COUNT(CASE WHEN mi IS NULL THEN 1 END) AS nv,
+          |    epoch_ms(MAX(CASE WHEN mi IS NOT NULL THEN ts END))
+          |      AS latest_ts_ms,
+          |    MAX(CASE WHEN mi IS NOT NULL THEN ua END) AS useragent,
+          |    epoch_ms(MAX(ts)) AS last_ms
+          |  FROM s GROUP BY 1, 2),
+          |q AS (SELECT *,
+          |    CASE WHEN n0 >= 2 THEN n0 END AS q0,
+          |    CASE WHEN n1 >= 2 THEN n1 END AS q1
+          |  FROM g WHERE nv = 0),
+          |b AS (SELECT *,
+          |    CASE WHEN q0 IS NOT NULL
+          |        AND q0 = GREATEST(COALESCE(q0, -1), COALESCE(q1, -1))
+          |      THEN 0
+          |      WHEN q1 IS NOT NULL
+          |        AND q1 = GREATEST(COALESCE(q0, -1), COALESCE(q1, -1))
+          |      THEN 1 END AS best
+          |  FROM q),
+          |al AS (SELECT addr, session_id,
+          |    CASE best WHEN 0 THEN 'GET' ELSE 'POST' END
+          |      AS endpoint_method,
+          |    CASE best WHEN 0 THEN '/e/view' ELSE '/e/purchase'
+          |      END AS endpoint_path,
+          |    CASE best WHEN 0 THEN n0 ELSE n1 END AS n,
+          |    latest_ts_ms, useragent,
+          |    last_ms + 3600000 - 1 AS window_max_ts_ms
+          |  FROM b WHERE best IS NOT NULL),
+          |sc AS (
+          |  SELECT addr, latest_ts_ms, n FROM (
+          |    SELECT addr, latest_ts_ms, n, row_number() OVER (
+          |      PARTITION BY addr ORDER BY latest_ts_ms) rn FROM al)
+          |  WHERE rn = 1
+          |  UNION ALL
+          |  SELECT sc.addr,
+          |    (SELECT MIN(e.latest_ts_ms) FROM al e
+          |     WHERE e.addr = sc.addr
+          |       AND e.latest_ts_ms > sc.latest_ts_ms
+          |       AND (e.latest_ts_ms - sc.latest_ts_ms > 7200000
+          |         OR e.n <> sc.n)) AS latest_ts_ms,
+          |    (SELECT e.n FROM al e WHERE e.addr = sc.addr
+          |       AND e.latest_ts_ms =
+          |      (SELECT MIN(e2.latest_ts_ms) FROM al e2
+          |       WHERE e2.addr = sc.addr
+          |         AND e2.latest_ts_ms > sc.latest_ts_ms
+          |         AND (e2.latest_ts_ms - sc.latest_ts_ms > 7200000
+          |           OR e2.n <> sc.n))) AS n
+          |  FROM sc
+          |  WHERE (SELECT MIN(e.latest_ts_ms) FROM al e
+          |     WHERE e.addr = sc.addr
+          |       AND e.latest_ts_ms > sc.latest_ts_ms
+          |       AND (e.latest_ts_ms - sc.latest_ts_ms > 7200000
+          |         OR e.n <> sc.n)) IS NOT NULL)
+          |SELECT al.addr, al.session_id, al.endpoint_method,
+          |  al.endpoint_path, al.n, al.latest_ts_ms, al.useragent,
+          |  al.window_max_ts_ms
+          |FROM al JOIN sc USING (addr, latest_ts_ms, n)
+          |ORDER BY al.addr, al.session_id""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0

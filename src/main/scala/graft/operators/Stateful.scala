@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
 object Stateful {
 
   /** Greedy suppression: per key, emit the first event, then suppress
-    * every event until `expirySeconds` after the last emitted one;
-    * the next event at/after expiry re-emits and re-arms.
+    * every event while the gap since the last emitted one stays at or
+    * under `expirySeconds`; a strictly-larger gap re-emits and
+    * re-arms (the reference's `isExpired` is strict `>`,
+    * AlertSuppressor.java:71-77 — an event at EXACTLY the expiry
+    * instant is still suppressed).
     * Returns (key: string, ts_us: long) of emitted events. */
   def suppress(df: DataFrame, ts: Column, key: Column,
       expirySeconds: Long): DataFrame = {
@@ -43,7 +46,7 @@ object Stateful {
       var lastEmit = Long.MinValue
       it.flatMap { case (k, t) =>
         if (k != curKey) { curKey = k; lastEmit = t; Some((k, t)) }
-        else if (lastEmit != Long.MinValue && t - lastEmit >= expiryUs) {
+        else if (lastEmit != Long.MinValue && t - lastEmit > expiryUs) {
           lastEmit = t; Some((k, t))
         } else None
       }
@@ -51,14 +54,17 @@ object Stateful {
   }
 
   /** Count-aware suppression (ref s/alert/AlertSuppressorCount.java:
-    * 14-35) — the batch twin of
-    * [[graft.streaming.Streaming.suppressCount]]: like [[suppress]],
-    * but each event carries a count, and an event whose count exceeds
-    * the maximum count emitted so far re-emits even INSIDE the
-    * suppression window (the alert got "bigger", so it is news
-    * again). The max only ratchets on emission — a suppressed event
-    * by definition had count <= max. Same secondary-sort scan: one
-    * shuffle, one sort, O(1) memory per key.
+    * 27-35 with the base state flow of AlertSuppressor.java:96-143) —
+    * the batch twin of [[graft.streaming.Streaming.suppressCount]]:
+    * like [[suppress]], but each event carries a count, and an event
+    * whose count DIFFERS from the last-emitted count re-emits even
+    * INSIDE the suppression window (`!ss.count.equals(newss.count)` —
+    * the alert changed, so it is news again; decreases re-emit too).
+    * State `(ts, count)` is overwritten on EVERY emission, including
+    * expiry-triggered ones (`counter.write(newss)` on both emit
+    * paths, AlertSuppressor.java:121,140); a suppressed event leaves
+    * state untouched. Same secondary-sort scan: one shuffle, one
+    * sort, O(1) memory per key.
     * Returns (key: string, ts_us, count) of emitted events. */
   def suppressCount(df: DataFrame, ts: Column, key: Column,
       count: Column, expirySeconds: Long): DataFrame = {
@@ -68,8 +74,8 @@ object Stateful {
     // count joins the sort key as a tiebreak: two events sharing a
     // (key, ts) must replay in ONE order or the emission set itself
     // becomes run-dependent (ascending: the smaller count is
-    // considered first, so an equal-ts larger count still re-emits
-    // via the ratchet — the inclusive reading of "got bigger")
+    // considered first; under emit-on-change an equal-ts event whose
+    // count differs from the stored one still re-emits)
     val prepared = df
       .select(key.cast("string").as("key"), unix_micros(ts).as("ts_us"),
         count.cast("long").as("count"))
@@ -79,12 +85,10 @@ object Stateful {
     prepared.mapPartitions { it =>
       var curKey: String = null
       var lastEmit = Long.MinValue
-      var maxCount = Long.MinValue
+      var lastCount = Long.MinValue
       it.flatMap { case (k, t, c) =>
-        if (k != curKey) {
-          curKey = k; lastEmit = t; maxCount = c; Some((k, t, c))
-        } else if (t - lastEmit >= expiryUs || c > maxCount) {
-          lastEmit = t; maxCount = math.max(c, maxCount); Some((k, t, c))
+        if (k != curKey || t - lastEmit > expiryUs || c != lastCount) {
+          curKey = k; lastEmit = t; lastCount = c; Some((k, t, c))
         } else None
       }
     }.toDF("key", "ts_us", "count")
@@ -120,6 +124,49 @@ object Stateful {
         if (emit) Some((k, t)) else None
       }
     }.toDF("key", "ts_us")
+  }
+
+  /** [[suppressCount]] as a composed pipeline gate (the reference
+    * applies AlertSuppressorCount to WHOLE alerts — ParDo over
+    * KV<key, Alert>; the state scan only needs the (key, ts, count)
+    * triple, so the alert body rides a join back on that triple
+    * instead of through the scan). Returns the surviving full input
+    * rows. Rows must be unique per (key, ts) — true of every
+    * per-window / per-session alert family the reference feeds this
+    * stage (a key's windows/sessions are time-disjoint).
+    *
+    * Scale: the scan shuffles only the 3-column triple; the join-back
+    * runs on already-aggregated alert rows (tiny next to raw events),
+    * and AQE will broadcast the emitted side when it is small. */
+  def suppressCountGate(df: DataFrame, ts: Column, key: Column,
+      count: Column, expirySeconds: Long): DataFrame = {
+    val in = df
+      .withColumn("__sc_key", key.cast("string"))
+      .withColumn("__sc_ts_us", unix_micros(ts))
+      .withColumn("__sc_n", count.cast("long"))
+    val emitted = suppressCount(in, timestamp_micros(col("__sc_ts_us")),
+        col("__sc_key"), col("__sc_n"), expirySeconds)
+      .select(col("key").as("__sc_key"), col("ts_us").as("__sc_ts_us"),
+        col("count").as("__sc_n"))
+    in.join(emitted, Seq("__sc_key", "__sc_ts_us", "__sc_n"))
+      .drop("__sc_key", "__sc_ts_us", "__sc_n")
+  }
+
+  /** [[suppressSession]] as a composed pipeline gate — the
+    * AlertSuppressorSession analog of [[suppressCountGate]] (ref
+    * AuthProfile.java:1035,1053: ParDo of the session suppressor over
+    * KV<suppression key, Alert>). Returns surviving full rows; rows
+    * must be unique per (key, ts). */
+  def suppressSessionGate(df: DataFrame, ts: Column, key: Column,
+      gapSeconds: Long): DataFrame = {
+    val in = df
+      .withColumn("__ss_key", key.cast("string"))
+      .withColumn("__ss_ts_us", unix_micros(ts))
+    val emitted = suppressSession(in, timestamp_micros(col("__ss_ts_us")),
+        col("__ss_key"), gapSeconds)
+      .select(col("key").as("__ss_key"), col("ts_us").as("__ss_ts_us"))
+    in.join(emitted, Seq("__ss_key", "__ss_ts_us"))
+      .drop("__ss_key", "__ss_ts_us")
   }
 
   /** Geo-velocity (impossible travel): per key, compare each event's

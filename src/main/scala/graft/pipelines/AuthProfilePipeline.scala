@@ -77,7 +77,12 @@ object AuthProfilePipeline {
   }
 
   /** Full batch analysis: lines + alias table + geo resolver →
-    * impossible-travel alerts, suppressed per identity. */
+    * impossible-travel alerts, suppressed per identity with the
+    * reference's SESSION-type suppressor (the only suppressor the
+    * authprofile pipeline instantiates is
+    * `AlertSuppressorSession(1800L)`, AuthProfile.java:1035 — repeat
+    * alerts EXTEND the quiet period rather than re-emitting on a
+    * fixed cadence). */
   def analyze(lines: Dataset[String], aliases: DataFrame,
       resolver: GeoIp.GeoIpResolver, cfg: Config = Config()): DataFrame = {
     val auth = parsedAuthEnriched(lines, resolver)
@@ -88,13 +93,8 @@ object AuthProfilePipeline {
       col("timestamp"), col("identity"),
       col("normalized.geo.latitude"), col("normalized.geo.longitude"),
       cfg.maxKmh)
-    // suppress repeat alerts per identity within the expiry window
-    val suppressed = Stateful.suppress(
-      travel.withColumn("ts", timestamp_millis(col("ts_ms"))),
-      col("ts"), col("key"), cfg.suppressSeconds)
-    travel.join(suppressed
-        .select(col("key"), expr("ts_us DIV 1000").as("ts_ms")),
-      Seq("key", "ts_ms"))
+    Stateful.suppressSessionGate(travel,
+        timestamp_millis(col("ts_ms")), col("key"), cfg.suppressSeconds)
       .select(
         lit("impossible_travel").as("summary"),
         lit("authprofile").as("category"),
@@ -147,14 +147,30 @@ object AuthProfilePipeline {
 
   /** Critical-object branch (ref CritObjectAnalyze): immediate
     * critical alerts for auth events touching configured objects,
-    * with the optional hour-of-day alternate Slack escalation. */
+    * with the optional hour-of-day alternate Slack escalation, then
+    * the reference's session suppression on the
+    * `user_object_sourceaddress` key (CritObjectAnalyze.java:222-224
+    * builds the suppression key; AuthProfile.java:1053 applies
+    * `AlertSuppressorSession(1800L)` — a steady drip of the same
+    * (user, object, source) alerts emits once and stays quiet until
+    * a strictly-larger-than-gap silence). */
   def critObjects(lines: Dataset[String],
-      cfg: Config = Config()): DataFrame =
-    AuthState.critObjectAnalyze(parsedAuth(lines), col("timestamp"),
+      cfg: Config = Config()): DataFrame = {
+    val alerts = AuthState.critObjectAnalyze(parsedAuth(lines),
+      col("timestamp"),
       col("normalized.subjectUser"), col("normalized.objectValue"),
       col("normalized.sourceAddress"), cfg.critObjectPatterns,
       city = col("normalized.geo.city"),
       country = col("normalized.geo.country"),
       critNotifyEmail = cfg.critNotifyEmail,
       escalation = cfg.critEscalation)
+    // duplicate events at the same instant produce IDENTICAL alert
+    // rows (every column derives from (user, object, src, ts)); the
+    // reference emits the first and drops the same-timestamp repeat
+    // (AlertSuppressor.java:131-137) — distinct() is the exact batch
+    // analog and is deterministic on identical rows
+    Stateful.suppressSessionGate(alerts.distinct(),
+      timestamp_millis(col("ts_ms")), col("suppression_key"),
+      cfg.suppressSeconds)
+  }
 }

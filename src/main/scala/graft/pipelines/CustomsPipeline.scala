@@ -198,13 +198,21 @@ object CustomsPipeline {
     val variance = CustomsDetectors.contentServerVariance(
       parsedAll.filter(col("payloadType") === "fxacontent"),
       col("timestamp"), col("normalized.sourceAddress"), cfg.window)
-    val enumeration = alert(CustomsDetectors.accountEnumeration(
-        fxa, col("timestamp"), col("src"), col("email"), col("path"),
-        isStatusCheck, cfg.window, cfg.enumerationThreshold,
-        variance = Some(variance),
-        minVarianceClients = cfg.minVarianceClients),
-      "account_enumeration", "sourceaddress", col("src"),
-      col("n_emails"), col("window_start_ms"))
+    // the reference gates enumeration alerts with
+    // AlertSuppressorCount(600L) keyed on the source address
+    // (CustomsAccountEnumeration.java:153): a later window's alert
+    // for the same source re-emits only after 600s OR when the
+    // distinct-email count changes
+    val enumeration = graft.operators.Stateful.suppressCountGate(
+      alert(CustomsDetectors.accountEnumeration(
+          fxa, col("timestamp"), col("src"), col("email"), col("path"),
+          isStatusCheck, cfg.window, cfg.enumerationThreshold,
+          variance = Some(variance),
+          minVarianceClients = cfg.minVarianceClients),
+        "account_enumeration", "sourceaddress", col("src"),
+        col("n_emails"), col("window_start_ms")),
+      timestamp_millis(col("window_start_ms")), col("key"),
+      col("count"), expirySeconds = 600)
 
     val srcFailDist = alert(CustomsDetectors.sourceLoginFailureDist(
         fxa, col("timestamp"), col("email"), col("src"),
@@ -383,6 +391,19 @@ object CustomsPipeline {
       watermarkDelay: String = "30 seconds")(onAlerts: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.streaming.OutputMode
+    // AlertSuppressorCount(600) state for the run (ref
+    // CustomsAccountEnumeration.java:153): one (lastTs, lastCount)
+    // pair per source that has ALERTED — bounded by the alert volume,
+    // not the traffic, and pruned past expiry. The scan runs on the
+    // driver over the batch's collected alert rows: alerts are
+    // already thresholded window aggregates (a handful per batch by
+    // design), the same documented bounded-summary class as
+    // budgetSelect's boundary row. Like the reference's
+    // processing-time-scoped Beam state, it does not survive a query
+    // restart.
+    val suppressState =
+      scala.collection.mutable.Map[String, (Long, Long)]()
+    val expiryMs = 600000L
     val parsedAll = Parser.parse(lines.filter(
       Parser.fastFilter("fxaauth") || Parser.fastFilter("fxacontent"))).toDF()
     val auth = parsedAll.filter(col("payloadType") === "fxaauth")
@@ -432,7 +453,28 @@ object CustomsPipeline {
             .join(broadcast(qualifying), Seq("window_start_ms"), "left_semi"),
           "account_enumeration", "sourceaddress", col("src"),
           col("n_emails"), col("window_start_ms"))
-        onAlerts(alerts)
+        // count-aware suppression, same decisions as the batch twin's
+        // suppressCountGate: emit iff no state, strictly past expiry,
+        // or the count changed; overwrite state on every emission
+        val rows = alerts.collect()
+        val survivors = suppressState.synchronized {
+          rows.sortBy(r => (r.getAs[String]("key"),
+              r.getAs[Long]("window_start_ms"),
+              r.getAs[Long]("count")))
+            .filter { r =>
+              val (k, t, c) = (r.getAs[String]("key"),
+                r.getAs[Long]("window_start_ms"), r.getAs[Long]("count"))
+              val emit = suppressState.get(k) match {
+                case None => true
+                case Some((st, sc)) => t - st > expiryMs || sc != c
+              }
+              if (emit) suppressState(k) = (t, c)
+              emit
+            }
+        }
+        onAlerts(b.sparkSession.createDataFrame(
+          b.sparkSession.sparkContext.parallelize(survivors.toSeq, 1),
+          alerts.schema))
       }
   }
 

@@ -146,6 +146,90 @@ object HttpRequestPipeline {
     hard.unionByName(threshold).unionByName(errors).unionByName(sessions)
   }
 
+  /** Endpoint-abuse alerts in the reference's FULL composition (ref
+    * EndpointAbuseAnalysis.java:136-299 → GlobalTriggers →
+    * AlertSuppressorCount, java:277): per-client session-window abuse
+    * detection, then count-aware suppression keyed by the client
+    * address — a repeat alert for the same client re-emits only when
+    * the suppression window lapses or the count CHANGES. The
+    * suppression timestamp is the latest monitored request
+    * (`a.setTimestamp(latestEpaRequest)`, java:233). */
+  def endpointAbuseAlerts(lines: Dataset[String],
+      endpoints: Seq[graft.operators.HttpHeuristics.Endpoint],
+      sessionGapSeconds: Long = 2700, suppressSeconds: Long = 600,
+      varianceSupportingOnly: Boolean = false,
+      customVarianceSubstrings: Seq[String] = Nil): DataFrame = {
+    val abuse = graft.operators.HttpHeuristics.endpointAbuseSessions(
+      parsedHttp(lines), col("timestamp"),
+      col("normalized.sourceAddress"), col("normalized.requestMethod"),
+      col("normalized.urlRequestPath"), col("normalized.userAgent"),
+      sessionGapSeconds, endpoints, varianceSupportingOnly,
+      customVarianceSubstrings, url = Some(col("normalized.requestUrl")))
+    graft.operators.Stateful.suppressCountGate(abuse,
+        timestamp_millis(col("latest_ts_ms")), col("addr"), col("n"),
+        suppressSeconds)
+      .select(lit("endpoint_abuse").as("subcategory"),
+        lit("httprequest").as("category"),
+        lit("warn").as("severity"),
+        col("addr").as("sourceaddress"), col("endpoint_method"),
+        col("endpoint_path"), col("n").as("count"), col("useragent"),
+        col("latest_ts_ms").as("ts_ms"), col("window_max_ts_ms"))
+  }
+
+  /** Per-endpoint error-rate alerts in the reference's full
+    * composition (ref PerEndpointErrorRateAnalysis.java:160-250 →
+    * AlertSuppressorCount, java:248): error-session detection, then
+    * count-aware suppression keyed by client address; the suppression
+    * timestamp is the most recent matching error. */
+  def perEndpointErrorRateAlerts(lines: Dataset[String],
+      rules: Seq[graft.operators.HttpHeuristics.ErrorRule],
+      errorSessionGapSeconds: Long = 1800,
+      suppressSeconds: Long = 600): DataFrame = {
+    val errs = graft.operators.HttpHeuristics.perEndpointErrorRateSessions(
+      parsedHttp(lines)
+        .filter(col("normalized.requestStatus").between(400, 499)),
+      col("timestamp"), col("normalized.sourceAddress"),
+      col("normalized.requestMethod"), col("normalized.urlRequestPath"),
+      errorSessionGapSeconds, rules)
+    graft.operators.Stateful.suppressCountGate(errs,
+        timestamp_millis(col("latest_error_ms")), col("addr"),
+        col("n_errors"), suppressSeconds)
+      .select(lit("per_endpoint_error_rate").as("subcategory"),
+        lit("httprequest").as("category"),
+        lit("warn").as("severity"),
+        col("addr").as("sourceaddress"), col("rule_method"),
+        col("rule_path"), col("n_errors").as("count"),
+        col("latest_error_ms").as("ts_ms"), col("window_max_ts_ms"))
+  }
+
+  /** Session-limit alerts in the reference's full composition (ref
+    * SessionLimitAnalysis.java:200-292 → AlertSuppressorCount): one
+    * alert per qualifying (client, session) with the session request
+    * count, `monitor_only` below the hard threshold, then count-aware
+    * suppression keyed by client address. Suppression timestamp is
+    * the session's latest request (`a.setTimestamp(latestRequest)`,
+    * java:239). */
+  def sessionLimitAlerts(lines: Dataset[String],
+      sessionGapSeconds: Long = 2700, threshold: Long = 1000,
+      monitor: Long = 500, suppressSeconds: Long = 600): DataFrame = {
+    val sessions = Sessionize.sessionSummary(parsedHttp(lines),
+        col("timestamp"), col("normalized.sourceAddress"),
+        sessionGapSeconds)
+      .filter(col("n_events") >= monitor)
+    graft.operators.Stateful.suppressCountGate(sessions,
+        timestamp_millis(col("session_end_ms")), col("key"),
+        col("n_events"), suppressSeconds)
+      .select(
+        when(col("n_events") >= threshold, "session_limit_analysis")
+          .otherwise("session_limit_analysis_monitor_only")
+          .as("subcategory"),
+        lit("httprequest").as("category"),
+        lit("critical").as("severity"),
+        col("key").as("sourceaddress"), col("session_id"),
+        col("n_events").as("count"),
+        col("session_end_ms").as("ts_ms"))
+  }
+
   /** Reference-shaped threshold_analysis alerts: full `Alert` rows
     * whose metadata sequence replicates the reference's addMetadata
     * call order exactly (ref s/httprequest/heuristics/

@@ -48,6 +48,26 @@ object PioneerPipeline {
         col("win_bytes").as("bytes"))
   }
 
+  /** [[exfiltration]] composed with the reference's count-aware
+    * suppression (ref Pioneer.java:220:
+    * `AlertSuppressorCount(thresholdMillis / 1000)` keyed on the
+    * "srcip-srcport" session key, with the alert's COUNT metadata set
+    * to the byte total, java:195) — a later session's alert for the
+    * same key re-emits only past the expiry OR when the byte count
+    * changes. The suppression timestamp is the alerting flow's own
+    * event time (`start_ms` — the reference outputs at element i of
+    * the qualifying scan; its wall-clock alert stamp is replaced by
+    * the deterministic event-derived instant, the repo's standing
+    * convention). */
+  def exfiltrationAlerts(df: DataFrame, ts: Column, seq: Column,
+      key: Column, bytes: Column, gapSeconds: Long,
+      thresholdSeconds: Long, thresholdBytes: Long): DataFrame =
+    graft.operators.Stateful.suppressCountGate(
+      exfiltration(df, ts, seq, key, bytes, gapSeconds,
+        thresholdSeconds, thresholdBytes),
+      timestamp_millis(col("start_ms")), col("key"), col("bytes"),
+      expirySeconds = thresholdSeconds)
+
   /** The reference's concrete filter + keying: GCP VPC flow events
     * with src port 22, keyed "srcip-srcport"
     * (ref Pioneer.java:99-130). Expects the parsed-Event frame. */

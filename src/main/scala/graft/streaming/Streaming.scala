@@ -169,7 +169,7 @@ object Streaming {
   case class SuppressState(lastEmitUs: Long)
   case class KeyedCount(key: String, tsUs: Long, count: Long)
   case class EmittedCount(key: String, tsUs: Long, count: Long)
-  case class CountState(lastEmitUs: Long, maxCount: Long)
+  case class CountState(lastEmitUs: Long, lastCount: Long)
 
   /** Streaming AlertSuppressor: per key, emit the first element, then
     * suppress until `expirySeconds` after the last emitted element;
@@ -199,7 +199,7 @@ object Streaming {
               if (state.exists) state.get.lastEmitUs else Long.MinValue
             val out = Seq.newBuilder[Emitted]
             it.toSeq.sortBy(_.tsUs).foreach { e =>
-              if (last == Long.MinValue || e.tsUs - last >= expiryUs) {
+              if (last == Long.MinValue || e.tsUs - last > expiryUs) {
                 last = e.tsUs
                 out += Emitted(key, e.tsUs)
               }
@@ -222,8 +222,9 @@ object Streaming {
     * manual processing-time-timeout bookkeeping in `suppress`
     * disappears — the store evicts idle keys itself.
     *
-    * Semantics are identical to `suppress` (emit when at least
-    * `expirySeconds` past the last emitted element per key; in-batch
+    * Semantics are identical to `suppress` (emit when strictly more
+    * than `expirySeconds` past the last emitted element per key — the
+    * reference's strict `isExpired`; in-batch
     * elements processed in event-time order) — StreamingSpec pins the
     * two implementations equal on the same input. Requires the RocksDB
     * state store provider (the TTL/transformWithState backend):
@@ -252,7 +253,7 @@ object Streaming {
       var lastUs = if (last.exists()) last.get().lastEmitUs else Long.MinValue
       val out = Seq.newBuilder[Emitted]
       rows.toSeq.sortBy(_.tsUs).foreach { e =>
-        if (lastUs == Long.MinValue || e.tsUs - lastUs >= expiryUs) {
+        if (lastUs == Long.MinValue || e.tsUs - lastUs > expiryUs) {
           lastUs = e.tsUs
           out += Emitted(key, e.tsUs)
         }
@@ -295,7 +296,7 @@ object Streaming {
       var lastUs = if (last.exists()) last.get().lastEmitUs else Long.MinValue
       val out = Seq.newBuilder[Emitted]
       rows.toSeq.sortBy(_.tsUs).foreach { e =>
-        if (lastUs == Long.MinValue || e.tsUs - lastUs >= expiryUs) {
+        if (lastUs == Long.MinValue || e.tsUs - lastUs > expiryUs) {
           lastUs = e.tsUs
           out += Emitted(key, e.tsUs)
         }
@@ -1063,9 +1064,12 @@ object Streaming {
   }
 
   /** Count-aware suppressor (ref s/alert/AlertSuppressorCount.java:
-    * 14-35): like `suppress`, but an element whose count exceeds the
-    * stored maximum re-emits even inside the suppression window (the
-    * alert got "bigger", so it is news again). */
+    * 27-35 + AlertSuppressor.java:96-143): like `suppress`, but an
+    * element whose count DIFFERS from the last-emitted count re-emits
+    * even inside the suppression window (the alert changed — bigger
+    * OR smaller — so it is news again); state `(ts, count)` is
+    * overwritten on every emission, including the expiry path, and
+    * left untouched by suppressed elements. */
   def suppressCount(ds: Dataset[KeyedCount],
       expirySeconds: Long): Dataset[EmittedCount] = {
     val spark = ds.sparkSession
@@ -1080,12 +1084,12 @@ object Streaming {
           val out = Seq.newBuilder[EmittedCount]
           // (ts, count) sort — same tie discipline as the batch twin
           // (Stateful.suppressCount): equal-ts events replay smaller
-          // count first, so the ratchet still fires for the larger
+          // count first, so emit-on-change fires deterministically
           it.toSeq.sortBy(e => (e.tsUs, e.count)).foreach { e =>
             val expired =
-              st.lastEmitUs == Long.MinValue || e.tsUs - st.lastEmitUs >= expiryUs
-            if (expired || e.count > st.maxCount) {
-              st = CountState(e.tsUs, math.max(e.count, st.maxCount))
+              st.lastEmitUs == Long.MinValue || e.tsUs - st.lastEmitUs > expiryUs
+            if (expired || e.count != st.lastCount) {
+              st = CountState(e.tsUs, e.count)
               out += EmittedCount(key, e.tsUs, e.count)
             }
           }

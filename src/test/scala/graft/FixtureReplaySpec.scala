@@ -601,6 +601,21 @@ class FixtureReplaySpec extends AnyFunSuite {
     assert(e6.map(_._2) == Seq(1546349400000L, 1546350900000L))
   }
 
+  test("authprof_critobj5: the COMPOSED critObjects pipeline carries the session suppressor (ref AuthProfile.java:1053)") {
+    // same expectations as the manual critObjectAnalyze+suppressSession
+    // composition above, now through AuthProfilePipeline.critObjects —
+    // pins that the pipeline wires AlertSuppressorSession(1800) on the
+    // user_object_sourceaddress key exactly where the reference does
+    val got = pipelines.AuthProfilePipeline.critObjects(
+        lines("authprof_critobj5.txt"),
+        pipelines.AuthProfilePipeline.Config(
+          critObjectPatterns = Seq("^projects/test$",
+            "super-important-account"),
+          suppressSeconds = 1800))
+      .collect().map(_.getAs[Long]("ts_ms")).sorted.toSeq
+    assert(got == Seq(1546349400000L, 1546353000000L))
+  }
+
   test("watchlist_analyze_buffer2: engine-produced alert JSON parses with metadata incl. list keys") {
     val parsed = Parser.parse(lines("watchlist_analyze_buffer2.txt")).toDF()
       .filter(col("payloadType") === "alert")

@@ -63,6 +63,33 @@ class FullPipelineSpec extends AnyFunSuite {
     assert(bySub("summary").contains("login_failure"))
   }
 
+  test("customs enumeration alerts pass the AlertSuppressorCount(600) gate: consecutive windows re-emit only on count change (ref CustomsAccountEnumeration.java:153)") {
+    import spark.implicits._
+    // 10-minute windows sit EXACTLY 600s apart, which is the gate's
+    // expiry — never strictly past it — so a consecutive window's
+    // alert re-emits iff its distinct-email count CHANGED
+    val t = 1699999800L // 10-minute-aligned window start
+    def burst(w: Int, emails: Int) =
+      (0 until emails).map(i => authLine(t + w * 600 + i,
+        "/v1/account/status", "post", 200, s"e$i@x.com", s"v$i",
+        "6.6.6.6")) ++
+      // 3 distinct content clients keep each window variance-qualified
+      Seq(contentLine(t + w * 600, "7.7.7.7"),
+        contentLine(t + w * 600, "8.8.8.8"),
+        contentLine(t + w * 600, "9.9.9.9"))
+    val lines = (burst(0, 5) ++ burst(1, 6) ++ burst(2, 6)).toDS()
+    val enum6 = CustomsPipeline.analyzeFull(lines,
+        CustomsPipeline.FullConfig(enumerationThreshold = 5,
+          minVarianceClients = 3)).collect()
+      .filter(_.getAs[String]("subcategory") == "account_enumeration")
+      .map(r => (r.getAs[Long]("window_start_ms"), r.getAs[Long]("count")))
+      .toSet
+    // w0 (n=5) emits; w1 (n=6) emits — count changed inside the
+    // window; w2 (n=6) suppressed — same count, gap not strictly past
+    // 600s
+    assert(enum6 == Set((t * 1000L, 5L), ((t + 600) * 1000L, 6L)))
+  }
+
   test("customs velocity monitor-only: the lower experimental bar emits its own alerts alongside escalations (ref CustomsVelocity.java:281-320)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -102,6 +102,112 @@ class PipelinesSpec extends AnyFunSuite {
     assert(alerts(0).getAs[Long]("speed_kmh") > 800)
   }
 
+  test("authprofile travel alerts use the SESSION suppressor: a steady alert drip emits once (ref AlertSuppressorSession, AuthProfile.java:1035)") {
+    import spark.implicits._
+    val resolver = new GeoIp.CidrTableResolver(Seq(
+      "20.0.0.0/8" -> Geo(latitude = Some(51.5), longitude = Some(-0.13),
+        country = Some("GB")),
+      "30.0.0.0/8" -> Geo(latitude = Some(35.68), longitude = Some(139.69),
+        country = Some("JP"))))
+    def ssh(ip: String, t: Long) = {
+      val iso = java.time.Instant.ofEpochSecond(1704067200L + t).toString
+      s"""{"textPayload":"x sshd[1]: Accepted password for carol from $ip port 22 ssh2","timestamp":"$iso","logName":"projects/p/logs/auth"}"""
+    }
+    // carol ping-pongs London <-> Tokyo every 1500s: an impossible-
+    // travel alert fires at every hop. With the session suppressor
+    // (gap 1800) each suppressed alert EXTENDS the quiet period, so
+    // only the FIRST emits; the old fixed-expiry form would have
+    // re-emitted at 4500s (3000s past the last emission)
+    val lines = Seq(ssh("20.1.1.1", 0), ssh("30.1.1.1", 1500),
+      ssh("20.1.1.2", 3000), ssh("30.1.1.2", 4500)).toDS()
+    val alerts = AuthProfilePipeline.analyze(lines,
+      Seq(("carol", "carol")).toDF("alias", "canonical"), resolver)
+      .collect()
+    assert(alerts.length == 1)
+    assert(alerts(0).getAs[Long]("ts_ms") == (1704067200L + 1500) * 1000)
+  }
+
+  test("endpointAbuseAlerts: session abuse through AlertSuppressorCount — re-emit on count change only (ref EndpointAbuseAnalysis.java:277)") {
+    import spark.implicits._
+    def line(t: Long) = {
+      val iso = java.time.Instant.ofEpochSecond(1704067200L + t).toString
+      glb("1.1.1.1", 200, "ua", iso)
+    }
+    // three sessions (gap 2700s; bursts 3000s apart): counts 3, 3, 4
+    // on the monitored GET /x — session 2 suppressed (same count,
+    // inside the 7200s window), session 3 re-emits (count changed)
+    val lines = ((0 until 3).map(i => line(i * 10)) ++
+      (0 until 3).map(i => line(3000 + i * 10)) ++
+      (0 until 4).map(i => line(6000 + i * 10))).toDS()
+    val got = graft.pipelines.HttpRequestPipeline.endpointAbuseAlerts(
+        lines, Seq(graft.operators.HttpHeuristics.Endpoint("GET", "/x", 2)),
+        sessionGapSeconds = 2700, suppressSeconds = 7200)
+      .collect().map(r => (r.getAs[String]("sourceaddress"),
+        r.getAs[Long]("count"))).toSet
+    assert(got == Set(("1.1.1.1", 3L), ("1.1.1.1", 4L)))
+  }
+
+  test("sessionLimitAlerts: monitor_only split + count-aware suppression (ref SessionLimitAnalysis.java:230-292)") {
+    import spark.implicits._
+    def line(t: Long) = {
+      val iso = java.time.Instant.ofEpochSecond(1704067200L + t).toString
+      glb("2.2.2.2", 200, "ua", iso)
+    }
+    // sessions of 3, 3, 5 events: the 3s are monitor_only (below the
+    // hard threshold 4), the second 3 is suppressed (same count inside
+    // 7200s), the 5 re-emits as a full session_limit_analysis alert
+    val lines = ((0 until 3).map(i => line(i * 10)) ++
+      (0 until 3).map(i => line(3000 + i * 10)) ++
+      (0 until 5).map(i => line(6000 + i * 10))).toDS()
+    val got = graft.pipelines.HttpRequestPipeline.sessionLimitAlerts(
+        lines, sessionGapSeconds = 2700, threshold = 4, monitor = 2,
+        suppressSeconds = 7200)
+      .collect().map(r => (r.getAs[String]("subcategory"),
+        r.getAs[Long]("count"))).toSet
+    assert(got == Set(("session_limit_analysis_monitor_only", 3L),
+      ("session_limit_analysis", 5L)))
+  }
+
+  test("perEndpointErrorRateAlerts: error sessions through AlertSuppressorCount (ref PerEndpointErrorRateAnalysis.java:248)") {
+    import spark.implicits._
+    def line(t: Long, status: Int) = {
+      val iso = java.time.Instant.ofEpochSecond(1704067200L + t).toString
+      glb("3.3.3.3", status, "ua", iso)
+    }
+    // two error sessions (gap 1800s default; bursts 2500s apart) with
+    // the SAME error count: the second is suppressed; 200s between
+    // errors keep good traffic out of the error sessionization
+    val lines = ((0 until 3).map(i => line(i * 10, 404)) ++
+      Seq(line(1000, 200)) ++
+      (0 until 3).map(i => line(2500 + i * 10, 404))).toDS()
+    val got = graft.pipelines.HttpRequestPipeline.perEndpointErrorRateAlerts(
+        lines, Seq(graft.operators.HttpHeuristics.ErrorRule("GET", "/x", 2)),
+        errorSessionGapSeconds = 1800, suppressSeconds = 7200)
+      .collect().map(r => (r.getAs[String]("sourceaddress"),
+        r.getAs[Long]("count")))
+    assert(got.toSeq == Seq(("3.3.3.3", 3L)))
+  }
+
+  test("pioneer exfiltrationAlerts: repeat sessions with the same byte count suppress (ref Pioneer.java:220)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three alerting sessions for one key (silences > 1800s split
+    // them): bytes 5000, 5000, 7000 with expiry 3600s — the middle
+    // one is suppressed (same count, 2500s gap), the last re-emits
+    // (count changed)
+    val flows = Seq(
+      (0L, 1L, "k", 5000L), (2500L, 2L, "k", 5000L),
+      (5000L, 3L, "k", 7000L))
+      .toDF("t_s", "seq", "key", "bytes")
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+    val got = graft.pipelines.PioneerPipeline.exfiltrationAlerts(flows,
+        col("ts"), col("seq"), col("key"), col("bytes"),
+        gapSeconds = 1800, thresholdSeconds = 3600, thresholdBytes = 4000)
+      .collect().map(r => (r.getAs[Long]("start_ms"),
+        r.getAs[Long]("bytes"))).toSet
+    assert(got == Set((0L, 5000L), (5000000L, 7000L)))
+  }
+
   test("watchlist scan: only the EMAIL key is list-valued — a comma in username/identity_key matches whole, never piecewise (ref AlertMeta.java:134, PostProcessing.java:278-288)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

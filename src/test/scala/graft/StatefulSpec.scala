@@ -11,17 +11,18 @@ class StatefulSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new Timestamp(s * 1000)
 
-  test("suppress: first emits, re-emits exactly at/after expiry, per key") {
+  test("suppress: first emits, re-emits strictly after expiry, per key") {
     val df = Seq(
       ("a", ts(0)), ("a", ts(10)), ("a", ts(599)),   // suppressed
-      ("a", ts(600)),                                  // re-emit at expiry
-      ("a", ts(650)), ("a", ts(1300)),                 // 650 suppressed, 1300 emits
+      ("a", ts(600)),    // STILL suppressed: ref isExpired is strict >
+      ("a", ts(650)),    // re-emits (gap 650 > 600)
+      ("a", ts(1300)),   // re-emits (gap 650 from the 650s emission)
       ("b", ts(5))                                     // separate key
     ).toDF("k", "t")
     val got = Stateful.suppress(df, col("t"), col("k"), expirySeconds = 600)
       .select(col("key"), (col("ts_us") / 1000000L).cast("long").as("s"))
       .as[(String, Long)].collect().toSet
-    assert(got == Set(("a", 0L), ("a", 600L), ("a", 1300L), ("b", 5L)))
+    assert(got == Set(("a", 0L), ("a", 650L), ("a", 1300L), ("b", 5L)))
   }
 
   test("suppress handles duplicate timestamps (second copy suppressed)") {
@@ -49,6 +50,50 @@ class StatefulSpec extends AnyFunSuite {
     val got = Stateful.suppressSession(edge, col("t"), col("k"), 600)
       .select((col("ts_us") / 1000000L).cast("long")).as[Long].collect().sorted
     assert(got.toSeq == Seq(0L, 1201L))
+  }
+
+  test("suppressCount matches a literal transliteration of the reference state machine") {
+    // Independently-derived expected output: a direct port of the
+    // reference's processElement flow (s/alert/AlertSuppressor.java:
+    // 96-143) with AlertSuppressorCount.shouldSuppress (java:27-35).
+    // State = last EMITTED (ts, count); expired = gap STRICTLY > the
+    // expiry (isExpired, java:71-77); inside the window suppress iff
+    // the count equals the stored one; state overwritten on every
+    // emission (both the expiry and the count-change path). This is
+    // written from the Java, not from the repo operator or the q141
+    // oracle — so a green run is not self-confirming.
+    def referenceSuppress(events: Seq[(String, Long, Long)], expiryUs: Long)
+        : Set[(String, Long, Long)] = {
+      val state = scala.collection.mutable.Map[String, (Long, Long)]()
+      val out = Set.newBuilder[(String, Long, Long)]
+      events.foreach { case (k, t, c) =>
+        val emit = state.get(k) match {
+          case None => true
+          case Some((st, sc)) => (t - st) > expiryUs || sc != c
+        }
+        if (emit) { state(k) = (t, c); out += ((k, t, c)) }
+      }
+      out.result()
+    }
+    // randomized fixture with exact-boundary gaps (steps of exactly
+    // the 600s expiry) and frequently-repeating counts, replayed in
+    // the documented (key, ts, count) order for both forms
+    val rnd = new scala.util.Random(42)
+    val evs = (for (k <- Seq("a", "b", "c", "d")) yield {
+      var t = 0L
+      (0 until 40).map { _ =>
+        t += Seq(100L, 600L, 600L, 700L)(rnd.nextInt(4)) * 1000000L
+        (k, t, (rnd.nextInt(4) + 1).toLong)
+      }
+    }).flatten.sortBy(e => (e._1, e._2, e._3))
+    val expected = referenceSuppress(evs, 600000000L)
+    val got = Stateful.suppressCount(evs.toDF("k", "t_us", "c"),
+        timestamp_micros(col("t_us")), col("k"), col("c"),
+        expirySeconds = 600)
+      .as[(String, Long, Long)].collect().toSet
+    assert(expected.size > 20 && expected.size < evs.size,
+      s"fixture must exercise both emit and suppress: ${expected.size}/${evs.size}")
+    assert(got == expected)
   }
 
   test("geoVelocity flags impossible travel only") {

@@ -23,11 +23,12 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(Streaming.Keyed("a", 0L), Streaming.Keyed("a", 10000000L),
         Streaming.Keyed("b", 5000000L))
       q.processAllAvailable()
-      // batch 2: a at 599s (suppressed) and 600s (re-emit)
-      in.addData(Streaming.Keyed("a", 599000000L), Streaming.Keyed("a", 600000000L))
+      // batch 2: a at exactly 600s (still suppressed — the reference's
+      // isExpired is strict >) and 601s (re-emit)
+      in.addData(Streaming.Keyed("a", 600000000L), Streaming.Keyed("a", 601000000L))
       q.processAllAvailable()
       val got = spark.table("supp").as[(String, Long)].collect().toSet
-      assert(got == Set(("a", 0L), ("b", 5000000L), ("a", 600000000L)))
+      assert(got == Set(("a", 0L), ("b", 5000000L), ("a", 601000000L)))
     } finally q.stop()
   }
 
@@ -49,11 +50,11 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(Streaming.Keyed("a", 0L), Streaming.Keyed("a", 10000000L),
         Streaming.Keyed("b", 5000000L))
       q.processAllAvailable()
-      in.addData(Streaming.Keyed("a", 599000000L), Streaming.Keyed("a", 600000000L))
+      in.addData(Streaming.Keyed("a", 600000000L), Streaming.Keyed("a", 601000000L))
       q.processAllAvailable()
       val got = spark.table("supp_tws").as[(String, Long)].collect().toSet
       // identical output to the flatMapGroupsWithState form above
-      assert(got == Set(("a", 0L), ("b", 5000000L), ("a", 600000000L)))
+      assert(got == Set(("a", 0L), ("b", 5000000L), ("a", 601000000L)))
     } finally {
       q.stop()
       prev match {
@@ -233,7 +234,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("suppressCount re-emits inside the window when the count grows") {
+  test("suppressCount re-emits inside the window when the count changes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedCount]
@@ -243,13 +244,45 @@ class StreamingSpec extends AnyFunSuite {
     try {
       in.addData(
         Streaming.KeyedCount("a", 0L, 5),        // emits (first)
-        Streaming.KeyedCount("a", 10000000L, 4), // suppressed (count <= 5)
-        Streaming.KeyedCount("a", 20000000L, 9)) // re-emits (count grew)
+        Streaming.KeyedCount("a", 10000000L, 5), // suppressed (count unchanged)
+        Streaming.KeyedCount("a", 20000000L, 9)) // re-emits (count changed)
       q.processAllAvailable()
       in.addData(Streaming.KeyedCount("a", 30000000L, 9)) // suppressed
       q.processAllAvailable()
       val got = spark.table("suppc").as[(String, Long, Long)].collect().toSet
       assert(got == Set(("a", 0L, 5L), ("a", 20000000L, 9L)))
+    } finally q.stop()
+  }
+
+  test("suppressCount re-emits on count DECREASE (ref emit-on-change, 10→3→5 all emit)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's shouldSuppress re-emits whenever the new count
+    // DIFFERS from the stored one (AlertSuppressorCount.java:31) and
+    // overwrites state on every emission — so counts 10 → 3 → 5
+    // inside one expiry window must emit all three (a max-ratchet
+    // would emit only the 10)
+    val evs = Seq(
+      Streaming.KeyedCount("a", 0L, 10),
+      Streaming.KeyedCount("a", 10000000L, 3),
+      Streaming.KeyedCount("a", 20000000L, 5))
+    val in = MemoryStream[Streaming.KeyedCount]
+    val q = Streaming.suppressCount(in.toDS(), expirySeconds = 600)
+      .writeStream.format("memory").queryName("suppc_dec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evs.head); q.processAllAvailable()
+      in.addData(evs.tail: _*); q.processAllAvailable()
+      val streamed = spark.table("suppc_dec")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == Set(("a", 0L, 10L), ("a", 10000000L, 3L),
+        ("a", 20000000L, 5L)))
+      val batch = graft.operators.Stateful.suppressCount(evs.toDF(),
+          timestamp_micros(col("tsUs")), col("key"), col("count"),
+          expirySeconds = 600)
+        .as[(String, Long, Long)].collect().toSet
+      assert(batch == streamed)
     } finally q.stop()
   }
 
@@ -280,7 +313,7 @@ class StreamingSpec extends AnyFunSuite {
           expirySeconds = 250)
         .as[(String, Long, Long)].collect().toSet
       assert(batch.nonEmpty && streamed == batch)
-      // and the count-ratchet actually fired somewhere: some emission
+      // and emit-on-change actually fired somewhere: some emission
       // happened strictly inside an expiry window
       val sorted = batch.toSeq.sorted
       val insideWindow = sorted.sliding(2).exists {
@@ -288,7 +321,7 @@ class StreamingSpec extends AnyFunSuite {
           k1 == k2 && t2 - t1 < 250000000L
         case _ => false
       }
-      assert(insideWindow, "fixture never exercised the count ratchet")
+      assert(insideWindow, "fixture never exercised emit-on-change")
     } finally q.stop()
   }
 
@@ -296,9 +329,10 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     // equal-ts events MUST replay in one order (count ascending) or
-    // the emission set itself becomes run-dependent: (3 then 5) emits
-    // both via the ratchet, (5 then 3) would emit only 5
-    val evs = Seq(("a", 0L, 5L), ("a", 0L, 3L), ("a", 1000L, 4L))
+    // the emission set itself becomes run-dependent: replaying (3
+    // then 5) leaves 5 in state so the later 5 is suppressed, while
+    // (5 then 3) would leave 3 in state and the later 5 would re-emit
+    val evs = Seq(("a", 0L, 5L), ("a", 0L, 3L), ("a", 1000L, 5L))
       .toDF("key", "tsUs", "count")
     val got = graft.operators.Stateful.suppressCount(evs,
         timestamp_micros(col("tsUs")), col("key"), col("count"),
@@ -939,6 +973,57 @@ class StreamingSpec extends AnyFunSuite {
       // the other resource's traffic never leaked into this branch
       assert(!gotAlerts.exists(_._2 == "9.9.9.9"))
     } finally { q.stop(); tq.stop() }
+  }
+
+  test("streaming enumeration carries the AlertSuppressorCount(600) gate " +
+      "across windows and matches the gated batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.CustomsPipeline
+    val cfg = CustomsPipeline.FullConfig(enumerationThreshold = 5,
+      minVarianceClients = 1)
+    val t = 1699999800L // 10-minute-aligned
+    def authLine(tt: Long, email: String): String = {
+      val iso = java.time.Instant.ofEpochSecond(tt).toString
+      s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+        s""""agent":"m","email":"$email","errno":0,"method":"post",""" +
+        s""""op":"request.summary","path":"/v1/account/status",""" +
+        s""""remoteAddressChain":"[\\"6.6.6.6\\"]","service":"sync",""" +
+        s""""status":200,"t":12,"uid":"u"},"Logger":"fxa-auth-server",""" +
+        s""""Pid":1,"Severity":6,"Timestamp":${tt}000000000,""" +
+        s""""Type":"request.summary"},"timestamp":"$iso"}"""
+    }
+    def contentLine(tt: Long): String =
+      s"""{"Timestamp":${tt}000000000,"Type":"request","Logger":"fxa-content-server",""" +
+        s""""Hostname":"h","Fields":{"clientaddress":"7.7.7.7","path":"/s",""" +
+        s""""method":"get","status":200}}"""
+    // three consecutive windows: 5, 5, 6 distinct emails — w1 must be
+    // suppressed by the count gate (same count, exactly 600s), w2
+    // re-emits on the count change
+    def burst(w: Int, n: Int) =
+      (0 until n).map(i => authLine(t + w * 600 + i, s"e$i@x.com")) :+
+        contentLine(t + w * 600)
+    val all = burst(0, 5) ++ burst(1, 5) ++ burst(2, 6)
+    val pusher = authLine(t + 5000, "z@x.com") // closes every window
+    val in = MemoryStream[String]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val eq = CustomsPipeline.enumerationAlertStream(in.toDS(), cfg,
+        watermarkDelay = "30 seconds") { df =>
+      val rows = df.select(col("window_start_ms"), col("count"))
+        .as[(Long, Long)].collect()
+      got.synchronized { got ++= rows }
+    }.start()
+    try {
+      in.addData(all: _*); eq.processAllAvailable()
+      in.addData(pusher); eq.processAllAvailable()
+      val streamed = got.synchronized(got.toSet)
+      val batch = CustomsPipeline.analyzeFull((all :+ pusher).toDS(), cfg)
+        .filter(col("subcategory") === "account_enumeration")
+        .select(col("window_start_ms"), col("count"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == Set((t * 1000L, 5L), ((t + 1200) * 1000L, 6L)))
+      assert(batch == streamed)
+    } finally eq.stop()
   }
 
   test("continuous customs pipeline e2e: summary + distributed failures + " +
