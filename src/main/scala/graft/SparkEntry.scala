@@ -2545,7 +2545,7 @@ object SparkEntry {
 
     "q44_account_enumeration" ->
       """WITH f AS (
-        |  SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+        |  SELECT ts, epoch_ms(date_trunc('day', ts)) AS window_start_ms,
         |    '10.0.0.' || (user_id % 10) AS src,
         |    'e' || (event_id % 97) AS email,
         |    ((user_id % 10) IN (0,3,6,9) OR event_type = 'click') AS is_sc,
@@ -2555,7 +2555,8 @@ object SparkEntry {
         |  FROM events),
         |per_addr AS (
         |  SELECT window_start_ms, src,
-        |    COUNT(DISTINCT CASE WHEN is_sc THEN email END) AS n_emails
+        |    COUNT(DISTINCT CASE WHEN is_sc THEN email END) AS n_emails,
+        |    epoch_ms(max(CASE WHEN is_sc THEN ts END)) AS latest_ts_ms
         |  FROM f GROUP BY 1, 2
         |  HAVING COUNT(*) FILTER (is_sc) >= 8
         |     AND COUNT(DISTINCT path) = 1
@@ -2567,7 +2568,7 @@ object SparkEntry {
         |vc AS (
         |  SELECT window_start_ms FROM variance GROUP BY 1
         |  HAVING COUNT(DISTINCT src) >= 3)
-        |SELECT p.window_start_ms, p.src, p.n_emails
+        |SELECT p.window_start_ms, p.src, p.n_emails, p.latest_ts_ms
         |FROM per_addr p
         |JOIN vc USING (window_start_ms)
         |LEFT JOIN variance v

@@ -160,6 +160,15 @@ object CustomsDetectors {
     *
     * `variance` must have columns (window_start_ms, src) as produced
     * by [[contentServerVariance]].
+    *
+    * `latest_ts_ms` is the latest qualifying status-check event in the
+    * window — the reference stamps the alert with it
+    * (`alert.setTimestamp(Parser.getLatestTimestamp(events))`,
+    * CustomsAccountEnumeration.java:138) and the downstream
+    * AlertSuppressorCount's expiry math runs on that stamp, NOT on the
+    * window boundary (consecutive 10-minute window STARTS are never
+    * strictly more than 600s apart, so a window-start clock could
+    * never time-expire).
     */
   def accountEnumeration(df: DataFrame, ts: Column, addr: Column,
       email: Column, path: Column, isStatusCheck: Column,
@@ -174,7 +183,9 @@ object CustomsDetectors {
       .agg(
         count(when(col("is_sc"), 1)).as("n_checks"),
         countDistinct(col("path")).as("n_paths"),
-        countDistinct(when(col("is_sc"), col("email"))).as("n_emails"))
+        countDistinct(when(col("is_sc"), col("email"))).as("n_emails"),
+        unix_millis(max(when(col("is_sc"), col("ts"))))
+          .as("latest_ts_ms"))
       .filter(col("n_checks") >= threshold && col("n_paths") === 1 &&
         col("n_emails") >= threshold)
       .drop("n_checks", "n_paths")

@@ -202,7 +202,15 @@ object CustomsPipeline {
     // AlertSuppressorCount(600L) keyed on the source address
     // (CustomsAccountEnumeration.java:153): a later window's alert
     // for the same source re-emits only after 600s OR when the
-    // distinct-email count changes
+    // distinct-email count changes. The alert is stamped with the
+    // LATEST qualifying status-check event — not the window start —
+    // and the suppressor's expiry runs on that stamp
+    // (`alert.setTimestamp(Parser.getLatestTimestamp(events))`,
+    // CustomsAccountEnumeration.java:138; same shape as the HTTP
+    // sites' latestEpaRequest / latestRequest stamps). On a
+    // window-start clock consecutive 10-minute windows could never
+    // sit strictly past the 600s bar, silently suppressing same-count
+    // alerts the reference re-emits.
     val enumeration = graft.operators.Stateful.suppressCountGate(
       alert(CustomsDetectors.accountEnumeration(
           fxa, col("timestamp"), col("src"), col("email"), col("path"),
@@ -210,7 +218,7 @@ object CustomsPipeline {
           variance = Some(variance),
           minVarianceClients = cfg.minVarianceClients),
         "account_enumeration", "sourceaddress", col("src"),
-        col("n_emails"), col("window_start_ms")),
+        col("n_emails"), col("latest_ts_ms")),
       timestamp_millis(col("window_start_ms")), col("key"),
       col("count"), expirySeconds = 600)
 
@@ -385,25 +393,47 @@ object CustomsPipeline {
     * into ONE keyed aggregate (the per-src content-presence flag
     * rides the same state as the enumeration counters); distinct
     * emails/paths use the bounded sketch, exact at threshold scale.
-    * `onAlerts` receives each finalized batch's alert rows. */
+    * `onAlerts` receives each finalized batch's alert rows.
+    *
+    * `statePath`, when set, makes the suppression gate RESTART-SAFE:
+    * the (key → lastTs, lastCount) map is snapshotted to parquet
+    * after every batch that changes it and restored when a new query
+    * is built over the same path — matching the reference, where
+    * AlertSuppressorCount's per-key Beam state is durable in Dataflow
+    * and keeps suppressing across worker restarts. Without a
+    * statePath the map is query-scoped (decisions reset on restart,
+    * WEAKER than the reference — use a statePath in production). */
   def enumerationAlertStream(lines: Dataset[String],
       cfg: FullConfig = FullConfig(),
-      watermarkDelay: String = "30 seconds")(onAlerts: DataFrame => Unit)
+      watermarkDelay: String = "30 seconds",
+      statePath: Option[String] = None)(onAlerts: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.streaming.OutputMode
-    // AlertSuppressorCount(600) state for the run (ref
+    // AlertSuppressorCount(600) state (ref
     // CustomsAccountEnumeration.java:153): one (lastTs, lastCount)
     // pair per source that has ALERTED — bounded by the alert volume,
-    // not the traffic, and pruned past expiry. The scan runs on the
-    // driver over the batch's collected alert rows: alerts are
-    // already thresholded window aggregates (a handful per batch by
-    // design), the same documented bounded-summary class as
-    // budgetSelect's boundary row. Like the reference's
-    // processing-time-scoped Beam state, it does not survive a query
-    // restart.
+    // not the traffic, and pruned once provably stale (see below).
+    // The scan runs on the driver over the batch's collected alert
+    // rows: alerts are already thresholded window aggregates (a
+    // handful per batch by design), the same documented
+    // bounded-summary class as budgetSelect's boundary row.
     val suppressState =
       scala.collection.mutable.Map[String, (Long, Long)]()
+    statePath.foreach { p =>
+      if (new java.io.File(p).exists()) {
+        lines.sparkSession.read.parquet(p).collect().foreach { r =>
+          suppressState(r.getAs[String]("key")) =
+            (r.getAs[Long]("last_ts_ms"), r.getAs[Long]("last_count"))
+        }
+      }
+    }
     val expiryMs = 600000L
+    // prune clock: append mode finalizes a window only once the
+    // watermark passes its END, so every future alert's latest-event
+    // stamp sits past (max finalized window start) — an entry more
+    // than `expiry` older than that can only ever hit the
+    // emit-regardless expiry path and is decision-irrelevant
+    var maxWindowStartMs = Long.MinValue
     val parsedAll = Parser.parse(lines.filter(
       Parser.fastFilter("fxaauth") || Parser.fastFilter("fxacontent"))).toDF()
     val auth = parsedAll.filter(col("payloadType") === "fxaauth")
@@ -431,10 +461,15 @@ object CustomsPipeline {
         approx_count_distinct(col("path"), 0.01).as("n_paths"),
         approx_count_distinct(when(col("is_sc"), col("email")), 0.01)
           .as("n_emails"),
-        max(when(col("is_content"), 1).otherwise(0)).as("has_content"))
+        max(when(col("is_content"), 1).otherwise(0)).as("has_content"),
+        // the reference's alert stamp: latest qualifying status-check
+        // event (CustomsAccountEnumeration.java:138) — the suppression
+        // clock, NOT the window boundary
+        unix_millis(max(when(col("is_sc"), col("timestamp"))))
+          .as("latest_ts_ms"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("src"), col("n_checks"), col("n_paths"), col("n_emails"),
-        col("has_content"))
+        col("has_content"), col("latest_ts_ms"))
     perSrc.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
@@ -452,13 +487,19 @@ object CustomsPipeline {
               col("n_emails") >= cfg.enumerationThreshold)
             .join(broadcast(qualifying), Seq("window_start_ms"), "left_semi"),
           "account_enumeration", "sourceaddress", col("src"),
-          col("n_emails"), col("window_start_ms"))
+          col("n_emails"), col("latest_ts_ms"))
         // count-aware suppression, same decisions as the batch twin's
         // suppressCountGate: emit iff no state, strictly past expiry,
-        // or the count changed; overwrite state on every emission
+        // or the count changed; overwrite state on every emission.
+        // The clock is the alert's latest-qualifying-event stamp
+        // (window_start_ms carries it, exactly like the batch twin)
         val rows = alerts.collect()
-        val survivors = suppressState.synchronized {
-          rows.sortBy(r => (r.getAs[String]("key"),
+        val wstarts = batch.toDF().agg(max(col("window_start_ms")))
+          .collect().headOption.flatMap(r =>
+            if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        val (survivors, changed) = suppressState.synchronized {
+          val before = suppressState.size
+          val kept = rows.sortBy(r => (r.getAs[String]("key"),
               r.getAs[Long]("window_start_ms"),
               r.getAs[Long]("count")))
             .filter { r =>
@@ -471,6 +512,22 @@ object CustomsPipeline {
               if (emit) suppressState(k) = (t, c)
               emit
             }
+          // prune decision-irrelevant entries (see clock note above)
+          wstarts.foreach { w => maxWindowStartMs = math.max(maxWindowStartMs, w) }
+          if (maxWindowStartMs != Long.MinValue)
+            suppressState.filterInPlace((_, v) =>
+              maxWindowStartMs - v._1 < expiryMs)
+          (kept, kept.nonEmpty || suppressState.size != before)
+        }
+        statePath.foreach { p =>
+          if (changed) {
+            val snap = suppressState.synchronized(suppressState.toSeq)
+            val ss = b.sparkSession
+            import ss.implicits._
+            snap.map { case (k, (t, c)) => (k, t, c) }
+              .toDF("key", "last_ts_ms", "last_count")
+              .coalesce(1).write.mode("overwrite").parquet(p)
+          }
         }
         onAlerts(b.sparkSession.createDataFrame(
           b.sparkSession.sparkContext.parallelize(survivors.toSeq, 1),

@@ -65,9 +65,12 @@ class FullPipelineSpec extends AnyFunSuite {
 
   test("customs enumeration alerts pass the AlertSuppressorCount(600) gate: consecutive windows re-emit only on count change (ref CustomsAccountEnumeration.java:153)") {
     import spark.implicits._
-    // 10-minute windows sit EXACTLY 600s apart, which is the gate's
-    // expiry — never strictly past it — so a consecutive window's
-    // alert re-emits iff its distinct-email count CHANGED
+    // the suppression clock is the LATEST qualifying status-check
+    // event in each window (the reference's alert stamp,
+    // CustomsAccountEnumeration.java:138); here each burst sits at the
+    // top of its window, so consecutive latest-event stamps are 600s
+    // apart — never strictly past the expiry — and a consecutive
+    // window's alert re-emits iff its distinct-email count CHANGED
     val t = 1699999800L // 10-minute-aligned window start
     def burst(w: Int, emails: Int) =
       (0 until emails).map(i => authLine(t + w * 600 + i,
@@ -84,10 +87,49 @@ class FullPipelineSpec extends AnyFunSuite {
       .filter(_.getAs[String]("subcategory") == "account_enumeration")
       .map(r => (r.getAs[Long]("window_start_ms"), r.getAs[Long]("count")))
       .toSet
-    // w0 (n=5) emits; w1 (n=6) emits — count changed inside the
-    // window; w2 (n=6) suppressed — same count, gap not strictly past
-    // 600s
-    assert(enum6 == Set((t * 1000L, 5L), ((t + 600) * 1000L, 6L)))
+    // w0 (n=5, latest event t+4) emits; w1 (n=6, latest t+605) emits —
+    // count changed (the 601s gap is also strictly past expiry); w2
+    // (n=6, latest t+1205) suppressed — same count, gap exactly 600s,
+    // not strictly past
+    assert(enum6 == Set(((t + 4) * 1000L, 5L), ((t + 605) * 1000L, 6L)))
+  }
+
+  test("customs enumeration suppression runs on the latest-event clock, " +
+      "not the window boundary: same-count consecutive windows re-emit " +
+      "iff their latest qualifying events sit strictly more than 600s " +
+      "apart (ref CustomsAccountEnumeration.java:138 setTimestamp(" +
+      "getLatestTimestamp(events)) + AlertSuppressorCount(600))") {
+    import spark.implicits._
+    val t = 1699999800L // 10-minute-aligned window start
+    def burst(w: Int, offsets: Seq[Long]) =
+      offsets.zipWithIndex.map { case (off, i) =>
+        authLine(t + w * 600 + off, "/v1/account/status", "post", 200,
+          s"e$i@x.com", s"v$i", "6.6.6.6") } ++
+      Seq(contentLine(t + w * 600, "7.7.7.7"),
+        contentLine(t + w * 600, "8.8.8.8"),
+        contentLine(t + w * 600, "9.9.9.9"))
+    def run(lines: Seq[String]) =
+      CustomsPipeline.analyzeFull(lines.toDS(),
+          CustomsPipeline.FullConfig(enumerationThreshold = 5,
+            minVarianceClients = 3)).collect()
+        .filter(_.getAs[String]("subcategory") == "account_enumeration")
+        .map(r => (r.getAs[Long]("window_start_ms"),
+          r.getAs[Long]("count"))).toSet
+    // RE-EMIT case: w0's latest event at t+30, w1's at t+1190 — same
+    // 5-email count, but the 1160s gap is strictly past the 600s
+    // expiry, so the reference emits BOTH (on a window-start clock the
+    // gap would read as exactly 600s and the second alert would be
+    // silently lost)
+    val reEmit = run(burst(0, Seq(0, 5, 10, 20, 30)) ++
+      burst(1, Seq(560, 570, 580, 585, 590)))
+    assert(reEmit == Set(((t + 30) * 1000L, 5L),
+      ((t + 1190) * 1000L, 5L)))
+    // SUPPRESS case: same windows, same count, but w1's events arrive
+    // early — latest stamps t+30 and t+630 sit exactly 600s apart, not
+    // strictly past expiry, so the second alert is suppressed
+    val suppress = run(burst(0, Seq(0, 5, 10, 20, 30)) ++
+      burst(1, Seq(5, 10, 15, 20, 30)))
+    assert(suppress == Set(((t + 30) * 1000L, 5L)))
   }
 
   test("customs velocity monitor-only: the lower experimental bar emits its own alerts alongside escalations (ref CustomsVelocity.java:281-320)") {

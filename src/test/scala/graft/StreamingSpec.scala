@@ -997,9 +997,11 @@ class StreamingSpec extends AnyFunSuite {
       s"""{"Timestamp":${tt}000000000,"Type":"request","Logger":"fxa-content-server",""" +
         s""""Hostname":"h","Fields":{"clientaddress":"7.7.7.7","path":"/s",""" +
         s""""method":"get","status":200}}"""
-    // three consecutive windows: 5, 5, 6 distinct emails — w1 must be
-    // suppressed by the count gate (same count, exactly 600s), w2
-    // re-emits on the count change
+    // three consecutive windows: 5, 5, 6 distinct emails, each burst
+    // at the top of its window so the latest-event suppression stamps
+    // sit exactly 600s apart — w1 must be suppressed by the count gate
+    // (same count, not strictly past expiry), w2 re-emits on the count
+    // change
     def burst(w: Int, n: Int) =
       (0 until n).map(i => authLine(t + w * 600 + i, s"e$i@x.com")) :+
         contentLine(t + w * 600)
@@ -1021,9 +1023,75 @@ class StreamingSpec extends AnyFunSuite {
         .filter(col("subcategory") === "account_enumeration")
         .select(col("window_start_ms"), col("count"))
         .as[(Long, Long)].collect().toSet
-      assert(streamed == Set((t * 1000L, 5L), ((t + 1200) * 1000L, 6L)))
+      // stamps are the LATEST qualifying event per window (ref
+      // CustomsAccountEnumeration.java:138): w0 latest t+4, w2 latest
+      // t+1200+5
+      assert(streamed == Set(((t + 4) * 1000L, 5L),
+        ((t + 1205) * 1000L, 6L)))
       assert(batch == streamed)
     } finally eq.stop()
+  }
+
+  test("streaming enumeration suppression survives a query restart when " +
+      "given a state path (the reference's Beam per-key state is durable " +
+      "in Dataflow — a restarted pipeline keeps suppressing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.CustomsPipeline
+    val cfg = CustomsPipeline.FullConfig(enumerationThreshold = 5,
+      minVarianceClients = 1)
+    val t = 1699999800L // 10-minute-aligned
+    def authLine(tt: Long, email: String): String = {
+      val iso = java.time.Instant.ofEpochSecond(tt).toString
+      s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+        s""""agent":"m","email":"$email","errno":0,"method":"post",""" +
+        s""""op":"request.summary","path":"/v1/account/status",""" +
+        s""""remoteAddressChain":"[\\"6.6.6.6\\"]","service":"sync",""" +
+        s""""status":200,"t":12,"uid":"u"},"Logger":"fxa-auth-server",""" +
+        s""""Pid":1,"Severity":6,"Timestamp":${tt}000000000,""" +
+        s""""Type":"request.summary"},"timestamp":"$iso"}"""
+    }
+    def contentLine(tt: Long): String =
+      s"""{"Timestamp":${tt}000000000,"Type":"request","Logger":"fxa-content-server",""" +
+        s""""Hostname":"h","Fields":{"clientaddress":"7.7.7.7","path":"/s",""" +
+        s""""method":"get","status":200}}"""
+    def burst(w: Int, n: Int) =
+      (0 until n).map(i => authLine(t + w * 600 + i, s"e$i@x.com")) :+
+        contentLine(t + w * 600)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("enumstate").toString + "/gate"
+    def collectAlerts(batches: Seq[Seq[String]]): Set[(Long, Long)] = {
+      val in = MemoryStream[String]
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val eq = CustomsPipeline.enumerationAlertStream(in.toDS(), cfg,
+          watermarkDelay = "30 seconds",
+          statePath = Some(statePath)) { df =>
+        val rows = df.select(col("window_start_ms"), col("count"))
+          .as[(Long, Long)].collect()
+        got.synchronized { got ++= rows }
+      }.start()
+      try {
+        batches.foreach { b => in.addData(b: _*); eq.processAllAvailable() }
+        got.synchronized(got.toSet)
+      } finally eq.stop()
+    }
+    // run 1: w0 alerts (5 emails, latest t+4) and its suppression
+    // state is snapshotted to the state path
+    val run1 = collectAlerts(Seq(burst(0, 5),
+      Seq(authLine(t + 5000, "z@x.com"))))
+    assert(run1 == Set(((t + 4) * 1000L, 5L)))
+    // run 2, a FRESH query over the same state path: w1 repeats the
+    // same 5 emails with its latest event exactly 600s after w0's —
+    // not strictly past expiry, same count. A query-scoped map would
+    // have forgotten w0 and re-emitted; the restored state keeps
+    // suppressing, like the reference's durable Beam state
+    val run2 = collectAlerts(Seq(burst(1, 5),
+      Seq(authLine(t + 6000, "z@x.com"))))
+    assert(run2.isEmpty)
+    // run 3: a count CHANGE still re-emits through the restored state
+    val run3 = collectAlerts(Seq(burst(2, 6),
+      Seq(authLine(t + 7000, "z@x.com"))))
+    assert(run3 == Set(((t + 1205) * 1000L, 6L)))
   }
 
   test("continuous customs pipeline e2e: summary + distributed failures + " +
