@@ -1831,6 +1831,35 @@ object SparkEntry {
         .orderBy(col("addr"), col("session_id"))
     }),
 
+    // §2.6 the AlertSuppressorSession PIPELINE GATE composed end to
+    // end (ref CritObjectAnalyze.java:222-224 builds the
+    // user_object_sourceaddress suppression key; AuthProfile.java:1053
+    // applies AlertSuppressorSession(1800L)): critical-object alerts
+    // gated per key — a steady drip of the same (user, object, source)
+    // alerts emits once and stays quiet until a strictly-larger-than-
+    // gap silence, because suppressed alerts EXTEND the quiet period
+    // (state rewrites on every element, AlertSuppressorSession.java:
+    // 69-113)
+    "q144_crit_object_suppressed" -> ((s, dir) => {
+      import operators.{AuthState, Stateful}
+      val e = Tables.events(s, dir)
+        .withColumn("user", concat(lit("u"), col("user_id") % 20))
+        .withColumn("obj",
+          when(col("event_type") === "error", lit("/etc/shadow"))
+            .when(col("event_type") === "purchase",
+              concat(lit("secrets/key"), col("user_id") % 3))
+            .otherwise(concat(lit("public/"), col("event_type"))))
+        .withColumn("src", concat(lit("10.9.0."), col("user_id") % 4))
+      val alerts = AuthState.critObjectAnalyze(e, col("ts"),
+        col("user"), col("obj"), col("src"),
+        Seq("/etc/.*", "secrets/.*"),
+        critNotifyEmail = Some("secops@example.com"))
+      Stateful.suppressSessionGate(alerts.distinct(),
+          timestamp_millis(col("ts_ms")), col("suppression_key"),
+          gapSeconds = 1800)
+        .orderBy(col("suppression_key"), col("ts_ms"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -4913,6 +4942,40 @@ object SparkEntry {
           |  al.window_max_ts_ms
           |FROM al JOIN sc USING (addr, latest_ts_ms, n)
           |ORDER BY al.addr, al.session_id""".stripMargin) +
+      ("q144_crit_object_suppressed" ->
+        // the session suppressor rewrites its state on EVERY element
+        // (emitted or suppressed), so "last seen" is simply the
+        // previous event for the key — a lag window, no recursion
+        """WITH f AS (
+          |  SELECT epoch_ms(ts) AS ts_ms,
+          |    'u' || (user_id % 20) AS username,
+          |    CASE WHEN event_type = 'error' THEN '/etc/shadow'
+          |         WHEN event_type = 'purchase'
+          |           THEN 'secrets/key' || (user_id % 3)
+          |         ELSE 'public/' || event_type END AS object,
+          |    '10.9.0.' || (user_id % 4) AS sourceaddress
+          |  FROM events),
+          |a AS (SELECT DISTINCT ts_ms, username, object, sourceaddress,
+          |    'critical_object_analyze' AS subcategory,
+          |    'critical' AS severity,
+          |    username || '_' || object || '_' || sourceaddress
+          |      AS suppression_key,
+          |    'critical authentication event observed ' || username ||
+          |      ' to ' || object || ', ' || sourceaddress ||
+          |      ' [unknown/unknown]' AS summary,
+          |    'secops@example.com' AS notify_email_direct,
+          |    CAST(NULL AS VARCHAR) AS notify_slack_supplementary,
+          |    CAST(NULL AS VARCHAR) AS slack_supplementary_message
+          |  FROM f
+          |  WHERE object LIKE '/etc/%' OR object LIKE 'secrets/%'),
+          |g AS (SELECT *, lag(ts_ms) OVER (
+          |    PARTITION BY suppression_key ORDER BY ts_ms) AS prev_ms
+          |  FROM a)
+          |SELECT ts_ms, username, object, sourceaddress, subcategory,
+          |  severity, suppression_key, summary, notify_email_direct,
+          |  notify_slack_supplementary, slack_supplementary_message
+          |FROM g WHERE prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+          |ORDER BY suppression_key, ts_ms""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0

@@ -77,12 +77,20 @@ object AuthProfilePipeline {
   }
 
   /** Full batch analysis: lines + alias table + geo resolver →
-    * impossible-travel alerts, suppressed per identity with the
-    * reference's SESSION-type suppressor (the only suppressor the
-    * authprofile pipeline instantiates is
-    * `AlertSuppressorSession(1800L)`, AuthProfile.java:1035 — repeat
-    * alerts EXTEND the quiet period rather than re-emitting on a
-    * fixed cadence). */
+    * impossible-travel alerts, session-suppressed per identity.
+    *
+    * The session gate here is the REPO'S CHOSEN ANALOG, not reference
+    * wiring: the reference instantiates `AlertSuppressorSession(1800L)`
+    * (AuthProfile.java:1035) but applies it only to the crit-object and
+    * cross-account branches (java:1053,1068) — StateAnalyze's travel
+    * alerts are not routed through any AlertSuppressor; their
+    * repeat-alert damping comes from the persistent known-address
+    * state model itself (an address alerts once, then becomes known).
+    * This batch surface has no cross-run state store, so the same
+    * session suppressor (repeat alerts EXTEND the quiet period rather
+    * than re-emitting on a fixed cadence) stands in for that damping;
+    * the faithful stateful form lives in [[stateAnalysis]] /
+    * `Streaming.authStateAnalyzeTws`. */
   def analyze(lines: Dataset[String], aliases: DataFrame,
       resolver: GeoIp.GeoIpResolver, cfg: Config = Config()): DataFrame = {
     val auth = parsedAuthEnriched(lines, resolver)

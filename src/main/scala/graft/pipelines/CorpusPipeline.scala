@@ -257,10 +257,26 @@ object CorpusPipeline {
   /** Streaming incremental ingestion — [[graft.operators.Dedup
     * .incrementalIngest]]'s discipline run CONTINUOUSLY: each
     * micro-batch screens against a PERSISTENT corpus index (content
-    * hashes + banded minhash signatures, parquet tables under
-    * `indexDir`), per-doc decisions go to `onDecisions`, and only
-    * KEPT docs' index rows are appended — a dropped duplicate never
-    * pollutes the index.
+    * hashes + banded minhash signatures + gear-chunk hashes, parquet
+    * tables under `indexDir`), per-doc decisions go to `onDecisions`,
+    * and only KEPT docs' index rows are appended — a dropped duplicate
+    * never pollutes the index.
+    *
+    * Three screens, in evidence-priority order:
+    *  1. EXACT (content md5) — byte twins;
+    *  2. NEAR (banded minhash, `minEstJaccard`) — whole-doc
+    *     similarity;
+    *  3. CHUNK (content-defined gear chunks, [[Dedup.gearChunks]],
+    *     `minChunkOverlap`) — SHIFTED byte duplication the other two
+    *     miss: gear boundaries re-align after insertions, so a doc
+    *     assembled from boilerplate blocks of SEVERAL corpus docs
+    *     shares most of its chunk hashes with the index even though
+    *     no single pair clears the minhash bar. A doc whose distinct
+    *     chunk hashes are already present (in the index, or in a
+    *     lower-id batch sibling) at `minChunkOverlap` fraction or
+    *     above is dropped, with the single biggest donor cited as
+    *     `chunk_dup_of`. Index rows stay hash-only: (chunk_md5,
+    *     doc_id), never chunk text or spans.
     *
     * Within-batch duplicates are screened too, with the batch
     * operator's ordering discipline (lower doc_id wins): an exact
@@ -281,9 +297,11 @@ object CorpusPipeline {
     * transactional table format slots in at the two append sites.
     *
     * Decisions schema: (doc_id, exact_dup, near_dup_of, n_match,
-    * est_jaccard, keep). Scale: per batch, the index side is an
-    * equi-join on chash/bkey — the corpus index never self-joins,
-    * exactly the asymmetric shape of the batch operator.
+    * est_jaccard, chunk_dup_of, chunk_overlap, keep). Scale: per
+    * batch, the index side is an equi-join on chash/bkey/chunk_md5 —
+    * the corpus index never self-joins, exactly the asymmetric shape
+    * of the batch operator; the chunk screen ships only 32-hex hashes
+    * + ids (the gear kernel is map-only, text never leaves the scan).
     *
     * Small-files control: each trigger appends one more part-file per
     * index table, so at deployment cadence the index rots into
@@ -297,6 +315,8 @@ object CorpusPipeline {
   def ingestStream(docs: DataFrame, id: Column, text: Column,
       indexDir: String, n: Int = 3, numHashes: Int = 16,
       bands: Int = 8, minEstJaccard: Double = 0.5,
+      chunkMaskBits: Int = 6, chunkWindow: Int = 32,
+      minChunkOverlap: Double = 0.5,
       compactAt: Int = 64, compactTo: Int = 8)
       (onDecisions: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -324,8 +344,12 @@ object CorpusPipeline {
         val bandSchema = StructType(Seq(
           StructField("bkey", StringType), StructField("doc_id", LongType),
           StructField("sig", ArrayType(StringType))))
+        val chunkSchema = StructType(Seq(
+          StructField("chunk_md5", StringType),
+          StructField("doc_id", LongType)))
         val idxHashes = readOr(s"$indexDir/hashes", hashSchema)
         val idxBands = readOr(s"$indexDir/bands", bandSchema)
+        val idxChunks = readOr(s"$indexDir/chunks", chunkSchema)
 
         val b = batch.toDF().persist()
         val withHash = b.withColumn("chash", md5(col("t")))
@@ -377,6 +401,39 @@ object CorpusPipeline {
           .select(col("doc_id"), col("bst.old_id").as("near_dup_of"),
             col("bst.n_match").as("n_match"),
             col("bst.est_jaccard").as("est_jaccard"))
+        // chunk screen: a doc most of whose gear chunks already exist
+        // in the corpus (or an earlier batch sibling) is shifted byte
+        // duplication even when no single pair clears the minhash bar.
+        // Distinct chunk hashes only — repeated boilerplate inside one
+        // doc counts once
+        val bChunks = Dedup.gearChunks(b, col("doc_id"), col("t"),
+            chunkMaskBits, chunkWindow)
+          .select(col("doc_id"), col("chunk_md5")).distinct().persist()
+        val nChunks = bChunks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"))
+        // retried appends can double-write index rows — dedup the
+        // donor side before counting (duplicate candidates, never
+        // wrong decisions, same note as the hash/band tables)
+        val chunkDonors = idxChunks
+          .select(col("chunk_md5"), col("doc_id").as("old_id"),
+            lit(true).as("is_index")).distinct()
+          .union(bChunks.select(col("chunk_md5"),
+            col("doc_id").as("old_id"), lit(false).as("is_index")))
+        val chunkHits = bChunks.join(chunkDonors, Seq("chunk_md5"))
+          .filter(col("is_index") || col("old_id") < col("doc_id"))
+        val chunkBest = chunkHits
+          .groupBy(col("doc_id"), col("old_id"), col("is_index"))
+          .agg(count(lit(1)).as("n_shared"))
+          .groupBy(col("doc_id"))
+          .agg(max_by(col("old_id"), struct(col("n_shared"),
+            col("is_index"), -col("old_id"))).as("best_old"))
+        val chunkScreen = chunkHits.groupBy(col("doc_id"))
+          .agg(countDistinct(col("chunk_md5")).as("n_hit"))
+          .join(chunkBest, Seq("doc_id"))
+          .join(nChunks, Seq("doc_id"))
+          .filter(col("n_hit") >= lit(minChunkOverlap) * col("n_chunks"))
+          .select(col("doc_id"), col("best_old").as("chunk_dup_of"),
+            (col("n_hit") / col("n_chunks")).as("chunk_overlap"))
         // localCheckpoint (eager), NOT persist: the appends below write
         // to the very paths this plan reads, and Spark's write-path
         // recache would otherwise re-evaluate `kept` AGAINST THE ROWS
@@ -384,11 +441,13 @@ object CorpusPipeline {
         // to exact_dup, emptying the bands append. Truncating the
         // lineage pins the decisions to this batch's pre-append view.
         val decisions = exact.join(best, Seq("doc_id"), "left")
-          .withColumn("keep", !col("exact_dup") && col("near_dup_of").isNull)
+          .join(chunkScreen, Seq("doc_id"), "left")
+          .withColumn("keep", !col("exact_dup") &&
+            col("near_dup_of").isNull && col("chunk_dup_of").isNull)
           .localCheckpoint(true)
         onDecisions(decisions.select(col("doc_id"), col("exact_dup"),
           col("near_dup_of"), col("n_match"), col("est_jaccard"),
-          col("keep")))
+          col("chunk_dup_of"), col("chunk_overlap"), col("keep")))
         // index only the kept docs
         val kept = decisions.filter(col("keep")).select(col("doc_id"))
         withHash.join(kept, Seq("doc_id"))
@@ -397,10 +456,15 @@ object CorpusPipeline {
         Dedup.bandedSigs(sigs.join(kept, Seq("doc_id")), numHashes, bands)
           .select(col("bkey"), col("doc_id"), col("sig"))
           .write.mode("append").parquet(s"$indexDir/bands")
-        decisions.unpersist(); sigs.unpersist(); b.unpersist()
+        bChunks.join(kept, Seq("doc_id"))
+          .select(col("chunk_md5"), col("doc_id"))
+          .write.mode("append").parquet(s"$indexDir/chunks")
+        decisions.unpersist(); sigs.unpersist(); bChunks.unpersist()
+        b.unpersist()
         // small-files control (see scaladoc): rewrite any index table
         // whose part-file count crossed the threshold
-        for ((table, key) <- Seq("hashes" -> "chash", "bands" -> "bkey")) {
+        for ((table, key) <- Seq("hashes" -> "chash", "bands" -> "bkey",
+            "chunks" -> "chunk_md5")) {
           val dir = s"$indexDir/$table"
           if (graft.sinks.Sinks.parquetFileCount(spark, dir) > compactAt)
             graft.sinks.Sinks.compactParquetDir(spark, dir, key, compactTo)

@@ -190,6 +190,83 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(postC <= 3, s"post-probe count not capped: $postC")
   }
 
+  test("ingestStream chunk screen: shifted boilerplate assembled from " +
+      "several indexed docs is caught ONLY by the gear-chunk screen " +
+      "(exact md5 differs, no single minhash pair clears the bar); " +
+      "index chunk rows stay hash-only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-chunk-idx").toString
+    // three donors: each a sizable distinctive block behind a unique
+    // lead-in; blockA is longest so the biggest-donor evidence is
+    // deterministic
+    val blockA = "the licensing terms of this corpus require every " +
+      "redistribution to carry the original attribution notice and a " +
+      "copy of the permission grant in a prominent location near the " +
+      "top of the derived document where readers can find it without " +
+      "scrolling past unrelated material of any kind whatsoever"
+    val blockB = "submissions are reviewed within thirty days by two " +
+      "independent referees who score novelty rigor and clarity on a " +
+      "five point scale before the editor issues a decision letter"
+    val blockC = "to unsubscribe from these notifications visit your " +
+      "account settings page and toggle the email preferences switch " +
+      "under the communications heading then save your changes"
+    val docs = Seq(
+      1L -> ("orchids bloom in the greenhouse corner " + blockA),
+      2L -> ("meteor showers peak after midnight tonight " + blockB),
+      3L -> ("the harbor ferry runs every twenty minutes " + blockC))
+    // the composite: all three blocks, each SHIFTED by new
+    // surroundings — no byte-identical whole doc, and no single donor
+    // covers enough of it for the banded-minhash screen
+    val composite = "assorted unrelated framing words open this " +
+      "document " + blockB + " meanwhile " + blockC + " and finally " +
+      blockA + " with a short closing remark"
+    val novel = "a wholly original essay on tidal energy capture " +
+      "along rocky coastlines where turbine placement must respect " +
+      "shipping lanes and seasonal migration patterns of local birds"
+    val in = MemoryStream[(Long, String)]
+    case class Dec(exact: Boolean, near: Option[Long],
+      chunk: Option[Long], overlap: Option[Double], keep: Boolean)
+    val decisions = scala.collection.mutable.Map.empty[Long, Dec]
+    val q = CorpusPipeline.ingestStream(in.toDS().toDF("id", "text"),
+        col("id"), col("text"), idxDir) { d =>
+      decisions ++= d.collect().map(r => r.getAs[Long]("doc_id") -> Dec(
+        r.getAs[Boolean]("exact_dup"),
+        if (r.isNullAt(r.fieldIndex("near_dup_of"))) None
+        else Some(r.getAs[Long]("near_dup_of")),
+        if (r.isNullAt(r.fieldIndex("chunk_dup_of"))) None
+        else Some(r.getAs[Long]("chunk_dup_of")),
+        if (r.isNullAt(r.fieldIndex("chunk_overlap"))) None
+        else Some(r.getAs[Double]("chunk_overlap")),
+        r.getAs[Boolean]("keep")))
+      ()
+    }.option("checkpointLocation", java.nio.file.Files
+      .createTempDirectory("graft-chunk-ckpt").toString).start()
+    try {
+      in.addData(docs: _*); q.processAllAvailable()
+      assert(decisions.values.forall(_.keep)) // donors pairwise novel
+      decisions.clear()
+
+      in.addData((10L, composite), (11L, novel)); q.processAllAvailable()
+      val c = decisions(10L)
+      // not an exact twin, and NO single minhash pair clears 0.5 —
+      // only the corpus-global chunk screen catches it
+      assert(!c.exact && c.near.isEmpty)
+      assert(c.chunk.contains(1L), s"biggest donor should be 1: $c")
+      assert(c.overlap.exists(_ >= 0.5), s"overlap too low: $c")
+      assert(!c.keep)
+      assert(decisions(11L).keep && decisions(11L).chunk.isEmpty)
+
+      // dropped docs never pollute the chunk index; rows are
+      // hash-only (chunk_md5, doc_id) — no text, no spans
+      val idx = spark.read.parquet(s"$idxDir/chunks")
+      assert(idx.columns.toSeq.sorted == Seq("chunk_md5", "doc_id"))
+      assert(idx.select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L, 11L))
+    } finally q.stop()
+  }
+
   test("compaction crash window heals: orphaned .old restores before any read") {
     import spark.implicits._
     val dir = java.nio.file.Files
