@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcSfDir> <outDir> <k>")
-    val Array(srcDir, outDir, kStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK]")
+    val (srcDir, outDir, kStr) = (args(0), args(1), args(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -51,15 +52,25 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, outDir, kStr.toInt)
-    println(s"[scalegen] wrote ${kStr}x corpus to $outDir")
+    val embK = if (args.length == 4) Some(args(3).toInt) else None
+    generate(spark, srcDir, outDir, kStr.toInt, embK)
+    println(s"[scalegen] wrote ${kStr}x corpus to $outDir" +
+      embK.fold("")(e => s" (embeddings at ${e}x)"))
     spark.stop()
   }
 
   /** The generator body, session-agnostic (specs call this with the
-    * shared test session — main owns session lifecycle). */
+    * shared test session — main owns session lifecycle).
+    *
+    * `embKOverride` caps the EMBEDDINGS replication independently of
+    * the text: the cyclic-shift isometry has period = vector dim, so
+    * the embeddings table cannot honestly exceed (dim − 1)-fold —
+    * faking disjointness past that would manufacture near-identical
+    * cross-copy vectors that no real corpus has. Text probes past
+    * that bound (the cipher isometry has no such period) pass the cap
+    * explicitly and probe only text queries against the output. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-      k: Int): Unit = {
+      k: Int, embKOverride: Option[Int] = None): Unit = {
     require(k >= 1, "k must be >= 1")
     // the disjointness contract needs guarding, not assuming: ids
     // stride by 10M per copy (a collision would silently give one id
@@ -76,10 +87,16 @@ object ScaleGen {
       .head()
     require(embStats.getLong(0) < stride,
       s"source vec_id ${embStats.getLong(0)} >= copy stride $stride")
-    require(k < embStats.getInt(1),
-      s"k=$k >= embedding dim ${embStats.getInt(1)}: the cyclic shift " +
-        "would repeat and copies would stop being disjoint")
+    val embK = embKOverride.getOrElse(k)
+    require(embK >= 1 && embK <= k,
+      s"embK=$embK must be in [1, k=$k]")
+    require(embK < embStats.getInt(1),
+      s"embK=$embK >= embedding dim ${embStats.getInt(1)}: the cyclic " +
+        "shift would repeat and copies would stop being disjoint — " +
+        "pass an explicit embK below the dim for text-only probes")
     val copies = broadcast(spark.range(k).select(col("id").as("copy")))
+    val embCopies =
+      broadcast(spark.range(embK).select(col("id").as("copy")))
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def perm(i: Int): String = {
@@ -104,14 +121,14 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = sources.Tables.embeddings(spark, srcDir)
-    emb.crossJoin(copies)
+    emb.crossJoin(embCopies)
       .select(
         (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> " +
           "element_at(embedding, (CAST(i + copy AS INT) % " +
           "size(embedding)) + 1))").as("embedding"),
         col("label"))
-      .repartition(2 * k)
+      .repartition(2 * embK)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 }

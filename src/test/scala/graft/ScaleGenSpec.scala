@@ -10,6 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleGenSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("embK cap: text replicates past the embedding-shift period, " +
+      "embeddings honestly stop below the vector dim") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-embk").toString
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 3,
+      embKOverride = Some(2))
+    val src = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val se = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(spark.read.parquet(s"$out/documents.parquet").count() ==
+      3 * src.count())
+    assert(spark.read.parquet(s"$out/embeddings.parquet").count() ==
+      2 * se.count())
+    // the period guard still refuses a dishonest embedding k
+    val dim = se.select(org.apache.spark.sql.functions.size(
+      col("embedding"))).head().getInt(0)
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001",
+        out + "-bad", dim + 1)
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
+
   test("k-fold corpus: copy 0 byte-identical, copies disjoint, structure preserved") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-scalegen").toString

@@ -31,7 +31,12 @@ for k in $SCALES; do
   if [ ! -d "$dir/documents.parquet" ] || [ ! -d "$dir/embeddings.parquet" ]; then
     echo "== scalegen ${k}x -> $dir =="
     rm -rf "$dir"
-    if ! sbt -batch "runMain graft.ScaleGen $SRC $dir $k" > "$OUT/scalegen_${k}x.log" 2>&1; then
+    # the embedding cyclic-shift isometry has period = vector dim
+    # (64): past ~half that, cap the embeddings table and treat the
+    # corpus as a TEXT scale point (probe only text queries there)
+    embk=""
+    if [ "$k" -ge 64 ]; then embk=" 32"; fi
+    if ! sbt -batch "runMain graft.ScaleGen $SRC $dir $k$embk" > "$OUT/scalegen_${k}x.log" 2>&1; then
       echo "SCALEGEN FAILED for ${k}x (log: $OUT/scalegen_${k}x.log)" >&2
       exit 1
     fi
