@@ -1860,6 +1860,32 @@ object SparkEntry {
         .orderBy(col("suppression_key"), col("ts_ms"))
     }),
 
+    // training-data ops: deterministic multi-epoch shuffle plan —
+    // per-epoch salted-md5 reshuffle into 16 shards with 1-based
+    // positions and running token offsets; one exchange + one
+    // in-partition sort per (epoch, shard), text never enters the
+    // plan, no RNG state
+    "q145_epoch_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      Sampling.epochShuffle(d, col("doc_id"), col("nt"),
+          epochs = 3, nShards = 16)
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
+    // training-data ops: stride-scheduled mixture interleave — every
+    // prefix of a shard's stream carries sources at their target ppm
+    // weights (virtual time = rank * 1e6 DIV ppm, pure integers);
+    // the deterministic alternative to per-batch mixture sampling
+    "q146_mixture_interleave" -> ((s, dir) => {
+      Sampling.mixtureInterleave(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          col("doc_id"), col("source"),
+          weightsPpm = Map("src0" -> 600000L, "src1" -> 100000L),
+          defaultPpm = 50000L, nShards = 4)
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -4976,6 +5002,61 @@ object SparkEntry {
           |  notify_slack_supplementary, slack_supplementary_message
           |FROM g WHERE prev_ms IS NULL OR ts_ms - prev_ms > 1800000
           |ORDER BY suppression_key, ts_ms""".stripMargin) +
+      ("q145_epoch_shuffle" ->
+        // shard = first 48 bits of the per-epoch key mod 16 = the
+        // value of hex digit 12; fixed-width lowercase hex sorts
+        // lexicographically in numeric order
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(list_filter(string_split(lower(text), ' '),
+          |      x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |e AS (SELECT ep.epoch, doc_id, n_tokens,
+          |    md5(CAST(ep.epoch AS VARCHAR) || ':epoch:' ||
+          |      CAST(doc_id AS VARCHAR)) AS okey
+          |  FROM t CROSS JOIN
+          |    (SELECT unnest(range(0, 3)) AS epoch) ep),
+          |s AS (SELECT epoch, doc_id, n_tokens, okey,
+          |    CAST(strpos('0123456789abcdef', okey[12]) - 1 AS BIGINT)
+          |      AS shard
+          |  FROM e),
+          |r AS (SELECT epoch, shard, doc_id, n_tokens, okey,
+          |    row_number() OVER (PARTITION BY epoch, shard
+          |      ORDER BY okey, doc_id) AS pos,
+          |    COALESCE(CAST(SUM(n_tokens) OVER (
+          |      PARTITION BY epoch, shard ORDER BY okey, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS BIGINT), 0) AS start_offset
+          |  FROM s)
+          |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+          |  CAST(pos AS BIGINT) AS pos, doc_id, n_tokens, start_offset
+          |FROM r ORDER BY epoch, shard, pos""".stripMargin) +
+      ("q146_mixture_interleave" ->
+        """WITH d AS (SELECT doc_id, source AS stratum,
+          |    md5(CAST(doc_id AS VARCHAR) || ':interleave:' || source)
+          |      AS okey
+          |  FROM documents),
+          |s AS (SELECT doc_id, stratum, okey,
+          |    CAST(strpos('0123456789abcdef', okey[11]) - 1 AS BIGINT)
+          |      * 16
+          |    + CAST(strpos('0123456789abcdef', okey[12]) - 1
+          |      AS BIGINT) AS b2,
+          |    CASE WHEN stratum = 'src0' THEN 600000
+          |      WHEN stratum = 'src1' THEN 100000
+          |      ELSE 50000 END AS ppm
+          |  FROM d),
+          |sh AS (SELECT doc_id, stratum, okey, ppm, b2 % 4 AS shard
+          |  FROM s WHERE ppm > 0),
+          |r AS (SELECT shard, stratum, doc_id, ppm, okey,
+          |    CAST(row_number() OVER (PARTITION BY shard, stratum
+          |      ORDER BY okey, doc_id) AS BIGINT) AS rk
+          |  FROM sh),
+          |v AS (SELECT shard, stratum, doc_id,
+          |    rk * 1000000 // ppm AS vtime FROM r)
+          |SELECT shard,
+          |  CAST(row_number() OVER (PARTITION BY shard
+          |    ORDER BY vtime, stratum, doc_id) AS BIGINT) AS pos,
+          |  vtime, stratum, doc_id
+          |FROM v ORDER BY shard, pos""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0

@@ -295,6 +295,119 @@ object Sampling {
         col("col.vecId").as("doc_id"))
   }
 
+  /** Deterministic multi-epoch shuffle plan — the data-loader order
+    * for several training passes: each epoch re-shuffles the corpus
+    * into a DIFFERENT pseudo-random order (training on the same order
+    * every epoch measurably hurts convergence — the reshuffle-per-
+    * epoch contract every loader implements), and each (epoch, doc)
+    * lands in a shard with a position and a running token offset, so
+    * a 1000-worker job can open its shard and stream its slice with
+    * no coordination.
+    *
+    * The order is a pure function of (epoch, salt, doc_id): the
+    * per-epoch key is `md5("<epoch>:<salt>:<doc_id>")`, the shard is
+    * the key's first 48 bits mod `nShards`, and within a shard docs
+    * sort by the key (fixed-width lowercase hex — lexicographic IS
+    * numeric order, the [[exactKSample]] argument), doc_id breaking
+    * the (practically unreachable) tie. No RNG state, no seed
+    * plumbing, no driver coordination: any engine reproduces the
+    * exact order, and epoch e+1's order is independent of epoch e's
+    * because the epoch number is hashed with the id.
+    *
+    * Scale shape: the explode multiplies rows by `epochs` — the
+    * output IS the full multi-pass order, there is nothing smaller to
+    * materialize — but each row carries only (doc_id, n_tokens, 32
+    * hex chars); document text never enters. Then ONE exchange on
+    * (epoch, shard) and ONE in-partition sort serve both window
+    * expressions (row_number and the running token sum share the
+    * window spec, so Spark plans a single Window operator over a
+    * single sort). No global sort at any epoch count.
+    *
+    * Output: (epoch, shard, pos, doc_id, n_tokens, start_offset),
+    * pos 1-based within (epoch, shard), start_offset the token offset
+    * of the doc in its shard's stream. */
+  def epochShuffle(df: DataFrame, id: Column, nTokens: Column,
+      epochs: Int, nShards: Int, salt: String = "epoch"): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    require(nShards >= 1, "nShards must be >= 1")
+    val base = df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit((epochs - 1).toLong))))
+      .withColumn("okey", md5(concat(col("epoch").cast("string"),
+        lit(s":$salt:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("okey"), 1, 12), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    base
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"),
+        col("n_tokens"), col("start_offset"))
+  }
+
+  /** Deterministic mixture interleave — stride scheduling (Waldspurger
+    * & Weihl 1995) applied to training-data ordering: given integer
+    * parts-per-million mixture weights per stratum (the
+    * [[temperatureWeights]] output shape), every doc gets a virtual
+    * time `vtime = rank_in_stratum · 10^6 DIV weight_ppm`, and the
+    * within-shard order by (vtime, stratum, doc_id) interleaves
+    * sources at their target rates from the very first batch: any
+    * prefix of a shard's stream contains stratum s in proportion
+    * ≈ weight_s — unlike concatenated-source layouts, where early
+    * training sees only the first source. Pure integer arithmetic on
+    * a salted-md5 rank: reproducible on any engine and cluster
+    * layout, no RNG.
+    *
+    * Docs in a zero-weight stratum are dropped (weight 0 = never
+    * scheduled), mirroring [[stratifiedSample]] at rate 0.
+    *
+    * Scale shape: two narrow windows — rank within (shard, stratum),
+    * then position within shard — i.e. one exchange keyed
+    * (shard, stratum) + one keyed (shard), each sorting rows of
+    * (doc_id, stratum, 32 hex chars) only; text never enters, and
+    * there is no global sort (shards are independent). The second
+    * exchange is the price of a materialized per-shard position; at
+    * 1000 shards both exchanges spread evenly by construction
+    * (md5-uniform shard key).
+    *
+    * Output: (shard, pos, vtime, stratum, doc_id), pos 1-based within
+    * shard by the interleave order. */
+  def mixtureInterleave(df: DataFrame, id: Column, stratum: Column,
+      weightsPpm: Map[String, Long], defaultPpm: Long, nShards: Int,
+      salt: String = "interleave"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    require((weightsPpm.values ++ Seq(defaultPpm)).forall(_ >= 0),
+      "weights must be non-negative ppm")
+    val ppm = weightsPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, w)) =>
+      when(col("stratum") === k, lit(w)).otherwise(acc)
+    }
+    val base = df.select(id.as("doc_id"), stratum.as("stratum"))
+      .withColumn("okey", md5(concat(col("doc_id").cast("string"),
+        lit(s":$salt:"), col("stratum"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("okey"), 1, 12), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("ppm", ppm.cast("long"))
+      .filter(col("ppm") > 0)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("stratum"))
+      .orderBy(col("okey"), col("doc_id"))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("vtime"), col("stratum"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("vtime", expr("rk * 1000000 DIV ppm"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("shard"), col("pos"), col("vtime"), col("stratum"),
+        col("doc_id"))
+  }
+
   /** Budgeted selection by quality score — "keep the best documents
     * until the token budget is spent", the final assembly step after
     * scoring (DSIR/LLR/heuristic quality all emit integer scores).

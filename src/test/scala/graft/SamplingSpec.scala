@@ -394,4 +394,142 @@ class SamplingSpec extends AnyFunSuite {
         col("tok"), budget = 0L).collect()
     assert(none.length == 60 && !none.exists(_.getAs[Boolean]("selected")))
   }
+
+  test("epochShuffle: every doc once per epoch, contiguous positions, " +
+      "exact running offsets, epochs reshuffle independently") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, i % 13 + 1)).toDF("id", "nt")
+    val plan = Sampling.epochShuffle(docs, col("id"), col("nt"),
+      epochs = 3, nShards = 4)
+    val rows = plan.orderBy("epoch", "shard", "pos").collect()
+    assert(rows.length == 600)
+    // each epoch holds the full corpus exactly once
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet == (1L to 200L).toSet)
+    }
+    // positions are 1..n within each (epoch, shard) and the offset is
+    // the exact running token sum in position order
+    rows.groupBy(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")))
+      .values.foreach { rs =>
+        val sorted = rs.sortBy(_.getAs[Long]("pos"))
+        assert(sorted.map(_.getAs[Long]("pos")).toSeq ==
+          (1L to sorted.length).toSeq)
+        var run = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("start_offset") == run)
+          run += r.getAs[Long]("n_tokens")
+        }
+      }
+    // consecutive epochs produce genuinely different orders (the
+    // epoch number is hashed with the id, so shard assignment and
+    // within-shard rank both reshuffle)
+    def order(e: Long) = rows.filter(_.getAs[Long]("epoch") == e)
+      .sortBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(order(0L) != order(1L) && order(1L) != order(2L))
+  }
+
+  test("epochShuffle: order is a pure function of the data, not the partitioning") {
+    import spark.implicits._
+    val docs = (1L to 120L).map(i => (i, i % 7 + 1)).toDF("id", "nt")
+    val a = Sampling.epochShuffle(docs, col("id"), col("nt"), 2, 8)
+      .orderBy("epoch", "shard", "pos").collect().toSeq
+    val b = Sampling.epochShuffle(
+        docs.repartition(7).sortWithinPartitions(desc("id")),
+        col("id"), col("nt"), 2, 8)
+      .orderBy("epoch", "shard", "pos").collect().toSeq
+    assert(a == b)
+  }
+
+  test("epochShuffle shape: one hash exchange + one Window (both window " +
+      "expressions share the sort), no global sort") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "nt")
+    val p = Sampling.epochShuffle(docs, col("id"), col("nt"), 3, 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    // row_number and the running sum may split into two Window nodes
+    // (different frames) but must share ONE exchange + ONE sort
+    assert("\\bSort \\[".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("epochShuffle rejects non-positive epochs and shard counts") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L)).toDF("id", "nt")
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, col("id"), col("nt"), 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, col("id"), col("nt"), 1, 0)
+    }
+  }
+
+  test("mixtureInterleave: stride schedule interleaves strata at their " +
+      "weights from the first prefix (hand-computed stratum sequence)") {
+    import spark.implicits._
+    // 8 docs of 'a' at 750000 ppm (stride 4/3), 4 of 'b' at 250000
+    // (stride 4): vtimes a = 1,2,4,5,6,8,9,10; b = 4,8,12,16; merged
+    // by (vtime, stratum) the stratum sequence is fixed regardless of
+    // which doc holds which rank
+    val docs = ((1L to 8L).map(i => (i, "a")) ++
+      (9L to 12L).map(i => (i, "b"))).toDF("id", "src")
+    val out = Sampling.mixtureInterleave(docs, col("id"), col("src"),
+        weightsPpm = Map("a" -> 750000L, "b" -> 250000L),
+        defaultPpm = 0L, nShards = 1)
+      .orderBy("shard", "pos").collect()
+    assert(out.length == 12)
+    assert(out.map(_.getAs[Long]("pos")).toSeq == (1L to 12L).toSeq)
+    assert(out.map(_.getAs[String]("stratum")).toSeq ==
+      Seq("a", "a", "a", "b", "a", "a", "a", "b", "a", "a", "b", "b"))
+    // any prefix carries ~3:1 a:b — the property concatenation lacks
+    val firstFour = out.take(4).map(_.getAs[String]("stratum"))
+    assert(firstFour.count(_ == "a") == 3 && firstFour.count(_ == "b") == 1)
+  }
+
+  test("mixtureInterleave: zero-weight strata are dropped; " +
+      "deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = ((1L to 20L).map(i => (i, "keep")) ++
+      (21L to 30L).map(i => (i, "dead"))).toDF("id", "src")
+    val out = Sampling.mixtureInterleave(docs, col("id"), col("src"),
+      weightsPpm = Map("keep" -> 500000L, "dead" -> 0L),
+      defaultPpm = 100000L, nShards = 2)
+    val rows = out.orderBy("shard", "pos").collect()
+    assert(rows.forall(_.getAs[String]("stratum") == "keep"))
+    assert(rows.length == 20)
+    val again = Sampling.mixtureInterleave(
+        docs.repartition(5).sortWithinPartitions(desc("id")),
+        col("id"), col("src"),
+        weightsPpm = Map("keep" -> 500000L, "dead" -> 0L),
+        defaultPpm = 100000L, nShards = 2)
+      .orderBy("shard", "pos").collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("mixtureInterleave shape: two narrow hash exchanges " +
+      "((shard, stratum) rank then shard position), no global sort") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val p = Sampling.mixtureInterleave(docs, col("id"), col("src"),
+        weightsPpm = Map.empty, defaultPpm = 100000L, nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("mixtureInterleave rejects negative weights and bad shard counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("id", "src")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureInterleave(docs, col("id"), col("src"),
+        Map("a" -> -1L), 0L, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureInterleave(docs, col("id"), col("src"),
+        Map.empty, 0L, 0)
+    }
+  }
 }
