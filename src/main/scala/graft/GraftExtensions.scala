@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.IntegerType
   *     the engine-wide `Similarity.Scale`
   *   - `simhash32(text)` — row-local 32-bit SimHash (SimHashExpr),
   *     the streaming near-dup kernel
+  *   - `unicode_norm(text[, form])` — UAX #15 normalization
+  *     (UnicodeNormExpr), form a string literal NFC/NFD/NFKC/NFKD
+  *     (default NFC); the unicode-equivalence dedup key
   *
   * Install at session build (works with spark-submit / Connect too):
   * {{{
@@ -27,7 +30,7 @@ import org.apache.spark.sql.types.IntegerType
   * broadcast radix trie, which has no SQL-literal form — SQL callers
   * use the `Functions.cidrContains` Column API instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{LongDotExpr, QuantizeExpr, SimHashExpr}
+  import graft.functions.{LongDotExpr, QuantizeExpr, SimHashExpr, UnicodeNormExpr}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Rule[LogicalPlan]: bound levenshtein comparisons -> banded
@@ -52,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(t) => SimHashExpr(t)
         case _ => throw new IllegalArgumentException("simhash32(text)")
+      }))
+    ext.injectFunction((FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormExpr].getName, "unicode_norm"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => UnicodeNormExpr(t, "NFC")
+        case Seq(t, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          UnicodeNormExpr(t, f.toString)
+        case _ => throw new IllegalArgumentException(
+          "unicode_norm(text[, 'NFC'|'NFD'|'NFKC'|'NFKD'])")
       }))
   }
 }

@@ -1886,6 +1886,41 @@ object SparkEntry {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // training-data ops: unicode-equivalence dedup — composed vs
+    // decomposed twins (injected per 13th doc: same visible text,
+    // U+00E9 vs e+U+0301) byte-differ yet NFC-collapse onto one hash
+    // that byte-exact dedup can never see
+    "q147_unicode_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def twin(offset: Long, prefix: String) =
+        d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(lit(prefix), col("text")).as("text"))
+      // twin A composed (U+00E9/U+00EF), twin B decomposed
+      // (base letter + U+0301/U+0308) — byte-distinct, NFC-equal
+      val all = d
+        .union(twin(300000L,
+          "caf\u00e9 r\u00e9sum\u00e9 na\u00efve: "))
+        .union(twin(400000L,
+          "cafe\u0301 re\u0301sume\u0301 nai\u0308ve: "))
+      Dedup.unicodeDedup(all, col("doc_id"), col("text"))
+        .orderBy(col("norm_hash"))
+    }),
+
+    // training-data ops: grid-bucketed quantiles over a
+    // high-cardinality value (per-label quantized embedding norms) —
+    // bounded-state quantiles with an exact bucket-width error bound,
+    // pure integer arithmetic end to end
+    "q148_norm_grid_quantiles" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = Similarity.quantize(col("embedding"))
+      val n = emb.select(col("label").as("stratum"),
+        Similarity.dotQ(q, q).as("norm2"))
+      TextAnalysis.gridQuantiles(n, col("stratum"), col("norm2"),
+          buckets = 256)
+        .orderBy(col("stratum"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5057,6 +5092,62 @@ object SparkEntry {
           |    ORDER BY vtime, stratum, doc_id) AS BIGINT) AS pos,
           |  vtime, stratum, doc_id
           |FROM v ORDER BY shard, pos""".stripMargin) +
+      ("q147_unicode_dedup" ->
+        // chr(233)=U+00E9, chr(239)=U+00EF (composed); chr(769)=U+0301
+        // combining acute, chr(776)=U+0308 combining diaeresis
+        // (decomposed); nfc_normalize makes the twin pair byte-equal
+        """WITH base AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 300000,
+          |    'caf' || chr(233) || ' r' || chr(233) || 'sum' ||
+          |    chr(233) || ' na' || chr(239) || 've: ' || text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |  UNION ALL SELECT doc_id + 400000,
+          |    'cafe' || chr(769) || ' re' || chr(769) || 'sume' ||
+          |    chr(769) || ' nai' || chr(776) || 've: ' || text
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |n AS (SELECT doc_id, md5(nfc_normalize(text)) AS h FROM base)
+          |SELECT h AS norm_hash,
+          |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_copies
+          |FROM n GROUP BY 1 HAVING COUNT(*) >= 2
+          |ORDER BY 1""".stripMargin) +
+      ("q148_norm_grid_quantiles" ->
+        // all DIV operands non-negative (norm2 >= 0, buckets > 0), so
+        // DuckDB // floor == Spark DIV truncate
+        """WITH e AS (SELECT label AS stratum,
+          |    list_transform(embedding, x ->
+          |      CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))
+          |      AS qv
+          |  FROM embeddings),
+          |b AS (SELECT stratum,
+          |    CAST(list_sum(list_transform(qv, v -> v*v)) AS BIGINT)
+          |      AS v
+          |  FROM e),
+          |bounds AS (SELECT stratum, MIN(v) AS v_min, MAX(v) AS v_max,
+          |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |    CAST(SUM(v) AS BIGINT) AS sum_v
+          |  FROM b GROUP BY 1),
+          |bk AS (SELECT b.stratum,
+          |    (v - v_min) * 256 // (v_max - v_min + 1) AS bkt
+          |  FROM b JOIN bounds USING (stratum)),
+          |hist AS (SELECT stratum, bkt, COUNT(*) AS f
+          |  FROM bk GROUP BY 1, 2),
+          |cum AS (SELECT stratum, bkt,
+          |    SUM(f) OVER (PARTITION BY stratum ORDER BY bkt) AS cum,
+          |    SUM(f) OVER (PARTITION BY stratum) AS n
+          |  FROM hist),
+          |sel AS (SELECT stratum,
+          |    MIN(CASE WHEN cum*100 >= n*50 THEN bkt END) AS b50,
+          |    MIN(CASE WHEN cum*100 >= n*90 THEN bkt END) AS b90,
+          |    MIN(CASE WHEN cum*100 >= n*99 THEN bkt END) AS b99
+          |  FROM cum GROUP BY 1)
+          |SELECT stratum, n_rows, v_min, v_max,
+          |  sum_v // n_rows AS mean_v,
+          |  v_min + b50 * (v_max - v_min + 1) // 256 AS p50_lo,
+          |  v_min + b90 * (v_max - v_min + 1) // 256 AS p90_lo,
+          |  v_min + b99 * (v_max - v_min + 1) // 256 AS p99_lo
+          |FROM bounds JOIN sel USING (stratum)
+          |ORDER BY stratum""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0

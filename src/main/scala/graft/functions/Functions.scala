@@ -109,6 +109,17 @@ object Functions {
   def broadcastCidrs(spark: SparkSession, cidrs: Seq[String]): Broadcast[InetRadix] =
     spark.sparkContext.broadcast(InetRadix(cidrs))
 
+  /** Unicode normalization (UAX #15) of a text column — a native
+    * codegen'd Catalyst expression (see UnicodeNormExpr); Spark has no
+    * built-in. Forms: NFC (canonical compose — the cross-engine-stable
+    * dedup key), NFD, NFKC (adds compatibility folding: ligatures,
+    * full-width ASCII), NFKD. Invalid form fails at plan build. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      UnicodeNormExpr(ColumnBridge.expression(text), form))
+  }
+
   /** Dotted-quad → unsigned int in a BIGINT, null if malformed; pure
     * Column math (stays codegen'd) for use in joins/sorts over IPs. */
   def ipv4ToLong(addr: Column): Column = {

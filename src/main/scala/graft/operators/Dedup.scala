@@ -107,6 +107,31 @@ object Dedup {
       .filter(col("n_copies") >= minCopies)
   }
 
+  /** Unicode-equivalence dedup — exact dedup on the NFC-normalized
+    * text: canonically-equivalent duplicates (composed U+00E9 vs
+    * decomposed e+U+0301 — the classic artifact of scrapers that
+    * differ in decoder normalization) byte-differ everywhere a
+    * combining sequence appears, so [[exactDedup]] misses them, yet
+    * every Unicode-aware renderer shows identical text. NFC is fully
+    * determined by UAX #15, so the 32-byte hash is engine-portable
+    * (DuckDB's `nfc_normalize` produces the same bytes — what makes
+    * this oracle-able). Pass form="NFKC" for the aggressive variant
+    * that also folds compatibility characters (ligatures, full-width
+    * ASCII, circled digits).
+    *
+    * Same one-hash-agg shape as [[exactDedup]]: normalization runs in
+    * the scan (native codegen expression, and mostly-ASCII text takes
+    * the isNormalized fast path), and only the 32-byte hash shuffles.
+    *
+    * Output: (norm_hash, canonical_id, n_copies) for groups with at
+    * least `minCopies` members. */
+  def unicodeDedup(df: DataFrame, id: Column, text: Column,
+      form: String = "NFC", minCopies: Long = 2): DataFrame =
+    df.groupBy(md5(graft.functions.Functions.unicodeNormalize(text, form))
+        .as("norm_hash"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= minCopies)
+
   /** The one overlap kernel under [[ngramJaccardPairs]],
     * [[containmentPairs]] and [[overlapMeasures]]: explode distinct
     * shingles, drop corpus-hot shingles (skew cap, broadcast

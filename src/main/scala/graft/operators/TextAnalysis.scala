@@ -1208,6 +1208,54 @@ object TextAnalysis {
           max(col("v")).as("max_v"): _*)
   }
 
+  /** Grid-bucketed per-stratum quantiles for HIGH-CARDINALITY integer
+    * values — the bounded-state form of [[integerQuantiles]] when the
+    * value column has corpus-sized distinct counts (quantized
+    * embedding norms, byte sizes, hash-derived scores) and the exact
+    * value histogram would itself be corpus-sized. Two passes: an
+    * exact per-stratum (min, max, count, sum) aggregate, then each
+    * value maps onto a `buckets`-cell grid over [min, max] by PURE
+    * INTEGER arithmetic — `(v − min) · buckets DIV (max − min + 1)` —
+    * and the Type-1 inverse-CDF selection runs over the bucket
+    * histogram, which is ≤ `buckets` rows per stratum BY CONSTRUCTION
+    * no matter the corpus size. Every reported p<q>_lo is the exact
+    * lower bound of the quantile's bucket: the true Type-1 quantile
+    * lies in [p_lo, p_lo + ceil((max−min+1)/buckets)) — a bounded,
+    * engine-portable guarantee (no float sketch, no merge-order
+    * dependence; DuckDB reproduces every step bit-for-bit).
+    *
+    * Scale shape: one partial-agg hash aggregate to |strata| bound
+    * rows (broadcast back — never a corpus shuffle), one partial-agg
+    * hash aggregate to the ≤ strata·buckets histogram, and the window
+    * sort runs over that tiny frame only. Caller contract:
+    * (max − min) · buckets must stay under 2^63 (buckets = 1024
+    * leaves headroom past 2^52 value ranges).
+    *
+    * Output: (stratum, n_rows, v_min, v_max, mean_v — integer DIV,
+    * p<q>_lo…). */
+  def gridQuantiles(df: DataFrame, stratum: Column, value: Column,
+      buckets: Int = 1024, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(buckets >= 2, "need at least 2 grid buckets")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "quantiles must be in [1,100]")
+    val v = df.select(stratum.as("stratum"), value.cast("long").as("v"))
+    val bounds = v.groupBy(col("stratum"))
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    val bucketed = v.join(broadcast(bounds.select(
+        col("stratum"), col("v_min"), col("v_max"))), Seq("stratum"))
+      .select(col("stratum"),
+        expr(s"(v - v_min) * $buckets DIV (v_max - v_min + 1)").as("b"))
+    val bq = integerQuantiles(bucketed, col("stratum"), col("b"), qs)
+      .select(col("stratum") +: qs.map(q => col(s"p$q")): _*)
+    bounds.join(bq, Seq("stratum"))
+      .select(Seq(col("stratum"), col("n_rows"), col("v_min"),
+        col("v_max"), expr("sum_v DIV n_rows").as("mean_v")) ++
+        qs.map(q =>
+          (col("v_min") + expr(s"p$q * (v_max - v_min + 1) DIV $buckets"))
+            .as(s"p${q}_lo")): _*)
+  }
+
   /** Tokenizer fertility per stratum — BPE tokens per word by source,
     * THE statistic for judging how well a trained tokenizer fits each
     * corpus slice (fertility near 1 = words mostly single tokens;

@@ -46,6 +46,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("unicode_norm is callable from SQL, defaulting to NFC") {
+    withExtSession { s =>
+      // 'cafe' + combining acute (U+0301) composes to caf + U+00E9;
+      // SQL-literal \u escape (Spark chr() is ASCII-only)
+      val r = s.sql(
+        "SELECT unicode_norm('cafe\\u0301') AS nfc, " +
+          "unicode_norm('ﬁle', 'NFKC') AS folded")
+        .head()
+      assert(r.getString(0) == "caf\u00e9")
+      assert(r.getString(1) == "file") // ligature fi folds under NFKC
+      intercept[Exception] {
+        s.sql("SELECT unicode_norm('x', 'BAD')").collect()
+      }
+    }
+  }
+
   test("optimizer rule rewrites bound levenshtein to the banded threshold form") {
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
     // a parquet-backed frame: a LocalRelation would be folded away at

@@ -649,6 +649,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
   }
 
+  test("gridQuantiles: hand-computed buckets and lower bounds; " +
+      "degenerate one-value stratum; error bounded by bucket width") {
+    import spark.implicits._
+    // stratum a: v = 0, 10, 20, ..., 990 (100 rows), 4 buckets over
+    // [0, 990] width ceil(991/4): bucket = v*4 DIV 991 -> v<248 b0,
+    // v<496 b1, v<744 b2, else b3 (25/25/25/25 rows). Type-1 p50 =
+    // smallest bucket with cum >= 50 -> b1; p50_lo = 0 + 1*991 DIV 4
+    // = 247. p90 -> b3 (cum 100 >= 90 needs... cum(b2)=75 < 90) ->
+    // p90_lo = 3*991 DIV 4 = 743. mean = (0+...+990)/100 = 495.
+    val a = (0 until 100).map(i => ("a", i * 10L))
+    val b = Seq(("b", 7L), ("b", 7L), ("b", 7L)) // degenerate min==max
+    val df = (a ++ b).toDF("src", "v")
+    val out = TextAnalysis.gridQuantiles(df, col("src"), col("v"),
+        buckets = 4, qs = Seq(50, 90))
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val ra = out("a")
+    assert(ra.getAs[Long]("n_rows") == 100L)
+    assert(ra.getAs[Long]("v_min") == 0L && ra.getAs[Long]("v_max") == 990L)
+    assert(ra.getAs[Long]("mean_v") == 495L)
+    assert(ra.getAs[Long]("p50_lo") == 247L)
+    assert(ra.getAs[Long]("p90_lo") == 743L)
+    val rb = out("b")
+    assert(rb.getAs[Long]("v_min") == 7L && rb.getAs[Long]("v_max") == 7L)
+    assert(rb.getAs[Long]("p50_lo") == 7L && rb.getAs[Long]("p90_lo") == 7L)
+    // property: every reported lower bound sits within one bucket
+    // width below the exact Type-1 quantile (true p50 of a = 490,
+    // true p90 = 890), and never above it
+    val width = (990L - 0L + 1L) / 4L + 1L
+    assert(ra.getAs[Long]("p50_lo") <= 490L &&
+      490L < ra.getAs[Long]("p50_lo") + width)
+    assert(ra.getAs[Long]("p90_lo") <= 890L &&
+      890L < ra.getAs[Long]("p90_lo") + width)
+  }
+
+  test("gridQuantiles: negative values and a high-cardinality stream " +
+      "stay within the bucket-width bound of the exact quantiles") {
+    import spark.implicits._
+    // deterministic pseudo-random values in [-5000, 5000], all
+    // distinct-ish: v = ((i*2654435761) mod 10001) - 5000
+    val vs = (0 until 2000).map(i =>
+      (((i * 2654435761L) % 10001L) - 5000L))
+    val df = vs.map(v => ("s", v)).toDF("src", "v")
+    val out = TextAnalysis.gridQuantiles(df, col("src"), col("v"),
+      buckets = 128, qs = Seq(50, 99)).collect()(0)
+    val sorted = vs.sorted
+    def exact(q: Int) = sorted((q * vs.size + 99) / 100 - 1)
+    val range = out.getAs[Long]("v_max") - out.getAs[Long]("v_min") + 1L
+    val width = range / 128L + 1L
+    for (q <- Seq(50, 99)) {
+      val lo = out.getAs[Long](s"p${q}_lo")
+      assert(lo <= exact(q) && exact(q) < lo + width,
+        s"p$q: lo=$lo exact=${exact(q)} width=$width")
+    }
+    assert(out.getAs[Long]("v_min") == vs.min &&
+      out.getAs[Long]("v_max") == vs.max)
+  }
+
+  test("gridQuantiles plan: no range partitioning; the value stream " +
+      "collapses to bounded frames before any window sort") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"s${i % 3}", i * 37L)).toDF("src", "v")
+    val p = TextAnalysis.gridQuantiles(df, col("src"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("fimSplit: PSM rearrangement is lossless and deterministic") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, s"document number $i body " + ("x" * i)))
