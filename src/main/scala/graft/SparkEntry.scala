@@ -1921,6 +1921,28 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // training-data ops: reciprocal-rank fusion of three integer
+    // quality signals (token count, lexical-diversity permille,
+    // stopword permille) — exact competition ranks WITHOUT a
+    // single-partition global window (grid-bucketed distributed rank)
+    "q149_rank_fusion" -> ((s, dir) => {
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_types"),
+          size(filter(col("ws"), t => array_contains(
+            typedLit(TextAnalysis.Stopwords), t))).cast("long").as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("n_types * 1000 DIV greatest(n_tokens, 1)").as("lex_permille"),
+          expr("n_stop * 1000 DIV greatest(n_tokens, 1)").as("stop_permille"))
+      TextAnalysis.rankFusion(sig, col("doc_id"), Seq(
+          "tokens" -> col("n_tokens"),
+          "lex" -> col("lex_permille"),
+          "stop" -> col("stop_permille")))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5148,6 +5170,33 @@ object SparkEntry {
           |  v_min + b99 * (v_max - v_min + 1) // 256 AS p99_lo
           |FROM bounds JOIN sel USING (stratum)
           |ORDER BY stratum""".stripMargin) +
+      ("q149_rank_fusion" ->
+        // rank() = competition rank (ties share), matching
+        // globalRank's 1 + count(strictly better) bit-for-bit; all
+        // DIV operands non-negative so DuckDB // == Spark DIV
+        """WITH w AS (SELECT doc_id,
+          |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+          |  FROM documents),
+          |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+          |    CAST(len(list_distinct(ws)) AS BIGINT) n_types,
+          |    CAST(len(list_filter(ws,
+          |      t -> list_contains(['the','a','and','of','to','in'], t)))
+          |      AS BIGINT) n_stop
+          |  FROM w),
+          |g AS (SELECT doc_id, n_tokens,
+          |    n_types * 1000 // greatest(n_tokens, 1) AS lex_permille,
+          |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_permille
+          |  FROM s),
+          |r AS (SELECT doc_id,
+          |    rank() OVER (ORDER BY n_tokens DESC) AS rank_tokens,
+          |    rank() OVER (ORDER BY lex_permille DESC) AS rank_lex,
+          |    rank() OVER (ORDER BY stop_permille DESC) AS rank_stop
+          |  FROM g)
+          |SELECT doc_id, rank_tokens, rank_lex, rank_stop,
+          |  1000000000 // (60 + rank_tokens) +
+          |  1000000000 // (60 + rank_lex) +
+          |  1000000000 // (60 + rank_stop) AS rrf_score
+          |FROM r ORDER BY doc_id""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0

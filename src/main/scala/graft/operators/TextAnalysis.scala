@@ -1256,6 +1256,110 @@ object TextAnalysis {
             .as(s"p${q}_lo")): _*)
   }
 
+  /** Exact competition rank (1 + number of strictly-better rows) of an
+    * integer column over the WHOLE frame, WITHOUT the classic global
+    * window — `rank() OVER (ORDER BY v)` with no PARTITION BY funnels
+    * the entire corpus through ONE partition, the textbook
+    * driver-shaped bottleneck. Distributed decomposition instead:
+    *
+    *   1. aggregate to per-VALUE counts (narrow two-long rows,
+    *      map-side partial combine, hash-partitioned),
+    *   2. grid-bucket the values ([[gridQuantiles]]'s pure-integer
+    *      cell map over broadcast (min,max)),
+    *   3. per-bucket DESC cumulative counts (hash-partitioned window
+    *      over the per-value frame — parallel across buckets),
+    *   4. suffix-sum the ≤`buckets`-row bucket histogram (the one
+    *      single-partition window, BOUNDED at `buckets` rows by
+    *      construction),
+    *   5. rank(v) = rows-in-higher-buckets + rows-above-within-bucket
+    *      + 1, joined back per value.
+    *
+    * The corpus crosses two NARROW exchanges (the per-value partial
+    * agg and the rank join-back — and integer signals usually have few
+    * enough distinct values that AQE broadcasts the rank side, leaving
+    * one); text/arrays never shuffle.
+    *
+    * Ties share a rank (value-determined → deterministic under any
+    * row order), matching SQL `rank()` bit-for-bit — what makes the
+    * DuckDB mirror a one-liner. `descending=true` ranks the largest
+    * value 1 (the retrieval convention). Same overflow contract as
+    * [[gridQuantiles]]: (max − min) · buckets < 2^63.
+    *
+    * Output: the input columns + `rank` (BIGINT ≥ 1). */
+  def globalRank(df: DataFrame, value: Column, descending: Boolean = true,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "need at least 2 grid buckets")
+    val base = df.withColumn("__v", value.cast("long"))
+    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
+    val bounds = vals.agg(min(col("__v")).as("v_min"),
+      max(col("__v")).as("v_max"))
+    val dir = if (descending) col("__v").desc else col("__v").asc
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(dir)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perValue = vals.join(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(__v - v_min) * $buckets DIV (v_max - v_min + 1)"))
+      .withColumn("__above_in", coalesce(sum(col("__f")).over(wIn), lit(0L)))
+    // bucket suffix-sum: ≤ buckets rows, the one single-partition
+    // window — bounded by construction, never corpus-sized
+    val bDir = if (descending) col("__b").desc else col("__b").asc
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(bDir)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketAbove = perValue.groupBy(col("__b"))
+      .agg(sum(col("__f")).as("__bf"))
+      .withColumn("__above_b", coalesce(sum(col("__bf")).over(wB), lit(0L)))
+      .select(col("__b"), col("__above_b"))
+    val ranks = perValue.join(broadcast(bucketAbove), Seq("__b"))
+      .select(col("__v"),
+        (col("__above_b") + col("__above_in") + lit(1L)).as("rank"))
+    base.join(ranks, Seq("__v")).drop("__v")
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of several
+    * per-document quality signals — THE standard robust way to combine
+    * heterogeneous "higher is better" scores whose scales don't
+    * compare (token counts vs permilles vs LLR buckets): each signal
+    * contributes `scale DIV (k + rank_signal(doc))`, so a document
+    * must rank well under SEVERAL signals to score high, and no
+    * signal's units can dominate. Pure integer end to end (`scale`
+    * plays the 1/x numerator at fixed point; truncating DIV matches
+    * DuckDB `//` on these non-negative operands), ranks are exact
+    * competition ranks from [[globalRank]] — no single-partition
+    * corpus window, no float normalization to drift across engines.
+    *
+    * k=60 is the paper's constant: it damps the top-1-vs-top-5 gap so
+    * one signal's opinionated head can't override the rest.
+    *
+    * Each signal runs its own [[globalRank]] aggregate over `df`, so
+    * Catalyst re-evaluates the signal expressions once per signal
+    * (common subplans are NOT deduped across join branches — the q126
+    * funnel lesson); at corpus scale persist the signal frame first if
+    * the signals are expensive to recompute.
+    *
+    * Output: (doc_id, rank_<name>…, rrf_score); ties in a signal
+    * share that signal's rank. */
+  def rankFusion(df: DataFrame, id: Column,
+      signals: Seq[(String, Column)], k: Int = 60,
+      scale: Long = 1000000000L, buckets: Int = 1024): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(k >= 0 && scale > 0, "k must be >= 0 and scale positive")
+    val base = df.select(id.as("doc_id") +:
+      signals.map { case (n, c) => c.cast("long").as(s"__s_$n") }: _*)
+    val ranked = signals.map { case (n, _) =>
+      globalRank(base.select(col("doc_id"), col(s"__s_$n")),
+          col(s"__s_$n"), descending = true, buckets = buckets)
+        .select(col("doc_id"), col("rank").as(s"rank_$n"))
+    }
+    val joined = ranked.reduce(_.join(_, Seq("doc_id")))
+    val rrf = signals.map { case (n, _) =>
+      expr(s"$scale DIV ($k + rank_$n)") }.reduce(_ + _)
+    joined.select(col("doc_id") +:
+      signals.map { case (n, _) => col(s"rank_$n") } :+
+      rrf.as("rrf_score"): _*)
+  }
+
   /** Tokenizer fertility per stratum — BPE tokens per word by source,
     * THE statistic for judging how well a trained tokenizer fits each
     * corpus slice (fertility near 1 = words mostly single tokens;

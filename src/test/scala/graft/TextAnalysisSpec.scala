@@ -716,6 +716,83 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("globalRank: hand-computed competition ranks with ties, both " +
+      "directions, a degenerate all-equal column, and negatives") {
+    import spark.implicits._
+    // desc sorted: 20,20,20,10,7,5 -> ranks 1,1,1,4,5,6
+    val df = Seq(("a", 10L), ("b", 20L), ("c", 20L), ("d", 5L),
+      ("e", 20L), ("f", 7L)).toDF("id", "v")
+    val desc = TextAnalysis.globalRank(df, col("v"), buckets = 4)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("rank")).toMap
+    assert(desc == Map("a" -> 4L, "b" -> 1L, "c" -> 1L, "d" -> 6L,
+      "e" -> 1L, "f" -> 5L))
+    val asc = TextAnalysis.globalRank(df, col("v"), descending = false,
+        buckets = 4)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("rank")).toMap
+    assert(asc == Map("d" -> 1L, "f" -> 2L, "a" -> 3L, "b" -> 4L,
+      "c" -> 4L, "e" -> 4L))
+    // degenerate: every value equal -> everyone rank 1
+    val eq = TextAnalysis.globalRank(
+        Seq(("x", 7L), ("y", 7L)).toDF("id", "v"), col("v"))
+      .collect().map(_.getAs[Long]("rank"))
+    assert(eq.forall(_ == 1L))
+    // negatives cross the grid origin cleanly
+    val neg = TextAnalysis.globalRank(
+        Seq(("x", -5L), ("y", 0L), ("z", -100L)).toDF("id", "v"),
+        col("v"), buckets = 8)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("rank")).toMap
+    assert(neg == Map("y" -> 1L, "x" -> 2L, "z" -> 3L))
+  }
+
+  test("globalRank: 600-value property — rank == 1 + count(strictly " +
+      "better) for every row, duplicates included") {
+    import spark.implicits._
+    // deterministic values with forced collisions (mod 97 keeps ~6 of
+    // each) and a skewed head (every 10th row pinned to one value)
+    val vs = (0 until 600).map(i =>
+      if (i % 10 == 0) 42L else ((i * 2654435761L) % 97L))
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = TextAnalysis.globalRank(df, col("v"), buckets = 16)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val expect = 1L + vs.count(_ > v)
+      assert(got(i.toLong) == expect, s"id=$i v=$v")
+    }
+  }
+
+  test("rankFusion: hand-computed RRF scores; ties share a signal rank") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L), (2L, 5L, 5L), (3L, 5L, 2L))
+      .toDF("doc_id", "a", "b")
+    val out = TextAnalysis.rankFusion(df, col("doc_id"),
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("rank_a") == 1L &&
+      out(1L).getAs[Long]("rank_b") == 3L)
+    assert(out(2L).getAs[Long]("rank_a") == 2L &&
+      out(2L).getAs[Long]("rank_b") == 1L)
+    assert(out(3L).getAs[Long]("rank_a") == 2L &&
+      out(3L).getAs[Long]("rank_b") == 2L)
+    // scale DIV (60 + rank), truncating
+    assert(out(1L).getAs[Long]("rrf_score") ==
+      1000000000L / 61 + 1000000000L / 63)
+    assert(out(2L).getAs[Long]("rrf_score") ==
+      1000000000L / 62 + 1000000000L / 61)
+    assert(out(3L).getAs[Long]("rrf_score") == 2 * (1000000000L / 62))
+  }
+
+  test("globalRank plan: no range partitioning — the corpus never " +
+      "funnels through a global sort") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, (i * 37L) % 211L))
+      .toDF("id", "v")
+    val p = TextAnalysis.globalRank(df, col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("fimSplit: PSM rearrangement is lossless and deterministic") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, s"document number $i body " + ("x" * i)))
