@@ -263,7 +263,15 @@ object CorpusPipeline {
     * never pollutes the index.
     *
     * Three screens, in evidence-priority order:
-    *  1. EXACT (content md5) — byte twins;
+    *  1. EXACT (md5 of the NFC-canonical text, [[graft.functions
+    *     .UnicodeNormExpr]]) — byte twins PLUS unicode-equivalence
+    *     twins (composed U+00E9 vs decomposed e+U+0301, the
+    *     cross-scraper decoder artifact [[Dedup.unicodeDedup]] catches
+    *     in batch): canonically-equivalent text byte-differs, so a raw
+    *     content hash admits the twin. ASCII text is NFC-invariant
+    *     (the isNormalized fast path returns the string unchanged), so
+    *     ASCII-corpus indexes built before this screen hash
+    *     identically and stay valid;
     *  2. NEAR (banded minhash, `minEstJaccard`) — whole-doc
     *     similarity;
     *  3. CHUNK (content-defined gear chunks, [[Dedup.gearChunks]],
@@ -352,7 +360,8 @@ object CorpusPipeline {
         val idxChunks = readOr(s"$indexDir/chunks", chunkSchema)
 
         val b = batch.toDF().persist()
-        val withHash = b.withColumn("chash", md5(col("t")))
+        val withHash = b.withColumn("chash",
+          md5(graft.functions.Functions.unicodeNormalize(col("t"))))
         // exact: against the index, then within the batch (lower id wins)
         val exIdx = withHash.join(idxHashes
             .select(col("chash"), lit(true).as("hit_idx")).distinct(),

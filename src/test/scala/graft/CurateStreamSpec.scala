@@ -267,6 +267,47 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestStream unicode screen: a decomposed twin of an indexed " +
+      "composed doc is caught by the exact screen though raw md5 differs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-uni").toString
+    val composed = "le caf\u00e9 r\u00e9sum\u00e9 sits beside the " +
+      "na\u00efve river while seventeen violinists rehearse quietly"
+    val decomposed = "le cafe\u0301 re\u0301sume\u0301 sits beside the " +
+      "nai\u0308ve river while seventeen violinists rehearse quietly"
+    // byte-distinct (a raw content hash admits the twin), yet
+    // NFC-canonically one string — exactly what the screen must see
+    assert(composed != decomposed)
+    assert(graft.util.UnicodeNorm.normalize(decomposed,
+      java.text.Normalizer.Form.NFC) == composed)
+    val in = MemoryStream[(Long, String)]
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Boolean)]
+    val q = CorpusPipeline.ingestStream(in.toDS().toDF("id", "text"),
+        col("id"), col("text"), idxDir) { d =>
+      decisions ++= d.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("keep")))
+      ()
+    }.option("checkpointLocation", java.nio.file.Files
+      .createTempDirectory("graft-ingest-uni-ckpt").toString).start()
+    try {
+      in.addData((1L, composed))
+      q.processAllAvailable()
+      assert(decisions.toSeq == Seq((1L, false, true)))
+      decisions.clear()
+      in.addData((2L, decomposed))
+      q.processAllAvailable()
+      val d2 = decisions.toSeq.head
+      assert(d2._1 == 2L && d2._2 && !d2._3) // exact_dup, dropped
+      // the index holds only the composed original
+      val idxIds = spark.read.parquet(s"$idxDir/hashes")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idxIds == Set(1L))
+    } finally q.stop()
+  }
+
   test("compaction crash window heals: orphaned .old restores before any read") {
     import spark.implicits._
     val dir = java.nio.file.Files

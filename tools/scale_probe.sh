@@ -18,6 +18,7 @@ OUT="${1:-/tmp/graft-scale}"
 SCALES="${2:-1 3 10}"
 RUNS="${3:-2}"
 SRC=/root/testdata/sf0.1
+mkdir -p "$OUT"
 
 # the heavy family (the 100 TB claims under test) + the path-equality
 # contrasts (classic vs patch-set line/chunk dedup — the advantage
