@@ -1285,36 +1285,62 @@ object TextAnalysis {
     * value 1 (the retrieval convention). Same overflow contract as
     * [[gridQuantiles]]: (max − min) · buckets < 2^63.
     *
+    * The plan references `df` twice (the per-value agg and the
+    * join-back) and the per-value frame three times (bounds, bucket
+    * map, bucket histogram) — Catalyst does NOT dedupe common
+    * subplans across branches (the q126 funnel lesson), so both are
+    * persisted at `storage` by default; pass `StorageLevel.NONE` to
+    * recompute per branch when the input is a trivial projection.
+    *
     * Output: the input columns + `rank` (BIGINT ≥ 1). */
   def globalRank(df: DataFrame, value: Column, descending: Boolean = true,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(buckets >= 2, "need at least 2 grid buckets")
-    val base = df.withColumn("__v", value.cast("long"))
-    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
-    val bounds = vals.agg(min(col("__v")).as("v_min"),
-      max(col("__v")).as("v_max"))
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val base0 = df.withColumn("__v", value.cast("long"))
+    val base = if (storage == none) base0 else base0.persist(storage)
+    val vals0 = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
+      .withColumn("__sig", lit(0))
+    val vals = if (storage == none) vals0 else vals0.persist(storage)
+    val ranks = valueRanks(vals, descending, buckets)
+      .select(col("__v"), col("rank"))
+    base.join(ranks, Seq("__v")).drop("__v")
+  }
+
+  /** The kernel under [[globalRank]] and [[rankFusion]]: exact
+    * competition rank of every distinct (__sig, __v) pair from its
+    * per-value count frame — steps 2–5 of [[globalRank]]'s
+    * decomposition, STRATIFIED by a signal ordinal so one machinery
+    * (one bounds broadcast, one bucket window pass, one bucket
+    * suffix-sum) ranks any number of signals in a single sweep.
+    * Input: (__sig, __v, __f); output: (__sig, __v, rank). The bucket
+    * suffix-sum window partitions by __sig over ≤ `buckets` rows per
+    * signal — bounded by construction, never corpus-sized. */
+  private def valueRanks(vals: DataFrame, descending: Boolean,
+      buckets: Int): DataFrame = {
+    val bounds = vals.groupBy(col("__sig"))
+      .agg(min(col("__v")).as("v_min"), max(col("__v")).as("v_max"))
     val dir = if (descending) col("__v").desc else col("__v").asc
     val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(dir)
+      .partitionBy(col("__sig"), col("__b")).orderBy(dir)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val perValue = vals.join(broadcast(bounds))
+    val perValue = vals.join(broadcast(bounds), Seq("__sig"))
       .withColumn("__b",
         expr(s"(__v - v_min) * $buckets DIV (v_max - v_min + 1)"))
       .withColumn("__above_in", coalesce(sum(col("__f")).over(wIn), lit(0L)))
-    // bucket suffix-sum: ≤ buckets rows, the one single-partition
-    // window — bounded by construction, never corpus-sized
     val bDir = if (descending) col("__b").desc else col("__b").asc
     val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(bDir)
+      .partitionBy(col("__sig")).orderBy(bDir)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val bucketAbove = perValue.groupBy(col("__b"))
+    val bucketAbove = perValue.groupBy(col("__sig"), col("__b"))
       .agg(sum(col("__f")).as("__bf"))
       .withColumn("__above_b", coalesce(sum(col("__bf")).over(wB), lit(0L)))
-      .select(col("__b"), col("__above_b"))
-    val ranks = perValue.join(broadcast(bucketAbove), Seq("__b"))
-      .select(col("__v"),
+      .select(col("__sig"), col("__b"), col("__above_b"))
+    perValue.join(broadcast(bucketAbove), Seq("__sig", "__b"))
+      .select(col("__sig"), col("__v"),
         (col("__above_b") + col("__above_in") + lit(1L)).as("rank"))
-    base.join(ranks, Seq("__v")).drop("__v")
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of several
@@ -1332,30 +1358,46 @@ object TextAnalysis {
     * k=60 is the paper's constant: it damps the top-1-vs-top-5 gap so
     * one signal's opinionated head can't override the rest.
     *
-    * Each signal runs its own [[globalRank]] aggregate over `df`, so
-    * Catalyst re-evaluates the signal expressions once per signal
-    * (common subplans are NOT deduped across join branches — the q126
-    * funnel lesson); at corpus scale persist the signal frame first if
-    * the signals are expensive to recompute.
+    * One machinery ranks ALL the signals: the narrow (doc_id,
+    * signals…) projection is computed ONCE, persisted at `storage`
+    * (longs only — tokenizing/shingling work in the signal
+    * expressions never re-runs per branch), melted by `stack` into
+    * (doc_id, signal-ordinal, value) — map-only, no exchange — and
+    * ONE stratified [[valueRanks]] sweep ranks every signal at once.
+    * The corpus crosses three narrow exchanges total regardless of
+    * signal count: the per-(signal,value) agg, the rank join-back,
+    * and the pivot back to one row per doc. Pass `StorageLevel.NONE`
+    * to stay fully lazy.
     *
     * Output: (doc_id, rank_<name>…, rrf_score); ties in a signal
     * share that signal's rank. */
   def rankFusion(df: DataFrame, id: Column,
       signals: Seq[(String, Column)], k: Int = 60,
-      scale: Long = 1000000000L, buckets: Int = 1024): DataFrame = {
+      scale: Long = 1000000000L, buckets: Int = 1024,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(signals.nonEmpty, "need at least one signal")
     require(k >= 0 && scale > 0, "k must be >= 0 and scale positive")
-    val base = df.select(id.as("doc_id") +:
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val base0 = df.select(id.as("doc_id") +:
       signals.map { case (n, c) => c.cast("long").as(s"__s_$n") }: _*)
-    val ranked = signals.map { case (n, _) =>
-      globalRank(base.select(col("doc_id"), col(s"__s_$n")),
-          col(s"__s_$n"), descending = true, buckets = buckets)
-        .select(col("doc_id"), col("rank").as(s"rank_$n"))
-    }
-    val joined = ranked.reduce(_.join(_, Seq("doc_id")))
+    val base = if (storage == none) base0 else base0.persist(storage)
+    val stackArgs = signals.zipWithIndex
+      .map { case ((n, _), i) => s"$i, __s_$n" }.mkString(", ")
+    val melted = base.select(col("doc_id"),
+      expr(s"stack(${signals.size}, $stackArgs) AS (__sig, __v)"))
+    val vals0 = melted.groupBy(col("__sig"), col("__v"))
+      .agg(count(lit(1)).as("__f"))
+    val vals = if (storage == none) vals0 else vals0.persist(storage)
+    val ranks = valueRanks(vals, descending = true, buckets = buckets)
+    val rankCols = signals.zipWithIndex.map { case ((n, _), i) =>
+      max(when(col("__sig") === i, col("rank"))).as(s"rank_$n") }
+    val pivoted = melted.join(ranks, Seq("__sig", "__v"))
+      .groupBy(col("doc_id"))
+      .agg(rankCols.head, rankCols.tail: _*)
     val rrf = signals.map { case (n, _) =>
       expr(s"$scale DIV ($k + rank_$n)") }.reduce(_ + _)
-    joined.select(col("doc_id") +:
+    pivoted.select(col("doc_id") +:
       signals.map { case (n, _) => col(s"rank_$n") } :+
       rrf.as("rrf_score"): _*)
   }
