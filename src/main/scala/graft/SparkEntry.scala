@@ -1943,6 +1943,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: greedy k-center (farthest-point) coreset
+    // selection — m diversity-maximizing representatives; exact
+    // integer squared-L2 argmax per round, corpus never shuffles
+    "q150_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterSelect(Tables.embeddings(s, dir), col("vec_id"),
+          col("embedding"), m = 6)
+        .orderBy(col("sel_round"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5197,6 +5206,7 @@ object SparkEntry {
           |  1000000000 // (60 + rank_lex) +
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
+      ("q150_kcenter_coreset" -> kCenterSql(6)) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0
@@ -5333,6 +5343,49 @@ object SparkEntry {
          |  FROM s${k - 1})""".stripMargin
     }.mkString(",\n")
     s"$prefix,\n$rounds"
+  }
+
+  /** k-center oracle: replay the operator's greedy rounds as generated
+    * CTEs — per round, exact integer squared-L2 from every unchosen
+    * point to the chosen set (dim-join dot products), MIN over chosen,
+    * argmax with the lowest-id tie-break (ORDER BY dmin DESC, vec_id
+    * LIMIT 1), chosen set accumulated by UNION ALL. */
+  private def kCenterSql(m: Int): String = {
+    val rounds = (2 to m).map { r =>
+      s"""dm$r AS (
+         |  SELECT pc.vec_id, MIN(np.nrm + nc.nrm - 2*pc.dot) AS dmin
+         |  FROM (SELECT pe.vec_id, ce.vec_id cid,
+         |      CAST(SUM(pe.v*ce.v) AS BIGINT) dot
+         |    FROM ed pe JOIN ed ce ON pe.d = ce.d
+         |    JOIN cs${r - 1} c ON ce.vec_id = c.vec_id
+         |    WHERE pe.vec_id NOT IN (SELECT vec_id FROM cs${r - 1})
+         |    GROUP BY 1, 2) pc
+         |  JOIN nrm np ON np.vec_id = pc.vec_id
+         |  JOIN nrm nc ON nc.vec_id = pc.cid
+         |  GROUP BY 1),
+         |ch$r AS (SELECT vec_id, dmin FROM dm$r
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |cs$r AS (SELECT vec_id FROM cs${r - 1}
+         |  UNION ALL SELECT vec_id FROM ch$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to m).map { r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, dmin FROM ch$r"
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) qv
+       |  FROM embeddings),
+       |ed AS (SELECT vec_id, generate_subscripts(qv, 1) d, unnest(qv) v
+       |  FROM e),
+       |nrm AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) nrm
+       |  FROM ed GROUP BY 1),
+       |ch1 AS (SELECT MIN(vec_id) AS vec_id FROM e),
+       |cs1 AS (SELECT vec_id FROM ch1),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
+       |  CAST(0 AS BIGINT) AS min_dist2 FROM ch1
+       |$out
+       |ORDER BY sel_round""".stripMargin
   }
 
   private def bpeMergesSql(n: Int): String = {

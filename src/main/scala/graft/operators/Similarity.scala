@@ -726,4 +726,66 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cosine"))
   }
+
+  /** Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    * selection — the diversity-maximizing "pick m representatives"
+    * primitive of curation (coverage-oriented subset selection,
+    * cluster seeding, eval-set picking): seed with the LOWEST vec_id,
+    * then repeatedly add the point farthest from everything chosen so
+    * far (max over points of min over chosen of squared L2; ties break
+    * on lowest vec_id). The greedy sequence 2-approximates the optimal
+    * k-center cover radius, and each new `min_dist2` is the cover
+    * radius the previous prefix achieved — the classic "how many
+    * representatives until coverage flattens" read-out.
+    *
+    * Determinism & oracle-ability: distances are exact integers on the
+    * quantized grid — d²(a,b) = |a|² + |b|² − 2·a·b via the codegen'd
+    * long dot — so every argmax is integer-exact and DuckDB replays
+    * the same m−1 rounds as generated CTEs, bit for bit.
+    *
+    * Scale shape per round: the chosen prefix (≤ m vectors) folds into
+    * the scan as LITERAL center columns — `least` of ≤ m codegen'd
+    * integer dots, map-only, the corpus NEVER shuffles — and exactly
+    * ONE max_by row crosses to the driver (the q95 bounded
+    * driver-argmax discipline; m rounds = m one-row collects). The
+    * quantized frame is persisted across rounds at `storage`.
+    *
+    * Output (m rows, driver-assembled): (sel_round 1-based, vec_id,
+    * min_dist2 — 0 for the seed). Stops early if the corpus has fewer
+    * than m rows. */
+  def kCenterSelect(emb: DataFrame, id: Column, vec: Column, m: Int = 8,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(m >= 1, "need at least one representative")
+    val base0 = quantized(emb, id, vec)
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(storage)
+    val seed = base.orderBy(col("vec_id"))
+      .select(col("vec_id"), col("qv")).head()
+    // (vec_id, qv, min_dist2-at-selection); bounded at m rows
+    var chosen = Vector(
+      (seed.getLong(0), seed.getSeq[Long](1), 0L))
+    var exhausted = false
+    while (chosen.size < m && !exhausted) {
+      val dCols = chosen.map { case (_, cq, _) =>
+        val cNrm = cq.map(x => x * x).sum
+        col("nrm") + lit(cNrm) - lit(2L) * dotQ(col("qv"), typedLit(cq))
+      }
+      val next = base
+        .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .select(col("vec_id"), col("qv"),
+          (if (dCols.size == 1) dCols.head else least(dCols: _*)).as("dmin"))
+        .agg(max_by(struct(col("vec_id"), col("qv"), col("dmin")),
+          struct(col("dmin"), -col("vec_id"))).as("x"))
+        .select(col("x.vec_id"), col("x.qv"), col("x.dmin")).head()
+      if (next.isNullAt(0)) exhausted = true
+      else chosen :+= ((next.getLong(0), next.getSeq[Long](1),
+        next.getLong(2)))
+    }
+    val rows = chosen.zipWithIndex.map { case ((vid, _, d), i) =>
+      (i + 1L, vid, d) }
+    emb.sparkSession.createDataFrame(rows)
+      .toDF("sel_round", "vec_id", "min_dist2")
+  }
 }

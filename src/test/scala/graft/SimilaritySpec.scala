@@ -519,4 +519,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning") &&
       !plan.contains("Exchange rangepartitioning"), plan)
   }
+
+  test("kCenterSelect: hand-computed greedy farthest-point order, " +
+      "exact integer radii, id tie-break, early stop past the corpus") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    // one line of points: 0 at the origin, 3 far right, 1 between,
+    // 2 nearest the origin — greedy order must be 0, 3, 1, 2 with
+    // radii 0, (1e5)^2, (1e4)^2, (5e3)^2 on the x10000 grid
+    val vecs = Seq(
+      0L -> Array(0f, 0f),
+      1L -> Array(1f, 0f),
+      2L -> Array(0.5f, 0f),
+      3L -> Array(10f, 0f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(vecs, col("vec_id"),
+        col("embedding"), m = 4, storage = none)
+      .collect().map(r => (r.getAs[Long]("sel_round"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("min_dist2")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L),
+      (2L, 3L, 100000L * 100000L),
+      (3L, 1L, 10000L * 10000L),
+      (4L, 2L, 5000L * 5000L)))
+    // duplicate farthest points: the LOWER id is chosen at the tie
+    val dup = Seq(
+      5L -> Array(0f, 0f),
+      7L -> Array(2f, 0f),
+      6L -> Array(2f, 0f)
+    ).toDF("vec_id", "embedding")
+    val o2 = Similarity.kCenterSelect(dup, col("vec_id"),
+        col("embedding"), m = 2, storage = none)
+      .collect().map(r => r.getAs[Long]("vec_id"))
+    assert(o2.toSeq == Seq(5L, 6L))
+    // m beyond the corpus: stops at the corpus size, no null rows
+    val o3 = Similarity.kCenterSelect(dup, col("vec_id"),
+        col("embedding"), m = 10, storage = none)
+      .collect()
+    assert(o3.length == 3 &&
+      o3.map(_.getAs[Long]("vec_id")).toSet == Set(5L, 6L, 7L))
+  }
 }
