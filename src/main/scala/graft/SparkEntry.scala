@@ -1952,6 +1952,17 @@ object SparkEntry {
         .orderBy(col("sel_round"))
     }),
 
+    // training-data ops: banned-term screen — one Aho-Corasick pass
+    // per document for the whole blocklist (words, phrases, and a
+    // needle-inside-needle pair: every "window" hit is a "dow" hit)
+    "q151_banned_terms" -> ((s, dir) => {
+      TextAnalysis.bannedTermScreen(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          Seq("slow scan", "big query", "dup", "window", "dow",
+            "merge batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5207,6 +5218,18 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q151_banned_terms" ->
+        // same list, same order; hits[1] of an empty list is NULL in
+        // DuckDB, matching the when-guarded first ordinal
+        """WITH m AS (SELECT doc_id,
+          |    list_filter([0, 1, 2, 3, 4, 5], i -> contains(lower(text),
+          |      ['slow scan', 'big query', 'dup', 'window', 'dow',
+          |       'merge batch'][i + 1])) AS hits
+          |  FROM documents)
+          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_banned,
+          |  CAST(hits[1] AS BIGINT) AS first_ordinal,
+          |  len(hits) > 0 AS flagged
+          |FROM m ORDER BY doc_id""".stripMargin) +
       ("q138_chunk_rewrite" -> gearSql(
         s"""d AS (SELECT doc_id, t, length(t) AS n FROM (
            |    SELECT doc_id, CASE WHEN doc_id % 7 = 0

@@ -120,6 +120,16 @@ object Functions {
       UnicodeNormExpr(ColumnBridge.expression(text), form))
   }
 
+  /** Multi-pattern containment in ONE pass (Aho–Corasick): ordinals
+    * (ascending) of every `terms` entry occurring in the text — see
+    * MultiContainsExpr. Case-exact; compose with `lower()` for the
+    * usual case-folded blocklist screen. */
+  def multiContains(text: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      MultiContainsExpr(ColumnBridge.expression(text), terms))
+  }
+
   /** Dotted-quad → unsigned int in a BIGINT, null if malformed; pure
     * Column math (stays codegen'd) for use in joins/sorts over IPs. */
   def ipv4ToLong(addr: Column): Column = {

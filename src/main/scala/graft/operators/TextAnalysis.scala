@@ -1402,6 +1402,35 @@ object TextAnalysis {
       rrf.as("rrf_score"): _*)
   }
 
+  /** Banned-term screen — which of a FIXED blocklist's terms (words or
+    * multi-word phrases; substring semantics) each document contains,
+    * in ONE Aho–Corasick pass per document regardless of list size
+    * (the UT1-blocklist-style safety/policy gate: a `contains` chain
+    * rescans the text per term, the automaton never does). Terms are
+    * case-folded with the text (Locale.ROOT ↔ SQL `lower`, the proven
+    * oracle pair on ASCII blocklists).
+    *
+    * Scale shape: the automaton builds once at plan time and rides
+    * into codegen as a reference object; the screen is map-only —
+    * fuses into the scan, nothing shuffles.
+    *
+    * Output: (doc_id, n_banned, first_ordinal — lowest matched term
+    * ordinal or null, flagged). */
+  def bannedTermScreen(df: DataFrame, id: Column, text: Column,
+      terms: Seq[String]): DataFrame = {
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lowered.distinct.size == lowered.size,
+      "banned terms must be distinct after case folding")
+    df.select(id.as("doc_id"),
+        graft.functions.Functions.multiContains(lower(text), lowered)
+          .as("__hits"))
+      .select(col("doc_id"),
+        size(col("__hits")).cast("long").as("n_banned"),
+        when(size(col("__hits")) > 0, element_at(col("__hits"), 1))
+          .cast("long").as("first_ordinal"),
+        (size(col("__hits")) > 0).as("flagged"))
+  }
+
   /** Tokenizer fertility per stratum — BPE tokens per word by source,
     * THE statistic for judging how well a trained tokenizer fits each
     * corpus slice (fertility near 1 = words mostly single tokens;

@@ -793,6 +793,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("bannedTermScreen: phrase hits, needle-inside-needle, case " +
+      "folding, null first ordinal on clean docs; map-only plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the Window faces the DOWnstream meadow"), // window + dow
+      (2L, "a SLOW SCAN of the ledger"),              // phrase, folded
+      (3L, "perfectly clean prose"),
+      (4L, "dowel rods and a dup entry")              // dow + dup
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bannedTermScreen(df, col("doc_id"), col("text"),
+        Seq("slow scan", "big query", "dup", "window", "dow", "merge batch"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_banned") == 2L &&
+      out(1L).getAs[Long]("first_ordinal") == 3L &&
+      out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Long]("n_banned") == 1L &&
+      out(2L).getAs[Long]("first_ordinal") == 0L)
+    assert(out(3L).getAs[Long]("n_banned") == 0L &&
+      out(3L).isNullAt(out(3L).fieldIndex("first_ordinal")) &&
+      !out(3L).getAs[Boolean]("flagged"))
+    assert(out(4L).getAs[Long]("n_banned") == 2L &&
+      out(4L).getAs[Long]("first_ordinal") == 2L)
+    // map-only: the screen fuses into the scan, nothing shuffles
+    val plan = TextAnalysis.bannedTermScreen(df, col("doc_id"),
+        col("text"), Seq("dup"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("fimSplit: PSM rearrangement is lossless and deterministic") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, s"document number $i body " + ("x" * i)))
