@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.IntegerType
   *   - `unicode_norm(text[, form])` — UAX #15 normalization
   *     (UnicodeNormExpr), form a string literal NFC/NFD/NFKC/NFKD
   *     (default NFC); the unicode-equivalence dedup key
+  *   - `multi_contains(text, array('t1', …))` — matched blocklist
+  *     ordinals in one Aho–Corasick pass (MultiContainsExpr); the
+  *     term array must fold to plan-time constants (the automaton is
+  *     built once at plan construction)
   *
   * Install at session build (works with spark-submit / Connect too):
   * {{{
@@ -30,7 +34,7 @@ import org.apache.spark.sql.types.IntegerType
   * broadcast radix trie, which has no SQL-literal form — SQL callers
   * use the `Functions.cidrContains` Column API instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import graft.functions.{LongDotExpr, QuantizeExpr, SimHashExpr, UnicodeNormExpr}
+  import graft.functions.{LongDotExpr, MultiContainsExpr, QuantizeExpr, SimHashExpr, UnicodeNormExpr}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Rule[LogicalPlan]: bound levenshtein comparisons -> banded
@@ -55,6 +59,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(t) => SimHashExpr(t)
         case _ => throw new IllegalArgumentException("simhash32(text)")
+      }))
+    ext.injectFunction((FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(classOf[MultiContainsExpr].getName,
+        "multi_contains"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, arr) if arr.foldable &&
+            arr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          val terms = arr.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(v => if (v == null) null else v.toString).toSeq
+          MultiContainsExpr(t, terms)
+        case _ => throw new IllegalArgumentException(
+          "multi_contains(text, array('term', ...)) — the term array " +
+            "must be a plan-time constant")
       }))
     ext.injectFunction((FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormExpr].getName, "unicode_norm"),

@@ -62,6 +62,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi_contains is callable from SQL with a constant term array") {
+    withExtSession { s =>
+      val r = s.sql(
+        "SELECT multi_contains('the window shade', " +
+          "array('dow', 'shade', 'absent')) AS hits").head()
+      assert(r.getSeq[Int](0) == Seq(0, 1))
+      // non-constant term array: the automaton needs plan-time terms
+      intercept[Exception] {
+        s.sql("SELECT multi_contains('x', array(repeat('a', id)))" +
+          " FROM range(2)").collect()
+      }
+    }
+  }
+
   test("optimizer rule rewrites bound levenshtein to the banded threshold form") {
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
     // a parquet-backed frame: a LocalRelation would be folded away at
