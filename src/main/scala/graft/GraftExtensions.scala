@@ -64,16 +64,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MultiContainsExpr].getName,
         "multi_contains"),
       (args: Seq[Expression]) => args match {
-        case Seq(t, arr) if arr.foldable &&
-            arr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-          val terms = arr.eval()
+        case Seq(t, arr) if arr.foldable && (arr.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              _: org.apache.spark.sql.types.StringType, _) => true
+            case _ => false
+          }) =>
+          val folded = arr.eval()
+          if (folded == null) throw new IllegalArgumentException(
+            "multi_contains: the term array must not be null")
+          val terms = folded
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             .toObjectArray(org.apache.spark.sql.types.StringType)
             .map(v => if (v == null) null else v.toString).toSeq
           MultiContainsExpr(t, terms)
         case _ => throw new IllegalArgumentException(
           "multi_contains(text, array('term', ...)) — the term array " +
-            "must be a plan-time constant")
+            "must be a plan-time constant ARRAY<STRING>")
       }))
     ext.injectFunction((FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormExpr].getName, "unicode_norm"),

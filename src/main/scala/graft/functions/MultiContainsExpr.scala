@@ -28,8 +28,12 @@ case class MultiContainsExpr(child: Expression, terms: Seq[String])
     extends UnaryExpression {
 
   @transient private lazy val ac: AhoCorasick = AhoCorasick(terms)
-  // fail fast on an invalid term list at construction, not first row
-  AhoCorasick(terms)
+  // fail fast on an invalid term list at construction, not first row —
+  // the cheap precondition only (every Catalyst tree transform copies
+  // this node; a full throwaway automaton build per copy would run the
+  // trie+BFS construction dozens of times per query compile)
+  require(terms.forall(t => t != null && t.nonEmpty),
+    "banned terms must be non-empty")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "multi_contains"

@@ -783,6 +783,11 @@ object Similarity {
       else chosen :+= ((next.getLong(0), next.getSeq[Long](1),
         next.getLong(2)))
     }
+    // the result is fully driver-assembled — nothing downstream
+    // references `base`, so holding the cache would just leak one
+    // corpus-sized quantized frame per call
+    if (storage != org.apache.spark.storage.StorageLevel.NONE)
+      base.unpersist()
     val rows = chosen.zipWithIndex.map { case ((vid, _, d), i) =>
       (i + 1L, vid, d) }
     emb.sparkSession.createDataFrame(rows)

@@ -1231,7 +1231,8 @@ object TextAnalysis {
     * (max − min) · buckets must stay under 2^63 (buckets = 1024
     * leaves headroom past 2^52 value ranges).
     *
-    * Output: (stratum, n_rows, v_min, v_max, mean_v — integer DIV,
+    * Output: (stratum, n_rows, v_min, v_max, mean_v — integer FLOOR
+    * division, bit-equal to DuckDB `//` even on negative sums,
     * p<q>_lo…). */
   def gridQuantiles(df: DataFrame, stratum: Column, value: Column,
       buckets: Int = 1024, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
@@ -1250,7 +1251,12 @@ object TextAnalysis {
       .select(col("stratum") +: qs.map(q => col(s"p$q")): _*)
     bounds.join(bq, Seq("stratum"))
       .select(Seq(col("stratum"), col("n_rows"), col("v_min"),
-        col("v_max"), expr("sum_v DIV n_rows").as("mean_v")) ++
+        col("v_max"),
+        // FLOOR division (DuckDB //), not Spark's truncating DIV: the
+        // two differ exactly when sum_v is negative with a remainder,
+        // and this operator explicitly admits negative values
+        expr("sum_v DIV n_rows - (CASE WHEN sum_v < 0 AND " +
+          "sum_v % n_rows != 0 THEN 1 ELSE 0 END)").as("mean_v")) ++
         qs.map(q =>
           (col("v_min") + expr(s"p$q * (v_max - v_min + 1) DIV $buckets"))
             .as(s"p${q}_lo")): _*)
@@ -1292,7 +1298,9 @@ object TextAnalysis {
     * persisted at `storage` by default; pass `StorageLevel.NONE` to
     * recompute per branch when the input is a trivial projection.
     *
-    * Output: the input columns + `rank` (BIGINT ≥ 1). */
+    * Output: the input columns + `rank` (BIGINT ≥ 1). Rows whose value
+    * is null (or casts to null) are excluded from the ranking and come
+    * back with a NULL rank — never silently dropped. */
   def globalRank(df: DataFrame, value: Column, descending: Boolean = true,
       buckets: Int = 1024,
       storage: org.apache.spark.storage.StorageLevel =
@@ -1301,12 +1309,13 @@ object TextAnalysis {
     val none = org.apache.spark.storage.StorageLevel.NONE
     val base0 = df.withColumn("__v", value.cast("long"))
     val base = if (storage == none) base0 else base0.persist(storage)
-    val vals0 = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
+    val vals0 = base.filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__f"))
       .withColumn("__sig", lit(0))
     val vals = if (storage == none) vals0 else vals0.persist(storage)
     val ranks = valueRanks(vals, descending, buckets)
       .select(col("__v"), col("rank"))
-    base.join(ranks, Seq("__v")).drop("__v")
+    base.join(ranks, Seq("__v"), "left").drop("__v")
   }
 
   /** The kernel under [[globalRank]] and [[rankFusion]]: exact
@@ -1370,13 +1379,21 @@ object TextAnalysis {
     * to stay fully lazy.
     *
     * Output: (doc_id, rank_<name>…, rrf_score); ties in a signal
-    * share that signal's rank. */
+    * share that signal's rank. A null signal value excludes the doc
+    * from THAT signal's ranking only (rank_<name> NULL, contributing 0
+    * to the fused score — exactly how RRF treats a doc absent from one
+    * retriever's list); the doc row itself always survives. */
   def rankFusion(df: DataFrame, id: Column,
       signals: Seq[(String, Column)], k: Int = 60,
       scale: Long = 1000000000L, buckets: Int = 1024,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(signals.nonEmpty, "need at least one signal")
+    require(signals.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "signal names must be identifier-safe ([A-Za-z0-9_]+): they name " +
+        "the rank_<name> output columns")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "signal names must be distinct")
     require(k >= 0 && scale > 0, "k must be >= 0 and scale positive")
     val none = org.apache.spark.storage.StorageLevel.NONE
     val base0 = df.select(id.as("doc_id") +:
@@ -1386,17 +1403,18 @@ object TextAnalysis {
       .map { case ((n, _), i) => s"$i, __s_$n" }.mkString(", ")
     val melted = base.select(col("doc_id"),
       expr(s"stack(${signals.size}, $stackArgs) AS (__sig, __v)"))
-    val vals0 = melted.groupBy(col("__sig"), col("__v"))
+    val vals0 = melted.filter(col("__v").isNotNull)
+      .groupBy(col("__sig"), col("__v"))
       .agg(count(lit(1)).as("__f"))
     val vals = if (storage == none) vals0 else vals0.persist(storage)
     val ranks = valueRanks(vals, descending = true, buckets = buckets)
     val rankCols = signals.zipWithIndex.map { case ((n, _), i) =>
       max(when(col("__sig") === i, col("rank"))).as(s"rank_$n") }
-    val pivoted = melted.join(ranks, Seq("__sig", "__v"))
+    val pivoted = melted.join(ranks, Seq("__sig", "__v"), "left")
       .groupBy(col("doc_id"))
       .agg(rankCols.head, rankCols.tail: _*)
     val rrf = signals.map { case (n, _) =>
-      expr(s"$scale DIV ($k + rank_$n)") }.reduce(_ + _)
+      coalesce(expr(s"$scale DIV ($k + rank_$n)"), lit(0L)) }.reduce(_ + _)
     pivoted.select(col("doc_id") +:
       signals.map { case (n, _) => col(s"rank_$n") } :+
       rrf.as("rrf_score"): _*)

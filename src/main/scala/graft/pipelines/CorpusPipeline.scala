@@ -334,19 +334,11 @@ object CorpusPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.types._
-        def readOr(dir: String, schema: StructType): DataFrame = {
-          // a compaction crash between its two renames leaves
-          // <dir>.old with no live dir; reading that as "empty index"
-          // would silently re-admit previously-seen docs — heal first
-          val p = new org.apache.hadoop.fs.Path(dir)
-          graft.sinks.Sinks.restoreOrphanedCompaction(
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
-          try spark.read.schema(schema).parquet(dir)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          }
-        }
+        // heal-then-read (a compaction crash between its two renames
+        // leaves <dir>.old with no live dir; reading that as "empty
+        // index" would silently re-admit previously-seen docs)
+        def readOr(dir: String, schema: StructType): DataFrame =
+          graft.sinks.Sinks.readSnapshotOr(spark, dir, schema)
         val hashSchema = StructType(Seq(
           StructField("chash", StringType), StructField("doc_id", LongType)))
         val bandSchema = StructType(Seq(

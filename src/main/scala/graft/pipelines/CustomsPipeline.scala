@@ -420,12 +420,21 @@ object CustomsPipeline {
     val suppressState =
       scala.collection.mutable.Map[String, (Long, Long)]()
     statePath.foreach { p =>
-      if (new java.io.File(p).exists()) {
-        lines.sparkSession.read.parquet(p).collect().foreach { r =>
+      // heal-then-read through the path's Hadoop FS (hdfs/s3a/local
+      // alike) with the declared schema — an absent or half-swapped
+      // snapshot restores as empty, never as a construction failure
+      graft.sinks.Sinks.readSnapshotOr(lines.sparkSession, p,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("last_ts_ms",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("last_count",
+              org.apache.spark.sql.types.LongType))))
+        .collect().foreach { r =>
           suppressState(r.getAs[String]("key")) =
             (r.getAs[Long]("last_ts_ms"), r.getAs[Long]("last_count"))
         }
-      }
     }
     val expiryMs = 600000L
     // prune clock: append mode finalizes a window only once the
@@ -524,9 +533,12 @@ object CustomsPipeline {
             val snap = suppressState.synchronized(suppressState.toSeq)
             val ss = b.sparkSession
             import ss.implicits._
-            snap.map { case (k, (t, c)) => (k, t, c) }
-              .toDF("key", "last_ts_ms", "last_count")
-              .coalesce(1).write.mode("overwrite").parquet(p)
+            // two-rename swap: a crash mid-overwrite must not lose the
+            // whole suppression state (Sinks.atomicSnapshotSwap heals
+            // its own window on the next write or restore)
+            graft.sinks.Sinks.atomicSnapshotSwap(
+              snap.map { case (k, (t, c)) => (k, t, c) }
+                .toDF("key", "last_ts_ms", "last_count"), p)
           }
         }
         onAlerts(b.sparkSession.createDataFrame(

@@ -323,6 +323,52 @@ object Sinks {
     }
   }
 
+  /** Crash-safe whole-snapshot overwrite: write the frame to
+    * `<dir>.compact`, then swap it live with the SAME two-rename
+    * discipline (and the same heal window) as [[compactParquetDir]] —
+    * a plain `mode("overwrite")` to the live path deletes before it
+    * commits, so a driver crash in between loses the entire snapshot.
+    * First write (no live dir yet) is a single rename. Uses the
+    * Hadoop FileSystem of the path, so hdfs://, s3a:// and local
+    * paths all behave identically. */
+  def atomicSnapshotSwap(df: org.apache.spark.sql.DataFrame, dir: String,
+      nFiles: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreOrphanedCompaction(fs, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    df.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(live)) {
+      if (!fs.rename(live, old) || !fs.rename(tmp, live))
+        throw new java.io.IOException(s"snapshot swap failed for $dir")
+    } else if (!fs.rename(tmp, live)) {
+      throw new java.io.IOException(s"snapshot publish failed for $dir")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Heal-then-read a snapshot/index dir through the path's OWN
+    * Hadoop FileSystem (a `java.io.File` existence probe is always
+    * false for hdfs://—/s3a://-style paths — state would silently
+    * never restore); absent or not-yet-written dirs read as an EMPTY
+    * frame of `schema` rather than failing schema inference. */
+  def readSnapshotOr(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    restoreOrphanedCompaction(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+    try spark.read.schema(schema).parquet(dir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Dev/test sink. */
   final class ConsoleWriter(limit: Int = 20) extends AlertWriter {
     def write(alerts: DataFrame): Unit = alerts.show(limit, false)

@@ -335,6 +335,40 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(graft.sinks.Sinks.parquetFileCount(spark, dir) == 1)
   }
 
+  test("atomicSnapshotSwap + readSnapshotOr: first publish, overwrite " +
+      "swap, crash-window heal, and absent-dir empty read — all via " +
+      "scheme-qualified paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("last_ts_ms", LongType)))
+    // file:// URI on purpose: the java.io.File probe this replaced is
+    // always false for scheme-qualified paths
+    val dir = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-snap").toString + "/gate"
+    // absent dir: empty frame of the declared schema, no inference error
+    assert(graft.sinks.Sinks.readSnapshotOr(spark, dir, schema)
+      .count() == 0)
+    // first publish (no live dir): single rename
+    graft.sinks.Sinks.atomicSnapshotSwap(
+      Seq(("a", 1L)).toDF("key", "last_ts_ms"), dir)
+    assert(graft.sinks.Sinks.readSnapshotOr(spark, dir, schema)
+      .as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    // overwrite swap replaces contents wholesale
+    graft.sinks.Sinks.atomicSnapshotSwap(
+      Seq(("a", 2L), ("b", 3L)).toDF("key", "last_ts_ms"), dir)
+    assert(graft.sinks.Sinks.readSnapshotOr(spark, dir, schema)
+      .as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 3L)))
+    // crash between the two swap renames: live gone, .old present —
+    // the next read heals instead of restoring an empty map
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(graft.sinks.Sinks.readSnapshotOr(spark, dir, schema)
+      .as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 3L)))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, thin join only") {
     import spark.implicits._
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))

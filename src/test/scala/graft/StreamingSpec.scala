@@ -1058,7 +1058,12 @@ class StreamingSpec extends AnyFunSuite {
     def burst(w: Int, n: Int) =
       (0 until n).map(i => authLine(t + w * 600 + i, s"e$i@x.com")) :+
         contentLine(t + w * 600)
-    val statePath = java.nio.file.Files
+    // a file:// URI, NOT a bare local path: java.io.File("file:///x")
+    // .exists() is always false, so the pre-fix restore (which probed
+    // with java.io.File) silently never restored any scheme-qualified
+    // path — this pins the Hadoop-FS read/write pair on exactly the
+    // path shape production (hdfs://, s3a://) uses
+    val statePath = "file://" + java.nio.file.Files
       .createTempDirectory("enumstate").toString + "/gate"
     def collectAlerts(batches: Seq[Seq[String]]): Set[(Long, Long)] = {
       val in = MemoryStream[String]

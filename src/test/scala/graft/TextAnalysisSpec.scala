@@ -761,6 +761,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank/rankFusion null semantics: null-valued rows keep " +
+      "their columns with a null rank; a null signal contributes 0 to " +
+      "the fused score, never drops the doc") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(4L)))
+      .toDF("id", "v")
+    val r = TextAnalysis.globalRank(df, col("v")).collect()
+      .map(x => x.getAs[Long]("id") ->
+        (if (x.isNullAt(x.fieldIndex("rank"))) None
+         else Some(x.getAs[Long]("rank")))).toMap
+    assert(r == Map(1L -> Some(1L), 2L -> None, 3L -> Some(2L)))
+    val f = TextAnalysis.rankFusion(
+        Seq((1L, Some(10L), Some(7L)), (2L, None, Some(9L)),
+          (3L, Option.empty[Long], Option.empty[Long]))
+          .toDF("doc_id", "a", "b"),
+        col("doc_id"), Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(f.keySet == Set(1L, 2L, 3L)) // the all-null doc survives
+    assert(f(2L).isNullAt(f(2L).fieldIndex("rank_a")) &&
+      f(2L).getAs[Long]("rank_b") == 1L)
+    assert(f(2L).getAs[Long]("rrf_score") == 1000000000L / 61)
+    assert(f(3L).getAs[Long]("rrf_score") == 0L)
+  }
+
+  test("gridQuantiles: mean_v is FLOOR division (DuckDB //) on a " +
+      "negative-sum stratum, not Spark's truncating DIV") {
+    import spark.implicits._
+    // sum = -7 over 2 rows: floor(-3.5) = -4 (truncation would say -3)
+    val df = Seq(("s", -3L), ("s", -4L)).toDF("src", "v")
+    val out = TextAnalysis.gridQuantiles(df, col("src"), col("v"),
+      buckets = 2, qs = Seq(50)).collect()(0)
+    assert(out.getAs[Long]("mean_v") == -4L)
+  }
+
   test("rankFusion: hand-computed RRF scores; ties share a signal rank") {
     import spark.implicits._
     val df = Seq((1L, 10L, 1L), (2L, 5L, 5L), (3L, 5L, 2L))
