@@ -1963,6 +1963,62 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: composed curation scorecard — the round's new
+    // gates in one decision view with a fixed precedence: banned-term
+    // screen > unicode-canonical duplicate > bottom-half-in-every-
+    // signal rank fusion > keep; the quality bar is scale-free
+    // (rank·2 > corpus size), so the same query reads at any sf
+    "q152_curation_scorecard" -> ((s, dir) => {
+      // corpus + NFC twins (the q147 injection): composed twin at
+      // +300000 is canonical, its decomposed sibling at +400000 is the
+      // duplicate copy the NFC hash catches
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def twin(offset: Long, prefix: String) =
+        base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(lit(prefix), col("text")).as("text"))
+      val d = base
+        .union(twin(300000L, "caf\u00e9 preface: "))
+        .union(twin(400000L, "cafe\u0301 preface: "))
+      val banned = TextAnalysis.bannedTermScreen(d, col("doc_id"),
+          col("text"),
+          Seq("slow scan", "big query", "merge batch"))
+        .select(col("doc_id"), col("flagged").as("is_banned"))
+      val sig = d
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_types"),
+          size(filter(col("ws"), t => array_contains(
+            typedLit(TextAnalysis.Stopwords), t))).cast("long").as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("n_types * 1000 DIV greatest(n_tokens, 1)").as("lex_permille"),
+          expr("n_stop * 1000 DIV greatest(n_tokens, 1)").as("stop_permille"))
+      val fused = TextAnalysis.rankFusion(sig, col("doc_id"), Seq(
+        "tokens" -> col("n_tokens"),
+        "lex" -> col("lex_permille"),
+        "stop" -> col("stop_permille")))
+      val nrm = d.select(col("doc_id"),
+        md5(graft.functions.Functions.unicodeNormalize(col("text")))
+          .as("ch"))
+      val dup = nrm.join(
+          nrm.groupBy(col("ch")).agg(min(col("doc_id")).as("first_id")),
+          Seq("ch"))
+        .select(col("doc_id"),
+          (col("doc_id") > col("first_id")).as("is_dup_copy"))
+      banned.join(dup, Seq("doc_id")).join(fused, Seq("doc_id"))
+        .join(broadcast(d.agg(count(lit(1)).as("n_docs"))))
+        .select(col("doc_id"), col("is_banned"), col("is_dup_copy"),
+          col("rrf_score"),
+          when(col("is_banned"), lit("banned"))
+            .when(col("is_dup_copy"), lit("duplicate"))
+            .when(col("rank_tokens") * 2 > col("n_docs") &&
+              col("rank_lex") * 2 > col("n_docs") &&
+              col("rank_stop") * 2 > col("n_docs"), lit("low_quality"))
+            .otherwise(lit("keep")).as("decision"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5218,6 +5274,61 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q152_curation_scorecard" ->
+        // the q149 rank chain over the q147 twin-injected corpus + a
+        // 3-phrase screen + the NFC-hash dup check, folded through one
+        // precedence CASE; the quality bar is rank*2 > corpus size in
+        // EVERY signal. chr(233) = composed U+00E9, chr(769) =
+        // combining acute (decomposed twin)
+        """WITH base AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 300000,
+          |    'caf' || chr(233) || ' preface: ' || text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |  UNION ALL SELECT doc_id + 400000,
+          |    'cafe' || chr(769) || ' preface: ' || text
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |w AS (SELECT doc_id,
+          |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+          |  FROM base),
+          |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+          |    CAST(len(list_distinct(ws)) AS BIGINT) n_types,
+          |    CAST(len(list_filter(ws,
+          |      t -> list_contains(['the','a','and','of','to','in'], t)))
+          |      AS BIGINT) n_stop
+          |  FROM w),
+          |g AS (SELECT doc_id, n_tokens,
+          |    n_types * 1000 // greatest(n_tokens, 1) AS lex_permille,
+          |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_permille
+          |  FROM s),
+          |r AS (SELECT doc_id,
+          |    rank() OVER (ORDER BY n_tokens DESC) AS rank_tokens,
+          |    rank() OVER (ORDER BY lex_permille DESC) AS rank_lex,
+          |    rank() OVER (ORDER BY stop_permille DESC) AS rank_stop
+          |  FROM g),
+          |f AS (SELECT doc_id, rank_tokens, rank_lex, rank_stop,
+          |    1000000000 // (60 + rank_tokens) +
+          |    1000000000 // (60 + rank_lex) +
+          |    1000000000 // (60 + rank_stop) AS rrf_score
+          |  FROM r),
+          |b AS (SELECT doc_id,
+          |    len(list_filter([0, 1, 2], i -> contains(lower(text),
+          |      ['slow scan', 'big query', 'merge batch'][i + 1]))) > 0
+          |      AS is_banned
+          |  FROM base),
+          |h AS (SELECT doc_id, md5(nfc_normalize(text)) AS ch
+          |  FROM base),
+          |fi AS (SELECT ch, MIN(doc_id) AS first_id FROM h GROUP BY 1),
+          |dp AS (SELECT doc_id, doc_id > first_id AS is_dup_copy
+          |  FROM h JOIN fi USING (ch)),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base)
+          |SELECT f.doc_id, is_banned, is_dup_copy, rrf_score,
+          |  CASE WHEN is_banned THEN 'banned'
+          |       WHEN is_dup_copy THEN 'duplicate'
+          |       WHEN rank_tokens * 2 > n_docs AND rank_lex * 2 > n_docs
+          |         AND rank_stop * 2 > n_docs THEN 'low_quality'
+          |       ELSE 'keep' END AS decision
+          |FROM f JOIN b USING (doc_id) JOIN dp USING (doc_id), n
+          |ORDER BY f.doc_id""".stripMargin) +
       ("q151_banned_terms" ->
         // same list, same order; hits[1] of an empty list is NULL in
         // DuckDB, matching the when-guarded first ordinal
