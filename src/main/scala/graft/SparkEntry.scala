@@ -2019,6 +2019,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: HTML-to-text cleaning — every 7th doc arrives
+    // wrapped in markup (attributes, a comment, a script payload whose
+    // string contains a tag, entity-encoded text); the strip must
+    // recover the prose and decode entities in the right order
+    "q153_html_strip" -> ((s, dir) => {
+      val wrapped = when(col("doc_id") % 7 === 0,
+        concat(lit("<html><body class=\"x\"><p id='m'>"), col("text"),
+          lit(" &amp; more &amp;lt;kept&amp;gt;</p><!-- footer -->" +
+            "<script>var x = \"<p>\";</script></body></html>")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), wrapped.as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml(col("raw")).as("clean_text"),
+          (col("raw") =!= TextAnalysis.stripHtml(col("raw")))
+            .as("was_dirty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5274,6 +5293,34 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q153_html_strip" ->
+        // same regex chain, Java∩RE2 dialect, with DuckDB's explicit
+        // 'g' flag (its regexp_replace is first-match by default)
+        """WITH raw AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN
+          |      '<html><body class="x"><p id=''m''>' || text ||
+          |      ' &amp; more &amp;lt;kept&amp;gt;</p><!-- footer -->' ||
+          |      '<script>var x = "<p>";</script></body></html>'
+          |    ELSE text END AS raw
+          |  FROM documents),
+          |c AS (SELECT doc_id, raw, trim(regexp_replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |      raw,
+          |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g'),
+          |      '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<', 'g'),
+          |      '&gt;', '>', 'g'),
+          |      '&quot;', '"', 'g'),
+          |      '&#39;', '''', 'g'),
+          |      '&nbsp;', ' ', 'g'),
+          |      '&amp;', '&', 'g'),
+          |      '\s+', ' ', 'g')) AS clean_text
+          |  FROM raw)
+          |SELECT doc_id, clean_text, raw <> clean_text AS was_dirty
+          |FROM c ORDER BY doc_id""".stripMargin) +
       ("q152_curation_scorecard" ->
         // the q149 rank chain over the q147 twin-injected corpus + a
         // 3-phrase screen + the NFC-hash dup check, folded through one

@@ -1420,6 +1420,34 @@ object TextAnalysis {
       rrf.as("rrf_score"): _*)
   }
 
+  /** HTML → text cleaning — the scraper-output normalization pass that
+    * runs before any text statistic sees a crawled page: drop
+    * script/style payloads (code, not prose), comments, then every
+    * tag (replaced by a space so `</p><p>` boundaries don't weld
+    * words), decode the five predefined XML entities + `&nbsp;`
+    * (AFTER tag removal — entity-encoded brackets are text, not
+    * markup; `&amp;` decodes LAST so `&amp;lt;` correctly yields the
+    * literal `&lt;`), and squeeze whitespace.
+    *
+    * Pure `regexp_replace` chain — codegen'd, map-only, and every
+    * pattern is in the Java∩RE2 common dialect so DuckDB mirrors it
+    * with the same patterns + the 'g' flag (engine-portable like the
+    * PII set). Deliberately the standard regex-level strip (the
+    * trafilatura/jusText content-extraction family is out of scope);
+    * pathological markup (tags inside attribute strings) degrades to
+    * extra whitespace, never to lost text. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Banned-term screen — which of a FIXED blocklist's terms (words or
     * multi-word phrases; substring semantics) each document contains,
     * in ONE Aho–Corasick pass per document regardless of list size

@@ -229,7 +229,11 @@ object CorpusPipeline {
     *  1. PII scrub FIRST — a map-only projection, so redacted text is
     *     the only text any later stage (or state store) ever holds;
     *  2. quality gate ([[TextAnalysis.qualityOk]] — the batch gate's
-    *     thresholds, by construction);
+    *     thresholds, by construction) plus, when `bannedTerms` is
+    *     non-empty, the one-pass Aho–Corasick blocklist screen
+    *     ([[graft.functions.MultiContainsExpr]] over the case-folded
+    *     text — the batch [[TextAnalysis.bannedTermScreen]] semantics,
+    *     fused into the same stream scan);
     *  3. exact dedup within the watermark
     *     ([[graft.streaming.Streaming.dedupStream]]:
     *     `dropDuplicatesWithinWatermark` on the content hash — state
@@ -241,14 +245,20 @@ object CorpusPipeline {
     * projections fused into the stream scan; the only state is the
     * dedup hash set, bounded by the watermark delay. */
   def curateStream(docs: DataFrame, tsName: String, id: Column,
-      text: Column, watermarkDelay: String): DataFrame = {
+      text: Column, watermarkDelay: String,
+      bannedTerms: Seq[String] = Nil): DataFrame = {
     val scrubbed = TextAnalysis.PiiPatterns.foldLeft(text) {
       case (t, (name, pat)) =>
         regexp_replace(t, pat, s"[${name.toUpperCase}]")
     }
-    val base = docs.select(col(tsName), id.as("doc_id"),
+    val clean = docs.select(col(tsName), id.as("doc_id"),
         scrubbed.as("scrubbed"))
       .filter(TextAnalysis.qualityOk(col("scrubbed")))
+    val base =
+      if (bannedTerms.isEmpty) clean
+      else clean.filter(size(graft.functions.Functions.multiContains(
+        lower(col("scrubbed")),
+        bannedTerms.map(_.toLowerCase(java.util.Locale.ROOT)))) === 0)
     graft.streaming.Streaming
       .dedupStream(base, tsName, col("scrubbed"), watermarkDelay)
       .select(col(tsName), col("doc_id"), col("scrubbed"))

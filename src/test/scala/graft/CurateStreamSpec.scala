@@ -65,6 +65,34 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream banned-term gate: a blocklisted doc drops " +
+      "in-stream, matching the batch screen; empty list is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val banned = goodB + " after a slow scan of the ledger"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = CorpusPipeline.curateStream(in.toDS().toDF("ts", "doc_id", "text"),
+        "ts", col("doc_id"), col("text"), watermarkDelay = "10 minutes",
+        bannedTerms = Seq("SLOW SCAN", "merge batch"))
+      .writeStream.format("memory").queryName("curated_banned")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1000), 1L, goodA), (ts(1010), 2L, banned),
+        (ts(1020), 3L, goodC))
+      q.processAllAvailable()
+      val kept = spark.table("curated_banned")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L))
+      // batch parity: the screen flags exactly the dropped doc (terms
+      // case-fold on both sides)
+      val flagged = TextAnalysis.bannedTermScreen(
+          Seq((1L, goodA), (2L, banned), (3L, goodC)).toDF("id", "t"),
+          col("id"), col("t"), Seq("SLOW SCAN", "merge batch"))
+        .filter(col("flagged")).select("doc_id").as[Long].collect().toSet
+      assert(flagged == Set(2L))
+    } finally q.stop()
+  }
+
   test("ingestStream: persistent index screens batches; only kept docs are indexed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -827,6 +827,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("stripHtml: tags unweld words, script payloads vanish, entity " +
+      "decode order is correct, encoded brackets survive as text") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<p>alpha</p><p>beta</p>", "alpha beta"),
+      (2L, "x<script>var a = \"<p>hidden</p>\";</script>y", "x y"),
+      (3L, "a<!-- note\nmultiline -->b", "a b"),
+      // &amp;lt; is the TEXT "&lt;"; &lt;b&gt; is the TEXT "<b>" —
+      // neither re-strips after decode
+      (4L, "&amp;lt;x&amp;gt; and &lt;b&gt;", "&lt;x&gt; and <b>"),
+      (5L, "one&nbsp;two &quot;q&quot; it&#39;s", "one two \"q\" it's"),
+      (6L, "plain prose stays", "plain prose stays"),
+      (7L, "<div class=\"a > b\">edge</div>", "b\">edge")) // regex-level strip: documented degradation shape
+    val out = TextAnalysis.stripHtml(col("t"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "t")
+      .select(col("id"), out.as("clean")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      if (id != 7L) assert(got(id) == want, s"case $id") }
+    // case 7: a '>' inside an attribute value ends the tag early —
+    // text is kept (with attribute residue), never silently lost
+    assert(got(7L).contains("edge"))
+  }
+
   test("bannedTermScreen: phrase hits, needle-inside-needle, case " +
       "folding, null first ordinal on clean docs; map-only plan") {
     import spark.implicits._
