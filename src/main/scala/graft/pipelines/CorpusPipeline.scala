@@ -246,8 +246,15 @@ object CorpusPipeline {
     * dedup hash set, bounded by the watermark delay. */
   def curateStream(docs: DataFrame, tsName: String, id: Column,
       text: Column, watermarkDelay: String,
-      bannedTerms: Seq[String] = Nil): DataFrame = {
-    val scrubbed = TextAnalysis.PiiPatterns.foldLeft(text) {
+      bannedTerms: Seq[String] = Nil,
+      stripMarkup: Boolean = false): DataFrame = {
+    // markup strip FIRST when enabled: quality statistics, the
+    // blocklist, PII patterns and the dedup hash should all see
+    // prose, not tags — and an HTML-wrapped copy of an already-seen
+    // plain doc then hashes onto it
+    val cleaned =
+      if (stripMarkup) TextAnalysis.stripHtml(text) else text
+    val scrubbed = TextAnalysis.PiiPatterns.foldLeft(cleaned) {
       case (t, (name, pat)) =>
         regexp_replace(t, pat, s"[${name.toUpperCase}]")
     }

@@ -93,6 +93,34 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream stripMarkup: an HTML-wrapped copy of a seen plain " +
+      "doc dedups onto it, and PII inside markup is still scrubbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wrapped = "<html><p>" + goodA.replace("bob@example.com",
+      "<a href=\"mailto:bob@example.com\">bob@example.com</a>") +
+      "</p><!-- tracker --></html>"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = CorpusPipeline.curateStream(in.toDS().toDF("ts", "doc_id", "text"),
+        "ts", col("doc_id"), col("text"), watermarkDelay = "10 minutes",
+        stripMarkup = true)
+      .writeStream.format("memory").queryName("curated_markup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1000), 1L, goodA), (ts(1010), 2L, wrapped),
+        (ts(1020), 3L, "<p>" + goodB + "</p>"))
+      q.processAllAvailable()
+      val rows = spark.table("curated_markup").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("scrubbed"))
+        .toMap
+      // the wrapped copy of doc 1 strips to the same prose -> deduped;
+      // doc 3's markup strips and the prose survives the quality gate
+      assert(rows.keySet == Set(1L, 3L))
+      assert(rows(3L) == goodB)
+      assert(rows(1L).contains("[EMAIL]") && !rows(1L).contains("<"))
+    } finally q.stop()
+  }
+
   test("ingestStream: persistent index screens batches; only kept docs are indexed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
