@@ -2038,6 +2038,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.3 engine-portable distinct sketch: KMV k-minimum-values —
+    // the oracled sibling of q40's approx_count_distinct (HLL register
+    // layouts are engine-specific; the k smallest md5 values are a
+    // pure function of the set, estimate included)
+    "q154_kmv_distinct" -> ((s, dir) => {
+      Heuristics.kmvDistinct(Tables.events(s, dir), col("event_type"),
+          col("user_id"), k = 24)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5293,6 +5304,25 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q154_kmv_distinct" ->
+        // (k-1)*2^56 with k=24; fixed-width hex sorts numerically;
+        // ('0x' || h)::BIGINT parses the 56-bit hash; all operands
+        // non-negative so // == DIV
+        """WITH h AS (SELECT DISTINCT event_type,
+          |    substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS hh
+          |  FROM events WHERE user_id IS NOT NULL),
+          |r AS (SELECT event_type, hh,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) rn
+          |  FROM h),
+          |kk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          |    MAX(CASE WHEN rn = 24 THEN hh END) AS kth
+          |  FROM r WHERE rn <= 24 GROUP BY 1)
+          |SELECT event_type, n_kept,
+          |  CASE WHEN kth IS NULL THEN n_kept
+          |       ELSE CAST(1657324662872342528 // (('0x' || kth)::BIGINT)
+          |         AS BIGINT)
+          |  END AS est_distinct
+          |FROM kk ORDER BY event_type""".stripMargin) +
       ("q153_html_strip" ->
         // same regex chain, Java∩RE2 dialect, with DuckDB's explicit
         // 'g' flag (its regexp_replace is first-match by default)

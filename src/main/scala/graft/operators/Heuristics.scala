@@ -97,6 +97,47 @@ object Heuristics {
       .filter(col("n_distinct") >= minDistinct)
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the ENGINE-PORTABLE
+    * sibling of [[distinctCardinality]]'s `approx_count_distinct`: HLL
+    * register layouts are engine-specific (which is why q40 is
+    * rows-only by declared design), but the k smallest md5 values of a
+    * set are a pure function of the set, so the KMV estimate
+    * (Bar-Yossef 2002) is bit-identical in ANY engine with md5 —
+    * DuckDB mirrors it exactly, estimate included.
+    *
+    * The sketch: hash every value to a fixed-width 56-bit hex string
+    * (fixed-width hex sorts lexicographically = numerically, the
+    * epoch-shuffle trick), keep the k smallest DISTINCT hashes per
+    * key; with fewer than k distinct values the count is exact, else
+    * est = (k−1) · 2^56 DIV kth-smallest-hash — all-integer, no float
+    * rounding to drift. Standard error ≈ 1/√(k−2).
+    *
+    * Scale shape: one distinct-agg to (key, hash) — narrow, the only
+    * corpus-sized exchange — then a per-key window over ordered hashes
+    * cut at rank k (the sketch frame is ≤ k rows per key from there).
+    * k ≤ 64 keeps (k−1)·2^56 inside a BIGINT.
+    *
+    * Output: (key, n_kept, est_distinct) — n_kept = min(k, exact). */
+  def kmvDistinct(df: DataFrame, key: Column, value: Column,
+      k: Int = 32): DataFrame = {
+    require(k >= 3 && k <= 64, "k must be in [3, 64]")
+    val num = (k - 1).toLong * 72057594037927936L // (k-1) * 2^56
+    val hashes = df.select(key.as("key"),
+        substring(md5(value.cast("string")), 1, 14).as("h"))
+      .filter(col("h").isNotNull) // null values are not set members
+      .distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("h"))
+    val kept = hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    kept.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+      .select(col("key"), col("n_kept"),
+        when(col("kth").isNull, col("n_kept"))
+          .otherwise(expr(s"$num DIV CAST(conv(kth, 16, 10) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
   /** Per-key argmax: the attribute value with the highest count per key
     * (deterministic tie-break on the attribute value). Window-rank over
     * a pre-aggregated frame: the rank input is |keys × attrs|, not |rows|. */

@@ -103,4 +103,32 @@ class HttpHeuristicsSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("addr") == "1.1.1.1")
     assert(out.head.getAs[String]("useragent") == "sqlmap/1.0")
   }
+
+  test("kmvDistinct: exact below k, matches a driver-side replay of the " +
+      "sketch above k, and lands near the truth") {
+    import spark.implicits._
+    import graft.operators.Heuristics
+    // key 'small' has 5 distinct values (< k=8 -> exact);
+    // key 'big' has 500 distinct (sketch path); duplicates everywhere
+    val rows = (0 until 5).flatMap(i => Seq(("small", s"v$i"), ("small", s"v$i"))) ++
+      (0 until 1000).map(i => ("big", s"u${i % 500}"))
+    val out = Heuristics.kmvDistinct(rows.toDF("k", "v"), col("k"),
+        col("v"), k = 8)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"))).toMap
+    assert(out("small") == ((5L, 5L)))
+    // independent replay: k-th smallest 14-hex-char md5 prefix of the
+    // distinct set, est = (k-1)*2^56 / kth — pure Scala, no Spark
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h14(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(14)
+    val kth = (0 until 500).map(i => h14(s"u${i % 500}")).distinct
+      .sorted.apply(7)
+    val expect = 7L * 72057594037927936L / java.lang.Long.parseLong(kth, 16)
+    assert(out("big")._1 == 8L && out("big")._2 == expect)
+    // k=8 is noisy (SE ~ 41%) but the fixed seed set is deterministic:
+    // pin a generous truth bracket so a silent estimator break trips
+    assert(out("big")._2 > 150L && out("big")._2 < 1700L,
+      s"estimate ${out("big")._2} for truth 500")
+  }
 }
