@@ -2049,6 +2049,16 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // training-data ops: blocklist calibration — corpus hit counts per
+    // banned term INCLUDING the zero-hit dead weight ('zyzzyva' never
+    // fires; an explode-and-count would silently drop it)
+    "q155_blocklist_stats" -> ((s, dir) => {
+      TextAnalysis.bannedTermStats(Tables.documents(s, dir), col("text"),
+          Seq("slow scan", "big query", "dup", "window", "dow",
+            "merge batch", "zyzzyva"))
+        .orderBy(col("ordinal"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5304,6 +5314,16 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q155_blocklist_stats" ->
+        """WITH t(ordinal, term) AS (VALUES
+          |    (0, 'slow scan'), (1, 'big query'), (2, 'dup'),
+          |    (3, 'window'), (4, 'dow'), (5, 'merge batch'),
+          |    (6, 'zyzzyva'))
+          |SELECT CAST(t.ordinal AS BIGINT) AS ordinal, t.term,
+          |  CAST(COUNT(CASE WHEN contains(lower(d.text), t.term)
+          |    THEN 1 END) AS BIGINT) AS n_docs
+          |FROM t CROSS JOIN documents d
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin) +
       ("q154_kmv_distinct" ->
         // (k-1)*2^56 with k=24; fixed-width hex sorts numerically;
         // ('0x' || h)::BIGINT parses the 56-bit hash; all operands

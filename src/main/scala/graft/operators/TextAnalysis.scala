@@ -1477,6 +1477,35 @@ object TextAnalysis {
         (size(col("__hits")) > 0).as("flagged"))
   }
 
+  /** Blocklist calibration view — corpus-wide hit counts per banned
+    * term, INCLUDING zero-hit terms (dead weight a blocklist owner
+    * should prune; an explode-then-count would silently drop them):
+    * one [[bannedTermScreen]]-style automaton pass per document, hits
+    * exploded to (ordinal, doc) and counted, then right-joined onto
+    * the term list so every term reports.
+    *
+    * Scale shape: the automaton walk is map-only; the only exchange is
+    * the partial-agg collapse to ≤ |terms| rows, and the term-list
+    * join is a broadcast of a literal array.
+    *
+    * Output: (ordinal, term, n_docs) — docs containing the term at
+    * least once, case-folded like the screen. */
+  def bannedTermStats(df: DataFrame, text: Column,
+      terms: Seq[String]): DataFrame = {
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lowered.distinct.size == lowered.size,
+      "banned terms must be distinct after case folding")
+    val counts = df.select(graft.functions.Functions.multiContains(
+        lower(text), lowered).as("__hits"))
+      .select(explode(col("__hits")).as("ordinal"))
+      .groupBy(col("ordinal")).agg(count(lit(1)).as("n_docs"))
+    val termsDf = df.sparkSession.range(1)
+      .select(posexplode(typedLit(lowered)).as(Seq("ordinal", "term")))
+    termsDf.join(counts, Seq("ordinal"), "left")
+      .select(col("ordinal").cast("long").as("ordinal"), col("term"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Tokenizer fertility per stratum — BPE tokens per word by source,
     * THE statistic for judging how well a trained tokenizer fits each
     * corpus slice (fertility near 1 = words mostly single tokens;

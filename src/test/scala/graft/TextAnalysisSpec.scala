@@ -880,6 +880,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bannedTermStats: per-term doc counts count a doc once however " +
+      "often the term repeats; zero-hit terms still report") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "dow dow dow and a window"),   // dow + window (dow once)
+      (2L, "clean"),
+      (3L, "the window again")).toDF("id", "t")
+    val out = TextAnalysis.bannedTermStats(df, col("t"),
+        Seq("window", "dow", "zyzzyva"))
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("ordinal"), r.getAs[Long]("n_docs"))).toMap
+    assert(out("window") == ((0L, 2L)))
+    assert(out("dow") == ((1L, 2L)))   // doc 1 counted once, doc 3 via 'window'
+    assert(out("zyzzyva") == ((2L, 0L)))
+  }
+
   test("fimSplit: PSM rearrangement is lossless and deterministic") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, s"document number $i body " + ("x" * i)))
