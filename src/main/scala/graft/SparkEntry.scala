@@ -2059,6 +2059,17 @@ object SparkEntry {
         .orderBy(col("ordinal"))
     }),
 
+    // training-data ops: systematic PPS sampling — k docs drawn
+    // proportional to token count by the classical fixed-stride walk
+    // (Madow 1949); heavy docs legitimately land multiple thresholds
+    // (n_copies), sum of n_copies == k, all-integer and engine-exact
+    "q156_systematic_pps" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("wt0"))
+      Sampling.systematicPps(d, col("doc_id"), col("wt0"), k = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5314,6 +5325,31 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q156_systematic_pps" ->
+        // DuckDB SUM(BIGINT) widens to HUGEINT — cast the outputs
+        // back; all operands non-negative so // == DIV
+        """WITH w AS (SELECT doc_id, CAST(len(list_filter(
+          |    string_split(lower(text),' '), t -> t <> '')) AS BIGINT) wt
+          |  FROM documents),
+          |wp AS (SELECT * FROM w WHERE wt > 0),
+          |c AS (SELECT doc_id, wt,
+          |    COALESCE(SUM(wt) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cb,
+          |    SUM(wt) OVER (ORDER BY doc_id) AS cum
+          |  FROM wp),
+          |p AS (SELECT greatest(CAST(SUM(wt) AS BIGINT) // 40, 1)
+          |    AS step FROM wp),
+          |p2 AS (SELECT step, (step + 1) // 2 AS off FROM p),
+          |n AS (SELECT doc_id, wt, cb, cum,
+          |    least(40, CASE WHEN cum < off THEN 0
+          |      ELSE (cum - off) // step + 1 END)
+          |    - least(40, CASE WHEN cb < off THEN 0
+          |      ELSE (cb - off) // step + 1 END) AS nc
+          |  FROM c, p2)
+          |SELECT doc_id, wt, CAST(cb AS BIGINT) AS cum_before,
+          |  CAST(nc AS BIGINT) AS n_copies
+          |FROM n WHERE nc >= 1 ORDER BY doc_id""".stripMargin) +
       ("q155_blocklist_stats" ->
         """WITH t(ordinal, term) AS (VALUES
           |    (0, 'slow scan'), (1, 'big query'), (2, 'dup'),

@@ -377,6 +377,72 @@ object Sampling {
     *
     * Output: (shard, pos, vtime, stratum, doc_id), pos 1-based within
     * shard by the interleave order. */
+  /** Systematic probability-proportional-to-size sampling — THE
+    * classical deterministic weighted design (Madow 1949): lay the
+    * docs on a line in doc_id order, each occupying `weight` units
+    * (token counts, byte sizes), then walk the line with a fixed
+    * stride taking whatever doc each threshold lands in. Inclusion
+    * count is exactly proportional to weight (a doc heavier than the
+    * stride is taken MULTIPLE times — `n_copies` says how often),
+    * Σn_copies == k exactly, and there is no float randomness to
+    * drift across engines: step = max(total DIV k, 1), the offset is
+    * the stride midpoint, everything integer.
+    *
+    * The global cumulative weight is computed WITHOUT a
+    * single-partition window (the same grid decomposition as
+    * `TextAnalysis.globalRank`): grid-bucket doc_id over broadcast
+    * (min,max), within-bucket cumulative sums ordered by id, and a
+    * prefix-sum over the ≤`buckets`-row bucket histogram — bounded by
+    * construction. Thresholds are then counted per row in pure column
+    * arithmetic (f(cum) − f(cum_before) where f(x) = thresholds ≤ x,
+    * capped at k), so nothing but the (id, weight) pairs ever
+    * shuffles.
+    *
+    * Non-positive-weight rows are dropped up front (a zero-width doc
+    * can never be landed on; a negative weight would corrupt the
+    * line), and k should not exceed the total weight (the stride
+    * floors at 1 and the walk simply stops early once k thresholds
+    * are spent).
+    *
+    * Output: the selected docs only — (doc_id, wt, cum_before,
+    * n_copies ≥ 1), Σ n_copies = min(k, total). */
+  def systematicPps(df: DataFrame, id: Column, weight: Column, k: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(buckets >= 2, "need at least 2 grid buckets")
+    val base = df.select(id.as("doc_id"), weight.cast("long").as("wt"))
+      .filter(col("wt") > 0)
+    val bounds = base.agg(min(col("doc_id")).as("id_min"),
+      max(col("doc_id")).as("id_max"), sum(col("wt")).as("total"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketed = base.join(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(doc_id - id_min) * $buckets DIV (id_max - id_min + 1)"))
+      .withColumn("__in_before", coalesce(sum(col("wt")).over(wIn), lit(0L)))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketBefore = bucketed.groupBy(col("__b"))
+      .agg(sum(col("wt")).as("__bw"))
+      .withColumn("__before_b", coalesce(sum(col("__bw")).over(wB), lit(0L)))
+      .select(col("__b"), col("__before_b"))
+    val withCum = bucketed.join(broadcast(bucketBefore), Seq("__b"))
+      .withColumn("cum_before", col("__before_b") + col("__in_before"))
+      .withColumn("cum", col("cum_before") + col("wt"))
+      .withColumn("step", expr(s"greatest(total DIV $k, 1)"))
+      .withColumn("off", expr("(step + 1) DIV 2"))
+    // f(x) = number of thresholds off + j*step (j >= 0) that are <= x,
+    // capped at k; all operands non-negative, so DIV == floor == //
+    def f(x: String) = s"least(CAST($k AS BIGINT), " +
+      s"CASE WHEN $x < off THEN 0L ELSE ($x - off) DIV step + 1L END)"
+    withCum
+      .withColumn("n_copies", expr(s"${f("cum")} - ${f("cum_before")}"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("wt"), col("cum_before"), col("n_copies"))
+  }
+
   def mixtureInterleave(df: DataFrame, id: Column, stratum: Column,
       weightsPpm: Map[String, Long], defaultPpm: Long, nShards: Int,
       salt: String = "interleave"): DataFrame = {

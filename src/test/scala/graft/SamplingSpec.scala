@@ -532,4 +532,37 @@ class SamplingSpec extends AnyFunSuite {
         Map.empty, 0L, 0)
     }
   }
+
+  test("systematicPps: hand-computed stride walk — heavy doc sampled " +
+      "twice, sum of copies == k, non-positive weights dropped") {
+    import spark.implicits._
+    // weights 5,1,4,2,8 (total 20), k=4 -> step 5, offset 3,
+    // thresholds 3,8,13,18: doc 1 takes t=3, doc 3 takes t=8,
+    // doc 5 takes t=13 AND t=18 (twice its share of the line)
+    val df = Seq((1L, 5L), (2L, 1L), (3L, 4L), (4L, 2L), (5L, 8L),
+      (6L, 0L), (7L, -3L)).toDF("id", "w")
+    val out = Sampling.systematicPps(df, col("id"), col("w"), k = 4,
+        buckets = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("wt"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("n_copies")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 5L, 0L, 1L), (3L, 4L, 6L, 1L),
+      (5L, 8L, 12L, 2L)))
+    // property: 300 hash-derived weights, several k — total copies
+    // is exactly k and every count is within its PPS ceiling
+    val vs = (0 until 300).map(i => (i.toLong, (i * 2654435761L) % 97L + 1L))
+    val vdf = vs.toDF("id", "w")
+    val total = vs.map(_._2).sum
+    for (k <- Seq(1, 7, 50)) {
+      val sel = Sampling.systematicPps(vdf, col("id"), col("w"), k)
+        .collect().map(r => r.getAs[Long]("wt") -> r.getAs[Long]("n_copies"))
+      assert(sel.map(_._2).sum == k.toLong, s"k=$k")
+      val step = math.max(total / k, 1L)
+      assert(sel.forall { case (w, n) => n <= w / step + 1 }, s"k=$k")
+    }
+    // plan: grid cumsum, never a global range sort
+    val p = Sampling.systematicPps(vdf, col("id"), col("w"), 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("rangepartitioning"), p)
+  }
 }
