@@ -5363,7 +5363,8 @@ object SparkEntry {
       ("q154_kmv_distinct" ->
         // (k-1)*2^56 with k=24; fixed-width hex sorts numerically;
         // ('0x' || h)::BIGINT parses the 56-bit hash; all operands
-        // non-negative so // == DIV
+        // non-negative so // == DIV; divisor floored at 1 exactly like
+        // the Spark side (an all-zero hash prefix must not // 0)
         """WITH h AS (SELECT DISTINCT event_type,
           |    substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS hh
           |  FROM events WHERE user_id IS NOT NULL),
@@ -5375,8 +5376,8 @@ object SparkEntry {
           |  FROM r WHERE rn <= 24 GROUP BY 1)
           |SELECT event_type, n_kept,
           |  CASE WHEN kth IS NULL THEN n_kept
-          |       ELSE CAST(1657324662872342528 // (('0x' || kth)::BIGINT)
-          |         AS BIGINT)
+          |       ELSE CAST(1657324662872342528 //
+          |         greatest(('0x' || kth)::BIGINT, 1) AS BIGINT)
           |  END AS est_distinct
           |FROM kk ORDER BY event_type""".stripMargin) +
       ("q153_html_strip" ->

@@ -112,29 +112,39 @@ object Heuristics {
     * est = (k−1) · 2^56 DIV kth-smallest-hash — all-integer, no float
     * rounding to drift. Standard error ≈ 1/√(k−2).
     *
-    * Scale shape: one distinct-agg to (key, hash) — narrow, the only
-    * corpus-sized exchange — then a per-key window over ordered hashes
-    * cut at rank k (the sketch frame is ≤ k rows per key from there).
-    * k ≤ 64 keeps (k−1)·2^56 inside a BIGINT.
+    * Scale shape: ONE partial-aggregating exchange. The k smallest
+    * distinct hashes per key accumulate in a bounded
+    * [[graft.functions.KMinValuesAggregator]] buffer, so map-side
+    * combine ships ≤ k rows per key per map task — independent of the
+    * key's true cardinality. (The previous `distinct()` + per-key
+    * `row_number` window shuffled the ENTIRE distinct hash set and
+    * sorted each key's full set in one task — a hot key with 10⁹
+    * distinct values would land 10⁹ rows on one reducer, the exact
+    * skew profile the sketch exists to avoid. PlanAuditSpec pins the
+    * no-Window shape; SkewSpec pins the bounded shuffle payload via
+    * task metrics.) k ≤ 64 keeps (k−1)·2^56 inside a BIGINT. The
+    * divisor is floored at 1: an all-zero 56-bit hash prefix
+    * (probability ≈ 2⁻⁵⁶ per key) must not divide by zero — Spark
+    * non-ANSI would yield NULL where the DuckDB mirror errors.
     *
     * Output: (key, n_kept, est_distinct) — n_kept = min(k, exact). */
   def kmvDistinct(df: DataFrame, key: Column, value: Column,
       k: Int = 32): DataFrame = {
     require(k >= 3 && k <= 64, "k must be in [3, 64]")
     val num = (k - 1).toLong * 72057594037927936L // (k-1) * 2^56
-    val hashes = df.select(key.as("key"),
+    val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
+    df.select(key.as("key"),
         substring(md5(value.cast("string")), 1, 14).as("h"))
       .filter(col("h").isNotNull) // null values are not set members
-      .distinct()
-    val w = Window.partitionBy(col("key")).orderBy(col("h"))
-    val kept = hashes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-    kept.groupBy(col("key"))
-      .agg(count(lit(1)).as("n_kept"),
-        max(when(col("rn") === k, col("h"))).as("kth"))
+      .groupBy(col("key"))
+      .agg(kmin(col("h")).as("mins"))
+      .select(col("key"),
+        size(col("mins.items")).cast("long").as("n_kept"),
+        try_element_at(col("mins.items"), lit(k)).as("kth"))
       .select(col("key"), col("n_kept"),
         when(col("kth").isNull, col("n_kept"))
-          .otherwise(expr(s"$num DIV CAST(conv(kth, 16, 10) AS BIGINT)"))
+          .otherwise(expr(
+            s"$num DIV greatest(CAST(conv(kth, 16, 10) AS BIGINT), 1L)"))
           .as("est_distinct"))
   }
 

@@ -142,6 +142,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch is a bounded partial aggregate, not a window rank") {
+    // the k-min-values buffer must partial-aggregate map-side (<= k
+    // hashes per key per map task reach the shuffle) — the old
+    // distinct() + row_number window shuffled the ENTIRE distinct
+    // hash set and sorted each key's full set in one reducer task,
+    // the exact skew profile the sketch exists to avoid
+    val df = SparkEntry.queries("q154_kmv_distinct")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("window"),
+      s"q154: window rank in optimized plan:\n$opt")
+    val p = plan(df)
+    assert(!p.contains("Window"), s"q154: Window node in physical plan:\n$p")
+    // typed Aggregator with a product buffer -> ObjectHashAggregate,
+    // with an explicit partial_ (map-side combine) pass
+    assert(p.contains("ObjectHashAggregate"),
+      s"q154: no object hash aggregate:\n$p")
+    assert(p.contains("partial_"), s"q154: no partial aggregation:\n$p")
+  }
+
   private def assertThinCandidateExchanges(queryName: String): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType

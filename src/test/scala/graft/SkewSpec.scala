@@ -75,6 +75,45 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvDistinct bounds the shuffle payload at a hot key (task metrics)") {
+    // a 32x-hot key with 3200 DISTINCT values spread over 8 map
+    // partitions: the bounded k-min aggregator must ship <= k buffer
+    // rows per partition to the reducer (here <= 8 buffers of <= 8
+    // hashes), where the old distinct() + row_number window form
+    // shipped all 3200 distinct hashes into one reducer task. AQE off
+    // so the raw exchange write metric is the map-side output.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val big = (0 until 3200).map(i => ("hot", s"u$i"))
+        .toDF("key", "v").repartition(8)
+      val out = graft.operators.Heuristics
+        .kmvDistinct(big, col("key"), col("v"), k = 8)
+      val rows = out.collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("n_kept") == 8L)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // the aggregate exchange is the one hash-partitioned on `key`
+      // (repartition(8) is round-robin); its write payload must be
+      // bounded by partitions-not-rows
+      val aggEx = shuffles.filter(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).toSet == Set("key")
+        case _ => false
+      })
+      assert(aggEx.nonEmpty, s"no key-partitioned exchange:\n$shuffles")
+      val written = aggEx.map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(written <= 8L,
+        s"partial aggregation must bound the hot key's shuffle payload " +
+          s"at one buffer per map partition; wrote $written rows (the " +
+          s"window form would write 3200)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("saltedJoin refuses inputs that already carry a _salt column") {
     // withColumn would silently overwrite (and drop would erase) a
     // caller's _salt data — the contract is refuse, never corrupt
