@@ -47,7 +47,7 @@ object CustomsPipeline {
       lit(keyKind).as("key_kind"),
       col("key").cast("string").as("key"),
       col("n").cast("long").as("count"),
-      col("window_start_ms"))
+      col("window_start_ms").as("alert_ts_ms"))
 
   def analyze(lines: Dataset[String], cfg: Config = Config()): DataFrame = {
     val fxa = parsedFxa(lines)
@@ -191,7 +191,7 @@ object CustomsPipeline {
         lit(keyKind).as("key_kind"),
         key.cast("string").as("key"),
         n.cast("long").as("count"),
-        windowMs.cast("long").as("window_start_ms"))
+        windowMs.cast("long").as("alert_ts_ms"))
 
     val isStatusCheck = col("summary").isin(
       "accountStatusCheckSuccess", "accountStatusCheckBlocked")
@@ -219,7 +219,7 @@ object CustomsPipeline {
           minVarianceClients = cfg.minVarianceClients),
         "account_enumeration", "sourceaddress", col("src"),
         col("n_emails"), col("latest_ts_ms")),
-      timestamp_millis(col("window_start_ms")), col("key"),
+      timestamp_millis(col("alert_ts_ms")), col("key"),
       col("count"), expirySeconds = 600)
 
     val srcFailDist = alert(CustomsDetectors.sourceLoginFailureDist(
@@ -281,7 +281,7 @@ object CustomsPipeline {
             lit("warn").as("severity"), lit("uid").as("key_kind"),
             col("uid").cast("string").as("key"),
             col("km_centi").cast("long").as("count"),
-            col("ts_ms").cast("long").as("window_start_ms")))
+            col("ts_ms").cast("long").as("alert_ts_ms")))
     }
 
     val base = enumeration.unionByName(srcFailDist).unionByName(summary)
@@ -309,7 +309,7 @@ object CustomsPipeline {
       lit(keyKind).as("key_kind"),
       key.cast("string").as("key"),
       n.cast("long").as("count"),
-      wms.cast("long").as("window_start_ms"))
+      wms.cast("long").as("alert_ts_ms"))
 
   /** The continuous form of [[analyzeFull]]: the reference's streaming
     * Customs deployment runs every detector off ONE parse
@@ -318,9 +318,10 @@ object CustomsPipeline {
     *
     *  - per-class summary counts (15m windowed aggregate);
     *  - source-login-failure-distributed (windowed aggregate per
-    *    account; distinct sources via the bounded HLL sketch, exact in
-    *    the single-digit-threshold regime — same contract as the NAT
-    *    signal in HttpRequestPipeline.analyzeStreamFull);
+    *    account; distinct sources counted EXACTLY via collect_set, so
+    *    the gate and the alert count agree with the batch twin at the
+    *    threshold boundary — HLL++ has no sparse mode, and the
+    *    suppression/count parity contract is exact);
     *  - the stateless status-comparator and monitored-activity
     *    broadcast joins (stream-static, no state).
     *
@@ -358,11 +359,17 @@ object CustomsPipeline {
       "summary", "class", col("class"), col("n"),
       unix_millis(col("window.start")))
 
+    // EXACT distinct sources (collect_set), not HLL++: the alert's
+    // count column and the >= threshold gate must agree with the
+    // batch twin's countDistinct at the boundary (Spark's HLL++ has
+    // no sparse mode, so even single-digit cardinalities can carry
+    // error). State per (window, email) is the distinct-src set —
+    // bounded by the attack fan-out, the quantity being measured
     val srcFailDist = streamAlert(
       fxa.filter(col("summary") === "loginFailure" && col("email").isNotNull)
         .groupBy(window(col("timestamp"), cfg.window), col("email"))
         .agg(count(lit(1)).as("n_failures"),
-          approx_count_distinct(col("src"), 0.01).as("n_src"))
+          size(collect_set(col("src"))).cast("long").as("n_src"))
         .filter(col("n_failures") >= cfg.srcFailDistThreshold &&
           col("n_src") >= cfg.srcFailDistThreshold),
       "source_login_failure_distributed", "email", col("email"),
@@ -392,8 +399,10 @@ object CustomsPipeline {
     * threshold stream's mean join). Auth and content events merge
     * into ONE keyed aggregate (the per-src content-presence flag
     * rides the same state as the enumeration counters); distinct
-    * emails/paths use the bounded sketch, exact at threshold scale.
-    * `onAlerts` receives each finalized batch's alert rows.
+    * emails are counted EXACTLY (collect_set) and the single-endpoint
+    * gate runs as a constant-state min==max equality, so every gate
+    * and the emitted count agree with the batch twin at the threshold
+    * boundary. `onAlerts` receives each finalized batch's alert rows.
     *
     * `statePath`, when set, makes the suppression gate RESTART-SAFE:
     * the (key → lastTs, lastCount) map is snapshotted to parquet
@@ -467,9 +476,20 @@ object CustomsPipeline {
       .groupBy(window(col("timestamp"), cfg.window), col("src"))
       .agg(
         count(when(col("is_sc"), 1)).as("n_checks"),
-        approx_count_distinct(col("path"), 0.01).as("n_paths"),
-        approx_count_distinct(when(col("is_sc"), col("email")), 0.01)
-          .as("n_emails"),
+        // the single-endpoint gate only asks whether distinct paths
+        // == 1, which min == max answers EXACTLY in constant state
+        // (countDistinct(path) = 1 iff >= 1 non-null path and
+        // min == max) — no sketch tolerance at the sharpest gate
+        (count(col("path")) > 0 &&
+          min(col("path")) === max(col("path")))
+          .as("single_path"),
+        // EXACT distinct emails, not HLL++: the alert count feeds the
+        // emit-on-count-change suppressor and the >= threshold gate,
+        // both of which must agree with the batch twin at the
+        // boundary. State per (window, src) is the distinct-email
+        // set — the enumeration being measured
+        size(collect_set(when(col("is_sc"), col("email"))))
+          .cast("long").as("n_emails"),
         max(when(col("is_content"), 1).otherwise(0)).as("has_content"),
         // the reference's alert stamp: latest qualifying status-check
         // event (CustomsAccountEnumeration.java:138) — the suppression
@@ -477,7 +497,7 @@ object CustomsPipeline {
         unix_millis(max(when(col("is_sc"), col("timestamp"))))
           .as("latest_ts_ms"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
-        col("src"), col("n_checks"), col("n_paths"), col("n_emails"),
+        col("src"), col("n_checks"), col("single_path"), col("n_emails"),
         col("has_content"), col("latest_ts_ms"))
     perSrc.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -492,7 +512,7 @@ object CustomsPipeline {
         val alerts = streamAlert(
           b.filter(col("has_content") === 0 &&
               col("n_checks") >= cfg.enumerationThreshold &&
-              col("n_paths") === 1 &&
+              col("single_path") &&
               col("n_emails") >= cfg.enumerationThreshold)
             .join(broadcast(qualifying), Seq("window_start_ms"), "left_semi"),
           "account_enumeration", "sourceaddress", col("src"),
@@ -501,7 +521,7 @@ object CustomsPipeline {
         // suppressCountGate: emit iff no state, strictly past expiry,
         // or the count changed; overwrite state on every emission.
         // The clock is the alert's latest-qualifying-event stamp
-        // (window_start_ms carries it, exactly like the batch twin)
+        // (alert_ts_ms carries it, exactly like the batch twin)
         val rows = alerts.collect()
         val wstarts = batch.toDF().agg(max(col("window_start_ms")))
           .collect().headOption.flatMap(r =>
@@ -509,11 +529,11 @@ object CustomsPipeline {
         val (survivors, changed) = suppressState.synchronized {
           val before = suppressState.size
           val kept = rows.sortBy(r => (r.getAs[String]("key"),
-              r.getAs[Long]("window_start_ms"),
+              r.getAs[Long]("alert_ts_ms"),
               r.getAs[Long]("count")))
             .filter { r =>
               val (k, t, c) = (r.getAs[String]("key"),
-                r.getAs[Long]("window_start_ms"), r.getAs[Long]("count"))
+                r.getAs[Long]("alert_ts_ms"), r.getAs[Long]("count"))
               val emit = suppressState.get(k) match {
                 case None => true
                 case Some((st, sc)) => t - st > expiryMs || sc != c

@@ -85,7 +85,7 @@ class FullPipelineSpec extends AnyFunSuite {
         CustomsPipeline.FullConfig(enumerationThreshold = 5,
           minVarianceClients = 3)).collect()
       .filter(_.getAs[String]("subcategory") == "account_enumeration")
-      .map(r => (r.getAs[Long]("window_start_ms"), r.getAs[Long]("count")))
+      .map(r => (r.getAs[Long]("alert_ts_ms"), r.getAs[Long]("count")))
       .toSet
     // w0 (n=5, latest event t+4) emits; w1 (n=6, latest t+605) emits —
     // count changed (the 601s gap is also strictly past expiry); w2
@@ -113,7 +113,7 @@ class FullPipelineSpec extends AnyFunSuite {
           CustomsPipeline.FullConfig(enumerationThreshold = 5,
             minVarianceClients = 3)).collect()
         .filter(_.getAs[String]("subcategory") == "account_enumeration")
-        .map(r => (r.getAs[Long]("window_start_ms"),
+        .map(r => (r.getAs[Long]("alert_ts_ms"),
           r.getAs[Long]("count"))).toSet
     // RE-EMIT case: w0's latest event at t+30, w1's at t+1190 — same
     // 5-email count, but the 1160s gap is strictly past the 600s
@@ -197,7 +197,7 @@ class FullPipelineSpec extends AnyFunSuite {
     val atRisk = alerts.filter(_.getAs[String]("subcategory") ==
       "login_failure_at_risk_account")
     assert(atRisk.map(_.getAs[String]("key")).toSet == Set("flagged@x.com"))
-    assert(atRisk.map(_.getAs[Long]("window_start_ms")).toSet ==
+    assert(atRisk.map(_.getAs[Long]("alert_ts_ms")).toSet ==
       Set((t + 100) * 1000L, (t + 200) * 1000L))
     // the streaming at-risk kernel over the equivalent flag/fail event
     // stream emits the same (account, ts) alert set
@@ -212,7 +212,7 @@ class FullPipelineSpec extends AnyFunSuite {
     val streamed = Streaming.atRiskAccounts(ev).collect()
     assert(streamed.map(a => (a.key, a.tsUs / 1000)).toSet ==
       atRisk.map(r => (r.getAs[String]("key"),
-        r.getAs[Long]("window_start_ms"))).toSet)
+        r.getAs[Long]("alert_ts_ms"))).toSet)
   }
 
   test("authprofile state analysis + crit objects end to end") {

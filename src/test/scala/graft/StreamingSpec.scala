@@ -1011,7 +1011,7 @@ class StreamingSpec extends AnyFunSuite {
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val eq = CustomsPipeline.enumerationAlertStream(in.toDS(), cfg,
         watermarkDelay = "30 seconds") { df =>
-      val rows = df.select(col("window_start_ms"), col("count"))
+      val rows = df.select(col("alert_ts_ms"), col("count"))
         .as[(Long, Long)].collect()
       got.synchronized { got ++= rows }
     }.start()
@@ -1021,7 +1021,7 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = got.synchronized(got.toSet)
       val batch = CustomsPipeline.analyzeFull((all :+ pusher).toDS(), cfg)
         .filter(col("subcategory") === "account_enumeration")
-        .select(col("window_start_ms"), col("count"))
+        .select(col("alert_ts_ms"), col("count"))
         .as[(Long, Long)].collect().toSet
       // stamps are the LATEST qualifying event per window (ref
       // CustomsAccountEnumeration.java:138): w0 latest t+4, w2 latest
@@ -1030,6 +1030,82 @@ class StreamingSpec extends AnyFunSuite {
         ((t + 1205) * 1000L, 6L)))
       assert(batch == streamed)
     } finally eq.stop()
+  }
+
+  test("streaming distinct-count gates are exact at the threshold " +
+      "boundary: exactly-threshold emits with the exact count, " +
+      "threshold-minus-one stays silent — both agreeing with the " +
+      "batch twin (no sketch tolerance)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.CustomsPipeline
+    val cfg = CustomsPipeline.FullConfig(enumerationThreshold = 5,
+      minVarianceClients = 1, srcFailDistThreshold = 3)
+    val t = 1700000000L
+    def authLine(tt: Long, path: String, status: Int, email: String,
+        addr: String, errno: Int = 0): String = {
+      val iso = java.time.Instant.ofEpochSecond(tt).toString
+      s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+        s""""agent":"m","email":"$email","errno":$errno,"method":"post",""" +
+        s""""op":"request.summary","path":"$path",""" +
+        s""""remoteAddressChain":"[\\"$addr\\"]","service":"sync",""" +
+        s""""status":$status,"t":12,"uid":"u"},"Logger":"fxa-auth-server",""" +
+        s""""Pid":1,"Severity":6,"Timestamp":${tt}000000000,""" +
+        s""""Type":"request.summary"},"timestamp":"$iso"}"""
+    }
+    def contentLine(tt: Long): String =
+      s"""{"Timestamp":${tt}000000000,"Type":"request","Logger":"fxa-content-server",""" +
+        s""""Hostname":"h","Fields":{"clientaddress":"7.7.7.7","path":"/s",""" +
+        s""""method":"get","status":200}}"""
+    val lines: Seq[String] =
+      // src A: 5 status checks, EXACTLY 5 distinct emails -> alert 5
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"a$i@x.com", "6.6.6.6")) ++
+      // src B: 5 status checks but only 4 distinct emails -> silent
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"b${math.min(i, 3)}@x.com", "6.6.6.7")) ++
+      Seq(contentLine(t)) ++
+      // email X: 3 failures from EXACTLY 3 distinct srcs -> alert 3
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", 400,
+        "x@x.com", s"1.2.3.$i", errno = 103)) ++
+      // email Y: 3 failures from only 2 distinct srcs -> silent
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", 400,
+        "y@x.com", s"1.2.4.${math.min(i, 1)}", errno = 103))
+    val pusher = authLine(t + 7200, "/v1/account/status", 200,
+      "z@x.com", "3.3.3.3")
+    def alertSet(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[String]("subcategory"), r.getAs[String]("key"),
+        r.getAs[Long]("count"))).toSet
+    val expected = Set(
+      ("account_enumeration", "6.6.6.6", 5L),
+      ("source_login_failure_distributed", "x@x.com", 3L))
+    // streaming: enumeration sibling + the unioned stream
+    val in = MemoryStream[String]
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val eq = CustomsPipeline.enumerationAlertStream(in.toDS(), cfg,
+        watermarkDelay = "30 seconds") { df =>
+      val rows = df.collect(); got.synchronized { got ++= rows }
+    }.start()
+    val q = CustomsPipeline.analyzeStreamFull(in.toDS(), cfg,
+        watermarkDelay = "30 seconds")
+      .writeStream.format("memory").queryName("boundarye2e")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(lines: _*); eq.processAllAvailable(); q.processAllAvailable()
+      in.addData(pusher); eq.processAllAvailable(); q.processAllAvailable()
+      val streamed = alertSet(got.synchronized(got.toSeq)) ++
+        alertSet(spark.table("boundarye2e")
+          .filter(col("subcategory").isin("account_enumeration",
+            "source_login_failure_distributed")).collect().toSeq)
+      assert(streamed == expected, s"streamed $streamed")
+      // batch twin over the same accepted lines: identical decisions
+      val batch = alertSet(CustomsPipeline.analyzeFull(
+          (lines :+ pusher).toDS(), cfg).collect().toSeq
+        .filter(r => Set("account_enumeration",
+          "source_login_failure_distributed")
+          .contains(r.getAs[String]("subcategory"))))
+      assert(batch == expected, s"batch $batch")
+    } finally { eq.stop(); q.stop() }
   }
 
   test("streaming enumeration suppression survives a query restart when " +
@@ -1071,7 +1147,7 @@ class StreamingSpec extends AnyFunSuite {
       val eq = CustomsPipeline.enumerationAlertStream(in.toDS(), cfg,
           watermarkDelay = "30 seconds",
           statePath = Some(statePath)) { df =>
-        val rows = df.select(col("window_start_ms"), col("count"))
+        val rows = df.select(col("alert_ts_ms"), col("count"))
           .as[(Long, Long)].collect()
         got.synchronized { got ++= rows }
       }.start()
@@ -1181,7 +1257,7 @@ class StreamingSpec extends AnyFunSuite {
     val eq = CustomsPipeline.enumerationAlertStream(lines, cfg,
         watermarkDelay = "30 seconds") { df =>
       val rows = df.select(col("subcategory"), col("key"), col("count"),
-          coalesce(col("window_start_ms"), lit(-1L)))
+          coalesce(col("alert_ts_ms"), lit(-1L)))
         .as[(String, String, Long, Long)].collect()
       enumRows.synchronized { enumRows ++= rows }
     }.start()
@@ -1199,7 +1275,7 @@ class StreamingSpec extends AnyFunSuite {
       }
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select(col("subcategory"), col("key"), col("count"),
-            coalesce(col("window_start_ms"), lit(-1L)))
+            coalesce(col("alert_ts_ms"), lit(-1L)))
           .as[(String, String, Long, Long)].collect().toSet
       val gotAlerts = rows(spark.table("customse2e")) ++
         rows(spark.table("customsatrisk")) ++
