@@ -3171,10 +3171,11 @@ object SparkEntry {
         |  SELECT doc_id, class, ROW_NUMBER() OVER (
         |    PARTITION BY doc_id ORDER BY score DESC, class) rn FROM s)
         |  WHERE rn = 1),
-        |d AS (SELECT md5(text) h, min(doc_id) cid, count(*) n_copies
+        |d AS (SELECT md5(nfc_normalize(text)) h, min(doc_id) cid,
+        |    count(*) n_copies
         |  FROM documents GROUP BY 1),
         |surv AS (SELECT doc_id, n_copies FROM documents
-        |  JOIN d ON md5(text) = h AND doc_id = cid)
+        |  JOIN d ON md5(nfc_normalize(text)) = h AND doc_id = cid)
         |SELECT doc_id, pred_class, n_tokens, n_copies
         |FROM ok JOIN cls USING (doc_id) JOIN surv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

@@ -1239,7 +1239,13 @@ object TextAnalysis {
     require(buckets >= 2, "need at least 2 grid buckets")
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
       "quantiles must be in [1,100]")
+    // null values (or values that cast to null) are excluded up
+    // front — [[globalRank]]'s null contract: without this, count()
+    // counts null rows into n_rows while min/max/sum ignore them AND
+    // the nulls land in the bucket histogram as a null bucket,
+    // skewing the Type-1 selection against mean/cum
     val v = df.select(stratum.as("stratum"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val bounds = v.groupBy(col("stratum"))
       .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"),
         count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
@@ -1306,6 +1312,11 @@ object TextAnalysis {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(buckets >= 2, "need at least 2 grid buckets")
+    // identifier safety, same contract as rankFusion's signal-name
+    // require: withColumn("__v") would silently OVERWRITE a caller
+    // column of that name, and the output `rank` would shadow one
+    require(!df.columns.contains("__v") && !df.columns.contains("rank"),
+      "input must not contain reserved columns __v / rank")
     val none = org.apache.spark.storage.StorageLevel.NONE
     val base0 = df.withColumn("__v", value.cast("long"))
     val base = if (storage == none) base0 else base0.persist(storage)

@@ -22,7 +22,16 @@ object CorpusPipeline {
 
   /** Curate: quality-passing, deduplicated documents with their
     * predicted class. Output: (doc_id, pred_class, n_tokens,
-    * n_copies) — one row per surviving document. */
+    * n_copies) — one row per surviving document.
+    *
+    * The exact stage hashes the NFC-canonical text ([[Dedup
+    * .unicodeDedup]]'s discipline, and the same hash the streaming
+    * exact screen uses in [[curateStream]]/[[ingestStream]]): a
+    * composed/decomposed unicode twin collapses to one survivor in
+    * batch exactly as it would in the stream — batch ≡ streaming
+    * parity on the repo's own canonicalization rule. ASCII text is
+    * NFC-invariant, so ASCII corpora hash identically to the raw
+    * form. */
   def curate(df: DataFrame, id: Column, text: Column,
       markers: Map[String, Seq[String]]): DataFrame = {
     val quality = TextAnalysis.qualityScore(df, id, text)
@@ -30,9 +39,10 @@ object CorpusPipeline {
       .select(col("doc_id"), col("n_tokens"))
     val classed = TextAnalysis.classifyByMarkers(df, id, text, markers)
       .select(col("doc_id"), col("pred_class"))
+    val canon = graft.functions.Functions.unicodeNormalize(text, "NFC")
     val survivors = df
-      .select(id.as("doc_id"), md5(text).as("text_hash"))
-      .join(Dedup.exactDedup(df, id, text), Seq("text_hash"))
+      .select(id.as("doc_id"), md5(canon).as("text_hash"))
+      .join(Dedup.exactDedup(df, id, canon), Seq("text_hash"))
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"), col("n_copies"))
     quality.join(classed, Seq("doc_id"))
@@ -226,18 +236,22 @@ object CorpusPipeline {
     * live document stream (the shape of a crawl-ingest pipeline that
     * cleans as it lands rather than in a nightly batch):
     *
-    *  1. PII scrub FIRST — a map-only projection, so redacted text is
-    *     the only text any later stage (or state store) ever holds;
+    *  1. PII scrub — a map-only projection, so redacted text is the
+    *     only text any later stage (or state store) ever holds;
     *  2. quality gate ([[TextAnalysis.qualityOk]] — the batch gate's
     *     thresholds, by construction) plus, when `bannedTerms` is
     *     non-empty, the one-pass Aho–Corasick blocklist screen
     *     ([[graft.functions.MultiContainsExpr]] over the case-folded
-    *     text — the batch [[TextAnalysis.bannedTermScreen]] semantics,
-    *     fused into the same stream scan);
+    *     PRE-scrub text, so a term overlapping a PII span flags here
+    *     exactly as in the batch [[TextAnalysis.bannedTermScreen]];
+    *     both screens fuse into the same stream scan — conjunctive
+    *     stateless filters, order-free for the output set);
     *  3. exact dedup within the watermark
-    *     ([[graft.streaming.Streaming.dedupStream]]:
-    *     `dropDuplicatesWithinWatermark` on the content hash — state
-    *     is one md5 per kept doc and ages out with the watermark).
+    *     ([[graft.streaming.Streaming.dedupStream]] on the md5 of the
+    *     NFC-canonical scrubbed text — the batch [[curate]] /
+    *     [[ingestStream]] canonicalization, so unicode twins dedup
+    *     identically in every path; state is one md5 per kept doc and
+    *     ages out with the watermark).
     *
     * Emits an append stream of (ts, doc_id, scrubbed) — every row is
     * quality-passing, PII-redacted and the first copy of its content
@@ -258,16 +272,28 @@ object CorpusPipeline {
       case (t, (name, pat)) =>
         regexp_replace(t, pat, s"[${name.toUpperCase}]")
     }
-    val clean = docs.select(col(tsName), id.as("doc_id"),
-        scrubbed.as("scrubbed"))
-      .filter(TextAnalysis.qualityOk(col("scrubbed")))
-    val base =
-      if (bannedTerms.isEmpty) clean
-      else clean.filter(size(graft.functions.Functions.multiContains(
-        lower(col("scrubbed")),
-        bannedTerms.map(_.toLowerCase(java.util.Locale.ROOT)))) === 0)
+    // the blocklist screens the PRE-scrub text (post-markup-strip),
+    // exactly like the batch [[TextAnalysis.bannedTermScreen]]: a
+    // banned term that overlaps a PII span (e.g. one containing an
+    // email address) must flag here as it does in batch — screening
+    // the scrubbed text would let it slip through the redaction
+    val bannedHit =
+      if (bannedTerms.isEmpty) lit(false)
+      else size(graft.functions.Functions.multiContains(
+        lower(cleaned),
+        bannedTerms.map(_.toLowerCase(java.util.Locale.ROOT)))) > 0
+    val base = docs.select(col(tsName), id.as("doc_id"),
+        scrubbed.as("scrubbed"), bannedHit.as("__banned"))
+      .filter(!col("__banned") && TextAnalysis.qualityOk(col("scrubbed")))
+      .drop("__banned")
+    // the dedup hash is the NFC-canonical text — the same
+    // canonicalization the batch [[curate]] exact stage and the
+    // [[ingestStream]] index use, so a composed/decomposed unicode
+    // twin dedups identically in every path
     graft.streaming.Streaming
-      .dedupStream(base, tsName, col("scrubbed"), watermarkDelay)
+      .dedupStream(base, tsName,
+        graft.functions.Functions.unicodeNormalize(col("scrubbed")),
+        watermarkDelay)
       .select(col(tsName), col("doc_id"), col("scrubbed"))
   }
 
@@ -288,7 +314,13 @@ object CorpusPipeline {
     *     content hash admits the twin. ASCII text is NFC-invariant
     *     (the isNormalized fast path returns the string unchanged), so
     *     ASCII-corpus indexes built before this screen hash
-    *     identically and stay valid;
+    *     identically and stay valid. INDEX-FORMAT NOTE: this is a
+    *     format change against indexes written by the pre-NFC screen
+    *     (raw md5) — a pre-existing index whose entries contain
+    *     non-ASCII text no longer matches those docs' new hashes, so
+    *     each such doc would be re-admitted ONCE (and indexed under
+    *     the canonical hash from then on). Rebuild non-ASCII indexes
+    *     when upgrading, or accept the one-time re-admission;
     *  2. NEAR (banded minhash, `minEstJaccard`) — whole-doc
     *     similarity;
     *  3. CHUNK (content-defined gear chunks, [[Dedup.gearChunks]],

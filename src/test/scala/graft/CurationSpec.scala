@@ -68,4 +68,51 @@ class CurationSpec extends AnyFunSuite {
       Seq("tracker.net"))).queryExecution.executedPlan.toString
     assert(!p2.contains("Exchange"), s"predicate form must be map-only:\n$p2")
   }
+
+  test("composed/decomposed unicode twins collapse to ONE survivor in " +
+      "BOTH curation paths — batch curate and curateStream hash the " +
+      "same NFC-canonical text") {
+    import spark.implicits._
+    import graft.pipelines.CorpusPipeline
+    // byte-distinct, NFC-canonically identical (explicit \u escapes —
+    // the two forms render identically in any editor)
+    val composed = "le caf\u00e9 r\u00e9sum\u00e9 sits beside the " +
+      "na\u00efve river while seventeen violinists rehearse quietly"
+    val decomposed = "le cafe\u0301 re\u0301sume\u0301 sits beside the " +
+      "nai\u0308ve river while seventeen violinists rehearse quietly"
+    assert(composed != decomposed)
+    val other = "a completely different prose passage with the usual " +
+      "stopwords and enough tokens to clear the quality gate"
+    val markers = Map("x" -> Seq("river"), "y" -> Seq("prose"))
+
+    // batch: the twin pair is ONE exact-dup group (n_copies = 2, the
+    // smaller id canonical); the decomposed copy is not a survivor
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, other))
+      .toDF("doc_id", "text")
+    val batch = CorpusPipeline.curate(docs, col("doc_id"), col("text"),
+        markers).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(batch == Map(1L -> 2L, 3L -> 1L), s"batch $batch")
+
+    // streaming: the decomposed twin arrives later and is dropped by
+    // the watermarked exact screen, same decision as batch
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val q = CorpusPipeline.curateStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("doc_id"), col("_3").as("text")),
+        "ts", col("doc_id"), col("text"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("unitwins")
+      .outputMode("append").start()
+    try {
+      in.addData((1700000000L, 1L, composed),
+        (1700000010L, 2L, decomposed), (1700000020L, 3L, other))
+      q.processAllAvailable()
+      val streamed = spark.table("unitwins").select("doc_id")
+        .as[Long].collect().toSet
+      assert(streamed == Set(1L, 3L), s"streamed $streamed")
+    } finally q.stop()
+  }
 }
