@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   *  - embeddings: a per-copy cyclic shift of the vector components —
   *    the same idea in vector space, so intra-copy distances are
   *    untouched while cross-copy cosines fall to the random baseline.
+  *  - events: per-copy id-space striding of user_id/event_id with
+  *    timestamps, event types and values untouched — the honest
+  *    100 TB shape for the events family: more traffic means MORE
+  *    ACTORS with the same per-actor behavior, so keyed operators
+  *    (sessions per user, enumeration per source, suppression per
+  *    key) see k-fold key cardinality with identical per-key state
+  *    depth, while the per-event_type distinct sets (the KMV/HLL
+  *    sketch keys, which stay LOW-cardinality at any corpus size)
+  *    legitimately grow k-fold — exactly the hot-key regime the
+  *    bounded-aggregator claims are probed against.
   * Copy 0 is byte-identical to the source, so the 1x dir is the
   * original data re-laid-out by the same writer (like-for-like
   * timing).
@@ -130,5 +140,18 @@ object ScaleGen {
         col("label"))
       .repartition(2 * embK)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val ev = sources.Tables.events(spark, srcDir)
+    val evBounds = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+    require(evBounds.getLong(0) < stride && evBounds.getLong(1) < stride,
+      s"source event_id/user_id ${evBounds} >= copy stride $stride")
+    ev.crossJoin(copies)
+      .select(
+        (col("event_id") + col("copy") * stride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * stride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(4 * k)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 }

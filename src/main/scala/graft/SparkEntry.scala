@@ -2070,6 +2070,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: the FULL ingest gate stack as ONE composed
+    // selection — markup strip (q153's injection) -> Aho-Corasick
+    // blocklist -> NFC-canonical exact dedup (q147/q152's twin
+    // injection) -> quality gate -> systematic PPS draw over the
+    // survivors. The q152 scorecard pattern extended to SELECTION:
+    // what lands in the training mix after every r12 gate has run.
+    // Scale shape: three map-only projections fused into the scan
+    // (strip, automaton, NFC+md5), one 32-byte-hash aggregate, the
+    // survivor semi-join, then the PPS grid prefix-sum's two narrow
+    // exchanges — no corpus text ever shuffles
+    "q157_ingest_select" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def twin(offset: Long, prefix: String) =
+        base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(lit(prefix), col("text")).as("text"))
+      val d = base
+        .union(twin(300000L, "caf\u00e9 preface: "))
+        .union(twin(400000L, "cafe\u0301 preface: "))
+      val wrapped = when(col("doc_id") % 7 === 0,
+        concat(lit("<html><body class=\"x\"><p id='m'>"), col("text"),
+          lit(" &amp; more &amp;lt;kept&amp;gt;</p><!-- footer -->" +
+            "<script>var x = \"<p>\";</script></body></html>")))
+        .otherwise(col("text"))
+      val clean = d.select(col("doc_id"), wrapped.as("raw"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.stripHtml(col("raw")).as("text"))
+      val banned = operators.TextAnalysis.bannedTermScreen(clean,
+          col("doc_id"), col("text"),
+          Seq("slow scan", "big query", "merge batch"))
+        .filter(col("flagged")).select(col("doc_id"))
+      // pass1 feeds BOTH the per-doc hash side and the dedup
+      // aggregate — Catalyst does not dedupe common subplans (the
+      // q126 funnel lesson), so without the persist the 3-scan union
+      // + strip chain + automaton evaluate twice
+      val pass1 = clean.join(banned, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val canon = functions.Functions.unicodeNormalize(col("text"))
+      val surv = pass1.select(col("doc_id"), col("text"),
+          md5(canon).as("text_hash"))
+        .join(Dedup.exactDedup(pass1, col("doc_id"), canon),
+          Seq("text_hash"))
+        .filter(col("doc_id") === col("canonical_id"))
+      val kept = surv
+        .filter(operators.TextAnalysis.qualityOk(col("text")))
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("wt0"))
+      Sampling.systematicPps(kept, col("doc_id"), col("wt0"), k = 30)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: per-source stop-word-permille quantiles —
     // the quality-threshold calibration view (where should the gate
     // sit for THIS source?), via the generalized integer-histogram
@@ -5326,6 +5377,82 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q157_ingest_select" ->
+        // the full ingest stack composed: q152's twin injection,
+        // q153's HTML injection + strip chain, the 3-phrase screen,
+        // the NFC-hash dedup, q64's quality thresholds, q156's PPS
+        // walk at k=30 — each CTE the independently-proven mirror
+        """WITH base AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 300000,
+          |    'caf' || chr(233) || ' preface: ' || text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |  UNION ALL SELECT doc_id + 400000,
+          |    'cafe' || chr(769) || ' preface: ' || text
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |raw AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN
+          |      '<html><body class="x"><p id=''m''>' || text ||
+          |      ' &amp; more &amp;lt;kept&amp;gt;</p><!-- footer -->' ||
+          |      '<script>var x = "<p>";</script></body></html>'
+          |    ELSE text END AS raw
+          |  FROM base),
+          |c AS (SELECT doc_id, trim(regexp_replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |      raw,
+          |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+          |      '(?s)<!--.*?-->', ' ', 'g'),
+          |      '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<', 'g'),
+          |      '&gt;', '>', 'g'),
+          |      '&quot;', '"', 'g'),
+          |      '&#39;', '''', 'g'),
+          |      '&nbsp;', ' ', 'g'),
+          |      '&amp;', '&', 'g'),
+          |      '\s+', ' ', 'g')) AS text
+          |  FROM raw),
+          |p1 AS (SELECT doc_id, text FROM c
+          |  WHERE NOT (contains(lower(text), 'slow scan')
+          |    OR contains(lower(text), 'big query')
+          |    OR contains(lower(text), 'merge batch'))),
+          |d AS (SELECT md5(nfc_normalize(text)) h, min(doc_id) cid
+          |  FROM p1 GROUP BY 1),
+          |surv AS (SELECT p1.doc_id, p1.text FROM p1
+          |  JOIN d ON md5(nfc_normalize(p1.text)) = d.h
+          |    AND p1.doc_id = d.cid),
+          |w AS (SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+          |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+          |  FROM surv),
+          |q AS (SELECT doc_id, n_chars,
+          |    CAST(len(ws) AS BIGINT) n_tokens,
+          |    CAST(len(list_filter(ws,
+          |      t -> list_contains(['the','a','and','of','to','in'], t)))
+          |      AS BIGINT) n_stop
+          |  FROM w),
+          |ok AS (SELECT doc_id, n_tokens AS wt FROM q
+          |  WHERE n_tokens >= 10
+          |    AND n_stop / n_tokens >= 0.01 AND n_stop / n_tokens <= 0.6
+          |    AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0),
+          |wp AS (SELECT * FROM ok WHERE wt > 0),
+          |cm AS (SELECT doc_id, wt,
+          |    COALESCE(SUM(wt) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cb,
+          |    SUM(wt) OVER (ORDER BY doc_id) AS cum
+          |  FROM wp),
+          |p AS (SELECT greatest(CAST(SUM(wt) AS BIGINT) // 30, 1)
+          |    AS step FROM wp),
+          |p2 AS (SELECT step, (step + 1) // 2 AS off FROM p),
+          |n AS (SELECT doc_id, wt, cb, cum,
+          |    least(30, CASE WHEN cum < off THEN 0
+          |      ELSE (cum - off) // step + 1 END)
+          |    - least(30, CASE WHEN cb < off THEN 0
+          |      ELSE (cb - off) // step + 1 END) AS nc
+          |  FROM cm, p2)
+          |SELECT doc_id, wt, CAST(cb AS BIGINT) AS cum_before,
+          |  CAST(nc AS BIGINT) AS n_copies
+          |FROM n WHERE nc >= 1 ORDER BY doc_id""".stripMargin) +
       ("q156_systematic_pps" ->
         // DuckDB SUM(BIGINT) widens to HUGEINT — cast the outputs
         // back; all operands non-negative so // == DIV

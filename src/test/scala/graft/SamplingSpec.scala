@@ -565,4 +565,47 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("rangepartitioning"), p)
   }
+
+  test("q157 composed ingest selection: draws exactly k, admits no " +
+      "banned doc, and never selects a decomposed twin whose composed " +
+      "sibling survived the strip identically") {
+    val sel = SparkEntry.queries("q157_ingest_select")(spark,
+        "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_copies")))
+    // the PPS draw is exactly k = 30 copies over the survivors
+    assert(sel.map(_._2).sum == 30L, s"sum ${sel.map(_._2).sum}")
+    // decomposed twins (+400000) are NFC-dups of their composed
+    // sibling (+300000) UNLESS the HTML injection wrapped exactly one
+    // of the pair (making post-strip texts differ): wrapped iff
+    // id % 7 == 0 (self) or (id - 100000) % 7 == 0 (sibling). Any
+    // other decomposed id surviving into the draw means the NFC
+    // dedup stage leaked
+    val leaked = sel.map(_._1)
+      .filter(i => i >= 400000L && i < 500000L)
+      .filterNot(i => i % 7 == 0 || (i - 100000) % 7 == 0)
+    assert(leaked.isEmpty, s"NFC-dup twins leaked into the draw: " +
+      leaked.mkString(","))
+    // and the blocklist gate held: recompute the screen over the
+    // selected ids' stripped text — zero hits
+    import org.apache.spark.sql.functions._
+    val ids = sel.map(_._1).toSet
+    val base = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 13 === 0)
+    val d = base
+      .union(twins.select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("caf\u00e9 preface: "), col("text")).as("text")))
+      .union(twins.select((col("doc_id") + 400000L).as("doc_id"),
+        concat(lit("cafe\u0301 preface: "), col("text")).as("text")))
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+    val hits = graft.operators.TextAnalysis.bannedTermScreen(
+        d.select(col("doc_id"),
+          graft.operators.TextAnalysis.stripHtml(col("text")).as("t")),
+        col("doc_id"), col("t"),
+        Seq("slow scan", "big query", "merge batch"))
+      .filter(col("flagged")).count()
+    assert(hits == 0L, "a banned doc reached the training draw")
+  }
 }

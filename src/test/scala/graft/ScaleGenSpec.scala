@@ -83,5 +83,35 @@ class ScaleGenSpec extends AnyFunSuite {
     val s2 = sortedSum(ge, 20000000L)
     assert(math.abs(s0 - s2) < 1e-3,
       "cyclic shift must preserve component sums (isometry)")
+    // events: 3x rows; copy 0 byte-identical; copies key-disjoint with
+    // identical per-copy behavior (timestamps/types/values untouched)
+    val sev = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val gev = spark.read.parquet(s"$out/events.parquet")
+    assert(gev.count() == 3 * sev.count())
+    val evMismatch = gev.filter(col("event_id") < 10000000L)
+      .select(col("event_id"), col("user_id").as("u2"),
+        col("event_type").as("et2"))
+      .join(sev.select(col("event_id"), col("user_id"), col("event_type")),
+        Seq("event_id"))
+      .filter(col("u2") =!= col("user_id") ||
+        col("et2") =!= col("event_type")).count()
+    assert(evMismatch == 0, "events copy 0 must be byte-identical")
+    // user key spaces are disjoint across copies...
+    val copyOfUser = (col("user_id") / 10000000L).cast("int")
+    assert(gev.select(copyOfUser.as("c")).distinct().count() == 3)
+    // ...while each copy carries the source's exact per-type activity
+    // (the event_type keys stay shared — the KMV/HLL hot-key regime)
+    val srcPerType = sev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val genPerType = gev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(genPerType == srcPerType.map { case (t, (n, u)) =>
+      t -> (3 * n, 3 * u) },
+      s"per-type mass and distinct users must scale exactly 3x: " +
+        s"$genPerType vs $srcPerType")
   }
 }

@@ -27,9 +27,11 @@ QUERIES="${4:-q16_ngram_jaccard,q17_minhash_lsh,q53_dedup_clusters,q76_cc_stars,
 
 for k in $SCALES; do
   dir="$OUT/${k}x"
-  # BOTH tables must exist — a crash between the two writes must not
-  # leave a half-corpus that every later run silently probes
-  if [ ! -d "$dir/documents.parquet" ] || [ ! -d "$dir/embeddings.parquet" ]; then
+  # ALL tables must exist — a crash between the writes must not
+  # leave a half-corpus that every later run silently probes (and a
+  # pre-r13 corpus without events.parquet regenerates)
+  if [ ! -d "$dir/documents.parquet" ] || [ ! -d "$dir/embeddings.parquet" ] \
+      || [ ! -d "$dir/events.parquet" ]; then
     echo "== scalegen ${k}x -> $dir =="
     rm -rf "$dir"
     # the embedding cyclic-shift isometry has period = vector dim
