@@ -2078,8 +2078,36 @@ object SparkEntry {
     // what lands in the training mix after every r12 gate has run.
     // Scale shape: three map-only projections fused into the scan
     // (strip, automaton, NFC+md5), one 32-byte-hash aggregate, the
-    // survivor semi-join, then the PPS grid prefix-sum's two narrow
-    // exchanges — no corpus text ever shuffles
+    // survivor join (the one exchange text may cross — zero when AQE
+    // broadcasts the narrow hash/canonical side, as it does at bench
+    // scale), then the PPS grid prefix-sum's two narrow exchanges —
+    // the rewriteCorpus discipline: text crosses at most ONE exchange
+    // §2.3 sketch algebra: KMV set-overlap — pairwise audience
+    // union/intersection/Jaccard estimates between event classes from
+    // ONE bounded sketch pass (the q154 machinery generalized to set
+    // operations; exact distinct-intersection would be a corpus
+    // self-join). Engine-exact: every estimate is a pure function of
+    // the k-min sketches, which DuckDB reproduces bit-for-bit
+    "q158_kmv_overlap" -> ((s, dir) => {
+      Heuristics.kmvOverlap(Tables.events(s, dir), col("event_type"),
+          col("user_id"), k = 24)
+        .withColumnRenamed("key_a", "type_a")
+        .withColumnRenamed("key_b", "type_b")
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // training-data ops: deterministic per-stratum uniform k-sample —
+    // the exact-k eval-set draw (k smallest id-hashes per source) via
+    // the bounded k-min aggregator instead of a per-stratum window
+    // rank (which would sort each full stratum in one reducer task)
+    "q159_hash_reservoir" -> ((s, dir) => {
+      Sampling.hashReservoir(Tables.documents(s, dir), col("source"),
+          col("doc_id"), k = 20)
+        .withColumnRenamed("stratum", "source")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("source"), col("rank"))
+    }),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5377,6 +5405,57 @@ object SparkEntry {
           |  1000000000 // (60 + rank_stop) AS rrf_score
           |FROM r ORDER BY doc_id""".stripMargin) +
       ("q150_kcenter_coreset" -> kCenterSql(6)) +
+      ("q158_kmv_overlap" ->
+        // same per-type k-min sketches as q154 (k=24, num=(k-1)*2^56);
+        // union sketch = rank over the two sketches' merged distinct
+        // hashes (k-min closure: the union's k smallest all lie in
+        // sketch(A) ∪ sketch(B)); cnt=2 marks hashes in both sketches
+        """WITH h AS (SELECT DISTINCT event_type,
+          |    substr(md5(CAST(user_id AS VARCHAR)), 1, 14) AS hh
+          |  FROM events WHERE user_id IS NOT NULL),
+          |rk AS (SELECT event_type, hh,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) rn
+          |  FROM h),
+          |sk AS (SELECT event_type, hh FROM rk WHERE rn <= 24),
+          |t AS (SELECT DISTINCT event_type FROM sk),
+          |p AS (SELECT a.event_type ta, b.event_type tb
+          |  FROM t a JOIN t b ON a.event_type < b.event_type),
+          |m AS (SELECT p.ta, p.tb, s.hh, COUNT(*) cnt
+          |  FROM p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+          |  GROUP BY 1, 2, 3),
+          |ru AS (SELECT ta, tb, hh, cnt,
+          |    ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hh) rn
+          |  FROM m),
+          |agg AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) n_union_kept,
+          |    MAX(CASE WHEN rn = 24 THEN hh END) kth,
+          |    CAST(COUNT(CASE WHEN cnt = 2 THEN 1 END) AS BIGINT) n_common
+          |  FROM ru WHERE rn <= 24 GROUP BY 1, 2),
+          |e AS (SELECT ta, tb, n_union_kept, n_common,
+          |    CASE WHEN kth IS NULL THEN n_union_kept
+          |         ELSE CAST(1657324662872342528 //
+          |           greatest(('0x' || kth)::BIGINT, 1) AS BIGINT)
+          |    END AS est_union
+          |  FROM agg)
+          |SELECT ta AS type_a, tb AS type_b, n_union_kept, n_common,
+          |  est_union,
+          |  CAST(est_union * n_common // n_union_kept AS BIGINT)
+          |    AS est_intersect,
+          |  CAST(n_common * 1000 // n_union_kept AS BIGINT)
+          |    AS jaccard_permille
+          |FROM e ORDER BY 1, 2""".stripMargin) +
+      ("q159_hash_reservoir" ->
+        // the reservoir key: 14-hex md5 prefix + '-' + zero-padded hex
+        // id — fixed width, so lexicographic order == (hash, id) order
+        // in both engines
+        """WITH h AS (SELECT source, doc_id,
+          |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) || '-' ||
+          |      lpad(hex(doc_id), 16, '0') AS hk
+          |  FROM documents),
+          |r AS (SELECT source, doc_id,
+          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk) rn
+          |  FROM h)
+          |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id
+          |FROM r WHERE rn <= 20 ORDER BY source, rank""".stripMargin) +
       ("q157_ingest_select" ->
         // the full ingest stack composed: q152's twin injection,
         // q153's HTML injection + strip chain, the 3-phrase screen,

@@ -148,6 +148,64 @@ object Heuristics {
           .as("est_distinct"))
   }
 
+  /** KMV set-overlap sketch — pairwise union / intersection / Jaccard
+    * estimates between every two keys' value sets, computed from the
+    * SAME bounded k-min sketches as [[kmvDistinct]] (one
+    * [[graft.functions.KMinValuesAggregator]] pass). The estimator is
+    * exact WITH RESPECT TO THE SKETCHES by the k-min closure property:
+    * the k smallest hashes of A∪B all lie in sketch(A) ∪ sketch(B),
+    * and a union-sketch member belonging to set A is necessarily in
+    * sketch(A) (fewer than k hashes of A precede it) — so Broder's
+    * J ≈ |union-sketch ∩ sketch(A) ∩ sketch(B)| / |union-sketch| is a
+    * pure function of the two sketches and therefore bit-identical in
+    * ANY engine with md5 (the DuckDB oracle reproduces every number,
+    * estimates included). est_intersect = est_union · n_common DIV
+    * n_union_kept keeps the whole pipeline in integer arithmetic.
+    *
+    * Scale shape: ONE bounded partial-aggregating exchange to |keys|
+    * sketch rows (≤ k hashes each); the pair math then runs on the
+    * tiny sketch frame (an explicit broadcast of one side — |keys|²/2
+    * pairs of ≤k-element arrays) and never touches the corpus again.
+    * Intended for low-cardinality key domains (event classes,
+    * languages, sources) where pairwise audience overlap is the
+    * question — the classic "which segments share users" view that
+    * exact distinct-intersection would price at a corpus self-join.
+    *
+    * Output: (key_a, key_b, n_union_kept, n_common, est_union,
+    * est_intersect, jaccard_permille) for key_a < key_b. */
+  def kmvOverlap(df: DataFrame, key: Column, value: Column,
+      k: Int = 32): DataFrame = {
+    require(k >= 3 && k <= 64, "k must be in [3, 64]")
+    val num = (k - 1).toLong * 72057594037927936L // (k-1) * 2^56
+    val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
+    val sketches = df.select(key.as("key"),
+        substring(md5(value.cast("string")), 1, 14).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("key"))
+      .agg(kmin(col("h")).as("mins"))
+      .select(col("key"), col("mins.items").as("items"))
+    val a = sketches.select(col("key").as("key_a"),
+      col("items").as("items_a"))
+    val b = sketches.select(col("key").as("key_b"),
+      col("items").as("items_b"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("items_a"), col("items_b"))),
+          1, k))
+      .withColumn("n_union_kept", size(col("u")).cast("long"))
+      .withColumn("n_common", size(array_intersect(col("u"),
+        array_intersect(col("items_a"), col("items_b")))).cast("long"))
+      .withColumn("kth", try_element_at(col("u"), lit(k)))
+      .withColumn("est_union",
+        when(col("kth").isNull, col("n_union_kept"))
+          .otherwise(expr(
+            s"$num DIV greatest(CAST(conv(kth, 16, 10) AS BIGINT), 1L)")))
+      .select(col("key_a"), col("key_b"), col("n_union_kept"),
+        col("n_common"), col("est_union"),
+        expr("est_union * n_common DIV n_union_kept").as("est_intersect"),
+        expr("n_common * 1000 DIV n_union_kept").as("jaccard_permille"))
+  }
+
   /** Per-key argmax: the attribute value with the highest count per key
     * (deterministic tie-break on the attribute value). Window-rank over
     * a pre-aggregated frame: the rank input is |keys × attrs|, not |rows|. */

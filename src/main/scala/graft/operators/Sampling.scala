@@ -443,6 +443,44 @@ object Sampling {
       .select(col("doc_id"), col("wt"), col("cum_before"), col("n_copies"))
   }
 
+  /** Deterministic per-stratum uniform k-sample ("hash reservoir") —
+    * the exact-k sibling of [[stratifiedSample]]'s rate-based filter
+    * and [[systematicPps]]'s weight-proportional draw: each stratum
+    * keeps the k rows with the SMALLEST md5 of their id, which is a
+    * uniform draw under the hash's permutation and a pure function of
+    * the data (no RNG state — the reproducibility contract every
+    * operator in this file carries). The classic form is `row_number()
+    * OVER (PARTITION BY stratum ORDER BY md5(id))` — which shuffles
+    * EVERY row to its stratum's reducer and sorts the full stratum in
+    * one task (a corpus-sized WindowExec on a hot stratum); here the
+    * bounded [[graft.functions.KMinValuesAggregator]] ships ≤ k
+    * entries per stratum per map task, the q154 shape fix applied to
+    * sampling. Each buffer entry encodes (hash, id) as a fixed-width
+    * sortable string — hash first, so order IS the sample order, and
+    * the zero-padded hex id both breaks ties deterministically and
+    * carries the id through the aggregation.
+    *
+    * Output: (stratum, rank, id) with rank 1..k in hash order —
+    * engine-portable (the DuckDB mirror is a plain window over the
+    * same key string). */
+  def hashReservoir(df: DataFrame, stratum: Column, id: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
+    val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
+    df.select(stratum.as("stratum"), id.cast("long").as("id"))
+      .filter(col("id").isNotNull)
+      .select(col("stratum"),
+        concat(substring(md5(col("id").cast("string")), 1, 14),
+          lit("-"), lpad(hex(col("id")), 16, "0")).as("hk"))
+      .groupBy(col("stratum"))
+      .agg(kmin(col("hk")).as("mins"))
+      .select(col("stratum"),
+        posexplode(col("mins.items")).as(Seq("pos", "item")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        expr("CAST(conv(substring(item, 16, 16), 16, 10) AS BIGINT)")
+          .as("id"))
+  }
+
   def mixtureInterleave(df: DataFrame, id: Column, stratum: Column,
       weightsPpm: Map[String, Long], defaultPpm: Long, nShards: Int,
       salt: String = "interleave"): DataFrame = {

@@ -131,4 +131,55 @@ class HttpHeuristicsSpec extends AnyFunSuite {
     assert(out("big")._2 > 150L && out("big")._2 < 1700L,
       s"estimate ${out("big")._2} for truth 500")
   }
+
+  test("kmvOverlap: driver-side sketch replay — union/common counts and " +
+      "integer estimates match, overlap ground truth bracketed") {
+    import spark.implicits._
+    import graft.operators.Heuristics
+    // sets: A = u0..u399, B = u200..u599 (overlap 200, union 600,
+    // true J = 1/3); C disjoint tiny set (exact path)
+    val rows = (0 until 400).map(i => ("A", s"u$i")) ++
+      (200 until 600).map(i => ("B", s"u$i")) ++
+      (0 until 5).map(i => ("C", s"z$i"))
+    val k = 16
+    val out = Heuristics.kmvOverlap(rows.toDF("t", "v"), col("t"),
+        col("v"), k = k)
+      .collect().map(r => (r.getAs[String]("key_a"),
+        r.getAs[String]("key_b")) ->
+        (r.getAs[Long]("n_union_kept"), r.getAs[Long]("n_common"),
+          r.getAs[Long]("est_union"), r.getAs[Long]("est_intersect"),
+          r.getAs[Long]("jaccard_permille"))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // independent replay in plain Scala: k smallest 14-hex md5
+    // prefixes per set, then Broder over the union sketch
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h14(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(14)
+    def sketch(vs: Seq[String]) = vs.distinct.map(h14).sorted.take(k)
+    val (sa, sb) = (sketch((0 until 400).map(i => s"u$i")),
+      sketch((200 until 600).map(i => s"u$i")))
+    val u = (sa ++ sb).distinct.sorted.take(k)
+    val common = u.count(h => sa.contains(h) && sb.contains(h))
+    val num = (k - 1).toLong * 72057594037927936L
+    val estU = num / java.lang.Long.parseLong(u.last, 16)
+    assert(out(("A", "B")) == ((k.toLong, common.toLong, estU,
+      estU * common / k, common.toLong * 1000 / k)),
+      s"got ${out(("A", "B"))}")
+    // ground truth brackets (k=16 is noisy; fixed seed set): true
+    // union 600, true intersection 200, true J = 333 permille
+    assert(out(("A", "B"))._3 > 200 && out(("A", "B"))._3 < 1800)
+    // disjoint pair: zero common, zero intersection estimate
+    assert(out(("A", "C"))._2 == 0L && out(("A", "C"))._4 == 0L &&
+      out(("A", "C"))._5 == 0L)
+    // A∪C has 405 distinct; C's 5 hashes merge into the union sketch
+    assert(out(("A", "C"))._1 == k.toLong)
+    // the corpus-side exchange is the bounded sketch aggregate — no
+    // Window, and the pair join broadcasts the sketch frame
+    val p = Heuristics.kmvOverlap(rows.toDF("t", "v"), col("t"),
+      col("v"), 16).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
 }

@@ -566,6 +566,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("rangepartitioning"), p)
   }
 
+  test("hashReservoir: matches the window-rank definition exactly, " +
+      "dedups repeated ids, and plans as a bounded partial aggregate") {
+    import spark.implicits._
+    // 3 strata of uneven sizes (one below k), with repeated ids
+    val rows = (0 until 500).map(i => ("big", i.toLong)) ++
+      (0 until 500).map(i => ("big", i.toLong)) ++ // exact repeats
+      (1000 until 1040).map(i => ("mid", i.toLong)) ++
+      (2000 until 2003).map(i => ("tiny", i.toLong))
+    val df = rows.toDF("src", "id")
+    val out = Sampling.hashReservoir(df, col("src"), col("id"), k = 8)
+      .collect().map(r => (r.getAs[String]("stratum"),
+        r.getAs[Long]("rank"), r.getAs[Long]("id")))
+    // reference: per-stratum rank over (md5-prefix, padded-hex-id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(14) + "-" + f"$i%016X"
+    def ref(ids: Seq[Long]) = ids.distinct.sortBy(key).take(8)
+      .zipWithIndex.map { case (i, p) => (p + 1L, i) }
+    val want = (ref(0L until 500L).map { case (r, i) => ("big", r, i) } ++
+      ref(1000L until 1040L).map { case (r, i) => ("mid", r, i) } ++
+      ref(2000L until 2003L).map { case (r, i) => ("tiny", r, i) }).toSet
+    assert(out.toSet == want)
+    // tiny stratum (3 < k) keeps all 3, exactly once despite nothing
+    assert(out.count(_._1 == "tiny") == 3)
+    // shape: no per-stratum window sort; bounded object aggregate
+    val p = Sampling.hashReservoir(df, col("src"), col("id"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+  }
+
   test("q157 composed ingest selection: draws exactly k, admits no " +
       "banned doc, and never selects a decomposed twin whose composed " +
       "sibling survived the strip identically") {
