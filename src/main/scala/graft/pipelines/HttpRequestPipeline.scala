@@ -95,9 +95,22 @@ object HttpRequestPipeline {
       col(countCol).cast("long").as("count"),
       col("window_start_ms"))
 
-  /** Full batch analysis: raw lines → unioned alert frame. */
-  def analyze(lines: Dataset[String], cfg: Config = Config()): DataFrame = {
-    val parsed = parsedHttp(lines).cache()
+  /** Full batch analysis: raw lines → unioned alert frame.
+    *
+    * `cacheParsed` (default true) caches the parsed frame so the four
+    * heuristics + the NAT view share ONE parse. The 100× probe
+    * measured the trade's other side: when the cached frame
+    * approaches the executor storage pool, eviction + shuffle-spill
+    * pressure turns the last decade super-linear (12.8 s @30× →
+    * 116 s @100× in an 8→24 GB JVM, with 8 GB failing outright on
+    * UNABLE_TO_ACQUIRE_MEMORY). Memory-constrained deployments pass
+    * `cacheParsed = false` and trade five linear re-parses for zero
+    * storage pressure — recompute beats spill once the frame no
+    * longer fits. */
+  def analyze(lines: Dataset[String], cfg: Config = Config(),
+      cacheParsed: Boolean = true): DataFrame = {
+    val parsed0 = parsedHttp(lines)
+    val parsed = if (cacheParsed) parsed0.cache() else parsed0
     val ts = col("timestamp")
     val src = col("normalized.sourceAddress")
 

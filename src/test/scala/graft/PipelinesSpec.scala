@@ -41,6 +41,26 @@ class PipelinesSpec extends AnyFunSuite {
     assert(!bySub.contains("session_limit"))
   }
 
+  test("httprequest pipeline: cacheParsed=false is output-identical and " +
+      "plans without an InMemoryRelation (the memory-constrained knob)") {
+    import spark.implicits._
+    val t0 = "2024-01-01T00:00:"
+    val lines = ((0 until 12).map(i => glb("1.1.1.1", 200, "ua", f"${t0}$i%02dZ")) ++
+      (0 until 6).map(i => glb("3.3.3.3", 404, "ua", f"${t0}$i%02dZ"))).toDS()
+    val cfg = HttpRequestPipeline.Config(hardLimit = 10,
+      thresholdModifier = 1.2, errorMaxCount = 5,
+      natMinDistinctUserAgents = 4, maxSessionEvents = 50)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("subcategory"),
+        r.getAs[String]("sourceaddress"), r.getAs[Long]("count"))).sorted
+    val cached = HttpRequestPipeline.analyze(lines, cfg)
+    val uncached = HttpRequestPipeline.analyze(lines, cfg,
+      cacheParsed = false)
+    assert(canon(cached).sameElements(canon(uncached)))
+    assert(!uncached.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "uncached form must not cache")
+  }
+
   test("httprequest pipeline: known gateways suppress threshold on key alone") {
     import spark.implicits._
     val t0 = "2024-01-01T00:00:"

@@ -161,6 +161,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"q154: no partial aggregation:\n$p")
   }
 
+  test("q157 ingest selection: document text crosses at most one exchange") {
+    // the rewriteCorpus discipline: strip/blocklist/NFC-hash fuse
+    // into the scan, the dedup aggregate ships 32-byte hashes, and
+    // only the survivor join may move text (zero when AQE broadcasts
+    // the narrow canonical side)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("q157_ingest_select")(spark, sf)
+    df.collect() // finalize AQE so the real exchanges materialize
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val textBearing = root.collect { case e: ShuffleExchangeExec => e }
+      .count(_.output.exists(a => a.dataType == StringType &&
+        (a.name == "text" || a.name == "raw")))
+    assert(textBearing <= 1,
+      s"q157 moved document text across $textBearing exchanges")
+  }
+
   private def assertThinCandidateExchanges(queryName: String): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
