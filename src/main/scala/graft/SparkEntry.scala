@@ -5438,8 +5438,9 @@ object SparkEntry {
           |  FROM agg)
           |SELECT ta AS type_a, tb AS type_b, n_union_kept, n_common,
           |  est_union,
-          |  CAST(est_union * n_common // n_union_kept AS BIGINT)
-          |    AS est_intersect,
+          |  CAST(n_common * (est_union // n_union_kept) +
+          |    (n_common * (est_union % n_union_kept)) // n_union_kept
+          |    AS BIGINT) AS est_intersect,
           |  CAST(n_common * 1000 // n_union_kept AS BIGINT)
           |    AS jaccard_permille
           |FROM e ORDER BY 1, 2""".stripMargin) +

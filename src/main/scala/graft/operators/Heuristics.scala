@@ -202,7 +202,16 @@ object Heuristics {
             s"$num DIV greatest(CAST(conv(kth, 16, 10) AS BIGINT), 1L)")))
       .select(col("key_a"), col("key_b"), col("n_union_kept"),
         col("n_common"), col("est_union"),
-        expr("est_union * n_common DIV n_union_kept").as("est_intersect"),
+        // floor(est_union·n_common / n_union_kept) via the exact
+        // overflow-free split c·(a DIV b) + (c·(a mod b)) DIV b: the
+        // naive product can exceed BIGINT when the kth union hash is
+        // pathologically small (est_union near (k−1)·2^56 — the same
+        // ~2⁻⁵⁶ class as the kmvDistinct divisor floor), where Spark
+        // would wrap silently and DuckDB would error — an engine
+        // divergence. Both terms here stay ≤ est_union + k².
+        expr("n_common * (est_union DIV n_union_kept) + " +
+          "(n_common * (est_union % n_union_kept)) DIV n_union_kept")
+          .as("est_intersect"),
         expr("n_common * 1000 DIV n_union_kept").as("jaccard_permille"))
   }
 

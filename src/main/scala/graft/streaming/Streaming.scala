@@ -148,6 +148,49 @@ object Streaming {
       .withWatermark(tsName, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Windowed per-key distinct-cardinality monitor on the KMV sketch —
+    * the streaming form of [[graft.operators.Heuristics.kmvDistinct]]
+    * for HIGH-cardinality regimes, completing the distinct-count
+    * triad: exact `collect_set` where decision parity demands it (the
+    * customs gates — state linear in the measured fan-out),
+    * `approx_count_distinct` where only Spark ever reads the number,
+    * and THIS where state must stay bounded at any cardinality AND
+    * the result must be engine-portable: per (window, key) the state
+    * is ≤ k 14-hex hashes (vs HLL's opaque engine-specific registers
+    * and collect_set's unbounded set), merged incrementally across
+    * micro-batches by the same order-insensitive
+    * [[graft.functions.KMinValuesAggregator]] the batch form uses —
+    * so a finalized window's sketch (and estimate) is BIT-IDENTICAL
+    * to the batch kmvDistinct over the same events, regardless of how
+    * the stream was micro-batched (StreamingSpec pins the
+    * equivalence). Append mode: rows emit once the watermark passes
+    * the window end.
+    *
+    * Output: (window_start_ms, key, n_kept, est_distinct) — the batch
+    * twin's schema plus the window column. */
+  def kmvCardinalityStream(df: DataFrame, tsName: String, key: Column,
+      value: Column, windowDuration: String, watermarkDelay: String,
+      k: Int = 32): DataFrame = {
+    require(k >= 3 && k <= 64, "k must be in [3, 64]")
+    val num = (k - 1).toLong * 72057594037927936L // (k-1) * 2^56
+    val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
+    df.select(col(tsName), key.as("key"),
+        substring(md5(value.cast("string")), 1, 14).as("h"))
+      .filter(col("h").isNotNull)
+      .withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), windowDuration), col("key"))
+      .agg(kmin(col("h")).as("mins"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("key"),
+        size(col("mins.items")).cast("long").as("n_kept"),
+        try_element_at(col("mins.items"), lit(k)).as("kth"))
+      .select(col("window_start_ms"), col("key"), col("n_kept"),
+        when(col("kth").isNull, col("n_kept"))
+          .otherwise(expr(
+            s"$num DIV greatest(CAST(conv(kth, 16, 10) AS BIGINT), 1L)"))
+          .as("est_distinct"))
+  }
+
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
     * a `rate` stream projected onto the config literal. Union into the

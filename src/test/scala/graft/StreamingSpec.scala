@@ -12,6 +12,53 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new Timestamp(s * 1000)
 
+  test("kmvCardinalityStream: incrementally merged sketch state is " +
+      "bit-identical to the batch kmvDistinct over the same events, " +
+      "regardless of micro-batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val t0 = 1700000000L // window-aligned epoch seconds
+    // key 'big': 300 distinct values split across two micro-batches
+    // WITH overlap (the state merge must dedup); 'small': 4 distinct
+    val batch1 = (0 until 200).map(i => (t0 + i % 60, "big", s"u$i")) ++
+      (0 until 4).map(i => (t0 + i, "small", s"s$i"))
+    val batch2 = (150 until 300).map(i => (t0 + i % 60, "big", s"u$i")) ++
+      (0 until 4).map(i => (t0 + i, "small", s"s$i")) // pure replays
+    val pusher = Seq((t0 + 3600, "small", "s0")) // closes the window
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.kmvCardinalityStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("k"), col("_3").as("v")),
+        "ts", col("k"), col("v"), "10 minutes", "30 seconds", k = 8)
+      .writeStream.format("memory").queryName("kmvcard")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      in.addData(pusher: _*); q.processAllAvailable()
+      // only the events' 10-minute window finalizes (the pusher's own
+      // window stays open), so the table holds exactly that window
+      val streamed = spark.table("kmvcard")
+        .filter(col("window_start_ms") === (t0 / 600) * 600 * 1000)
+        .select(col("key"), col("n_kept"), col("est_distinct"))
+        .as[(String, Long, Long)].collect().toSet
+      // batch twin over the SAME window's events (union of batches,
+      // replays included — the sketch is a pure function of the set)
+      val batchRows = (batch1 ++ batch2)
+        .toDF("t", "k", "v")
+      val batch = graft.operators.Heuristics.kmvDistinct(
+          batchRows, col("k"), col("v"), k = 8)
+        .select(col("key"), col("n_kept"), col("est_distinct"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // shape sanity: small is exact below k; big runs the estimator
+      assert(streamed.exists(r => r._1 == "small" && r._2 == 4L &&
+        r._3 == 4L))
+      assert(streamed.exists(r => r._1 == "big" && r._2 == 8L))
+    } finally q.stop()
+  }
+
   test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
