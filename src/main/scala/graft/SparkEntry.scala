@@ -2129,18 +2129,23 @@ object SparkEntry {
           col("doc_id"), col("text"),
           Seq("slow scan", "big query", "merge batch"))
         .filter(col("flagged")).select(col("doc_id"))
-      // pass1 feeds BOTH the per-doc hash side and the dedup
-      // aggregate — Catalyst does not dedupe common subplans (the
-      // q126 funnel lesson), so without the persist the 3-scan union
-      // + strip chain + automaton evaluate twice
+      // ONE aggregate does the whole NFC-dedup survivor pick:
+      // min(doc_id) per canonical hash IS the canonical id and
+      // min_by(text, doc_id) carries its raw text, so the 3-scan
+      // union + strip chain + automaton evaluate ONCE with no persist
+      // (the earlier hash-side/dedup-side join consumed pass1 twice —
+      // Catalyst does not dedupe common subplans, the q126 funnel
+      // lesson — and the MEMORY_AND_DISK persist that patched it
+      // leaked cached blocks across long sessions, the exact
+      // storage-pool pressure the q80 probe measured). Text still
+      // crosses exactly ONE exchange: partial min_by ships at most
+      // one candidate text per hash per map task.
       val pass1 = clean.join(banned, Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val canon = functions.Functions.unicodeNormalize(col("text"))
-      val surv = pass1.select(col("doc_id"), col("text"),
-          md5(canon).as("text_hash"))
-        .join(Dedup.exactDedup(pass1, col("doc_id"), canon),
-          Seq("text_hash"))
-        .filter(col("doc_id") === col("canonical_id"))
+      val surv = pass1
+        .groupBy(md5(canon).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("text"), col("doc_id")).as("text"))
       val kept = surv
         .filter(operators.TextAnalysis.qualityOk(col("text")))
         .select(col("doc_id"),

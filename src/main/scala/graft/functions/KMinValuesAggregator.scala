@@ -24,10 +24,17 @@ case class KMinBuf(items: Seq[String])
   * the elements are md5-prefix hex strings, it is bit-identical
   * across engines (the property q154's DuckDB oracle checks).
   *
-  * Buffer is a sorted distinct Vector (k <= 64): insertion keeps it
-  * sorted, merge is a bounded deduplicating merge of two sorted runs.
-  * Hashes are fixed-width hex, so lexicographic String order ==
-  * numeric order == Spark's UTF8String binary order. */
+  * Buffer is a sorted distinct Vector: insertion keeps it sorted,
+  * merge is a bounded deduplicating merge of two sorted runs. The
+  * aggregator itself only requires k >= 1 — CALLERS enforce the cap
+  * their math needs (kmvDistinct/kmvOverlap keep k <= 64 so
+  * (k-1)·2^56 stays inside a BIGINT; hashReservoir draws up to
+  * k = 4096 (hash, id) entries; the streaming gates cap at their
+  * configured distinct-state bound). Hashes are fixed-width hex, so
+  * lexicographic String order == numeric order == Spark's UTF8String
+  * binary order — but ANY strings work: the k smallest distinct
+  * elements under a total order are a pure function of the set, which
+  * is all the merge relies on. */
 class KMinValuesAggregator(k: Int)
     extends Aggregator[String, KMinBuf, KMinBuf] {
   require(k >= 1, "k must be positive")

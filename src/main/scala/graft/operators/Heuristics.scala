@@ -164,18 +164,27 @@ object Heuristics {
     *
     * Scale shape: ONE bounded partial-aggregating exchange to |keys|
     * sketch rows (≤ k hashes each); the pair math then runs on the
-    * tiny sketch frame (an explicit broadcast of one side — |keys|²/2
-    * pairs of ≤k-element arrays) and never touches the corpus again.
-    * Intended for low-cardinality key domains (event classes,
-    * languages, sources) where pairwise audience overlap is the
-    * question — the classic "which segments share users" view that
-    * exact distinct-intersection would price at a corpus self-join.
+    * tiny sketch frame (|keys|²/2 pairs of ≤k-element arrays) and
+    * never touches the corpus again. Intended for low-cardinality key
+    * domains (event classes, languages, sources) where pairwise
+    * audience overlap is the question — the classic "which segments
+    * share users" view that exact distinct-intersection would price
+    * at a corpus self-join. That intent is ENFORCED, not assumed:
+    * `maxKeys` bounds the pair stage — a caller keying on, say, email
+    * domain would otherwise get a 10¹²-pair nested-loop join with no
+    * error at scale — and the call fails fast with a clear message
+    * when the key domain exceeds it. The sketch frame is resolved
+    * EAGERLY at call time (the collect below is bounded-summary
+    * class: ≤ maxKeys rows of ≤ k 14-hex hashes), which also makes
+    * the corpus aggregate run ONCE — a lazy self-join of the sketch
+    * frame would evaluate it per side.
     *
     * Output: (key_a, key_b, n_union_kept, n_common, est_union,
     * est_intersect, jaccard_permille) for key_a < key_b. */
   def kmvOverlap(df: DataFrame, key: Column, value: Column,
-      k: Int = 32): DataFrame = {
+      k: Int = 32, maxKeys: Int = 512): DataFrame = {
     require(k >= 3 && k <= 64, "k must be in [3, 64]")
+    require(maxKeys >= 2, "maxKeys must be >= 2")
     val num = (k - 1).toLong * 72057594037927936L // (k-1) * 2^56
     val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
     val sketches = df.select(key.as("key"),
@@ -184,9 +193,18 @@ object Heuristics {
       .groupBy(col("key"))
       .agg(kmin(col("h")).as("mins"))
       .select(col("key"), col("mins.items").as("items"))
-    val a = sketches.select(col("key").as("key_a"),
+    val localRows = sketches.limit(maxKeys + 1).collect()
+    require(localRows.length <= maxKeys,
+      s"kmvOverlap: key domain has more than maxKeys=$maxKeys distinct " +
+        "keys; the pair stage is |keys|^2/2 — this operator is for " +
+        "low-cardinality key domains. Re-key (or raise maxKeys " +
+        "deliberately) if the quadratic pair count is truly intended.")
+    val spark = df.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(localRows: _*), sketches.schema)
+    val a = local.select(col("key").as("key_a"),
       col("items").as("items_a"))
-    val b = sketches.select(col("key").as("key_b"),
+    val b = local.select(col("key").as("key_b"),
       col("items").as("items_b"))
     a.join(broadcast(b), col("key_a") < col("key_b"))
       .withColumn("u",

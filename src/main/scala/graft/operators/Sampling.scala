@@ -462,13 +462,34 @@ object Sampling {
     *
     * Output: (stratum, rank, id) with rank 1..k in hash order —
     * engine-portable (the DuckDB mirror is a plain window over the
-    * same key string). */
+    * same key string).
+    *
+    * Id contract: a NON-NULL, NON-NEGATIVE integer (or a value that
+    * casts to one). Both halves are load-bearing, so violations RAISE
+    * instead of corrupting silently: a null-after-cast id (string
+    * keys, nulls) would previously vanish through the null filter —
+    * the caller's corpus losing every row with no error — and a
+    * negative id still packs to 16 hex chars but conv(..,16,10) of it
+    * is an unsigned value past Long.MaxValue, NULL under Spark's
+    * non-ANSI cast where the DuckDB mirror (which carries the id
+    * natively) errors — an engine divergence. String-keyed corpora
+    * should map their ids to longs first (e.g. a dictionary join or
+    * xxhash64), keeping the draw a pure function of the data. */
   def hashReservoir(df: DataFrame, stratum: Column, id: Column,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
     val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
-    df.select(stratum.as("stratum"), id.cast("long").as("id"))
-      .filter(col("id").isNotNull)
+    // try_cast, not cast: under ANSI a malformed id would throw the
+    // generic CAST_INVALID_INPUT before this guard could name the
+    // contract; under non-ANSI it would silently null out — try_cast
+    // funnels BOTH configurations into the same explicit error
+    val idl = id.try_cast("long")
+    df.select(stratum.as("stratum"),
+        when(idl.isNull || idl < 0,
+          raise_error(concat(
+            lit("hashReservoir: id must be a non-negative integer, got "),
+            coalesce(id.cast("string"), lit("NULL")))).cast("long"))
+          .otherwise(idl).as("id"))
       .select(col("stratum"),
         concat(substring(md5(col("id").cast("string")), 1, 14),
           lit("-"), lpad(hex(col("id")), 16, "0")).as("hk"))

@@ -153,7 +153,36 @@ object CustomsPipeline {
       velocityMonitorOnlyMaxKmPerSecond: Option[Double] = None,
       velocityMonitorOnlyMinDistanceKm: Double = 0,
       monitoredAddrs: Seq[String] = Nil,
-      monitoredAccounts: Seq[String] = Nil)
+      monitoredAccounts: Seq[String] = Nil,
+      /** Cap on the streaming gates' per-(window, key) distinct-set
+        * state. 0 (default) = exact `collect_set` — per-key state is
+        * linear in the measured fan-out, which is also linear in an
+        * ATTACKER-CONTROLLED quantity (a deliberate high-cardinality
+        * flood of distinct emails/sources inflates the state store
+        * until the watermark closes the window). A positive cap
+        * switches to a bounded k-min distinct counter: exact below
+        * the cap, saturating AT it, state ≤ cap values per key — so
+        * every `>= threshold` gate decides identically as long as
+        * cap >= threshold (enforced), while the emitted count (and
+        * therefore the count-change suppressor) saturates once a key
+        * exceeds the cap. Deploy with cap comfortably above the
+        * alert thresholds; leave 0 where batch-twin count parity at
+        * any fan-out matters more than flood-bounded state. */
+      distinctStateCap: Int = 0)
+
+  /** Distinct-cardinality aggregate for the streaming gates: exact
+    * `collect_set` size by default; with `cap > 0`, the bounded
+    * [[graft.functions.KMinValuesAggregator]] keeps the cap-smallest
+    * DISTINCT raw values (no hashing — the k smallest distinct
+    * elements of a set count the set exactly below k), so
+    * size(items) == min(cap, true distinct) and state is bounded by
+    * construction. Nulls are not set members in either form. */
+  private def distinctCount(v: Column, cap: Int): Column =
+    if (cap <= 0) size(collect_set(v)).cast("long")
+    else {
+      val kmin = udaf(new graft.functions.KMinValuesAggregator(cap))
+      size(kmin(v).getField("items")).cast("long")
+    }
 
   /** The full customs suite over ONE parsed+cached frame — the Spark
     * form of the reference's ~12-transform wiring (ref Customs.java:
@@ -338,6 +367,11 @@ object CustomsPipeline {
   def analyzeStreamFull(lines: Dataset[String],
       cfg: FullConfig = FullConfig(),
       watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(cfg.distinctStateCap == 0 ||
+      cfg.distinctStateCap >= cfg.srcFailDistThreshold,
+      s"distinctStateCap=${cfg.distinctStateCap} below " +
+        s"srcFailDistThreshold=${cfg.srcFailDistThreshold}: a saturated " +
+        "count could no longer decide the gate")
     val spark = lines.sparkSession
     import spark.implicits._
     // the watermark is assigned on the UNFILTERED parsed stream, so
@@ -364,12 +398,15 @@ object CustomsPipeline {
     // batch twin's countDistinct at the boundary (Spark's HLL++ has
     // no sparse mode, so even single-digit cardinalities can carry
     // error). State per (window, email) is the distinct-src set —
-    // bounded by the attack fan-out, the quantity being measured
+    // linear in the attack fan-out being measured, which is
+    // attacker-controlled: cfg.distinctStateCap bounds it (exact
+    // below the cap, saturating at it — gate decisions unchanged
+    // while cap >= threshold, which the require pins)
     val srcFailDist = streamAlert(
       fxa.filter(col("summary") === "loginFailure" && col("email").isNotNull)
         .groupBy(window(col("timestamp"), cfg.window), col("email"))
         .agg(count(lit(1)).as("n_failures"),
-          size(collect_set(col("src"))).cast("long").as("n_src"))
+          distinctCount(col("src"), cfg.distinctStateCap).as("n_src"))
         .filter(col("n_failures") >= cfg.srcFailDistThreshold &&
           col("n_src") >= cfg.srcFailDistThreshold),
       "source_login_failure_distributed", "email", col("email"),
@@ -418,6 +455,11 @@ object CustomsPipeline {
       statePath: Option[String] = None)(onAlerts: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.streaming.OutputMode
+    require(cfg.distinctStateCap == 0 ||
+      cfg.distinctStateCap >= cfg.enumerationThreshold,
+      s"distinctStateCap=${cfg.distinctStateCap} below " +
+        s"enumerationThreshold=${cfg.enumerationThreshold}: a saturated " +
+        "count could no longer decide the gate")
     // AlertSuppressorCount(600) state (ref
     // CustomsAccountEnumeration.java:153): one (lastTs, lastCount)
     // pair per source that has ALERTED — bounded by the alert volume,
@@ -487,9 +529,11 @@ object CustomsPipeline {
         // emit-on-count-change suppressor and the >= threshold gate,
         // both of which must agree with the batch twin at the
         // boundary. State per (window, src) is the distinct-email
-        // set — the enumeration being measured
-        size(collect_set(when(col("is_sc"), col("email"))))
-          .cast("long").as("n_emails"),
+        // set — the enumeration being measured, which is also
+        // attacker-controlled fan-out: cfg.distinctStateCap bounds it
+        // (exact below the cap, saturating at it)
+        distinctCount(when(col("is_sc"), col("email")),
+          cfg.distinctStateCap).as("n_emails"),
         max(when(col("is_content"), 1).otherwise(0)).as("has_content"),
         // the reference's alert stamp: latest qualifying status-check
         // event (CustomsAccountEnumeration.java:138) — the suppression

@@ -173,13 +173,34 @@ class HttpHeuristicsSpec extends AnyFunSuite {
       out(("A", "C"))._5 == 0L)
     // A∪C has 405 distinct; C's 5 hashes merge into the union sketch
     assert(out(("A", "C"))._1 == k.toLong)
-    // the corpus-side exchange is the bounded sketch aggregate — no
-    // Window, and the pair join broadcasts the sketch frame
+    // the pair stage runs on the LOCAL collected sketch frame (the
+    // corpus aggregate evaluates once, and only tiny local relations
+    // feed the quadratic join) — no Window, no corpus re-scan
     val p = Heuristics.kmvOverlap(rows.toDF("t", "v"), col("t"),
       col("v"), 16).queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p)
-    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+    assert(p.contains("LocalTableScan"), p)
     assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p)
+      p.contains("BroadcastExchange") || p.contains("NestedLoopJoin"), p)
+  }
+
+  test("kmvOverlap: a key domain past maxKeys fails fast with a clear " +
+      "message instead of scheduling a quadratic pair join") {
+    import spark.implicits._
+    import graft.operators.Heuristics
+    // 40 distinct keys vs maxKeys = 8: the guard must trip at call
+    // time (the sketch frame is resolved eagerly), not at collect
+    val rows = (0 until 40).map(i => (s"k$i", s"v$i"))
+    val ex = intercept[IllegalArgumentException] {
+      Heuristics.kmvOverlap(rows.toDF("t", "v"), col("t"), col("v"),
+        k = 8, maxKeys = 8)
+    }
+    assert(ex.getMessage.contains("maxKeys=8") &&
+      ex.getMessage.contains("low-cardinality"), ex.getMessage)
+    // and a domain exactly AT the cap passes (the bound is inclusive)
+    val ok = Heuristics.kmvOverlap(
+      (0 until 8).flatMap(i => Seq((s"k$i", "a"), (s"k$i", "b")))
+        .toDF("t", "v"), col("t"), col("v"), k = 8, maxKeys = 8)
+    assert(ok.count() == 8L * 7 / 2)
   }
 }

@@ -597,6 +597,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
   }
 
+  test("hashReservoir id contract: non-castable and negative ids raise " +
+      "instead of silently dropping/corrupting; castable numeric " +
+      "strings sample identically to their long form") {
+    import spark.implicits._
+    // a string-keyed corpus previously lost EVERY row through the
+    // null-after-cast filter — now it fails loudly
+    val strKeyed = Seq(("s", "doc-a"), ("s", "doc-b")).toDF("src", "id")
+    val ex = intercept[Exception] {
+      Sampling.hashReservoir(strKeyed, col("src"), col("id"), 4).collect()
+    }
+    assert(ex.getMessage.contains("non-negative integer"),
+      s"unexpected: ${ex.getMessage}")
+    // a negative id hex-packs to 16 chars but conv(..,16,10) of it
+    // exceeds Long.MaxValue — NULL under Spark's non-ANSI cast where
+    // the DuckDB mirror errors; the contract check fires first
+    val neg = Seq(("s", 5L), ("s", -3L)).toDF("src", "id")
+    val ex2 = intercept[Exception] {
+      Sampling.hashReservoir(neg, col("src"), col("id"), 4).collect()
+    }
+    assert(ex2.getMessage.contains("non-negative integer"),
+      s"unexpected: ${ex2.getMessage}")
+    // numeric strings cast cleanly and draw exactly like longs
+    val asStr = Seq.tabulate(40)(i => ("s", i.toString)).toDF("src", "id")
+    val asLong = Seq.tabulate(40)(i => ("s", i.toLong)).toDF("src", "id")
+    val a = Sampling.hashReservoir(asStr, col("src"), col("id"), 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.hashReservoir(asLong, col("src"), col("id"), 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.size == 6)
+  }
+
   test("q157 composed ingest selection: draws exactly k, admits no " +
       "banned doc, and never selects a decomposed twin whose composed " +
       "sibling survived the strip identically") {

@@ -1155,6 +1155,101 @@ class StreamingSpec extends AnyFunSuite {
     } finally { eq.stop(); q.stop() }
   }
 
+  test("distinctStateCap bounds the streaming gates' per-key set state: " +
+      "decisions and counts identical to exact below the cap, a flood " +
+      "key saturates AT the cap (still alerting), and a cap below the " +
+      "threshold is rejected up front") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipelines.CustomsPipeline
+    // cap == enumerationThreshold: the tightest legal cap — exactly
+    // where the ADVICE's "threshold+1 preserves decisions" intuition
+    // is sharpest (n_kept == cap <=> distinct >= cap >= threshold)
+    val cfg = CustomsPipeline.FullConfig(enumerationThreshold = 5,
+      minVarianceClients = 1, srcFailDistThreshold = 3,
+      distinctStateCap = 5)
+    val t = 1700000000L
+    def authLine(tt: Long, path: String, status: Int, email: String,
+        addr: String, errno: Int = 0): String = {
+      val iso = java.time.Instant.ofEpochSecond(tt).toString
+      s"""{"insertId":"i","jsonPayload":{"EnvVersion":"2.0","Fields":{""" +
+        s""""agent":"m","email":"$email","errno":$errno,"method":"post",""" +
+        s""""op":"request.summary","path":"$path",""" +
+        s""""remoteAddressChain":"[\\"$addr\\"]","service":"sync",""" +
+        s""""status":$status,"t":12,"uid":"u"},"Logger":"fxa-auth-server",""" +
+        s""""Pid":1,"Severity":6,"Timestamp":${tt}000000000,""" +
+        s""""Type":"request.summary"},"timestamp":"$iso"}"""
+    }
+    def contentLine(tt: Long): String =
+      s"""{"Timestamp":${tt}000000000,"Type":"request","Logger":"fxa-content-server",""" +
+        s""""Hostname":"h","Fields":{"clientaddress":"7.7.7.7","path":"/s",""" +
+        s""""method":"get","status":200}}"""
+    val lines: Seq[String] =
+      // src A: exactly-threshold 5 distinct emails -> alert, count 5
+      // (below-the-cap EXACT path: identical to the uncapped gate)
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"a$i@x.com", "6.6.6.6")) ++
+      // src B: 4 distinct emails -> silent (exact below cap)
+      (0 until 5).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"b${math.min(i, 3)}@x.com", "6.6.6.7")) ++
+      // src F: a 20-distinct-email FLOOD, split across two
+      // micro-batches so the bounded state must merge incrementally
+      // -> alerts with count SATURATED at the cap (the documented
+      // trade: the exact form would carry 20 and 20 set members)
+      (0 until 12).map(i => authLine(t + i, "/v1/account/status", 200,
+        s"f$i@x.com", "6.6.6.8")) ++
+      Seq(contentLine(t)) ++
+      // email X: 3 failures, 3 distinct srcs (== srcFailDistThreshold,
+      // below cap 5 -> exact count 3)
+      (0 until 3).map(i => authLine(t + i, "/v1/account/login", 400,
+        "x@x.com", s"1.2.3.$i", errno = 103))
+    val floodTail = (12 until 20).map(i => authLine(t + i,
+      "/v1/account/status", 200, s"f$i@x.com", "6.6.6.8"))
+    val pusher = authLine(t + 7200, "/v1/account/status", 200,
+      "z@x.com", "3.3.3.3")
+    val in = MemoryStream[String]
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val eq = CustomsPipeline.enumerationAlertStream(in.toDS(), cfg,
+        watermarkDelay = "30 seconds") { df =>
+      val rows = df.collect(); got.synchronized { got ++= rows }
+    }.start()
+    val q = CustomsPipeline.analyzeStreamFull(in.toDS(), cfg,
+        watermarkDelay = "30 seconds")
+      .writeStream.format("memory").queryName("cappede2e")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(lines: _*); eq.processAllAvailable(); q.processAllAvailable()
+      in.addData(floodTail: _*); eq.processAllAvailable(); q.processAllAvailable()
+      in.addData(pusher); eq.processAllAvailable(); q.processAllAvailable()
+      def alertSet(rows: Seq[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[String]("subcategory"), r.getAs[String]("key"),
+          r.getAs[Long]("count"))).toSet
+      val streamed = alertSet(got.synchronized(got.toSeq)) ++
+        alertSet(spark.table("cappede2e")
+          .filter(col("subcategory").isin("account_enumeration",
+            "source_login_failure_distributed")).collect().toSeq)
+      assert(streamed == Set(
+        ("account_enumeration", "6.6.6.6", 5L),
+        ("account_enumeration", "6.6.6.8", 5L), // saturated: true 20
+        ("source_login_failure_distributed", "x@x.com", 3L)),
+        s"streamed $streamed")
+    } finally { eq.stop(); q.stop() }
+    // a cap that cannot decide the gate is a config error, up front
+    val bad = CustomsPipeline.FullConfig(enumerationThreshold = 5,
+      distinctStateCap = 4)
+    val ex1 = intercept[IllegalArgumentException] {
+      CustomsPipeline.enumerationAlertStream(
+        spark.emptyDataset[String], bad) { _ => () }
+    }
+    assert(ex1.getMessage.contains("distinctStateCap"))
+    val bad2 = CustomsPipeline.FullConfig(srcFailDistThreshold = 3,
+      distinctStateCap = 2)
+    val ex2 = intercept[IllegalArgumentException] {
+      CustomsPipeline.analyzeStreamFull(spark.emptyDataset[String], bad2)
+    }
+    assert(ex2.getMessage.contains("distinctStateCap"))
+  }
+
   test("streaming enumeration suppression survives a query restart when " +
       "given a state path (the reference's Beam per-key state is durable " +
       "in Dataflow — a restarted pipeline keeps suppressing)") {
