@@ -46,12 +46,30 @@ import org.apache.spark.sql.functions._
   * original data re-laid-out by the same writer (like-for-like
   * timing).
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <k>
+  * DEPTH mode (the inverse events axis, tools/depth_probe.sh):
+  * breadth striding proves key CARDINALITY but never grows one key's
+  * event count, so the per-key-linear family (session-window sorts,
+  * suppression scans, sorted-group pairing) was only ever measured at
+  * constant per-key depth — while the reference's real skew axis is a
+  * mega-NAT IP or bot account concentrating k-fold traffic on ONE key
+  * (its 45-min session windows are keyed by source address,
+  * s/httprequest/HTTPRequest.java:151-163). Depth mode keeps user_id
+  * UNCHANGED (constant actors) and replicates each event k-fold with
+  * the copy's timestamp jittered by `copy` MILLISECONDS: every key
+  * carries k-fold events inside the same session/window structure
+  * (the jitter ceiling — k ms — is orders below any session gap or
+  * window width, so boundaries do not move), events stay pairwise
+  * distinct in (event_id, ts), and per-event_type distinct USER sets
+  * stay constant. Documents and embeddings pass through unchanged
+  * (the depth axis is an events-family probe; 1x text keeps regens
+  * cheap and keeps any text query out of the measurement).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <k> [embK|depth]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK]")
+      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK|depth]")
     val (srcDir, outDir, kStr) = (args(0), args(1), args(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -62,9 +80,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val embK = if (args.length == 4) Some(args(3).toInt) else None
-    generate(spark, srcDir, outDir, kStr.toInt, embK)
-    println(s"[scalegen] wrote ${kStr}x corpus to $outDir" +
+    val depth = args.length == 4 && args(3) == "depth"
+    val embK =
+      if (args.length == 4 && !depth) Some(args(3).toInt) else None
+    generate(spark, srcDir, outDir, kStr.toInt, embK, depth)
+    println(s"[scalegen] wrote ${kStr}x " +
+      (if (depth) "DEPTH" else "breadth") + s" corpus to $outDir" +
       embK.fold("")(e => s" (embeddings at ${e}x)"))
     spark.stop()
   }
@@ -80,7 +101,8 @@ object ScaleGen {
     * that bound (the cipher isometry has no such period) pass the cap
     * explicitly and probe only text queries against the output. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-      k: Int, embKOverride: Option[Int] = None): Unit = {
+      k: Int, embKOverride: Option[Int] = None,
+      depth: Boolean = false): Unit = {
     require(k >= 1, "k must be >= 1")
     // the disjointness contract needs guarding, not assuming: ids
     // stride by 10M per copy (a collision would silently give one id
@@ -88,6 +110,34 @@ object ScaleGen {
     // and the embedding shift has period = vector dim (copy `dim`
     // would be vector-identical to copy 0)
     val stride = 10000000L
+    if (depth) {
+      require(embKOverride.isEmpty, "embK is a breadth-mode knob")
+      // jitter must stay far below every session gap / window width
+      // the probed family uses (smallest: 120 s) — k ms per copy is
+      // 6 orders under it even at k = 100000
+      require(k <= 100000, s"depth k=$k would jitter past 100 s")
+      sources.Tables.documents(spark, srcDir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      sources.Tables.embeddings(spark, srcDir)
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      val ev = sources.Tables.events(spark, srcDir)
+      val evMax = ev.agg(max(col("event_id"))).head().getLong(0)
+      require(evMax < stride,
+        s"source event_id $evMax >= copy stride $stride")
+      val copies = broadcast(spark.range(k).select(col("id").as("copy")))
+      ev.crossJoin(copies)
+        .select(
+          (col("event_id") + col("copy") * stride).as("event_id"),
+          expr("timestampadd(MILLISECOND, CAST(copy AS INT), ts)")
+            .as("ts"),
+          col("user_id"), // UNCHANGED: constant actors, k-fold depth
+          col("event_type"), col("value"), col("props"))
+        .repartition(4 * k)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      return
+    }
     val idBounds = sources.Tables.documents(spark, srcDir)
       .agg(max(col("doc_id"))).head().getLong(0)
     require(idBounds < stride,

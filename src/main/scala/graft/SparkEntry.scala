@@ -2108,6 +2108,29 @@ object SparkEntry {
         .orderBy(col("source"), col("rank"))
     }),
 
+    // training-data ops: language identification as a first-class
+    // operator (not q134's codepoint-range proxy) — the classic
+    // char-trigram rank-profile classifier (Cavnar–Trenkle 1994)
+    // trained on the labeled 30% seed (doc_id % 10 < 3), applied to
+    // the whole corpus, reported as the per-language confusion
+    // data-card (label × prediction, doc counts + summed out-of-place
+    // distance). All-integer rank arithmetic, so DuckDB mirrors every
+    // cell bit-for-bit — the engine-portable contract the float
+    // log-likelihood formulation could not give
+    "q160_lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      TextAnalysis.langId(d, col("doc_id"), col("text"), profiles,
+          penalty = 64, d = 32)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dist")).as("total_dist"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5462,6 +5485,49 @@ object SparkEntry {
           |  FROM h)
           |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id
           |FROM r WHERE rn <= 20 ORDER BY source, rank""".stripMargin) +
+      ("q160_lang_id" ->
+        // the Cavnar-Trenkle mirror: identical normalization (pad +
+        // lower + non-letter collapse), trigram positions via a list
+        // transform, rank profiles as row_number windows (ties broken
+        // by gram), out-of-place distance with penalty 64 for grams
+        // absent from a language profile, argmin via the zero-padded
+        // dist||lang string min — every step integer-exact
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rl
+          |  FROM lp0 QUALIFY rl <= 64),
+          |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |dp AS (SELECT doc_id, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, gram ASC) AS rd
+          |  FROM dp0 QUALIFY rd <= 32),
+          |langs AS (SELECT DISTINCT lang FROM lp),
+          |sc AS (SELECT dp.doc_id, langs.lang,
+          |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (SELECT doc_id,
+          |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+          |  FROM sc GROUP BY 1),
+          |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang,
+          |    CAST(substring(bk, 1, 6) AS BIGINT) AS dist
+          |  FROM best)
+          |SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(p.dist) AS BIGINT) AS total_dist
+          |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q157_ingest_select" ->
         // the full ingest stack composed: q152's twin injection,
         // q153's HTML injection + strip chain, the 3-phrase screen,

@@ -479,28 +479,39 @@ object Sampling {
       k: Int): DataFrame = {
     require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
     val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
-    // try_cast, not cast: under ANSI a malformed id would throw the
-    // generic CAST_INVALID_INPUT before this guard could name the
-    // contract; under non-ANSI it would silently null out — try_cast
-    // funnels BOTH configurations into the same explicit error
-    val idl = id.try_cast("long")
-    df.select(stratum.as("stratum"),
-        when(idl.isNull || idl < 0,
-          raise_error(concat(
-            lit("hashReservoir: id must be a non-negative integer, got "),
-            coalesce(id.cast("string"), lit("NULL")))).cast("long"))
-          .otherwise(idl).as("id"))
-      .select(col("stratum"),
-        concat(substring(md5(col("id").cast("string")), 1, 14),
-          lit("-"), lpad(hex(col("id")), 16, "0")).as("hk"))
+    df.select(stratum.as("stratum"), reservoirKey(id).as("hk"))
       .groupBy(col("stratum"))
       .agg(kmin(col("hk")).as("mins"))
       .select(col("stratum"),
         posexplode(col("mins.items")).as(Seq("pos", "item")))
       .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
-        expr("CAST(conv(substring(item, 16, 16), 16, 10) AS BIGINT)")
-          .as("id"))
+        reservoirId(col("item")).as("id"))
   }
+
+  /** Contract-checked (hash, id) reservoir buffer key — shared by the
+    * batch [[hashReservoir]] and the streaming
+    * [[graft.streaming.Streaming.hashReservoirStream]] so finalized
+    * windows are bit-identical across the two. Encoding: 14-hex md5
+    * prefix, '-', zero-padded 16-hex id — fixed width, so
+    * lexicographic order == (hash, id) order in every engine.
+    * try_cast, not cast: under ANSI a malformed id would throw the
+    * generic CAST_INVALID_INPUT before the guard could name the
+    * contract; under non-ANSI it would silently null out — try_cast
+    * funnels BOTH configurations into the same explicit error. */
+  private[graft] def reservoirKey(id: Column): Column = {
+    val idl = id.try_cast("long")
+    val checked = when(idl.isNull || idl < 0,
+      raise_error(concat(
+        lit("hashReservoir: id must be a non-negative integer, got "),
+        coalesce(id.cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(idl)
+    concat(substring(md5(checked.cast("string")), 1, 14),
+      lit("-"), lpad(hex(checked), 16, "0"))
+  }
+
+  /** Decode the id back out of a [[reservoirKey]] buffer entry. */
+  private[graft] def reservoirId(item: Column): Column =
+    conv(substring(item, 16, 16), 16, 10).cast("long")
 
   def mixtureInterleave(df: DataFrame, id: Column, stratum: Column,
       weightsPpm: Map[String, Long], defaultPpm: Long, nShards: Int,

@@ -1540,4 +1540,132 @@ object TextAnalysis {
       .select(col("stratum"), col("n_words"), col("n_bpe_tokens"),
         expr("n_bpe_tokens * 1000 DIV n_words").as("fertility_permille"))
   }
+
+  // -- language identification -------------------------------------------
+
+  /** Normalized char stream for language ID: lower-cased, every
+    * non-[a-z] run collapsed to one space, padded with one space each
+    * side (so word-boundary trigrams like " th"/"he " exist — the
+    * strongest language cues in the classic profile method). Only
+    * ASCII letters survive, so lower() is engine-identical. */
+  private def langIdNorm(text: Column): Column =
+    concat(lit(" "),
+      trim(regexp_replace(lower(text), "[^a-z]+", " ")), lit(" "))
+
+  /** Character trigrams of a pre-normalized stream — one array entry
+    * per position (occurrences counted, not distinct). The input must
+    * be a MATERIALIZED column (select langIdNorm first): referencing
+    * the normalization expression inside the lambda would re-run the
+    * regex once per gram. */
+  private def trigrams(s: Column): Column =
+    when(length(s) >= 3,
+      transform(sequence(lit(1), length(s) - 2),
+        i => s.substr(i, lit(3))))
+      .otherwise(array())
+
+  /** Train per-language char-trigram rank profiles from a labeled
+    * seed — the classic out-of-place profile method (Cavnar–Trenkle
+    * 1994, "N-Gram-Based Text Categorization"), all-integer and
+    * therefore engine-portable bit-for-bit (no log-likelihood floats
+    * to drift): a language's profile is its `m` most frequent
+    * trigrams ranked 1..m (ties broken by gram, so the profile is a
+    * pure function of the seed).
+    *
+    * Scale shape: one explode (|chars| rows, collapsed map-side by
+    * the partial (lang, gram) aggregate — the gram domain is bounded
+    * by 27³ ≈ 20k regardless of corpus size) + one window rank over
+    * the ≤ |langs|·20k count frame. The output model is tiny by
+    * construction (|langs| · m rows).
+    *
+    * Output: (lang, gram, rank) with rank 1..m per language. */
+  def langIdProfiles(seed: DataFrame, lang: Column, text: Column,
+      m: Int = 64): DataFrame = {
+    require(m >= 1 && m <= 4096, "m must be in [1, 4096]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    seed.select(lang.as("lang"), langIdNorm(text).as("__s"))
+      .select(col("lang"), explode(trigrams(col("__s"))).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("lang"), col("gram"), col("rank"))
+  }
+
+  /** Classify each document against trained [[langIdProfiles]]: build
+    * the doc's own top-`d` trigram rank profile, score it against
+    * every language as the summed out-of-place distance (|doc rank −
+    * language rank|, `penalty` when the language profile lacks the
+    * gram — classically penalty = m), and pick the minimum-distance
+    * language (ties broken toward the lexicographically smaller lang,
+    * encoded by taking the min of the zero-padded "dist‖lang" string
+    * — the same sortable-key trick as the epoch shuffle). Documents
+    * with no trigrams (empty after normalization) are unclassifiable
+    * and excluded.
+    *
+    * The model frame is resolved EAGERLY at call time (bounded:
+    * |langs|·m rows — the kmvOverlap discipline) so the training
+    * subplan runs ONCE — referenced lazily it would re-evaluate per
+    * consumer (the distinct-langs side and the join side).
+    *
+    * Scale shape: the doc profile is one explode + one (doc, gram)
+    * hash aggregate (map-side collapsed; ≤ |doc chars| entries) + a
+    * per-doc window rank whose partitions are bounded by DOCUMENT
+    * LENGTH, never corpus size; scoring is a constant ×|langs|
+    * fan-out joined broadcast against the local model, collapsed by
+    * two more doc-keyed hash aggregates. Nothing sorts globally;
+    * per-key state is bounded by d·|langs|.
+    *
+    * Output: (doc_id, pred_lang, dist). */
+  def langId(df: DataFrame, id: Column, text: Column,
+      profiles: DataFrame, penalty: Int = 64, d: Int = 32): DataFrame = {
+    require(d >= 1 && penalty >= 1 && d.toLong * penalty <= 999999L,
+      "d * penalty must fit the 6-digit distance key")
+    val spark = df.sparkSession
+    val modelRows = profiles
+      .select(col("lang").cast("string").as("lang"),
+        col("gram").cast("string").as("gram"),
+        col("rank").cast("long").as("rl"))
+      .collect()
+    val model = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(modelRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rl",
+          org.apache.spark.sql.types.LongType)))))
+    val langs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(
+        modelRows.map(_.getString(0)).distinct.sorted
+          .map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val docProfile = df
+      .select(id.as("doc_id"), langIdNorm(text).as("__s"))
+      .select(col("doc_id"), explode(trigrams(col("__s"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rd", row_number().over(wd).cast("long"))
+      .filter(col("rd") <= d)
+      .select(col("doc_id"), col("gram"), col("rd"))
+    docProfile
+      .crossJoin(langs)
+      .join(model, Seq("lang", "gram"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(coalesce(abs(col("rd") - col("rl")),
+        lit(penalty.toLong))).as("dist"))
+      .groupBy(col("doc_id"))
+      .agg(min(concat(lpad(col("dist").cast("string"), 6, "0"),
+        col("lang"))).as("bk"))
+      .select(col("doc_id"),
+        col("bk").substr(lit(7), length(col("bk"))).as("pred_lang"),
+        col("bk").substr(lit(1), lit(6)).cast("long").as("dist"))
+  }
 }

@@ -191,6 +191,43 @@ object Streaming {
           .as("est_distinct"))
   }
 
+  /** Streaming eval-set maintenance — the windowed form of
+    * [[graft.operators.Sampling.hashReservoir]]: a STANDING exact-k
+    * per-(window, stratum) uniform draw over a continuously-ingested
+    * corpus (the k smallest md5(id) win, a pure function of the
+    * window's id set). Same machinery as [[kmvCardinalityStream]]
+    * with the (hash, id) buffer encoding
+    * ([[graft.operators.Sampling.reservoirKey]] — which also carries
+    * the id contract: null/negative/non-castable ids raise): state
+    * per (window, stratum) is ≤ k 31-char entries regardless of how
+    * many documents arrive, merged incrementally across micro-batches
+    * by the order-insensitive bounded aggregator, so a finalized
+    * window's draw is BIT-IDENTICAL to the batch hashReservoir over
+    * the same rows no matter how the stream was micro-batched or how
+    * many times an id was replayed (StreamingSpec pins both). Append
+    * mode: each window's sample emits once the watermark passes its
+    * end — exactly when an eval-set snapshot should become visible.
+    *
+    * Output: (window_start_ms, stratum, rank, id), rank 1..k in hash
+    * order. */
+  def hashReservoirStream(df: DataFrame, tsName: String,
+      stratum: Column, id: Column, windowDuration: String,
+      watermarkDelay: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
+    val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
+    df.select(col(tsName), stratum.as("stratum"),
+        graft.operators.Sampling.reservoirKey(id).as("hk"))
+      .withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), windowDuration), col("stratum"))
+      .agg(kmin(col("hk")).as("mins"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("stratum"),
+        posexplode(col("mins.items")).as(Seq("pos", "item")))
+      .select(col("window_start_ms"), col("stratum"),
+        (col("pos") + 1).cast("long").as("rank"),
+        graft.operators.Sampling.reservoirId(col("item")).as("id"))
+  }
+
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
     * a `rate` stream projected onto the config literal. Union into the

@@ -114,4 +114,66 @@ class ScaleGenSpec extends AnyFunSuite {
       s"per-type mass and distinct users must scale exactly 3x: " +
         s"$genPerType vs $srcPerType")
   }
+
+  test("depth mode: constant actors, k-fold per-key events inside the " +
+      "same session structure, events pairwise distinct, text tables " +
+      "passed through unchanged") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-depth").toString
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 3,
+      depth = true)
+    val sev = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val gev = spark.read.parquet(s"$out/events.parquet")
+    assert(gev.count() == 3 * sev.count())
+    // the DEPTH contract, inverse of breadth striding: the actor set
+    // is IDENTICAL (no new keys) and every actor carries exactly 3x
+    // their source event count
+    val srcPerUser = sev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val genPerUser = gev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(genPerUser == srcPerUser.map { case (u, n) => u -> (3 * n) },
+      "every key must deepen exactly 3x with no new keys")
+    // events stay pairwise distinct in (event_id) and in (user, ts):
+    // the ms jitter separates copies without moving any session
+    // boundary (3 ms ceiling vs >= 120 s gaps)
+    assert(gev.select(col("event_id")).distinct().count() == gev.count())
+    assert(gev.select(col("user_id"), col("ts"), col("event_id") % 10000000L)
+      .distinct().count() == gev.count())
+    // the time horizon is the source's (+ <= k-1 ms) — depth densifies,
+    // never lengthens
+    val (sMin, sMax) = sev.agg(min(col("ts")), max(col("ts"))).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      .head
+    val (gMin, gMax) = gev.agg(min(col("ts")), max(col("ts"))).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      .head
+    assert(gMin == sMin && gMax >= sMax && gMax <= sMax + 2,
+      s"horizon must not move: src [$sMin,$sMax] gen [$gMin,$gMax]")
+    // copy 0 byte-identical (event_id below the stride)
+    val evMismatch = gev.filter(col("event_id") < 10000000L)
+      .select(col("event_id"), col("user_id").as("u2"),
+        col("ts").as("ts2"))
+      .join(sev.select(col("event_id"), col("user_id"), col("ts")),
+        Seq("event_id"))
+      .filter(col("u2") =!= col("user_id") || col("ts2") =!= col("ts"))
+      .count()
+    assert(evMismatch == 0, "depth copy 0 must be byte-identical")
+    // text tables pass through unchanged (1x, same content)
+    val src = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val gd = spark.read.parquet(s"$out/documents.parquet")
+    assert(gd.count() == src.count())
+    assert(gd.select(md5(col("text"))).except(
+      src.select(md5(col("text")))).count() == 0)
+    assert(spark.read.parquet(s"$out/embeddings.parquet").count() ==
+      sources.Tables.embeddings(spark, "/root/testdata/sf0.001").count())
+    // breadth-mode knobs are rejected in depth mode
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out + "-bad",
+        3, embKOverride = Some(2), depth = true)
+    }
+    assert(e.getMessage.contains("breadth-mode"))
+  }
 }

@@ -59,6 +59,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hashReservoirStream: the standing per-(window, stratum) exact-k " +
+      "draw is bit-identical to the batch hashReservoir on finalized " +
+      "windows, across overlapping micro-batches with replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val t0 = 1700000000L // window-aligned epoch seconds
+    // stratum 'big': 120 ids split across two micro-batches WITH
+    // overlap (the bounded state must dedup replays); 'small': 3 ids
+    // (below k — the draw keeps all, exactly once)
+    val batch1 = (0 until 80).map(i => (t0 + i % 60, "big", i.toLong)) ++
+      (0 until 3).map(i => (t0 + i, "small", (500 + i).toLong))
+    val batch2 = (60 until 120).map(i => (t0 + i % 60, "big", i.toLong)) ++
+      (0 until 3).map(i => (t0 + i, "small", (500 + i).toLong)) // replays
+    val pusher = Seq((t0 + 3600, "small", 999L)) // closes the window
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Streaming.hashReservoirStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("s"), col("_3").as("i")),
+        "ts", col("s"), col("i"), "10 minutes", "30 seconds", k = 8)
+      .writeStream.format("memory").queryName("hrstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      in.addData(pusher: _*); q.processAllAvailable()
+      val streamed = spark.table("hrstream")
+        .filter(col("window_start_ms") === (t0 / 600) * 600 * 1000)
+        .select(col("stratum"), col("rank"), col("id"))
+        .as[(String, Long, Long)].collect().toSet
+      // batch twin over the same window's rows, replays included —
+      // the draw is a pure function of the id SET
+      val batch = graft.operators.Sampling.hashReservoir(
+          (batch1 ++ batch2).toDF("t", "s", "i"), col("s"), col("i"),
+          k = 8)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // exact-k on the big stratum; all 3 on the small one, once each
+      assert(streamed.count(_._1 == "big") == 8)
+      assert(streamed.count(_._1 == "small") == 3)
+      assert(streamed.filter(_._1 == "small").map(_._3) ==
+        Set(500L, 501L, 502L))
+    } finally q.stop()
+  }
+
   test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

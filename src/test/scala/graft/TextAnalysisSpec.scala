@@ -1000,4 +1000,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 9: n=20 -> n_spans=1, stride 20; exactly one span
     assert(byDoc(9L).length == 1)
   }
+
+  test("langId: matches an independent Scala replay of the " +
+      "Cavnar-Trenkle out-of-place method exactly, breaks distance " +
+      "ties toward the smaller lang, and excludes gramless docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two synthetic languages with sharply different trigram stats
+    val seed = Seq(
+      ("aa", "the cat sat on the mat the cat"),
+      ("aa", "the rat ate the oat and the hat"),
+      ("bb", "zum zug zieht zwei zuge zum zug"),
+      ("bb", "zwei zuge zogen zum zug und zug")).toDF("lang", "text")
+    val docs = Seq(
+      (1L, "the cat and the rat sat"),   // clearly aa
+      (2L, "zum zug zogen zwei zuge"),   // clearly bb
+      (3L, "qqq xxx qqq xxx"),           // absent from BOTH -> tie -> aa
+      (4L, "1234 !!! 99")                // no letters -> unclassifiable
+    ).toDF("doc_id", "text")
+    val m = 8; val d = 6
+    val profiles = TextAnalysis.langIdProfiles(seed, col("lang"),
+      col("text"), m = m)
+    val got = TextAnalysis.langId(docs, col("doc_id"), col("text"),
+        profiles, penalty = m, d = d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    // independent replay, plain Scala
+    def norm(t: String) =
+      " " + t.toLowerCase.replaceAll("[^a-z]+", " ").trim + " "
+    def grams(t: String): Seq[String] = {
+      val s = norm(t)
+      if (s.length < 3) Nil
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    }
+    def rank(gs: Seq[String], top: Int): Map[String, Long] =
+      gs.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(top)
+        .zipWithIndex.map { case ((g, _), i) => g -> (i + 1L) }.toMap
+    val seedRows = Seq(
+      "aa" -> Seq("the cat sat on the mat the cat",
+        "the rat ate the oat and the hat"),
+      "bb" -> Seq("zum zug zieht zwei zuge zum zug",
+        "zwei zuge zogen zum zug und zug"))
+    val lp = seedRows.map { case (l, ts) =>
+      l -> rank(ts.flatMap(grams), m) }.toMap
+    val want = Seq(
+      1L -> "the cat and the rat sat",
+      2L -> "zum zug zogen zwei zuge",
+      3L -> "qqq xxx qqq xxx").map { case (idv, t) =>
+      val dp = rank(grams(t), d)
+      val scores = lp.map { case (l, prof) =>
+        l -> dp.map { case (g, rd) =>
+          prof.get(g).map(rl => math.abs(rd - rl)).getOrElse(m.toLong)
+        }.sum }
+      val (bl, bd) = scores.toSeq.sortBy { case (l, s) => (s, l) }.head
+      idv -> (bl, bd)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(1L)._1 == "aa" && got(2L)._1 == "bb")
+    // the tie case really is a tie, decided lexicographically
+    assert(got(3L)._1 == "aa")
+    // doc 4 normalizes to nothing -> no trigrams -> excluded
+    assert(!got.contains(4L))
+    // the model resolves to local relations (trained once, broadcast)
+    // and scoring carries no corpus-level unpartitioned Window
+    val p = TextAnalysis.langId(docs, col("doc_id"), col("text"),
+      profiles, penalty = m, d = d).queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
