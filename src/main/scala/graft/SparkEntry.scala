@@ -2118,7 +2118,10 @@ object SparkEntry {
     // cell bit-for-bit — the engine-portable contract the float
     // log-likelihood formulation could not give
     "q160_lang_id" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      // fanOut: the trigram explode + (doc, gram) partial aggregate is
+      // the CPU-bound map side and would otherwise run in the scan's
+      // 1-2 local[32] partitions (a no-op at cluster scale)
+      val d = Tables.fanOut(Tables.documents(s, dir))
       val profiles = TextAnalysis.langIdProfiles(
         d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
         m = 64)
@@ -2129,6 +2132,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("dist")).as("total_dist"))
         .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // training-data ops: the per-LANGUAGE data card — q160's
+    // classifier driving q121's release report, the mixture-design
+    // view a multilingual corpus build publishes (volume, token mass,
+    // quality pass rate, PII incidence, dup rate BY PREDICTED
+    // LANGUAGE — predicted, not labeled, because the label is exactly
+    // what a scraped corpus does not have). Pure composition: langId
+    // joined as the dataCard stratum, unclassifiable docs excluded
+    "q161_lang_data_card" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      val pred = TextAnalysis.langId(d, col("doc_id"), col("text"),
+        profiles, penalty = 64, d = 32)
+      pipelines.CorpusPipeline.dataCard(
+          d.join(pred.select(col("doc_id"), col("pred_lang")),
+            Seq("doc_id")),
+          col("doc_id"), col("pred_lang"), col("text"))
+        .orderBy(col("stratum"))
     }),
 
     "q157_ingest_select" -> ((s, dir) => {
@@ -5528,6 +5552,78 @@ object SparkEntry {
           |  CAST(SUM(p.dist) AS BIGINT) AS total_dist
           |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      ("q161_lang_data_card" ->
+        // q160's classifier CTE chain feeding q121's data-card body
+        // with stratum = predicted language; the dedup canon is
+        // computed over the CLASSIFIED docs (the joined frame), same
+        // as the Spark composition
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rl
+          |  FROM lp0 QUALIFY rl <= 64),
+          |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |dp AS (SELECT doc_id, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, gram ASC) AS rd
+          |  FROM dp0 QUALIFY rd <= 32),
+          |langs AS (SELECT DISTINCT lang FROM lp),
+          |sc AS (SELECT dp.doc_id, langs.lang,
+          |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (SELECT doc_id,
+          |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+          |  FROM sc GROUP BY 1),
+          |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang
+          |  FROM best),
+          |w AS (SELECT d.doc_id, p.pred_lang AS stratum, d.text,
+          |    CAST(length(d.text) AS BIGINT) n_chars,
+          |    list_filter(string_split(lower(d.text),' '), t -> t <> '') ws
+          |  FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+          |c AS (SELECT doc_id, stratum, text, n_chars,
+          |    CAST(len(ws) AS BIGINT) n_tokens,
+          |    CAST(len(list_filter(ws,
+          |      t -> list_contains(['the','a','and','of','to','in'], t)))
+          |      AS BIGINT) n_stop
+          |  FROM w),
+          |f AS (SELECT doc_id, stratum, n_tokens,
+          |    (n_tokens >= 10 AND n_stop / n_tokens >= 0.01
+          |      AND n_stop / n_tokens <= 0.6
+          |      AND (n_chars - (n_tokens - 1)) / n_tokens <= 12.0)
+          |      AS quality_ok,
+          |    (len(regexp_extract_all(text,
+          |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+          |     + len(regexp_extract_all(text,
+          |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+          |     + len(regexp_extract_all(text,
+          |       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+          |     + len(regexp_extract_all(text,
+          |       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) > 0 AS has_pii,
+          |    md5(text) h
+          |  FROM c),
+          |canon AS (SELECT h, MIN(doc_id) can FROM f GROUP BY 1)
+          |SELECT stratum, CAST(COUNT(*) AS BIGINT) n_docs,
+          |  CAST(SUM(n_tokens) AS BIGINT) n_tokens_total,
+          |  CAST(SUM(n_tokens) AS BIGINT) // COUNT(*) AS mean_tokens,
+          |  COUNT(CASE WHEN quality_ok THEN 1 END) * 1000 // COUNT(*)
+          |    AS quality_ok_permille,
+          |  COUNT(CASE WHEN has_pii THEN 1 END) * 1000 // COUNT(*)
+          |    AS pii_permille,
+          |  COUNT(CASE WHEN doc_id <> can THEN 1 END) * 1000 // COUNT(*)
+          |    AS dup_copy_permille
+          |FROM f JOIN canon USING (h) GROUP BY 1 ORDER BY 1""".stripMargin) +
       ("q157_ingest_select" ->
         // the full ingest stack composed: q152's twin injection,
         // q153's HTML injection + strip chain, the 3-phrase screen,

@@ -1069,4 +1069,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q161 per-language data card: strata are exactly the predicted " +
+      "languages, doc mass adds up to the classified corpus, and the " +
+      "card's rates stay in [0, 1000] permille") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val card = SparkEntry.queries("q161_lang_data_card")(spark, sf)
+      .collect()
+    val d = sources.Tables.documents(spark, sf)
+    val profiles = TextAnalysis.langIdProfiles(
+      d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"), m = 64)
+    val pred = TextAnalysis.langId(d, col("doc_id"), col("text"),
+      profiles, penalty = 64, d = 32).collect()
+    assert(card.map(_.getString(0)).toSet ==
+      pred.map(_.getString(1)).toSet,
+      "card strata must be exactly the predicted language set")
+    assert(card.map(_.getAs[Long]("n_docs")).sum == pred.length,
+      "every classified doc lands in exactly one language row")
+    for (r <- card; c <- Seq("quality_ok_permille", "pii_permille",
+        "dup_copy_permille")) {
+      val v = r.getAs[Long](c)
+      assert(v >= 0 && v <= 1000, s"$c out of range: $v")
+    }
+  }
 }
