@@ -124,9 +124,29 @@ object CorpusPipeline {
     * (doc_id, small scalars) shuffles; the md5 dedup key is the
     * [[graft.operators.Dedup.exactDedup]] discipline. */
   def dataCard(df: DataFrame, id: Column, stratum: Column,
-      text: Column): DataFrame = {
-    val base = df.select(id.as("doc_id"), stratum.as("stratum"),
-      text.as("t"))
+      text: Column): DataFrame =
+    dataCardBy(df.select(id.as("__id"), stratum.as("__st"),
+        text.as("__t")),
+      col("__id"), col("__t"),
+      df.select(id.as("doc_id"), stratum.as("stratum")))
+
+  /** [[dataCard]] with the stratum supplied as a SEPARATE doc-keyed
+    * frame (doc_id, stratum). The card's signal frames (quality, PII,
+    * content hash) each re-evaluate their input subplan — Catalyst
+    * does not dedupe common subplans (the q126 funnel lesson) — which
+    * is free when the input is a raw scan but multiplies an EXPENSIVE
+    * stratum derivation: q161's first cut joined the language
+    * classifier into the input and paid the classifier once per
+    * signal consumer (57 s at the 100× probe vs ~35 s for classifier
+    * + card separately). Here the signals derive from `df` (the raw
+    * corpus — cheap re-scans) and the stratum frame joins exactly
+    * ONCE, at the final doc-keyed assembly. Docs absent from `strata`
+    * (e.g. unclassifiable ones) drop out of the card; the dedup canon
+    * over `df` is unaffected by that restriction whenever equal texts
+    * are equally classifiable — which md5-equality guarantees. */
+  def dataCardBy(df: DataFrame, id: Column, text: Column,
+      strata: DataFrame): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("t"))
     val q = TextAnalysis.qualityScore(base, col("doc_id"), col("t"))
       .select(col("doc_id"), col("n_tokens"), col("quality_ok"))
     val pii = TextAnalysis.piiScrub(base, col("doc_id"), col("t"))
@@ -135,7 +155,7 @@ object CorpusPipeline {
     val canon = hashes.groupBy(col("h")).agg(min(col("doc_id")).as("can"))
     val isCopy = hashes.join(canon, Seq("h"))
       .select(col("doc_id"), (col("doc_id") =!= col("can")).as("is_copy"))
-    base.select(col("doc_id"), col("stratum"))
+    strata.select(col("doc_id"), col("stratum"))
       .join(q, Seq("doc_id")).join(pii, Seq("doc_id"))
       .join(isCopy, Seq("doc_id"))
       .groupBy(col("stratum"))
