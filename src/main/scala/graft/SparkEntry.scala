@@ -2156,6 +2156,27 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // training-data ops: windowed language-mix — the batch twin of
+    // Streaming.langIdStream (the ingestion-drift monitor: is the
+    // crawl's language mix moving window over window?). Documents
+    // carry no event time, so arrival time is synthesized from doc_id
+    // (one doc per minute — the q43 synthesized-column pattern);
+    // 10-minute windows in integer epoch math
+    "q162_lang_mix_windows" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      TextAnalysis.langId(d, col("doc_id"), col("text"), profiles,
+          penalty = 64, d = 32)
+        .select(col("doc_id"), col("pred_lang"))
+        .withColumn("window_start_ms",
+          expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"))
+        .groupBy(col("window_start_ms"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("window_start_ms"), col("pred_lang"))
+    }),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5553,6 +5574,44 @@ object SparkEntry {
           |  CAST(SUM(p.dist) AS BIGINT) AS total_dist
           |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      ("q162_lang_mix_windows" ->
+        // q160's classifier chain + integer-epoch window math (// on
+        // non-negative operands ≡ Spark DIV)
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rl
+          |  FROM lp0 QUALIFY rl <= 64),
+          |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |dp AS (SELECT doc_id, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, gram ASC) AS rd
+          |  FROM dp0 QUALIFY rd <= 32),
+          |langs AS (SELECT DISTINCT lang FROM lp),
+          |sc AS (SELECT dp.doc_id, langs.lang,
+          |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (SELECT doc_id,
+          |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+          |  FROM sc GROUP BY 1),
+          |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang
+          |  FROM best)
+          |SELECT CAST((1700000000 + doc_id * 60) // 600 * 600 * 1000
+          |    AS BIGINT) AS window_start_ms,
+          |  pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q161_lang_data_card" ->
         // q160's classifier CTE chain feeding q121's data-card body
         // with stratum = predicted language; the dedup canon is

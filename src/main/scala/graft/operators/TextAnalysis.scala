@@ -1668,4 +1668,47 @@ object TextAnalysis {
         col("bk").substr(lit(7), length(col("bk"))).as("pred_lang"),
         col("bk").substr(lit(1), lit(6)).cast("long").as("dist"))
   }
+
+  /** Collect trained [[langIdProfiles]] into the in-memory model the
+    * per-row kernel scores against: lang → (gram → rank). Bounded by
+    * construction (|langs| · m entries). */
+  def langIdModel(profiles: DataFrame): Map[String, Map[String, Long]] =
+    profiles.select(col("lang").cast("string"),
+        col("gram").cast("string"), col("rank").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+
+  /** Pure per-row classifier kernel — the SAME out-of-place method as
+    * [[langId]], for contexts where a document is one row and a
+    * per-doc aggregate is the wrong shape (streaming micro-batches,
+    * per-partition enrichment — the parser precedent: heavy per-row
+    * logic lives in plain Scala). Equivalence with the declarative
+    * form is load-bearing and pinned by spec: same normalization
+    * (ROOT-locale lowercase + non-letter collapse ≡ `lower` +
+    * `regexp_replace` on the [a-z ] alphabet the grams survive on),
+    * same (count desc, gram asc) profile order, same (dist, lang)
+    * argmin.
+    *
+    * Returns None for gramless docs (the declarative form excludes
+    * them). */
+  def langIdKernel(model: Map[String, Map[String, Long]], penalty: Int,
+      d: Int)(text: String): Option[(String, Long)] = {
+    if (text == null) return None
+    val s = " " + text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z]+", " ").trim + " "
+    if (s.length < 3) return None
+    val gs = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    val top = gs.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(d)
+      .zipWithIndex.map { case ((g, _), i) => g -> (i + 1L) }
+    val scores = model.toSeq.map { case (l, prof) =>
+      (l, top.map { case (g, rd) =>
+        prof.get(g).map(rl => math.abs(rd - rl))
+          .getOrElse(penalty.toLong) }.sum)
+    }
+    val (bl, bd) = scores.minBy { case (l, dist) => (dist, l) }
+    Some((bl, bd))
+  }
 }

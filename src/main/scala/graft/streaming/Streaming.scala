@@ -228,6 +228,38 @@ object Streaming {
         graft.operators.Sampling.reservoirId(col("item")).as("id"))
   }
 
+  /** Streaming language-mix monitor — the ingestion-drift view a
+    * multilingual corpus build watches (is the crawl's language mix
+    * moving?): classify each arriving document with the PRE-TRAINED
+    * [[graft.operators.TextAnalysis.langIdModel]] and count docs per
+    * (window, predicted language) under the watermark. Classification
+    * is per-ROW (a streaming document is one row, so the batch form's
+    * per-doc gram aggregate is the wrong shape here — the
+    * [[graft.operators.TextAnalysis.langIdKernel]] runs as a plain
+    * Scala function, the parser precedent), which keeps the only
+    * stateful operator the windowed count: bounded state
+    * (|windows in horizon| · |langs| rows), append-mode emission on
+    * finalize. Kernel ≡ declarative-langId equivalence is pinned by
+    * spec, so a finalized window's counts equal the batch twin
+    * (q162's shape) over the same documents.
+    *
+    * Output: (window_start_ms, pred_lang, n_docs). */
+  def langIdStream(df: DataFrame, tsName: String, text: Column,
+      model: Map[String, Map[String, Long]], penalty: Int, d: Int,
+      windowDuration: String, watermarkDelay: String): DataFrame = {
+    require(model.nonEmpty, "model must carry at least one language")
+    val classify = udf((t: String) =>
+      graft.operators.TextAnalysis.langIdKernel(model, penalty, d)(t)
+        .map(_._1))
+    df.select(col(tsName), classify(text).as("pred_lang"))
+      .filter(col("pred_lang").isNotNull) // gramless docs: unclassifiable
+      .withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), windowDuration), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("pred_lang"), col("n_docs"))
+  }
+
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
     * a `rate` stream projected onto the config literal. Union into the

@@ -104,6 +104,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("langIdStream: finalized window language-mix counts equal the " +
+      "batch twin over the same documents, across micro-batches; " +
+      "gramless docs are excluded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // train a tiny model from two synthetic languages
+    val seed = Seq(
+      ("aa", "the cat sat on the mat the cat the rat"),
+      ("bb", "zum zug zieht zwei zuge zum zug und zug")).toDF("lang", "text")
+    val model = TextAnalysis.langIdModel(
+      TextAnalysis.langIdProfiles(seed, col("lang"), col("text"), m = 8))
+    val t0 = 1700000000L
+    val batch1 = Seq(
+      (t0 + 10, "the cat and the mat"),
+      (t0 + 20, "zum zug zwei zuge"),
+      (t0 + 30, "the rat sat"),
+      (t0 + 40, "12345 !!!")) // gramless -> excluded
+    val batch2 = Seq(
+      (t0 + 50, "zug und zug zieht"),
+      (t0 + 70, "the cat the cat"))
+    val pusher = Seq((t0 + 3600, "the end"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.langIdStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("text")),
+        "ts", col("text"), model, penalty = 8, d = 6,
+        "10 minutes", "30 seconds")
+      .writeStream.format("memory").queryName("langmix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      in.addData(pusher: _*); q.processAllAvailable()
+      val streamed = spark.table("langmix")
+        .filter(col("window_start_ms") === (t0 / 600) * 600 * 1000)
+        .select(col("pred_lang"), col("n_docs"))
+        .as[(String, Long)].collect().toSet
+      // batch twin: the declarative classifier over the same docs
+      // (ids synthesized per row — classification ignores them)
+      val docs = (batch1 ++ batch2).zipWithIndex
+        .map { case ((_, t), i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batchTwin = TextAnalysis.langId(docs, col("doc_id"),
+          col("text"),
+          TextAnalysis.langIdProfiles(seed, col("lang"), col("text"),
+            m = 8),
+          penalty = 8, d = 6)
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSet
+      assert(streamed == batchTwin,
+        s"streamed $streamed vs batch $batchTwin")
+      // the mix itself: 3 aa docs + 2 bb docs, the gramless one gone
+      assert(streamed == Set(("aa", 3L), ("bb", 2L)), streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1070,6 +1070,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("langIdKernel: the per-row classifier agrees with the " +
+      "declarative langId on every real document (prediction AND " +
+      "distance) — the equivalence langIdStream stands on") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val d = sources.Tables.documents(spark, sf)
+    val profiles = TextAnalysis.langIdProfiles(
+      d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"), m = 64)
+    val declarative = TextAnalysis.langId(d, col("doc_id"), col("text"),
+        profiles, penalty = 64, d = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    val model = TextAnalysis.langIdModel(profiles)
+    val kernel = TextAnalysis.langIdKernel(model, penalty = 64, d = 32) _
+    val docs = d.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val viaKernel = docs.flatMap { case (idv, t) =>
+      kernel(t).map(idv -> _) }.toMap
+    assert(viaKernel == declarative,
+      s"kernel and declarative classifier disagree on " +
+        s"${(viaKernel.toSet diff declarative.toSet).take(3)} ...")
+    // and both exclude the same (gramless) docs
+    assert(viaKernel.keySet == declarative.keySet)
+  }
+
   test("q161 per-language data card: strata are exactly the predicted " +
       "languages, doc mass adds up to the classified corpus, and the " +
       "card's rates stay in [0, 1000] permille") {
