@@ -1685,19 +1685,22 @@ object TextAnalysis {
     * per-doc aggregate is the wrong shape (streaming micro-batches,
     * per-partition enrichment — the parser precedent: heavy per-row
     * logic lives in plain Scala). Equivalence with the declarative
-    * form is load-bearing and pinned by spec: same normalization
-    * (ROOT-locale lowercase + non-letter collapse ≡ `lower` +
-    * `regexp_replace` on the [a-z ] alphabet the grams survive on),
-    * same (count desc, gram asc) profile order, same (dist, lang)
-    * argmin.
+    * form is load-bearing and pinned by spec (including a ScalaCheck
+    * sweep over random unicode): the lowercase IS Spark's own
+    * (`UTF8String.toLowerCase`, the kernel behind the `lower`
+    * expression — a JVM-locale lowercase can disagree on unicode
+    * edge cases), the non-letter collapse is the same Java regex
+    * `regexp_replace` compiles, same (count desc, gram asc) profile
+    * order, same (dist, lang) argmin.
     *
     * Returns None for gramless docs (the declarative form excludes
     * them). */
   def langIdKernel(model: Map[String, Map[String, Long]], penalty: Int,
       d: Int)(text: String): Option[(String, Long)] = {
     if (text == null) return None
-    val s = " " + text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z]+", " ").trim + " "
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString
+    val s = " " + lowered.replaceAll("[^a-z]+", " ").trim + " "
     if (s.length < 3) return None
     val gs = (0 to s.length - 3).map(i => s.substring(i, i + 3))
     val top = gs.groupBy(identity).view.mapValues(_.size).toSeq

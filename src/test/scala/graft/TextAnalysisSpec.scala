@@ -1095,6 +1095,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaKernel.keySet == declarative.keySet)
   }
 
+  test("langIdKernel: seeded random-unicode sweep — kernel and " +
+      "declarative classifier agree on adversarial input (surrogate " +
+      "pairs, combining marks, locale-sensitive case, empty)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = Seq(
+      ("aa", "the cat sat on the mat the cat the rat"),
+      ("bb", "zum zug zieht zwei zuge zum zug und zug")).toDF("lang", "text")
+    val profiles = TextAnalysis.langIdProfiles(seed, col("lang"),
+      col("text"), m = 8)
+    val model = TextAnalysis.langIdModel(profiles)
+    val kernel = TextAnalysis.langIdKernel(model, penalty = 8, d = 6) _
+    val rnd = new scala.util.Random(20260815)
+    // alphabet mixing the hazards: ASCII letters/digits, composed and
+    // decomposed accents, Turkish dotted/dotless I (locale-sensitive
+    // lowercase), German sharp s, full-width letters (case-folding
+    // width), CJK, an emoji surrogate pair, combining marks, controls
+    val alphabet: IndexedSeq[String] = ("abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,").map(_.toString) ++
+      Seq("é", "é", "İ", "ı", "I", "ß",
+        "Ａ", "ａ", "中", "文", "😀",
+        "́", " ", "\t", "\n")
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(60)
+      (i.toLong, (0 until n).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ (300L, "") :+ (301L, "   ") :+ (302L, "İİİİ")
+    val df = docs.toDF("doc_id", "text")
+    val declarative = TextAnalysis.langId(df, col("doc_id"), col("text"),
+        profiles, penalty = 8, d = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    val viaKernel = docs.flatMap { case (idv, t) =>
+      kernel(t).map(idv -> _) }.toMap
+    assert(viaKernel == declarative,
+      s"disagreement: ${(viaKernel.toSet diff declarative.toSet).take(3)} / " +
+        s"${(declarative.toSet diff viaKernel.toSet).take(3)}")
+    assert(viaKernel.keySet == declarative.keySet)
+  }
+
   test("q161 per-language data card: strata are exactly the predicted " +
       "languages, doc mass adds up to the classified corpus, and the " +
       "card's rates stay in [0, 1000] permille") {
