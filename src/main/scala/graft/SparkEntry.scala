@@ -2162,6 +2162,28 @@ object SparkEntry {
     // carry no event time, so arrival time is synthesized from doc_id
     // (one doc per minute — the q43 synthesized-column pattern);
     // 10-minute windows in integer epoch math
+    // training-data ops: per-LANGUAGE quality-threshold calibration —
+    // where should the stop-word gate sit for THIS language? q135's
+    // calibration view re-keyed by q160's classifier (a scraped
+    // multilingual corpus calibrates per predicted language, not per
+    // source): stop-word-permille quantiles per predicted language
+    // via the shared integer-histogram quantile kernel. The classifier
+    // frame joins ONCE (a single consumer — the dataCardBy lesson)
+    "q163_lang_quality_calibration" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      val pred = TextAnalysis.langId(d, col("doc_id"), col("text"),
+        profiles, penalty = 64, d = 32)
+      val q = TextAnalysis.qualityScore(d, col("doc_id"), col("text"))
+        .filter(col("n_tokens") >= 1)
+        .join(pred.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      TextAnalysis.integerQuantiles(q, col("pred_lang"),
+          expr("n_stop * 1000 DIV n_tokens"))
+        .orderBy(col("stratum"))
+    }),
+
     "q162_lang_mix_windows" -> ((s, dir) => {
       val d = Tables.fanOut(Tables.documents(s, dir))
       val profiles = TextAnalysis.langIdProfiles(
@@ -5574,6 +5596,65 @@ object SparkEntry {
           |  CAST(SUM(p.dist) AS BIGINT) AS total_dist
           |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      ("q163_lang_quality_calibration" ->
+        // q160's classifier chain feeding q135's histogram-quantile
+        // body with stratum = predicted language
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rl
+          |  FROM lp0 QUALIFY rl <= 64),
+          |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |dp AS (SELECT doc_id, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, gram ASC) AS rd
+          |  FROM dp0 QUALIFY rd <= 32),
+          |langs AS (SELECT DISTINCT lang FROM lp),
+          |sc AS (SELECT dp.doc_id, langs.lang,
+          |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (SELECT doc_id,
+          |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+          |  FROM sc GROUP BY 1),
+          |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang
+          |  FROM best),
+          |w AS (SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+          |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+          |  FROM documents),
+          |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+          |    CAST(len(list_filter(ws,
+          |      t -> list_contains(['the','a','and','of','to','in'], t)))
+          |      AS BIGINT) n_stop
+          |  FROM w),
+          |v AS (SELECT p.pred_lang AS stratum,
+          |    CAST(n_stop * 1000 // n_tokens AS BIGINT) AS v
+          |  FROM c JOIN pred p USING (doc_id) WHERE n_tokens >= 1),
+          |h AS (SELECT stratum, v, COUNT(*) f FROM v GROUP BY 1, 2),
+          |cm AS (SELECT stratum, v, f,
+          |    CAST(SUM(f) OVER (PARTITION BY stratum ORDER BY v)
+          |      AS BIGINT) cum,
+          |    CAST(SUM(f) OVER (PARTITION BY stratum) AS BIGINT) n_rows,
+          |    CAST(SUM(f*v) OVER (PARTITION BY stratum) AS BIGINT) sum_v
+          |  FROM h)
+          |SELECT stratum, MAX(n_rows) n_rows,
+          |  MAX(sum_v) // MAX(n_rows) AS mean_v,
+          |  MIN(CASE WHEN cum*100 >= n_rows*50 THEN v END) p50,
+          |  MIN(CASE WHEN cum*100 >= n_rows*90 THEN v END) p90,
+          |  MIN(CASE WHEN cum*100 >= n_rows*99 THEN v END) p99,
+          |  MAX(v) max_v
+          |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin) +
       ("q162_lang_mix_windows" ->
         // q160's classifier chain + integer-epoch window math (// on
         // non-negative operands ≡ Spark DIV)

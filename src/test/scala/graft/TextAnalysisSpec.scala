@@ -1135,6 +1135,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaKernel.keySet == declarative.keySet)
   }
 
+  test("q163 per-language quality calibration: one row per predicted " +
+      "language, quantiles monotone, mass equals the classified " +
+      "tokenful corpus") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q163_lang_quality_calibration")(
+      spark, sf).collect()
+    val d = sources.Tables.documents(spark, sf)
+    val profiles = TextAnalysis.langIdProfiles(
+      d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"), m = 64)
+    val pred = TextAnalysis.langId(d, col("doc_id"), col("text"),
+      profiles, penalty = 64, d = 32)
+    val classified = TextAnalysis.qualityScore(d, col("doc_id"),
+        col("text")).filter(col("n_tokens") >= 1)
+      .join(pred, Seq("doc_id")).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      classified.map(_.getAs[String]("pred_lang")).toSet)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == classified.length)
+    for (r <- rows) {
+      val (p50, p90, p99, mx) = (r.getAs[Long]("p50"),
+        r.getAs[Long]("p90"), r.getAs[Long]("p99"),
+        r.getAs[Long]("max_v"))
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx,
+        s"non-monotone quantiles in ${r.getString(0)}: $p50 $p90 $p99 $mx")
+    }
+  }
+
   test("q161 per-language data card: strata are exactly the predicted " +
       "languages, doc mass adds up to the classified corpus, and the " +
       "card's rates stay in [0, 1000] permille") {
