@@ -6,6 +6,21 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass at sf0.001 first pays JIT + codegen compilation per
   * query plan so the timed pass measures the engine, not the JVM. */
 object Bench {
+
+  /** Clean-band floor for the parse-throughput drift detector: idle
+    * runs on this corpus/hardware read eps 395-515k; contended hosts
+    * have twice recorded official artifacts at < 300k with phantom
+    * per-query regressions. Below the floor the contract line labels
+    * itself `healthy:false` — "rerun idle before reading per-query
+    * diffs", not "code got slower". */
+  val HealthyEpsFloor = 360000.0
+
+  /** The contract line's self-adjudication: a run can claim a healthy
+    * host only when the parse pass ran (unfiltered) and cleared the
+    * floor. */
+  def isHealthy(parseEps: Double, filtered: Boolean): Boolean =
+    !filtered && parseEps >= HealthyEpsFloor
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -109,6 +124,13 @@ object Bench {
 
     val valid = failed.isEmpty && (qFilter.isDefined || parseEps > 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // self-adjudicating host-health marker: twice (r13, r14) the
+    // official record was taken on a contention-drifted host and the
+    // per-query vector carried phantom regressions that an idle-host
+    // re-measure erased — so the contract line labels itself (see
+    // isHealthy). Filtered runs skip the parse pass and can't
+    // adjudicate.
+    val healthy = isHealthy(parseEps, qFilter.isDefined)
 
     // Full-precision record for humans/judge — NOT the contract line.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -149,7 +171,7 @@ object Bench {
       // consumer keying on metric+valid
       val filteredMark =
         if (qFilter.isDefined) s""","filtered":true""" else ""
-      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs$filteredMark,"sf":"$sfDir"}"""
+      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"healthy":$healthy,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs$filteredMark,"sf":"$sfDir"}"""
     }
     val candidates = Seq((3, false), (2, false), (2, true), (1, true))
       .map { case (dp, sk) => line(dp, sk) }

@@ -64,12 +64,41 @@ import org.apache.spark.sql.functions._
   * (the depth axis is an events-family probe; 1x text keeps regens
   * cheap and keeps any text query out of the measurement).
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <k> [embK|depth]
+  * LENGTH mode (the document-length axis, tools/length_probe.sh):
+  * breadth grows the corpus by DOCUMENT COUNT and depth by per-key
+  * EVENT count, but neither ever grows text per document — the
+  * per-row-text family (langId, BPE encode, winnowing, simhash,
+  * stripHtml, chunking) had only ever seen sf-shaped (~KB) docs while
+  * its real failure shape is one megadoc (concatenated logs, minified
+  * JS) holding an O(doc-length) structure in a single row. Length
+  * mode keeps the doc COUNT constant and makes each document the
+  * space-joined concatenation of k CIPHER copies of itself (each copy
+  * a distinct seeded substitution cipher, copy 0 the identity): k-fold
+  * text per doc at the source's structural density, with no
+  * manufactured cross-copy exact repetition (a naive k-fold
+  * self-concatenation would make every shingle k times hotter and the
+  * dedup family would measure that artifact, not length). Events and
+  * embeddings pass through unchanged (the length axis is a text
+  * probe).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <k>
+  * [embK|depth|length]
   */
 object ScaleGen {
+
+  /** The per-copy substitution cipher: a seeded Fisher-Yates
+    * permutation of the alphabet (copy 0 is the identity — callers
+    * special-case it). Shared by the breadth and length modes so a
+    * length-mode copy is the SAME isometry breadth mode would apply. */
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def perm(i: Int): String = {
+    val r = new scala.util.Random(i)
+    r.shuffle(alpha.toList).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK|depth]")
+      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK|depth|length]")
     val (srcDir, outDir, kStr) = (args(0), args(1), args(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -81,11 +110,14 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val depth = args.length == 4 && args(3) == "depth"
+    val docLength = args.length == 4 && args(3) == "length"
     val embK =
-      if (args.length == 4 && !depth) Some(args(3).toInt) else None
-    generate(spark, srcDir, outDir, kStr.toInt, embK, depth)
+      if (args.length == 4 && !depth && !docLength) Some(args(3).toInt)
+      else None
+    generate(spark, srcDir, outDir, kStr.toInt, embK, depth, docLength)
     println(s"[scalegen] wrote ${kStr}x " +
-      (if (depth) "DEPTH" else "breadth") + s" corpus to $outDir" +
+      (if (depth) "DEPTH" else if (docLength) "LENGTH" else "breadth") +
+      s" corpus to $outDir" +
       embK.fold("")(e => s" (embeddings at ${e}x)"))
     spark.stop()
   }
@@ -102,8 +134,9 @@ object ScaleGen {
     * explicitly and probe only text queries against the output. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       k: Int, embKOverride: Option[Int] = None,
-      depth: Boolean = false): Unit = {
+      depth: Boolean = false, docLength: Boolean = false): Unit = {
     require(k >= 1, "k must be >= 1")
+    require(!(depth && docLength), "depth and length modes are exclusive")
     // the disjointness contract needs guarding, not assuming: ids
     // stride by 10M per copy (a collision would silently give one id
     // two different texts, corrupting every pair query downstream),
@@ -113,9 +146,12 @@ object ScaleGen {
     if (depth) {
       require(embKOverride.isEmpty, "embK is a breadth-mode knob")
       // jitter must stay far below every session gap / window width
-      // the probed family uses (smallest: 120 s) — k ms per copy is
-      // 6 orders under it even at k = 100000
-      require(k <= 100000, s"depth k=$k would jitter past 100 s")
+      // the probed family uses (smallest: 120 s) so boundaries cannot
+      // move: k MICROSECONDS per copy caps the jitter at 0.1 s for
+      // k = 100000 — 3 orders under the smallest gap (the earlier
+      // k-MILLISECOND jitter reached 99.999 s at the guard's limit,
+      // 0.83x of the 120 s gap, violating the invariant it claimed)
+      require(k <= 100000, s"depth k=$k would jitter past 0.1 s")
       sources.Tables.documents(spark, srcDir)
         .repartition(4)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -130,11 +166,48 @@ object ScaleGen {
       ev.crossJoin(copies)
         .select(
           (col("event_id") + col("copy") * stride).as("event_id"),
-          expr("timestampadd(MILLISECOND, CAST(copy AS INT), ts)")
+          expr("timestampadd(MICROSECOND, CAST(copy AS INT), ts)")
             .as("ts"),
           col("user_id"), // UNCHANGED: constant actors, k-fold depth
           col("event_type"), col("value"), col("props"))
         .repartition(4 * k)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      return
+    }
+    if (docLength) {
+      require(embKOverride.isEmpty, "embK is a breadth-mode knob")
+      // expression budget: k translate+concat branches per row; 1000
+      // caps the plan at what codegen splits comfortably while
+      // allowing 3 decades of length probing
+      require(k <= 1000, s"length k=$k exceeds the expression budget")
+      // constant doc COUNT, k-fold TEXT per doc: each document
+      // becomes the space-joined concatenation of k cipher copies of
+      // itself (copy 0 = identity — the 1x dir is the source text).
+      // Per-copy ciphers keep the regime honest: a naive k-fold
+      // self-concatenation would hand every document k-fold EXACT
+      // internal repetition (every shingle k times hotter — the
+      // dedup/winnowing family would measure that manufactured
+      // structure, not length), while the cipher isometry preserves
+      // each copy's internal repetition structure exactly and makes
+      // the copies mutually gram-disjoint, so per-doc statistics grow
+      // ~k-fold in VOLUME at the source's structural density — the
+      // megadoc shape (concatenated logs, scraper-glued pages).
+      val parts = (0 until k).map { i =>
+        if (i == 0) col("text")
+        else translate(col("text"), alpha + alpha.toUpperCase,
+          perm(i) + perm(i).toUpperCase)
+      }
+      sources.Tables.documents(spark, srcDir)
+        .select(col("doc_id"), concat_ws(" ", parts: _*).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      sources.Tables.embeddings(spark, srcDir)
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      sources.Tables.events(spark, srcDir)
+        .repartition(4)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       return
     }
@@ -158,11 +231,6 @@ object ScaleGen {
     val embCopies =
       broadcast(spark.range(embK).select(col("id").as("copy")))
 
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def perm(i: Int): String = {
-      val r = new scala.util.Random(i)
-      r.shuffle(alpha.toList).mkString
-    }
     val shifted = (1 until k).foldLeft(
       when(col("copy") === 0, col("text"))) { case (acc, i) =>
       acc.when(col("copy") === i,

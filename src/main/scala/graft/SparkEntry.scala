@@ -2156,12 +2156,6 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
-    // training-data ops: windowed language-mix — the batch twin of
-    // Streaming.langIdStream (the ingestion-drift monitor: is the
-    // crawl's language mix moving window over window?). Documents
-    // carry no event time, so arrival time is synthesized from doc_id
-    // (one doc per minute — the q43 synthesized-column pattern);
-    // 10-minute windows in integer epoch math
     // training-data ops: per-LANGUAGE quality-threshold calibration —
     // where should the stop-word gate sit for THIS language? q135's
     // calibration view re-keyed by q160's classifier (a scraped
@@ -2184,6 +2178,12 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // training-data ops: windowed language-mix — the batch twin of
+    // Streaming.langIdStream (the ingestion-drift monitor: is the
+    // crawl's language mix moving window over window?). Documents
+    // carry no event time, so arrival time is synthesized from doc_id
+    // (one doc per minute — the q43 synthesized-column pattern);
+    // 10-minute windows in integer epoch math
     "q162_lang_mix_windows" -> ((s, dir) => {
       val d = Tables.fanOut(Tables.documents(s, dir))
       val profiles = TextAnalysis.langIdProfiles(
@@ -5561,7 +5561,8 @@ object SparkEntry {
         // absent from a language profile, argmin via the zero-padded
         // dist||lang string min — every step integer-exact
         """WITH norm AS (SELECT doc_id, lang,
-          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
           |      || ' ' AS s
           |  FROM documents),
           |g AS (SELECT doc_id, lang,
@@ -5600,7 +5601,8 @@ object SparkEntry {
         // q160's classifier chain feeding q135's histogram-quantile
         // body with stratum = predicted language
         """WITH norm AS (SELECT doc_id, lang,
-          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
           |      || ' ' AS s
           |  FROM documents),
           |g AS (SELECT doc_id, lang,
@@ -5659,7 +5661,8 @@ object SparkEntry {
         // q160's classifier chain + integer-epoch window math (// on
         // non-negative operands ≡ Spark DIV)
         """WITH norm AS (SELECT doc_id, lang,
-          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
           |      || ' ' AS s
           |  FROM documents),
           |g AS (SELECT doc_id, lang,
@@ -5699,7 +5702,8 @@ object SparkEntry {
         // computed over the CLASSIFIED docs (the joined frame), same
         // as the Spark composition
         """WITH norm AS (SELECT doc_id, lang,
-          |    ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
           |      || ' ' AS s
           |  FROM documents),
           |g AS (SELECT doc_id, lang,

@@ -509,6 +509,20 @@ object Sampling {
       lit("-"), lpad(hex(checked), 16, "0"))
   }
 
+  /** [[reservoirKey]] with the LENIENT contract for standing
+    * streams: an invalid id (null / negative / non-castable) yields
+    * NULL instead of raising, so the caller can drop-and-count it
+    * (see [[graft.streaming.Streaming.hashReservoirStream]]'s
+    * poison-pill note for why a continuously-ingested monitor wants
+    * loud-but-recoverable where a batch job wants the hard raise).
+    * Valid ids encode byte-identically to [[reservoirKey]]. */
+  private[graft] def reservoirKeyLenient(id: Column): Column = {
+    val idl = id.try_cast("long")
+    when(idl.isNull || idl < 0, lit(null).cast("string"))
+      .otherwise(concat(substring(md5(idl.cast("string")), 1, 14),
+        lit("-"), lpad(hex(idl), 16, "0")))
+  }
+
   /** Decode the id back out of a [[reservoirKey]] buffer entry. */
   private[graft] def reservoirId(item: Column): Column =
     conv(substring(item, 16, 16), 16, 10).cast("long")

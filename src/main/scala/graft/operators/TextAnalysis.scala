@@ -1543,25 +1543,50 @@ object TextAnalysis {
 
   // -- language identification -------------------------------------------
 
-  /** Normalized char stream for language ID: lower-cased, every
+  /** Normalized char stream for language ID: the first `maxChars`
+    * CODE POINTS of the raw text (see below), lower-cased, every
     * non-[a-z] run collapsed to one space, padded with one space each
     * side (so word-boundary trigrams like " th"/"he " exist — the
     * strongest language cues in the classic profile method). Only
-    * ASCII letters survive, so lower() is engine-identical. */
-  private def langIdNorm(text: Column): Column =
+    * ASCII letters survive, so lower() is engine-identical.
+    *
+    * The prefix cap is the megadoc bound: classification saturates
+    * after a few KB of text (Cavnar–Trenkle classify on the document
+    * HEAD — the d most frequent trigrams of 4 KB and of 10 MB of the
+    * same language are the same grams), so reading past the cap buys
+    * no accuracy while making per-row work O(document length) — one
+    * pathological megadoc (concatenated logs, minified JS surviving
+    * stripHtml) would otherwise dominate its whole task. Applied to
+    * the RAW text BEFORE lower() (unicode lowercase can change code
+    * point counts), counted in code points — identical in Spark
+    * (`Substring` → `UTF8String.substringSQL`), DuckDB (`substr`) and
+    * the kernel (which calls the same UTF8String method). */
+  private def langIdNorm(text: Column, maxChars: Int): Column =
     concat(lit(" "),
-      trim(regexp_replace(lower(text), "[^a-z]+", " ")), lit(" "))
+      trim(regexp_replace(lower(substring(text, 1, maxChars)),
+        "[^a-z]+", " ")), lit(" "))
 
-  /** Character trigrams of a pre-normalized stream — one array entry
-    * per position (occurrences counted, not distinct). The input must
-    * be a MATERIALIZED column (select langIdNorm first): referencing
-    * the normalization expression inside the lambda would re-run the
-    * regex once per gram. */
-  private def trigrams(s: Column): Column =
-    when(length(s) >= 3,
-      transform(sequence(lit(1), length(s) - 2),
-        i => s.substr(i, lit(3))))
-      .otherwise(array())
+  /** Explode a pre-normalized stream into one row per trigram
+    * POSITION (occurrences counted, not distinct) — the
+    * positions-explode idiom (the n-gram shingles at Dedup.scala:64):
+    * the generator emits an integer per position and the 3-char
+    * substr projects right after, so no operator ever holds an
+    * O(length) array of gram strings in one row (the materialized
+    * `transform(sequence(...))` form held |chars| 3-char strings per
+    * document — a single-row memory cliff on megadocs; the positions
+    * array that remains is ints, 5-10× lighter, and ≤ maxChars
+    * entries under [[langIdNorm]]'s cap). The stream must arrive as a
+    * MATERIALIZED column named `s` (select langIdNorm first). Docs
+    * shorter than one gram explode an empty array and vanish — a
+    * when() guard rather than a filter() on purpose: predicate
+    * pushdown rewrites a filter on `s` in terms of the RAW text,
+    * re-running the normalization regex a second time per row. */
+  private def trigramRows(df: DataFrame, keep: Column*): DataFrame =
+    df.select(keep :+ col("s") :+
+        explode(when(length(col("s")) >= 3,
+          sequence(lit(1), length(col("s")) - 2))
+          .otherwise(typedLit(Array.empty[Int]))).as("i"): _*)
+      .select(keep :+ col("s").substr(col("i"), lit(3)).as("gram"): _*)
 
   /** Train per-language char-trigram rank profiles from a labeled
     * seed — the classic out-of-place profile method (Cavnar–Trenkle
@@ -1579,13 +1604,15 @@ object TextAnalysis {
     *
     * Output: (lang, gram, rank) with rank 1..m per language. */
   def langIdProfiles(seed: DataFrame, lang: Column, text: Column,
-      m: Int = 64): DataFrame = {
+      m: Int = 64, maxChars: Int = 4096): DataFrame = {
     require(m >= 1 && m <= 4096, "m must be in [1, 4096]")
+    require(maxChars >= 3, "maxChars must fit at least one trigram")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram").asc)
-    seed.select(lang.as("lang"), langIdNorm(text).as("__s"))
-      .select(col("lang"), explode(trigrams(col("__s"))).as("gram"))
+    trigramRows(
+        seed.select(lang.as("lang"), langIdNorm(text, maxChars).as("s")),
+        col("lang"))
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1609,25 +1636,44 @@ object TextAnalysis {
     * subplan runs ONCE — referenced lazily it would re-evaluate per
     * consumer (the distinct-langs side and the join side).
     *
-    * Scale shape: the doc profile is one explode + one (doc, gram)
-    * hash aggregate (map-side collapsed; ≤ |doc chars| entries) + a
-    * per-doc window rank whose partitions are bounded by DOCUMENT
-    * LENGTH, never corpus size; scoring is a constant ×|langs|
+    * Scale shape: the doc profile is one positions-explode (capped at
+    * `maxChars` per doc — the megadoc bound, see [[langIdNorm]]) +
+    * one (doc, gram) hash aggregate (map-side collapsed; ≤ capped doc
+    * chars entries) + the bounded [[graft.functions.GramTopKAggregator]]
+    * keyed by doc — partial aggregation ships ≤ d rows per doc per
+    * map task, where the earlier `row_number` window form re-shuffled
+    * and per-doc-sorted the ENTIRE distinct-gram frame (≈ corpus
+    * characters) only to keep d rows; scoring is a constant ×|langs|
     * fan-out joined broadcast against the local model, collapsed by
-    * two more doc-keyed hash aggregates. Nothing sorts globally;
-    * per-key state is bounded by d·|langs|.
+    * two more doc-keyed hash aggregates. Nothing sorts globally; no
+    * Window anywhere in the doc path (plan-pinned); per-key state is
+    * bounded by d·|langs|.
     *
     * Output: (doc_id, pred_lang, dist). */
   def langId(df: DataFrame, id: Column, text: Column,
-      profiles: DataFrame, penalty: Int = 64, d: Int = 32): DataFrame = {
-    require(d >= 1 && penalty >= 1 && d.toLong * penalty <= 999999L,
-      "d * penalty must fit the 6-digit distance key")
+      profiles: DataFrame, penalty: Int = 64, d: Int = 32,
+      maxChars: Int = 4096): DataFrame = {
+    require(d >= 1 && penalty >= 1, "d and penalty must be positive")
+    require(maxChars >= 3, "maxChars must fit at least one trigram")
     val spark = df.sparkSession
     val modelRows = profiles
       .select(col("lang").cast("string").as("lang"),
         col("gram").cast("string").as("gram"),
         col("rank").cast("long").as("rl"))
       .collect()
+    require(modelRows.nonEmpty, "profiles must carry at least one language")
+    // the sortable-key argmin packs each distance into 6 digits, so
+    // the TRUE distance bound must fit: a matched gram contributes
+    // |rd - rl| <= max(maxRank - 1, d - 1) (maxRank = deepest trained
+    // profile rank, NOT bounded by penalty), an unmatched one exactly
+    // `penalty` — lpad would silently TRUNCATE an over-long distance
+    // and corrupt the argmin, so the cheap dynamic require guards the
+    // real bound instead of the classic penalty-only approximation
+    val maxRl = modelRows.map(_.getLong(2)).max
+    val perGramMax = math.max(math.max(penalty.toLong, maxRl - 1), d - 1L)
+    require(d.toLong * perGramMax <= 999999L,
+      s"d=$d * max(penalty=$penalty, maxRank-1=${maxRl - 1}) exceeds " +
+        "the 6-digit distance key")
     val model = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(modelRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -1644,17 +1690,19 @@ object TextAnalysis {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("lang",
           org.apache.spark.sql.types.StringType)))))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("gram").asc)
-    val docProfile = df
-      .select(id.as("doc_id"), langIdNorm(text).as("__s"))
-      .select(col("doc_id"), explode(trigrams(col("__s"))).as("gram"))
+    val topd = udaf(new graft.functions.GramTopKAggregator(d))
+    // the udaf flattens the GramCnt input encoder: (gram, cnt)
+    val docProfile = trigramRows(
+        df.select(id.as("doc_id"), langIdNorm(text, maxChars).as("s")),
+        col("doc_id"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rd", row_number().over(wd).cast("long"))
-      .filter(col("rd") <= d)
-      .select(col("doc_id"), col("gram"), col("rd"))
+      .groupBy(col("doc_id"))
+      .agg(topd(col("gram"), col("cnt")).as("prof"))
+      .select(col("doc_id"),
+        posexplode(col("prof.items")).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("e.gram").as("gram"),
+        (col("pos") + 1).cast("long").as("rd"))
     docProfile
       .crossJoin(langs)
       .join(model, Seq("lang", "gram"), "left")
@@ -1691,15 +1739,19 @@ object TextAnalysis {
     * expression — a JVM-locale lowercase can disagree on unicode
     * edge cases), the non-letter collapse is the same Java regex
     * `regexp_replace` compiles, same (count desc, gram asc) profile
-    * order, same (dist, lang) argmin.
+    * order, same (dist, lang) argmin — and the same `maxChars` prefix
+    * cap, taken through Spark's own `UTF8String.substringSQL` (code
+    * points, the kernel behind the `substring` expression; a Java
+    * `String.substring` counts UTF-16 units and would split surrogate
+    * pairs on astral-plane text).
     *
     * Returns None for gramless docs (the declarative form excludes
     * them). */
   def langIdKernel(model: Map[String, Map[String, Long]], penalty: Int,
-      d: Int)(text: String): Option[(String, Long)] = {
+      d: Int, maxChars: Int = 4096)(text: String): Option[(String, Long)] = {
     if (text == null) return None
     val lowered = org.apache.spark.unsafe.types.UTF8String
-      .fromString(text).toLowerCase.toString
+      .fromString(text).substringSQL(1, maxChars).toLowerCase.toString
     val s = " " + lowered.replaceAll("[^a-z]+", " ").trim + " "
     if (s.length < 3) return None
     val gs = (0 to s.length - 3).map(i => s.substring(i, i + 3))

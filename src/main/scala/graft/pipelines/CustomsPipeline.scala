@@ -155,20 +155,33 @@ object CustomsPipeline {
       monitoredAddrs: Seq[String] = Nil,
       monitoredAccounts: Seq[String] = Nil,
       /** Cap on the streaming gates' per-(window, key) distinct-set
-        * state. 0 (default) = exact `collect_set` — per-key state is
-        * linear in the measured fan-out, which is also linear in an
-        * ATTACKER-CONTROLLED quantity (a deliberate high-cardinality
-        * flood of distinct emails/sources inflates the state store
-        * until the watermark closes the window). A positive cap
-        * switches to a bounded k-min distinct counter: exact below
-        * the cap, saturating AT it, state ≤ cap values per key — so
-        * every `>= threshold` gate decides identically as long as
-        * cap >= threshold (enforced), while the emitted count (and
-        * therefore the count-change suppressor) saturates once a key
-        * exceeds the cap. Deploy with cap comfortably above the
-        * alert thresholds; leave 0 where batch-twin count parity at
-        * any fan-out matters more than flood-bounded state. */
-      distinctStateCap: Int = 0)
+        * state. The default (-1 = AUTO) resolves to 4× the largest
+        * configured gate threshold (see [[resolvedDistinctStateCap]])
+        * — flood-bounded out of the box, because unbounded per-key
+        * state is linear in an ATTACKER-CONTROLLED quantity (a
+        * deliberate high-cardinality flood of distinct emails/sources
+        * inflates the state store until the watermark closes the
+        * window). A positive cap switches to a bounded k-min distinct
+        * counter: exact below the cap, saturating AT it, state ≤ cap
+        * values per key — so every `>= threshold` gate decides
+        * identically as long as cap >= threshold (enforced), while
+        * the emitted count (and therefore the count-change
+        * suppressor) saturates once a key exceeds the cap. 0 opts
+        * into exact `collect_set` for deployments where batch-twin
+        * count parity at ANY fan-out matters more than flood-bounded
+        * state. */
+      distinctStateCap: Int = -1) {
+
+    /** The cap the streaming gates actually run with: the explicit
+      * value when >= 0, else (AUTO) 4× the largest gate threshold —
+      * provably gate-identical (every `>= threshold` decision is
+      * unchanged while cap >= threshold) with headroom for the
+      * emitted count to stay exact well past the alert boundary. */
+    def resolvedDistinctStateCap: Int =
+      if (distinctStateCap >= 0) distinctStateCap
+      else (4L * math.max(enumerationThreshold, srcFailDistThreshold))
+        .min(Int.MaxValue).toInt
+  }
 
   /** Distinct-cardinality aggregate for the streaming gates: exact
     * `collect_set` size by default; with `cap > 0`, the bounded
@@ -367,9 +380,9 @@ object CustomsPipeline {
   def analyzeStreamFull(lines: Dataset[String],
       cfg: FullConfig = FullConfig(),
       watermarkDelay: String = "30 seconds"): DataFrame = {
-    require(cfg.distinctStateCap == 0 ||
-      cfg.distinctStateCap >= cfg.srcFailDistThreshold,
-      s"distinctStateCap=${cfg.distinctStateCap} below " +
+    require(cfg.resolvedDistinctStateCap == 0 ||
+      cfg.resolvedDistinctStateCap >= cfg.srcFailDistThreshold,
+      s"distinctStateCap=${cfg.resolvedDistinctStateCap} below " +
         s"srcFailDistThreshold=${cfg.srcFailDistThreshold}: a saturated " +
         "count could no longer decide the gate")
     val spark = lines.sparkSession
@@ -406,7 +419,7 @@ object CustomsPipeline {
       fxa.filter(col("summary") === "loginFailure" && col("email").isNotNull)
         .groupBy(window(col("timestamp"), cfg.window), col("email"))
         .agg(count(lit(1)).as("n_failures"),
-          distinctCount(col("src"), cfg.distinctStateCap).as("n_src"))
+          distinctCount(col("src"), cfg.resolvedDistinctStateCap).as("n_src"))
         .filter(col("n_failures") >= cfg.srcFailDistThreshold &&
           col("n_src") >= cfg.srcFailDistThreshold),
       "source_login_failure_distributed", "email", col("email"),
@@ -436,10 +449,13 @@ object CustomsPipeline {
     * threshold stream's mean join). Auth and content events merge
     * into ONE keyed aggregate (the per-src content-presence flag
     * rides the same state as the enumeration counters); distinct
-    * emails are counted EXACTLY (collect_set) and the single-endpoint
-    * gate runs as a constant-state min==max equality, so every gate
-    * and the emitted count agree with the batch twin at the threshold
-    * boundary. `onAlerts` receives each finalized batch's alert rows.
+    * emails are counted exactly BELOW `cfg.resolvedDistinctStateCap`
+    * and saturate AT it (the bounded k-min counter; 0 opts back into
+    * unbounded exact collect_set) and the single-endpoint gate runs
+    * as a constant-state min==max equality, so every gate decides
+    * identically to the batch twin at the threshold boundary, and the
+    * emitted count agrees with it for any key under the cap.
+    * `onAlerts` receives each finalized batch's alert rows.
     *
     * `statePath`, when set, makes the suppression gate RESTART-SAFE:
     * the (key → lastTs, lastCount) map is snapshotted to parquet
@@ -455,9 +471,9 @@ object CustomsPipeline {
       statePath: Option[String] = None)(onAlerts: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.streaming.OutputMode
-    require(cfg.distinctStateCap == 0 ||
-      cfg.distinctStateCap >= cfg.enumerationThreshold,
-      s"distinctStateCap=${cfg.distinctStateCap} below " +
+    require(cfg.resolvedDistinctStateCap == 0 ||
+      cfg.resolvedDistinctStateCap >= cfg.enumerationThreshold,
+      s"distinctStateCap=${cfg.resolvedDistinctStateCap} below " +
         s"enumerationThreshold=${cfg.enumerationThreshold}: a saturated " +
         "count could no longer decide the gate")
     // AlertSuppressorCount(600) state (ref
@@ -533,7 +549,7 @@ object CustomsPipeline {
         // attacker-controlled fan-out: cfg.distinctStateCap bounds it
         // (exact below the cap, saturating at it)
         distinctCount(when(col("is_sc"), col("email")),
-          cfg.distinctStateCap).as("n_emails"),
+          cfg.resolvedDistinctStateCap).as("n_emails"),
         max(when(col("is_content"), 1).otherwise(0)).as("has_content"),
         // the reference's alert stamp: latest qualifying status-check
         // event (CustomsAccountEnumeration.java:138) — the suppression

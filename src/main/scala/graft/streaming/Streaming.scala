@@ -208,15 +208,39 @@ object Streaming {
     * mode: each window's sample emits once the watermark passes its
     * end — exactly when an eval-set snapshot should become visible.
     *
+    * Id-contract failure mode — choose it deliberately: with the
+    * default strict contract, ONE invalid id (null / negative /
+    * non-castable) is a POISON PILL — `reservoirKey` raises, the
+    * micro-batch fails, and a restart replays the same offsets and
+    * fails again, an unbounded outage from a single bad record in a
+    * continuously-ingested corpus (batch jobs want exactly this
+    * loudness; a standing monitor usually does not). `lenient = true`
+    * trades the hard stop for loud-but-recoverable: invalid ids are
+    * DROPPED before the aggregate and surface per micro-batch as the
+    * observed metric `reservoir_id_violations` (Dataset.observe →
+    * QueryProgressEvent.observedMetrics) for the operator to alarm
+    * on — note a dropped id means that window's draw is over the
+    * VALID ids only, no longer bit-identical to a batch run that
+    * would have raised.
+    *
     * Output: (window_start_ms, stratum, rank, id), rank 1..k in hash
     * order. */
   def hashReservoirStream(df: DataFrame, tsName: String,
       stratum: Column, id: Column, windowDuration: String,
-      watermarkDelay: String, k: Int): DataFrame = {
+      watermarkDelay: String, k: Int,
+      lenient: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
     val kmin = udaf(new graft.functions.KMinValuesAggregator(k))
-    df.select(col(tsName), stratum.as("stratum"),
-        graft.operators.Sampling.reservoirKey(id).as("hk"))
+    val keyed = df.select(col(tsName), stratum.as("stratum"),
+      (if (lenient) graft.operators.Sampling.reservoirKeyLenient(id)
+       else graft.operators.Sampling.reservoirKey(id)).as("hk"))
+    val checked =
+      if (!lenient) keyed
+      else keyed
+        .observe("reservoir_contract",
+          count(when(col("hk").isNull, 1)).as("reservoir_id_violations"))
+        .filter(col("hk").isNotNull)
+    checked
       .withWatermark(tsName, watermarkDelay)
       .groupBy(window(col(tsName), windowDuration), col("stratum"))
       .agg(kmin(col("hk")).as("mins"))
@@ -246,11 +270,12 @@ object Streaming {
     * Output: (window_start_ms, pred_lang, n_docs). */
   def langIdStream(df: DataFrame, tsName: String, text: Column,
       model: Map[String, Map[String, Long]], penalty: Int, d: Int,
-      windowDuration: String, watermarkDelay: String): DataFrame = {
+      windowDuration: String, watermarkDelay: String,
+      maxChars: Int = 4096): DataFrame = {
     require(model.nonEmpty, "model must carry at least one language")
     val classify = udf((t: String) =>
-      graft.operators.TextAnalysis.langIdKernel(model, penalty, d)(t)
-        .map(_._1))
+      graft.operators.TextAnalysis.langIdKernel(model, penalty, d,
+        maxChars)(t).map(_._1))
     df.select(col(tsName), classify(text).as("pred_lang"))
       .filter(col("pred_lang").isNotNull) // gramless docs: unclassifiable
       .withWatermark(tsName, watermarkDelay)

@@ -161,6 +161,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"q154: no partial aggregation:\n$p")
   }
 
+  test("langId doc profile is a bounded partial aggregate, not a " +
+      "per-doc window rank, and normalizes each row exactly once") {
+    // q160's plan is the classification side only (the model collects
+    // eagerly at construction): the doc-profile stage must ride the
+    // GramTopKAggregator — the row_number form re-shuffled the ENTIRE
+    // distinct (doc, gram) frame (~corpus characters) and sorted it
+    // per doc to keep d=32 rows; the bounded aggregator ships <= d
+    // rows per doc per map task (the q154/q159/ANN discipline)
+    val df = SparkEntry.queries("q160_lang_id")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"q160: Window node in physical plan:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q160: no object hash aggregate:\n$p")
+    assert(p.contains("partial_"), s"q160: no partial aggregation:\n$p")
+    // the normalization regex runs ONCE per row: a filter-based
+    // empty-doc guard gets predicate-pushed below the projection and
+    // re-runs the regex a second time per row (the when()-guarded
+    // generator avoids it)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val regexCount = "regexp_replace".r.findAllIn(opt).length
+    assert(regexCount == 1,
+      s"q160: normalization regex appears $regexCount times in the " +
+        s"optimized plan (must be 1):\n$opt")
+    // and the megadoc cap reaches the plan (substring before lower)
+    assert(opt.contains("substring(text"), s"q160: no prefix cap:\n$opt")
+  }
+
   test("q157 ingest selection: document text crosses at most one exchange") {
     // the rewriteCorpus discipline: strip/blocklist/NFC-hash fuse
     // into the scan, the dedup aggregate ships 32-byte hashes, and

@@ -137,21 +137,34 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(genPerUser == srcPerUser.map { case (u, n) => u -> (3 * n) },
       "every key must deepen exactly 3x with no new keys")
     // events stay pairwise distinct in (event_id) and in (user, ts):
-    // the ms jitter separates copies without moving any session
-    // boundary (3 ms ceiling vs >= 120 s gaps)
+    // the MICROSECOND jitter separates copies without moving any
+    // session boundary (2 µs ceiling at k=3; 0.1 s even at the
+    // k=100000 guard limit vs >= 120 s gaps — the old ms jitter
+    // reached 0.83x of the smallest gap at the guard's limit)
     assert(gev.select(col("event_id")).distinct().count() == gev.count())
     assert(gev.select(col("user_id"), col("ts"), col("event_id") % 10000000L)
       .distinct().count() == gev.count())
-    // the time horizon is the source's (+ <= k-1 ms) — depth densifies,
-    // never lengthens
+    // the time horizon is the source's (+ <= (k-1) µs, sub-ms at this
+    // k) — depth densifies, never lengthens
     val (sMin, sMax) = sev.agg(min(col("ts")), max(col("ts"))).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
       .head
     val (gMin, gMax) = gev.agg(min(col("ts")), max(col("ts"))).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
       .head
-    assert(gMin == sMin && gMax >= sMax && gMax <= sMax + 2,
+    assert(gMin == sMin && gMax >= sMax && gMax <= sMax + 1,
       s"horizon must not move: src [$sMin,$sMax] gen [$gMin,$gMax]")
+    // and the jitter is truly micro: copy c of an event sits exactly
+    // c MICROSECONDS after its copy-0 twin
+    val jitterBad = gev
+      .select((col("event_id") % 10000000L).as("eid"),
+        (col("event_id") / 10000000L).cast("long").as("copy"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("eid"))
+      .agg((max(col("us") - col("copy")) =!=
+        min(col("us") - col("copy"))).as("bad"))
+      .filter(col("bad")).count()
+    assert(jitterBad == 0, "per-copy jitter must be exactly `copy` µs")
     // copy 0 byte-identical (event_id below the stride)
     val evMismatch = gev.filter(col("event_id") < 10000000L)
       .select(col("event_id"), col("user_id").as("u2"),
@@ -175,5 +188,68 @@ class ScaleGenSpec extends AnyFunSuite {
         3, embKOverride = Some(2), depth = true)
     }
     assert(e.getMessage.contains("breadth-mode"))
+  }
+
+  test("length mode: constant doc count, k-fold cipher-concatenated " +
+      "text per doc, copies gram-disjoint, events/embeddings passed " +
+      "through unchanged") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-length").toString
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 3,
+      docLength = true)
+    val src = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val gd = spark.read.parquet(s"$out/documents.parquet")
+    // constant doc COUNT, k-fold text: |new| = k*|src| + (k-1)
+    // separator spaces, per doc
+    assert(gd.count() == src.count(), "length mode must not add docs")
+    val lenBad = gd.select(col("doc_id"), col("n_chars").as("nc"),
+        length(col("text")).cast("long").as("real"))
+      .join(src.select(col("doc_id"),
+        length(col("text")).cast("long").as("src_len")), Seq("doc_id"))
+      .filter(col("nc") =!= col("real") ||
+        col("nc") =!= col("src_len") * 3 + 2)
+      .count()
+    assert(lenBad == 0, "every doc must carry exactly 3x text + 2 seps")
+    // copy 0 is the source text verbatim (prefix), and lang/source
+    // survive — the probe measures length, nothing else moves
+    val prefixBad = gd.select(col("doc_id"), col("text").as("t2"),
+        col("lang").as("l2"), col("source").as("s2"))
+      .join(src, Seq("doc_id"))
+      .filter(!col("t2").startsWith(col("text")) ||
+        col("l2") =!= col("lang") || col("s2") =!= col("source"))
+      .count()
+    assert(prefixBad == 0, "copy 0 must prefix each doc unchanged")
+    // the cipher keeps copies gram-disjoint: the concatenation must
+    // NOT inflate a doc's top trigram count 3x (a naive
+    // self-concatenation would); letter trigrams of the copies are
+    // disjoint, so per-gram counts stay ~source (+ boundary grams)
+    val topSrc = src.filter(col("doc_id") === 0)
+      .select(explode(expr("transform(sequence(1, length(text) - 2)," +
+        " i -> substring(text, CAST(i AS INT), 3))")).as("g"))
+      .filter(col("g").rlike("^[a-z]{3}$"))
+      .groupBy(col("g")).count().agg(max(col("count"))).head().getLong(0)
+    val topGen = gd.filter(col("doc_id") === 0)
+      .select(explode(expr("transform(sequence(1, length(text) - 2)," +
+        " i -> substring(text, CAST(i AS INT), 3))")).as("g"))
+      .filter(col("g").rlike("^[a-z]{3}$"))
+      .groupBy(col("g")).count().agg(max(col("count"))).head().getLong(0)
+    assert(topGen < 3 * topSrc,
+      s"cipher copies must not stack the same grams: src-max $topSrc " +
+        s"gen-max $topGen")
+    // events and embeddings pass through (the length axis is a text
+    // probe)
+    assert(spark.read.parquet(s"$out/events.parquet").count() ==
+      sources.Tables.events(spark, "/root/testdata/sf0.001").count())
+    assert(spark.read.parquet(s"$out/embeddings.parquet").count() ==
+      sources.Tables.embeddings(spark, "/root/testdata/sf0.001").count())
+    // mode exclusivity + breadth knobs rejected
+    assert(intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out + "-bad",
+        3, depth = true, docLength = true)
+    }.getMessage.contains("exclusive"))
+    assert(intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out + "-bad",
+        3, embKOverride = Some(2), docLength = true)
+    }.getMessage.contains("breadth-mode"))
   }
 }

@@ -104,6 +104,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hashReservoirStream lenient mode: an invalid id is dropped " +
+      "and counted instead of poisoning the query — the strict " +
+      "default raises (documented poison pill), lenient completes " +
+      "with the draw over the valid ids and surfaces the violation " +
+      "count as an observed metric") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val t0 = 1700000000L
+    val good = (0 until 20).map(i => (t0 + i, "s", i.toString))
+    val bad = Seq((t0 + 25, "s", "not-a-number"))
+    val pusher = Seq((t0 + 3600, "s", "999"))
+    def run(lenient: Boolean, name: String) = {
+      val in = MemoryStream[(Long, String, String)]
+      val q = Streaming.hashReservoirStream(
+          in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+            col("_2").as("s"), col("_3").as("i")),
+          "ts", col("s"), col("i"), "10 minutes", "30 seconds", k = 8,
+          lenient = lenient)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      (in, q)
+    }
+    // strict: the documented poison pill — the micro-batch fails loud
+    val (inS, qS) = run(lenient = false, "hrstrict")
+    try {
+      inS.addData(good ++ bad: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qS.processAllAvailable()
+      }
+      assert(e.getMessage.contains("hashReservoir") ||
+        Option(e.getCause).exists(_.getMessage.contains("hashReservoir")),
+        s"strict mode must raise the contract error: ${e.getMessage}")
+    } finally qS.stop()
+    // lenient: completes, draw over the VALID ids only, violation
+    // visible per micro-batch through Dataset.observe
+    val (inL, qL) = run(lenient = true, "hrlenient")
+    try {
+      inL.addData(good ++ bad: _*); qL.processAllAvailable()
+      inL.addData(pusher: _*); qL.processAllAvailable()
+      val streamed = spark.table("hrlenient")
+        .filter(col("window_start_ms") === (t0 / 600) * 600 * 1000)
+        .select(col("stratum"), col("rank"), col("id"))
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Sampling.hashReservoir(
+          good.toDF("t", "s", "i"), col("s"), col("i"), k = 8)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"lenient draw must cover exactly the valid ids: $streamed vs $batch")
+      val violations = qL.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("reservoir_contract")))
+        .map(_.getAs[Long]("reservoir_id_violations")).sum
+      assert(violations == 1,
+        s"the dropped id must be observable: counted $violations")
+    } finally qL.stop()
+  }
+
   test("langIdStream: finalized window language-mix counts equal the " +
       "batch twin over the same documents, across micro-batches; " +
       "gramless docs are excluded") {
@@ -1256,6 +1313,26 @@ class StreamingSpec extends AnyFunSuite {
           .contains(r.getAs[String]("subcategory"))))
       assert(batch == expected, s"batch $batch")
     } finally { eq.stop(); q.stop() }
+  }
+
+  test("distinctStateCap AUTO default: the streaming gates ship " +
+      "flood-bounded — the resolved cap is 4x the largest gate " +
+      "threshold, explicit values win, and 0 stays the exact opt-in") {
+    import graft.pipelines.CustomsPipeline.FullConfig
+    // default thresholds: enumeration 5, srcFailDist 3 -> 20
+    assert(FullConfig().resolvedDistinctStateCap == 20)
+    // the larger threshold drives the auto cap
+    assert(FullConfig(enumerationThreshold = 2, srcFailDistThreshold = 7)
+      .resolvedDistinctStateCap == 28)
+    // explicit cap and the exact opt-in pass through untouched
+    assert(FullConfig(distinctStateCap = 6).resolvedDistinctStateCap == 6)
+    assert(FullConfig(distinctStateCap = 0).resolvedDistinctStateCap == 0)
+    // the auto cap always satisfies the gates' require (cap >= every
+    // threshold) by construction — 4x the max
+    val c = FullConfig(enumerationThreshold = 1000,
+      srcFailDistThreshold = 999)
+    assert(c.resolvedDistinctStateCap >= c.enumerationThreshold &&
+      c.resolvedDistinctStateCap >= c.srcFailDistThreshold)
   }
 
   test("distinctStateCap bounds the streaming gates' per-key set state: " +

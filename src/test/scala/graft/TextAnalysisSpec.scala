@@ -1135,6 +1135,112 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaKernel.keySet == declarative.keySet)
   }
 
+  test("langId prefix cap: classification reads exactly the first " +
+      "maxChars CODE POINTS — declarative, kernel, and a pre-truncated " +
+      "run agree, including across an astral-plane boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = Seq(
+      ("aa", "the cat sat on the mat the cat the rat"),
+      ("bb", "zum zug zieht zwei zuge zum zug und zug")).toDF("lang", "text")
+    val profiles = TextAnalysis.langIdProfiles(seed, col("lang"),
+      col("text"), m = 8)
+    val model = TextAnalysis.langIdModel(profiles)
+    val cap = 40
+    val kernel = TextAnalysis.langIdKernel(model, penalty = 8, d = 6,
+      maxChars = cap) _
+    // doc 1: an aa head inside the cap, then a bb tail past it — only
+    // a capped classifier calls this aa. doc 2: emoji surrogate pairs
+    // straddling the cap boundary — a UTF-16-unit truncation would
+    // split a pair / shift the window; code-point counting must not.
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat the "
+        + "zum zug zieht zwei zuge zum zug " * 40),
+      (2L, "😀😀" * 18 + "the cat " + "zum zug " * 30),
+      (3L, "the cat and the rat sat"))
+    val df = docs.toDF("doc_id", "text")
+    val declarative = TextAnalysis.langId(df, col("doc_id"), col("text"),
+        profiles, penalty = 8, d = 6, maxChars = cap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(declarative(1L)._1 == "aa",
+      "the bb tail past the cap must be invisible")
+    // pre-truncating by code points and classifying UNCAPPED must be
+    // identical — the cap is exactly a code-point prefix
+    def cpTake(s: String, n: Int): String = {
+      val cps = s.codePointCount(0, s.length)
+      s.substring(0, s.offsetByCodePoints(0, math.min(cps, n)))
+    }
+    val truncated = TextAnalysis.langId(
+        docs.map { case (i, t) => (i, cpTake(t, cap)) }
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), profiles, penalty = 8, d = 6,
+        maxChars = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(declarative == truncated,
+      s"cap must equal code-point pre-truncation: $declarative vs $truncated")
+    val viaKernel = docs.flatMap { case (idv, t) =>
+      kernel(t).map(idv -> _) }.toMap
+    assert(viaKernel == declarative,
+      s"kernel cap must match: $viaKernel vs $declarative")
+  }
+
+  test("langId megadoc: a >= 10 MB single document classifies under " +
+      "the default cap — per-row work is bounded by maxChars, not " +
+      "document length") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = Seq(
+      ("aa", "the cat sat on the mat the cat the rat"),
+      ("bb", "zum zug zieht zwei zuge zum zug und zug")).toDF("lang", "text")
+    val profiles = TextAnalysis.langIdProfiles(seed, col("lang"),
+      col("text"), m = 8)
+    // 11 MB of aa-shaped text in ONE row — the concatenated-logs /
+    // minified-JS shape the cap exists for (pre-cap, this row alone
+    // held ~11M three-char gram strings)
+    val mega = "the quick brown fox jumps over the lazy dog " * 250000
+    assert(mega.length > 10 * 1024 * 1024)
+    val df = Seq((1L, mega), (2L, "zum zug zieht zwei")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, col("doc_id"), col("text"),
+        profiles, penalty = 8, d = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "aa", 2L -> "bb"), got.toString)
+    // the kernel agrees on the same megadoc (same cap, same method)
+    val model = TextAnalysis.langIdModel(profiles)
+    assert(TextAnalysis.langIdKernel(model, penalty = 8, d = 6)(mega)
+      .map(_._1).contains("aa"))
+  }
+
+  test("langId distance-key guard: a (d, penalty, model-depth) combo " +
+      "whose true distance bound overflows the 6-digit sortable key " +
+      "is rejected up front — lpad would silently truncate and " +
+      "corrupt the argmin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "the cat")).toDF("doc_id", "text")
+    // the r14 advisory shape: penalty small, trained ranks deep —
+    // d * penalty fits 6 digits but d * (maxRank - 1) does not
+    val deep = Seq(("aa", "abc", 4096L), ("aa", "bcd", 1L))
+      .toDF("lang", "gram", "rank")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.langId(df, col("doc_id"), col("text"), deep,
+        penalty = 1, d = 300)
+    }
+    assert(e1.getMessage.contains("6-digit"), e1.getMessage)
+    // sanity: the same deep model is fine at a small d — the bound is
+    // d * max(penalty, maxRank - 1) = 6 * 4095, well inside 6 digits
+    val ok = TextAnalysis.langId(df, col("doc_id"), col("text"), deep,
+      penalty = 8, d = 6)
+    assert(ok.columns.toSeq == Seq("doc_id", "pred_lang", "dist"))
+    // and an empty model is a loud contract error, not a maxBy crash
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.langId(df, col("doc_id"), col("text"),
+        deep.filter(col("lang") === "zz"), penalty = 8, d = 6)
+    }
+    assert(e2.getMessage.contains("at least one language"), e2.getMessage)
+  }
+
   test("q163 per-language quality calibration: one row per predicted " +
       "language, quantiles monotone, mass equals the classified " +
       "tokenful corpus") {
