@@ -2199,6 +2199,77 @@ object SparkEntry {
         .orderBy(col("window_start_ms"), col("pred_lang"))
     }),
 
+    // training-data ops: language-mix DRIFT alert — the monitor on
+    // top of q162's windowed mix (streaming twin:
+    // Streaming.langMixDriftStream, parity-pinned on the SAME
+    // langMixDrift body): each window's per-language count against
+    // its immediate predecessor, truncated integer percent shift,
+    // warn/critical tiers — the reference's AlertSummary pane
+    // comparison (q71) re-keyed by predicted language. Thresholds sit
+    // where the synthesized arrival stream genuinely drifts at both
+    // gate scales (warn > 30%, critical > 60%, volume floor 3 on the
+    // larger half)
+    "q164_lang_mix_drift" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      val counts = TextAnalysis.langId(d, col("doc_id"), col("text"),
+          profiles, penalty = 64, d = 32)
+        .select(col("doc_id"), col("pred_lang"))
+        .withColumn("window_start_ms",
+          expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"))
+        .groupBy(col("window_start_ms"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      TextAnalysis.langMixDrift(counts, windowMs = 600000L,
+          warnPct = 30, critPct = 60, minCount = 3)
+        .orderBy(col("window_start_ms"), col("pred_lang"))
+    }),
+
+    // training-data ops: the multilingual corpus-build COMPOSITION —
+    // the loop q161/q163 opened, closed: classify (q160), calibrate a
+    // per-language quality floor (q163's stop-permille p25 per
+    // PREDICTED language), gate each doc against ITS OWN language's
+    // floor, and hand the survivors to q88's mixture planner keyed by
+    // predicted language — budget allocation per language with
+    // per-language quality gates, the mixture-design decision a
+    // multilingual build actually publishes. Two corpus passes by
+    // construction (calibrate, then select); the floor frame (|langs|
+    // rows) is collected eagerly so Catalyst never re-evaluates the
+    // calibration subplan per consumer (the budgetSelect discipline)
+    "q165_multilingual_mixture" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      val classified = TextAnalysis.qualityScore(d, col("doc_id"),
+          col("text"))
+        .filter(col("n_tokens") >= 1)
+        .join(TextAnalysis.langId(d, col("doc_id"), col("text"),
+            profiles, penalty = 64, d = 32)
+          .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("n_chars"),
+          expr("n_stop * 1000 DIV n_tokens").as("stop_permille"))
+      val floorRows = TextAnalysis.integerQuantiles(classified,
+          col("pred_lang"), col("stop_permille"), qs = Seq(25))
+        .select(col("stratum").cast("string"), col("p25").cast("long"))
+        .collect()
+      val floors = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(floorRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pred_lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("p25",
+            org.apache.spark.sql.types.LongType)))))
+      val survivors = classified.join(floors, Seq("pred_lang"))
+        .filter(col("stop_permille") >= col("p25"))
+      Sampling.mixturePlan(survivors, col("pred_lang"), col("n_chars"),
+          weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.10),
+          defaultWeight = 0.05, budget = 100000L)
+        .orderBy(col("stratum"))
+    }),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5696,6 +5767,131 @@ object SparkEntry {
           |    AS BIGINT) AS window_start_ms,
           |  pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
           |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      ("q164_lang_mix_drift" ->
+        // q162's classifier + window chain, then each window joined
+        // to its immediate predecessor per language: truncated integer
+        // percent shift (// ≡ Spark DIV on the non-negative abs),
+        // strict > thresholds, warn/critical tiers, volume floor on
+        // the larger half
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rl
+          |  FROM lp0 QUALIFY rl <= 64),
+          |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |dp AS (SELECT doc_id, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, gram ASC) AS rd
+          |  FROM dp0 QUALIFY rd <= 32),
+          |langs AS (SELECT DISTINCT lang FROM lp),
+          |sc AS (SELECT dp.doc_id, langs.lang,
+          |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (SELECT doc_id,
+          |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+          |  FROM sc GROUP BY 1),
+          |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang
+          |  FROM best),
+          |cnts AS (SELECT CAST((1700000000 + doc_id * 60) // 600 * 600
+          |    * 1000 AS BIGINT) AS window_start_ms,
+          |  pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |  FROM pred GROUP BY 1, 2)
+          |SELECT c.window_start_ms, c.pred_lang,
+          |  p.n_docs AS old_n, c.n_docs AS new_n,
+          |  CAST(abs(c.n_docs - p.n_docs) * 100 // p.n_docs AS BIGINT)
+          |    AS pct_change,
+          |  CASE WHEN abs(c.n_docs - p.n_docs) * 100 // p.n_docs > 60
+          |    THEN 'critical' ELSE 'warn' END AS severity
+          |FROM cnts c JOIN cnts p
+          |  ON p.window_start_ms = c.window_start_ms - 600000
+          | AND p.pred_lang = c.pred_lang
+          |WHERE greatest(c.n_docs, p.n_docs) >= 3
+          |  AND abs(c.n_docs - p.n_docs) * 100 // p.n_docs > 30
+          |ORDER BY 1, 2""".stripMargin) +
+      ("q165_multilingual_mixture" ->
+        // q160's classifier chain + q163's stop-permille body down to
+        // a per-language p25 floor, the per-doc gate against the
+        // doc's OWN language floor, then q88's mixture math over the
+        // survivors keyed by predicted language
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rl
+          |  FROM lp0 QUALIFY rl <= 64),
+          |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |dp AS (SELECT doc_id, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, gram ASC) AS rd
+          |  FROM dp0 QUALIFY rd <= 32),
+          |langs AS (SELECT DISTINCT lang FROM lp),
+          |sc AS (SELECT dp.doc_id, langs.lang,
+          |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+          |  FROM dp CROSS JOIN langs
+          |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+          |  GROUP BY 1, 2),
+          |best AS (SELECT doc_id,
+          |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+          |  FROM sc GROUP BY 1),
+          |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang
+          |  FROM best),
+          |w AS (SELECT doc_id,
+          |    list_filter(string_split(lower(text),' '), t -> t <> '') ws
+          |  FROM documents),
+          |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+          |    CAST(len(list_filter(ws,
+          |      t -> list_contains(['the','a','and','of','to','in'], t)))
+          |      AS BIGINT) n_stop
+          |  FROM w),
+          |v AS (SELECT doc_id, p.pred_lang AS stratum,
+          |    CAST(n_stop * 1000 // n_tokens AS BIGINT) AS v
+          |  FROM c JOIN pred p USING (doc_id) WHERE n_tokens >= 1),
+          |h AS (SELECT stratum, v, COUNT(*) f FROM v GROUP BY 1, 2),
+          |cm AS (SELECT stratum, v, f,
+          |    CAST(SUM(f) OVER (PARTITION BY stratum ORDER BY v)
+          |      AS BIGINT) cum,
+          |    CAST(SUM(f) OVER (PARTITION BY stratum) AS BIGINT) n_rows
+          |  FROM h),
+          |fl AS (SELECT stratum,
+          |    MIN(CASE WHEN cum*100 >= n_rows*25 THEN v END) p25
+          |  FROM cm GROUP BY 1),
+          |surv AS (SELECT v.doc_id, v.stratum FROM v JOIN fl USING (stratum)
+          |  WHERE v.v >= fl.p25),
+          |agg AS (SELECT s.stratum, COUNT(*) AS n_docs,
+          |    CAST(SUM(d.n_chars) AS BIGINT) AS available,
+          |    CAST(floor(CAST(100000 AS DOUBLE) *
+          |      CAST(CASE s.stratum WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.15
+          |        WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.10
+          |        ELSE 0.05 END AS DOUBLE)) AS BIGINT) AS target
+          |  FROM surv s JOIN documents d USING (doc_id) GROUP BY 1)
+          |SELECT stratum, n_docs, available, target,
+          |  least(256, CAST(floor(
+          |    CAST(target * 256 AS DOUBLE) / CAST(available AS DOUBLE))
+          |    AS BIGINT)) AS bucket_threshold
+          |FROM agg ORDER BY stratum""".stripMargin) +
       ("q161_lang_data_card" ->
         // q160's classifier CTE chain feeding q121's data-card body
         // with stratum = predicted language; the dedup canon is

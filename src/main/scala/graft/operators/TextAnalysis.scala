@@ -1766,4 +1766,54 @@ object TextAnalysis {
     val (bl, bd) = scores.minBy { case (l, dist) => (dist, l) }
     Some((bl, bd))
   }
+
+  /** Language-mix DRIFT alert over windowed classification counts —
+    * the reference's AlertSummary pane comparison (ref
+    * postprocessing/AlertSummary.java, the pane split + Evaluator
+    * percent compare the repo implements exactly in q71's
+    * `alertSummaryPanes`) re-keyed by predicted language: the
+    * ingestion question a multilingual corpus build actually asks
+    * ("did the crawl's language mix move window over window?").
+    *
+    * Input: a (window_start_ms, pred_lang, n_docs) frame — q162's /
+    * [[graft.streaming.Streaming.langIdStream]]'s shape. Each window
+    * joins its immediate predecessor per language (both halves must
+    * exist — the reference's empty-half skip); the shift is the
+    * truncated integer percent |new − old| · 100 DIV old, all-integer
+    * on non-negative operands so the DuckDB mirror (`//`) is
+    * bit-exact; strict `>` compare like the reference's Evaluator;
+    * two tiers: > critPct → critical, else > warnPct → warn.
+    * `minCount` gates noise on the LARGER half — deliberately not the
+    * reference's new-half-only floor, which would mask the one event
+    * a drift monitor must never miss (a language COLLAPSING to
+    * near-zero has a tiny new half).
+    *
+    * Scale shape: the input is already aggregate-sized (windows ×
+    * langs — bounded by time horizon, not corpus); the predecessor
+    * lookup is one equi-join on the compound key — no window
+    * function, no skew surface.
+    *
+    * Output: (window_start_ms, pred_lang, old_n, new_n, pct_change,
+    * severity). */
+  def langMixDrift(counts: DataFrame, windowMs: Long, warnPct: Int,
+      critPct: Int, minCount: Long): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    require(warnPct > 0 && critPct >= warnPct,
+      "need 0 < warnPct <= critPct")
+    val prev = counts.select(
+      (col("window_start_ms") + windowMs).as("window_start_ms"),
+      col("pred_lang"), col("n_docs").as("old_n"))
+    counts.select(col("window_start_ms"), col("pred_lang"),
+        col("n_docs").as("new_n"))
+      .join(prev, Seq("window_start_ms", "pred_lang"))
+      .filter(greatest(col("new_n"), col("old_n")) >= minCount)
+      .withColumn("pct_change",
+        expr("abs(new_n - old_n) * 100 DIV old_n"))
+      .filter(col("pct_change") > warnPct)
+      .withColumn("severity",
+        when(col("pct_change") > critPct, lit("critical"))
+          .otherwise(lit("warn")))
+      .select(col("window_start_ms"), col("pred_lang"), col("old_n"),
+        col("new_n"), col("pct_change"), col("severity"))
+  }
 }

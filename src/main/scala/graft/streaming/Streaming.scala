@@ -285,6 +285,75 @@ object Streaming {
         col("pred_lang"), col("n_docs"))
   }
 
+  /** Streaming language-mix DRIFT alert — [[langIdStream]]'s windowed
+    * counts compared window-over-window (the monitor on top of the
+    * monitor: q164's composition as a standing query). Drift needs
+    * each window's PREDECESSOR, which finalized in an EARLIER
+    * micro-batch, so the compare runs as a foreachBatch epilogue over
+    * finalized windows (the enumerationAlertStream pattern) with a
+    * driver-side carry of the trailing window's counts — bounded by
+    * ≤ 2·|langs| entries after pruning, the documented
+    * bounded-summary class (finalized windowed aggregates, a handful
+    * per batch). The compare itself IS
+    * [[graft.operators.TextAnalysis.langMixDrift]] run on a local
+    * (carry ∪ batch) frame — ONE implementation, so streaming alerts
+    * cannot drift from the batch twin (StreamingSpec pins parity).
+    * Each window alerts exactly once: in the batch that finalizes it
+    * (append mode finalizes a window once; its predecessor finalized
+    * no later, so it is always present in carry-or-batch — a missing
+    * predecessor is a genuinely empty window, the reference's
+    * empty-half skip).
+    *
+    * `onAlerts` receives each batch's alert rows (possibly empty):
+    * (window_start_ms, pred_lang, old_n, new_n, pct_change,
+    * severity). */
+  def langMixDriftStream(df: DataFrame, tsName: String, text: Column,
+      model: Map[String, Map[String, Long]], penalty: Int, d: Int,
+      windowMs: Long, watermarkDelay: String, warnPct: Int,
+      critPct: Int, minCount: Long, maxChars: Int = 4096)
+      (onAlerts: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(windowMs > 0, "windowMs must be positive")
+    val counts = langIdStream(df, tsName, text, model, penalty, d,
+      s"$windowMs milliseconds", watermarkDelay, maxChars)
+    val carry = scala.collection.mutable.Map[(Long, String), Long]()
+    counts.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          val sp = batch.sparkSession
+          rows.foreach { r =>
+            carry((r.getLong(0), r.getString(1))) = r.getLong(2)
+          }
+          // only THIS batch's newly-finalized windows can alert;
+          // their predecessors are in the carry (or this batch)
+          val wsSet = rows.map(_.getLong(0)).toSet
+          val local = sp.createDataFrame(
+            java.util.Arrays.asList(carry.collect {
+              case ((ws, l), n) if wsSet(ws) || wsSet(ws + windowMs) =>
+                org.apache.spark.sql.Row(ws, l, n)
+            }.toSeq: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("window_start_ms",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("pred_lang",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_docs",
+                org.apache.spark.sql.types.LongType))))
+          onAlerts(graft.operators.TextAnalysis.langMixDrift(
+              local, windowMs, warnPct, critPct, minCount)
+            .filter(col("window_start_ms").isin(wsSet.toSeq: _*)))
+          // prune: windows finalize in watermark order, so any entry
+          // older than the newest finalized window can only ever be
+          // the predecessor of an ALREADY-finalized one
+          val maxWs = carry.keys.map(_._1).max
+          carry.filterInPlace { case ((ws, _), _) => ws >= maxWs }
+        }
+        ()
+      }
+  }
+
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
     * a `rate` stream projected onto the config literal. Union into the

@@ -219,6 +219,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("langMixDriftStream: finalized-window drift alerts equal the " +
+      "batch twin (the SAME langMixDrift over the same counts) even " +
+      "when the predecessor window finalized in an earlier " +
+      "micro-batch; each window alerts exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val seed = Seq(
+      ("aa", "the cat sat on the mat the cat the rat"),
+      ("bb", "zum zug zieht zwei zuge zum zug und zug")).toDF("lang", "text")
+    val model = TextAnalysis.langIdModel(
+      TextAnalysis.langIdProfiles(seed, col("lang"), col("text"), m = 8))
+    val aa = "the cat and the mat"; val bb = "zum zug zwei zuge"
+    val t0 = 1700000000L; val wSec = 600L
+    // w0: aa=4 bb=2; w1: aa=2 (-50% warn), bb=6 (+200% critical);
+    // w2: aa=2 (0% silent), bb=2 (-66% warn)
+    def w(n: Int, txts: Seq[String]) =
+      txts.zipWithIndex.map { case (t, i) => (t0 + n * wSec + i, t) }
+    val w0 = w(0, Seq.fill(4)(aa) ++ Seq.fill(2)(bb))
+    val w1 = w(1, Seq.fill(2)(aa) ++ Seq.fill(6)(bb))
+    val w2 = w(2, Seq.fill(2)(aa) ++ Seq.fill(2)(bb))
+    val far = Seq((t0 + 7200, aa)) // finalizes everything before it
+    val collected = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, Long, Long, String)]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.langMixDriftStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("text")),
+        "ts", col("text"), model, penalty = 8, d = 6,
+        windowMs = wSec * 1000, watermarkDelay = "30 seconds",
+        warnPct = 20, critPct = 100, minCount = 2) { alerts =>
+      collected ++= alerts.collect().map(r => (r.getLong(0),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    }.start()
+    try {
+      // w0 finalizes in a DIFFERENT batch than w1 — the carry must
+      // supply w1's predecessor counts
+      in.addData(w0: _*); q.processAllAvailable()
+      in.addData(w1: _*); q.processAllAvailable() // watermark closes w0
+      in.addData(w2: _*); q.processAllAvailable() // closes w1
+      in.addData(far: _*); q.processAllAvailable() // closes w2
+      // t0 is NOT 600-aligned: window() floors to the epoch grid, so
+      // w(n)'s docs (offsets < 10 s) land in the window starting at
+      // floor(t0/600)*600 + n*600
+      val ws = (n: Int) => (t0 / wSec * wSec + n * wSec) * 1000
+      val want = Set(
+        (ws(1), "aa", 4L, 2L, 50L, "warn"),
+        (ws(1), "bb", 2L, 6L, 200L, "critical"),
+        (ws(2), "bb", 6L, 2L, 66L, "warn"))
+      assert(collected.toSet == want,
+        s"streamed ${collected.toSet} vs want $want")
+      assert(collected.size == collected.toSet.size,
+        "each window must alert exactly once")
+      // batch twin: the declarative classifier + the same drift body
+      val docs = (w0 ++ w1 ++ w2).zipWithIndex
+        .map { case ((t, txt), i) => (i.toLong, t, txt) }
+        .toDF("doc_id", "t", "text")
+      val counts = TextAnalysis.langId(docs, col("doc_id"), col("text"),
+          TextAnalysis.langIdProfiles(seed, col("lang"), col("text"),
+            m = 8), penalty = 8, d = 6)
+        .join(docs.select(col("doc_id"), col("t")), Seq("doc_id"))
+        .withColumn("window_start_ms", expr("t DIV 600 * 600 * 1000"))
+        .groupBy(col("window_start_ms"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val batchTwin = TextAnalysis.langMixDrift(counts,
+          windowMs = wSec * 1000, warnPct = 20, critPct = 100,
+          minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSet
+      assert(collected.toSet == batchTwin,
+        s"streamed ${collected.toSet} vs batch twin $batchTwin")
+    } finally q.stop()
+  }
+
   test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

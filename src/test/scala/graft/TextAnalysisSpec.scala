@@ -1241,6 +1241,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("at least one language"), e2.getMessage)
   }
 
+  test("langMixDrift: hand-computed pane compare — predecessor join, " +
+      "missing-half skip, truncated integer percent, strict-> tiers, " +
+      "and the volume floor on the LARGER half (a collapse alerts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Seq(
+      (0L, "aa", 10L), (0L, "bb", 10L), (0L, "dd", 2L),
+      (600000L, "aa", 14L),  // +40% -> warn
+      (600000L, "bb", 17L),  // +70% -> critical
+      (600000L, "dd", 1L),   // -50% but max(2,1)=2 < 3 -> floored out
+      (1200000L, "aa", 14L), // 0% -> silent
+      (1200000L, "cc", 5L),  // no predecessor -> skipped
+      (1800000L, "aa", 1L),  // |1-14|*100 DIV 14 = 92 -> critical;
+                             // new_n=1 < 3, old_n=14 carries the floor
+      (1800000L, "cc", 2L)   // |2-5|*100 DIV 5 = 60: > 30, NOT > 60
+    ).toDF("window_start_ms", "pred_lang", "n_docs")
+    val got = operators.TextAnalysis.langMixDrift(counts,
+        windowMs = 600000L, warnPct = 30, critPct = 60, minCount = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(got == Set(
+      (600000L, "aa", 10L, 14L, 40L, "warn"),
+      (600000L, "bb", 10L, 17L, 70L, "critical"),
+      (1800000L, "aa", 14L, 1L, 92L, "critical"),
+      (1800000L, "cc", 5L, 2L, 60L, "warn")), got.toString)
+    // guard rails
+    assertThrows[IllegalArgumentException] {
+      operators.TextAnalysis.langMixDrift(counts, 600000L,
+        warnPct = 50, critPct = 40, minCount = 0)
+    }
+  }
+
   test("q163 per-language quality calibration: one row per predicted " +
       "language, quantiles monotone, mass equals the classified " +
       "tokenful corpus") {
