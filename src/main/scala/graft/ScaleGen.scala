@@ -64,6 +64,30 @@ import org.apache.spark.sql.functions._
   * (the depth axis is an events-family probe; 1x text keeps regens
   * cheap and keeps any text query out of the measurement).
   *
+  * SKEW mode (the key-distribution axis, tools/skew_probe.sh):
+  * breadth, depth and length all grow VOLUME along some dimension but
+  * keep the key distribution's SHAPE — breadth strides keys uniformly,
+  * depth densifies every key by the same factor, so the per-key load
+  * stays balanced and every probe so far has measured work, never
+  * imbalance. The reference's remaining scale scenario is the one its
+  * NAT detector exists for (s/httprequest/HTTPRequest.java — a
+  * mega-NAT source address concentrating a large share of ALL traffic
+  * on one key): constant volume, pathological distribution. Skew mode
+  * keeps every table's ROW COUNT and content identical except that a
+  * deterministic k PERCENT of events (selected by xxhash64(event_id),
+  * so the choice is reproducible and uncorrelated with time or type)
+  * have user_id reassigned to the designated hot key 0 — the mega-NAT
+  * actor. k=0 is a byte-identical passthrough (the control point), so
+  * any wall-time growth across k is PURE load-imbalance cost: the
+  * hash-agg family should be immune (map-side partial combine
+  * collapses the hot key per input partition before the exchange)
+  * while the per-key-serial family (session sorts, suppression scans,
+  * sorted-group pairing) degrades toward single-task time on the hot
+  * key's share. Documents and embeddings pass through unchanged (the
+  * skew axis is an events-family probe). Compose with depth mode for
+  * a deep hot key: skew over a depth-mode output dir gives one key
+  * k percent of (depthK x 100k) events.
+  *
   * LENGTH mode (the document-length axis, tools/length_probe.sh):
   * breadth grows the corpus by DOCUMENT COUNT and depth by per-key
   * EVENT count, but neither ever grows text per document — the
@@ -82,7 +106,7 @@ import org.apache.spark.sql.functions._
   * probe).
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <k>
-  * [embK|depth|length]
+  * [embK|depth|length|skew]
   */
 object ScaleGen {
 
@@ -98,7 +122,7 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK|depth|length]")
+      "usage: ScaleGen <srcSfDir> <outDir> <k> [embK|depth|length|skew]")
     val (srcDir, outDir, kStr) = (args(0), args(1), args(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -111,12 +135,17 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     val depth = args.length == 4 && args(3) == "depth"
     val docLength = args.length == 4 && args(3) == "length"
+    val skew = args.length == 4 && args(3) == "skew"
     val embK =
-      if (args.length == 4 && !depth && !docLength) Some(args(3).toInt)
+      if (args.length == 4 && !depth && !docLength && !skew)
+        Some(args(3).toInt)
       else None
-    generate(spark, srcDir, outDir, kStr.toInt, embK, depth, docLength)
-    println(s"[scalegen] wrote ${kStr}x " +
-      (if (depth) "DEPTH" else if (docLength) "LENGTH" else "breadth") +
+    generate(spark, srcDir, outDir, kStr.toInt, embK, depth, docLength,
+      skew)
+    println(s"[scalegen] wrote " +
+      (if (skew) s"${kStr}pct SKEW"
+       else s"${kStr}x " +
+         (if (depth) "DEPTH" else if (docLength) "LENGTH" else "breadth")) +
       s" corpus to $outDir" +
       embK.fold("")(e => s" (embeddings at ${e}x)"))
     spark.stop()
@@ -134,15 +163,46 @@ object ScaleGen {
     * explicitly and probe only text queries against the output. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       k: Int, embKOverride: Option[Int] = None,
-      depth: Boolean = false, docLength: Boolean = false): Unit = {
-    require(k >= 1, "k must be >= 1")
-    require(!(depth && docLength), "depth and length modes are exclusive")
+      depth: Boolean = false, docLength: Boolean = false,
+      skew: Boolean = false): Unit = {
+    require(Seq(depth, docLength, skew).count(identity) <= 1,
+      "depth, length and skew modes are exclusive")
+    require(if (skew) k >= 0 else k >= 1,
+      "k must be >= 1 (>= 0 for skew mode, where 0 is the control)")
     // the disjointness contract needs guarding, not assuming: ids
     // stride by 10M per copy (a collision would silently give one id
     // two different texts, corrupting every pair query downstream),
     // and the embedding shift has period = vector dim (copy `dim`
     // would be vector-identical to copy 0)
     val stride = 10000000L
+    if (skew) {
+      require(embKOverride.isEmpty, "embK is a breadth-mode knob")
+      // k percent on ONE key is the regime under test; past 90 the
+      // corpus is effectively single-key and the probe stops telling
+      // the imbalance story (it becomes a one-task benchmark)
+      require(k <= 90, s"skew k=$k percent exceeds the 90pct guard")
+      sources.Tables.documents(spark, srcDir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      sources.Tables.embeddings(spark, srcDir)
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // xxhash64(event_id) selects a reproducible, time- and
+      // type-uncorrelated k percent of rows; their user_id collapses
+      // onto key 0 (the mega-NAT actor — id 0 exists in every driver
+      // corpus, so the hot key also keeps its own baseline traffic).
+      // Everything else — row count, event ids, timestamps, types,
+      // values — is byte-identical to the source, so the k=0 control
+      // and any k share one physical layout and the only variable is
+      // the key distribution's shape.
+      sources.Tables.events(spark, srcDir)
+        .withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(100L)) < k, lit(0L))
+            .otherwise(col("user_id")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      return
+    }
     if (depth) {
       require(embKOverride.isEmpty, "embK is a breadth-mode knob")
       // jitter must stay far below every session gap / window width

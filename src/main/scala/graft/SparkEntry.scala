@@ -2270,6 +2270,48 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // scale ops: the key-skew card — the decide-to-salt diagnostic
+    // (how concentrated is per-key load? hot_fold_x1000 reads
+    // directly as a salting factor). One partial-agg shuffle, then
+    // bounded reductions of the |keys|-row counts frame — the
+    // measurement HALF of the skew axis (tools/skew_probe.sh measures
+    // the engine under the regime; this query detects the regime)
+    "q166_key_skew_card" -> ((s, dir) =>
+      operators.Skew.keySkewCard(Tables.events(s, dir),
+        col("user_id"))),
+
+    // training-data ops: tokenizer equity — BPE fertility per
+    // PREDICTED language (q136's fertility re-keyed by q160's
+    // classifier: a multilingual tokenizer review asks "how many
+    // tokens does a word cost in each language?", and a scraped
+    // corpus has no labels, so the stratum is the prediction). The
+    // classifier frame joins ONCE into the per-doc token costs (the
+    // dataCardBy lesson); both trainings are independent consumers of
+    // the raw table
+    "q167_lang_fertility" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      val preds = TextAnalysis.langId(d, col("doc_id"), col("text"),
+          profiles, penalty = 64, d = 32)
+        .select(col("doc_id"), col("pred_lang"))
+      val merges = TextAnalysis.bpeTrainMerges(d, col("text"),
+          nMerges = 6)
+        .orderBy(col("round")).collect()
+        .map(r => r.getString(1) -> r.getString(2)).toSeq
+      TextAnalysis.bpeEncodeCounts(d, col("doc_id"), col("text"),
+          merges)
+        .join(preds, Seq("doc_id"))
+        .groupBy(col("pred_lang").as("stratum"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("stratum"), col("n_words"), col("n_bpe_tokens"),
+          expr("n_bpe_tokens * 1000 DIV n_words")
+            .as("fertility_permille"))
+        .orderBy(col("stratum"))
+    }),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5266,6 +5308,8 @@ object SparkEntry {
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +
       ("q136_bpe_fertility" -> bpeFertilitySql(6)) +
+      ("q166_key_skew_card" -> keySkewCardSql) +
+      ("q167_lang_fertility" -> langFertilitySql(6)) +
       ("q105_gear_chunks" -> gearSql(
         """d AS (SELECT doc_id, text AS t, length(text) AS n
           |  FROM documents WHERE length(text) >= 1)""".stripMargin,
@@ -6450,6 +6494,106 @@ object SparkEntry {
        |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,
        |  CAST(SUM(n_occ * n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM docc JOIN wn USING (word) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The q160 classifier chain as a reusable CTE prefix (norm → pred:
+    * normalization, trigram explode, rank profiles, out-of-place
+    * distance, argmin) — the exact SQL the q160/q161/q163/q164/q165
+    * oracles inline; factored for composers added after them so the
+    * mirror exists in ONE place going forward. */
+  private val langPredCtes: String =
+    // NOTE: composers interpolate this into their own stripMargin
+    // string, so no line here may BEGIN with '|' after this strip
+    // (the outer strip would eat it as a margin char)
+    """norm AS (SELECT doc_id, lang,
+      |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+      |      '[^a-z]+', ' ', 'g')) || ' ' AS s
+      |  FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+      |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+      |  FROM norm),
+      |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+      |  WHERE doc_id % 10 < 3 GROUP BY 1, 2),
+      |lp AS (SELECT lang, gram,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, gram ASC) AS rl
+      |  FROM lp0 QUALIFY rl <= 64),
+      |dp0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+      |  GROUP BY 1, 2),
+      |dp AS (SELECT doc_id, gram,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY cnt DESC, gram ASC) AS rd
+      |  FROM dp0 QUALIFY rd <= 32),
+      |langs AS (SELECT DISTINCT lang FROM lp),
+      |sc AS (SELECT dp.doc_id, langs.lang,
+      |    SUM(coalesce(abs(dp.rd - lp.rl), 64)) AS dist
+      |  FROM dp CROSS JOIN langs
+      |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+      |  GROUP BY 1, 2),
+      |best AS (SELECT doc_id,
+      |    min(lpad(CAST(dist AS VARCHAR), 6, '0') || lang) AS bk
+      |  FROM sc GROUP BY 1),
+      |pred AS (SELECT doc_id, substring(bk, 7) AS pred_lang
+      |  FROM best)""".stripMargin
+
+  /** q167: [[bpeEncodeSql]]'s per-doc costs rolled up per PREDICTED
+    * language (the [[langPredCtes]] classifier as the stratum). */
+  private def langFertilitySql(n: Int): String =
+    s"""WITH $langPredCtes,
+       |${bpeCtes(n)},
+       |wn AS (SELECT word,
+       |    CAST(len(string_split(seq, ' ')) AS BIGINT) n_sym FROM s$n),
+       |dw AS (SELECT doc_id, unnest(ws) word FROM wd),
+       |docc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) n_occ
+       |  FROM dw GROUP BY 1, 2),
+       |ds AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_occ * n_sym) AS BIGINT) AS n_bpe
+       |  FROM docc JOIN wn USING (word) GROUP BY 1)
+       |SELECT p.pred_lang AS stratum,
+       |  CAST(SUM(n_words) AS BIGINT) n_words,
+       |  CAST(SUM(n_bpe) AS BIGINT) n_bpe_tokens,
+       |  CAST(SUM(n_bpe) * 1000 // SUM(n_words) AS BIGINT)
+       |    AS fertility_permille
+       |FROM ds JOIN pred p USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q166: the key-skew card mirror — per-key counts, deterministic
+    * top-10 (count desc, key asc), integer-histogram quantiles, all
+    * shares in ppm integer math ([[graft.operators.Skew.keySkewCard]]). */
+  private val keySkewCardSql: String =
+    """WITH c AS (SELECT user_id AS k, COUNT(*) AS n FROM events
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) n_rows,
+      |    CAST(COUNT(*) AS BIGINT) n_keys FROM c),
+      |tk AS (SELECT n, k,
+      |    row_number() OVER (ORDER BY n DESC, k ASC) rn
+      |  FROM c QUALIFY rn <= 10),
+      |hot AS (SELECT
+      |    CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) max_count,
+      |    CAST(MAX(CASE WHEN rn = 1 THEN k END) AS BIGINT) hot_key,
+      |    CAST(SUM(n) AS BIGINT) top_n
+      |  FROM tk),
+      |h AS (SELECT n AS v, COUNT(*) f FROM c GROUP BY 1),
+      |cm AS (SELECT v, f,
+      |    CAST(SUM(f) OVER (ORDER BY v) AS BIGINT) cum,
+      |    CAST(SUM(f) OVER () AS BIGINT) nk,
+      |    CAST(SUM(f * v) OVER () AS BIGINT) sum_v
+      |  FROM h),
+      |q AS (SELECT CAST(MAX(sum_v) // MAX(nk) AS BIGINT) mean_count,
+      |    CAST(MIN(CASE WHEN cum * 100 >= nk * 50 THEN v END)
+      |      AS BIGINT) p50_count,
+      |    CAST(MIN(CASE WHEN cum * 100 >= nk * 99 THEN v END)
+      |      AS BIGINT) p99_count
+      |  FROM cm)
+      |SELECT t.n_rows, t.n_keys, hot.max_count, hot.hot_key,
+      |  q.mean_count, q.p50_count, q.p99_count,
+      |  CAST(hot.max_count * 1000000 // t.n_rows AS BIGINT)
+      |    AS hot_share_ppm,
+      |  CAST((hot.max_count * 1000000 // t.n_rows) * t.n_keys // 1000
+      |    AS BIGINT) AS hot_fold_x1000,
+      |  CAST(hot.top_n * 1000000 // t.n_rows AS BIGINT)
+      |    AS top10_share_ppm
+      |FROM t, hot, q""".stripMargin
 
   /** q136: [[bpeEncodeSql]]'s per-doc costs rolled up to per-source
     * fertility permille. */

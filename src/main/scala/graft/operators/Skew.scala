@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation utilities. The repo's first lines of defense are
@@ -47,5 +47,65 @@ object Skew {
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     bigS.join(smallS, keys :+ "_salt").drop("_salt")
+  }
+
+  /** The key-skew card — the decide-to-mitigate diagnostic a keyed
+    * pipeline runs BEFORE committing to a partitioning at corpus
+    * scale: how concentrated is the per-key load? One row out:
+    *
+    *  - `n_rows`, `n_keys`, `mean_count` — the balanced baseline
+    *  - `max_count`, `hot_key` — the heaviest key (ties broken by
+    *    smallest key, so the row is deterministic)
+    *  - `hot_share_ppm` — the hot key's share of ALL rows (parts per
+    *    million); `hot_fold_x1000` — how many times the fair share
+    *    (n_rows/n_keys) the hot key holds, x1000 — the number that
+    *    directly reads as a salting factor
+    *  - `top10_share_ppm` — head mass (is it ONE hot key or a hot
+    *    head?)
+    *  - `p50_count`, `p99_count` — the load distribution's body
+    *
+    * Scale shape: ONE partial-agg shuffle builds the per-key counts;
+    * everything downstream reduces that |keys|-row frame — the top-10
+    * rides [[graft.functions.TopKAggregator]] (map-side bounded, so
+    * no sort of the counts frame), the quantiles ride the shared
+    * integer-histogram kernel (|distinct load values| rows, which
+    * concentrates far below |keys|), and the final assembly is a
+    * broadcast cross of three singleton frames. Integer contract:
+    * shares are `x * 1000000 DIV n_rows` (exact for corpora under
+    * ~9e12 rows — the int64 multiply bound), fold is
+    * `hot_share_ppm * n_keys DIV 1000` (multiply stays in range for
+    * any key cardinality the share bound admits). */
+  def keySkewCard(df: DataFrame, key: Column, topK: Int = 10)
+      : DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = df.groupBy(key.cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val topk = udaf(new graft.functions.TopKAggregator(topK))
+    // totals + deterministic top-k loads (count desc, key asc — the
+    // aggregator's own total order; counts are exact in double far
+    // past any real corpus) in one bounded pass
+    val tops = counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      topk(col("k"), col("n").cast("double")).as("top"))
+    val quant = TextAnalysis.integerQuantiles(counts, lit("k"),
+        col("n"), qs = Seq(50, 99))
+      .select(col("mean_v").as("mean_count"),
+        col("p50").as("p50_count"), col("p99").as("p99_count"))
+    tops.crossJoin(broadcast(quant))
+      .select(col("n_rows"), col("n_keys"),
+        expr("CAST(element_at(top.items, 1).cosine AS BIGINT)")
+          .as("max_count"),
+        expr("element_at(top.items, 1).vecId").as("hot_key"),
+        expr("CAST(aggregate(top.items, CAST(0 AS DOUBLE)," +
+          " (acc, x) -> acc + x.cosine) AS BIGINT)").as("top_n"),
+        col("mean_count"), col("p50_count"), col("p99_count"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("hot_key"), col("mean_count"), col("p50_count"),
+        col("p99_count"),
+        expr("max_count * 1000000 DIV n_rows").as("hot_share_ppm"),
+        expr("(max_count * 1000000 DIV n_rows) * n_keys DIV 1000")
+          .as("hot_fold_x1000"),
+        expr("top_n * 1000000 DIV n_rows").as("top10_share_ppm"))
   }
 }

@@ -252,4 +252,73 @@ class ScaleGenSpec extends AnyFunSuite {
         3, embKOverride = Some(2), docLength = true)
     }.getMessage.contains("breadth-mode"))
   }
+
+  test("skew mode: constant volume, deterministic k-percent of events " +
+      "reassigned to hot key 0, everything else byte-identical, " +
+      "0pct is a pure passthrough") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-skew").toString
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 20,
+      skew = true)
+    val sev = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val gev = spark.read.parquet(s"$out/events.parquet")
+    // the SKEW contract: volume is CONSTANT — same rows, same ids,
+    // same times, same payloads; only the key column moves
+    assert(gev.count() == sev.count(), "skew must not change volume")
+    val joined = gev.select(col("event_id"), col("user_id").as("gu"),
+        col("ts").as("gts"), col("event_type").as("gt"),
+        col("value").as("gv"))
+      .join(sev.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value")), Seq("event_id"))
+    assert(joined.count() == sev.count(),
+      "event ids must be preserved 1:1")
+    assert(joined.filter(col("gts") =!= col("ts") ||
+      col("gt") =!= col("event_type") ||
+      col("gv") =!= col("value")).count() == 0,
+      "non-key columns must be byte-identical")
+    // the reassignment set is EXACTLY the xxhash64 selection — every
+    // selected row lands on key 0, every unselected row keeps its key
+    val sel = pmod(xxhash64(col("event_id")), lit(100L)) < 20
+    assert(joined.filter(sel && col("gu") =!= 0L).count() == 0,
+      "every selected row must land on the hot key")
+    assert(joined.filter(!sel && col("gu") =!= col("user_id"))
+      .count() == 0, "unselected rows must keep their key")
+    // the selection is a real ~20 percent (xxhash64 is uniform; the
+    // band is wide enough to never flake at sf0.001's row count)
+    val frac = joined.filter(sel).count().toDouble / sev.count()
+    assert(frac > 0.15 && frac < 0.25,
+      s"selected fraction $frac outside the 20pct band")
+    // no new keys beyond the (already existing) hot key
+    assert(gev.select(col("user_id")).except(
+      sev.select(col("user_id"))).count() == 0,
+      "skew must not mint keys — hot key 0 exists in the source")
+    // k=0 is the control: a byte-identical passthrough
+    val out0 = java.nio.file.Files
+      .createTempDirectory("graft-scalegen-skew0").toString
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out0, 0,
+      skew = true)
+    assert(spark.read.parquet(s"$out0/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .except(sev.select(col("event_id"), col("user_id"), col("ts")))
+      .count() == 0, "0pct must be a pure passthrough")
+    // text tables pass through unchanged (the skew axis is an
+    // events-family probe)
+    assert(spark.read.parquet(s"$out/documents.parquet").count() ==
+      sources.Tables.documents(spark, "/root/testdata/sf0.001").count())
+    assert(spark.read.parquet(s"$out/embeddings.parquet").count() ==
+      sources.Tables.embeddings(spark, "/root/testdata/sf0.001").count())
+    // guards: the 90pct ceiling, breadth knobs, mode exclusivity
+    assert(intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out + "-bad",
+        95, skew = true)
+    }.getMessage.contains("90pct"))
+    assert(intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out + "-bad",
+        20, embKOverride = Some(2), skew = true)
+    }.getMessage.contains("breadth-mode"))
+    assert(intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out + "-bad",
+        20, depth = true, skew = true)
+    }.getMessage.contains("exclusive"))
+  }
 }

@@ -114,6 +114,40 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("keySkewCard: hand-computed card, deterministic tie-break, " +
+      "bounded top-k head mass") {
+    // counts by key: 7 -> 60, 100 -> 60 (tie at the max: hot_key must
+    // be the SMALLER key), 1/2/3 -> 10 each
+    val rows = (1 to 60).map(_ => 7L) ++ (1 to 60).map(_ => 100L) ++
+      Seq(1L, 2L, 3L).flatMap(k => (1 to 10).map(_ => k))
+    val df = rows.toDF("user_id")
+    val card = Skew.keySkewCard(df, col("user_id")).collect().head
+    assert(card.getAs[Long]("n_rows") == 150L)
+    assert(card.getAs[Long]("n_keys") == 5L)
+    assert(card.getAs[Long]("max_count") == 60L)
+    assert(card.getAs[Long]("hot_key") == 7L,
+      "max-count tie must break to the smallest key")
+    assert(card.getAs[Long]("mean_count") == 30L)
+    // sorted per-key loads [10,10,10,60,60]: ceil-rank p50 = 10
+    // (cum 3 of 5), p99 = 60 (needs cum 5)
+    assert(card.getAs[Long]("p50_count") == 10L)
+    assert(card.getAs[Long]("p99_count") == 60L)
+    assert(card.getAs[Long]("hot_share_ppm") == 400000L) // 60/150
+    // 2.0x the fair share (fair = 30)
+    assert(card.getAs[Long]("hot_fold_x1000") == 2000L)
+    // 5 keys < 10: the whole corpus is head mass
+    assert(card.getAs[Long]("top10_share_ppm") == 1000000L)
+    // the top-k bound really truncates: 12 singleton keys + one
+    // 8-row key -> top10 holds 8 + 9x1 = 17 of 20 rows
+    val df2 = ((1 to 8).map(_ => 0L) ++ (1L to 12L)).toDF("user_id")
+    val card2 = Skew.keySkewCard(df2, col("user_id")).collect().head
+    assert(card2.getAs[Long]("top10_share_ppm") == 850000L)
+    assert(card2.getAs[Long]("hot_key") == 0L)
+    // rerun determinism (the tie-break and top-k orders are total)
+    val again = Skew.keySkewCard(df, col("user_id")).collect().head
+    assert(again.toSeq == card.toSeq)
+  }
+
   test("saltedJoin refuses inputs that already carry a _salt column") {
     // withColumn would silently overwrite (and drop would erase) a
     // caller's _salt data — the contract is refuse, never corrupt
