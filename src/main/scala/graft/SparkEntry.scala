@@ -2312,6 +2312,20 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // scale ops: the per-WINDOW skew card — q166 per time slice (is
+    // some window in the hot-key regime even when the global card
+    // reads balanced? a NAT flood is a transient) and the oracled
+    // batch twin of Streaming.keySkewStream, the in-flight form.
+    // Integer day-window math (epoch-aligned, the q02 window parity)
+    "q168_key_skew_windows" -> ((s, dir) =>
+      operators.Skew.keySkewCardBy(
+          Tables.events(s, dir).select(
+            expr("(unix_millis(ts) DIV 86400000) * 86400000")
+              .as("window_start_ms"), col("user_id")),
+          col("window_start_ms"), col("user_id"))
+        .withColumnRenamed("stratum", "window_start_ms")
+        .orderBy(col("window_start_ms"))),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5310,6 +5324,7 @@ object SparkEntry {
       ("q136_bpe_fertility" -> bpeFertilitySql(6)) +
       ("q166_key_skew_card" -> keySkewCardSql) +
       ("q167_lang_fertility" -> langFertilitySql(6)) +
+      ("q168_key_skew_windows" -> keySkewWindowsSql) +
       ("q105_gear_chunks" -> gearSql(
         """d AS (SELECT doc_id, text AS t, length(text) AS n
           |  FROM documents WHERE length(text) >= 1)""".stripMargin,
@@ -6594,6 +6609,48 @@ object SparkEntry {
       |  CAST(hot.top_n * 1000000 // t.n_rows AS BIGINT)
       |    AS top10_share_ppm
       |FROM t, hot, q""".stripMargin
+
+  /** q168: [[keySkewCardSql]] per day window (PARTITION BY w on every
+    * histogram/rank window; day truncation ≡ Spark's integer
+    * epoch-day math). */
+  private val keySkewWindowsSql: String =
+    """WITH e AS (SELECT epoch_ms(date_trunc('day', ts)) AS w,
+      |    user_id AS k FROM events),
+      |c AS (SELECT w, k, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT w, CAST(SUM(n) AS BIGINT) n_rows,
+      |    CAST(COUNT(*) AS BIGINT) n_keys FROM c GROUP BY 1),
+      |tk AS (SELECT w, n, k,
+      |    row_number() OVER (PARTITION BY w ORDER BY n DESC, k ASC) rn
+      |  FROM c QUALIFY rn <= 10),
+      |hot AS (SELECT w,
+      |    CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) max_count,
+      |    CAST(MAX(CASE WHEN rn = 1 THEN k END) AS BIGINT) hot_key,
+      |    CAST(SUM(n) AS BIGINT) top_n
+      |  FROM tk GROUP BY 1),
+      |h AS (SELECT w, n AS v, COUNT(*) f FROM c GROUP BY 1, 2),
+      |cm AS (SELECT w, v, f,
+      |    CAST(SUM(f) OVER (PARTITION BY w ORDER BY v) AS BIGINT) cum,
+      |    CAST(SUM(f) OVER (PARTITION BY w) AS BIGINT) nk,
+      |    CAST(SUM(f * v) OVER (PARTITION BY w) AS BIGINT) sum_v
+      |  FROM h),
+      |q AS (SELECT w,
+      |    CAST(MAX(sum_v) // MAX(nk) AS BIGINT) mean_count,
+      |    CAST(MIN(CASE WHEN cum * 100 >= nk * 50 THEN v END)
+      |      AS BIGINT) p50_count,
+      |    CAST(MIN(CASE WHEN cum * 100 >= nk * 99 THEN v END)
+      |      AS BIGINT) p99_count
+      |  FROM cm GROUP BY 1)
+      |SELECT t.w AS window_start_ms, t.n_rows, t.n_keys,
+      |  hot.max_count, hot.hot_key,
+      |  q.mean_count, q.p50_count, q.p99_count,
+      |  CAST(hot.max_count * 1000000 // t.n_rows AS BIGINT)
+      |    AS hot_share_ppm,
+      |  CAST((hot.max_count * 1000000 // t.n_rows) * t.n_keys // 1000
+      |    AS BIGINT) AS hot_fold_x1000,
+      |  CAST(hot.top_n * 1000000 // t.n_rows AS BIGINT)
+      |    AS top10_share_ppm
+      |FROM t JOIN hot ON hot.w = t.w JOIN q ON q.w = t.w
+      |ORDER BY 1""".stripMargin
 
   /** q136: [[bpeEncodeSql]]'s per-doc costs rolled up to per-source
     * fertility permille. */

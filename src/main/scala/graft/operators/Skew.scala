@@ -70,39 +70,68 @@ object Skew {
     * no sort of the counts frame), the quantiles ride the shared
     * integer-histogram kernel (|distinct load values| rows, which
     * concentrates far below |keys|), and the final assembly is a
-    * broadcast cross of three singleton frames. Integer contract:
+    * broadcast join of per-stratum singleton frames. Integer contract:
     * shares are `x * 1000000 DIV n_rows` (exact for corpora under
     * ~9e12 rows — the int64 multiply bound), fold is
     * `hot_share_ppm * n_keys DIV 1000` (multiply stays in range for
     * any key cardinality the share bound admits). */
   def keySkewCard(df: DataFrame, key: Column, topK: Int = 10)
       : DataFrame = {
-    require(topK >= 1, "topK must be >= 1")
-    val counts = df.groupBy(key.cast("long").as("k"))
+    val counts = df.groupBy(lit("all").as("stratum"),
+        key.cast("long").as("k"))
       .agg(count(lit(1)).as("n"))
+    keySkewCardOfCounts(counts, col("stratum"), col("k"), col("n"),
+      topK).drop("stratum")
+  }
+
+  /** Per-stratum [[keySkewCard]] — one card row per group (a time
+    * window, a source, a shard): is SOME slice of the stream in the
+    * hot-key regime even when the global card reads balanced? Same
+    * columns as the global card plus `stratum`. Scale shape identical
+    * (the quantile histograms and top-k partials are per-stratum, so
+    * the added dimension rides the same bounded aggregations). */
+  def keySkewCardBy(df: DataFrame, group: Column, key: Column,
+      topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(group.as("stratum"),
+        key.cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+    keySkewCardOfCounts(counts, col("stratum"), col("k"), col("n"),
+      topK)
+  }
+
+  /** The card body over a PRE-AGGREGATED per-(stratum, key) counts
+    * frame — the shared core of [[keySkewCard]]/[[keySkewCardBy]] and
+    * the streaming monitor's foreachBatch epilogue (whose finalized
+    * windows arrive already counted). `counts` must carry one row per
+    * (group, key). */
+  def keySkewCardOfCounts(countsDf: DataFrame, group: Column,
+      key: Column, n: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = countsDf.select(group.as("stratum"),
+      key.cast("long").as("k"), n.cast("long").as("n"))
     val topk = udaf(new graft.functions.TopKAggregator(topK))
     // totals + deterministic top-k loads (count desc, key asc — the
     // aggregator's own total order; counts are exact in double far
-    // past any real corpus) in one bounded pass
-    val tops = counts.agg(
+    // past any real corpus) in one bounded pass per stratum
+    val tops = counts.groupBy(col("stratum")).agg(
       sum(col("n")).as("n_rows"),
       count(lit(1)).as("n_keys"),
       topk(col("k"), col("n").cast("double")).as("top"))
-    val quant = TextAnalysis.integerQuantiles(counts, lit("k"),
+    val quant = TextAnalysis.integerQuantiles(counts, col("stratum"),
         col("n"), qs = Seq(50, 99))
-      .select(col("mean_v").as("mean_count"),
+      .select(col("stratum"), col("mean_v").as("mean_count"),
         col("p50").as("p50_count"), col("p99").as("p99_count"))
-    tops.crossJoin(broadcast(quant))
-      .select(col("n_rows"), col("n_keys"),
+    tops.join(broadcast(quant), Seq("stratum"))
+      .select(col("stratum"), col("n_rows"), col("n_keys"),
         expr("CAST(element_at(top.items, 1).cosine AS BIGINT)")
           .as("max_count"),
         expr("element_at(top.items, 1).vecId").as("hot_key"),
         expr("CAST(aggregate(top.items, CAST(0 AS DOUBLE)," +
           " (acc, x) -> acc + x.cosine) AS BIGINT)").as("top_n"),
         col("mean_count"), col("p50_count"), col("p99_count"))
-      .select(col("n_rows"), col("n_keys"), col("max_count"),
-        col("hot_key"), col("mean_count"), col("p50_count"),
-        col("p99_count"),
+      .select(col("stratum"), col("n_rows"), col("n_keys"),
+        col("max_count"), col("hot_key"), col("mean_count"),
+        col("p50_count"), col("p99_count"),
         expr("max_count * 1000000 DIV n_rows").as("hot_share_ppm"),
         expr("(max_count * 1000000 DIV n_rows) * n_keys DIV 1000")
           .as("hot_fold_x1000"),

@@ -354,6 +354,44 @@ object Streaming {
       }
   }
 
+  /** Streaming key-skew monitor — the in-flight form of
+    * [[graft.operators.Skew.keySkewCardBy]]: per-window per-key
+    * counts under a watermark (Append mode — a window's counts
+    * finalize exactly once, together), with a foreachBatch epilogue
+    * folding each finalized window's counts into its skew card and
+    * handing the card rows to `onCards`. The NAT-flood alarm is the
+    * card itself: `hot_fold_x1000` crossing a provisioning threshold
+    * says one key is concentrating the stream WHILE it happens, not
+    * at the post-mortem. State is the ordinary (window × key)
+    * aggregation state every windowed keyed query carries, bounded by
+    * the watermark horizon; the card math adds none (it runs on the
+    * already-finalized batch, a bounded |windows × keys|-row frame).
+    * Finalized cards are bit-identical to the batch twin on the same
+    * lines (q168_key_skew_windows; StreamingSpec pins the parity)
+    * because finalized counts are exact and the card is a
+    * deterministic function of them. */
+  def keySkewStream(df: DataFrame, tsName: String, key: Column,
+      windowDuration: String, watermarkDelay: String, topK: Int = 10)
+      (onCards: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val counts = df.withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), windowDuration),
+        key.cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("k"), col("n"))
+    counts.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          onCards(graft.operators.Skew.keySkewCardOfCounts(
+              batch.toDF(), col("window_start_ms"), col("k"),
+              col("n"), topK)
+            .withColumnRenamed("stratum", "window_start_ms"))
+        }
+        ()
+      }
+  }
+
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
     * a `rate` stream projected onto the config literal. Union into the

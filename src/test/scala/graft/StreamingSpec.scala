@@ -295,6 +295,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keySkewStream: finalized-window skew cards equal the batch " +
+      "twin over the same events, across micro-batches; the hot " +
+      "window's card reads the flood") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Skew
+    val t0 = 1700000000L; val wSec = 600L
+    // w0: key 0 floods (12 of 14 rows); w1: three balanced keys
+    val w0 = (1 to 12).map(i => (t0 + i, 0L)) ++
+      Seq((t0 + 20, 5L), (t0 + 21, 9L))
+    val w1 = (1 to 3).map(i => (t0 + wSec + i, i.toLong))
+    val far = Seq((t0 + 7200, 99L)) // finalizes everything before it
+    val collected =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val in = MemoryStream[(Long, Long)]
+    val q = Streaming.keySkewStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("user_id")),
+        "ts", col("user_id"), "10 minutes", "30 seconds") { cards =>
+      collected ++= cards.collect()
+    }.start()
+    try {
+      // w0 and w1 finalize in DIFFERENT micro-batches
+      in.addData(w0: _*); q.processAllAvailable()
+      in.addData(w1: _*); q.processAllAvailable() // closes w0
+      in.addData(far: _*); q.processAllAvailable() // closes w1
+      val ws = (n: Int) => (t0 / wSec * wSec + n * wSec) * 1000
+      // the hot window's card, hand-computed: loads [12,1,1]
+      val byWs = collected.map(r => r.getLong(0) -> r).toMap
+      assert(byWs.keySet == Set(ws(0), ws(1)),
+        s"exactly the two closed windows must card: ${byWs.keySet}")
+      val hot = byWs(ws(0))
+      assert(hot.getAs[Long]("n_rows") == 14L)
+      assert(hot.getAs[Long]("n_keys") == 3L)
+      assert(hot.getAs[Long]("max_count") == 12L)
+      assert(hot.getAs[Long]("hot_key") == 0L)
+      assert(hot.getAs[Long]("hot_share_ppm") == 857142L)
+      assert(hot.getAs[Long]("hot_fold_x1000") == 2571L)
+      assert(hot.getAs[Long]("p50_count") == 1L)
+      // batch twin: keySkewCardBy over the same lines, with integer
+      // window math (epoch-aligned 600-s grid, same as window())
+      val twin = Skew.keySkewCardBy(
+          (w0 ++ w1).toDF("sec", "user_id")
+            .select(expr("(sec DIV 600) * 600000")
+              .as("window_start_ms"), col("user_id")),
+          col("window_start_ms"), col("user_id"))
+        .withColumnRenamed("stratum", "window_start_ms")
+        .collect().map(_.toSeq).toSet
+      assert(collected.map(_.toSeq).toSet == twin,
+        s"streamed ${collected.map(_.toSeq).toSet} vs batch $twin")
+    } finally q.stop()
+  }
+
   test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
