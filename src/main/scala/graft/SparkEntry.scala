@@ -2326,6 +2326,17 @@ object SparkEntry {
         .withColumnRenamed("stratum", "window_start_ms")
         .orderBy(col("window_start_ms"))),
 
+    // scale ops: q42's session summary on the SHARDED path — the
+    // skew-resilient slice-and-mend sessionizer (the mitigation for
+    // the straggler the skew probe measured: a hot key's timeline
+    // spreads over keys x slices instead of one task). Same rows by
+    // construction — the oracle IS q42's (path-equality twin)
+    "q169_session_summary_sharded" -> ((s, dir) =>
+      Sessionize.sessionSummarySharded(Tables.events(s, dir),
+          col("ts"), col("user_id"), gapSeconds = 3600)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("session_id"))),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5318,6 +5329,7 @@ object SparkEntry {
     withPathEqualityTwins(base ++ extra +
       ("q65_cosine_topk_window" -> base("q19_cosine_topk")) +
       ("q76_cc_stars" -> base("q53_dedup_clusters")) +
+      ("q169_session_summary_sharded" -> base("q42_session_summary")) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +

@@ -65,6 +65,95 @@ object Sessionize {
         sum(col("n_events")).as("total_events"))
       .filter(col("max_session_events") >= maxSessionEvents)
 
+  /** Sharded sessionization — the skew-resilient scale path of
+    * [[assignSessions]], result-identical by construction
+    * (equivalence spec-pinned; q169 shares q42's oracle as a
+    * path-equality twin).
+    *
+    * Why: [[assignSessions]]'s single `PARTITION BY key` sort puts a
+    * hot key's ENTIRE timeline in one task — the skew probe measured
+    * the session family at 2.4–2.9x under a 50-percent hot key
+    * (SCALING.md round-15), the straggler this variant removes. The
+    * fix is the classic slice-and-mend: sessionize within
+    * `(key, time-slice)` shards (parallelism = keys x active slices,
+    * so the hot key spreads over its time axis), then repair the
+    * sessions that cross slice boundaries on a per-(key, slice)
+    * SUMMARY frame — one row per active slice, bounded by
+    * horizon/slice regardless of corpus size.
+    *
+    * Exactness argument (the invariant the spec sweeps): with
+    * `slice >= gap`, events in non-adjacent active slices are at
+    * least one full slice apart, so only a slice's FIRST event and
+    * its predecessor slice's LAST event can ever be within `gap` —
+    * the unsharded order's lag at that position is exactly that pair,
+    * so the within-slice `>=`-gap flags plus the one boundary check
+    * reproduce every boundary decision [[assignSessions]] makes, and
+    * the mend's running renumber (`base - merge + local_id`)
+    * reproduces its running-sum ids. Merge chains longer than one
+    * slice (a session spanning many slices) telescope through the
+    * running sum.
+    *
+    * Constraint: timestamps at or after the epoch (the slice index
+    * uses integer `DIV`, which truncates rather than floors on
+    * negatives). `sliceSeconds` 0 (the default) means `gapSeconds` —
+    * the smallest legal slice, i.e. the most parallelism. */
+  def assignSessionsSharded(df: DataFrame, ts: Column, key: Column,
+      gapSeconds: Long, sliceSeconds: Long = 0L): DataFrame = {
+    val slice = if (sliceSeconds == 0L) gapSeconds else sliceSeconds
+    require(slice >= gapSeconds,
+      s"sliceSeconds=$slice must be >= gapSeconds=$gapSeconds: with a " +
+        "narrower slice, sessions could merge across NON-adjacent " +
+        "slices and the one-boundary mend would miss them")
+    val gapUs = gapSeconds * 1000000L
+    val sliceUs = slice * 1000000L
+    val wLocal = Window.partitionBy(key, col("__sess_slice")).orderBy(ts)
+    val local = df
+      .withColumn("__sess_us", unix_micros(ts))
+      .withColumn("__sess_slice", expr(s"__sess_us DIV $sliceUs"))
+      .withColumn("__sess_prev", lag(col("__sess_us"), 1).over(wLocal))
+      .withColumn("__sess_new",
+        when(col("__sess_prev").isNull ||
+          col("__sess_us") - col("__sess_prev") >= gapUs,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("__sess_lsid", sum(col("__sess_new")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__sess_prev", "__sess_new")
+    // the mend frame: ONE row per (key, active slice) — its window
+    // sort is over horizon/slice rows per key, never corpus rows
+    val slices = local
+      .groupBy(key.as("__sk"), col("__sess_slice").as("__ss"))
+      .agg(min(col("__sess_us")).as("__first"),
+        max(col("__sess_us")).as("__last"),
+        max(col("__sess_lsid")).as("__m"))
+    val wk = Window.partitionBy(col("__sk")).orderBy(col("__ss"))
+    val offsets = slices
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wk))
+      .withColumn("__merge",
+        when(col("__prev_last").isNotNull &&
+          col("__first") - col("__prev_last") < gapUs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("__base", coalesce(
+        sum(col("__m") - col("__merge")).over(
+          wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__sk"), col("__ss"),
+        (col("__base") - col("__merge")).as("__off"))
+    local.join(offsets,
+        key === col("__sk") && col("__sess_slice") === col("__ss"))
+      .withColumn("session_id", col("__off") + col("__sess_lsid"))
+      .drop("__sess_us", "__sess_slice", "__sess_lsid",
+        "__sk", "__ss", "__off")
+  }
+
+  /** [[sessionSummary]] on the sharded path — identical rows, no
+    * single-task sort of a hot key's timeline. */
+  def sessionSummarySharded(df: DataFrame, ts: Column, key: Column,
+      gapSeconds: Long, sliceSeconds: Long = 0L): DataFrame =
+    assignSessionsSharded(df, ts, key, gapSeconds, sliceSeconds)
+      .groupBy(key.as("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(ts)).as("session_start_ms"),
+        unix_millis(max(ts)).as("session_end_ms"))
+
   /** Multi-address login detection (ref s/amo/AddonMultiIpLogin.java:
     * 146-250 — 15-min-gap sessions per account; alert when one
     * session's logins span too many distinct addresses/countries,

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sessionize
+
+/** The sharded sessionizer's contract: result-IDENTICAL to the
+  * analytic [[Sessionize.assignSessions]] on every input (the whole
+  * point is that callers can switch paths for skew without touching
+  * semantics), while the plan's heavy sort partitions by
+  * (key, time-slice) instead of key alone. */
+class SessionizeShardedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def canon(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("k"), col("t"), col("session_id"))
+    .collect()
+    .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+      r.getLong(2)))
+    .sorted
+    .toSeq
+
+  test("slice-and-mend equals the analytic sessionizer on the " +
+      "adversarial fixture: multi-slice sessions, exact-gap " +
+      "boundaries, empty slices, singleton keys") {
+    import spark.implicits._
+    val gap = 100L
+    val rows = Seq(
+      // key a: one session CHAINING through 5 slices (events 60 s
+      // apart, slice = gap = 100 s), then an exact-gap boundary
+      // (>= gap starts a NEW session), then an empty-slice hole
+      ("a", 10L), ("a", 70L), ("a", 130L), ("a", 190L), ("a", 250L),
+      ("a", 350L),         // 250 -> 350 = exactly gap: NEW session
+      ("a", 800L),         // far past: new session after empty slices
+      // key b: all inside one slice, two sessions via in-slice gap
+      ("b", 10L), ("b", 20L), ("b", 125L),
+      // key c: a single event
+      ("c", 500L),
+      // key d: boundary pair straddling a slice edge but WITHIN gap
+      ("d", 95L), ("d", 105L),
+      // key e: duplicate timestamps (ties never split a session)
+      ("e", 42L), ("e", 42L), ("e", 42L))
+    val df = rows.map { case (k, s) => (k, ts(s)) }.toDF("k", "t")
+    val plain = canon(Sessionize.assignSessions(
+      df, col("t"), col("k"), gap))
+    for (slice <- Seq(100L, 150L, 1000L)) {
+      val sharded = canon(Sessionize.assignSessionsSharded(
+        df, col("t"), col("k"), gap, slice))
+      assert(sharded == plain,
+        s"slice=$slice diverged:\n$sharded\nvs\n$plain")
+    }
+    // and the ids really are the analytic running count: key a gets
+    // sessions 1 (x5 events), 2, 3
+    val aIds = plain.filter(_._1 == "a").map(_._3)
+    assert(aIds == Seq(1L, 1L, 1L, 1L, 1L, 2L, 3L), aIds.toString)
+  }
+
+  test("seeded random sweep: equivalence over dense timelines at " +
+      "several gap/slice combinations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 2000).map { _ =>
+      (s"k${rnd.nextInt(7)}", rnd.nextInt(5000).toLong)
+    }
+    val df = rows.map { case (k, s) => (k, ts(s)) }.toDF("k", "t")
+    for ((gap, slice) <- Seq((30L, 30L), (30L, 45L), (120L, 120L),
+        (7L, 7L), (7L, 1000L))) {
+      val plain = canon(Sessionize.assignSessions(
+        df, col("t"), col("k"), gap))
+      val sharded = canon(Sessionize.assignSessionsSharded(
+        df, col("t"), col("k"), gap, slice))
+      assert(sharded == plain, s"gap=$gap slice=$slice diverged")
+    }
+  }
+
+  test("sessionSummarySharded equals sessionSummary on the real " +
+      "events table at q42's gap") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def c(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val plain = c(Sessionize.sessionSummary(
+      ev, col("ts"), col("user_id"), 3600))
+    val sharded = c(Sessionize.sessionSummarySharded(
+      ev, col("ts"), col("user_id"), 3600))
+    assert(sharded == plain)
+  }
+
+  test("the heavy sort shards by (key, slice) and a narrow slice is " +
+      "rejected") {
+    import spark.implicits._
+    val df = Seq(("a", ts(1L))).toDF("k", "t")
+    val plan = Sessionize.assignSessionsSharded(
+        df, col("t"), col("k"), 100L)
+      .queryExecution.executedPlan.toString
+    // the event-level exchange must carry the slice column — that IS
+    // the parallelism claim (hot key spread over its time axis)
+    assert(plan.contains("__sess_slice"),
+      s"slice column absent from the physical plan:\n$plan")
+    assert(intercept[IllegalArgumentException] {
+      Sessionize.assignSessionsSharded(df, col("t"), col("k"),
+        gapSeconds = 100L, sliceSeconds = 50L)
+    }.getMessage.contains("NON-adjacent"))
+  }
+}
