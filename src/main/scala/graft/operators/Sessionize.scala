@@ -137,8 +137,11 @@ object Sessionize {
           wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__sk"), col("__ss"),
         (col("__base") - col("__merge")).as("__off"))
+    // null-safe equality: the analytic form's PARTITION BY keeps a
+    // null key as its own group, so the mend join must too (`===`
+    // would silently DROP null-key rows)
     local.join(offsets,
-        key === col("__sk") && col("__sess_slice") === col("__ss"))
+        (key <=> col("__sk")) && (col("__sess_slice") <=> col("__ss")))
       .withColumn("session_id", col("__off") + col("__sess_lsid"))
       .drop("__sess_us", "__sess_slice", "__sess_lsid",
         "__sk", "__ss", "__off")
