@@ -6616,7 +6616,7 @@ object SparkEntry {
       |  q.mean_count, q.p50_count, q.p99_count,
       |  CAST(hot.max_count * 1000000 // t.n_rows AS BIGINT)
       |    AS hot_share_ppm,
-      |  CAST((hot.max_count * 1000000 // t.n_rows) * t.n_keys // 1000
+      |  CAST(hot.max_count * 1000 // (t.n_rows // t.n_keys)
       |    AS BIGINT) AS hot_fold_x1000,
       |  CAST(hot.top_n * 1000000 // t.n_rows AS BIGINT)
       |    AS top10_share_ppm
@@ -6657,7 +6657,7 @@ object SparkEntry {
       |  q.mean_count, q.p50_count, q.p99_count,
       |  CAST(hot.max_count * 1000000 // t.n_rows AS BIGINT)
       |    AS hot_share_ppm,
-      |  CAST((hot.max_count * 1000000 // t.n_rows) * t.n_keys // 1000
+      |  CAST(hot.max_count * 1000 // (t.n_rows // t.n_keys)
       |    AS BIGINT) AS hot_fold_x1000,
       |  CAST(hot.top_n * 1000000 // t.n_rows AS BIGINT)
       |    AS top10_share_ppm

@@ -104,6 +104,14 @@ object Sessionize {
       s"sliceSeconds=$slice must be >= gapSeconds=$gapSeconds: with a " +
         "narrower slice, sessions could merge across NON-adjacent " +
         "slices and the one-boundary mend would miss them")
+    // withColumn would silently REPLACE (and the final drop erase) a
+    // caller's column named like our scratch space — refuse, never
+    // corrupt (the saltedJoin/_salt contract)
+    val scratch = Seq("__sess_us", "__sess_slice", "__sess_prev",
+      "__sess_new", "__sess_lsid", "__sk", "__ss", "__off")
+    val clash = df.columns.toSet.intersect(scratch.toSet)
+    require(clash.isEmpty,
+      s"input already carries scratch column(s) ${clash.mkString(", ")}")
     val gapUs = gapSeconds * 1000000L
     val sliceUs = slice * 1000000L
     val wLocal = Window.partitionBy(key, col("__sess_slice")).orderBy(ts)

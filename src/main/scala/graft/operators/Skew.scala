@@ -73,8 +73,15 @@ object Skew {
     * broadcast join of per-stratum singleton frames. Integer contract:
     * shares are `x * 1000000 DIV n_rows` (exact for corpora under
     * ~9e12 rows — the int64 multiply bound), fold is
-    * `hot_share_ppm * n_keys DIV 1000` (multiply stays in range for
-    * any key cardinality the share bound admits). */
+    * `max_count * 1000 DIV (n_rows DIV n_keys)` — against the floored
+    * fair share directly, so the reading survives any key cardinality
+    * (a ppm-share intermediate would quantize the fold away past ~1e6
+    * keys). A null key is counted as the reserved key Long.MinValue
+    * (the card is a TOTAL diagnostic — it must not crash or drop on a
+    * null-keyed pipeline; the SQL mirrors assume the driver corpora's
+    * no-null keys). Degenerate inputs: an empty frame yields zero card
+    * rows (the SQL mirror's global-aggregate form yields one all-NULL
+    * row — only reachable on an empty corpus, which no gate runs). */
   def keySkewCard(df: DataFrame, key: Column, topK: Int = 10)
       : DataFrame = {
     val counts = df.groupBy(lit("all").as("stratum"),
@@ -107,8 +114,12 @@ object Skew {
   def keySkewCardOfCounts(countsDf: DataFrame, group: Column,
       key: Column, n: Column, topK: Int = 10): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
+    // null -> Long.MinValue: the TopKAggregator's typed input is a
+    // non-nullable long, and a diagnostic that CRASHES on the
+    // null-keyed pipeline it should be describing is useless
     val counts = countsDf.select(group.as("stratum"),
-      key.cast("long").as("k"), n.cast("long").as("n"))
+      coalesce(key.cast("long"), lit(Long.MinValue)).as("k"),
+      n.cast("long").as("n"))
     val topk = udaf(new graft.functions.TopKAggregator(topK))
     // totals + deterministic top-k loads (count desc, key asc — the
     // aggregator's own total order; counts are exact in double far
@@ -133,7 +144,14 @@ object Skew {
         col("max_count"), col("hot_key"), col("mean_count"),
         col("p50_count"), col("p99_count"),
         expr("max_count * 1000000 DIV n_rows").as("hot_share_ppm"),
-        expr("(max_count * 1000000 DIV n_rows) * n_keys DIV 1000")
+        // fold against the FLOORED fair share, not against the ppm
+        // share: (share_ppm * n_keys) quantizes in steps of
+        // n_keys/1000 and reads 0 for any fold under cardinality/1000
+        // — at 1e8 keys a 50x-hot key would vanish. Dividing by
+        // n_rows DIV n_keys (>= 1 since every counted key has >= 1
+        // row) keeps the signal at every cardinality and stays inside
+        // int64 for any max_count a real corpus can hold
+        expr("max_count * 1000 DIV (n_rows DIV n_keys)")
           .as("hot_fold_x1000"),
         expr("top_n * 1000000 DIV n_rows").as("top10_share_ppm"))
   }

@@ -133,7 +133,7 @@ class SkewSpec extends AnyFunSuite {
     assert(card.getAs[Long]("p50_count") == 10L)
     assert(card.getAs[Long]("p99_count") == 60L)
     assert(card.getAs[Long]("hot_share_ppm") == 400000L) // 60/150
-    // 2.0x the fair share (fair = 30)
+    // 2.0x the fair share (60 * 1000 DIV (150 DIV 5 = 30))
     assert(card.getAs[Long]("hot_fold_x1000") == 2000L)
     // 5 keys < 10: the whole corpus is head mass
     assert(card.getAs[Long]("top10_share_ppm") == 1000000L)
@@ -146,6 +146,26 @@ class SkewSpec extends AnyFunSuite {
     // rerun determinism (the tie-break and top-k orders are total)
     val again = Skew.keySkewCard(df, col("user_id")).collect().head
     assert(again.toSeq == card.toSeq)
+    // null keys neither crash the typed top-k nor drop: they count
+    // under the reserved key Long.MinValue
+    val dfN = Seq(Some(1L), Some(1L), None, None, None)
+      .toDF("user_id")
+    val cardN = Skew.keySkewCard(dfN, col("user_id")).collect().head
+    assert(cardN.getAs[Long]("n_rows") == 5L)
+    assert(cardN.getAs[Long]("n_keys") == 2L)
+    assert(cardN.getAs[Long]("max_count") == 3L)
+    assert(cardN.getAs[Long]("hot_key") == Long.MinValue)
+    // the fold keeps full precision at high cardinality: 1e6
+    // singleton keys + one 50-row key reads exactly 50000 (50x fair
+    // share). A ppm-share intermediate quantizes in steps of
+    // n_keys/1000 (49000 here, hard 0 once share drops under 1 ppm —
+    // a 50x-hot key invisible past ~1e8 keys); dividing by the
+    // floored fair share directly never loses the signal
+    val dfC = spark.range(1000000L).select(col("id").as("user_id"))
+      .union(spark.range(50).select(lit(2000000L).as("user_id")))
+    val cardC = Skew.keySkewCard(dfC, col("user_id")).collect().head
+    assert(cardC.getAs[Long]("hot_fold_x1000") == 50000L,
+      s"fold must survive high cardinality: ${cardC.toSeq}")
   }
 
   test("saltedJoin refuses inputs that already carry a _salt column") {

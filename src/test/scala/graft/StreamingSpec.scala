@@ -333,7 +333,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(hot.getAs[Long]("max_count") == 12L)
       assert(hot.getAs[Long]("hot_key") == 0L)
       assert(hot.getAs[Long]("hot_share_ppm") == 857142L)
-      assert(hot.getAs[Long]("hot_fold_x1000") == 2571L)
+      // fair share = 14 DIV 3 = 4; fold = 12 * 1000 DIV 4
+      assert(hot.getAs[Long]("hot_fold_x1000") == 3000L)
       assert(hot.getAs[Long]("p50_count") == 1L)
       // batch twin: keySkewCardBy over the same lines, with integer
       // window math (epoch-aligned 600-s grid, same as window())

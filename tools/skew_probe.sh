@@ -44,25 +44,30 @@ mkdir -p "$OUT"
 QUERIES="${4:-q02_hard_limit,q52_alias_abuse,q42_session_summary,q14_session_limit,q141_suppress_count,q69_sequence_abuse,q46_private_relay}"
 DEPTHK="${5:-100}"
 
-# the deep base: reuse the depth probe's dir when it exists
-BASE="/tmp/graft-depth/${DEPTHK}x"
-if [ ! -d "$BASE/events.parquet" ]; then
-  BASE="$OUT/base_${DEPTHK}x"
-  if [ ! -d "$BASE/events.parquet" ]; then
-    echo "== scalegen depth ${DEPTHK}x (skew base) -> $BASE =="
-    rm -rf "$BASE"
-    if ! sbt -batch "runMain graft.ScaleGen $SRC $BASE $DEPTHK depth" \
-        > "$OUT/scalegen_base.log" 2>&1; then
-      echo "SCALEGEN FAILED for depth base (log: $OUT/scalegen_base.log)" >&2
-      exit 1
-    fi
+# the deep base. NEVER adopt a dir without a matching provenance
+# marker: a stale base from another round (different SRC, or an older
+# generator whose depth jitter has since changed) would make every
+# skew point measure the wrong corpus — the exact stale-/tmp trap the
+# verify skill documents, which must not be baked into a harness.
+BASE="$OUT/base_${DEPTHK}x"
+MARKER="$SRC depth $DEPTHK v-us-jitter"
+if [ ! -d "$BASE/events.parquet" ] \
+    || [ "$(cat "$BASE/.graft_base" 2>/dev/null)" != "$MARKER" ]; then
+  echo "== scalegen depth ${DEPTHK}x (skew base) -> $BASE =="
+  rm -rf "$BASE"
+  if ! sbt -batch "runMain graft.ScaleGen $SRC $BASE $DEPTHK depth" \
+      > "$OUT/scalegen_base.log" 2>&1; then
+    echo "SCALEGEN FAILED for depth base (log: $OUT/scalegen_base.log)" >&2
+    exit 1
   fi
+  echo "$MARKER" > "$BASE/.graft_base"
 fi
 
 for k in $SKEWS; do
   dir="$OUT/${k}pct"
-  if [ ! -d "$dir/documents.parquet" ] || [ ! -d "$dir/embeddings.parquet" ] \
-      || [ ! -d "$dir/events.parquet" ]; then
+  KMARKER="$MARKER skew $k"
+  if [ ! -d "$dir/events.parquet" ] \
+      || [ "$(cat "$dir/.graft_base" 2>/dev/null)" != "$KMARKER" ]; then
     echo "== scalegen skew ${k}pct over $BASE -> $dir =="
     rm -rf "$dir"
     if ! sbt -batch "runMain graft.ScaleGen $BASE $dir $k skew" \
@@ -70,6 +75,7 @@ for k in $SKEWS; do
       echo "SCALEGEN FAILED for skew ${k}pct (log: $OUT/scalegen_${k}pct.log)" >&2
       exit 1
     fi
+    echo "$KMARKER" > "$dir/.graft_base"
     grep -E "scalegen" "$OUT/scalegen_${k}pct.log" || true
   fi
 done
