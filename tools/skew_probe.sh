@@ -41,7 +41,7 @@ RUNS="${3:-2}"
 SRC=/root/testdata/sf0.1
 mkdir -p "$OUT"
 
-QUERIES="${4:-q02_hard_limit,q52_alias_abuse,q42_session_summary,q14_session_limit,q141_suppress_count,q69_sequence_abuse,q46_private_relay}"
+QUERIES="${4:-q02_hard_limit,q52_alias_abuse,q42_session_summary,q169_session_summary_sharded,q14_session_limit,q141_suppress_count,q69_sequence_abuse,q46_private_relay}"
 DEPTHK="${5:-100}"
 
 # the deep base. NEVER adopt a dir without a matching provenance
