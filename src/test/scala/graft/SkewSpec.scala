@@ -168,6 +168,56 @@ class SkewSpec extends AnyFunSuite {
       s"fold must survive high cardinality: ${cardC.toSeq}")
   }
 
+  test("AQE splits a skewed sort-merge-join partition at runtime — " +
+      "the documented first-line defense before saltedJoin") {
+    // the Skew scaladoc ranks the repo's defenses: structural caps,
+    // then AQE's runtime skew split, then explicit salting. The first
+    // two were asserted in prose only; this pins the AQE claim — a
+    // hot key big enough to cross the skew thresholds really is
+    // split by AQEShuffleRead, with the join's pairs unchanged.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // force the sort-merge path (the regime salting/AQE exist for)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "32768")
+      import spark.implicits._
+      // hot key ~600 KB of shuffle payload vs a tiny tail: far past
+      // 2x the median partition and the 64 KB threshold
+      val big = ((1 to 20000).map(i => ("hot", s"payload_$i")) ++
+        (1 to 64).map(i => (s"k${i % 8}", s"p$i")))
+        .toDF("key", "v").repartition(8)
+      val small = ("hot" +: (0 to 7).map(i => s"k$i"))
+        .map(k => (k, k.toUpperCase)).toDF("key", "p")
+      val joined = big.join(small, Seq("key"))
+      // materialize THIS dataset's own QueryExecution (count() builds
+      // a separate one and would leave this plan un-finalized)
+      assert(joined.collect().length == 20064) // pairs unchanged
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead"),
+        s"expected an adaptive shuffle read in the final plan:\n$plan")
+      assert(plan.contains("skew"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("saltedJoin refuses inputs that already carry a _salt column") {
     // withColumn would silently overwrite (and drop would erase) a
     // caller's _salt data — the contract is refuse, never corrupt
