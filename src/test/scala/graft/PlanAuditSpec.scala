@@ -763,4 +763,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pCard.contains("partial_count"),
       s"distinctCardinality must partially aggregate map-side:\n$pCard")
   }
+
+  test("key-skew cards: counts partial-aggregate map-side, the top-k " +
+      "is a bounded aggregator (no rank window over the counts frame)") {
+    // the cards' own skew-immunity claim (SCALING.md round-15: both
+    // get FASTER on the hot corpus): the per-key counts combine
+    // before their exchange, and the head ranking rides the bounded
+    // TopKAggregator — a row_number window here would re-shuffle and
+    // sort the whole |keys| frame to keep 10 rows
+    for (q <- Seq("q166_key_skew_card", "q168_key_skew_windows")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("partial_count"),
+        s"$q must partially aggregate the per-key counts:\n$p")
+      val lines = p.linesIterator.toSeq
+      val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+      val partIdx = lines.indexWhere(_.contains("partial_count"))
+      assert(exIdx >= 0 && partIdx > exIdx,
+        s"$q: counts must combine BEFORE the exchange:\n$p")
+      // the only Window allowed is the integer-histogram quantile
+      // kernel's cumulative sum (over the counts HISTOGRAM, bounded
+      // by distinct load values) — no rank/row_number anywhere
+      assert(!p.contains("row_number"),
+        s"$q must not rank the counts frame with a window:\n$p")
+    }
+  }
 }
