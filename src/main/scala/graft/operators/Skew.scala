@@ -79,13 +79,18 @@ object Skew {
     * keys). A null key is counted as the reserved key Long.MinValue
     * (the card is a TOTAL diagnostic — it must not crash or drop on a
     * null-keyed pipeline; the SQL mirrors assume the driver corpora's
-    * no-null keys). Degenerate inputs: an empty frame yields zero card
+    * no-null keys), while a NON-null key that cannot cast to long
+    * raises with the remediation (map string keys through xxhash64) —
+    * silently nulling it would merge every key onto the sentinel and
+    * fabricate a giant hot key. Degenerate inputs: an empty frame yields zero card
     * rows (the SQL mirror's global-aggregate form yields one all-NULL
     * row — only reachable on an empty corpus, which no gate runs). */
   def keySkewCard(df: DataFrame, key: Column, topK: Int = 10)
       : DataFrame = {
-    val counts = df.groupBy(lit("all").as("stratum"),
-        key.cast("long").as("k"))
+    // group by the RAW key: the contract-checked cast lives in
+    // keySkewCardOfCounts (casting here would silently null a
+    // non-castable key before the check could fire)
+    val counts = df.groupBy(lit("all").as("stratum"), key.as("k"))
       .agg(count(lit(1)).as("n"))
     keySkewCardOfCounts(counts, col("stratum"), col("k"), col("n"),
       topK).drop("stratum")
@@ -99,8 +104,7 @@ object Skew {
     * the added dimension rides the same bounded aggregations). */
   def keySkewCardBy(df: DataFrame, group: Column, key: Column,
       topK: Int = 10): DataFrame = {
-    val counts = df.groupBy(group.as("stratum"),
-        key.cast("long").as("k"))
+    val counts = df.groupBy(group.as("stratum"), key.as("k"))
       .agg(count(lit(1)).as("n"))
     keySkewCardOfCounts(counts, col("stratum"), col("k"), col("n"),
       topK)
@@ -116,10 +120,24 @@ object Skew {
     require(topK >= 1, "topK must be >= 1")
     // null -> Long.MinValue: the TopKAggregator's typed input is a
     // non-nullable long, and a diagnostic that CRASHES on the
-    // null-keyed pipeline it should be describing is useless
+    // null-keyed pipeline it should be describing is useless. But a
+    // NON-null key that fails the long cast (a string IP, an email —
+    // the reference's actual hot-key types) must be LOUD, not merged:
+    // under non-ANSI cast it would silently null out and every key
+    // would collapse onto the sentinel — the card reporting one giant
+    // hot key that does not exist. try_cast funnels ANSI and non-ANSI
+    // into the same explicit error (the hashReservoir id contract);
+    // string-keyed pipelines pass xxhash64(key) and join the identity
+    // back if they need it.
+    val kl = key.try_cast("long")
+    val checked = when(key.isNull, lit(Long.MinValue))
+      .otherwise(when(kl.isNull,
+        raise_error(concat(
+          lit("keySkewCard: key must cast to long (map string keys " +
+            "through xxhash64 first), got "), key.cast("string")))
+        .cast("long")).otherwise(kl))
     val counts = countsDf.select(group.as("stratum"),
-      coalesce(key.cast("long"), lit(Long.MinValue)).as("k"),
-      n.cast("long").as("n"))
+      checked.as("k"), n.cast("long").as("n"))
     val topk = udaf(new graft.functions.TopKAggregator(topK))
     // totals + deterministic top-k loads (count desc, key asc — the
     // aggregator's own total order; counts are exact in double far

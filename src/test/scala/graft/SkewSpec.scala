@@ -155,6 +155,21 @@ class SkewSpec extends AnyFunSuite {
     assert(cardN.getAs[Long]("n_keys") == 2L)
     assert(cardN.getAs[Long]("max_count") == 3L)
     assert(cardN.getAs[Long]("hot_key") == Long.MinValue)
+    // a NON-castable key (string IPs/emails — the reference's actual
+    // hot-key types) raises with the remediation instead of silently
+    // null-merging every key onto the sentinel (which would fabricate
+    // one giant hot key); xxhash64-mapped string keys are the path
+    val dfS = Seq("1.2.3.4", "5.6.7.8", "1.2.3.4").toDF("user_id")
+    val ex = intercept[Exception] {
+      Skew.keySkewCard(dfS, col("user_id")).collect()
+    }
+    assert(ex.getMessage.contains("xxhash64"),
+      s"unexpected: ${ex.getMessage}")
+    val hashed = Skew.keySkewCard(dfS, xxhash64(col("user_id")))
+      .collect().head
+    assert(hashed.getAs[Long]("n_rows") == 3L)
+    assert(hashed.getAs[Long]("n_keys") == 2L)
+    assert(hashed.getAs[Long]("max_count") == 2L)
     // the fold keeps full precision at high cardinality: 1e6
     // singleton keys + one 50-row key reads exactly 50000 (50x fair
     // share). A ppm-share intermediate quantizes in steps of
