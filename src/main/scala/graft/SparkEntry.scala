@@ -2326,6 +2326,14 @@ object SparkEntry {
         .withColumnRenamed("stratum", "window_start_ms")
         .orderBy(col("window_start_ms"))),
 
+    // scale ops: the hot-key LIST — q166's actionable complement
+    // (the card detects the regime; this names the keys an operator
+    // acts on: NAT exemptions, quarantine lists, salted-join
+    // targets). Bounded TopK partials, never a sort of the counts
+    "q170_hot_keys" -> ((s, dir) =>
+      operators.Skew.hotKeys(Tables.events(s, dir), col("user_id"))
+        .orderBy(col("rank"))),
+
     // scale ops: q42's session summary on the SHARDED path — the
     // skew-resilient slice-and-mend sessionizer (the mitigation for
     // the straggler the skew probe measured: a hot key's timeline
@@ -5337,6 +5345,17 @@ object SparkEntry {
       ("q166_key_skew_card" -> keySkewCardSql) +
       ("q167_lang_fertility" -> langFertilitySql(6)) +
       ("q168_key_skew_windows" -> keySkewWindowsSql) +
+      ("q170_hot_keys" ->
+        """WITH c AS (SELECT user_id AS k, COUNT(*) AS n FROM events
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(SUM(n) AS BIGINT) total FROM c),
+          |r AS (SELECT k, n,
+          |    row_number() OVER (ORDER BY n DESC, k ASC) rk
+          |  FROM c QUALIFY rk <= 10)
+          |SELECT CAST(rk AS BIGINT) AS rank,
+          |  CAST(k AS BIGINT) AS hot_key, CAST(n AS BIGINT) AS n,
+          |  CAST(n * 1000000 // t.total AS BIGINT) AS share_ppm
+          |FROM r, t ORDER BY rank""".stripMargin) +
       ("q105_gear_chunks" -> gearSql(
         """d AS (SELECT doc_id, text AS t, length(text) AS n
           |  FROM documents WHERE length(text) >= 1)""".stripMargin,

@@ -129,15 +129,8 @@ object Skew {
     // into the same explicit error (the hashReservoir id contract);
     // string-keyed pipelines pass xxhash64(key) and join the identity
     // back if they need it.
-    val kl = key.try_cast("long")
-    val checked = when(key.isNull, lit(Long.MinValue))
-      .otherwise(when(kl.isNull,
-        raise_error(concat(
-          lit("keySkewCard: key must cast to long (map string keys " +
-            "through xxhash64 first), got "), key.cast("string")))
-        .cast("long")).otherwise(kl))
     val counts = countsDf.select(group.as("stratum"),
-      checked.as("k"), n.cast("long").as("n"))
+      checkedKey(key).as("k"), n.cast("long").as("n"))
     val topk = udaf(new graft.functions.TopKAggregator(topK))
     // totals + deterministic top-k loads (count desc, key asc — the
     // aggregator's own total order; counts are exact in double far
@@ -172,5 +165,48 @@ object Skew {
         expr("max_count * 1000 DIV (n_rows DIV n_keys)")
           .as("hot_fold_x1000"),
         expr("top_n * 1000000 DIV n_rows").as("top10_share_ppm"))
+  }
+
+  /** The card's key contract as a column: null keys count under the
+    * reserved key Long.MinValue (the diagnostic is TOTAL — it must
+    * not crash or drop on a null-keyed pipeline), while a NON-null
+    * key that fails the long cast raises with the remediation —
+    * under non-ANSI semantics a silent null would merge every key
+    * onto the sentinel and fabricate a giant hot key. try_cast
+    * funnels ANSI and non-ANSI into the same explicit error (the
+    * hashReservoir id-contract idiom). */
+  private def checkedKey(key: Column): Column = {
+    val kl = key.try_cast("long")
+    when(key.isNull, lit(Long.MinValue))
+      .otherwise(when(kl.isNull,
+        raise_error(concat(
+          lit("keySkewCard: key must cast to long (map string keys " +
+            "through xxhash64 first), got "), key.cast("string")))
+        .cast("long")).otherwise(kl))
+  }
+
+  /** The actionable complement of [[keySkewCard]]: the top-k keys
+    * THEMSELVES, one row each — (rank, hot_key, n, share_ppm). The
+    * card says "this stream is in the hot-key regime"; this list
+    * names the keys, which is what an operator actually acts on (the
+    * NAT exemption list, the bot accounts to quarantine, the keys a
+    * salted join spreads). Same scale shape as the card: one
+    * partial-agg shuffle to per-key counts, then the bounded
+    * [[graft.functions.TopKAggregator]] (<= k rows per map task, no
+    * sort of the counts frame), posexploded declaratively. Ties rank
+    * deterministically (count desc, key asc). */
+  def hotKeys(df: DataFrame, key: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(key.as("k0")).agg(count(lit(1)).as("n"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    counts.agg(
+        sum(col("n")).as("total"),
+        topk(checkedKey(col("k0")), col("n").cast("double")).as("top"))
+      .select(col("total"), posexplode(col("top.items")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.vecId").as("hot_key"),
+        expr("CAST(col.cosine AS BIGINT)").as("n"),
+        expr("CAST(col.cosine AS BIGINT) * 1000000 DIV total")
+          .as("share_ppm"))
   }
 }

@@ -146,6 +146,13 @@ class SkewSpec extends AnyFunSuite {
     // rerun determinism (the tie-break and top-k orders are total)
     val again = Skew.keySkewCard(df, col("user_id")).collect().head
     assert(again.toSeq == card.toSeq)
+    // the hot-key LIST (the card's actionable complement): ranked
+    // (count desc, key asc), shares in ppm of ALL rows
+    val hk = Skew.hotKeys(df, col("user_id"), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(hk == Seq((1L, 7L, 60L, 400000L), (2L, 100L, 60L, 400000L),
+      (3L, 1L, 10L, 66666L)), hk.toString)
     // null keys neither crash the typed top-k nor drop: they count
     // under the reserved key Long.MinValue
     val dfN = Seq(Some(1L), Some(1L), None, None, None)
