@@ -2326,6 +2326,15 @@ object SparkEntry {
         .withColumnRenamed("stratum", "window_start_ms")
         .orderBy(col("window_start_ms"))),
 
+    // scale ops: q14's session-limit gate on the SHARDED path (the
+    // probe's worst straggler, 2.9x at the 50pct hot key) — same
+    // rows, oracle IS q14's (path-equality twin)
+    "q171_session_limit_sharded" -> ((s, dir) =>
+      Sessionize.sessionLimitSharded(Tables.events(s, dir), col("ts"),
+          col("user_id"), gapSeconds = 3600, maxSessionEvents = 3)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))),
+
     // scale ops: the hot-key LIST — q166's actionable complement
     // (the card detects the regime; this names the keys an operator
     // acts on: NAT exemptions, quarantine lists, salted-join
@@ -5338,6 +5347,7 @@ object SparkEntry {
       ("q65_cosine_topk_window" -> base("q19_cosine_topk")) +
       ("q76_cc_stars" -> base("q53_dedup_clusters")) +
       ("q169_session_summary_sharded" -> base("q42_session_summary")) +
+      ("q171_session_limit_sharded" -> base("q14_session_limit")) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +

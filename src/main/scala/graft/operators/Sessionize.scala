@@ -165,6 +165,20 @@ object Sessionize {
         unix_millis(min(ts)).as("session_start_ms"),
         unix_millis(max(ts)).as("session_end_ms"))
 
+  /** [[sessionLimit]] on the sharded path — identical rows; the skew
+    * probe measured the analytic form as the family's WORST straggler
+    * (2.9x at the 50-percent hot key), because its per-key sort feeds
+    * a per-key rollup that cannot start until the hot sort finishes. */
+  def sessionLimitSharded(df: DataFrame, ts: Column, key: Column,
+      gapSeconds: Long, maxSessionEvents: Long,
+      sliceSeconds: Long = 0L): DataFrame =
+    sessionSummarySharded(df, ts, key, gapSeconds, sliceSeconds)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"))
+      .filter(col("max_session_events") >= maxSessionEvents)
+
   /** Multi-address login detection (ref s/amo/AddonMultiIpLogin.java:
     * 146-250 — 15-min-gap sessions per account; alert when one
     * session's logins span too many distinct addresses/countries,

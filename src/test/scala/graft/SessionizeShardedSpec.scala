@@ -91,6 +91,19 @@ class SessionizeShardedSpec extends AnyFunSuite {
     assert(sharded == plain)
   }
 
+  test("sessionLimitSharded equals sessionLimit on the real events " +
+      "table at q14's gate") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def c(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val plain = c(Sessionize.sessionLimit(
+      ev, col("ts"), col("user_id"), 3600, 3))
+    val sharded = c(Sessionize.sessionLimitSharded(
+      ev, col("ts"), col("user_id"), 3600, 3))
+    assert(sharded == plain && plain.nonEmpty)
+  }
+
   test("the heavy sort shards by (key, slice) and a narrow slice is " +
       "rejected") {
     import spark.implicits._
