@@ -99,6 +99,16 @@ object Sessionize {
     * the smallest legal slice, i.e. the most parallelism. */
   def assignSessionsSharded(df: DataFrame, ts: Column, key: Column,
       gapSeconds: Long, sliceSeconds: Long = 0L): DataFrame = {
+    // gap 0 is legal for the analytic form (every event its own
+    // session) but here the resolved slice becomes the DIV divisor:
+    // a 0 slice would null the slice index under non-ANSI (silently
+    // collapsing the sharding to one shard per key) or crash under
+    // ANSI — refuse loudly instead (the function's other guards'
+    // contract)
+    require(gapSeconds >= 1L,
+      s"gapSeconds=$gapSeconds must be >= 1: the slice width derives " +
+        "from it and a zero-width slice cannot shard (use the " +
+        "analytic assignSessions for gap 0)")
     val slice = if (sliceSeconds == 0L) gapSeconds else sliceSeconds
     require(slice >= gapSeconds,
       s"sliceSeconds=$slice must be >= gapSeconds=$gapSeconds: with a " +

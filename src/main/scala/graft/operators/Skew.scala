@@ -182,7 +182,17 @@ object Skew {
         raise_error(concat(
           lit("keySkewCard: key must cast to long (map string keys " +
             "through xxhash64 first), got "), key.cast("string")))
-        .cast("long")).otherwise(kl))
+        .cast("long"))
+        // the sentinel is reserved by CONVENTION only: a genuine
+        // Long.MinValue key would silently alias the null bucket —
+        // two n_keys rows sharing one hot_key value, an ambiguous
+        // card — so it gets the same loud refusal as a non-castable
+        // key (remap, e.g. xxhash64 the key, and rerun)
+        .otherwise(when(kl === lit(Long.MinValue),
+          raise_error(lit("keySkewCard: key Long.MinValue collides " +
+            "with the reserved null sentinel (remap keys, e.g. " +
+            "through xxhash64)")).cast("long"))
+          .otherwise(kl)))
   }
 
   /** The actionable complement of [[keySkewCard]]: the top-k keys

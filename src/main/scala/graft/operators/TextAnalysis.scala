@@ -1597,9 +1597,22 @@ object TextAnalysis {
     * pure function of the seed).
     *
     * Scale shape: one explode (|chars| rows, collapsed map-side by
-    * the partial (lang, gram) aggregate — the gram domain is bounded
-    * by 27³ ≈ 20k regardless of corpus size) + one window rank over
-    * the ≤ |langs|·20k count frame. The output model is tiny by
+    * the partial (lang, gram) aggregate) + the bounded
+    * [[graft.functions.GramTopKAggregator]] keyed by LANG (k = m) —
+    * the same aggregator that bounds the classifier's doc-profile
+    * stage, one stage upstream: partial aggregation ships ≤ m rows
+    * per language per map task, so no stage ever re-shuffles the
+    * distinct (lang, gram) frame into |langs| single tasks to sort
+    * it (the `row_number` window form did exactly that — the
+    * per-key-serial straggler shape the skew probe measured at
+    * 2.4–2.9×, triggered by any corpus-scale labeled seed whose
+    * gram domain is NOT a priori bounded: real unicode seeds carry
+    * millions of distinct grams per language, not the 27³ of the
+    * pure-ASCII alphabet). Top-k under the total order (cnt desc,
+    * gram asc — grams are distinct per language after the count) is
+    * merge-order-insensitive, so the result is bit-identical to the
+    * window form (equivalence spec-pinned; the seven lang-family
+    * oracle hashes are unchanged). The output model stays tiny by
     * construction (|langs| · m rows).
     *
     * Output: (lang, gram, rank) with rank 1..m per language. */
@@ -1607,17 +1620,18 @@ object TextAnalysis {
       m: Int = 64, maxChars: Int = 4096): DataFrame = {
     require(m >= 1 && m <= 4096, "m must be in [1, 4096]")
     require(maxChars >= 3, "maxChars must fit at least one trigram")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("cnt").desc, col("gram").asc)
+    val topm = udaf(new graft.functions.GramTopKAggregator(m))
     trigramRows(
         seed.select(lang.as("lang"), langIdNorm(text, maxChars).as("s")),
         col("lang"))
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= m)
-      .select(col("lang"), col("gram"), col("rank"))
+      .groupBy(col("lang"))
+      .agg(topm(col("gram"), col("cnt")).as("prof"))
+      .select(col("lang"),
+        posexplode(col("prof.items")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e.gram").as("gram"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Classify each document against trained [[langIdProfiles]]: build

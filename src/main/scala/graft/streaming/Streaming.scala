@@ -369,14 +369,24 @@ object Streaming {
     * Finalized cards are bit-identical to the batch twin on the same
     * lines (q168_key_skew_windows; StreamingSpec pins the parity)
     * because finalized counts are exact and the card is a
-    * deterministic function of them. */
+    * deterministic function of them.
+    *
+    * Key contract: the RAW key is grouped (never pre-cast here — a
+    * `cast("long")` before the groupBy would, under non-ANSI
+    * semantics, silently null every non-castable key BEFORE the
+    * card's checked cast could fire, merging the whole stream onto
+    * the card's null sentinel and fabricating one giant hot key),
+    * so the epilogue's [[graft.operators.Skew.keySkewCardOfCounts]]
+    * applies the same loud contract as the batch cards: null keys
+    * count under the reserved sentinel, a non-castable key (a string
+    * source IP) RAISES with the xxhash64 remediation. */
   def keySkewStream(df: DataFrame, tsName: String, key: Column,
       windowDuration: String, watermarkDelay: String, topK: Int = 10)
       (onCards: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val counts = df.withWatermark(tsName, watermarkDelay)
       .groupBy(window(col(tsName), windowDuration),
-        key.cast("long").as("k"))
+        key.as("k"))
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("k"), col("n"))

@@ -188,6 +188,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(opt.contains("substring(text"), s"q160: no prefix cap:\n$opt")
   }
 
+  test("langIdProfiles TRAINING side is a bounded partial aggregate " +
+      "keyed by lang, not a per-language window rank") {
+    // the doc side got the GramTopKAggregator in r15; this pins the
+    // same discipline one stage upstream: a corpus-scale labeled seed
+    // carries millions of distinct (lang, gram) rows, and the old
+    // row_number form re-shuffled them into |langs| single tasks and
+    // sorted there — the per-key-serial straggler shape the skew
+    // probe measured at 2.4-2.9x
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.fanOut(
+      graft.sources.Tables.documents(spark, sf))
+    val prof = graft.operators.TextAnalysis.langIdProfiles(
+      d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+      m = 64)
+    val p = plan(prof)
+    assert(!p.contains("Window"),
+      s"training side: Window node in physical plan:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"training side: no object hash aggregate:\n$p")
+    assert(p.contains("partial_"),
+      s"training side: no partial aggregation:\n$p")
+  }
+
   test("q157 ingest selection: document text crosses at most one exchange") {
     // the rewriteCorpus discipline: strip/blocklist/NFC-hash fuse
     // into the scan, the dedup aggregate ships 32-byte hashes, and

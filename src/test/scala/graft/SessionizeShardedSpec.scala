@@ -119,6 +119,13 @@ class SessionizeShardedSpec extends AnyFunSuite {
       Sessionize.assignSessionsSharded(df, col("t"), col("k"),
         gapSeconds = 100L, sliceSeconds = 50L)
     }.getMessage.contains("NON-adjacent"))
+    // gap 0 (legal for the analytic form) would make the slice a
+    // zero DIV divisor here — refused loudly, pointing at the
+    // analytic form
+    assert(intercept[IllegalArgumentException] {
+      Sessionize.assignSessionsSharded(df, col("t"), col("k"),
+        gapSeconds = 0L)
+    }.getMessage.contains("analytic"))
     // scratch-name collisions refuse rather than silently destroy
     // caller data (the saltedJoin/_salt contract)
     assert(intercept[IllegalArgumentException] {

@@ -188,6 +188,18 @@ class SkewSpec extends AnyFunSuite {
     val cardC = Skew.keySkewCard(dfC, col("user_id")).collect().head
     assert(cardC.getAs[Long]("hot_fold_x1000") == 50000L,
       s"fold must survive high cardinality: ${cardC.toSeq}")
+    // the null sentinel is reserved by convention only: a GENUINE
+    // Long.MinValue key would alias the null bucket (two n_keys rows
+    // sharing one hot_key value) — refused loudly, same remediation
+    val dfM = Seq(Long.MinValue, 1L, 1L).toDF("user_id")
+    val exM = intercept[Exception] {
+      Skew.keySkewCard(dfM, col("user_id")).collect()
+    }
+    assert(exM.getMessage.contains("sentinel"),
+      s"unexpected: ${exM.getMessage}")
+    val hashedM = Skew.keySkewCard(dfM, xxhash64(col("user_id")))
+      .collect().head
+    assert(hashedM.getAs[Long]("n_keys") == 2L)
   }
 
   test("AQE splits a skewed sort-merge-join partition at runtime — " +

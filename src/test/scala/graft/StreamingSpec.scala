@@ -350,6 +350,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keySkewStream: a string key (the NAT-flood source-IP type) " +
+      "hits the batch cards' loud contract — raise with the xxhash64 " +
+      "remediation, never a silent null-merge onto the sentinel; the " +
+      "hashed key is the working path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val t0 = 1700000000L
+    val rows = Seq((t0 + 1, "1.2.3.4"), (t0 + 2, "1.2.3.4"),
+      (t0 + 3, "5.6.7.8"), (t0 + 7200, "9.9.9.9"))
+    // raw string key: the groupBy keeps it raw, so the epilogue's
+    // checked cast fires (pre-casting in the stream would null it
+    // BEFORE the check and fabricate one giant sentinel hot key)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.keySkewStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("src")),
+        "ts", col("src"), "10 minutes", "30 seconds") { cards =>
+      cards.collect(); ()
+    }.start()
+    val ex = intercept[Exception] {
+      try { in.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("xxhash64")), s"unexpected: $chain")
+    // the documented path: hash the identity, card the hashes
+    val collected =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.keySkewStream(
+        in2.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          xxhash64(col("_2")).as("src")),
+        "ts", col("src"), "10 minutes", "30 seconds") { cards =>
+      collected ++= cards.collect()
+    }.start()
+    try { in2.addData(rows: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(collected.nonEmpty, "the closed window must card")
+    assert(collected.head.getAs[Long]("n_rows") == 3L)
+    assert(collected.head.getAs[Long]("n_keys") == 2L)
+    assert(collected.head.getAs[Long]("max_count") == 2L)
+  }
+
   test("streaming suppress: first emits, later suppressed, re-emits after expiry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1070,6 +1070,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("langIdProfiles: the bounded lang-keyed top-k (aggregator " +
+      "form) equals an independent replay of the row_number window " +
+      "semantics — count desc, gram asc, rank 1..m — on the real " +
+      "corpus") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val d = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 < 3)
+    val m = 64
+    val got = TextAnalysis.langIdProfiles(d, col("lang"), col("text"),
+        m = m)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // independent replay through Spark's own unicode kernels (the
+    // langIdKernel discipline: same substring/lowercase semantics)
+    def norm(t: String): String = {
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(t).substringSQL(1, 4096).toLowerCase.toString
+      " " + lowered.replaceAll("[^a-z]+", " ").trim + " "
+    }
+    def grams(t: String): Seq[String] = {
+      val s = norm(t)
+      if (s.length < 3) Nil
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    }
+    val rows = d.select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = rows.groupBy(_._1).flatMap { case (l, ts) =>
+      ts.toSeq.flatMap(t => grams(t._2))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(m)
+        .zipWithIndex.map { case ((g, _), i) => (l, g, (i + 1).toLong) }
+    }.toSet
+    assert(got == want,
+      s"diff: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+  }
+
   test("langIdKernel: the per-row classifier agrees with the " +
       "declarative langId on every real document (prediction AND " +
       "distance) — the equivalence langIdStream stands on") {
