@@ -2354,6 +2354,63 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // scale ops: q46's relay-forward scan on the SHARDED path — the
+    // slice-and-mend idiom applied to a lag(1) statistic (a slice's
+    // first row mends against the previous active slice's last
+    // address; everything else is within-slice). The probe measured
+    // the analytic form at 2.4x under the 50pct hot key; same rows by
+    // construction — the oracle IS q46's (path-equality twin)
+    "q172_private_relay_sharded" -> ((s, dir) => {
+      import operators.CustomsDetectors
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "view", "click"))
+        .withColumn("etype", when(col("event_type") === "signup",
+          CustomsDetectors.FxaRpEvent).otherwise(CustomsDetectors.EmailRelay))
+        .withColumn("real_address", concat(lit("h"), col("event_id") % 3))
+      CustomsDetectors.privateRelayForwardSharded(e, col("ts"),
+          col("event_id"), col("user_id"), col("etype"),
+          col("real_address"))
+        .orderBy(col("uid"), col("ts_ms"), col("actual"))
+    }),
+
+    // scale ops: q69's last-first pairing on the SHARDED path — the
+    // slice-and-mend idiom applied to a running-max statistic (prefix
+    // max over earlier slices mends each slice's local running max;
+    // no slice-width constraint since a running max decomposes over
+    // any contiguous partition). The probe measured the analytic form
+    // at 2.5x under the 50pct hot key; same rows by construction —
+    // the oracle IS q69's (path-equality twin)
+    "q173_sequence_abuse_sharded" -> ((s, dir) => {
+      Heuristics.sequenceAbuseSharded(Tables.events(s, dir), col("ts"),
+          col("event_id"), col("user_id"),
+          col("event_type") === "click", col("event_type") === "error",
+          deltaMs = 3600000L, threshold = 1)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // training-data ops: the TRAIN-ONCE multilingual build — q165's
+    // mixture through CorpusPipeline.multilingualBuild, which
+    // classifies the corpus ONCE (cached narrow lineage) and derives
+    // card + calibration + drift + mixture from it, where the
+    // standalone queries retrain per query. Same rows by construction
+    // — the oracle IS q165's (path-equality twin); the other three
+    // legs are spec-pinned equal to q161/q163/q164
+    "q174_multilingual_build" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      val profiles = TextAnalysis.langIdProfiles(
+        d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+        m = 64)
+      pipelines.CorpusPipeline.multilingualBuild(d, col("doc_id"),
+          col("text"), profiles,
+          arrivalWindowMs =
+            expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"),
+          weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.10),
+          defaultWeight = 0.05, budget = 100000L)
+        .mixture
+    }),
+
     "q157_ingest_select" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def twin(offset: Long, prefix: String) =
@@ -5348,6 +5405,8 @@ object SparkEntry {
       ("q76_cc_stars" -> base("q53_dedup_clusters")) +
       ("q169_session_summary_sharded" -> base("q42_session_summary")) +
       ("q171_session_limit_sharded" -> base("q14_session_limit")) +
+      ("q172_private_relay_sharded" -> base("q46_private_relay")) +
+      ("q173_sequence_abuse_sharded" -> base("q69_sequence_abuse")) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +
@@ -6361,7 +6420,11 @@ object SparkEntry {
     * match IS the proof the two paths agree (the q91/q128 pattern). */
   private def withPathEqualityTwins(m: Map[String, String])
       : Map[String, String] =
-    m + ("q139_chunk_patches" -> m("q138_chunk_rewrite"))
+    m + ("q139_chunk_patches" -> m("q138_chunk_rewrite")) +
+      // the train-once composed build returns q165's mixture rows by
+      // construction — the hash match against q165's own SQL is the
+      // proof the composed path changed nothing
+      ("q174_multilingual_build" -> m("q165_multilingual_mixture"))
 
   /** Shared DuckDB CTE chain mirroring [[operators.Dedup.gearChunks]]
     * at maskBits=6/window=32: the md5-generated gear table, the

@@ -489,4 +489,60 @@ object CustomsDetectors {
       .select(col("uid"), unix_millis(col("ts")).as("ts_ms"),
         col("real_address").as("actual"), col("expected"))
   }
+
+  /** [[privateRelayForward]] on the slice-and-mend path — the
+    * skew-resilient form for a hot uid (the probe measured the
+    * analytic form straggler-bound at 2.4× under a 50 %-hot key: its
+    * single `PARTITION BY uid` sort holds the hot uid's whole
+    * timeline). Result-identical by construction (shares q46's
+    * oracle verbatim).
+    *
+    * Exactness: the tracked statistic is `lag(real_address, 1)` —
+    * within a slice, a row's predecessor is in the same slice (the
+    * within-slice (ts, seq) order is the global order restricted to
+    * the slice: ties at one timestamp share a slice because the
+    * slice is a function of the timestamp); a slice's FIRST row's
+    * predecessor is the last row of the uid's previous ACTIVE slice,
+    * carried by a lag over the per-(uid, slice) summary frame — one
+    * row per active slice, bounded by horizon/slice. `max_by` over
+    * the (us, seq) struct picks each slice's last address under the
+    * same total order the sort uses. No slice-width constraint (lag
+    * only ever crosses ONE boundary backwards, and the summary lag
+    * skips empty slices by construction since only active slices
+    * have rows); no epoch constraint (`DIV` truncation keeps the
+    * slice index monotone in time, which is all the decomposition
+    * needs). */
+  def privateRelayForwardSharded(df: DataFrame, ts: Column, seq: Column,
+      uid: Column, eventType: Column, realAddress: Column,
+      sliceSeconds: Long = 3600L): DataFrame = {
+    require(sliceSeconds >= 1L, "sliceSeconds must be >= 1")
+    val sliceUs = sliceSeconds * 1000000L
+    val wLocal = Window.partitionBy(col("uid"), col("__slice"))
+      .orderBy(col("ts"), col("seq"))
+    val local = df.select(uid.as("uid"), ts.as("ts"), seq.as("seq"),
+        eventType.as("event_type"), realAddress.as("real_address"))
+      .filter(col("uid").isNotNull &&
+        col("event_type").isin(EmailRelay, FxaRpEvent))
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__slice", expr(s"__us DIV $sliceUs"))
+      .withColumn("__local_prev", lag(col("real_address"), 1).over(wLocal))
+      .withColumn("__rn", row_number().over(wLocal))
+    val wk = Window.partitionBy(col("__su")).orderBy(col("__ss"))
+    val prior = local
+      .groupBy(col("uid").as("__su"), col("__slice").as("__ss"))
+      .agg(max_by(col("real_address"),
+        struct(col("__us"), col("seq"))).as("__last"))
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wk))
+      .select(col("__su"), col("__ss"), col("__prev_last"))
+    local.join(prior,
+        col("uid") === col("__su") && col("__slice") === col("__ss"))
+      .withColumn("expected",
+        when(col("__rn") === 1, col("__prev_last"))
+          .otherwise(col("__local_prev")))
+      .filter(col("event_type") === EmailRelay &&
+        col("expected").isNotNull &&
+        col("expected") =!= col("real_address"))
+      .select(col("uid"), unix_millis(col("ts")).as("ts_ms"),
+        col("real_address").as("actual"), col("expected"))
+  }
 }

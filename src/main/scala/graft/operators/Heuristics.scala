@@ -446,4 +446,57 @@ object Heuristics {
       .agg(count(lit(1)).as("n"), max(col("ms")).as("latest_ms"))
       .filter(col("n") >= threshold)
   }
+
+  /** [[sequenceAbuse]] on the slice-and-mend path — the skew-resilient
+    * form for a hot client (the probe measured the analytic form
+    * straggler-bound at 2.5× under a 50 %-hot key: its single
+    * `PARTITION BY key` sort holds the hot key's whole timeline).
+    * Result-identical by construction (shares q69's oracle verbatim).
+    *
+    * Exactness: the tracked statistic is a RUNNING MAX of first-half
+    * timestamps, which decomposes over any contiguous time partition
+    * as max(within-slice running max, max over all earlier slices) —
+    * unlike sessionization there is no slice-width constraint, and no
+    * epoch constraint either (integer `DIV` truncation merely widens
+    * the slice straddling zero; the slice index stays monotone in
+    * `ms`, which is all prefix decomposition needs). Ties at one
+    * timestamp land in one slice (the slice is a function of `ms`),
+    * so the within-slice (ms, is_first desc, seq) order is the global
+    * order restricted to the slice. The mend frame is one row per
+    * (key, active slice) — horizon/slice rows per key, never corpus
+    * rows — and `greatest` skips nulls exactly like the analytic
+    * form's null-ignoring running max. */
+  def sequenceAbuseSharded(df: DataFrame, ts: Column, seq: Column,
+      key: Column, firstPred: Column, secondPred: Column, deltaMs: Long,
+      threshold: Long = 1, sliceSeconds: Long = 3600L): DataFrame = {
+    require(sliceSeconds >= 1L, "sliceSeconds must be >= 1")
+    val sliceMs = sliceSeconds * 1000L
+    val wLocal = Window.partitionBy(col("key"), col("__slice"))
+      .orderBy(col("ms"), col("is_first").desc, col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.filter(firstPred || secondPred)
+      .select(key.as("key"), unix_millis(ts).as("ms"), seq.as("seq"),
+        firstPred.as("is_first"), secondPred.as("is_second"))
+      .withColumn("__slice", expr(s"ms DIV $sliceMs"))
+      .withColumn("__local_max",
+        max(when(col("is_first"), col("ms"))).over(wLocal))
+    val wk = Window.partitionBy(col("__sk")).orderBy(col("__ss"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = local
+      .groupBy(col("key").as("__sk"), col("__slice").as("__ss"))
+      .agg(max(when(col("is_first"), col("ms"))).as("__mx"))
+      .withColumn("__prev_max", max(col("__mx")).over(wk))
+      .select(col("__sk"), col("__ss"), col("__prev_max"))
+    // null-safe join: the analytic PARTITION BY keeps a null key as
+    // its own group (the assignSessionsSharded contract)
+    local.join(prior,
+        (col("key") <=> col("__sk")) && (col("__slice") <=> col("__ss")))
+      .withColumn("last_first_ms",
+        greatest(col("__local_max"), col("__prev_max")))
+      .filter(col("is_second") &&
+        col("ms") < col("last_first_ms") + lit(deltaMs))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), max(col("ms")).as("latest_ms"))
+      .filter(col("n") >= threshold)
+  }
 }

@@ -170,6 +170,95 @@ object CorpusPipeline {
           .as("dup_copy_permille"))
   }
 
+  /** The four reports of one multilingual corpus-build pass — see
+    * [[multilingualBuild]]. */
+  case class MultilingualBuild(card: DataFrame, calibration: DataFrame,
+    drift: DataFrame, mixture: DataFrame)
+
+  /** TRAIN-ONCE multilingual corpus build: q161/q163/q164/q165 each
+    * retrain the classifier and reclassify the corpus (correct for
+    * per-query oracle isolation), but a production build classifies
+    * ONCE and derives every report from that single lineage. This
+    * composition takes a TRAINED [[graft.operators.TextAnalysis
+    * .langIdProfiles]] frame and returns the per-language data card
+    * (q161), the quality-floor calibration (q163), the
+    * language-mix drift alerts (q164), and the mixture plan (q165)
+    * — each result-identical to its standalone query (spec-pinned;
+    * q174 shares q165's oracle verbatim as the composed path's
+    * hash proof).
+    *
+    * One classified lineage: the classifier output (doc_id,
+    * pred_lang — two narrow columns) is CACHED, because the four
+    * consumers are separate actions and Catalyst does not dedupe
+    * common subplans across actions (the q126 funnel lesson, fourth
+    * edition) — uncached, each report would re-run the trigram
+    * explode + profile scoring over the whole corpus, paying the
+    * classification N times. Everything derived from the cache is
+    * either |langs|- or |windows×langs|-bounded (card, calibration,
+    * drift) or a single corpus join (mixture survivors); the
+    * calibration and the mixture's floor share ONE quantile pass
+    * (qs 25/50/90/99 — the p25 feeds the floor, the rest the
+    * calibration report).
+    *
+    * `arrivalWindowMs` is resolved against the classified frame
+    * (columns: doc_id, pred_lang) — corpora without event time
+    * synthesize arrival from doc_id (the q43/q162 pattern).
+    *
+    * Output: [[MultilingualBuild]]. */
+  def multilingualBuild(docs: DataFrame, id: Column, text: Column,
+      profiles: DataFrame, arrivalWindowMs: Column,
+      weights: Map[String, Double], defaultWeight: Double,
+      budget: Long, driftWindowMs: Long = 600000L, warnPct: Int = 30,
+      critPct: Int = 60, minCount: Long = 3L, penalty: Int = 64,
+      d: Int = 32): MultilingualBuild = {
+    val spark = docs.sparkSession
+    val pred = TextAnalysis.langId(docs, id, text, profiles,
+        penalty = penalty, d = d)
+      .select(col("doc_id"), col("pred_lang"))
+      .cache()
+    val card = dataCardBy(docs, id, text,
+        pred.select(col("doc_id"), col("pred_lang").as("stratum")))
+      .orderBy(col("stratum"))
+    val counts = pred
+      .withColumn("window_start_ms", arrivalWindowMs)
+      .groupBy(col("window_start_ms"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val drift = TextAnalysis.langMixDrift(counts, driftWindowMs,
+        warnPct, critPct, minCount)
+      .orderBy(col("window_start_ms"), col("pred_lang"))
+    val classified = TextAnalysis.qualityScore(docs, id, text)
+      .filter(col("n_tokens") >= 1)
+      .join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("pred_lang"), col("n_chars"),
+        expr("n_stop * 1000 DIV n_tokens").as("stop_permille"))
+    val quantiles = TextAnalysis.integerQuantiles(classified,
+      col("pred_lang"), col("stop_permille"), qs = Seq(25, 50, 90, 99))
+    val calibration = quantiles
+      .select(col("stratum"), col("n_rows"), col("mean_v"),
+        col("p50"), col("p90"), col("p99"), col("max_v"))
+      .orderBy(col("stratum"))
+    // the floor frame is |langs| rows — collected eagerly so the
+    // calibration subplan never re-evaluates per mixture consumer
+    // (the budgetSelect discipline, exactly q165's shape)
+    val floorRows = quantiles
+      .select(col("stratum").cast("string"), col("p25").cast("long"))
+      .collect()
+    val floors = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(floorRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pred_lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p25",
+          org.apache.spark.sql.types.LongType)))))
+    val survivors = classified.join(floors, Seq("pred_lang"))
+      .filter(col("stop_permille") >= col("p25"))
+    val mixture = graft.operators.Sampling.mixturePlan(survivors,
+        col("pred_lang"), col("n_chars"), weights, defaultWeight,
+        budget)
+      .orderBy(col("stratum"))
+    MultilingualBuild(card, calibration, drift, mixture)
+  }
+
   /** Curation funnel — the attrition ledger a corpus build publishes
     * next to its data card: how many documents and tokens survive
     * each curation stage, applied SEQUENTIALLY (each stage filters

@@ -255,4 +255,39 @@ class PipelinesSpec extends AnyFunSuite {
       ("a1", "email", "y@e.com"),       // EMAIL splits on ","
       ("a2", "username", "alpha")))     // plain single value still matches
   }
+
+  test("multilingualBuild: the train-once composition's four legs " +
+      "equal the standalone queries (q161 card, q163 calibration, " +
+      "q164 drift, q165 mixture) on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val sf = "/root/testdata/sf0.001"
+    val d = Tables.fanOut(Tables.documents(spark, sf))
+    val profiles = TextAnalysis.langIdProfiles(
+      d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+      m = 64)
+    val b = pipelines.CorpusPipeline.multilingualBuild(d,
+      col("doc_id"), col("text"), profiles,
+      arrivalWindowMs =
+        expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"),
+      weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.10),
+      defaultWeight = 0.05, budget = 100000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // each leg must match the standalone query bit-for-bit,
+    // including column names (the oracle-compare contract)
+    for ((got, queryName) <- Seq(
+        (b.card, "q161_lang_data_card"),
+        (b.calibration, "q163_lang_quality_calibration"),
+        (b.drift, "q164_lang_mix_drift"),
+        (b.mixture, "q165_multilingual_mixture"))) {
+      val want = SparkEntry.queries(queryName)(spark, sf)
+      assert(got.columns.toSeq == want.columns.toSeq,
+        s"$queryName columns: ${got.columns.toSeq} vs " +
+          s"${want.columns.toSeq}")
+      assert(rows(got) == rows(want), s"$queryName rows diverged")
+    }
+  }
 }

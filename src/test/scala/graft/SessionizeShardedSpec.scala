@@ -104,6 +104,119 @@ class SessionizeShardedSpec extends AnyFunSuite {
     assert(sharded == plain && plain.nonEmpty)
   }
 
+  test("sequenceAbuseSharded equals sequenceAbuse: adversarial " +
+      "fixture (boundary pairs, superseded firsts, ties, null key) " +
+      "plus a seeded random sweep and the real events table") {
+    import spark.implicits._
+    import graft.operators.Heuristics
+    def c(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse(" <null>"),
+        r.getLong(1), r.getLong(2))).sorted.toSeq
+    def run(df: org.apache.spark.sql.DataFrame, delta: Long,
+        slices: Seq[Long]): Unit = {
+      val plain = c(Heuristics.sequenceAbuse(df, col("t"), col("sq"),
+        col("k"), col("e") === "f", col("e") === "s", delta))
+      for (sl <- slices) {
+        val sharded = c(Heuristics.sequenceAbuseSharded(df, col("t"),
+          col("sq"), col("k"), col("e") === "f", col("e") === "s",
+          delta, sliceSeconds = sl))
+        assert(sharded == plain,
+          s"slice=$sl diverged:\n$sharded\nvs\n$plain")
+      }
+    }
+    // hand fixture: a first in slice 0 pairing a second in slice 2
+    // (the prefix max crosses an EMPTY slice), a superseded first,
+    // a first+second tie at one timestamp, a second with no first,
+    // and a null key
+    val fix = Seq(
+      ("a", 10L, 1L, "f"), ("a", 250L, 2L, "s"), // cross-slice pair
+      ("a", 260L, 3L, "f"), ("a", 261L, 4L, "s"), // superseded first
+      ("b", 42L, 5L, "f"), ("b", 42L, 6L, "s"),   // tie: pairs
+      ("c", 10L, 7L, "s"),                        // no first: drops
+      (null, 5L, 8L, "f"), (null, 30L, 9L, "s"))
+      .map { case (k, s, q, e) => (k, ts(s), q, e) }
+      .toDF("k", "t", "sq", "e")
+    run(fix, delta = 300000L, slices = Seq(100L, 60L, 7L))
+    // seeded random sweep over dense timelines
+    val rnd = new scala.util.Random(1717)
+    val dense = (1 to 3000).map { i =>
+      (s"k${rnd.nextInt(5)}", ts(rnd.nextInt(5000).toLong), i.toLong,
+        if (rnd.nextBoolean()) "f" else "s")
+    }.toDF("k", "t", "sq", "e")
+    run(dense, delta = 120000L, slices = Seq(30L, 77L, 3600L))
+    // the real events table at q69's exact parameters
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def cq(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val plainQ = cq(Heuristics.sequenceAbuse(ev, col("ts"),
+      col("event_id"), col("user_id"), col("event_type") === "click",
+      col("event_type") === "error", deltaMs = 3600000L))
+    val shardedQ = cq(Heuristics.sequenceAbuseSharded(ev, col("ts"),
+      col("event_id"), col("user_id"), col("event_type") === "click",
+      col("event_type") === "error", deltaMs = 3600000L))
+    assert(shardedQ == plainQ && plainQ.nonEmpty)
+  }
+
+  test("privateRelayForwardSharded equals privateRelayForward: " +
+      "boundary fixture plus a seeded random sweep and the real " +
+      "events table") {
+    import spark.implicits._
+    import graft.operators.CustomsDetectors
+    import graft.operators.CustomsDetectors.{EmailRelay, FxaRpEvent}
+    def c(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).sorted.toSeq
+    def run(df: org.apache.spark.sql.DataFrame,
+        slices: Seq[Long]): Unit = {
+      val plain = c(CustomsDetectors.privateRelayForward(df, col("t"),
+        col("sq"), col("u"), col("e"), col("addr")))
+      for (sl <- slices) {
+        val sharded = c(CustomsDetectors.privateRelayForwardSharded(df,
+          col("t"), col("sq"), col("u"), col("e"), col("addr"),
+          sliceSeconds = sl))
+        assert(sharded == plain,
+          s"slice=$sl diverged:\n$sharded\nvs\n$plain")
+      }
+    }
+    // hand fixture: a mismatching forward whose predecessor sits in
+    // the previous ACTIVE slice (with an empty slice between), a
+    // slice-first row whose predecessor matches (no alert), a
+    // same-timestamp tie ordered by seq, and a leading forward with
+    // no predecessor
+    val fix = Seq(
+      (1L, 10L, 1L, FxaRpEvent, "h1"),
+      (1L, 250L, 2L, EmailRelay, "h2"),  // expected h1 from slice 0: alert
+      (2L, 10L, 3L, EmailRelay, "h1"),   // no predecessor: drops
+      (2L, 105L, 4L, EmailRelay, "h1"),  // slice-first, matches: quiet
+      (3L, 42L, 5L, FxaRpEvent, "h1"),
+      (3L, 42L, 6L, EmailRelay, "h3"))   // tie broken by seq: alert
+      .map { case (u, s, q, e, a) => (u, ts(s), q, e, a) }
+      .toDF("u", "t", "sq", "e", "addr")
+    run(fix, slices = Seq(100L, 60L, 7L))
+    // seeded random sweep
+    val rnd = new scala.util.Random(2626)
+    val dense = (1 to 3000).map { i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(5000).toLong), i.toLong,
+        if (rnd.nextBoolean()) EmailRelay else FxaRpEvent,
+        s"h${rnd.nextInt(3)}")
+    }.toDF("u", "t", "sq", "e", "addr")
+    run(dense, slices = Seq(30L, 77L, 3600L))
+    // the real events table at q46's exact derivation
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("signup", "view", "click"))
+      .withColumn("etype", when(col("event_type") === "signup",
+        FxaRpEvent).otherwise(EmailRelay))
+      .withColumn("real_address", concat(lit("h"), col("event_id") % 3))
+    val plainQ = c(CustomsDetectors.privateRelayForward(ev, col("ts"),
+      col("event_id"), col("user_id"), col("etype"),
+      col("real_address")))
+    val shardedQ = c(CustomsDetectors.privateRelayForwardSharded(ev,
+      col("ts"), col("event_id"), col("user_id"), col("etype"),
+      col("real_address")))
+    assert(shardedQ == plainQ && plainQ.nonEmpty)
+  }
+
   test("the heavy sort shards by (key, slice) and a narrow slice is " +
       "rejected") {
     import spark.implicits._
