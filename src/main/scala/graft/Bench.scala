@@ -79,6 +79,16 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a full bench log carries ~50 WindowExec "No Partition Defined"
+    // WARNs, ALL from deliberately tiny frames (budgetSelect's
+    // |distinct scores| rollup, systematicPps' <= B bucket prefix
+    // sum, skew-card assemblies) — bounded by construction and
+    // plan-pinned in their specs, adjudicated three rounds running.
+    // The repetition buries the warnings that matter, so this one
+    // logger is pinned to ERROR; every other WARN stays on.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     // SPARK_GRAFT_BENCH_QUERIES: optional comma-separated name filter
     // (tools/scale_probe.sh times the heavy family on corpora that

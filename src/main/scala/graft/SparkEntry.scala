@@ -2389,6 +2389,21 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // training-data ops: the trained language MODEL itself — the
+    // (lang, gram, rank) profile frame a multilingual build persists
+    // and ships to its classifiers (q160-q167 all consume it; the
+    // kernel/streaming forms collect it via langIdModel). Its own
+    // query gives the TRAINING stage a standalone bench/probe row —
+    // the stage that dropped its per-language rank window for the
+    // bounded lang-keyed GramTopKAggregator this round
+    "q175_lang_profiles" -> ((s, dir) => {
+      val d = Tables.fanOut(Tables.documents(s, dir))
+      TextAnalysis.langIdProfiles(
+          d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+          m = 64)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // training-data ops: the TRAIN-ONCE multilingual build — q165's
     // mixture through CorpusPipeline.multilingualBuild, which
     // classifies the corpus ONCE (cached narrow lineage) and derives
@@ -5407,6 +5422,28 @@ object SparkEntry {
       ("q171_session_limit_sharded" -> base("q14_session_limit")) +
       ("q172_private_relay_sharded" -> base("q46_private_relay")) +
       ("q173_sequence_abuse_sharded" -> base("q69_sequence_abuse")) +
+      ("q175_lang_profiles" ->
+        // q160's lp training CTE standalone: identical normalization
+        // on the seed subset, per-language trigram counts, rank
+        // profiles as a row_number window (ties broken by gram) —
+        // the window form IS the oracle for the bounded aggregator
+        """WITH norm AS (SELECT doc_id, lang,
+          |    ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+          |      '[^a-z]+', ' ', 'g'))
+          |      || ' ' AS s
+          |  FROM documents WHERE doc_id % 10 < 3),
+          |g AS (SELECT lang,
+          |    unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+          |      i -> substring(s, CAST(i AS INT), 3))) AS gram
+          |  FROM norm),
+          |lp0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM g
+          |  GROUP BY 1, 2),
+          |lp AS (SELECT lang, gram,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, gram ASC) AS rank
+          |  FROM lp0 QUALIFY rank <= 64)
+          |SELECT lang, gram, CAST(rank AS BIGINT) AS rank
+          |FROM lp ORDER BY lang, rank""".stripMargin) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +

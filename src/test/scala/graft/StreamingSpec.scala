@@ -904,6 +904,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window under a hot key: the hot key's " +
+      "state partition serializes but the query completes bounded " +
+      "and batch-identical — the measured bound behind SCALING.md's " +
+      "streaming-skew row (the mitigation for bounded replays is the " +
+      "sharded batch sessionizer inside foreachBatch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    val nKeys = 300
+    val n = 120000
+    // constant volume, variable imbalance — the ScaleGen skew-mode
+    // discipline: hotPct percent of events land on key 0, the rest
+    // round-robin; one event per second so each key's events chain
+    // into ONE session at a 1-hour gap
+    def mkRows(hotPct: Int): Seq[(Long, Long)] =
+      (0 until n).map { i =>
+        val key = if (i % 100 < hotPct) 0L else (i % nKeys).toLong + 1L
+        (t0 + i, key)
+      }
+    def run(hotPct: Int, name: String): Double = {
+      val in = MemoryStream[(Long, Long)]
+      val q = Streaming.sessionSummary(
+          in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+            col("_2").as("user_id")),
+          "ts", col("user_id"), "1 hour", "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      val start = System.nanoTime()
+      try {
+        in.addData(mkRows(hotPct): _*)
+        q.processAllAvailable()
+        in.addData((t0 + 10L * n, 999999L)) // finalize everything
+        q.processAllAvailable()
+      } finally q.stop()
+      (System.nanoTime() - start) / 1e9
+    }
+    run(0, "skewsess_warm") // discarded: pays streaming JIT/codegen
+    val tBal = run(0, "skewsess_bal")
+    val tHot = run(50, "skewsess_hot")
+    // correctness under the flood: every event lands in exactly one
+    // finalized session, the hot key's 60k-event timeline is ONE
+    // session (events 2s apart, 1h gap), and the rows equal the
+    // batch sessionizer's on the same lines
+    val hot = spark.table("skewsess_hot")
+      .filter(col("key") =!= 999999L)
+    assert(hot.agg(sum(col("n_events"))).collect().head.getLong(0)
+      == n.toLong)
+    assert(hot.filter(col("key") === 0L).count() == 1L)
+    assert(hot.filter(col("key") === 0L).collect().head
+      .getAs[Long]("n_events") == n / 2L)
+    // like-for-like end times: session_window.end is last event +
+    // gap, the batch summary's session_end_ms is the last event
+    val batchTwin = graft.operators.Sessionize.sessionSummary(
+        mkRows(50).toDF("sec", "user_id")
+          .select(timestamp_seconds(col("sec")).as("ts"),
+            col("user_id")),
+        col("ts"), col("user_id"), gapSeconds = 3600)
+      .select(col("key"), col("n_events"), col("session_start_ms"),
+        (col("session_end_ms") + 3600000L).as("session_end_ms"))
+    assert(hot.select(col("key"), col("n_events"),
+        col("session_start_ms"), col("session_end_ms"))
+      .collect().map(_.toSeq).toSet ==
+      batchTwin.collect().map(_.toSeq).toSet)
+    // the measurement itself (copied into SCALING.md): the hot run
+    // must stay within an order of magnitude of balanced — the state
+    // partition serializes but never blows up
+    info(f"streaming session_window, $n events, ${nKeys + 1} keys: " +
+      f"balanced $tBal%.1f s vs 50%%-hot $tHot%.1f s " +
+      f"(x${tHot / tBal}%.2f)")
+    assert(tHot < tBal * 10,
+      f"hot-key streaming session blow-up: $tHot%.1f s vs $tBal%.1f s")
+  }
+
   test("session_window append emits finalized sessions after watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
