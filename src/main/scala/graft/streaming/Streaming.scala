@@ -1195,6 +1195,111 @@ object Streaming {
         mode, OutputMode.Append())
   }
 
+  case class RelayEvent(key: String, tsUs: Long, seq: Long,
+      eventType: String, realAddress: String)
+  case class RelayState(tsUs: Long, seq: Long, addr: String)
+  case class RelayAlert(key: String, tsMs: Long, actual: String,
+      expected: String)
+
+  /** Per-batch relay-forward kernel, shared by the
+    * flatMapGroupsWithState and transformWithState forms: every relay
+    * or RP event leaves the state's real address equal to its own
+    * hash, and a forward whose hash differs from the known previous
+    * value alerts — the reference's Datastore state walk
+    * (ref s/customs/PrivateRelayForward.java:114-263), and exactly
+    * the batch operator's lag(1) semantics
+    * ([[graft.operators.CustomsDetectors.privateRelayForward]],
+    * equivalence spec-pinned). State per uid = ONE (ts, seq, addr)
+    * entry — bounded regardless of traffic. */
+  private def relayScan(key: String, st0: Option[RelayState],
+      events: Seq[RelayEvent]): (Option[RelayState], Seq[RelayAlert]) = {
+    import graft.operators.CustomsDetectors.{EmailRelay, FxaRpEvent}
+    var st = st0
+    val out = Seq.newBuilder[RelayAlert]
+    events
+      .filter(e => e.eventType == EmailRelay || e.eventType == FxaRpEvent)
+      .sortBy(e => (e.tsUs, e.seq)).foreach { e =>
+        st match {
+          case Some(s) if e.eventType == EmailRelay &&
+              s.addr != e.realAddress =>
+            out += RelayAlert(key, Math.floorDiv(e.tsUs, 1000L),
+              e.realAddress, s.addr)
+          case _ => ()
+        }
+        st = Some(RelayState(e.tsUs, e.seq, e.realAddress))
+      }
+    (st, out.result())
+  }
+
+  /** Streaming PrivateRelayForward (flatMapGroupsWithState form).
+    * Like the suppress/velocity family: within a micro-batch events
+    * are processed in (event-time, seq) order; batches must arrive in
+    * time order for cross-batch parity (the watermarked-source
+    * contract the other stateful detectors document). */
+  def privateRelayForwardStream(ds: Dataset[RelayEvent])
+      : Dataset[RelayAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[RelayState, RelayAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[RelayEvent],
+            state: GroupState[RelayState]) =>
+          val (st, out) = relayScan(key,
+            if (state.exists) Some(state.get) else None, it.toSeq)
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** PrivateRelayForward on the Spark 4 `transformWithState` API —
+    * same kernel, optional native TTL (the reference's state-expiry
+    * cleanup). */
+  class PrivateRelayProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, RelayEvent, RelayAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[RelayState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[RelayState]("lastAddr",
+        org.apache.spark.sql.Encoders.product[RelayState], ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[RelayEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RelayAlert] = {
+      val (next, out) = relayScan(key,
+        if (st.exists()) Some(st.get()) else None, rows.toSeq)
+      next.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** [[privateRelayForwardStream]] on transformWithState (see
+    * PrivateRelayProcessor). TTL opt-in flips to processing-time
+    * scheduling — right for production, livelocks bounded-replay
+    * tests (the suppressTws note). */
+  def privateRelayForwardTws(ds: Dataset[RelayEvent],
+      stateTtlSeconds: Long = 0): Dataset[RelayAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new PrivateRelayProcessor(stateTtlSeconds * 1000L),
+        mode, OutputMode.Append())
+  }
+
   case class AuthLogin(key: String, tsUs: Long, addr: String,
       lat: Double, lon: Double)
   case class AuthEntry(addr: String, tsUs: Long, lat: Double, lon: Double)

@@ -220,6 +220,71 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming private-relay forward (fMGWS and TWS) matches the " +
+      "batch lag-window operator on the real events replayed in " +
+      "time-ordered micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // q46's exact derivation on the real table
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("signup", "view", "click"))
+      .withColumn("etype", when(col("event_type") === "signup",
+        CustomsDetectors.FxaRpEvent)
+        .otherwise(CustomsDetectors.EmailRelay))
+      .withColumn("real_address", concat(lit("h"), col("event_id") % 3))
+    val batch = CustomsDetectors.privateRelayForward(e, col("ts"),
+        col("event_id"), col("user_id"), col("etype"),
+        col("real_address"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    // replay in THREE event-time-ordered micro-batches (the stateful
+    // detectors' source contract): state must carry uids across them
+    val rows = e.select(col("user_id").cast("string"),
+        expr("unix_micros(ts)"), col("event_id"), col("etype"),
+        col("real_address"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map { case (k, us, sq, et, a) =>
+        Streaming.RelayEvent(k, us, sq, et, a) }
+      .sortBy(r => (r.tsUs, r.seq))
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    def runStream(name: String,
+        mk: org.apache.spark.sql.Dataset[Streaming.RelayEvent] =>
+          org.apache.spark.sql.Dataset[Streaming.RelayAlert]): Set[(String, Long, String, String)] = {
+      val in = MemoryStream[Streaming.RelayEvent]
+      val q = mk(in.toDS()).writeStream.format("memory")
+        .queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try {
+        thirds.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[Streaming.RelayAlert].collect()
+          .map(a => (a.key, a.tsMs, a.actual, a.expected)).toSet
+      } finally q.stop()
+    }
+    try {
+      val fmgws = runStream("relaystream",
+        Streaming.privateRelayForwardStream)
+      val tws = runStream("relaystream_tws",
+        ds => Streaming.privateRelayForwardTws(ds))
+      assert(fmgws == batch && batch.nonEmpty,
+        s"fMGWS ${fmgws.size} vs batch ${batch.size}")
+      assert(tws == batch, s"TWS ${tws.size} vs batch ${batch.size}")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("account enumeration: threshold + single-path gate + variance") {
     import spark.implicits._
     val t = 1700000000L
