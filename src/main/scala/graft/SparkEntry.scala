@@ -2242,6 +2242,11 @@ object SparkEntry {
       val profiles = TextAnalysis.langIdProfiles(
         d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
         m = 64)
+      // cached: the floor pass (eager collect below) and the survivor
+      // pass are two ACTIONS over this frame, and Catalyst does not
+      // dedupe common subplans across actions — uncached, each one
+      // re-ran the classifier (measured 3.46 -> 2.45 s at sf0.1; the
+      // same lesson multilingualBuild applies pipeline-wide)
       val classified = TextAnalysis.qualityScore(d, col("doc_id"),
           col("text"))
         .filter(col("n_tokens") >= 1)
@@ -2250,6 +2255,7 @@ object SparkEntry {
           .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
         .select(col("doc_id"), col("pred_lang"), col("n_chars"),
           expr("n_stop * 1000 DIV n_tokens").as("stop_permille"))
+        .cache()
       val floorRows = TextAnalysis.integerQuantiles(classified,
           col("pred_lang"), col("stop_permille"), qs = Seq(25))
         .select(col("stratum").cast("string"), col("p25").cast("long"))

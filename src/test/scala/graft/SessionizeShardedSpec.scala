@@ -245,5 +245,23 @@ class SessionizeShardedSpec extends AnyFunSuite {
       Sessionize.assignSessionsSharded(
         df.withColumn("__sess_slice", lit(1)), col("t"), col("k"), 100L)
     }.getMessage.contains("scratch"))
+    // the relay and sequence twins make the same parallelism claim:
+    // their heavy window sorts partition by (key, __slice), so the
+    // slice column must reach the physical plan
+    import graft.operators.{CustomsDetectors, Heuristics}
+    val ev = Seq((1L, ts(1L), 1L,
+        CustomsDetectors.EmailRelay, "h1"))
+      .toDF("u", "t", "sq", "e", "addr")
+    val relayPlan = CustomsDetectors.privateRelayForwardSharded(ev,
+        col("t"), col("sq"), col("u"), col("e"), col("addr"))
+      .queryExecution.executedPlan.toString
+    assert(relayPlan.contains("__slice"),
+      s"relay twin: slice column absent:\n$relayPlan")
+    val seqPlan = Heuristics.sequenceAbuseSharded(ev, col("t"),
+        col("sq"), col("u"), col("e") === CustomsDetectors.EmailRelay,
+        col("e") === CustomsDetectors.FxaRpEvent, deltaMs = 1000L)
+      .queryExecution.executedPlan.toString
+    assert(seqPlan.contains("__slice"),
+      s"sequence twin: slice column absent:\n$seqPlan")
   }
 }
