@@ -2395,6 +2395,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // scale ops: q52's alias-abuse gate on the SHARDED session path —
+    // the escape hatch made real for the detector whose hot key IS
+    // the attack (an alias flood collapses thousands of addresses
+    // onto one normalized account). Same rows by construction — the
+    // oracle IS q52's (path-equality twin)
+    "q176_alias_abuse_sharded" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("email", concat(
+          when(col("event_id") % 3 === 1, "u.ser").otherwise("us.er"),
+          col("user_id"), lit("@x.com")))
+        .filter(col("event_id") % 3 =!= 0)
+      operators.AmoDetectors.fxaAccountAbuseAlias(e, col("ts"),
+          col("email"), gapSeconds = 86400, maxAliases = 1,
+          sharded = true)
+        .orderBy(col("email_normalized"), col("session_id"))
+    }),
+
     // training-data ops: the trained language MODEL itself — the
     // (lang, gram, rank) profile frame a multilingual build persists
     // and ships to its classifiers (q160-q167 all consume it; the
@@ -5428,6 +5445,7 @@ object SparkEntry {
       ("q171_session_limit_sharded" -> base("q14_session_limit")) +
       ("q172_private_relay_sharded" -> base("q46_private_relay")) +
       ("q173_sequence_abuse_sharded" -> base("q69_sequence_abuse")) +
+      ("q176_alias_abuse_sharded" -> base("q52_alias_abuse")) +
       ("q175_lang_profiles" ->
         // q160's lp training CTE standalone: identical normalization
         // on the seed subset, per-language trigram counts, rank

@@ -114,14 +114,27 @@ object AmoDetectors {
   /** FxaAccountAbuseAlias: logins whose address is a plus/dot alias of
     * the normalized account, sessionized per normalized account with
     * `gapSeconds`; more than `maxAliases` distinct aliases in one
-    * session alert. */
+    * session alert. `sharded = true` flips the session assignment to
+    * the slice-and-mend path (result-identical by the sessionizer's
+    * own contract; q176 shares q52's oracle as the hash proof) — the
+    * escape hatch when the skew card reads one normalized account
+    * hot (an alias flood is EXACTLY a hot normalized key: thousands
+    * of plus-aliases collapsing onto one `norm`). */
   def fxaAccountAbuseAlias(df: DataFrame, ts: Column, email: Column,
-      gapSeconds: Long, maxAliases: Long): DataFrame = {
+      gapSeconds: Long, maxAliases: Long,
+      sharded: Boolean = false): DataFrame = {
     val aliased = df
       .select(ts.as("ts"), email.as("email"),
         Functions.normalizeEmailPlusDotStrip(email).as("norm"))
       .filter(col("norm").isNotNull && col("email") =!= col("norm"))
-    Sessionize.assignSessions(aliased, col("ts"), col("norm"), gapSeconds)
+    val sessions =
+      if (sharded)
+        Sessionize.assignSessionsSharded(aliased, col("ts"), col("norm"),
+          gapSeconds)
+      else
+        Sessionize.assignSessions(aliased, col("ts"), col("norm"),
+          gapSeconds)
+    sessions
       .groupBy(col("norm").as("email_normalized"), col("session_id"))
       .agg(countDistinct(col("email")).as("n_aliases"),
         unix_millis(min(col("ts"))).as("session_start_ms"))

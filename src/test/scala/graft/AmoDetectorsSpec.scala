@@ -130,6 +130,25 @@ class AmoDetectorsSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out.head.getAs[String]("email_normalized") == "kurn@x.com")
     assert(out.head.getAs[Long]("n_aliases") == 3L)
+    // the sharded escape hatch is result-identical (the alias flood's
+    // hot normalized key is exactly the case it exists for)
+    val sharded = AmoDetectors.fxaAccountAbuseAlias(df, col("timestamp"),
+      fields("email"), gapSeconds = 7200, maxAliases = 2,
+      sharded = true).collect()
+    assert(sharded.map(_.toSeq).toSet == out.map(_.toSeq).toSet)
+    // and on the real events table at q52's parameters
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("email", concat(
+        when(col("event_id") % 3 === 1, "u.ser").otherwise("us.er"),
+        col("user_id"), lit("@x.com")))
+      .filter(col("event_id") % 3 =!= 0)
+    def rows(sh: Boolean) = AmoDetectors.fxaAccountAbuseAlias(e,
+        col("ts"), col("email"), gapSeconds = 86400, maxAliases = 1,
+        sharded = sh)
+      .collect().map(_.toSeq).toSet
+    val (plain, shardedReal) = (rows(false), rows(true))
+    assert(shardedReal == plain && plain.nonEmpty)
   }
 
   test("multi-ip login: gap sessions, account exceptions, aggressive matchers") {
