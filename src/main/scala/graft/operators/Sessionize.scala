@@ -99,17 +99,20 @@ object Sessionize {
     * the smallest legal slice, i.e. the most parallelism. */
   def assignSessionsSharded(df: DataFrame, ts: Column, key: Column,
       gapSeconds: Long, sliceSeconds: Long = 0L): DataFrame = {
-    // gap 0 is legal for the analytic form (every event its own
-    // session) but here the resolved slice becomes the DIV divisor:
-    // a 0 slice would null the slice index under non-ANSI (silently
-    // collapsing the sharding to one shard per key) or crash under
-    // ANSI — refuse loudly instead (the function's other guards'
-    // contract)
-    require(gapSeconds >= 1L,
-      s"gapSeconds=$gapSeconds must be >= 1: the slice width derives " +
-        "from it and a zero-width slice cannot shard (use the " +
-        "analytic assignSessions for gap 0)")
     val slice = if (sliceSeconds == 0L) gapSeconds else sliceSeconds
+    // the RESOLVED slice is the DIV divisor: a 0 slice would null
+    // the slice index under non-ANSI (silently collapsing the
+    // sharding to one shard per key) or crash under ANSI — refuse
+    // loudly instead (the function's other guards' contract). The
+    // guard is on the resolved value, not gapSeconds: gap 0 (every
+    // event its own session — the >=-gap rule fires on every row and
+    // the mend merges nothing) is legal here too when the caller
+    // supplies an explicit sliceSeconds >= 1; only gap 0 with the
+    // slice DEFAULTING from it is a zero-width slice.
+    require(slice >= 1L,
+      s"resolved sliceSeconds=$slice must be >= 1: a zero-width " +
+        "slice cannot shard (with gap 0, pass an explicit " +
+        "sliceSeconds, or use the analytic assignSessions)")
     require(slice >= gapSeconds,
       s"sliceSeconds=$slice must be >= gapSeconds=$gapSeconds: with a " +
         "narrower slice, sessions could merge across NON-adjacent " +

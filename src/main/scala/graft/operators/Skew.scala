@@ -219,4 +219,77 @@ object Skew {
         expr("CAST(col.cosine AS BIGINT) * 1000000 DIV total")
           .as("share_ppm"))
   }
+
+  /** Execution path for a per-key-serial operator: the single-sort
+    * analytic form or its slice-and-mend sharded twin (both
+    * oracle-identical — q169/q171/q172/q173/q176 share the analytic
+    * queries' oracles verbatim, so the choice is pure performance). */
+  sealed abstract class SerialPath
+  object SerialPath {
+    case object Analytic extends SerialPath
+    case object Sharded extends SerialPath
+  }
+
+  /** The per-key-serial operator family with measured crossovers
+    * (SCALING.md rounds 15–16, min-of-2 skew probes at 10M events):
+    * each member carries the skew-card reading at which its sharded
+    * twin starts winning.
+    *
+    *  - `shareCrossoverPpm`: the hot key's share of all rows at the
+    *    measured flip point. Sessions/relay/sequence win 1.6–2.3× at
+    *    the 50 %-hot key and cost 1.5–2.3× balanced; the crossover
+    *    sits near the ~300 ‰ point the salted-join probe measured
+    *    for the same straggler shape (dead heat at both ends).
+    *    Alias-abuse measured the OTHER way (analytic 1.27× under the
+    *    50 % key vs the sharded form's higher fixed cost at every
+    *    point — its plan is aggregation-dominated, not sort-bound),
+    *    so its crossover is unreachable: never flip on share alone.
+    *  - `foldFloorX1000`: hot_fold_x1000 must ALSO read hot (≥ 10×
+    *    the fair share — "in the thousands", the r15 deployment
+    *    rule). This guards the tiny-cardinality corner: at 2 keys a
+    *    50 % share IS the fair share (fold ≈ 1000, nothing to
+    *    shard), and share alone would flip it. */
+  sealed abstract class SerialOp(val shareCrossoverPpm: Long,
+    val foldFloorX1000: Long)
+  object SerialOp {
+    /** [[Sessionize.assignSessions]] → `assignSessionsSharded` /
+      * `sessionSummarySharded` / `sessionLimitSharded`. */
+    case object Sessions extends SerialOp(300000L, 10000L)
+    /** [[CustomsDetectors.privateRelayForward]] → `...Sharded`. */
+    case object RelayScan extends SerialOp(300000L, 10000L)
+    /** [[Heuristics.sequenceAbuse]] → `sequenceAbuseSharded`. */
+    case object SequenceAbuse extends SerialOp(300000L, 10000L)
+    /** `Heuristics.fxaAccountAbuseAlias` — the measured "don't flip"
+      * member: the sharded twin (q176) exists for the far tail, but
+      * no measured card reading justifies it, so the evidence-driven
+      * chooser never returns Sharded for it (flip manually only if a
+      * flood concentrates FAR past 50 % on one account and the
+      * card's fold keeps climbing — SCALING.md r16 addendum). */
+    case object AliasAbuse extends SerialOp(Long.MaxValue, Long.MaxValue)
+  }
+
+  /** Evidence-driven path selection for the per-key-serial family:
+    * maps a [[keySkewCard]] reading to analytic/sharded per the
+    * measured crossovers, so an operator flips on the card instead
+    * of a human reading SCALING.md. Pure core — the frame adapter
+    * below reads the card row. */
+  def choosePath(hotSharePpm: Long, hotFoldX1000: Long,
+      op: SerialOp): SerialPath =
+    if (hotSharePpm >= op.shareCrossoverPpm &&
+        hotFoldX1000 >= op.foldFloorX1000) SerialPath.Sharded
+    else SerialPath.Analytic
+
+  /** [[choosePath]] over the card frame itself ([[keySkewCard]]'s
+    * one-row output; the card is a bounded diagnostic, so the
+    * collect is the budgetSelect class). An empty card (empty
+    * corpus) or a multi-row frame (a per-stratum card — ambiguous:
+    * which stratum governs?) is refused loudly rather than guessed. */
+  def choosePath(card: DataFrame, op: SerialOp): SerialPath = {
+    val rows = card.select(col("hot_share_ppm").cast("long"),
+      col("hot_fold_x1000").cast("long")).collect()
+    require(rows.length == 1,
+      s"choosePath expects the one-row global skew card, got " +
+        s"${rows.length} rows (pass one stratum of a keySkewCardBy)")
+    choosePath(rows(0).getLong(0), rows(0).getLong(1), op)
+  }
 }

@@ -1742,6 +1742,57 @@ object TextAnalysis {
       .map { case (l, rows) =>
         l -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
 
+  /** Persist a trained [[langIdProfiles]] model as the SHIPPED
+    * artifact — the train→ship half of the model lifecycle (q175
+    * materializes this frame; this writes it in the canonical
+    * serving schema). One parquet file: the model is |langs|·m rows
+    * by construction, and a single file round-trips bit-exactly with
+    * no partition-order ambiguity. */
+  def saveLangModel(profiles: DataFrame, path: String): Unit =
+    profiles
+      .select(col("lang").cast("string").as("lang"),
+        col("gram").cast("string").as("gram"),
+        col("rank").cast("long").as("rank"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a shipped model for serving — the serve half: the returned
+    * frame drives [[langId]] / [[langIdModel]] (and through them the
+    * streaming classifiers and
+    * [[graft.pipelines.CorpusPipeline.multilingualBuild]]) exactly
+    * like a live-trained frame; the round-trip is spec-pinned
+    * bit-identical. Schema is validated LOUDLY at load (an
+    * arbitrary parquet with the wrong columns must fail here, not as
+    * an AnalysisException deep inside a consumer), and each
+    * language's ranks must be exactly 1..k — the contract every
+    * scorer assumes (a truncated or doctored artifact would
+    * silently skew out-of-place distances). */
+  def loadLangModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val missing = Seq("lang", "gram", "rank")
+      .filterNot(raw.columns.toSet)
+    require(missing.isEmpty,
+      s"$path is not a langIdProfiles artifact: missing column(s) " +
+        missing.mkString(", "))
+    val model = raw.select(col("lang").cast("string").as("lang"),
+      col("gram").cast("string").as("gram"),
+      col("rank").cast("long").as("rank"))
+    // |langs|·m-bounded: validating eagerly costs one tiny scan and
+    // catches corruption at the artifact boundary
+    val bad = model.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("rank")).as("lo"),
+        max(col("rank")).as("hi"),
+        countDistinct(col("rank")).as("nd"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n") ||
+        col("nd") =!= col("n"))
+      .select(col("lang")).collect().map(_.getString(0)).sorted
+    require(bad.isEmpty,
+      s"$path carries non-contiguous ranks for language(s) " +
+        bad.mkString(", ") + " (expected exactly 1..k per language)")
+    model
+  }
+
   /** Pure per-row classifier kernel — the SAME out-of-place method as
     * [[langId]], for contexts where a document is one row and a
     * per-doc aggregate is the wrong shape (streaming micro-batches,

@@ -171,9 +171,22 @@ object CorpusPipeline {
   }
 
   /** The four reports of one multilingual corpus-build pass — see
-    * [[multilingualBuild]]. */
+    * [[multilingualBuild]].
+    *
+    * `cachedLineage` is the build's cached (doc_id, pred_lang)
+    * classification that all four legs derive from: the caller owns
+    * its lifetime — materialize the legs you need, then [[close]]
+    * (r16 advisory: the cache is narrow but session-lifetime, and a
+    * long-lived multi-build session would strand one block-manager
+    * entry per build). A leg re-run AFTER close re-classifies the
+    * corpus from scratch — correct, just no longer train-once. */
   case class MultilingualBuild(card: DataFrame, calibration: DataFrame,
-    drift: DataFrame, mixture: DataFrame)
+    drift: DataFrame, mixture: DataFrame, cachedLineage: DataFrame) {
+    /** Release the cached classified lineage (blocking, so a
+      * follow-on build's memory accounting never overlaps this
+      * one's). */
+    def close(): Unit = { cachedLineage.unpersist(blocking = true); () }
+  }
 
   /** TRAIN-ONCE multilingual corpus build: q161/q163/q164/q165 each
     * retrain the classifier and reclassify the corpus (correct for
@@ -256,7 +269,7 @@ object CorpusPipeline {
         col("pred_lang"), col("n_chars"), weights, defaultWeight,
         budget)
       .orderBy(col("stratum"))
-    MultilingualBuild(card, calibration, drift, mixture)
+    MultilingualBuild(card, calibration, drift, mixture, pred)
   }
 
   /** Curation funnel — the attrition ledger a corpus build publishes

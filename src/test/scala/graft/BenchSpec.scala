@@ -31,35 +31,91 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("shouldRetry: a forced low floor exercises the retry path; " +
-      "recovery, the attempt cap, filtered runs, and sub-adjudicable " +
-      "corpora stop it") {
+      "recovery, the attempt cap, filtered runs, sub-adjudicable " +
+      "corpora, and the wall-clock deadline stop it") {
     val official = 100000L // the sf0.1 event count
+    // within budget: one pass done (~100s), default deadline 2.2x
+    val inBudget = (100.0, 220.0)
+    def retry(eps: Seq[Double], filtered: Boolean = false,
+        nEvents: Long = official, budget: (Double, Double) = inBudget) =
+      Bench.shouldRetry(eps, filtered, maxAttempts = 3, nEvents,
+        elapsedS = budget._1, deadlineS = budget._2)
     // r15's official record read eps 219k — under the new contract
     // that pass retries instead of merely self-labeling
-    assert(Bench.shouldRetry(Seq(219158.0), filtered = false,
-      maxAttempts = 3, nEvents = official))
+    assert(retry(Seq(219158.0)))
     // still contended after a retry: keep going while budget remains
-    assert(Bench.shouldRetry(Seq(219158.0, 250000.0), filtered = false,
-      maxAttempts = 3, nEvents = official))
+    assert(retry(Seq(219158.0, 250000.0)))
     // a healthy attempt ends the loop immediately
-    assert(!Bench.shouldRetry(Seq(219158.0, 400000.0), filtered = false,
-      maxAttempts = 3, nEvents = official))
+    assert(!retry(Seq(219158.0, 400000.0)))
     // the attempt budget is a hard cap even when still unhealthy
-    assert(!Bench.shouldRetry(Seq(200000.0, 210000.0, 220000.0),
-      filtered = false, maxAttempts = 3, nEvents = official))
+    assert(!retry(Seq(200000.0, 210000.0, 220000.0)))
     // filtered runs skip the parse probe: health is UNKNOWABLE, not
     // bad — retrying would loop to the cap on every probe corpus
-    assert(!Bench.shouldRetry(Seq(-1.0), filtered = true,
-      maxAttempts = 3, nEvents = official))
-    assert(!Bench.shouldRetry(Nil, filtered = false, maxAttempts = 3,
-      nEvents = official))
+    assert(!retry(Seq(-1.0), filtered = true))
+    assert(!retry(Nil))
     // sf0.01 (10k events) reads ~72k eps on an IDLE host: the floor
     // cannot adjudicate it, so the gate's bench leg must not burn 3
     // full passes there
-    assert(!Bench.shouldRetry(Seq(72000.0), filtered = false,
-      maxAttempts = 3, nEvents = 10000L))
+    assert(!retry(Seq(72000.0), nEvents = 10000L))
     assert(Bench.AdjudicableEventsFloor > 10000L &&
       Bench.AdjudicableEventsFloor <= 100000L)
+  }
+
+  test("shouldRetry deadline: a retry that would outrun the caller's " +
+      "wall-clock budget must not start (the r16 rc-124 casualty — " +
+      "retries fire exactly when passes run slow)") {
+    val official = 100000L
+    def retry(elapsed: Double, deadline: Double) =
+      Bench.shouldRetry(Seq(219158.0), filtered = false, maxAttempts = 3,
+        nEvents = official, elapsedS = elapsed, deadlineS = deadline)
+    // the r16 shape: one pass already ate the whole budget — stop,
+    // keeping the already-emitted attempt-1 record
+    assert(!retry(elapsed = 600.0, deadline = 220.0))
+    // at the deadline exactly: strict <, no retry
+    assert(!retry(elapsed = 220.0, deadline = 220.0))
+    // within budget: retry proceeds as before
+    assert(retry(elapsed = 100.0, deadline = 220.0))
+    // an explicit SPARK_GRAFT_BENCH_DEADLINE_S larger than the run
+    // keeps the full 3-attempt budget available
+    assert(retry(elapsed = 500.0, deadline = 10000.0))
+  }
+
+  test("record supersession: emitting after every attempt means a kill " +
+      "mid-retry leaves the best COMPLETED attempt (never parsed:null), " +
+      "and a better retry supersedes the first emission") {
+    def pass(eps: Double, q1: Double): Bench.Pass = Bench.Pass(
+      Map("q01_pricing_summary" -> Seq(Some(q1), Some(q1 + 0.1), Some(q1 + 0.2))),
+      parseEps = eps, nEvents = 100000L)
+    val contended = pass(219158.0, 5.0) // slow host: inflated timing
+    val idle = pass(400000.0, 2.0)
+
+    // after attempt 1 the record already exists and is parseable —
+    // this line is what a driver kill during attempt 2 would leave
+    val Seq(detail1, line1) =
+      Bench.record(Vector(contended), runs = 3, filtered = false, sfDir = "/x")
+    assert(detail1.startsWith("BENCH_DETAIL {"))
+    assert(line1.contains(""""valid":true""") &&
+      line1.contains(""""healthy":false""") &&
+      line1.contains(""""attempts":1"""))
+    assert(line1.contains(""""value":5.000""")) // min-of-3 of the one pass
+
+    // after the retry, the emission reflects the BEST attempt whole —
+    // printed later, it supersedes line1 in the driver's tail window
+    val Seq(detail2, line2) =
+      Bench.record(Vector(contended, idle), runs = 3, filtered = false, sfDir = "/x")
+    assert(line2.contains(""""healthy":true""") &&
+      line2.contains(""""attempts":2"""))
+    assert(line2.contains(""""value":2.000""")) // the idle pass's vector
+    assert(detail2.contains(""""attempt_eps":[219158,400000]"""))
+
+    // a pass with a crashed run is labeled, not silently averaged
+    val broken = Bench.Pass(
+      Map("q01_pricing_summary" -> Seq(Some(1.0), None, Some(1.1))),
+      parseEps = 400000.0, nEvents = 100000L)
+    val Seq(_, line3) =
+      Bench.record(Vector(broken), runs = 3, filtered = false, sfDir = "/x")
+    assert(line3.contains(""""valid":false""") &&
+      line3.contains(""""failed":["q01"]"""))
   }
 
   test("pickBest: the attempt with the fastest host window becomes " +

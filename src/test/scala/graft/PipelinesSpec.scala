@@ -267,6 +267,11 @@ class PipelinesSpec extends AnyFunSuite {
     val profiles = TextAnalysis.langIdProfiles(
       d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
       m = 64)
+    // the build caches its classified lineage: record the persistent
+    // RDDs before, so close() can be pinned to leave no NEW entry
+    // behind (r16 advisory — a long-lived multi-build session must
+    // not strand one block-manager entry per build)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val b = pipelines.CorpusPipeline.multilingualBuild(d,
       col("doc_id"), col("text"), profiles,
       arrivalWindowMs =
@@ -289,5 +294,13 @@ class PipelinesSpec extends AnyFunSuite {
           s"${want.columns.toSeq}")
       assert(rows(got) == rows(want), s"$queryName rows diverged")
     }
+    // caller-owned lifetime: after the legs are materialized,
+    // close() must leave NO new persistent RDD behind (q165/q174
+    // release theirs the same way)
+    b.close()
+    val lingering =
+      spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(lingering.isEmpty,
+      s"multilingualBuild stranded cached RDD(s) $lingering after close()")
   }
 }

@@ -194,6 +194,31 @@ class SessionizeShardedSpec extends AnyFunSuite {
       .map { case (u, s, q, e, a) => (u, ts(s), q, e, a) }
       .toDF("u", "t", "sq", "e", "addr")
     run(fix, slices = Seq(100L, 60L, 7L))
+    // null-ts rows: the analytic window sorts them FIRST within the
+    // uid (nulls-first) and chains them by seq — the mend join must
+    // KEEP them (null-safe <=> on __slice; a plain === dropped the
+    // alerting row below, r16 advisory). The null-tolerant collector
+    // maps a null ts_ms to -1 on both paths.
+    val nullFix = Seq(
+      (4L, None, 7L, FxaRpEvent, "h1"),
+      (4L, None, 8L, EmailRelay, "h9"),      // expected h1: ALERTS (null ts)
+      (4L, Some(20L), 9L, EmailRelay, "h9")) // pred = null-chain last: quiet
+      .map { case (u, s, q, e, a) => (u, s.map(ts).orNull, q, e, a) }
+      .toDF("u", "t", "sq", "e", "addr")
+    def cN(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(-1L),
+        r.getString(2), r.getString(3))).sorted.toSeq
+    val plainN = cN(CustomsDetectors.privateRelayForward(nullFix,
+      col("t"), col("sq"), col("u"), col("e"), col("addr")))
+    assert(plainN == Seq((4L, -1L, "h9", "h1")))
+    for (sl <- Seq(100L, 7L)) {
+      val shardedN = cN(CustomsDetectors.privateRelayForwardSharded(
+        nullFix, col("t"), col("sq"), col("u"), col("e"), col("addr"),
+        sliceSeconds = sl))
+      assert(shardedN == plainN, s"slice=$sl null-ts diverged:" +
+        s"\n$shardedN\nvs\n$plainN")
+    }
     // seeded random sweep
     val rnd = new scala.util.Random(2626)
     val dense = (1 to 3000).map { i =>
@@ -232,13 +257,24 @@ class SessionizeShardedSpec extends AnyFunSuite {
       Sessionize.assignSessionsSharded(df, col("t"), col("k"),
         gapSeconds = 100L, sliceSeconds = 50L)
     }.getMessage.contains("NON-adjacent"))
-    // gap 0 (legal for the analytic form) would make the slice a
-    // zero DIV divisor here — refused loudly, pointing at the
-    // analytic form
+    // gap 0 with the slice DEFAULTING from it resolves to a
+    // zero-width slice (a zero DIV divisor) — refused loudly,
+    // pointing at the escape hatches
     assert(intercept[IllegalArgumentException] {
       Sessionize.assignSessionsSharded(df, col("t"), col("k"),
         gapSeconds = 0L)
     }.getMessage.contains("analytic"))
+    // ... but gap 0 with an EXPLICIT slice has a non-zero divisor
+    // and is legal (r16 advisory: the guard is on the resolved
+    // slice, not gapSeconds) — every event becomes its own session,
+    // identical to the analytic form
+    val multi = Seq(("a", ts(1L)), ("a", ts(1L)), ("a", ts(5L)),
+      ("b", ts(2L))).toDF("k", "t")
+    val g0 = Sessionize.assignSessionsSharded(multi, col("t"),
+      col("k"), gapSeconds = 0L, sliceSeconds = 10L)
+    val g0Plain = Sessionize.assignSessions(multi, col("t"), col("k"),
+      gapSeconds = 0L)
+    assert(canon(g0) == canon(g0Plain) && canon(g0).size == 4)
     // scratch-name collisions refuse rather than silently destroy
     // caller data (the saltedJoin/_salt contract)
     assert(intercept[IllegalArgumentException] {

@@ -266,4 +266,61 @@ class SkewSpec extends AnyFunSuite {
         Seq("key"), 4)
     }
   }
+
+  test("choosePath: a balanced card keeps every operator analytic; " +
+      "the 50%-hot card flips sessions/relay/sequence to sharded and " +
+      "alias-abuse (the measured don't-flip member) stays analytic; " +
+      "tiny-cardinality share spikes don't flip") {
+    import spark.implicits._
+    import Skew.{SerialOp, SerialPath}
+    val flippable = Seq(SerialOp.Sessions, SerialOp.RelayScan,
+      SerialOp.SequenceAbuse)
+    // balanced: 300 keys x 10 rows — fold reads ~1000 (fair share)
+    val balanced = Skew.keySkewCard(
+      (1 to 300).flatMap(k => Seq.fill(10)(k.toLong)).toDF("k"),
+      col("k"))
+    for (op <- flippable :+ SerialOp.AliasAbuse)
+      assert(Skew.choosePath(balanced, op) == SerialPath.Analytic,
+        s"$op flipped on a balanced card")
+    // the measured regime: one key holds 50% of 2000 rows over 101
+    // keys (the skew probe's shape) — flip the three measured
+    // winners, keep the measured loser analytic
+    val hot = Skew.keySkewCard(
+      (Seq.fill(1000)(0L) ++
+        (1 to 100).flatMap(k => Seq.fill(10)(k.toLong))).toDF("k"),
+      col("k"))
+    for (op <- flippable)
+      assert(Skew.choosePath(hot, op) == SerialPath.Sharded,
+        s"$op did not flip on the 50%-hot card")
+    assert(Skew.choosePath(hot, SerialOp.AliasAbuse) ==
+      SerialPath.Analytic, "alias-abuse flipped despite the measured" +
+        " don't-flip adjudication")
+    // 2 keys at 50% each: the share reads hot but the fold reads
+    // fair (a 2-key corpus has nothing to shard) — the fold floor
+    // holds the analytic path
+    val twoKeys = Skew.keySkewCard(
+      (Seq.fill(50)(1L) ++ Seq.fill(50)(2L)).toDF("k"), col("k"))
+    for (op <- flippable)
+      assert(Skew.choosePath(twoKeys, op) == SerialPath.Analytic,
+        s"$op flipped on a 2-key corpus")
+    // pure-threshold sanity at the crossover boundary (>= flips)
+    assert(Skew.choosePath(300000L, 10000L, SerialOp.Sessions) ==
+      SerialPath.Sharded)
+    assert(Skew.choosePath(299999L, 10000L, SerialOp.Sessions) ==
+      SerialPath.Analytic)
+    assert(Skew.choosePath(300000L, 9999L, SerialOp.Sessions) ==
+      SerialPath.Analytic)
+    // the frame adapter refuses ambiguity: empty and per-stratum
+    // multi-row cards
+    val empty = Skew.keySkewCard(Seq.empty[Long].toDF("k"), col("k"))
+    assert(intercept[IllegalArgumentException] {
+      Skew.choosePath(empty, SerialOp.Sessions)
+    }.getMessage.contains("one-row"))
+    val byStratum = Skew.keySkewCardBy(
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("g", "k"),
+      col("g"), col("k"))
+    assert(intercept[IllegalArgumentException] {
+      Skew.choosePath(byStratum, SerialOp.Sessions)
+    }.getMessage.contains("one-row"))
+  }
 }

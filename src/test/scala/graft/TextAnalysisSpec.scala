@@ -1361,4 +1361,101 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(v >= 0 && v <= 1000, s"$c out of range: $v")
     }
   }
+
+  test("saveLangModel/loadLangModel: the shipped artifact drives " +
+      "langId, langIdStream and multilingualBuild bit-identically " +
+      "(train -> ship -> serve), and a wrong or doctored artifact " +
+      "fails loudly at load") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-langmodel").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val live = TextAnalysis.langIdProfiles(
+      docs.filter(col("doc_id") % 10 < 3), col("lang"), col("text"),
+      m = 64)
+    TextAnalysis.saveLangModel(live, s"$tmp/model")
+    val loaded = TextAnalysis.loadLangModel(spark, s"$tmp/model")
+
+    // the artifact itself round-trips bit-exactly
+    def profRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang").cast("string"), col("gram").cast("string"),
+        col("rank").cast("long"))
+      .orderBy(col("lang"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+    assert(profRows(loaded) == profRows(live) && profRows(loaded).nonEmpty)
+
+    // batch serve: the declarative classifier from the loaded
+    // artifact equals the live-trained path on the whole corpus
+    def classify(p: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.langId(docs, col("doc_id"), col("text"), p,
+        penalty = 64, d = 32).collect().map(_.toSeq).toSet
+    assert(classify(loaded) == classify(live))
+
+    // streaming serve: the collected per-row kernel model is equal,
+    // and an actual MemoryStream drive off the LOADED model matches
+    // the batch classifier over the same documents
+    assert(TextAnalysis.langIdModel(loaded) == TextAnalysis.langIdModel(live))
+    implicit val sqlCtx = spark.sqlContext
+    val fiveTexts = docs.orderBy(col("doc_id")).limit(5)
+      .select(col("text")).as[String].collect().toSeq
+    val t0 = 1700000000L // on a 10-min window boundary's window
+    val events = fiveTexts.zipWithIndex
+      .map { case (t, i) => (t0 + 10L * i, t) }
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.langIdStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("text")),
+        "ts", col("text"), TextAnalysis.langIdModel(loaded),
+        penalty = 64, d = 32, "10 minutes", "30 seconds")
+      .writeStream.format("memory").queryName("langmodel_rt")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      in.addData(events: _*); q.processAllAvailable()
+      in.addData((t0 + 3600L, "the end")) // watermark pusher
+      q.processAllAvailable()
+      val streamed = spark.table("langmodel_rt")
+        .filter(col("window_start_ms") === (t0 / 600) * 600 * 1000)
+        .select(col("pred_lang"), col("n_docs"))
+        .as[(String, Long)].collect().toMap
+      val batchTwin = TextAnalysis.langId(
+          fiveTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"),
+          col("doc_id"), col("text"), loaded, penalty = 64, d = 32)
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batchTwin && streamed.nonEmpty,
+        s"streamed $streamed vs batch $batchTwin")
+    } finally q.stop()
+
+    // composed serve: the train-once build from the loaded artifact
+    // equals the build from the live frame, leg by leg
+    def build(p: org.apache.spark.sql.DataFrame) =
+      pipelines.CorpusPipeline.multilingualBuild(docs,
+        col("doc_id"), col("text"), p,
+        arrivalWindowMs =
+          expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"),
+        weights = Map("en" -> 0.35, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.10),
+        defaultWeight = 0.05, budget = 100000L)
+    val (bLive, bLoaded) = (build(live), build(loaded))
+    try {
+      assert(bLoaded.mixture.collect().map(_.toSeq).toSeq ==
+        bLive.mixture.collect().map(_.toSeq).toSeq)
+    } finally { bLive.close(); bLoaded.close() }
+
+    // loud failures at the artifact boundary
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$tmp/wrong")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadLangModel(spark, s"$tmp/wrong")
+    }.getMessage.contains("not a langIdProfiles artifact"))
+    live.filter(col("rank") =!= 1L) // doctored: rank 1 removed
+      .write.parquet(s"$tmp/doctored")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadLangModel(spark, s"$tmp/doctored")
+    }.getMessage.contains("non-contiguous"))
+  }
 }
