@@ -2421,6 +2421,23 @@ object SparkEntry {
         .orderBy(col("email_normalized"), col("session_id"))
     }),
 
+    // scale ops: the streaming skew monitor's EPILOGUE,
+    // driver-visible — batch-finalized daily (window, key) counts
+    // through the exact NAMED function keySkewStream's foreachBatch
+    // runs (Streaming.keySkewEpilogue). Shares q168's oracle
+    // verbatim, so the epilogue body the stream executes is itself
+    // hash-checked at the gate: a refactor that drifted its
+    // semantics would mismatch here, not only in the parity spec
+    "q177_key_skew_stream_epilogue" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(expr("(unix_millis(ts) DIV 86400000) * 86400000")
+            .as("window_start_ms"),
+          col("user_id").as("k"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.Streaming.keySkewEpilogue(counts)
+        .orderBy(col("window_start_ms"))
+    }),
+
     // training-data ops: the trained language MODEL itself — the
     // (lang, gram, rank) profile frame a multilingual build persists
     // and ships to its classifiers (q160-q167 all consume it; the
@@ -5489,6 +5506,9 @@ object SparkEntry {
       ("q166_key_skew_card" -> keySkewCardSql) +
       ("q167_lang_fertility" -> langFertilitySql(6)) +
       ("q168_key_skew_windows" -> keySkewWindowsSql) +
+      // the streaming epilogue's batch twin: same finalized counts,
+      // same card function — q168's oracle verbatim
+      ("q177_key_skew_stream_epilogue" -> keySkewWindowsSql) +
       ("q170_hot_keys" ->
         """WITH c AS (SELECT user_id AS k, COUNT(*) AS n FROM events
           |  GROUP BY 1),

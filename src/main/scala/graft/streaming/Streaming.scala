@@ -392,15 +392,23 @@ object Streaming {
         col("k"), col("n"))
     counts.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          onCards(graft.operators.Skew.keySkewCardOfCounts(
-              batch.toDF(), col("window_start_ms"), col("k"),
-              col("n"), topK)
-            .withColumnRenamed("stratum", "window_start_ms"))
-        }
+        if (!batch.isEmpty) onCards(keySkewEpilogue(batch.toDF(), topK))
         ()
       }
   }
+
+  /** [[keySkewStream]]'s foreachBatch epilogue as a NAMED batch
+    * function: finalized (window_start_ms, k, n) counts → one skew
+    * card per window. Extracted so the exact code the stream runs is
+    * also driver-visible and oracle-hashed — q177 feeds it
+    * batch-finalized counts and shares q168's oracle verbatim, so a
+    * refactor that drifted the epilogue's semantics would
+    * hash-mismatch at the gate instead of only failing the
+    * streaming parity spec. */
+  def keySkewEpilogue(counts: DataFrame, topK: Int = 10): DataFrame =
+    graft.operators.Skew.keySkewCardOfCounts(counts,
+        col("window_start_ms"), col("k"), col("n"), topK)
+      .withColumnRenamed("stratum", "window_start_ms")
 
   /** Config-tick source (ref s/metrics/CfgTickGenerator.java:13,59 —
     * the unbounded generator emitting pipeline-config JSON every N s):
@@ -1298,6 +1306,79 @@ object Streaming {
       .transformWithState(
         new PrivateRelayProcessor(stateTtlSeconds * 1000L),
         mode, OutputMode.Append())
+  }
+
+  /** [[PrivateRelayProcessor]] seeded from an initial state dataset —
+    * the RESTORE half of the cross-run snapshot design for the relay
+    * detector (the suppress/velocity/at-risk precedent: the
+    * reference's Datastore walk is replaced by Spark keyed state
+    * plus crash-safe parquet snapshots, so a new run picks up
+    * exactly where a snapshotted one stopped).
+    * `handleInitialState` runs once per seeded uid before any input
+    * rows. */
+  class PrivateRelayProcessorWithInit(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, RelayEvent, RelayAlert, RelayState] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[RelayState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[RelayState]("lastAddr",
+        org.apache.spark.sql.Encoders.product[RelayState], ttl)
+    }
+
+    override def handleInitialState(key: String, st0: RelayState,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update(st0)
+
+    override def handleInputRows(key: String, rows: Iterator[RelayEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RelayAlert] = {
+      val (next, out) = relayScan(key,
+        if (st.exists()) Some(st.get()) else None, rows.toSeq)
+      next.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** [[privateRelayForwardTws]] seeded from a restored state
+    * snapshot: semantics identical to an uninterrupted run whose
+    * state at the snapshot point was `initial` (StreamingSpec pins
+    * the full stop → snapshot → restore → continue round-trip, the
+    * suppressTwsFrom pattern). */
+  def privateRelayForwardTwsFrom(ds: Dataset[RelayEvent],
+      initial: Dataset[(String, RelayState)],
+      stateTtlSeconds: Long = 0): Dataset[RelayAlert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val mode =
+      if (stateTtlSeconds > 0)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new PrivateRelayProcessorWithInit(stateTtlSeconds * 1000L),
+        mode, OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Restore a [[snapshotTwsValueState]] parquet snapshot of the
+    * relay detector's `lastAddr` state into the dataset shape
+    * [[privateRelayForwardTwsFrom]] seeds from. */
+  def readRelaySnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): Dataset[(String, RelayState)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("key.value").as("_1"),
+        col("value")
+          .cast("struct<tsUs:bigint,seq:bigint,addr:string>").as("_2"))
+      .as[(String, RelayState)]
   }
 
   case class AuthLogin(key: String, tsUs: Long, addr: String,

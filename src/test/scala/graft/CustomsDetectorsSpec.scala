@@ -285,6 +285,85 @@ class CustomsDetectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("relay TWS state → parquet snapshot → restore → continuation " +
+      "≡ uninterrupted run (the suppress/velocity/at-risk round-trip, " +
+      "closed for the relay detector)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("relay_snapshot_rt").toString
+    val relay = CustomsDetectors.EmailRelay
+    val rp = CustomsDetectors.FxaRpEvent
+    val batch1 = Seq(
+      Streaming.RelayEvent("u1", 1000000L, 1L, rp, "h1"),
+      Streaming.RelayEvent("u1", 2000000L, 2L, relay, "h1"), // matches: quiet
+      Streaming.RelayEvent("u2", 3000000L, 3L, rp, "h5"))
+    val batch2 = Seq(
+      // alerts ONLY if the restored state remembers u1 -> h1
+      Streaming.RelayEvent("u1", 10000000L, 4L, relay, "h9"),
+      Streaming.RelayEvent("u2", 11000000L, 5L, relay, "h5")) // quiet
+    def alerts(name: String) = spark.table(name)
+      .as[Streaming.RelayAlert].collect()
+      .map(a => (a.key, a.tsMs, a.actual, a.expected)).toSet
+    try {
+      // run 1: checkpointed, then stopped
+      val in1 = MemoryStream[Streaming.RelayEvent]
+      val q1 = Streaming.privateRelayForwardTws(in1.toDS())
+        .writeStream.format("memory").queryName("relay_snap1")
+        .option("checkpointLocation", s"$root/ckpt1")
+        .outputMode(OutputMode.Append()).start()
+      try { in1.addData(batch1: _*); q1.processAllAvailable() }
+      finally q1.stop()
+      assert(alerts("relay_snap1") == Set.empty)
+
+      // state -> parquet -> restored dataset, exact content pinned
+      Streaming.snapshotTwsValueState(spark, s"$root/ckpt1", "lastAddr",
+        s"$root/snap")
+      val restored = Streaming.readRelaySnapshot(spark, s"$root/snap")
+      assert(restored.collect().toSet == Set(
+        ("u1", Streaming.RelayState(2000000L, 2L, "h1")),
+        ("u2", Streaming.RelayState(3000000L, 3L, "h5"))))
+
+      // run 2: a FRESH query seeded from the snapshot
+      val in2 = MemoryStream[Streaming.RelayEvent]
+      val q2 = Streaming.privateRelayForwardTwsFrom(in2.toDS(),
+          initial = restored)
+        .writeStream.format("memory").queryName("relay_snap2")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .outputMode(OutputMode.Append()).start()
+      try { in2.addData(batch2: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      // u1's alert exists only because the restored state carries h1
+      assert(alerts("relay_snap2") == Set(("u1", 10000L, "h9", "h1")))
+
+      // stitched == one uninterrupted run over both batches
+      val in3 = MemoryStream[Streaming.RelayEvent]
+      val q3 = Streaming.privateRelayForwardTws(in3.toDS())
+        .writeStream.format("memory").queryName("relay_snap_unbroken")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in3.addData(batch1: _*); q3.processAllAvailable()
+        in3.addData(batch2: _*); q3.processAllAvailable()
+      } finally q3.stop()
+      assert(alerts("relay_snap1") ++ alerts("relay_snap2") ==
+        alerts("relay_snap_unbroken"))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("account enumeration: threshold + single-path gate + variance") {
     import spark.implicits._
     val t = 1700000000L
