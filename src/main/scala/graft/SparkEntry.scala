@@ -2438,6 +2438,59 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // scale ops: CARD-DRIVEN sessionization — the operator that runs
+    // its own skew diagnostic (one |keys|-row partial-agg pass) and
+    // picks analytic vs slice-and-mend per the measured crossovers
+    // (Skew.choosePath, the decision table executable). The driver
+    // corpus is balanced, so this resolves to the analytic path and
+    // shares q42's oracle — the hash proof that the chooser changes
+    // cost, never answers
+    "q178_session_summary_auto" -> ((s, dir) => {
+      Sessionize.sessionSummaryAuto(Tables.events(s, dir), col("ts"),
+          col("user_id"), gapSeconds = 3600)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // training-data ops: the BPE tokenizer's train→ship→serve loop,
+    // driver-visible — train the merge table, WRITE it as the
+    // canonical parquet artifact, load it back through the validated
+    // boundary, and encode the corpus from the LOADED artifact.
+    // Shares q96's oracle verbatim: the shipped-tokenizer serving
+    // path is hash-checked end to end (the q174/q177 pattern)
+    "q179_bpe_artifact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bpe-artifact").toString
+      TextAnalysis.saveBpeMerges(
+        TextAnalysis.bpeTrainMerges(d, col("text"), nMerges = 6),
+        s"$tmp/merges")
+      val loaded = TextAnalysis.loadBpeMerges(s, s"$tmp/merges")
+      TextAnalysis.bpeEncodeCounts(d, col("doc_id"), col("text"),
+          TextAnalysis.bpeMergePairs(loaded))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: the IVF index's train→ship→serve loop —
+    // train the refined centroids ONCE (the standalone ivfCentroids
+    // artifact), ship them as parquet, load through the validated
+    // boundary, and serve the cell-restricted search from the LOADED
+    // index. Shares q66's oracle verbatim: a production build runs
+    // Lloyd iterations once, not per query batch
+    "q180_ivf_artifact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivf-artifact").toString
+      Similarity.saveIvfCentroids(
+        Similarity.ivfCentroids(emb, col("vec_id"), col("embedding"),
+          nCells = 16, iters = 2),
+        s"$tmp/centroids")
+      Similarity.ivfTopKWith(emb, col("vec_id"), col("embedding"),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+          cents = Similarity.loadIvfCentroids(s, s"$tmp/centroids"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // training-data ops: the trained language MODEL itself — the
     // (lang, gram, rank) profile frame a multilingual build persists
     // and ships to its classifiers (q160-q167 all consume it; the
@@ -5477,6 +5530,8 @@ object SparkEntry {
       ("q172_private_relay_sharded" -> base("q46_private_relay")) +
       ("q173_sequence_abuse_sharded" -> base("q69_sequence_abuse")) +
       ("q176_alias_abuse_sharded" -> base("q52_alias_abuse")) +
+      ("q178_session_summary_auto" -> base("q42_session_summary")) +
+      ("q180_ivf_artifact" -> base("q66_ivf_refined")) +
       ("q175_lang_profiles" ->
         // q160's lp training CTE standalone: identical normalization
         // on the seed subset, per-language trigram counts, rank
@@ -5501,6 +5556,8 @@ object SparkEntry {
           |FROM lp ORDER BY lang, rank""".stripMargin) +
       ("q95_bpe_merges" -> bpeMergesSql(6)) +
       ("q96_bpe_encode" -> bpeEncodeSql(6)) +
+      // the shipped-tokenizer serving path: q96's oracle verbatim
+      ("q179_bpe_artifact" -> bpeEncodeSql(6)) +
       ("q129_bpe_batched" -> bpeBatchedSql(64, 2)) +
       ("q136_bpe_fertility" -> bpeFertilitySql(6)) +
       ("q166_key_skew_card" -> keySkewCardSql) +

@@ -210,4 +210,36 @@ object Sessionize {
         unix_millis(min(col("__ts"))).as("session_start_ms"))
       .filter(col("n_addrs") >= minAddrs ||
         col("n_countries") >= minCountries)
+
+  /** CARD-DRIVEN sessionization — the operator that runs its own
+    * skew diagnostic and picks its path: one [[graft.operators.Skew
+    * .keySkewCard]] pass over the keys (a single partial-agg shuffle
+    * of \|keys\| rows — cheap next to either session sort), then
+    * [[graft.operators.Skew.choosePath]] maps the card to the
+    * analytic or the slice-and-mend form per the measured crossovers
+    * (SCALING.md r15–r17). Both paths are result-identical (the
+    * path-equality twins q169 ≡ q42), so the card changes COST,
+    * never answers — this is the deployment rule from the decision
+    * table, executable.
+    *
+    * The card keys on `xxhash64(key)` so string keys (the
+    * reference's source addresses) diagnose without the manual
+    * pre-hash the raw card requires; the hash only relabels keys, so
+    * share/fold — all the chooser reads — are unchanged (nulls
+    * collapse onto the seed hash: one key, exactly how the analytic
+    * window groups them). An empty input short-circuits to the
+    * analytic form (no card row to read). */
+  def sessionSummaryAuto(df: DataFrame, ts: Column, key: Column,
+      gapSeconds: Long): DataFrame = {
+    val card = Skew.keySkewCard(df.select(xxhash64(key).as("__k")),
+      col("__k"))
+    val path =
+      if (card.isEmpty) Skew.SerialPath.Analytic
+      else Skew.choosePath(card, Skew.SerialOp.Sessions)
+    path match {
+      case Skew.SerialPath.Sharded =>
+        sessionSummarySharded(df, ts, key, gapSeconds)
+      case _ => sessionSummary(df, ts, key, gapSeconds)
+    }
+  }
 }

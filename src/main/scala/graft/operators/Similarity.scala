@@ -400,19 +400,19 @@ object Similarity {
     * side dominated); search cost drops nCells× vs brute force. For
     * clustered real corpora use [[ivfTopKRefined]], which k-means-
     * refines the seed centroids with the same broadcast-join shape. */
-  def ivfTopK(emb: DataFrame, id: Column, vec: Column, queryIds: Seq[Long],
-      k: Int, nCells: Int = 16,
-      storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val base = quantized(emb, id, vec)
-    val cents = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"))
-    // cache: `assigned` feeds both sides of the cell join (corpus and
-    // query), and recomputing it re-runs the centroid crossJoin+rank.
-    // In a production IVF this frame IS the index — it would be built
-    // once and written to a table, so a cache (spillable; NONE =
-    // recompute at corpus scale) is the honest single-job stand-in.
+  /** Shared search tail of every IVF form: assign the quantized
+    * corpus to its nearest supplied centroid, then search each query
+    * only within its own cell.
+    *
+    * Cache note: `assigned` feeds both sides of the cell join (corpus
+    * and query), and recomputing it re-runs the centroid
+    * crossJoin+rank. In a production IVF this frame IS the index — it
+    * would be built once and written to a table, so a cache
+    * (spillable; NONE = recompute at corpus scale) is the honest
+    * single-job stand-in. */
+  private def searchCells(base: DataFrame, cents: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      storage: org.apache.spark.storage.StorageLevel): DataFrame = {
     val assigned0 = assignCells(base, cents)
     val assigned =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0
@@ -421,6 +421,17 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("cell"))
     scoreAndRank(assigned.join(broadcast(queries), Seq("cell")), k)
+  }
+
+  def ivfTopK(emb: DataFrame, id: Column, vec: Column, queryIds: Seq[Long],
+      k: Int, nCells: Int = 16,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val base = quantized(emb, id, vec)
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"))
+    searchCells(base, cents, queryIds, k, storage)
   }
 
   /** IVF with a deterministic k-means refinement loop: `iters` rounds
@@ -469,14 +480,101 @@ object Similarity {
       cents = newQv.select(col("cell").as("cent_id"), col("c_qv"),
         dotQ(col("c_qv"), col("c_qv")).as("c_nrm"))
     }
-    val assigned0 = assignCells(base, cents)
-    val assigned =
-      if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0
-      else assigned0.persist(storage)
-    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("nrm").as("q_nrm"), col("cell"))
-    scoreAndRank(assigned.join(broadcast(queries), Seq("cell")), k)
+    searchCells(base, cents, queryIds, k, storage)
+  }
+
+  /** Train the refined IVF centroids as a STANDALONE artifact — the
+    * centroid half of [[ivfTopKRefined]] exposed on its own, so a
+    * production build trains once and ships the (cent_id, c_qv,
+    * c_nrm) table instead of re-running Lloyd iterations per query
+    * batch (the langIdProfiles train→ship→serve precedent). Same
+    * loop, same determinism arguments; the result is materialized
+    * eagerly (≤ nCells rows — the budgetSelect class) and the
+    * training scan released before returning, so no cached frame
+    * outlives the call. Serve with [[ivfTopKWith]]. */
+  def ivfCentroids(emb: DataFrame, id: Column, vec: Column,
+      nCells: Int = 16, iters: Int = 2,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val spark = emb.sparkSession
+    val base0 = quantized(emb, id, vec)
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(storage)
+    var cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"))
+    for (_ <- 1 to iters) {
+      val newQv = assignCells(base, cents)
+        .select(col("cell"), posexplode(col("qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("c_qv"))
+      cents = newQv.select(col("cell").as("cent_id"), col("c_qv"),
+        dotQ(col("c_qv"), col("c_qv")).as("c_nrm"))
+    }
+    val rows = cents.collect()
+    if (storage != org.apache.spark.storage.StorageLevel.NONE)
+      base.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), cents.schema)
+  }
+
+  /** Serve-side IVF: cell-restricted search against SUPPLIED
+    * centroids — a live [[ivfCentroids]] frame or one loaded back
+    * through [[loadIvfCentroids]]; the round-trip is spec-pinned
+    * identical to [[ivfTopKRefined]] at the same parameters. */
+  def ivfTopKWith(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, cents: DataFrame,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    searchCells(quantized(emb, id, vec),
+      cents.select(col("cent_id"), col("c_qv"), col("c_nrm")),
+      queryIds, k, storage)
+
+  /** Persist trained [[ivfCentroids]] as the shipped index artifact:
+    * canonical (cent_id, c_qv, c_nrm), one parquet file (≤ nCells
+    * rows by construction). */
+  def saveIvfCentroids(cents: DataFrame, path: String): Unit =
+    cents.select(col("cent_id").cast("long").as("cent_id"),
+        col("c_qv").cast("array<bigint>").as("c_qv"),
+        col("c_nrm").cast("long").as("c_nrm"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a shipped centroid table for [[ivfTopKWith]], validated
+    * LOUDLY at the artifact boundary (the loadLangModel contract):
+    * canonical columns, distinct cell ids (a duplicate would make
+    * the nearest-centroid argmin ambiguous), and each row's stored
+    * norm equal to its vector's self-dot-product (a doctored norm
+    * would silently skew every cosine the index computes). Bounded
+    * eager checks — the table is ≤ nCells rows. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val missing = Seq("cent_id", "c_qv", "c_nrm")
+      .filterNot(raw.columns.toSet)
+    require(missing.isEmpty,
+      s"$path is not an ivfCentroids artifact: missing column(s) " +
+        missing.mkString(", "))
+    val table = raw.select(col("cent_id").cast("long").as("cent_id"),
+      col("c_qv").cast("array<bigint>").as("c_qv"),
+      col("c_nrm").cast("long").as("c_nrm"))
+    val stats = table.agg(count(lit(1)).as("n"),
+        countDistinct(col("cent_id")).as("nd"),
+        count(when(dotQ(col("c_qv"), col("c_qv")) =!= col("c_nrm"), 1))
+          .as("bad_nrm"))
+      .collect()(0)
+    require(stats.getLong(0) == stats.getLong(1),
+      s"$path carries duplicate cent_id rows " +
+        s"(${stats.getLong(0)} rows, ${stats.getLong(1)} distinct)")
+    require(stats.getLong(2) == 0L,
+      s"$path carries ${stats.getLong(2)} centroid(s) whose stored " +
+        "norm is not the vector's self-dot-product")
+    table
   }
 
   /** Embedding-cosine near-duplicate pairs — the similarity-space

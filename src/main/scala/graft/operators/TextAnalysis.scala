@@ -1793,6 +1793,73 @@ object TextAnalysis {
     model
   }
 
+  /** Persist a trained [[bpeTrainMerges]] merge table as the SHIPPED
+    * tokenizer artifact — the BPE member of the train→ship→serve
+    * loop (the langIdProfiles precedent): canonical (round, pair_a,
+    * pair_b, merged, cnt) schema, one parquet file (the table is
+    * |merges| rows by construction). Batched-trainer frames
+    * ([[bpeTrainMergesBatched]]) ship the same way after renaming
+    * `merge_no` to `round` — the global merge ORDER is the artifact's
+    * load-bearing column, and `round` is its canonical name. */
+  def saveBpeMerges(merges: DataFrame, path: String): Unit =
+    merges
+      .select(col("round").cast("long").as("round"),
+        col("pair_a").cast("string").as("pair_a"),
+        col("pair_b").cast("string").as("pair_b"),
+        col("merged").cast("string").as("merged"),
+        col("cnt").cast("long").as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a shipped merge table for serving. Validated LOUDLY at the
+    * artifact boundary (the loadLangModel contract): the canonical
+    * columns must exist, rounds must be exactly 1..n (the merge fold
+    * applies IN ORDER — a gap or duplicate would silently reorder or
+    * drop merges and change every token count downstream), and each
+    * row's `merged` must equal `pair_a || pair_b` (the fold's
+    * replacement target). */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val missing = Seq("round", "pair_a", "pair_b", "merged", "cnt")
+      .filterNot(raw.columns.toSet)
+    require(missing.isEmpty,
+      s"$path is not a bpeTrainMerges artifact: missing column(s) " +
+        missing.mkString(", "))
+    val table = raw.select(col("round").cast("long").as("round"),
+      col("pair_a").cast("string").as("pair_a"),
+      col("pair_b").cast("string").as("pair_b"),
+      col("merged").cast("string").as("merged"),
+      col("cnt").cast("long").as("cnt"))
+    // |merges|-bounded: one tiny eager scan at the boundary
+    val stats = table.agg(count(lit(1)).as("n"),
+        min(col("round")).as("lo"), max(col("round")).as("hi"),
+        countDistinct(col("round")).as("nd"),
+        count(when(col("merged") =!=
+          concat(col("pair_a"), col("pair_b")), 1)).as("bad"))
+      .collect()(0)
+    require(stats.getLong(0) == 0L ||
+      (stats.getLong(1) == 1L && stats.getLong(2) == stats.getLong(0) &&
+        stats.getLong(3) == stats.getLong(0)),
+      s"$path carries non-contiguous merge rounds (expected exactly " +
+        "1..n; the fold applies in order)")
+    require(stats.getLong(4) == 0L,
+      s"$path carries ${stats.getLong(4)} row(s) whose merged symbol " +
+        "is not pair_a || pair_b")
+    table
+  }
+
+  /** Collect a merge table into the ordered pair list
+    * [[bpeEncodeCounts]]/[[bpeFertility]] consume — the serve-side
+    * twin of the `.orderBy(round).collect()` every caller writes by
+    * hand (bounded: |merges| rows). */
+  def bpeMergePairs(merges: DataFrame): Seq[(String, String)] =
+    merges.select(col("pair_a").cast("string"),
+        col("pair_b").cast("string"), col("round").cast("long"))
+      .collect()
+      .sortBy(_.getLong(2))
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+
   /** Pure per-row classifier kernel — the SAME out-of-place method as
     * [[langId]], for contexts where a document is one row and a
     * per-doc aggregate is the wrong shape (streaming micro-batches,

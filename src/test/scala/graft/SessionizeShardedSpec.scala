@@ -275,6 +275,34 @@ class SessionizeShardedSpec extends AnyFunSuite {
     val g0Plain = Sessionize.assignSessions(multi, col("t"), col("k"),
       gapSeconds = 0L)
     assert(canon(g0) == canon(g0Plain) && canon(g0).size == 4)
+    // card-driven AUTO path: a balanced input resolves to the
+    // analytic plan (no slice column), a 50%-hot input to the
+    // sharded plan (slice column present) — and the rows are
+    // identical either way (the whole point of the chooser)
+    val balanced = (1 to 300).flatMap(k =>
+      (0 to 9).map(i => (s"k$k", ts(i * 1000L)))).toDF("k", "t")
+    val hotIn = ((1 to 1000).map(i => ("hot", ts(i * 7L))) ++
+      (1 to 100).flatMap(k => (0 to 9).map(i =>
+        (s"k$k", ts(i * 1000L))))).toDF("k", "t")
+    val autoBal = Sessionize.sessionSummaryAuto(balanced, col("t"),
+      col("k"), gapSeconds = 100L)
+    assert(!autoBal.queryExecution.executedPlan.toString
+      .contains("__sess_slice"), "balanced input took the sharded path")
+    val autoHot = Sessionize.sessionSummaryAuto(hotIn, col("t"),
+      col("k"), gapSeconds = 100L)
+    assert(autoHot.queryExecution.executedPlan.toString
+      .contains("__sess_slice"), "50%-hot input kept the analytic path")
+    def srows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSet
+    assert(srows(autoHot) == srows(Sessionize.sessionSummary(hotIn,
+      col("t"), col("k"), gapSeconds = 100L)))
+    assert(srows(autoBal) == srows(Sessionize.sessionSummary(balanced,
+      col("t"), col("k"), gapSeconds = 100L)))
+    // empty input short-circuits to the analytic form
+    assert(Sessionize.sessionSummaryAuto(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("k", "t"),
+      col("t"), col("k"), gapSeconds = 100L).collect().isEmpty)
+
     // scratch-name collisions refuse rather than silently destroy
     // caller data (the saltedJoin/_salt contract)
     assert(intercept[IllegalArgumentException] {

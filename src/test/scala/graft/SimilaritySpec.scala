@@ -560,4 +560,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(o3.length == 3 &&
       o3.map(_.getAs[Long]("vec_id")).toSet == Set(5L, 6L, 7L))
   }
+
+  test("IVF centroid artifact: train -> ship -> serve round-trips " +
+      "bit-identically to ivfTopKRefined; duplicate cells and " +
+      "doctored norms are refused at load; no cached frame outlives " +
+      "training") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val cents = Similarity.ivfCentroids(emb, col("vec_id"),
+      col("embedding"), nCells = 16, iters = 2)
+    // training materializes eagerly and releases its scan
+    assert((spark.sparkContext.getPersistentRDDs.keySet --
+      persistedBefore).isEmpty, "ivfCentroids stranded a cached frame")
+    def canonOut(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val refined = canonOut(Similarity.ivfTopKRefined(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5, nCells = 16, iters = 2,
+      storage = org.apache.spark.storage.StorageLevel.NONE))
+    // live serve == the fused train+search form
+    val liveServe = canonOut(Similarity.ivfTopKWith(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5, cents = cents,
+      storage = org.apache.spark.storage.StorageLevel.NONE))
+    assert(liveServe == refined && refined.nonEmpty)
+    // shipped serve: parquet round-trip, exact content pinned
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ivf-model").toString
+    Similarity.saveIvfCentroids(cents, s"$tmp/c")
+    val loaded = Similarity.loadIvfCentroids(spark, s"$tmp/c")
+    assert(loaded.orderBy(col("cent_id")).collect().map(_.toSeq).toSeq ==
+      cents.orderBy(col("cent_id")).collect().map(_.toSeq).toSeq)
+    val shippedServe = canonOut(Similarity.ivfTopKWith(emb,
+      col("vec_id"), col("embedding"), queryIds, k = 5, cents = loaded,
+      storage = org.apache.spark.storage.StorageLevel.NONE))
+    assert(shippedServe == refined)
+    // loud failures at the artifact boundary
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$tmp/wrong")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadIvfCentroids(spark, s"$tmp/wrong")
+    }.getMessage.contains("not an ivfCentroids artifact"))
+    cents.union(cents).write.parquet(s"$tmp/dup")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadIvfCentroids(spark, s"$tmp/dup")
+    }.getMessage.contains("duplicate cent_id"))
+    cents.withColumn("c_nrm", col("c_nrm") + 1L)
+      .write.parquet(s"$tmp/doctored")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadIvfCentroids(spark, s"$tmp/doctored")
+    }.getMessage.contains("self-dot-product"))
+  }
 }

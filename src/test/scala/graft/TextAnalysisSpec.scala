@@ -1458,4 +1458,61 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.loadLangModel(spark, s"$tmp/doctored")
     }.getMessage.contains("non-contiguous"))
   }
+
+  test("saveBpeMerges/loadBpeMerges: the shipped tokenizer artifact " +
+      "drives encode and fertility bit-identically (train -> ship -> " +
+      "serve); gaps, duplicates and doctored merge symbols are " +
+      "refused at load") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bpe-model").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val live = TextAnalysis.bpeTrainMerges(docs, col("text"), nMerges = 6)
+    TextAnalysis.saveBpeMerges(live, s"$tmp/m")
+    val loaded = TextAnalysis.loadBpeMerges(spark, s"$tmp/m")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("round")).collect().map(_.toSeq).toSeq
+    assert(rows(loaded) == rows(live.select(col("round"),
+      col("pair_a"), col("pair_b"), col("merged"), col("cnt"))))
+    // the ordered pair list the fold consumes
+    val livePairs = live.orderBy(col("round")).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toSeq
+    assert(TextAnalysis.bpeMergePairs(loaded) == livePairs &&
+      livePairs.size == 6)
+    // serve: encode and fertility from the loaded artifact
+    def enc(ms: Seq[(String, String)]) =
+      TextAnalysis.bpeEncodeCounts(docs, col("doc_id"), col("text"), ms)
+        .collect().map(_.toSeq).toSet
+    assert(enc(TextAnalysis.bpeMergePairs(loaded)) == enc(livePairs))
+    def fert(ms: Seq[(String, String)]) =
+      TextAnalysis.bpeFertility(docs, col("doc_id"), col("source"),
+        col("text"), ms).collect().map(_.toSeq).toSet
+    assert(fert(TextAnalysis.bpeMergePairs(loaded)) == fert(livePairs))
+    // the batched trainer ships through the same boundary after the
+    // canonical rename
+    val batched = TextAnalysis.bpeTrainMergesBatched(docs, col("text"),
+      batchSize = 4, maxRounds = 2)
+    TextAnalysis.saveBpeMerges(
+      batched.withColumnRenamed("merge_no", "round"), s"$tmp/mb")
+    assert(TextAnalysis.loadBpeMerges(spark, s"$tmp/mb").count() ==
+      batched.count())
+    // loud failures: wrong schema, a round gap, a doctored symbol
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$tmp/wrong")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpeMerges(spark, s"$tmp/wrong")
+    }.getMessage.contains("not a bpeTrainMerges artifact"))
+    live.filter(col("round") =!= 3L).write.parquet(s"$tmp/gap")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpeMerges(spark, s"$tmp/gap")
+    }.getMessage.contains("non-contiguous"))
+    live.withColumn("merged", concat(col("merged"), lit("zz")))
+      .write.parquet(s"$tmp/doctored_bpe")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpeMerges(spark, s"$tmp/doctored_bpe")
+    }.getMessage.contains("not pair_a || pair_b"))
+    // an EMPTY table is legal (a zero-merge tokenizer: chars only)
+    live.filter(col("round") > 100L).write.parquet(s"$tmp/empty")
+    assert(TextAnalysis.loadBpeMerges(spark, s"$tmp/empty").count() == 0L)
+  }
 }
