@@ -554,4 +554,28 @@ object CustomsDetectors {
       .select(col("uid"), unix_millis(col("ts")).as("ts_ms"),
         col("real_address").as("actual"), col("expected"))
   }
+
+  /** CARD-DRIVEN [[privateRelayForward]] — one [[Skew.keySkewCard]]
+    * pass over the relay-relevant rows' uids (xxhash64-relabelled;
+    * the hash only renames keys, leaving share/fold unchanged), then
+    * [[Skew.choosePath]] picks the analytic or slice-and-mend form
+    * per the measured crossovers. Both paths are result-identical
+    * (q172 ≡ q46's oracle) — the sessionSummaryAuto pattern for the
+    * relay scan. */
+  def privateRelayForwardAuto(df: DataFrame, ts: Column, seq: Column,
+      uid: Column, eventType: Column, realAddress: Column): DataFrame = {
+    val card = Skew.keySkewCard(
+      df.filter(uid.isNotNull &&
+          eventType.isin(EmailRelay, FxaRpEvent))
+        .select(xxhash64(uid).as("__k")), col("__k"))
+    val path =
+      if (card.isEmpty) Skew.SerialPath.Analytic
+      else Skew.choosePath(card, Skew.SerialOp.RelayScan)
+    path match {
+      case Skew.SerialPath.Sharded => privateRelayForwardSharded(df,
+        ts, seq, uid, eventType, realAddress)
+      case _ => privateRelayForward(df, ts, seq, uid, eventType,
+        realAddress)
+    }
+  }
 }

@@ -499,4 +499,29 @@ object Heuristics {
       .agg(count(lit(1)).as("n"), max(col("ms")).as("latest_ms"))
       .filter(col("n") >= threshold)
   }
+
+  /** CARD-DRIVEN [[sequenceAbuse]] — one [[Skew.keySkewCard]] pass
+    * over the predicate-relevant rows' keys (xxhash64-relabelled so
+    * string keys diagnose without a manual pre-hash — the hash only
+    * renames keys, leaving share/fold unchanged), then
+    * [[Skew.choosePath]] maps the card to the analytic or prefix-max
+    * sharded form per the measured crossovers. Both paths are
+    * result-identical (q173 ≡ q69's oracle), so the card changes
+    * cost, never answers (the sessionSummaryAuto pattern). */
+  def sequenceAbuseAuto(df: DataFrame, ts: Column, seq: Column,
+      key: Column, firstPred: Column, secondPred: Column, deltaMs: Long,
+      threshold: Long = 1): DataFrame = {
+    val card = Skew.keySkewCard(
+      df.filter(firstPred || secondPred)
+        .select(xxhash64(key).as("__k")), col("__k"))
+    val path =
+      if (card.isEmpty) Skew.SerialPath.Analytic
+      else Skew.choosePath(card, Skew.SerialOp.SequenceAbuse)
+    path match {
+      case Skew.SerialPath.Sharded => sequenceAbuseSharded(df, ts, seq,
+        key, firstPred, secondPred, deltaMs, threshold)
+      case _ => sequenceAbuse(df, ts, seq, key, firstPred, secondPred,
+        deltaMs, threshold)
+    }
+  }
 }

@@ -156,6 +156,30 @@ class SessionizeShardedSpec extends AnyFunSuite {
       col("event_id"), col("user_id"), col("event_type") === "click",
       col("event_type") === "error", deltaMs = 3600000L))
     assert(shardedQ == plainQ && plainQ.nonEmpty)
+    // card-driven auto: the balanced real table keeps the analytic
+    // path (no slice column), a 50%-hot fixture flips to sharded —
+    // rows identical to the analytic form either way
+    val autoQ = Heuristics.sequenceAbuseAuto(ev, col("ts"),
+      col("event_id"), col("user_id"), col("event_type") === "click",
+      col("event_type") === "error", deltaMs = 3600000L)
+    assert(!autoQ.queryExecution.executedPlan.toString.contains("__slice"))
+    assert(cq(autoQ) == plainQ)
+    val hotSeq = ((1 to 1000).map(i =>
+      ("hot", ts(i.toLong), i.toLong, if (i % 2 == 0) "f" else "s")) ++
+      (1 to 100).flatMap(k => (0 to 9).map(i =>
+        (s"k$k", ts(i * 40L), (10000 + k * 10 + i).toLong,
+          if (i % 2 == 0) "f" else "s"))))
+      .toDF("k", "t", "sq", "e")
+    val autoHotSeq = Heuristics.sequenceAbuseAuto(hotSeq, col("t"),
+      col("sq"), col("k"), col("e") === "f", col("e") === "s",
+      deltaMs = 120000L)
+    assert(autoHotSeq.queryExecution.executedPlan.toString
+      .contains("__slice"), "hot sequence input kept the analytic path")
+    def cqs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(cqs(autoHotSeq) == cqs(Heuristics.sequenceAbuse(hotSeq,
+      col("t"), col("sq"), col("k"), col("e") === "f",
+      col("e") === "s", deltaMs = 120000L)))
   }
 
   test("privateRelayForwardSharded equals privateRelayForward: " +
@@ -240,6 +264,26 @@ class SessionizeShardedSpec extends AnyFunSuite {
       col("ts"), col("event_id"), col("user_id"), col("etype"),
       col("real_address")))
     assert(shardedQ == plainQ && plainQ.nonEmpty)
+    // card-driven auto: the balanced real table keeps the analytic
+    // path; a 50%-hot uid flips to sharded — rows identical either way
+    val autoQ = CustomsDetectors.privateRelayForwardAuto(ev, col("ts"),
+      col("event_id"), col("user_id"), col("etype"),
+      col("real_address"))
+    assert(!autoQ.queryExecution.executedPlan.toString.contains("__slice"))
+    assert(c(autoQ) == plainQ)
+    val hotRelay = ((1 to 1000).map(i =>
+      (0L, ts(i.toLong), i.toLong,
+        if (i % 2 == 0) EmailRelay else FxaRpEvent, s"h${i % 3}")) ++
+      (1 to 100).flatMap(k => (0 to 9).map(i =>
+        (k.toLong, ts(i * 40L), (10000 + k * 10 + i).toLong,
+          if (i % 2 == 0) EmailRelay else FxaRpEvent, s"h${i % 2}"))))
+      .toDF("u", "t", "sq", "e", "addr")
+    val autoHot = CustomsDetectors.privateRelayForwardAuto(hotRelay,
+      col("t"), col("sq"), col("u"), col("e"), col("addr"))
+    assert(autoHot.queryExecution.executedPlan.toString
+      .contains("__slice"), "hot relay input kept the analytic path")
+    assert(c(autoHot) == c(CustomsDetectors.privateRelayForward(
+      hotRelay, col("t"), col("sq"), col("u"), col("e"), col("addr"))))
   }
 
   test("the heavy sort shards by (key, slice) and a narrow slice is " +
