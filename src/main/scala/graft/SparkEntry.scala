@@ -2491,6 +2491,58 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // training-data ops: the quality CLASSIFIER's train→ship→serve
+    // loop — q94's labeled training shipped as the validated
+    // (tok, c_pos, c_neg) artifact (class totals self-contained:
+    // t_pos = sum c_pos) and the whole corpus scored from the LOADED
+    // table. Shares q94's oracle verbatim
+    "q181_quality_classifier_artifact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labeled = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("lab", size(filter(Dedup.tokens(col("text")),
+          t => t.isin("vector", "stream", "batch"))) >= 3)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-llr-artifact").toString
+      TextAnalysis.saveLlrModel(
+        TextAnalysis.llrTrain(labeled, col("text"), col("lab")),
+        s"$tmp/llr")
+      TextAnalysis.llrScoreWith(d, col("doc_id"), col("text"),
+          TextAnalysis.loadLlrModel(s, s"$tmp/llr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: the surprisal LM's train→ship→serve loop —
+    // q89's corpus model shipped as grams + (total, n) meta and the
+    // corpus scored from the LOADED artifact. Shares q89's oracle
+    "q182_surprisal_artifact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-surprisal-artifact").toString
+      TextAnalysis.saveSurprisalModel(
+        TextAnalysis.surprisalTrain(d, col("doc_id"), col("text"),
+          n = 2, minCount = 2),
+        s"$tmp/lm")
+      TextAnalysis.surprisalScoreWith(d, col("doc_id"), col("text"),
+          TextAnalysis.loadSurprisalModel(s, s"$tmp/lm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: the DSIR importance model's train→ship→serve
+    // loop — q102's per-bucket lambda table shipped (4096 rows) and
+    // the corpus weighted from the LOADED table. Shares q102's oracle
+    "q183_dsir_artifact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-dsir-artifact").toString
+      TextAnalysis.saveDsirLambda(
+        TextAnalysis.dsirLambda(d, col("text"),
+          d.filter(col("source") === "src0"), col("text")),
+        s"$tmp/lambda")
+      TextAnalysis.dsirScoreWith(d, col("doc_id"), col("text"),
+          TextAnalysis.loadDsirLambda(s, s"$tmp/lambda"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: the trained language MODEL itself — the
     // (lang, gram, rank) profile frame a multilingual build persists
     // and ships to its classifiers (q160-q167 all consume it; the
@@ -5532,6 +5584,9 @@ object SparkEntry {
       ("q176_alias_abuse_sharded" -> base("q52_alias_abuse")) +
       ("q178_session_summary_auto" -> base("q42_session_summary")) +
       ("q180_ivf_artifact" -> base("q66_ivf_refined")) +
+      ("q181_quality_classifier_artifact" -> extra("q94_quality_classifier")) +
+      ("q182_surprisal_artifact" -> extra("q89_surprisal")) +
+      ("q183_dsir_artifact" -> extra("q102_dsir")) +
       ("q175_lang_profiles" ->
         // q160's lp training CTE standalone: identical normalization
         // on the seed subset, per-language trigram counts, rank

@@ -562,15 +562,34 @@ object TextAnalysis {
     * [[surprisalScore]]), then one doc_id-keyed aggregate. Docs with
     * no tokens are absent (nothing to score). */
   def llrQualityScore(corpus: DataFrame, id: Column, text: Column,
-      labeled: DataFrame, labeledText: Column, label: Column): DataFrame = {
-    val train = labeled.select(labeledText.as("l_text"), label.as("l_pos"))
+      labeled: DataFrame, labeledText: Column, label: Column): DataFrame =
+    llrScoreWith(corpus, id, text, llrTrain(labeled, labeledText, label))
+
+  /** TRAIN half of [[llrQualityScore]], exposed standalone — the
+    * quality classifier is the artifact GPT-3/CCNet-style pipelines
+    * actually ship (train once on the labeled set, score every crawl
+    * with the frozen weights). Output: one row per token with its
+    * per-class occurrence counts (tok, c_pos, c_neg); the class
+    * totals need no separate storage because a token occurrence
+    * counts exactly once in its class column, so t_pos = Σ c_pos and
+    * t_neg = Σ c_neg — the artifact is self-contained. */
+  def llrTrain(labeled: DataFrame, labeledText: Column,
+      label: Column): DataFrame =
+    labeled.select(labeledText.as("l_text"), label.as("l_pos"))
       .select(explode(tokens(col("l_text"))).as("tok"), col("l_pos"))
-    val model = train.groupBy(col("tok"))
+      .groupBy(col("tok"))
       .agg(sum(when(col("l_pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("l_pos"), 1L).otherwise(0L)).as("c_neg"))
-    val totals = train.agg(
-      sum(when(col("l_pos"), 1L).otherwise(0L)).as("t_pos"),
-      sum(when(!col("l_pos"), 1L).otherwise(0L)).as("t_neg"))
+
+  /** SERVE half of [[llrQualityScore]]: score a corpus against a
+    * supplied model — live [[llrTrain]] output or a parquet artifact
+    * loaded through [[loadLlrModel]]; the round-trip is spec-pinned
+    * bit-identical. The class totals reduce from the model itself
+    * (see llrTrain), so the shipped table alone drives scoring. */
+  def llrScoreWith(corpus: DataFrame, id: Column, text: Column,
+      model: DataFrame): DataFrame = {
+    val totals = model.agg(
+      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"))
     corpus.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
       .join(model, Seq("tok"), "left")
       .withColumn("c_pos", coalesce(col("c_pos"), lit(0L)))
@@ -582,6 +601,50 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("score"))
       .withColumn("pred_quality", col("score") > 0)
+  }
+
+  /** Persist a trained [[llrTrain]] classifier. NOT coalesced: unlike
+    * the merge/centroid/profile artifacts this one is
+    * VOCABULARY-sized, so it writes at natural parallelism (scoring
+    * joins it on the token key — partition count is irrelevant to
+    * the result). */
+  def saveLlrModel(model: DataFrame, path: String): Unit =
+    model.select(col("tok").cast("string").as("tok"),
+        col("c_pos").cast("long").as("c_pos"),
+        col("c_neg").cast("long").as("c_neg"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a shipped classifier for [[llrScoreWith]], validated at
+    * the artifact boundary: canonical columns, distinct tokens (a
+    * duplicate would double-count its class mass), no negative
+    * counts, and positive mass in BOTH classes (a one-class table
+    * cannot compute a likelihood ratio — ilog2 of a zero total would
+    * poison every score). */
+  def loadLlrModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val missing = Seq("tok", "c_pos", "c_neg")
+      .filterNot(raw.columns.toSet)
+    require(missing.isEmpty,
+      s"$path is not an llrTrain artifact: missing column(s) " +
+        missing.mkString(", "))
+    val model = raw.select(col("tok").cast("string").as("tok"),
+      col("c_pos").cast("long").as("c_pos"),
+      col("c_neg").cast("long").as("c_neg"))
+    val stats = model.agg(count(lit(1)).as("n"),
+        countDistinct(col("tok")).as("nd"),
+        count(when(col("c_pos") < 0 || col("c_neg") < 0, 1)).as("neg"),
+        sum(col("c_pos")).as("tp"), sum(col("c_neg")).as("tn"))
+      .collect()(0)
+    require(stats.getLong(0) == stats.getLong(1),
+      s"$path carries duplicate token rows")
+    require(stats.getLong(2) == 0L,
+      s"$path carries negative class counts")
+    require(stats.getLong(0) > 0L && stats.getLong(3) > 0L &&
+      stats.getLong(4) > 0L,
+      s"$path must carry positive mass in both classes " +
+        s"(t_pos=${stats.get(3)}, t_neg=${stats.get(4)})")
+    model
   }
 
   /** Corpus-model surprisal scoring — the LM-based quality-signal
@@ -614,15 +677,29 @@ object TextAnalysis {
   def surprisalScore(df: DataFrame, id: Column, text: Column,
       n: Int = 2, minCount: Long = 2): DataFrame = {
     require(n >= 1 && minCount >= 1)
-    val grams = df.select(id.as("doc_id"), tokens(text).as("ws"))
+    val grams = docGrams(df, id, text, n)
+    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val total = grams.agg(count(lit(1)).as("t"))
+    surprisalTail(grams, model, total)
+  }
+
+  /** The word-n-gram explode shared by the fused and split surprisal
+    * forms: one row per (doc_id, gram) occurrence. */
+  private def docGrams(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    df.select(id.as("doc_id"), tokens(text).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
       .select(col("doc_id"), concat_ws(" ",
         (0 until n).map(k => element_at(col("ws"), col("i") + k)): _*).as("g"))
-    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-    val total = grams.agg(count(lit(1)).as("t"))
+
+  /** Scoring tail shared by [[surprisalScore]] and
+    * [[surprisalScoreWith]]: OOV floor, ilog2 information content,
+    * doc aggregate. `total` is a 1-row (t) frame. */
+  private def surprisalTail(grams: DataFrame, model: DataFrame,
+      total: DataFrame): DataFrame =
     grams.join(model, Seq("g"), "left")
       .withColumn("c", coalesce(col("c"), lit(1L))) // OOV floor
       .crossJoin(broadcast(total))
@@ -631,6 +708,86 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ngrams"), sum(col("s")).as("surprisal"))
       .withColumn("mean_x1000",
         floor(col("surprisal") * 1000 / col("n_ngrams")).cast("long"))
+
+  /** A trained surprisal model: the pruned gram-count table plus the
+    * TRAINING corpus's total gram count (NOT derivable from the
+    * pruned table — pruning drops the hapax mass whose count still
+    * belongs in the total) and the gram width both halves must
+    * agree on. */
+  case class SurprisalModel(grams: DataFrame, totalGrams: Long, n: Int)
+
+  /** TRAIN half of [[surprisalScore]], exposed standalone — the
+    * corpus LM a CCNet-style pipeline trains once on a reference
+    * corpus and applies to every incoming crawl. The total is
+    * resolved eagerly (one count — a scalar is the honest artifact
+    * shape for it). */
+  def surprisalTrain(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, minCount: Long = 2): SurprisalModel = {
+    require(n >= 1 && minCount >= 1)
+    val grams = docGrams(df, id, text, n)
+    SurprisalModel(
+      grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCount),
+      grams.count(), n)
+  }
+
+  /** SERVE half: score a corpus against a supplied model — live
+    * [[surprisalTrain]] output or a [[loadSurprisalModel]] artifact;
+    * the round-trip on the training corpus is spec-pinned
+    * bit-identical to the fused [[surprisalScore]]. */
+  def surprisalScoreWith(df: DataFrame, id: Column, text: Column,
+      model: SurprisalModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    surprisalTail(docGrams(df, id, text, model.n), model.grams,
+      Seq(model.totalGrams).toDF("t"))
+  }
+
+  /** Persist a trained [[surprisalTrain]] model: the gram table at
+    * natural parallelism (vocabulary-sized — the llr rule) under
+    * `path/grams`, the scalars (total, n) as a 1-row parquet under
+    * `path/meta`. */
+  def saveSurprisalModel(model: SurprisalModel, path: String): Unit = {
+    val spark = model.grams.sparkSession
+    import spark.implicits._
+    model.grams.select(col("g").cast("string").as("g"),
+        col("c").cast("long").as("c"))
+      .write.mode("overwrite").parquet(s"$path/grams")
+    Seq((model.totalGrams, model.n.toLong)).toDF("total_grams", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a shipped surprisal model, validated at the boundary:
+    * canonical columns in both files, exactly one meta row, positive
+    * total and gram width, distinct grams, no gram count above the
+    * stored total (a doctored count would invert its information
+    * content), none below 1. */
+  def loadSurprisalModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): SurprisalModel = {
+    val metaRaw = spark.read.parquet(s"$path/meta")
+    require(Seq("total_grams", "n").forall(metaRaw.columns.toSet),
+      s"$path is not a surprisalTrain artifact: meta lacks " +
+        "total_grams/n")
+    val meta = metaRaw.select(col("total_grams").cast("long"),
+      col("n").cast("long")).collect()
+    require(meta.length == 1 && meta(0).getLong(0) >= 1 &&
+      meta(0).getLong(1) >= 1,
+      s"$path meta must be one row with positive total_grams and n")
+    val (total, n) = (meta(0).getLong(0), meta(0).getLong(1).toInt)
+    val gramsRaw = spark.read.parquet(s"$path/grams")
+    require(Seq("g", "c").forall(gramsRaw.columns.toSet),
+      s"$path is not a surprisalTrain artifact: grams lacks g/c")
+    val grams = gramsRaw.select(col("g").cast("string").as("g"),
+      col("c").cast("long").as("c"))
+    val stats = grams.agg(count(lit(1)).as("nr"),
+        countDistinct(col("g")).as("nd"),
+        count(when(col("c") < 1L || col("c") > total, 1)).as("bad"))
+      .collect()(0)
+    require(stats.getLong(0) == stats.getLong(1),
+      s"$path carries duplicate gram rows")
+    require(stats.getLong(2) == 0L,
+      s"$path carries gram counts outside [1, total_grams]")
+    SurprisalModel(grams, total, n)
   }
 
   /** Engine-exact BM25 lexical retrieval (the Okapi ranking function,
@@ -904,41 +1061,96 @@ object TextAnalysis {
     * Output: (doc_id, n_grams, logw, mean_x1000), logw the integer
     * Σλ. */
   def dsirWeights(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column): DataFrame =
+    dsirScoreWith(raw, id, text,
+      dsirLambda(raw, text, target, targetText))
+
+  /** The hashed-bigram bucketing shared by DSIR's train and serve
+    * halves: md5 → 4096 buckets, one row per gram occurrence. */
+  private def dsirGrams(first: DataFrame, keep: Seq[String]): DataFrame = {
+    val ks = keep.map(col)
+    first
+      .filter(size(col("ws")) >= 2)
+      .select(ks :+
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i") :+
+        col("ws"): _*)
+      .select(ks :+ conv(substring(md5(concat_ws(" ",
+        element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1))), 1, 3), 16, 10)
+        .cast("long").as("b"): _*)
+  }
+
+  /** TRAIN half of [[dsirWeights]], exposed standalone — the DSIR
+    * importance model is the per-bucket λ table (Xie et al. 2023
+    * train it once per target domain and weight every incoming
+    * document with the frozen table). Fixed 4096-row output
+    * (b, lam). */
+  def dsirLambda(raw: DataFrame, text: Column,
       target: DataFrame, targetText: Column): DataFrame = {
-    def grams(first: DataFrame, keep: Seq[String]): DataFrame = {
-      val ks = keep.map(col)
-      first
-        .filter(size(col("ws")) >= 2)
-        .select(ks :+
-          explode(sequence(lit(1), size(col("ws")) - 1)).as("i") :+
-          col("ws"): _*)
-        .select(ks :+ conv(substring(md5(concat_ws(" ",
-          element_at(col("ws"), col("i")),
-          element_at(col("ws"), col("i") + 1))), 1, 3), 16, 10)
-          .cast("long").as("b"): _*)
-    }
-    val rawGrams = grams(
-      raw.select(id.as("doc_id"), tokens(text).as("ws")), Seq("doc_id"))
-    val tgtGrams = grams(
+    val rawB = dsirGrams(raw.select(tokens(text).as("ws")), Seq.empty)
+    val tgtGrams = dsirGrams(
       target.select(tokens(targetText).as("ws")), Seq.empty)
-    def bucketCounts(g: DataFrame): DataFrame =
-      g.groupBy(col("b")).agg(count(lit(1)).as("c"))
-    val ct = bucketCounts(tgtGrams)
-    val cr = bucketCounts(rawGrams.select(col("b")))
+    val ct = tgtGrams.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val cr = rawB.groupBy(col("b")).agg(count(lit(1)).as("c"))
     val tt = tgtGrams.agg(count(lit(1)).as("tt"))
-    val tr = rawGrams.agg(count(lit(1)).as("tr"))
-    val lambda = cr.join(ct.withColumnRenamed("c", "c_t"), Seq("b"), "full")
+    val tr = rawB.agg(count(lit(1)).as("tr"))
+    cr.join(ct.withColumnRenamed("c", "c_t"), Seq("b"), "full")
       .select(col("b"), coalesce(col("c"), lit(0L)).as("c_r"),
         coalesce(col("c_t"), lit(0L)).as("c_t"))
       .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
       .select(col("b"),
         ((ilog2(col("c_t") + 1) - ilog2(col("tt"))) -
           (ilog2(col("c_r") + 1) - ilog2(col("tr")))).as("lam"))
-    rawGrams.join(broadcast(lambda), Seq("b"))
+  }
+
+  /** SERVE half: weight a corpus against a supplied λ table — live
+    * [[dsirLambda]] output or a [[loadDsirLambda]] artifact; the
+    * round-trip is spec-pinned bit-identical to the fused
+    * [[dsirWeights]]. Buckets the incoming corpus never trained
+    * (absent from the table) drop — matching the fused form, whose
+    * inner join only keeps buckets the raw corpus itself populated
+    * (every raw gram's bucket is in the table by construction). */
+  def dsirScoreWith(raw: DataFrame, id: Column, text: Column,
+      lambda: DataFrame): DataFrame =
+    dsirGrams(raw.select(id.as("doc_id"), tokens(text).as("ws")),
+        Seq("doc_id"))
+      .join(broadcast(lambda.select(col("b"), col("lam"))), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("logw"))
       .withColumn("mean_x1000",
         floor(col("logw") * 1000 / col("n_grams")).cast("long"))
+
+  /** Persist a trained [[dsirLambda]] table (≤ 4096 rows — one
+    * file). */
+  def saveDsirLambda(lambda: DataFrame, path: String): Unit =
+    lambda.select(col("b").cast("long").as("b"),
+        col("lam").cast("long").as("lam"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a shipped λ table for [[dsirScoreWith]], validated at the
+    * boundary: canonical columns, distinct buckets in [0, 4095] (a
+    * duplicate would double-weight its gram mass; an out-of-range
+    * bucket can never match an md5-derived key — a corrupt table,
+    * not a harmless extra). */
+  def loadDsirLambda(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val missing = Seq("b", "lam").filterNot(raw.columns.toSet)
+    require(missing.isEmpty,
+      s"$path is not a dsirLambda artifact: missing column(s) " +
+        missing.mkString(", "))
+    val table = raw.select(col("b").cast("long").as("b"),
+      col("lam").cast("long").as("lam"))
+    val stats = table.agg(count(lit(1)).as("n"),
+        countDistinct(col("b")).as("nd"),
+        count(when(col("b") < 0L || col("b") > 4095L, 1)).as("oob"))
+      .collect()(0)
+    require(stats.getLong(0) == stats.getLong(1),
+      s"$path carries duplicate bucket rows")
+    require(stats.getLong(2) == 0L,
+      s"$path carries bucket ids outside [0, 4095]")
+    table
   }
 
   /** Fill-in-the-middle split planning (Bavarian et al. 2022,

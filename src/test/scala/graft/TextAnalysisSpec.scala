@@ -1515,4 +1515,77 @@ class TextAnalysisSpec extends AnyFunSuite {
     live.filter(col("round") > 100L).write.parquet(s"$tmp/empty")
     assert(TextAnalysis.loadBpeMerges(spark, s"$tmp/empty").count() == 0L)
   }
+
+  test("llr/surprisal/dsir artifacts: each trained quality model " +
+      "ships as validated parquet and serves bit-identically to its " +
+      "fused train+score form; doctored tables are refused at load") {
+    import spark.implicits._
+    import graft.sources.Tables
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-quality-models").toString
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // LLR classifier (q94's derivation)
+    val labeled = d.filter(col("doc_id") % 2 === 0)
+      .withColumn("lab", size(filter(Dedup.tokens(col("text")),
+        t => t.isin("vector", "stream", "batch"))) >= 3)
+    val fusedLlr = rows(TextAnalysis.llrQualityScore(d, col("doc_id"),
+      col("text"), labeled, col("text"), col("lab")))
+    TextAnalysis.saveLlrModel(
+      TextAnalysis.llrTrain(labeled, col("text"), col("lab")),
+      s"$tmp/llr")
+    assert(rows(TextAnalysis.llrScoreWith(d, col("doc_id"), col("text"),
+      TextAnalysis.loadLlrModel(spark, s"$tmp/llr"))) == fusedLlr &&
+      fusedLlr.nonEmpty)
+    // refusals: duplicate tokens; a one-class table
+    val llr = TextAnalysis.loadLlrModel(spark, s"$tmp/llr")
+    llr.union(llr).write.parquet(s"$tmp/llr_dup")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadLlrModel(spark, s"$tmp/llr_dup")
+    }.getMessage.contains("duplicate token"))
+    llr.withColumn("c_neg", lit(0L)).write.parquet(s"$tmp/llr_onecls")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadLlrModel(spark, s"$tmp/llr_onecls")
+    }.getMessage.contains("both classes"))
+
+    // surprisal LM (q89's derivation)
+    val fusedSur = rows(TextAnalysis.surprisalScore(d, col("doc_id"),
+      col("text"), n = 2, minCount = 2))
+    val surModel = TextAnalysis.surprisalTrain(d, col("doc_id"),
+      col("text"), n = 2, minCount = 2)
+    TextAnalysis.saveSurprisalModel(surModel, s"$tmp/sur")
+    val surLoaded = TextAnalysis.loadSurprisalModel(spark, s"$tmp/sur")
+    assert(surLoaded.totalGrams == surModel.totalGrams &&
+      surLoaded.n == 2)
+    assert(rows(TextAnalysis.surprisalScoreWith(d, col("doc_id"),
+      col("text"), surLoaded)) == fusedSur && fusedSur.nonEmpty)
+    // refusal: a gram count above the stored total
+    surLoaded.grams.withColumn("c", lit(surModel.totalGrams + 1))
+      .write.parquet(s"$tmp/sur_bad/grams")
+    spark.read.parquet(s"$tmp/sur/meta")
+      .write.parquet(s"$tmp/sur_bad/meta")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadSurprisalModel(spark, s"$tmp/sur_bad")
+    }.getMessage.contains("outside [1, total_grams]"))
+
+    // DSIR lambda (q102's derivation)
+    val fusedDsir = rows(TextAnalysis.dsirWeights(d, col("doc_id"),
+      col("text"), d.filter(col("source") === "src0"), col("text")))
+    TextAnalysis.saveDsirLambda(
+      TextAnalysis.dsirLambda(d, col("text"),
+        d.filter(col("source") === "src0"), col("text")),
+      s"$tmp/dsir")
+    val dsirLoaded = TextAnalysis.loadDsirLambda(spark, s"$tmp/dsir")
+    assert(rows(TextAnalysis.dsirScoreWith(d, col("doc_id"),
+      col("text"), dsirLoaded)) == fusedDsir && fusedDsir.nonEmpty)
+    // refusal: an out-of-range bucket id
+    dsirLoaded.withColumn("b", col("b") + 10000L)
+      .write.parquet(s"$tmp/dsir_oob")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadDsirLambda(spark, s"$tmp/dsir_oob")
+    }.getMessage.contains("outside [0, 4095]"))
+  }
 }
