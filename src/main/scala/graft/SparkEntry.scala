@@ -2543,6 +2543,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: the PQ CODEBOOK's train→ship→serve loop —
+    // q114's per-sub-space codebook materialized standalone
+    // (pqCodebook), shipped as parquet, loaded through the validated
+    // boundary (contiguous sub-spaces, distinct codes, norm ≡
+    // self-dot), and the ADC search served from the LOADED codebook
+    // (sub-space count read off the artifact itself). Shares q114's
+    // oracle verbatim — the compression member of the ANN family
+    // joins IVF in the shipped-index story
+    "q184_pq_artifact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pq-artifact").toString
+      Similarity.savePqCodebook(
+        Similarity.pqCodebook(emb, col("vec_id"), col("embedding")),
+        s"$tmp/codebook")
+      Similarity.pqAdcTopKWith(emb, col("vec_id"), col("embedding"),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+          codebook = Similarity.loadPqCodebook(s, s"$tmp/codebook"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // training-data ops: the trained language MODEL itself — the
     // (lang, gram, rank) profile frame a multilingual build persists
     // and ships to its classifiers (q160-q167 all consume it; the
@@ -5587,6 +5608,7 @@ object SparkEntry {
       ("q181_quality_classifier_artifact" -> extra("q94_quality_classifier")) +
       ("q182_surprisal_artifact" -> extra("q89_surprisal")) +
       ("q183_dsir_artifact" -> extra("q102_dsir")) +
+      ("q184_pq_artifact" -> extra("q114_pq_adc_topk")) +
       ("q175_lang_profiles" ->
         // q160's lp training CTE standalone: identical normalization
         // on the seed subset, per-language trigram counts, rank

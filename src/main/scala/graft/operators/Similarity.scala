@@ -204,17 +204,24 @@ object Similarity {
     * the first `codes` corpus ids — the IVF seed-centroid
     * discipline). One narrow explode (M rows per vector, each
     * dims/M longs wide). */
-  private def pqSubs(emb: DataFrame, id: Column, vec: Column, m: Int,
-      codes: Int, dims: Int): (DataFrame, DataFrame) = {
-    require(dims % m == 0, "m must divide dims")
-    require(codes >= 1, "codes must be positive")
+  /** The (vec_id, m, sv, s_nrm2) sub-vector explode shared by every
+    * PQ form. */
+  private def subsOf(emb: DataFrame, id: Column, vec: Column, m: Int,
+      dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, "m must divide dims")
     val sub = dims / m
-    val subs = quantized(emb, id, vec)
+    quantized(emb, id, vec)
       .select(col("vec_id"), col("qv"),
         explode(sequence(lit(0L), lit(m - 1L))).as("m"))
       .select(col("vec_id"), col("m"),
         slice(col("qv"), (col("m") * sub + 1).cast("int"), lit(sub)).as("sv"))
       .withColumn("s_nrm2", dotQ(col("sv"), col("sv")))
+  }
+
+  private def pqSubs(emb: DataFrame, id: Column, vec: Column, m: Int,
+      codes: Int, dims: Int): (DataFrame, DataFrame) = {
+    require(codes >= 1, "codes must be positive")
+    val subs = subsOf(emb, id, vec, m, dims)
     val cents = subs.filter(col("vec_id") < codes)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"),
         col("s_nrm2").as("c_nrm2"))
@@ -263,10 +270,18 @@ object Similarity {
       dims: Int = 64,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val (subs0, cents) = pqSubs(emb, id, vec, m, codes, dims)
-    // subs feeds the code assignment AND the query distance table; in
-    // a deployment the codes are a stored index, the cache is the
-    // single-job stand-in (same policy as ivfTopK)
+    val (subs, cents) = pqSubs(emb, id, vec, m, codes, dims)
+    adcSearch(subs, cents, queryIds, k, storage)
+  }
+
+  /** Shared ADC tail: code assignment + per-query distance table +
+    * code-table scan, against SUPPLIED codebook entries. `subs`
+    * feeds the code assignment AND the query distance table; in a
+    * deployment the codes are a stored index, the cache is the
+    * single-job stand-in (same policy as ivfTopK). */
+  private def adcSearch(subs0: DataFrame, cents: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      storage: org.apache.spark.storage.StorageLevel): DataFrame = {
     val subs =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) subs0
       else subs0.persist(storage)
@@ -293,6 +308,83 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.vecId").as("vec_id"),
         (-col("col.cosine")).cast("long").as("adc"))
+  }
+
+  /** The PQ CODEBOOK as a standalone artifact — (m, code, cv, c_nrm2)
+    * per sub-space, materialized eagerly (m·codes rows — the
+    * budgetSelect class): the half of the PQ index a deployment
+    * ships so new corpora encode and search against FROZEN codebooks
+    * (the ivfCentroids precedent for the compression member of the
+    * ANN family). */
+  def pqCodebook(emb: DataFrame, id: Column, vec: Column, m: Int = 8,
+      codes: Int = 16, dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = pqSubs(emb, id, vec, m, codes, dims)._2
+    val rows = cents.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), cents.schema)
+  }
+
+  /** Serve-side ADC search against a SUPPLIED codebook (live
+    * [[pqCodebook]] or a [[loadPqCodebook]] artifact). The sub-space
+    * count is read off the codebook itself (max m + 1 — validated
+    * contiguous at load), so the caller cannot desynchronize the
+    * explode from the codebook that encodes it. */
+  def pqAdcTopKWith(emb: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, codebook: DataFrame, dims: Int = 64,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val mCount = codebook.agg(max(col("m"))).collect()(0).getLong(0) + 1
+    adcSearch(subsOf(emb, id, vec, mCount.toInt, dims),
+      codebook.select(col("m"), col("code"), col("cv"), col("c_nrm2")),
+      queryIds, k, storage)
+  }
+
+  /** Persist a [[pqCodebook]] (m·codes rows — one file). */
+  def savePqCodebook(codebook: DataFrame, path: String): Unit =
+    codebook.select(col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"),
+        col("cv").cast("array<bigint>").as("cv"),
+        col("c_nrm2").cast("long").as("c_nrm2"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a shipped PQ codebook, validated at the boundary: canonical
+    * columns, distinct (m, code) pairs, contiguous sub-space ids
+    * 0..M-1 (the serve-side explode derives M from the codebook), one
+    * uniform sub-vector width, and stored norms equal to the vectors'
+    * self-dot-products. Bounded eager checks (m·codes rows). */
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val missing = Seq("m", "code", "cv", "c_nrm2")
+      .filterNot(raw.columns.toSet)
+    require(missing.isEmpty,
+      s"$path is not a pqCodebook artifact: missing column(s) " +
+        missing.mkString(", "))
+    val table = raw.select(col("m").cast("long").as("m"),
+      col("code").cast("long").as("code"),
+      col("cv").cast("array<bigint>").as("cv"),
+      col("c_nrm2").cast("long").as("c_nrm2"))
+    val stats = table.agg(count(lit(1)).as("n"),
+        countDistinct(col("m"), col("code")).as("nd"),
+        min(col("m")).as("mlo"), max(col("m")).as("mhi"),
+        countDistinct(col("m")).as("mn"),
+        countDistinct(size(col("cv"))).as("widths"),
+        count(when(dotQ(col("cv"), col("cv")) =!= col("c_nrm2"), 1))
+          .as("bad_nrm"))
+      .collect()(0)
+    require(stats.getLong(0) > 0L, s"$path is empty")
+    require(stats.getLong(0) == stats.getLong(1),
+      s"$path carries duplicate (m, code) rows")
+    require(stats.getLong(2) == 0L &&
+      stats.getLong(3) == stats.getLong(4) - 1,
+      s"$path sub-space ids must be contiguous 0..M-1")
+    require(stats.getLong(5) == 1L,
+      s"$path carries mixed sub-vector widths")
+    require(stats.getLong(6) == 0L,
+      s"$path carries ${stats.getLong(6)} codebook entr(ies) whose " +
+        "stored norm is not the vector's self-dot-product")
+    table
   }
 
   /** Per-group centroid + dispersion — the embedding-space drift

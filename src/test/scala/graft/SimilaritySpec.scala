@@ -609,4 +609,40 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.loadIvfCentroids(spark, s"$tmp/doctored")
     }.getMessage.contains("self-dot-product"))
   }
+
+  test("PQ codebook artifact: train -> ship -> serve round-trips " +
+      "bit-identically to pqAdcTopK; gapped sub-spaces and doctored " +
+      "norms are refused at load") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def canonOut(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val fused = canonOut(Similarity.pqAdcTopK(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5,
+      storage = org.apache.spark.storage.StorageLevel.NONE))
+    val cb = Similarity.pqCodebook(emb, col("vec_id"), col("embedding"))
+    assert(cb.count() == 8L * 16L) // m x codes, eager local frame
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-pq-model").toString
+    Similarity.savePqCodebook(cb, s"$tmp/cb")
+    val loaded = Similarity.loadPqCodebook(spark, s"$tmp/cb")
+    assert(loaded.orderBy(col("m"), col("code")).collect().map(_.toSeq)
+      .toSeq == cb.select(col("m"), col("code"), col("cv"),
+        col("c_nrm2")).orderBy(col("m"), col("code")).collect()
+      .map(_.toSeq).toSeq)
+    val served = canonOut(Similarity.pqAdcTopKWith(emb, col("vec_id"),
+      col("embedding"), queryIds, k = 5, codebook = loaded,
+      storage = org.apache.spark.storage.StorageLevel.NONE))
+    assert(served == fused && fused.nonEmpty)
+    // refusals: a missing sub-space, a doctored norm
+    cb.filter(col("m") =!= 3L).write.parquet(s"$tmp/gap")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadPqCodebook(spark, s"$tmp/gap")
+    }.getMessage.contains("contiguous"))
+    cb.withColumn("c_nrm2", col("c_nrm2") + 1L)
+      .write.parquet(s"$tmp/badnrm")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadPqCodebook(spark, s"$tmp/badnrm")
+    }.getMessage.contains("self-dot-product"))
+  }
 }
