@@ -2564,6 +2564,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // training-data ops: windowed quality mix — the batch twin of
+    // Streaming.qualityMixStream (the "is the crawl's quality
+    // collapsing" standing monitor): the TRAINED classifier's
+    // per-window predicted-quality counts, arrival synthesized from
+    // doc_id (the q162 pattern). The stream shares the exact
+    // llrTokenScore expression, so this oracle hash covers the
+    // streaming scorer's arithmetic too
+    "q185_quality_mix_windows" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labeled = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("lab", size(filter(Dedup.tokens(col("text")),
+          t => t.isin("vector", "stream", "batch"))) >= 3)
+      TextAnalysis.llrScoreWith(d, col("doc_id"), col("text"),
+          TextAnalysis.llrTrain(labeled, col("text"), col("lab")))
+        .withColumn("window_start_ms",
+          expr("(1700000000 + doc_id * 60) DIV 600 * 600 * 1000"))
+        .groupBy(col("window_start_ms"), col("pred_quality"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("window_start_ms"), col("pred_quality"))
+    }),
+
     // training-data ops: the trained language MODEL itself — the
     // (lang, gram, rank) profile frame a multilingual build persists
     // and ships to its classifiers (q160-q167 all consume it; the
@@ -5609,6 +5630,38 @@ object SparkEntry {
       ("q182_surprisal_artifact" -> extra("q89_surprisal")) +
       ("q183_dsir_artifact" -> extra("q102_dsir")) +
       ("q184_pq_artifact" -> extra("q114_pq_adc_topk")) +
+      // qualityMixStream's batch twin: q94's training/scoring CTEs +
+      // the synthesized-arrival window rollup
+      ("q185_quality_mix_windows" ->
+        """WITH w AS (SELECT doc_id,
+          |    list_filter(string_split(lower(text), ' '), t -> t <> '') ws
+          |  FROM documents),
+          |lab AS (SELECT doc_id, ws,
+          |    len(list_filter(ws,
+          |      t -> t IN ('vector', 'stream', 'batch'))) >= 3 AS l_pos
+          |  FROM w WHERE doc_id % 2 = 0),
+          |tr AS (SELECT unnest(ws) tok, l_pos FROM lab),
+          |model AS (SELECT tok,
+          |    CAST(SUM(CASE WHEN l_pos THEN 1 ELSE 0 END) AS BIGINT) c_pos,
+          |    CAST(SUM(CASE WHEN NOT l_pos THEN 1 ELSE 0 END) AS BIGINT) c_neg
+          |  FROM tr GROUP BY 1),
+          |tot AS (SELECT
+          |    CAST(SUM(CASE WHEN l_pos THEN 1 ELSE 0 END) AS BIGINT) t_pos,
+          |    CAST(SUM(CASE WHEN NOT l_pos THEN 1 ELSE 0 END) AS BIGINT) t_neg
+          |  FROM tr),
+          |ct AS (SELECT doc_id, unnest(ws) tok FROM w),
+          |sc AS (SELECT doc_id,
+          |    ((length(bin(COALESCE(c_pos, 0) + 1)) - 1)
+          |      - (length(bin(t_pos)) - 1))
+          |    - ((length(bin(COALESCE(c_neg, 0) + 1)) - 1)
+          |      - (length(bin(t_neg)) - 1)) AS s
+          |  FROM ct LEFT JOIN model USING (tok) CROSS JOIN tot),
+          |doc AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) > 0 AS pred_quality
+          |  FROM sc GROUP BY 1)
+          |SELECT CAST((1700000000 + doc_id * 60) // 600 * 600 * 1000
+          |    AS BIGINT) AS window_start_ms,
+          |  pred_quality, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM doc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q175_lang_profiles" ->
         // q160's lp training CTE standalone: identical normalization
         // on the seed subset, per-language trigram counts, rank

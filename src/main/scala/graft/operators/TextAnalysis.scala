@@ -581,6 +581,17 @@ object TextAnalysis {
       .agg(sum(when(col("l_pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("l_pos"), 1L).otherwise(0L)).as("c_neg"))
 
+  /** The per-token LLR score shared VERBATIM by [[llrScoreWith]] and
+    * the streaming [[graft.streaming.Streaming.qualityMixStream]]
+    * (the q177 lesson: one named expression, so the stream cannot
+    * drift from the oracled batch form). `cPos`/`cNeg` may be null
+    * (a left-join miss = out-of-vocabulary token — scores the
+    * smoothing floor). */
+  private[graft] def llrTokenScore(cPos: Column, cNeg: Column,
+      tPos: Column, tNeg: Column): Column =
+    (ilog2(coalesce(cPos, lit(0L)) + 1) - ilog2(tPos)) -
+      (ilog2(coalesce(cNeg, lit(0L)) + 1) - ilog2(tNeg))
+
   /** SERVE half of [[llrQualityScore]]: score a corpus against a
     * supplied model — live [[llrTrain]] output or a parquet artifact
     * loaded through [[loadLlrModel]]; the round-trip is spec-pinned
@@ -592,12 +603,10 @@ object TextAnalysis {
       sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"))
     corpus.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
       .join(model, Seq("tok"), "left")
-      .withColumn("c_pos", coalesce(col("c_pos"), lit(0L)))
-      .withColumn("c_neg", coalesce(col("c_neg"), lit(0L)))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
-        ((ilog2(col("c_pos") + 1) - ilog2(col("t_pos"))) -
-          (ilog2(col("c_neg") + 1) - ilog2(col("t_neg")))).as("s"))
+        llrTokenScore(col("c_pos"), col("c_neg"),
+          col("t_pos"), col("t_neg")).as("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("score"))
       .withColumn("pred_quality", col("score") > 0)

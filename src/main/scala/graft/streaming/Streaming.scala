@@ -354,6 +354,55 @@ object Streaming {
       }
   }
 
+  /** Streaming quality-mix monitor — the SHIPPED LLR classifier
+    * ([[graft.operators.TextAnalysis.llrTrain]] /
+    * `loadLlrModel`) applied to an unbounded document stream: per
+    * window, how many incoming docs the frozen model predicts
+    * high- vs low-quality (the "is the crawl's quality collapsing"
+    * standing monitor, the drift-stream's sibling on the quality
+    * axis).
+    *
+    * Shape: the model joins as a STREAM-STATIC join on the token key
+    * — the langIdStream collect-a-Map approach would NOT scale here
+    * (the classifier is VOCABULARY-sized where the lang model is
+    * |langs|·m-bounded), so the declarative join is load-bearing,
+    * not a style choice. The class totals DO collect eagerly (2
+    * scalars, self-contained in the model — llrTrain's contract).
+    * Per-doc score aggregation is the first stateful operator
+    * (windowed, doc-keyed — watermark-evicted), the quality-mix
+    * count the second, grouped on the SAME time window — the
+    * chained-windowed-aggregation pattern Spark supports in Append
+    * mode. Token scoring is [[graft.operators.TextAnalysis]]'s exact
+    * integer LLR, so finalized windows are bit-identical to the
+    * batch twin (`llrScoreWith` + a window rollup — spec-pinned).
+    *
+    * Output: (window_start_ms, pred_quality, n_docs). */
+  def qualityMixStream(df: DataFrame, tsName: String, id: Column,
+      text: Column, model: DataFrame, windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    val totalRow = model
+      .agg(sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"))
+      .collect()(0)
+    val (tPos, tNeg) = (totalRow.getLong(0), totalRow.getLong(1))
+    require(tPos > 0 && tNeg > 0,
+      "model must carry positive mass in both classes")
+    df.withWatermark(tsName, watermarkDelay)
+      .select(col(tsName).as("__ts"), id.as("doc_id"),
+        explode(graft.operators.Dedup.tokens(text)).as("tok"))
+      .join(model.select(col("tok"), col("c_pos"), col("c_neg")),
+        Seq("tok"), "left")
+      .select(col("__ts"), col("doc_id"),
+        graft.operators.TextAnalysis.llrTokenScore(col("c_pos"),
+          col("c_neg"), lit(tPos), lit(tNeg)).as("s"))
+      .groupBy(window(col("__ts"), windowDuration), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .select(col("window"), (col("score") > 0).as("pred_quality"))
+      .groupBy(col("window"), col("pred_quality"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("pred_quality"), col("n_docs"))
+  }
+
   /** Streaming key-skew monitor — the in-flight form of
     * [[graft.operators.Skew.keySkewCardBy]]: per-window per-key
     * counts under a watermark (Append mode — a window's counts

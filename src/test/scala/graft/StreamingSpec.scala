@@ -1888,4 +1888,84 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("qualityMixStream: the SHIPPED LLR classifier applied to a " +
+      "document stream (stream-static model join + chained windowed " +
+      "aggregation) — finalized windows equal the batch twin over " +
+      "the same documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.sources.Tables
+    implicit val sqlCtx = spark.sqlContext
+    // train on q94's derivation, ship, load — the stream consumes
+    // the ARTIFACT, not the live model
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val labeled = d.filter(col("doc_id") % 2 === 0)
+      .withColumn("lab", size(filter(Dedup.tokens(col("text")),
+        t => t.isin("vector", "stream", "batch"))) >= 3)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-qmix-stream").toString
+    TextAnalysis.saveLlrModel(
+      TextAnalysis.llrTrain(labeled, col("text"), col("lab")), s"$tmp/m")
+    val model = TextAnalysis.loadLlrModel(spark, s"$tmp/m")
+
+    val t0 = 1700000000L
+    // a genuine MIX, selected by the model's own batch predictions
+    // (the corpus-dependent marker heuristic under-selected): up to
+    // 20 predicted-positive docs interleaved with predicted-negative
+    // ones, so both quality classes appear in the finalized windows
+    val predicted = TextAnalysis.llrScoreWith(d, col("doc_id"),
+        col("text"), model)
+      .select(col("doc_id"), col("pred_quality"))
+      .as[(Long, Boolean)].collect().toMap
+    val texts = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    def pick(cls: Boolean) = predicted.collect {
+      case (id0, p) if p == cls => id0 }.toSeq.sorted.take(20)
+      .map(id0 => (id0, texts(id0)))
+    val (posD, negD) = (pick(true), pick(false))
+    assert(posD.nonEmpty && negD.nonEmpty,
+      "fixture needs both predicted classes in the corpus")
+    val docs = (posD ++ negD).zipWithIndex
+      .sortBy { case (_, i) => i % negD.size } // interleave classes
+      .map(_._1)
+    // two 10-minute windows, 20 docs each, across two micro-batches
+    val events = docs.zipWithIndex.map { case ((id0, t), i) =>
+      (t0 + (i / 20) * 600L + (i % 20), id0, t) }
+    val (b1, b2) = events.splitAt(25)
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Streaming.qualityMixStream(
+        in.toDS().select(timestamp_seconds(col("_1")).as("ts"),
+          col("_2").as("doc_id"), col("_3").as("text")),
+        "ts", col("doc_id"), col("text"), model,
+        "10 minutes", "30 seconds")
+      .writeStream.format("memory").queryName("qmix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData((t0 + 7200L, -1L, "the end")); q.processAllAvailable()
+      val streamed = spark.table("qmix")
+        .filter(col("window_start_ms") < (t0 + 7200L) / 600 * 600 * 1000)
+        .select(col("window_start_ms"), col("pred_quality"),
+          col("n_docs"))
+        .as[(Long, Boolean, Long)].collect().toSet
+      // batch twin: the oracled serve path + the same window rollup
+      val twin = TextAnalysis.llrScoreWith(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), model)
+        .join(events.map { case (ts, id0, _) => (id0, ts) }
+          .toDF("doc_id", "ts_s"), Seq("doc_id"))
+        .select((expr("ts_s DIV 600") * 600 * 1000)
+          .as("window_start_ms"), col("pred_quality"))
+        .groupBy(col("window_start_ms"), col("pred_quality"))
+        .agg(count(lit(1)).as("n_docs"))
+        .as[(Long, Boolean, Long)].collect().toSet
+      assert(streamed == twin && streamed.nonEmpty &&
+        streamed.map(_._1).size >= 2,
+        s"streamed $streamed vs batch $twin")
+      // both quality classes appear (the monitor monitors a MIX)
+      assert(streamed.map(_._2) == Set(true, false))
+    } finally q.stop()
+  }
 }
