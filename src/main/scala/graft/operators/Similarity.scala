@@ -333,7 +333,12 @@ object Similarity {
       queryIds: Seq[Long], k: Int, codebook: DataFrame, dims: Int = 64,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val mCount = codebook.agg(max(col("m"))).collect()(0).getLong(0) + 1
+    // loadPqCodebook already refuses an empty artifact; a LIVE empty
+    // frame must get the same loud refusal, not a null-unbox NPE
+    val maxM = codebook.agg(max(col("m"))).collect()(0)
+    require(!maxM.isNullAt(0),
+      "codebook is empty: nothing to derive the sub-space count from")
+    val mCount = maxM.getLong(0) + 1
     adcSearch(subsOf(emb, id, vec, mCount.toInt, dims),
       codebook.select(col("m"), col("code"), col("cv"), col("c_nrm2")),
       queryIds, k, storage)

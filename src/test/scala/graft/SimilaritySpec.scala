@@ -644,5 +644,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Similarity.loadPqCodebook(spark, s"$tmp/badnrm")
     }.getMessage.contains("self-dot-product"))
+    // a LIVE empty codebook refuses like the loaded one (no NPE)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopKWith(emb, col("vec_id"), col("embedding"),
+        queryIds, k = 5, codebook = cb.filter(col("m") < 0L))
+    }.getMessage.contains("empty"))
   }
 }
