@@ -2564,6 +2564,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // scale ops: the card-driven AUTO relay scan — q46's derivation
+    // through privateRelayForwardAuto (one skew-card pass over the
+    // relay-relevant uids, then Skew.choosePath picks the path; the
+    // balanced driver corpus resolves analytic). Shares q46's oracle
+    // — with q178 (sessions) and q187 (sequence), every flippable
+    // per-key-serial member's chooser is driver-visible and
+    // hash-checked
+    "q186_private_relay_auto" -> ((s, dir) => {
+      import operators.CustomsDetectors
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "view", "click"))
+        .withColumn("etype", when(col("event_type") === "signup",
+          CustomsDetectors.FxaRpEvent).otherwise(CustomsDetectors.EmailRelay))
+        .withColumn("real_address", concat(lit("h"), col("event_id") % 3))
+      CustomsDetectors.privateRelayForwardAuto(e, col("ts"),
+          col("event_id"), col("user_id"), col("etype"),
+          col("real_address"))
+        .orderBy(col("uid"), col("ts_ms"), col("actual"))
+    }),
+
+    // scale ops: the card-driven AUTO sequence-abuse scan — q69's
+    // derivation through sequenceAbuseAuto; shares q69's oracle
+    "q187_sequence_abuse_auto" -> ((s, dir) => {
+      Heuristics.sequenceAbuseAuto(Tables.events(s, dir), col("ts"),
+          col("event_id"), col("user_id"),
+          col("event_type") === "click", col("event_type") === "error",
+          deltaMs = 3600000L, threshold = 1)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // training-data ops: windowed quality mix — the batch twin of
     // Streaming.qualityMixStream (the "is the crawl's quality
     // collapsing" standing monitor): the TRAINED classifier's
@@ -5625,6 +5656,8 @@ object SparkEntry {
       ("q173_sequence_abuse_sharded" -> base("q69_sequence_abuse")) +
       ("q176_alias_abuse_sharded" -> base("q52_alias_abuse")) +
       ("q178_session_summary_auto" -> base("q42_session_summary")) +
+      ("q186_private_relay_auto" -> base("q46_private_relay")) +
+      ("q187_sequence_abuse_auto" -> base("q69_sequence_abuse")) +
       ("q180_ivf_artifact" -> base("q66_ivf_refined")) +
       ("q181_quality_classifier_artifact" -> extra("q94_quality_classifier")) +
       ("q182_surprisal_artifact" -> extra("q89_surprisal")) +
