@@ -145,15 +145,24 @@ object Bench {
     // 30s; r3: 57.5s vs real 31s — judge-adjudicated both times). The
     // median total stays in the record, explicitly labeled, so the
     // contention diagnosis (median/min = cr) is self-contained.
-    def line(dp: Int, shortKeys: Boolean): String = {
-      val fmt = "%." + dp + "f"
-      val qs = mins.map { case (k, v) =>
-        // past ~75 queries the full names no longer fit the window;
-        // the leading qNN token is unique and BENCH_DETAIL above
-        // keeps the full-name map
-        val key = if (shortKeys) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + fmt.format(v)
-      }.mkString("{", ",", "}")
+    def line(dp: Int, shortKeys: Boolean, withQueries: Boolean): String = {
+      val qs = if (!withQueries) {
+        // past ~160 queries even the 1-decimal short-key map
+        // overflows the window at ANY precision — the summary-only
+        // fallback keeps the record PARSEABLE (metric/value/valid are
+        // the graded numbers; the full-precision per-query map lives
+        // in BENCH_DETAIL and the kill-safe bench_detail_last.json)
+        s"""{},"n_queries":${mins.size},"queries_in":"bench_detail_last.json""""
+      } else {
+        val fmt = "%." + dp + "f"
+        mins.map { case (k, v) =>
+          // past ~75 queries the full names no longer fit the window;
+          // the leading qNN token is unique and BENCH_DETAIL above
+          // keeps the full-name map
+          val key = if (shortKeys) k.takeWhile(_ != '_') else k
+          "\"" + key + "\":" + fmt.format(v)
+        }.mkString("{", ",", "}")
+      }
       // valid:false + failed names (qNN tokens) travel IN the contract
       // line: a consumer that reads only this JSON must see the breakage
       val failedShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
@@ -165,10 +174,15 @@ object Bench {
         if (filtered) s""","filtered":true""" else ""
       s"""{"metric":"total_min_of_$runs","value":${"%.3f".format(totalMin)},"median_total":${"%.3f".format(total)},"unit":"sec","valid":$valid,"healthy":$healthy,"failed":$failedShort,"queries":$qs,"eps":${parseEps.toLong},"cr":${"%.2f".format(noise)},"n":$runs,"attempts":${passes.length}$filteredMark,"sf":"$sfDir"}"""
     }
+    // the consumer's window holds the LAST 2000 chars of output and
+    // the WHOLE line must sit inside it (r15's 171-query line fit at
+    // 1982 chars; the 187-query line reads 2138 — head-truncated,
+    // `{"metric"` never found, parsed:null). The <= 1900 bar leaves
+    // headroom for the trailing newline and any stray shutdown line.
     val candidates = Seq((3, false), (2, false), (2, true), (1, true))
-      .map { case (dp, sk) => line(dp, sk) }
+      .map { case (dp, sk) => line(dp, sk, withQueries = true) }
     val compact = candidates.find(_.length <= 1900)
-      .getOrElse(candidates.last)
+      .getOrElse(line(1, shortKeys = true, withQueries = false))
     Seq(detail, compact)
   }
 
@@ -279,7 +293,19 @@ object Bench {
     // the supersession semantics are spec-testable). Called after
     // EVERY attempt, not only after the retry loop.
     def emit(passes: Vector[Pass]): Unit = {
-      record(passes, runs, qFilter.isDefined, sfDir).foreach(println)
+      val lines = record(passes, runs, qFilter.isDefined, sfDir)
+      lines.foreach(println)
+      // kill-safe FULL-PRECISION record on disk: past ~160 queries
+      // the contract line carries only the summary (the per-query
+      // map no longer fits the consumer's output window), and the
+      // BENCH_DETAIL stdout line scrolls out of that window — the
+      // file is where the per-query vector survives, overwritten
+      // per attempt exactly like the stdout emission
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail_last.json"),
+        (lines.head.stripPrefix("BENCH_DETAIL ") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // read-only cwd must not kill the run
       System.out.flush()
     }
 

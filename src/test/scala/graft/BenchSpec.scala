@@ -118,6 +118,35 @@ class BenchSpec extends AnyFunSuite {
       line3.contains(""""failed":["q01"]"""))
   }
 
+  test("contract line fits the consumer's 2000-char output window at " +
+      "the CURRENT query-surface size (past ~160 queries the per-query " +
+      "map is dropped for a parseable summary; the full vector lives " +
+      "in bench_detail_last.json)") {
+    // the real surface: one pass with every SparkEntry query present
+    val qs = SparkEntry.queries.keys.map(_ -> Seq[Option[Double]](
+      Some(1.234), Some(1.345), Some(1.456))).toMap
+    val pass = Bench.Pass(qs, parseEps = 400000.0, nEvents = 100000L)
+    val Seq(detail, line) =
+      Bench.record(Vector(pass), runs = 3, filtered = false,
+        sfDir = "/root/testdata/sf0.1")
+    // the WHOLE line must sit inside the window with headroom for
+    // the newline and a stray shutdown message (r15's 171-query line
+    // fit at 1982; the 187-query full map read 2138 and would have
+    // head-truncated to parsed:null)
+    assert(line.length <= 1900, s"contract line ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total_min_of_3""") &&
+      line.contains(""""valid":true""") &&
+      line.contains(""""value":""".trim))
+    // the summary self-describes where the per-query vector went
+    if (!line.contains("\"q01\""))
+      assert(line.contains(""""n_queries":""") &&
+        line.contains("bench_detail_last.json"), line)
+    // the detail line always carries the full-name full-precision map
+    assert(SparkEntry.queries.keys.forall(detail.contains), "detail map")
+    // and it parses as JSON after the prefix strip (the file content)
+    assert(detail.startsWith("BENCH_DETAIL {") && detail.endsWith("}"))
+  }
+
   test("pickBest: the attempt with the fastest host window becomes " +
       "the record (whole-vector, never mixed across passes)") {
     // the r15 adjudication shape: contended first attempt, idle rerun
