@@ -130,7 +130,9 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val attemptsJson = attemptEps.map(_.toLong).mkString("[", ",", "]")
-    val detail = s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"attempts":${passes.length},"attempt_eps":$attemptsJson,"valid":$valid,"failed":$failedJson,"queries":$qsFull}"""
+    // sf travels in the detail too: the bench_detail_last.json copy
+    // must self-describe which corpus produced it
+    val detail = s"""BENCH_DETAIL {"total":$total,"total_min":$totalMin,"contention_ratio":$noise,"runs_per_query":$runs,"parse_events_per_sec":$parseEps,"attempts":${passes.length},"attempt_eps":$attemptsJson,"valid":$valid,"failed":$failedJson,"sf":"$sfDir","queries":$qsFull}"""
 
     // The driver keeps only the LAST 2000 chars of output and parses the
     // contract JSON out of that window, so the final emission must (a) be
@@ -300,12 +302,17 @@ object Bench {
       // map no longer fits the consumer's output window), and the
       // BENCH_DETAIL stdout line scrolls out of that window — the
       // file is where the per-query vector survives, overwritten
-      // per attempt exactly like the stdout emission
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_detail_last.json"),
-        (lines.head.stripPrefix("BENCH_DETAIL ") + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () } // read-only cwd must not kill the run
+      // per attempt exactly like the stdout emission. OFFICIAL-shaped
+      // runs only (unfiltered, adjudicable corpus): a gate or probe
+      // run at sf0.01 must not clobber the committed official record
+      // (its own BENCH_DETAIL stays fully in its log)
+      if (qFilter.isEmpty &&
+          passes.last.nEvents >= AdjudicableEventsFloor)
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_detail_last.json"),
+          (lines.head.stripPrefix("BENCH_DETAIL ") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () } // read-only cwd must not kill the run
       System.out.flush()
     }
 
