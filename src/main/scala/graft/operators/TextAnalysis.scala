@@ -1869,20 +1869,24 @@ object TextAnalysis {
     * The model frame is resolved EAGERLY at call time (bounded:
     * |langs|·m rows — the kmvOverlap discipline) so the training
     * subplan runs ONCE — referenced lazily it would re-evaluate per
-    * consumer (the distinct-langs side and the join side).
+    * consumer.
     *
-    * Scale shape: the doc profile is one positions-explode (capped at
-    * `maxChars` per doc — the megadoc bound, see [[langIdNorm]]) +
-    * one (doc, gram) hash aggregate (map-side collapsed; ≤ capped doc
-    * chars entries) + the bounded [[graft.functions.GramTopKAggregator]]
-    * keyed by doc — partial aggregation ships ≤ d rows per doc per
-    * map task, where the earlier `row_number` window form re-shuffled
-    * and per-doc-sorted the ENTIRE distinct-gram frame (≈ corpus
-    * characters) only to keep d rows; scoring is a constant ×|langs|
-    * fan-out joined broadcast against the local model, collapsed by
-    * two more doc-keyed hash aggregates. Nothing sorts globally; no
-    * Window anywhere in the doc path (plan-pinned); per-key state is
-    * bounded by d·|langs|.
+    * Scale shape (optimization r17): classification is ONE narrow
+    * `mapPartitions` pass over (doc_id, text) scoring each row with
+    * the broadcast in-memory model via [[langIdKernel]] — the kernel
+    * whose bit-equivalence with the former declarative form
+    * (trigram positions-explode → (doc, gram) hash aggregate →
+    * bounded GramTopKAggregator → broadcast model join → two more
+    * doc-keyed aggregates) is spec-pinned including a ScalaCheck
+    * random-unicode sweep. A document's trigram profile depends only
+    * on its own row, so the aggregate shape paid two full exchanges
+    * of the ~corpus-characters (doc, gram) frame for a computation
+    * that needs none: the map form is embarrassingly parallel, zero
+    * shuffle, zero join, per-row work capped by `maxChars`, and at
+    * 100 TB it fuses into the scan. (Precondition, unchanged from
+    * every call site: `id` identifies the document — one input row
+    * per doc. The former groupBy silently merged duplicate ids;
+    * feeding duplicates was never meaningful.)
     *
     * Output: (doc_id, pred_lang, dist). */
   def langId(df: DataFrame, id: Column, text: Column,
@@ -1897,59 +1901,38 @@ object TextAnalysis {
         col("rank").cast("long").as("rl"))
       .collect()
     require(modelRows.nonEmpty, "profiles must carry at least one language")
-    // the sortable-key argmin packs each distance into 6 digits, so
-    // the TRUE distance bound must fit: a matched gram contributes
-    // |rd - rl| <= max(maxRank - 1, d - 1) (maxRank = deepest trained
-    // profile rank, NOT bounded by penalty), an unmatched one exactly
-    // `penalty` — lpad would silently TRUNCATE an over-long distance
-    // and corrupt the argmin, so the cheap dynamic require guards the
-    // real bound instead of the classic penalty-only approximation
+    // the sortable-key argmin packed each distance into 6 digits; the
+    // kernel needs no string key, but the guard stays — it is the
+    // function's documented contract (spec-pinned), and keeping the
+    // domain identical keeps every caller's failure surface identical
     val maxRl = modelRows.map(_.getLong(2)).max
     val perGramMax = math.max(math.max(penalty.toLong, maxRl - 1), d - 1L)
     require(d.toLong * perGramMax <= 999999L,
       s"d=$d * max(penalty=$penalty, maxRank-1=${maxRl - 1}) exceeds " +
         "the 6-digit distance key")
-    val model = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(modelRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("lang",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("gram",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rl",
-          org.apache.spark.sql.types.LongType)))))
-    val langs = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(
-        modelRows.map(_.getString(0)).distinct.sorted
-          .map(org.apache.spark.sql.Row(_)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("lang",
-          org.apache.spark.sql.types.StringType)))))
-    val topd = udaf(new graft.functions.GramTopKAggregator(d))
-    // the udaf flattens the GramCnt input encoder: (gram, cnt)
-    val docProfile = trigramRows(
-        df.select(id.as("doc_id"), langIdNorm(text, maxChars).as("s")),
-        col("doc_id"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(topd(col("gram"), col("cnt")).as("prof"))
-      .select(col("doc_id"),
-        posexplode(col("prof.items")).as(Seq("pos", "e")))
-      .select(col("doc_id"), col("e.gram").as("gram"),
-        (col("pos") + 1).cast("long").as("rd"))
-    docProfile
-      .crossJoin(langs)
-      .join(model, Seq("lang", "gram"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(coalesce(abs(col("rd") - col("rl")),
-        lit(penalty.toLong))).as("dist"))
-      .groupBy(col("doc_id"))
-      .agg(min(concat(lpad(col("dist").cast("string"), 6, "0"),
-        col("lang"))).as("bk"))
-      .select(col("doc_id"),
-        col("bk").substr(lit(7), length(col("bk"))).as("pred_lang"),
-        col("bk").substr(lit(1), lit(6)).cast("long").as("dist"))
+    val model: Map[String, Map[String, Long]] = modelRows
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val bc = spark.sparkContext.broadcast(model)
+    val in = df.select(id.as("doc_id"), text.cast("string").as("__text"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0).copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("pred_lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      val m = bc.value
+      val classify = langIdKernel(m, penalty, d, maxChars) _
+      it.flatMap { r =>
+        classify(if (r.isNullAt(1)) null else r.getString(1)).map {
+          case (lang, dist) =>
+            org.apache.spark.sql.Row(r.get(0), lang, dist)
+        }
+      }
+    }(enc)
   }
 
   /** Collect trained [[langIdProfiles]] into the in-memory model the
@@ -2105,20 +2088,64 @@ object TextAnalysis {
     if (text == null) return None
     val lowered = org.apache.spark.unsafe.types.UTF8String
       .fromString(text).substringSQL(1, maxChars).toLowerCase.toString
-    val s = " " + lowered.replaceAll("[^a-z]+", " ").trim + " "
+    val s = " " + LangIdNonLetter.matcher(lowered).replaceAll(" ").trim + " "
     if (s.length < 3) return None
-    val gs = (0 to s.length - 3).map(i => s.substring(i, i + 3))
-    val top = gs.groupBy(identity).view.mapValues(_.size).toSeq
-      .sortBy { case (g, c) => (-c, g) }.take(d)
-      .zipWithIndex.map { case ((g, _), i) => g -> (i + 1L) }
-    val scores = model.toSeq.map { case (l, prof) =>
-      (l, top.map { case (g, rd) =>
-        prof.get(g).map(rl => math.abs(rd - rl))
-          .getOrElse(penalty.toLong) }.sum)
+    // count trigram occurrences (hot path: one HashMap, no per-gram
+    // Seq allocation — output identical to the former
+    // groupBy(identity).mapValues(_.size))
+    val counts = new java.util.HashMap[String, Integer](64)
+    var i = 0
+    val last = s.length - 3
+    while (i <= last) {
+      counts.merge(s.substring(i, i + 3), Integer.valueOf(1), IntSum)
+      i += 1
     }
-    val (bl, bd) = scores.minBy { case (l, dist) => (dist, l) }
-    Some((bl, bd))
+    // top-d under the profile total order (cnt desc, gram asc)
+    val entries = new java.util.ArrayList[java.util.Map.Entry[String, Integer]](
+      counts.entrySet())
+    java.util.Collections.sort(entries, GramOrder)
+    val nTop = math.min(d, entries.size)
+    // argmin over languages of the summed out-of-place distance;
+    // ties break toward the lexicographically smaller lang — same
+    // total order as the former minBy((dist, lang))
+    var bestLang: String = null
+    var bestDist = Long.MaxValue
+    model.foreach { case (l, prof) =>
+      var dist = 0L
+      var j = 0
+      while (j < nTop) {
+        val g = entries.get(j).getKey
+        val rl = prof.getOrElse(g, -1L)
+        dist += (if (rl < 0) penalty.toLong else math.abs((j + 1L) - rl))
+        j += 1
+      }
+      if (dist < bestDist || (dist == bestDist && l < bestLang)) {
+        bestLang = l; bestDist = dist
+      }
+    }
+    // empty model: same failure class as the former minBy on an empty
+    // scores Seq (loud, not a silent None)
+    if (bestLang == null)
+      throw new UnsupportedOperationException(
+        "langIdKernel: empty model (no languages)")
+    Some((bestLang, bestDist))
   }
+
+  /** Hot-path statics for [[langIdKernel]]: the normalization regex
+    * compiled once (the Java pattern `regexp_replace` compiles — same
+    * semantics as the former per-call `String.replaceAll`), the
+    * HashMap merge function, and the (cnt desc, gram asc) profile
+    * order. */
+  private val LangIdNonLetter = java.util.regex.Pattern.compile("[^a-z]+")
+  private val IntSum: java.util.function.BiFunction[Integer, Integer, Integer] =
+    (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue)
+  private val GramOrder:
+      java.util.Comparator[java.util.Map.Entry[String, Integer]] =
+    (a: java.util.Map.Entry[String, Integer],
+        b: java.util.Map.Entry[String, Integer]) => {
+      val c = Integer.compare(b.getValue, a.getValue) // cnt desc
+      if (c != 0) c else a.getKey.compareTo(b.getKey) // gram asc
+    }
 
   /** Language-mix DRIFT alert over windowed classification counts —
     * the reference's AlertSummary pane comparison (ref

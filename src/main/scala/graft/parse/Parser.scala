@@ -910,11 +910,76 @@ object Parser {
     else if (n.hasNonNull(f)) scala.util.Try(n.path(f).asText.toInt).toOption
     else None
 
-  private[parse] def splitUrl(url: String): (Option[String], Option[String]) =
+  /** Host/path split. Hot path (every GLB/nginx/apache line): a
+    * guarded fast path for the overwhelmingly common simple shape
+    * `scheme://host/path` — byte-identical to `java.net.URI` on that
+    * shape by construction (plain registry host, no userinfo/port/
+    * IPv6, no query/fragment, no percent-escapes, every char in the
+    * RFC3986 unreserved set so URI's decode is the identity) —
+    * falling back to the original URI parse for anything else.
+    * `new java.net.URI` costs a full spec parse + exception-driven
+    * control flow per line and dominated the per-line profile. */
+  private[parse] def splitUrl(url: String): (Option[String], Option[String]) = {
+    if (url == null) return (None, None)
+    val sep = url.indexOf("://")
+    if (sep > 0 && simpleUrlChars(url) && validScheme(url, sep)) {
+      val hostStart = sep + 3
+      val slash = url.indexOf('/', hostStart)
+      val hostEnd = if (slash < 0) url.length else slash
+      if (hostEnd > hostStart) {
+        val host = url.substring(hostStart, hostEnd)
+        var i = hostStart
+        var hostOk = true
+        while (hostOk && i < hostEnd) {
+          val c = url.charAt(i)
+          hostOk = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '.' || c == '-'
+          i += 1
+        }
+        if (hostOk)
+          return (Some(host),
+            if (slash < 0) None else Some(url.substring(slash)))
+      }
+    }
     scala.util.Try {
       val u = new java.net.URI(url)
       (Option(u.getHost), Option(u.getPath).filter(_.nonEmpty))
-    }.getOrElse((None, if (url != null && url.startsWith("/")) Some(url) else None))
+    }.getOrElse((None, if (url.startsWith("/")) Some(url) else None))
+  }
+
+  /** Fast-path guard: every char unreserved-or-separator, so URI
+    * neither rejects nor decodes anything (no ':' outside the scheme
+    * separator — ports and userinfo take the slow path). */
+  private def simpleUrlChars(url: String): Boolean = {
+    var i = 0
+    val n = url.length
+    var colonSeen = false
+    while (i < n) {
+      val c = url.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' ||
+        c == '~' || c == '/' ||
+        (c == ':' && !colonSeen && { colonSeen = true; true })
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** RFC3986 scheme: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ). */
+  private def validScheme(url: String, sep: Int): Boolean = {
+    val c0 = url.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < sep) {
+      val c = url.charAt(i)
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'))
+        return false
+      i += 1
+    }
+    true
+  }
 
   private val apacheFmt = java.time.format.DateTimeFormatter
     .ofPattern("dd/MMM/yyyy:HH:mm:ss Z", java.util.Locale.US)
@@ -922,10 +987,23 @@ object Parser {
   private def parseApacheTs(s: String): Option[Instant] =
     scala.util.Try(java.time.OffsetDateTime.parse(s, apacheFmt).toInstant).toOption
 
+  /** Random v4 UUID from ThreadLocalRandom — same format and
+    * collision guarantees class (122 random bits) as
+    * `UUID.randomUUID()`, WITHOUT its shared synchronized
+    * SecureRandom: at local[32] the global lock serialized every
+    * parsed event's id draw (the id is a per-run-random event handle,
+    * never an output column — no oracle can observe the generator). */
+  private def fastRandomUuid(): String = {
+    val r = java.util.concurrent.ThreadLocalRandom.current()
+    val msb = (r.nextLong() & 0xffffffffffff0fffL) | 0x0000000000004000L
+    val lsb = (r.nextLong() & 0x3fffffffffffffffL) | 0x8000000000000000L
+    new UUID(msb, lsb).toString
+  }
+
   private def mkEvent(ctx: ParseCtx, payloadType: String, n: Normalized,
       fields: Map[String, String]): Event =
     Event(
-      id = UUID.randomUUID().toString,
+      id = fastRandomUuid(),
       timestamp = java.sql.Timestamp.from(ctx.timestamp.getOrElse(Instant.EPOCH)),
       payloadType = payloadType,
       raw = ctx.raw,
@@ -992,16 +1070,27 @@ object Parser {
     }
   }
 
+  // probe order as a plain array: the per-line matcher loop is the
+  // parse hot path and the iterator/flatMap form allocated two
+  // closures + an iterator per line
+  private val matcherArr: Array[PayloadMatcher] = matchers.toArray
+
   /** Parse one line (total: never throws, unknown → RAW). */
   def parseLine(line: String, mapper: ObjectMapper): Event = {
     val ctx =
       try stripEnvelope(line, mapper)
       catch { case _: Throwable => ParseCtx(line, None, None, None, Map.empty, None, None) }
-    matchers.iterator.flatMap { m =>
-      if (m.fastMatch(line))
-        try m.parse(ctx) catch { case _: Throwable => None }
-      else None
-    }.next()
+    var i = 0
+    while (i < matcherArr.length) {
+      val m = matcherArr(i)
+      if (m.fastMatch(line)) {
+        val r = try m.parse(ctx) catch { case _: Throwable => None }
+        if (r.isDefined) return r.get
+      }
+      i += 1
+    }
+    // unreachable: RawMatcher is total and last
+    mkEvent(ctx, RawMatcher.name, Normalized(), Map.empty)
   }
 
   /** Distributed parse: one lazy ObjectMapper per partition. */

@@ -110,9 +110,46 @@ object HttpRequestPipeline {
   def analyze(lines: Dataset[String], cfg: Config = Config(),
       cacheParsed: Boolean = true): DataFrame = {
     val parsed0 = parsedHttp(lines)
-    val parsed = if (cacheParsed) parsed0.cache() else parsed0
+    // Optimization r17 (guide §2.3 "project before the exchange",
+    // §2.4 "share one exchange"): the four windowed heuristics + the
+    // NAT view all group by the SAME (1-window, sourceAddress) key
+    // and consume only four scalar columns — so (a) the cached frame
+    // carries exactly those columns instead of full Event rows
+    // (raw line + two maps + nested struct: the old cache serialized
+    // the whole envelope five consumers never read), and (b) ONE
+    // fused per-(window, key) aggregate replaces the four separate
+    // aggregations of the same rows (hard-limit n, error-rate 4xx
+    // count, NAT distinct-UA cardinality ride one shuffle; the
+    // threshold mean is an aggregate OVER the per-key frame, as
+    // before). Branch-for-branch equivalence with the former
+    // Heuristics.* calls: same window expression, same grouping, and
+    // the per-branch filters reproduce each heuristic's row set —
+    // count(when(4xx)) differs from the old filter-then-count only on
+    // keys with zero errors, which `errors > errorMaxCount` (>= 0)
+    // excludes exactly as the old filter did. q80's oracle hash is
+    // the proof.
+    val slim0 = parsed0.select(col("timestamp"),
+      col("normalized.sourceAddress").as("__src"),
+      col("normalized.userAgent").as("__ua"),
+      col("normalized.requestStatus").as("__status"))
+    val slim = if (cacheParsed) slim0.cache() else slim0
     val ts = col("timestamp")
-    val src = col("normalized.sourceAddress")
+    val src = col("__src")
+
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val perKey0 = slim
+      .groupBy(unix_millis(window(ts, cfg.window).getField("start"))
+          .as("window_start_ms"),
+        src.as("key"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__status").between(400, 499), 1)).as("errors"),
+        countDistinct(col("__ua")).as("n_ua"))
+    // five consumers (NAT view, hard, threshold per-key + per-window
+    // mean, error rate) — cached so the fused aggregation runs once;
+    // bounded by |windows x active keys|, the same class as the old
+    // per-heuristic aggregate outputs
+    val perKey = if (cacheParsed) perKey0.cache() else perKey0
 
     // NAT view: sources carrying many distinct user agents in the
     // window are gateways; the reference's natView suppresses BOTH
@@ -120,11 +157,7 @@ object HttpRequestPipeline {
     // HardLimitAnalysis.java:88-128 each take the view). Known
     // gateways (ref DetectNat.withKnownGateways) suppress on the key
     // alone, in every window.
-    val spark = lines.sparkSession
-    import spark.implicits._
-    val nat = Heuristics.distinctCardinality(parsed, ts, src,
-        col("normalized.userAgent"), cfg.window,
-        cfg.natMinDistinctUserAgents)
+    val nat = perKey.filter(col("n_ua") >= cfg.natMinDistinctUserAgents)
       .select(col("window_start_ms"), col("key"))
     def natGate(df: DataFrame): DataFrame = {
       val windowed = df.join(broadcast(nat),
@@ -135,23 +168,27 @@ object HttpRequestPipeline {
     }
 
     val hard = alert(
-      natGate(Heuristics.hardLimit(parsed, ts, src, cfg.window,
-        cfg.hardLimit)),
+      natGate(perKey.filter(col("n") > cfg.hardLimit)
+        .select(col("window_start_ms"), col("key"), col("n"))),
       "hard_limit", "warn", "n")
 
+    val perWindow = perKey.groupBy(col("window_start_ms"))
+      .agg(avg(col("n")).as("mean_n"))
     val threshold = alert(
-      natGate(Heuristics.thresholdAnalysis(parsed, ts, src,
-        cfg.window, cfg.thresholdModifier)),
+      natGate(perKey.join(broadcast(perWindow), Seq("window_start_ms"))
+        .filter(col("n") >= col("mean_n") * cfg.thresholdModifier &&
+          col("n") >= 1)
+        .select(col("window_start_ms"), col("key"), col("n"),
+          col("mean_n"))),
       "threshold", "warn", "n")
 
     val errors = alert(
-      Heuristics.errorRate(parsed, ts, src,
-        col("normalized.requestStatus").between(400, 499),
-        cfg.window, cfg.errorMaxCount),
+      perKey.filter(col("errors") > cfg.errorMaxCount)
+        .select(col("window_start_ms"), col("key"), col("errors")),
       "error_rate", "warn", "errors")
 
     val sessions = alert(
-      Sessionize.sessionLimit(parsed, ts, src, cfg.sessionGapSeconds,
+      Sessionize.sessionLimit(slim, ts, src, cfg.sessionGapSeconds,
           cfg.maxSessionEvents)
         .withColumn("window_start_ms", lit(null).cast("long")),
       "session_limit", "critical", "max_session_events")

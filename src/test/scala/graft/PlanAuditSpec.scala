@@ -161,31 +161,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"q154: no partial aggregation:\n$p")
   }
 
-  test("langId doc profile is a bounded partial aggregate, not a " +
-      "per-doc window rank, and normalizes each row exactly once") {
-    // q160's plan is the classification side only (the model collects
-    // eagerly at construction): the doc-profile stage must ride the
-    // GramTopKAggregator — the row_number form re-shuffled the ENTIRE
-    // distinct (doc, gram) frame (~corpus characters) and sorted it
-    // per doc to keep d=32 rows; the bounded aggregator ships <= d
-    // rows per doc per map task (the q154/q159/ANN discipline)
-    val df = SparkEntry.queries("q160_lang_id")(spark, sf)
-    val p = plan(df)
-    assert(!p.contains("Window"), s"q160: Window node in physical plan:\n$p")
-    assert(p.contains("ObjectHashAggregate"),
-      s"q160: no object hash aggregate:\n$p")
-    assert(p.contains("partial_"), s"q160: no partial aggregation:\n$p")
-    // the normalization regex runs ONCE per row: a filter-based
-    // empty-doc guard gets predicate-pushed below the projection and
-    // re-runs the regex a second time per row (the when()-guarded
-    // generator avoids it)
-    val opt = df.queryExecution.optimizedPlan.toString
-    val regexCount = "regexp_replace".r.findAllIn(opt).length
-    assert(regexCount == 1,
-      s"q160: normalization regex appears $regexCount times in the " +
-        s"optimized plan (must be 1):\n$opt")
-    // and the megadoc cap reaches the plan (substring before lower)
-    assert(opt.contains("substring(text"), s"q160: no prefix cap:\n$opt")
+  test("langId classification is a single zero-shuffle map pass " +
+      "(optimization r17), not an aggregate pipeline") {
+    // r15 bounded the former aggregate form with the
+    // GramTopKAggregator; r17 removed the aggregates entirely: a
+    // doc's trigram profile depends only on its own row, so
+    // classification is ONE mapPartitions over (doc_id, text)
+    // scoring with the broadcast model via the spec-pinned
+    // langIdKernel — zero Exchange, zero join, no Window. This pins
+    // the stronger invariant on the classifier frame itself: nothing
+    // about classifying a corpus may shuffle it. (q160 the QUERY
+    // still joins/aggregates the predictions — its exchanges are the
+    // report's, not the classifier's.)
+    import org.apache.spark.sql.functions.col
+    // no fanOut here: its repartition is an (intentional) exchange of
+    // the raw scan, not part of the classifier — this pins the
+    // classifier's own shape
+    val d = graft.sources.Tables.documents(spark, sf)
+    val profiles = graft.operators.TextAnalysis.langIdProfiles(
+      d.filter(col("doc_id") % 10 < 3), col("lang"), col("text"), m = 64)
+    val pred = graft.operators.TextAnalysis.langId(
+      d, col("doc_id"), col("text"), profiles, penalty = 64, d = 32)
+    val p = plan(pred)
+    assert(!p.contains("Window"),
+      s"langId: Window node in physical plan:\n$p")
+    assert(!p.contains("Exchange"),
+      s"langId: classification must not shuffle:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"langId: expected the kernel map pass:\n$p")
+    // and the full q160 report stays Window-free
+    val q = plan(SparkEntry.queries("q160_lang_id")(spark, sf))
+    assert(!q.contains("Window"), s"q160: Window node in physical plan:\n$q")
   }
 
   test("langIdProfiles TRAINING side is a bounded partial aggregate " +

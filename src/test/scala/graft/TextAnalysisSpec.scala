@@ -1062,12 +1062,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L)._1 == "aa")
     // doc 4 normalizes to nothing -> no trigrams -> excluded
     assert(!got.contains(4L))
-    // the model resolves to local relations (trained once, broadcast)
-    // and scoring carries no corpus-level unpartitioned Window
+    // optimization r17: classification is one zero-shuffle kernel map
+    // pass over (doc_id, text) with the broadcast in-memory model —
+    // no exchange, no join, no Window (the model trained once,
+    // collected eagerly at call time exactly as before)
     val p = TextAnalysis.langId(docs, col("doc_id"), col("text"),
       profiles, penalty = m, d = d).queryExecution.executedPlan.toString
-    assert(p.contains("LocalTableScan"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Exchange") && !p.contains("Window"), p)
   }
 
   test("langIdProfiles: the bounded lang-keyed top-k (aggregator " +
