@@ -972,10 +972,25 @@ object Dedup {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    // per-round fingerprint rides the checkpoint materialization as
+    // an observe() side-aggregate (optimization r17 — the propagation
+    // form's change-detection trick): one job per round instead of a
+    // materialization job plus a fingerprint job
+    def lv(x: Any): Long = x match {
+      case null => 0L
+      case n: Long => n
+      case n: java.lang.Long => n.longValue()
+      case other => other.toString.toLong
+    }
     var fp = if (converged) (0L, 0L, 0L) else fingerprint(edges)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val obs = new org.apache.spark.sql.Observation(s"star_round_$iter")
+      val next = smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("u") + col("v")).as("s"),
+          sum(hash(col("u"), col("v")).cast("long")).as("h"))
+        .localCheckpoint(true)
+      val nfp = (lv(obs.get("n")), lv(obs.get("s")), lv(obs.get("h")))
       converged = nfp == fp &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
         edges.join(next, Seq("u", "v"), "left_anti").isEmpty

@@ -69,10 +69,17 @@ object TextAnalysis {
   /** [[qualityScore]]'s gate as ONE boolean Column over the text —
     * no frame reshaping, so it drops into streaming selects and
     * filter chains. Same thresholds by construction. */
-  def qualityOk(text: Column, stopwords: Seq[String] = Stopwords): Column = {
-    val ws = tokens(text)
+  def qualityOk(text: Column, stopwords: Seq[String] = Stopwords): Column =
+    qualityOkFrom(tokens(text), length(text).cast("long"), stopwords)
+
+  /** [[qualityOk]] over an ALREADY-MATERIALIZED token array — for
+    * fused per-row signal projections that compute `tokens(text)`
+    * once and derive several statistics from it (the dataCardBy
+    * shape); passing the raw text would re-run the tokenizer per
+    * consumer. Same thresholds and arithmetic by construction. */
+  private[graft] def qualityOkFrom(ws: Column, nChars: Column,
+      stopwords: Seq[String] = Stopwords): Column = {
     val nTokens = size(ws).cast("long")
-    val nChars = length(text).cast("long")
     val nStop = size(filter(ws,
       t => array_contains(typedLit(stopwords), t))).cast("long")
     val stopRatio = nStop / nTokens
@@ -345,10 +352,20 @@ object TextAnalysis {
     import spark.implicits._
     val wrapChars = concat(lit("<"),
       array_join(split(col("word"), ""), "> <"), lit(">"))
+    // Optimization r17: LAZY localCheckpoint. The eager form ran a
+    // dedicated materialization job per round (plus one for the seed)
+    // before the round's pair-count aggregate ran as a SECOND job; the
+    // lazy checkpoint materializes inside the aggregate's own job —
+    // same lineage cut, half the driver round trips. `retired` defers
+    // each superseded vocabulary's unpersist until the NEXT round's
+    // collect has materialized its successor (unpersisting earlier
+    // would drop blocks a lazily-checkpointed successor still needs —
+    // lineage behind a localCheckpoint is truncated).
     var vocab = df.select(explode(tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(wrapChars.as("seq"), col("cnt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var retired: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (round <- 1 to nMerges) {
       val arr = split(col("seq"), " ")
@@ -362,6 +379,9 @@ object TextAnalysis {
         .groupBy(col("pr")).agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pr").asc)
         .limit(1).collect()
+      // this round's collect materialized `vocab` — its predecessor
+      // is now safe to release
+      retired.foreach(_.unpersist()); retired = None
       if (best.isEmpty) {
         // vocabulary fully merged: nothing left to learn
         vocab.unpersist()
@@ -374,13 +394,13 @@ object TextAnalysis {
       def unwrap(s: String) = s.substring(1, s.length - 1)
       merges += ((round.toLong, unwrap(wa), unwrap(wb),
         unwrap(wa) + unwrap(wb), cnt))
-      val prev = vocab
+      retired = Some(vocab)
       vocab = vocab.select(
         replace(col("seq"), lit(pr), lit(s"<${unwrap(wa)}${unwrap(wb)}>"))
           .as("seq"), col("cnt"))
-        .localCheckpoint(true)
-      prev.unpersist()
+        .localCheckpoint(false)
     }
+    retired.foreach(_.unpersist())
     vocab.unpersist()
     merges.result().toDF("round", "pair_a", "pair_b", "merged", "cnt")
   }
@@ -422,10 +442,14 @@ object TextAnalysis {
     import spark.implicits._
     val wrapChars = concat(lit("<"),
       array_join(split(col("word"), ""), "> <"), lit(">"))
+    // lazy localCheckpoint + deferred unpersist: same rationale as
+    // [[bpeTrainMerges]] (optimization r17) — one job per round
+    // instead of two
     var vocab = df.select(explode(tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(wrapChars.as("seq"), col("cnt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var retired: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Long, Long, String, String, String, Long)]
     var mergeNo = 0L
     var round = 0
@@ -445,6 +469,7 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("pr").asc)
         .limit(batchSize).collect()
         .map(r => (r.getString(0), r.getLong(1)))
+      retired.foreach(_.unpersist()); retired = None
       if (ranked.isEmpty) exhausted = true
       else {
         // accept candidates symbol-disjoint from every higher-ranked
@@ -462,16 +487,16 @@ object TextAnalysis {
           merges += ((mergeNo, round.toLong, unwrap(wa), unwrap(wb),
             unwrap(wa) + unwrap(wb), cnt))
         }
-        val prev = vocab
         val foldedSeq = accepted.foldLeft(col("seq")) {
           case (seqCol, (pr, _)) =>
             replace(seqCol, lit(pr), lit(s"<${pr.split(" ").map(unwrap).mkString}>"))
         }
+        retired = Some(vocab)
         vocab = vocab.select(foldedSeq.as("seq"), col("cnt"))
-          .localCheckpoint(true)
-        prev.unpersist()
+          .localCheckpoint(false)
       }
     }
+    retired.foreach(_.unpersist())
     vocab.unpersist()
     merges.result()
       .toDF("merge_no", "batch_no", "pair_a", "pair_b", "merged", "cnt")

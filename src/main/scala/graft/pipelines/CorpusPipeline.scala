@@ -147,17 +147,43 @@ object CorpusPipeline {
   def dataCardBy(df: DataFrame, id: Column, text: Column,
       strata: DataFrame): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("t"))
-    val q = TextAnalysis.qualityScore(base, col("doc_id"), col("t"))
-      .select(col("doc_id"), col("n_tokens"), col("quality_ok"))
-    val pii = TextAnalysis.piiScrub(base, col("doc_id"), col("t"))
-      .select(col("doc_id"), col("has_pii"))
-    val hashes = base.select(col("doc_id"), md5(col("t")).as("h"))
-    val canon = hashes.groupBy(col("h")).agg(min(col("doc_id")).as("can"))
-    val isCopy = hashes.join(canon, Seq("h"))
-      .select(col("doc_id"), (col("doc_id") =!= col("can")).as("is_copy"))
+    // Optimization r17 (guide §2.4): quality, PII and the content
+    // hash are all PER-ROW scalars over the same base — computing
+    // them in three frames and equi-joining on doc_id shuffled the
+    // corpus three extra times for columns that fuse into one
+    // projection. One signal frame now carries (n_tokens, quality_ok,
+    // has_pii, h); only the dedup-canon lookup still joins (on the
+    // hash key — a genuine aggregate), and the stratum joins once, as
+    // before. Row-identical: the old inner joins were 1:1 by
+    // construction (each signal frame emitted exactly one row per
+    // base row, keyed by its doc_id — the card's call sites feed one
+    // row per document); q121/q161 oracle hashes are the proof.
+    // quality_ok via TextAnalysis.qualityOk (same thresholds by
+    // construction); has_pii via the same public PiiPatterns
+    // regexp_extract_all counts piiScrub uses.
+    val nPii = TextAnalysis.PiiPatterns
+      .map { case (_, pat) =>
+        size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long") }
+      .reduce(_ + _)
+    // ws materializes in its own projection so the tokenizer runs
+    // ONCE per row (CollapseProject keeps non-cheap aliases with
+    // multiple consumers in their own project — the trigramRows
+    // discipline)
+    val sig = base
+      .select(col("doc_id"), col("t"),
+        TextAnalysis.tokens(col("t")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityOkFrom(col("ws"),
+          length(col("t")).cast("long")).as("quality_ok"),
+        (nPii > 0).as("has_pii"),
+        md5(col("t")).as("h"))
+    val canon = sig.groupBy(col("h")).agg(min(col("doc_id")).as("can"))
+    val joined = sig.join(canon, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_ok"),
+        col("has_pii"), (col("doc_id") =!= col("can")).as("is_copy"))
     strata.select(col("doc_id"), col("stratum"))
-      .join(q, Seq("doc_id")).join(pii, Seq("doc_id"))
-      .join(isCopy, Seq("doc_id"))
+      .join(joined, Seq("doc_id"))
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens_total"),
