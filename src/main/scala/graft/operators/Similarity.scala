@@ -206,26 +206,88 @@ object Similarity {
     * dims/M longs wide). */
   /** The (vec_id, m, sv, s_nrm2) sub-vector explode shared by every
     * PQ form. */
-  private def subsOf(emb: DataFrame, id: Column, vec: Column, m: Int,
-      dims: Int): DataFrame = {
-    require(m >= 1 && dims % m == 0, "m must divide dims")
+  /** A collected PQ codebook entry (bounded: m·codes rows). `cv`/`nrm2`
+    * stay null when the source sub-vector was (degenerate corpora). */
+  private case class PqCent(m: Int, code: Long, cv: Seq[Long],
+      nrm2: java.lang.Long)
+
+  /** Driver-side twin of [[graft.functions.LongDotExpr]]: exact long
+    * dot over the shorter prefix, null in → null out. Used only on
+    * bounded collected rows (codebooks, query vectors). */
+  private def dotL(a: Seq[Long], b: Seq[Long]): java.lang.Long =
+    if (a == null || b == null) null
+    else {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var acc = 0L
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      java.lang.Long.valueOf(acc)
+    }
+
+  /** Driver-side twin of `slice(qv, m*sub+1, sub)` (1-based, truncated
+    * past the end, null through). */
+  private def sliceL(qv: Seq[Long], mi: Int, sub: Int): Seq[Long] =
+    if (qv == null) null else qv.slice(mi * sub, mi * sub + sub)
+
+  /** The seed codebook (vectors with vec_id < codes, split into m
+    * sub-vectors) COLLECTED — ≤ m·codes rows, the bounded-summary
+    * class. Sub-vector norms use the exact dotQ integer semantics. */
+  private def seedPqCents(base: DataFrame, m: Int, codes: Int,
+      dims: Int): Seq[PqCent] = {
     val sub = dims / m
-    quantized(emb, id, vec)
-      .select(col("vec_id"), col("qv"),
-        explode(sequence(lit(0L), lit(m - 1L))).as("m"))
-      .select(col("vec_id"), col("m"),
-        slice(col("qv"), (col("m") * sub + 1).cast("int"), lit(sub)).as("sv"))
-      .withColumn("s_nrm2", dotQ(col("sv"), col("sv")))
+    base.filter(col("vec_id") < codes)
+      .select(col("vec_id"), col("qv")).collect().toSeq
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val qv = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        (0 until m).map { mi =>
+          val cv = sliceL(qv, mi, sub)
+          PqCent(mi, id, cv, dotL(cv, cv))
+        }
+      }.sortBy(c => (c.m, c.code))
   }
 
-  private def pqSubs(emb: DataFrame, id: Column, vec: Column, m: Int,
-      codes: Int, dims: Int): (DataFrame, DataFrame) = {
-    require(codes >= 1, "codes must be positive")
-    val subs = subsOf(emb, id, vec, m, dims)
-    val cents = subs.filter(col("vec_id") < codes)
-      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"),
-        col("s_nrm2").as("c_nrm2"))
-    (subs, cents)
+  /** Collect a supplied (m, code, cv, c_nrm2) codebook frame. */
+  private def collectPqCents(codebook: DataFrame): Seq[PqCent] =
+    codebook.select(col("m").cast("long"), col("code").cast("long"),
+        col("cv"), col("c_nrm2"))
+      .collect().toSeq.map { r =>
+        PqCent(r.getLong(0).toInt, r.getLong(1),
+          if (r.isNullAt(2)) null else r.getSeq[Long](2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))
+      }.sortBy(c => (c.m, c.code))
+
+  /** Per-sub-space code assignment as codegen projections over
+    * codebook LITERALS — the IVF assignCells discipline applied to PQ:
+    * the former explode(×m) → broadcast-join(×codes) → groupBy(vec_id,
+    * m) min_by shape re-aggregated the corpus and shuffled corpus×m
+    * rows per pass; the argmin depends only on the row, so it runs in
+    * the scan. Each element replicates the old dist2 expression
+    * (s_nrm2 + c_nrm2 − 2·dotQ) ranked by the same struct(dist2, code)
+    * total order min_by used. A sub-space absent from the codebook
+    * yields a null code (the old inner join dropped those rows —
+    * callers filter the null). */
+  private def pqCodeCols(mSubs: Int, dims: Int,
+      cents: Seq[PqCent]): Seq[Column] = {
+    val sub = dims / mSubs
+    val byM = cents.groupBy(_.m)
+    (0 until mSubs).map { mi =>
+      byM.get(mi) match {
+        case None => lit(null).cast("bigint")
+        case Some(cs) =>
+          val sv = slice(col("qv"), mi * sub + 1, sub)
+          val svn = dotQ(sv, sv)
+          val cand = cs.sortBy(_.code).map { c =>
+            val cvL = if (c.cv == null) lit(null).cast("array<bigint>")
+                      else typedlit(c.cv)
+            val nrmL = if (c.nrm2 == null) lit(null).cast("bigint")
+                       else lit(c.nrm2.longValue())
+            struct((svn + nrmL - lit(2L) * dotQ(sv, cvL)).as("d"),
+              lit(c.code).as("c"))
+          }
+          array_min(array(cand: _*)).getField("c")
+      }
+    }
   }
 
   /** Product-quantization codes (Jégou et al. 2011, "Product
@@ -246,12 +308,17 @@ object Similarity {
     * Output: (vec_id, m, code), all integer. */
   def pqCodes(emb: DataFrame, id: Column, vec: Column, m: Int = 8,
       codes: Int = 16, dims: Int = 64): DataFrame = {
-    val (subs, cents) = pqSubs(emb, id, vec, m, codes, dims)
-    subs.join(broadcast(cents), Seq("m"))
-      .withColumn("dist2", col("s_nrm2") + col("c_nrm2")
-        - lit(2L) * dotQ(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("dist2"), col("code"))).as("code"))
+    require(m >= 1 && dims % m == 0, "m must divide dims")
+    require(codes >= 1, "codes must be positive")
+    val base = quantized(emb, id, vec)
+    val cents = seedPqCents(base, m, codes, dims)
+    // one scan projection computes every sub-space code; posexplode
+    // restores the (vec_id, m, code) row shape the aggregate produced
+    base.select(col("vec_id"),
+        posexplode(array(pqCodeCols(m, dims, cents): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("m"),
+        col("col").as("code"))
+      .filter(col("code").isNotNull)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: the query keeps its exact
@@ -270,38 +337,75 @@ object Similarity {
       dims: Int = 64,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val (subs, cents) = pqSubs(emb, id, vec, m, codes, dims)
-    adcSearch(subs, cents, queryIds, k, storage)
+    require(m >= 1 && dims % m == 0, "m must divide dims")
+    require(codes >= 1, "codes must be positive")
+    val base0 = quantized(emb, id, vec)
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(storage)
+    adcSearch(base, seedPqCents(base, m, codes, dims), m, dims,
+      queryIds, k)
   }
 
-  /** Shared ADC tail: code assignment + per-query distance table +
-    * code-table scan, against SUPPLIED codebook entries. `subs`
-    * feeds the code assignment AND the query distance table; in a
-    * deployment the codes are a stored index, the cache is the
-    * single-job stand-in (same policy as ivfTopK). */
-  private def adcSearch(subs0: DataFrame, cents: DataFrame,
-      queryIds: Seq[Long], k: Int,
-      storage: org.apache.spark.storage.StorageLevel): DataFrame = {
-    val subs =
-      if (storage == org.apache.spark.storage.StorageLevel.NONE) subs0
-      else subs0.persist(storage)
-    val codeTab = subs.join(broadcast(cents), Seq("m"))
-      .withColumn("dist2", col("s_nrm2") + col("c_nrm2")
-        - lit(2L) * dotQ(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("dist2"), col("code"))).as("code"))
-    val dtab = subs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("m"), col("sv"),
-        col("s_nrm2"))
-      .join(broadcast(cents), Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        (col("s_nrm2") + col("c_nrm2")
-          - lit(2L) * dotQ(col("sv"), col("cv"))).as("dist2"))
+  /** Shared ADC tail against COLLECTED codebook entries — the true
+    * "the scan that ranks 10⁹ vectors reads only codes" contract: the
+    * codes projection ([[pqCodeCols]]) and the per-query ADC both run
+    * in the corpus scan; the per-query distance tables (queries × m ×
+    * codes integers — bounded) are computed driver-side with the exact
+    * dotQ/slice semantics and baked in as literals. The former shape
+    * paid TWO corpus-scale exchanges (the (vec_id, m) code aggregate
+    * and the (query_id, vec_id) ADC sum); the only exchange left is
+    * the TopK partial aggregate (≤ k rows per query per map task).
+    * ADC keeps SQL sum-over-sub-space semantics (nulls skipped,
+    * all-null → null) and integer exactness (order-free long adds). */
+  private def adcSearch(base: DataFrame, cents: Seq[PqCent], mSubs: Int,
+      dims: Int, queryIds: Seq[Long], k: Int): DataFrame = {
+    val sub = dims / mSubs
+    def empty = base.select(col("vec_id").as("query_id"),
+      lit(0L).as("rank"), col("vec_id"), lit(0L).as("adc"))
+      .filter(lit(false))
+    if (cents.isEmpty) return empty
+    val qrows = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("qv")).collect()
+    if (qrows.isEmpty) return empty
+    val byM = cents.groupBy(_.m)
+    // stage 1: the codes array, once per vector (its own projection —
+    // CollapseProject keeps non-cheap multi-consumer aliases)
+    val coded = base.select(col("vec_id"),
+      array(pqCodeCols(mSubs, dims, cents): _*).as("codes"))
+    // stage 2: per query, adc = SQL-sum over sub-spaces of the literal
+    // distance-table entry selected by this vector's code
+    val perQuery = qrows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val qv = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      val terms: Seq[Column] = (0 until mSubs).flatMap { mi =>
+        byM.get(mi).map { cs =>
+          val sv = sliceL(qv, mi, sub)
+          val svn = dotL(sv, sv)
+          val codeCol = element_at(col("codes"), mi + 1)
+          cs.sortBy(_.code).foldLeft(lit(null).cast("bigint")) {
+            case (acc, c) =>
+              val d: Column = {
+                val dd = dotL(sv, c.cv)
+                if (svn == null || c.nrm2 == null || dd == null)
+                  lit(null).cast("bigint")
+                else lit(svn.longValue() + c.nrm2.longValue()
+                  - 2L * dd.longValue())
+              }
+              when(codeCol === lit(c.code), d).otherwise(acc)
+          }
+        }
+      }
+      val anyNonNull = terms.map(_.isNotNull).reduce(_ || _)
+      val total = terms.map(t => coalesce(t, lit(0L))).reduce(_ + _)
+      struct(lit(qid).as("query_id"), when(anyNonNull, total).as("adc"))
+    }
     val topk = udaf(new graft.functions.TopKAggregator(k))
-    codeTab.join(broadcast(dtab), Seq("m", "code"))
+    coded.select(col("vec_id"),
+        explode(array(perQuery.toSeq: _*)).as("qa"))
+      .select(col("vec_id"), col("qa.query_id").as("query_id"),
+        col("qa.adc").as("adc"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dist2")).as("adc"))
       .groupBy(col("query_id"))
       .agg(topk(col("vec_id"), -col("adc").cast("double")).as("top"))
       .select(col("query_id"), posexplode(col("top.items")))
@@ -318,10 +422,23 @@ object Similarity {
     * ANN family). */
   def pqCodebook(emb: DataFrame, id: Column, vec: Column, m: Int = 8,
       codes: Int = 16, dims: Int = 64): DataFrame = {
+    require(m >= 1 && dims % m == 0, "m must divide dims")
+    require(codes >= 1, "codes must be positive")
     val spark = emb.sparkSession
-    val cents = pqSubs(emb, id, vec, m, codes, dims)._2
-    val rows = cents.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), cents.schema)
+    val cents = seedPqCents(quantized(emb, id, vec), m, codes, dims)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("c_nrm2",
+        org.apache.spark.sql.types.LongType)))
+    val rows = cents
+      .map(c => org.apache.spark.sql.Row(c.m.toLong, c.code, c.cv, c.nrm2))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Serve-side ADC search against a SUPPLIED codebook (live
@@ -335,13 +452,16 @@ object Similarity {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // loadPqCodebook already refuses an empty artifact; a LIVE empty
     // frame must get the same loud refusal, not a null-unbox NPE
-    val maxM = codebook.agg(max(col("m"))).collect()(0)
-    require(!maxM.isNullAt(0),
+    val cents = collectPqCents(codebook)
+    require(cents.nonEmpty,
       "codebook is empty: nothing to derive the sub-space count from")
-    val mCount = maxM.getLong(0) + 1
-    adcSearch(subsOf(emb, id, vec, mCount.toInt, dims),
-      codebook.select(col("m"), col("code"), col("cv"), col("c_nrm2")),
-      queryIds, k, storage)
+    val mCount = cents.map(_.m).max + 1
+    require(mCount >= 1 && dims % mCount == 0, "m must divide dims")
+    val base0 = quantized(emb, id, vec)
+    val base =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(storage)
+    adcSearch(base, cents, mCount, dims, queryIds, k)
   }
 
   /** Persist a [[pqCodebook]] (m·codes rows — one file). */
@@ -478,16 +598,53 @@ object Similarity {
     * (-c_cos, cent_id), lexicographic min; c_cos is never NaN — both
     * norms are positive self-dot-products). qv/nrm are constant per
     * vec_id, so `first` is deterministic here. */
-  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
-    base.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(dotQ(col("qv"), col("c_qv")),
-        col("nrm"), col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("qv")).as("qv"),
-        first(col("nrm")).as("nrm"),
-        min_by(col("cent_id"), struct(-col("c_cos"), col("cent_id")))
-          .as("cell"))
+  /** A collected centroid row: the bounded (≤ nCells) summary the
+    * assignment expression is built from. `qv`/`nrm` may be null when
+    * the source vector was (degenerate corpora — the literal keeps
+    * the null so the cosine stays null exactly like the join form). */
+  private case class Centroid(id: Long, qv: Seq[Long], nrm: java.lang.Long)
+
+  /** Collect a (cent_id, c_qv, c_nrm) frame — ≤ nCells rows by
+    * construction, the bounded-summary class — so cell assignment can
+    * run as a per-row expression instead of a join + re-aggregation. */
+  private def collectCentroids(cents: DataFrame): Seq[Centroid] =
+    cents.select(col("cent_id").cast("long"), col("c_qv"), col("c_nrm"))
+      .collect()
+      .map { r =>
+        Centroid(r.getLong(0),
+          if (r.isNullAt(1)) null else r.getSeq[Long](1),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))
+      }
+      .sortBy(_.id)
+
+  /** Nearest-centroid assignment as ONE codegen projection over
+    * centroid LITERALS — zero Exchange, zero join. The former shape
+    * (crossJoin(broadcast(cents)) → ×nCells row blow-up →
+    * groupBy(vec_id) min_by) re-aggregated the corpus and shuffled
+    * every row (carrying its full qv array) once per assignment pass;
+    * the argmin over ≤ nCells candidates depends only on the row
+    * itself, so it belongs in the scan projection (the langIdKernel /
+    * guide-§8 discipline: decide with small data, never move the
+    * payload). Semantics are replicated exactly: per candidate the
+    * same cosine expression, ranked by the same struct(-cos, cent_id)
+    * total order — array_min and min_by share Spark's one struct
+    * ordering (nulls first, NaN greatest, lexicographic tie on
+    * cent_id). Empty centroids yield the empty frame, as the old
+    * inner-join shape did. */
+  private def assignCells(base: DataFrame, cents: Seq[Centroid]): DataFrame =
+    if (cents.isEmpty)
+      base.filter(lit(false)).withColumn("cell", lit(null).cast("long"))
+    else {
+      val cand = cents.map { c =>
+        val cqv = if (c.qv == null) lit(null).cast("array<bigint>")
+                  else typedlit(c.qv)
+        val cnrm = if (c.nrm == null) lit(null).cast("bigint")
+                   else lit(c.nrm.longValue())
+        struct((-cosine(dotQ(col("qv"), cqv), col("nrm"), cnrm)).as("s"),
+          lit(c.id).as("id"))
+      }
+      base.withColumn("cell", array_min(array(cand: _*)).getField("id"))
+    }
 
   /** IVF-style ANN: the first `nCells` corpus vectors (lowest ids)
     * act as deterministic seed centroids; every vector is assigned to
@@ -507,7 +664,7 @@ object Similarity {
     * would be built once and written to a table, so a cache
     * (spillable; NONE = recompute at corpus scale) is the honest
     * single-job stand-in. */
-  private def searchCells(base: DataFrame, cents: DataFrame,
+  private def searchCells(base: DataFrame, cents: Seq[Centroid],
       queryIds: Seq[Long], k: Int,
       storage: org.apache.spark.storage.StorageLevel): DataFrame = {
     val assigned0 = assignCells(base, cents)
@@ -525,9 +682,9 @@ object Similarity {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val base = quantized(emb, id, vec)
-    val cents = base.filter(col("vec_id") < nCells)
+    val cents = collectCentroids(base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"))
+        col("nrm").as("c_nrm")))
     searchCells(base, cents, queryIds, k, storage)
   }
 
@@ -560,9 +717,9 @@ object Similarity {
     val base =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
       else base0.persist(storage)
-    var cents = base.filter(col("vec_id") < nCells)
+    var cents = collectCentroids(base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"))
+        col("nrm").as("c_nrm")))
     for (_ <- 1 to iters) {
       val newQv = assignCells(base, cents)
         .select(col("cell"), posexplode(col("qv")))
@@ -574,8 +731,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("c_qv"))
-      cents = newQv.select(col("cell").as("cent_id"), col("c_qv"),
-        dotQ(col("c_qv"), col("c_qv")).as("c_nrm"))
+      // ≤ nCells rows: collecting each round replaces the nested
+      // broadcast-exchange chain with a flat literal plan per pass
+      cents = collectCentroids(newQv.select(col("cell").as("cent_id"),
+        col("c_qv"), dotQ(col("c_qv"), col("c_qv")).as("c_nrm")))
     }
     searchCells(base, cents, queryIds, k, storage)
   }
@@ -598,9 +757,9 @@ object Similarity {
     val base =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
       else base0.persist(storage)
-    var cents = base.filter(col("vec_id") < nCells)
+    var cents = collectCentroids(base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"))
+        col("nrm").as("c_nrm")))
     for (_ <- 1 to iters) {
       val newQv = assignCells(base, cents)
         .select(col("cell"), posexplode(col("qv")))
@@ -611,13 +770,21 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("c_qv"))
-      cents = newQv.select(col("cell").as("cent_id"), col("c_qv"),
-        dotQ(col("c_qv"), col("c_qv")).as("c_nrm"))
+      cents = collectCentroids(newQv.select(col("cell").as("cent_id"),
+        col("c_qv"), dotQ(col("c_qv"), col("c_qv")).as("c_nrm")))
     }
-    val rows = cents.collect()
     if (storage != org.apache.spark.storage.StorageLevel.NONE)
       base.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), cents.schema)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("c_nrm",
+        org.apache.spark.sql.types.LongType)))
+    val rows = cents.map(c => org.apache.spark.sql.Row(c.id, c.qv, c.nrm))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Serve-side IVF: cell-restricted search against SUPPLIED
@@ -629,7 +796,8 @@ object Similarity {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
     searchCells(quantized(emb, id, vec),
-      cents.select(col("cent_id"), col("c_qv"), col("c_nrm")),
+      collectCentroids(
+        cents.select(col("cent_id"), col("c_qv"), col("c_nrm"))),
       queryIds, k, storage)
 
   /** Persist trained [[ivfCentroids]] as the shipped index artifact:
@@ -852,9 +1020,9 @@ object Similarity {
     val base =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) base0
       else base0.persist(storage)
-    val cents = base.filter(col("vec_id") < nCells)
+    val cents = collectCentroids(base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"))
+        col("nrm").as("c_nrm")))
     val assigned0 = assignCells(base, cents)
     val assigned =
       if (storage == org.apache.spark.storage.StorageLevel.NONE) assigned0

@@ -127,18 +127,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF cell assignment is a partial hash aggregate, not a window rank") {
-    // the argmin over centroids must partial-aggregate map-side (one
-    // row per vector reaches the shuffle) — a row_number window here
-    // would shuffle corpus x nCells scored rows per assignment pass
+  test("IVF cell assignment is a zero-shuffle projection, not a join or window") {
+    // the argmin over <= nCells collected centroid LITERALS runs in
+    // the scan projection (array_min over struct(-cos, id) candidates
+    // — the same total order the old min_by aggregate used). Neither
+    // a window rank (corpus x nCells scored rows shuffled per pass)
+    // nor the old crossJoin + re-aggregation (one corpus exchange
+    // carrying the full qv array per assignment pass) may reappear.
     for (q <- Seq("q41_ivf_topk", "q66_ivf_refined")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val opt = df.queryExecution.optimizedPlan.toString
       assert(!opt.contains("window"), s"$q: window rank in assignment:\n$opt")
-      assert(opt.contains("min_by"), s"$q: min_by argmin missing:\n$opt")
+      assert(opt.contains("array_min(array(struct"),
+        s"$q: literal argmin projection missing:\n$opt")
+      assert(!opt.contains("min_by"),
+        s"$q: assignment re-aggregation resurfaced:\n$opt")
       val p = plan(df)
       assert(!p.contains("Window"), s"$q: Window node in physical plan:\n$p")
-      assert(p.contains("HashAggregate"), s"$q: no hash aggregate:\n$p")
     }
   }
 
@@ -743,11 +748,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("pq: codebook and distance table broadcast; the ranking scan carries codes, not vectors") {
+  test("pq: codebook and distance table baked as literals; the ranking scan carries codes, not vectors") {
     val codes = SparkEntry.queries("q113_pq_codes")(spark, sf)
     val pc = plan(codes)
     assert(!pc.contains("Window"), pc)
-    assert(pc.contains("BroadcastExchange"), s"codebook must broadcast:\n$pc")
+    // the collected codebook is a literal argmin projection — no join,
+    // no re-aggregation (optimization r17 batch 3)
+    assert(!pc.contains("Join"), pc)
+    assert(pc.contains("array_min(array(struct"),
+      s"literal codebook argmin missing:\n$pc")
     val adc = SparkEntry.queries("q114_pq_adc_topk")(spark, sf)
     adc.collect() // finalize AQE
     val pa = plan(adc)

@@ -414,11 +414,15 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Long]("code") == r.getAs[Long]("vec_id"),
         s"vec ${r.getAs[Long]("vec_id")} m ${r.getAs[Long]("m")}")
     }
-    // no window rank: the argmin is a min_by hash aggregate
+    // no window rank, no join, no re-aggregation: the argmin runs as
+    // a literal-codebook projection in the scan (the only Exchange
+    // left is fanOut's scan repartition)
     val plan = Similarity.pqCodes(emb, col("vec_id"), col("embedding"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("BroadcastExchange"), plan) // the codebook
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("array_min(array(struct"), plan)
   }
 
   test("pqAdcTopK: valid ranks, self excluded, adc exact vs driver recomputation") {
