@@ -130,6 +130,16 @@ object Functions {
       MultiContainsExpr(ColumnBridge.expression(text), terms))
   }
 
+  /** Multiset membership count of a string array against a fixed term
+    * set in ONE codegen pass — the whole-stage-codegen replacement for
+    * `size(filter(arr, t => array_contains(lit(terms), t)))` (an
+    * interpreted-lambda HOF); see ArrayCountInExpr. */
+  def arrayCountIn(arr: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      ArrayCountInExpr(ColumnBridge.expression(arr), terms))
+  }
+
   /** Dotted-quad → unsigned int in a BIGINT, null if malformed; pure
     * Column math (stays codegen'd) for use in joins/sorts over IPs. */
   def ipv4ToLong(addr: Column): Column = {

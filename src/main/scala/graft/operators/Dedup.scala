@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens, empties dropped; lower-cased. */
+  /** Whitespace tokens, empties dropped; lower-cased.
+    *
+    * array_remove(…, "") is bit-identical to the former
+    * `filter(_, t => length(t) > 0)` (split never yields nulls, so
+    * dropping empties IS removing "") but stays inside whole-stage
+    * codegen — ArrayFilter is a CodegenFallback higher-order function
+    * that dispatches an interpreted lambda per token, and this
+    * expression sits in the scan projection of every tokenizing
+    * operator (shingles, BPE, quality, BM25, dsir, surprisal). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), " "), t => length(t) > 0)
+    array_remove(split(lower(text), " "), "")
 
   /** Distinct word n-gram shingles of the token array (docs shorter
     * than n tokens yield no shingles). Array form — convenient for
@@ -538,6 +546,18 @@ object Dedup {
     * doc, each carrying the md5 of its signature slice as the bucket
     * key. Preserves every other column (the asymmetric join keeps its
     * is_new flag through here). */
+  /** Positional signature agreement count — the native codegen loop
+    * ([[graft.functions.SigMatchExpr]]), bit-identical to the former
+    * `size(filter(zip_with(a, b, _ === _), x => x))` where zip_with
+    * and filter are CodegenFallback higher-order functions paying two
+    * interpreted lambda dispatches per hash per candidate pair — the
+    * inner loop of every minhash verification. */
+  private def sigMatchCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SigMatchExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   def bandedSigs(sigArr: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
@@ -616,8 +636,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     cand
       .withColumn("n_match",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-          x => x)))
+        sigMatchCount(col("sig_a"), col("sig_b")))
       .withColumn("est_jaccard", col("n_match") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_match").cast("long").as("n_match"),
@@ -706,8 +725,7 @@ object Dedup {
       .dropDuplicates("doc_id", "old_id")
     val best = cand
       .withColumn("n_match",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-          x => x)).cast("long"))
+        sigMatchCount(col("sig_a"), col("sig_b")).cast("long"))
       .withColumn("est_jaccard", col("n_match") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= minEstJaccard)
       .groupBy(col("doc_id"))

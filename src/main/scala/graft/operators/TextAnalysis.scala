@@ -50,13 +50,12 @@ object TextAnalysis {
     * C4/Gopher-style quality filters). */
   def qualityScore(df: DataFrame, id: Column, text: Column,
       stopwords: Seq[String] = Stopwords): DataFrame = {
-    val sw = typedLit(stopwords)
     df.select(id.as("doc_id"), length(text).cast("long").as("n_chars"),
         tokens(text).as("ws"), unitCount(text).as("n_units"))
       .select(col("doc_id"), col("n_chars"), col("n_units"),
         size(col("ws")).cast("long").as("n_tokens"),
-        size(filter(col("ws"), t => array_contains(sw, t))).cast("long")
-          .as("n_stop"))
+        graft.functions.Functions.arrayCountIn(col("ws"), stopwords)
+          .cast("long").as("n_stop"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("mean_token_len",
         (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
@@ -80,8 +79,8 @@ object TextAnalysis {
   private[graft] def qualityOkFrom(ws: Column, nChars: Column,
       stopwords: Seq[String] = Stopwords): Column = {
     val nTokens = size(ws).cast("long")
-    val nStop = size(filter(ws,
-      t => array_contains(typedLit(stopwords), t))).cast("long")
+    val nStop = graft.functions.Functions.arrayCountIn(ws, stopwords)
+      .cast("long")
     val stopRatio = nStop / nTokens
     val meanTokenLen = (nChars - (nTokens - 1)) / nTokens
     nTokens >= MinTokens && stopRatio >= MinStopRatio &&
@@ -98,7 +97,7 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("ws")).cast("long"))
     val scored = markers.toSeq.sortBy(_._1).map { case (cls, words) =>
       base.select(col("doc_id"), lit(cls).as("class"),
-        (size(filter(col("ws"), t => array_contains(typedLit(words), t)))
+        (graft.functions.Functions.arrayCountIn(col("ws"), words)
           .cast("long") / col("n_tokens")).as("score"))
     }.reduce(_.unionAll(_))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))

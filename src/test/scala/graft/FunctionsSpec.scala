@@ -102,4 +102,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq ==
       cases.map(graft.util.MiscUtil.normalizeEmailPlusDotStrip))
   }
+
+  test("arrayCountIn is bit-identical to the interpreted HOF form it replaced") {
+    // multiset semantics (duplicates count), null elements skipped,
+    // null array -> null, empty set -> 0 — each pinned against
+    // size(filter(arr, t => array_contains(lit(terms), t)))
+    val terms = Seq("the", "a", "and", "of", "to", "in")
+    val df = Seq(
+      Some(Seq[String]("the", "cat", "the", "in", "hat")),
+      Some(Seq[String]("xyz")),
+      Some(Seq[String]()),
+      None,
+      Some(Seq[String]("the", null, "of"))
+    ).toDF("ws")
+    val sw = typedlit(terms)
+    val got = df.select(
+        Functions.arrayCountIn(col("ws"), terms).as("fast"),
+        size(filter(col("ws"), t => array_contains(sw, t))).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), r.toString)
+    }
+    assert(got(0).getInt(0) == 3)      // duplicates counted
+    assert(got(4).getInt(0) == 2)      // null element skipped
+    val empty = df.limit(1)
+      .select(Functions.arrayCountIn(col("ws"), Seq.empty).as("c"))
+      .collect()(0)
+    assert(empty.getInt(0) == 0)
+  }
 }
