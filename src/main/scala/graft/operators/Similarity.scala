@@ -383,16 +383,37 @@ object Similarity {
           val sv = sliceL(qv, mi, sub)
           val svn = dotL(sv, sv)
           val codeCol = element_at(col("codes"), mi + 1)
-          cs.sortBy(_.code).foldLeft(lit(null).cast("bigint")) {
-            case (acc, c) =>
-              val d: Column = {
-                val dd = dotL(sv, c.cv)
-                if (svn == null || c.nrm2 == null || dd == null)
-                  lit(null).cast("bigint")
-                else lit(svn.longValue() + c.nrm2.longValue()
-                  - 2L * dd.longValue())
-              }
-              when(codeCol === lit(c.code), d).otherwise(acc)
+          def dOf(c: PqCent): java.lang.Long = {
+            val dd = dotL(sv, c.cv)
+            if (svn == null || c.nrm2 == null || dd == null) null
+            else java.lang.Long.valueOf(svn.longValue()
+              + c.nrm2.longValue() - 2L * dd.longValue())
+          }
+          val codesHere = cs.map(_.code)
+          // dense code space (the pqCodes contract: codes are seed
+          // vec_ids 0..codes-1): the distance table is ONE folded
+          // array literal probed by `get` (0-based, out-of-range and
+          // null → null — exactly the when-chain's no-match null),
+          // so the per-query plan stays O(m) nodes instead of the
+          // O(m·codes) nested CASE chain that blew generated-code
+          // size past the JIT threshold as queries × codes grew
+          if (codesHere.forall(c => c >= 0L && c <= 4095L)) {
+            val tab = Array.fill[Column](codesHere.max.toInt + 1)(
+              lit(null).cast("bigint"))
+            cs.foreach { c =>
+              tab(c.code.toInt) = Option(dOf(c))
+                .map(d => lit(d.longValue())).getOrElse(
+                  lit(null).cast("bigint"))
+            }
+            get(array(tab.toIndexedSeq: _*), codeCol.cast("int"))
+          } else {
+            // sparse/negative code space (only a hand-built loaded
+            // codebook can produce it): the original bounded chain
+            cs.sortBy(_.code).foldLeft(lit(null).cast("bigint")) {
+              case (acc, c) => when(codeCol === lit(c.code),
+                Option(dOf(c)).map(d => lit(d.longValue()))
+                  .getOrElse(lit(null).cast("bigint"))).otherwise(acc)
+            }
           }
         }
       }

@@ -868,22 +868,39 @@ object TextAnalysis {
     require(queries.nonEmpty, "queries must be non-empty")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val postings = corpus
+    val docs = corpus
       .select(id.as("doc_id"), tokens(text).as("ws"))
       .filter(size(col("ws")) >= 1)
+    // only query terms ever reach a shuffle: scoring and df_t both
+    // consume postings joined to the (tiny) query-term list, so the
+    // term filter runs in the scan, BEFORE the explode output is
+    // aggregated — the full-vocabulary (doc, term) aggregate the old
+    // shape shuffled three times never forms
+    val qtermSet = queries.flatMap { case (_, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    }.distinct
+    val postings = docs
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("term"))
+      .filter(col("term").isInCollection(qtermSet))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val stats = postings
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        sum(col("tf")).as("tot_tokens"))
+    // corpus scalars off the doc frame directly: n_docs = docs with
+    // ≥1 token (the filter above), tot_tokens = Σ dl = Σ tf — the
+    // same values the postings aggregate produced, one narrow pass
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws")).cast("long")).as("tot_tokens"))
       .select(col("n_docs"),
         expr("tot_tokens DIV n_docs").as("avgdl"))
     val qterms = queries.flatMap { case (qid, qtext) =>
       qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => (qid, t))
     }.toDF("query_id", "term")
+    // df_t per query term: the term filter commutes with the
+    // per-term doc count (each group is keyed by one term), so the
+    // restricted postings give the identical df_t for every term the
+    // old full-vocabulary aggregate could ever join to qterms
     val enriched = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df_t"))
       .join(broadcast(qterms), Seq("term"))

@@ -919,7 +919,7 @@ object Parser {
     * falling back to the original URI parse for anything else.
     * `new java.net.URI` costs a full spec parse + exception-driven
     * control flow per line and dominated the per-line profile. */
-  private[parse] def splitUrl(url: String): (Option[String], Option[String]) = {
+  private[graft] def splitUrl(url: String): (Option[String], Option[String]) = {
     if (url == null) return (None, None)
     val sep = url.indexOf("://")
     if (sep > 0 && simpleUrlChars(url) && validScheme(url, sep)) {
@@ -928,13 +928,32 @@ object Parser {
       val hostEnd = if (slash < 0) url.length else slash
       if (hostEnd > hostStart) {
         val host = url.substring(hostStart, hostEnd)
+        // URI's RFC2396 hostname grammar, not just a char-set check:
+        // every label non-empty with alphanumeric first/last chars
+        // (no '..', no '-foo'/'foo-'), and the FINAL label starting
+        // with a LETTER (URI's toplabel rule — which also keeps every
+        // IPv4-shaped host on the exact URI path below). Anything
+        // narrower falls through to java.net.URI, so the fast path
+        // only ever claims hosts URI itself would return.
+        def alnum(c: Char) = (c >= 'a' && c <= 'z') ||
+          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
         var i = hostStart
         var hostOk = true
+        var labelStart = i
         while (hostOk && i < hostEnd) {
           val c = url.charAt(i)
-          hostOk = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-            (c >= '0' && c <= '9') || c == '.' || c == '-'
+          if (c == '.') {
+            hostOk = i > labelStart && alnum(url.charAt(i - 1))
+            labelStart = i + 1
+          } else if (alnum(c)) ()
+          else if (c == '-') hostOk = i > labelStart
+          else hostOk = false
           i += 1
+        }
+        if (hostOk) {
+          val f = if (labelStart < hostEnd) url.charAt(labelStart) else ' '
+          hostOk = ((f >= 'a' && f <= 'z') || (f >= 'A' && f <= 'Z')) &&
+            alnum(url.charAt(hostEnd - 1))
         }
         if (hostOk)
           return (Some(host),

@@ -1070,6 +1070,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       profiles, penalty = m, d = d).queryExecution.executedPlan.toString
     assert(p.contains("MapPartitions"), p)
     assert(!p.contains("Exchange") && !p.contains("Window"), p)
+    // the documented one-row-per-doc precondition is LOAD-BEARING
+    // (r17 advisory): the kernel classifies each input row
+    // independently, so duplicate ids yield one row PER DUPLICATE —
+    // a caller that feeds them diverges loudly in row count, never
+    // silently in prediction (each duplicate's row is the correct
+    // classification of its own text)
+    val dup = Seq((1L, "the cat and the rat sat"),
+      (1L, "zum zug zogen zwei zuge")).toDF("doc_id", "text")
+    val dupRows = TextAnalysis.langId(dup, col("doc_id"), col("text"),
+      profiles, penalty = m, d = d).collect()
+    assert(dupRows.length == 2, dupRows.mkString(","))
+    assert(dupRows.map(_.getString(1)).sorted.toSeq == Seq("aa", "bb"))
   }
 
   test("langIdProfiles: the bounded lang-keyed top-k (aggregator " +
