@@ -258,11 +258,24 @@ object TextAnalysis {
     * grams and are out of scope (no row). */
   def ngramNovelty(df: DataFrame, id: Column, text: Column,
       isRef: Column, n: Int = 3): DataFrame = {
-    val none = org.apache.spark.storage.StorageLevel.NONE
     val base = df.select(id.as("doc_id"), text.as("t"),
       isRef.cast("boolean").as("is_ref"))
-    val sh = Dedup.explodedShingles(base, col("doc_id"), col("t"), n, none)
-      .join(base.select(col("doc_id"), col("is_ref")), Seq("doc_id"))
+    // the explodedShingles idiom with is_ref carried THROUGH the
+    // explode: the former join of the exploded (doc_id, s) frame back
+    // to the doc frame shuffled the whole shingle set a second time
+    // just to re-attach a flag that is functionally dependent on
+    // doc_id (guide §2.4 — is_ref rides the dropDuplicates rows
+    // unchanged, fanOutBy's doc_id partitioning already satisfies it)
+    val src = graft.sources.Tables.fanOutBy(base, col("doc_id"))
+    val sh = src.select(col("doc_id"), col("is_ref"),
+        Dedup.tokens(col("t")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("is_ref"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"))
+      .select(col("doc_id"), col("is_ref"), concat_ws(" ",
+        (0 until n).map(k => element_at(col("ws"), col("i") + k)): _*)
+        .as("s"))
+      .dropDuplicates("doc_id", "s")
     val refGrams = sh.filter(col("is_ref")).select(col("s")).distinct()
       .withColumn("seen", lit(true))
     sh.filter(!col("is_ref"))
@@ -713,9 +726,21 @@ object TextAnalysis {
     val grams = docGrams(df, id, text, n)
     val model = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-    val total = grams.agg(count(lit(1)).as("t"))
-    surprisalTail(grams, model, total)
+    surprisalTail(grams, model, gramTotal(df, text, n))
   }
+
+  /** The corpus's total gram-occurrence count WITHOUT the explode:
+    * [[docGrams]] emits exactly `size(ws) − (n−1)` rows per doc with
+    * ≥ n tokens, so `Σ (size − (n−1))` over the doc frame equals
+    * `count(*)` over the exploded grams — one narrow scan aggregate
+    * in place of a full tokenize+Generate pass (guide §1.2 #1: don't
+    * compute rows you only ever count). Empty corpus → 0, like the
+    * count it replaces. */
+  private def gramTotal(df: DataFrame, text: Column, n: Int): DataFrame =
+    df.select(tokens(text).as("ws"))
+      .select(size(col("ws")).cast("long").as("sz"))
+      .filter(col("sz") >= n)
+      .agg(coalesce(sum(col("sz") - (n - 1)), lit(0L)).as("t"))
 
   /** The word-n-gram explode shared by the fused and split surprisal
     * forms: one row per (doc_id, gram) occurrence. */
@@ -761,7 +786,10 @@ object TextAnalysis {
     SurprisalModel(
       grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= minCount),
-      grams.count(), n)
+      // the total via the narrow doc-level sum ([[gramTotal]]) — the
+      // old grams.count() re-ran the full tokenize+explode pass just
+      // to count rows whose cardinality the token counts already carry
+      gramTotal(df, text, n).collect()(0).getLong(0), n)
   }
 
   /** SERVE half: score a corpus against a supplied model — live
@@ -1142,8 +1170,17 @@ object TextAnalysis {
       target.select(tokens(targetText).as("ws")), Seq.empty)
     val ct = tgtGrams.groupBy(col("b")).agg(count(lit(1)).as("c"))
     val cr = rawB.groupBy(col("b")).agg(count(lit(1)).as("c"))
-    val tt = tgtGrams.agg(count(lit(1)).as("tt"))
-    val tr = rawB.agg(count(lit(1)).as("tr"))
+    // gram-mass totals via the narrow doc-level sum (each doc with
+    // ≥ 2 tokens emits exactly size−1 bigrams): the old count(*) over
+    // dsirGrams re-ran a full tokenize+explode pass per corpus just
+    // to count rows — and Σ c over the bucket tables would be the
+    // same number but costs a second corpus aggregate, not a scan sum
+    def massOf(c: Column, d: DataFrame, alias: String) =
+      d.select(size(tokens(c)).cast("long").as("sz"))
+        .filter(col("sz") >= 2)
+        .agg(coalesce(sum(col("sz") - 1), lit(0L)).as(alias))
+    val tt = massOf(targetText, target, "tt")
+    val tr = massOf(text, raw, "tr")
     cr.join(ct.withColumnRenamed("c", "c_t"), Seq("b"), "full")
       .select(col("b"), coalesce(col("c"), lit(0L)).as("c_r"),
         coalesce(col("c_t"), lit(0L)).as("c_t"))
@@ -1390,6 +1427,17 @@ object TextAnalysis {
     * Output: (doc_id, n_replacement, n_mojibake, n_control,
     * encoding_ok). */
   def encodingQuality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val (nRepl, nMoji, nCtl) = encodingCounts(text)
+    df.select(id.as("doc_id"), nRepl.as("n_replacement"),
+        nMoji.as("n_mojibake"), nCtl.as("n_control"))
+      .withColumn("encoding_ok",
+        col("n_replacement") === 0 && col("n_mojibake") === 0 &&
+          col("n_control") === 0)
+  }
+
+  /** The three [[encodingQuality]] damage counts as bare per-row
+    * expressions. */
+  private def encodingCounts(text: Column): (Column, Column, Column) = {
     def subCount(t: Column, sig: String): Column =
       (length(t) - length(replace(t, lit(sig), lit("")))) / sig.length
     val nRepl = (length(text) - length(replace(text, lit("�"), lit(""))))
@@ -1398,11 +1446,18 @@ object TextAnalysis {
       .reduce(_ + _).cast("long")
     val nCtl = size(regexp_extract_all(text,
       lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(0))).cast("long")
-    df.select(id.as("doc_id"), nRepl.as("n_replacement"),
-        nMoji.as("n_mojibake"), nCtl.as("n_control"))
-      .withColumn("encoding_ok",
-        col("n_replacement") === 0 && col("n_mojibake") === 0 &&
-          col("n_control") === 0)
+    (nRepl, nMoji, nCtl)
+  }
+
+  /** [[encodingQuality]]'s gate as ONE per-row Column — for composers
+    * that only need the verdict: a map-only predicate fuses into the
+    * caller's scan where the frame form forces a doc_id equi-join of
+    * two corpus-sized sides (the r18 curationFunnel lesson: that join
+    * re-evaluated per funnel consumer). Same expressions, same
+    * null semantics (null text → null counts → null gate). */
+  def encodingOk(text: Column): Column = {
+    val (nRepl, nMoji, nCtl) = encodingCounts(text)
+    nRepl === 0 && nMoji === 0 && nCtl === 0
   }
 
   /** Exact per-stratum token-length quantiles via a VALUE HISTOGRAM —

@@ -332,21 +332,27 @@ object CorpusPipeline {
     *
     * Output: (stage, n_docs, token_mass), 5 rows. */
   def curationFunnel(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // encoding_ok as the per-row predicate, NOT the encodingQuality
+    // frame joined back on doc_id: that corpus⋈corpus equi-join was
+    // re-evaluated by every funnel consumer of `qual` (Catalyst does
+    // not dedupe common subplans — this one query ran it four times,
+    // 22 SortMergeJoins in the r17 plan); the column form fuses into
+    // each consumer's scan projection instead
     val base = df.select(id.as("doc_id"), text.as("t"))
       .withColumn("n_tokens",
         size(TextAnalysis.tokens(col("t"))).cast("long"))
-      .join(TextAnalysis.encodingQuality(df, id, text)
-        .select(col("doc_id"), col("encoding_ok")), Seq("doc_id"))
+      .withColumn("encoding_ok", TextAnalysis.encodingOk(col("t")))
       .withColumn("qual_ok",
         col("encoding_ok") && TextAnalysis.qualityOk(col("t")))
     // canonical flag among quality survivors only (the sequential
     // semantics: a doc knocked out earlier never competes for
     // canonical, so a later twin of a junk doc survives dedup)
     val qual = base.filter(col("qual_ok"))
-    val canon = qual.groupBy(md5(col("t")).as("h"))
-      .agg(min(col("doc_id")).as("can"))
-    val exactIds = qual.withColumn("h", md5(col("t")))
-      .join(canon, Seq("h")).filter(col("doc_id") === col("can"))
+    // the canonical ids ARE the aggregate's min(doc_id) values — no
+    // join back on the hash needed to re-derive "docs equal to their
+    // group's min" (the q157 min-per-hash lesson)
+    val exactIds = qual.groupBy(md5(col("t")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val dropNear = Dedup.ngramJaccardPairs(
         qual.join(exactIds, Seq("doc_id")), col("doc_id"), col("t"),
